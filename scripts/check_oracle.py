@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: run Verify output
+against DuckDB oracles and compare values exactly.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(rows, colnames):
+    # sort columns by name, then rows; exact values (no rounding)
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(repr(x) for x in t))
+    return [sorted(colnames), out]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        tbl = pq.read_table(files[0])
+        spark_cols = tbl.column_names
+        spark_rows = [tuple(d[c] for c in spark_cols) for d in tbl.to_pylist()]
+        try:
+            cur = con.execute(sql)
+            duck_cols = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+        s = canon(spark_rows, spark_cols)
+        d = canon(duck_rows, duck_cols)
+        if s[0] != d[0]:
+            print(f"FAIL {name}: columns {s[0]} vs {d[0]}"); n_fail += 1; continue
+        if len(s[1]) != len(d[1]):
+            print(f"FAIL {name}: rowcount {len(s[1])} vs {len(d[1])}"); n_fail += 1; continue
+        if s[1] != d[1]:
+            bad = sum(1 for a, b in zip(s[1], d[1]) if a != b)
+            ex = next((a, b) for a, b in zip(s[1], d[1]) if a != b)
+            print(f"FAIL {name}: {bad}/{len(s[1])} rows differ, e.g. spark={ex[0]} duck={ex[1]}")
+            n_fail += 1; continue
+        print(f"PASS {name}: {len(s[1])} rows")
+        n_pass += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,60 @@
+package graft
+
+/** DuckDB oracle-SQL fragments that reproduce the engine's arithmetic
+  * bit-for-bit.
+  *
+  * Contract with the Spark side: every oracle-checked query restricts itself
+  * to IEEE-754 exact operations (+, −, ×, ÷, sqrt) applied in the SAME
+  * association order as Spark's `aggregate` fold (strict left-to-right,
+  * starting from 0.0 — and `0.0 + t == t` for the non-negative terms used
+  * here), plus md5 (identical hex in both engines) and integer arithmetic.
+  * No rounding is applied anywhere, because none is needed.
+  */
+object OracleSql {
+
+  /** Σᵢ (a[i]−b[i])² as an explicit left-associative sum (1-based list
+    * indexing in both DuckDB and Spark's element_at).
+    */
+  def sqDistSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map { i =>
+      val t = s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))"
+      s"$t * $t"
+    }.mkString(" + ")
+
+  def l2Sql(a: String, b: String, dim: Int): String =
+    s"sqrt(${sqDistSql(a, b, dim)})"
+
+  def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  /** Cosine distance with the reference's zero-norm → 1.0 convention. */
+  def cosineSql(a: String, b: String, dim: Int): String = {
+    val na = s"sqrt(${dotSql(a, a, dim)})"
+    val nb = s"sqrt(${dotSql(b, b, dim)})"
+    s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 1.0 ELSE 1.0 - (${dotSql(a, b, dim)}) / ($na * $nb) END"
+  }
+
+  /** Word n-gram shingle CTE over `documents`: (doc_id, shingle).
+    * Mirrors TextFunctions.wordShingles (empty for docs shorter than n
+    * tokens — generate_series(1, len-&lt;n-1&gt;) is empty when stop &lt; start).
+    */
+  def shingleCte(n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |tokidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${n - 1})) AS i FROM toks),
+       |shingles AS (
+       |  SELECT doc_id, concat_ws(' ', ${(0 until n).map(j => s"w[i+$j]").mkString(", ")}) AS shingle
+       |  FROM tokidx)""".stripMargin
+
+  /** MinHash aggregate for seed s over column `shingle`. */
+  def minhashSql(seed: Int): String = s"min(md5(concat('s$seed|', shingle)))"
+
+  /** Stopword-hit count over single-space-separated text. */
+  def stopCountSql(textExpr: String, words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split($textExpr, ' '), x -> x IN ($list)))"
+  }
+
+  /** Whitespace token count: spaces + 1 (exact integer arithmetic). */
+  def tokenCountSql(textExpr: String): String =
+    s"(length($textExpr) - length(replace($textExpr, ' ', '')) + 1)"
+}

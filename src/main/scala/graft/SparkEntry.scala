@@ -1,13 +1,308 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Distances, Levels, TextFunctions}
+import graft.hnsw.{Hnsw, HnswParams}
+import graft.operators.{Dedup, Knn}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-checked query keeps its floating-point arithmetic
+  * bit-identical to the DuckDB SQL in [[oracleSql]] (see [[OracleSql]] for
+  * the contract), so the driver's hash compare is exact with no rounding.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** embeddings table prepared as the vector index: (id, vector(double), label). */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings").select(
+      col("vec_id").as("id"),
+      Distances.toDouble(col("embedding")).as("vector"),
+      col("label"))
+
+  private val EmbDim = 64
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's CIFAR ranked-report experience (SURVEY.md Q8): exact
+    * top-k with labels and query-row marker.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val e = emb(spark, dir)
+    val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+    val labels = e.select(col("id"), concat(lit("class_"), col("label")).as("label_name"))
+    Knn.rankedReport(e, queries, labels, 5, Distances.l2)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- F1: L2 distance projection (hsnw_trial.py:44-45) ----
+    "q01_l2_project" -> ((s, dir) => {
+      val a = array(col("l_quantity"), col("l_extendedprice") / lit(1000.0),
+        col("l_discount") * lit(10.0), col("l_tax") * lit(10.0))
+      val b = array(lit(25.0), lit(30.0), lit(2.5), lit(0.4))
+      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        Distances.l2(a, b).as("dist"))
+    }),
+
+    // ---- F2: cosine distance incl. zero-norm → 1.0 (hsnw_trial.py:48-54) ----
+    "q02_cosine_project" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") === 0).select(col("vector").as("q_vector"))
+      e.crossJoin(broadcast(q))
+        .select(col("id"), Distances.cosine(col("vector"), col("q_vector")).as("dist"))
+    }),
+
+    // ---- Q1a: exact brute-force top-k per query (hsnw_trial.py:267-294 oracle form) ----
+    "q03_knn_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      Knn.exactTopK(e, queries, 10, Distances.l2)
+    }),
+
+    // ---- Q4: ORDER BY dist LIMIT k → TakeOrderedAndProject (hsnw_trial.py:292-293) ----
+    "q04_order_limit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") === 0).select(col("vector").as("q_vector"))
+      val scored = e.crossJoin(broadcast(q))
+        .select(col("id"), Distances.l2(col("vector"), col("q_vector")).as("dist"))
+      Knn.topK(scored, 10)
+    }),
+
+    // ---- Q8 + D6: rank-annotated report with broadcast label join ----
+    "q05_rank_label_report" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      val labels = e.select(col("id"), concat(lit("class_"), col("label")).as("label_name"))
+      Knn.rankedReport(e, queries, labels, 5, Distances.l2)
+    }),
+
+    // ---- D5: validation filter (dim + null check, hsnw_trial.py:199-200) ----
+    "q06_filter_valid" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull && size(col("embedding")) === EmbDim)
+        .select("vec_id")),
+
+    // ---- M1 + Q3: tombstone filter pushed to the scan ----
+    "q07_tombstone_filter" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .withColumn("tombstone", col("vec_id") % 97 === 0)
+        .filter(!col("tombstone"))
+        .select("vec_id")),
+
+    // ---- B6: entry-point maintenance (argmax by level, hsnw_trial.py:261-263) ----
+    "q08_entry_point" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(col("vec_id"), Levels.levelFor(col("vec_id"), Levels.defaultML(16)).as("level"))
+        .orderBy(col("level").desc, col("vec_id").asc)
+        .limit(1)),
+
+    // ---- F4: deterministic level sampling distribution ----
+    "q09_level_hist" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(Levels.levelFor(col("vec_id"), Levels.defaultML(16)).as("level"))
+        .groupBy("level").agg(count(lit(1)).as("cnt"))),
+
+    // ---- exact dedup: canonical id per fingerprint ----
+    "q10_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- MinHash signatures over word 3-gram shingles ----
+    "q11_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text", n = 3, h = 4)),
+
+    // ---- LSH banding: candidate pairs via band-key equi-join ----
+    "q12_lsh_pairs" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text", n = 3, h = 4)
+      Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2)
+    }),
+
+    // ---- exact n-gram Jaccard over shingle-sharing pairs ----
+    "q13_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)),
+
+    // ---- language-ID heuristic ----
+    "q14_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))),
+
+    // ---- quality scoring (length/stopword/word-length heuristics) ----
+    "q15_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"))),
+
+    // ---- document fingerprinting ----
+    "q16_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // ---- embedding-cosine near-dup pairs (blocked by label) ----
+    "q17_embed_neardup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), Distances.toDouble(col("embedding")).as("vector"), col("label"))
+      Dedup.embeddingNearDupPairs(e, "vec_id", "vector", "label", maxDist = 0.65)
+        .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
+    }),
+
+    // ---- B1–B6: distributed HNSW build (rows-only check; graph is stochastic-ish but deterministic given params) ----
+    "hnsw_build_stats" -> ((s, dir) => {
+      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
+      idx.edges.groupBy("layer").agg(count(lit(1)).as("n_edges")).orderBy("layer")
+    }),
+
+    // ---- Q1b: batch ANN query over the built index (rows-only) ----
+    "hnsw_ann_topk" -> ((s, dir) => {
+      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
+      val queries = input.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      Hnsw.annQuery(idx, queries, k = 10)
+    }),
+
+    // ---- D8: recall@k of ANN vs exact oracle (rows-only; the reference's declared-but-missing eval) ----
+    "hnsw_recall" -> ((s, dir) => {
+      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
+      val queries = input.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      val ann = Hnsw.annQuery(idx, queries, k = 10)
+      val exact = Knn.exactTopK(
+        emb(s, dir), emb(s, dir).filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector")),
+        10, Distances.l2)
+      Hnsw.recallAtK(ann, exact, 10)
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the hnsw_* graph queries (ANN is
+    * not SQL-expressible; driver records a rows-only check).
+    */
+  def oracleSql: Map[String, String] = {
+    import OracleSql._
+    val knnDist = l2Sql("e.embedding", "q.embedding", EmbDim)
+    Map(
+      "q01_l2_project" -> {
+        val terms = Seq(
+          ("l_quantity", "25.0"),
+          ("(l_extendedprice / 1000.0)", "30.0"),
+          ("(l_discount * 10.0)", "2.5"),
+          ("(l_tax * 10.0)", "0.4"),
+        ).map { case (a, b) => s"($a - $b) * ($a - $b)" }.mkString(" + ")
+        s"SELECT l_orderkey, l_linenumber, sqrt($terms) AS dist FROM lineitem"
+      },
+
+      "q02_cosine_project" ->
+        s"""SELECT e.vec_id AS id, ${cosineSql("e.embedding", "q.embedding", EmbDim)} AS dist
+           |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q""".stripMargin,
+
+      "q03_knn_topk" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist FROM embeddings e, q),
+           |ranked AS (SELECT qid, id, dist,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS "rank" FROM scored)
+           |SELECT qid, "rank", id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,
+
+      "q04_order_limit" ->
+        s"""SELECT e.vec_id AS id, ${l2Sql("e.embedding", "q.embedding", EmbDim)} AS dist
+           |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+           |ORDER BY dist ASC, id ASC LIMIT 10""".stripMargin,
+
+      "q05_rank_label_report" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist FROM embeddings e, q),
+           |ranked AS (SELECT qid, id, dist,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS "rank" FROM scored)
+           |SELECT r.qid, r."rank", r.id, r.dist,
+           |  concat('class_', CAST(l.label AS VARCHAR)) AS label_name,
+           |  CASE WHEN r.id = r.qid THEN '<- QUERY' ELSE '' END AS marker
+           |FROM ranked r JOIN embeddings l ON l.vec_id = r.id WHERE r."rank" <= 5""".stripMargin,
+
+      "q06_filter_valid" ->
+        s"SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $EmbDim",
+
+      "q07_tombstone_filter" ->
+        "SELECT vec_id FROM embeddings WHERE NOT (vec_id % 97 = 0)",
+
+      "q08_entry_point" ->
+        s"""SELECT vec_id, ${Levels.levelSql("vec_id", Levels.defaultML(16))} AS level
+           |FROM embeddings ORDER BY level DESC, vec_id ASC LIMIT 1""".stripMargin,
+
+      "q09_level_hist" ->
+        s"""SELECT ${Levels.levelSql("vec_id", Levels.defaultML(16))} AS level, count(*) AS cnt
+           |FROM embeddings GROUP BY 1""".stripMargin,
+
+      "q10_dedup_exact" ->
+        """SELECT doc_id,
+          |  min(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id,
+          |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
+          |FROM documents""".stripMargin,
+
+      "q11_minhash_sig" ->
+        s"""WITH ${shingleCte(3)}
+           |SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |FROM shingles GROUP BY doc_id""".stripMargin,
+
+      "q12_lsh_pairs" ->
+        s"""WITH ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig)
+           |SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band
+           |FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id""".stripMargin,
+
+      "q13_jaccard_pairs" ->
+        s"""WITH ${shingleCte(3)},
+           |sh AS (SELECT DISTINCT doc_id AS id, shingle FROM shingles),
+           |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+           |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)
+           |SELECT id_a, id_b,
+           |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+           |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+           |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2""".stripMargin,
+
+      "q14_langid" -> {
+        val scores = TextFunctions.LangMarkers.map { case (lang, markers) =>
+          lang -> stopCountSql("text", markers)
+        }
+        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+        val cases = scores.map { case (lang, sc) =>
+          s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang FROM documents"
+      },
+
+      "q15_quality" -> {
+        val nTok = s"CAST(${tokenCountSql("text")} AS DOUBLE)"
+        val nStop = s"CAST(${stopCountSql("text", TextFunctions.Stopwords)} AS DOUBLE)"
+        val nChar = "CAST(length(text) AS DOUBLE)"
+        val meanLen = s"($nChar - ($nTok - 1.0)) / $nTok"
+        val lenOk = s"CASE WHEN $nChar >= 100.0 AND $nChar <= 2000.0 THEN 1.0 ELSE 0.0 END"
+        val wordOk = s"CASE WHEN $meanLen >= 3.0 AND $meanLen <= 12.0 THEN 1.0 ELSE 0.0 END"
+        s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
+           |  ($nStop / $nTok) * 0.4 + $lenOk * 0.3 + $wordOk * 0.3 AS quality
+           |FROM documents""".stripMargin
+      },
+
+      "q16_fingerprint" ->
+        "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+
+      "q17_embed_neardup" -> {
+        val d = cosineSql("a.embedding", "b.embedding", EmbDim)
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
+           |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE $d < 0.65""".stripMargin
+      },
+    )
+  }
 }

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance functions as composable [[Column]] expressions.
+  *
+  * Re-expresses the reference's scalar distance layer (SURVEY.md F1–F3;
+  * reference `hsnw_trial.py:44-60`) Spark-first: built-in higher-order
+  * functions (`zip_with` + `aggregate`) stay inside whole-stage codegen, so
+  * the distance projection over an `array<float>`/`array<double>` column is
+  * vectorized per-row with no UDF serialization boundary.
+  *
+  * Numerical contract: when both inputs are `array<double>`, the fold is a
+  * strict left-to-right sum `(((0+t1)+t2)+…)`, which is bit-identical to a
+  * left-associative explicit sum `t1+t2+…` in any IEEE-754 engine (DuckDB
+  * oracle included) because `0.0 + t1 == t1` for the non-negative terms
+  * used here. This is what makes the DuckDB hash-check exact with no
+  * rounding slop.
+  */
+object Distances {
+
+  /** Upcast an `array<float>` column to `array<double>` so all arithmetic
+    * happens in double precision (reference computes float64 results from
+    * float32 inputs, `hsnw_trial.py:45`).
+    */
+  def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Dot product Σ aᵢ·bᵢ. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Squared Euclidean distance Σ (aᵢ−bᵢ)². */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean distance ‖a−b‖₂ (reference `l2_distance`, `hsnw_trial.py:44-45`). */
+  def l2(a: Column, b: Column): Column = sqrt(sqDist(a, b))
+
+  /** L2 norm ‖a‖₂. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine distance 1 − cos(a,b), returning exactly 1.0 when either norm is
+    * zero (reference convention, `hsnw_trial.py:48-54`).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === lit(0.0) || nb === lit(0.0), lit(1.0))
+      .otherwise(lit(1.0) - dot(a, b) / (na * nb))
+  }
+
+  /** Cosine similarity (0.0 when either norm is zero). */
+  def cosineSim(a: Column, b: Column): Column = {
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === lit(0.0) || nb === lit(0.0), lit(0.0))
+      .otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Metric registry (reference `_METRICS`, `hsnw_trial.py:57-60`). */
+  val metrics: Map[String, (Column, Column) => Column] =
+    Map("l2" -> (l2 _), "cosine" -> (cosine _))
+
+  /** Name → distance fn; rejects unknown names like the reference's
+    * constructor check (`hsnw_trial.py:88-89`).
+    */
+  def metric(name: String): (Column, Column) => Column = {
+    require(metrics.contains(name), s"unknown metric '$name' (have: ${metrics.keys.mkString(", ")})")
+    metrics(name)
+  }
+
+  // ---- plain-Scala twins used inside partition-local HNSW build ----
+  // (same math, on Array[Float], double accumulation — the hot inner loop
+  //  must not cross the Column layer; SURVEY.md §7.3 "graph build inner loop")
+
+  def l2Local(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+
+  def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0 else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def metricLocal(name: String): (Array[Float], Array[Float]) => Double = name match {
+    case "l2"     => l2Local
+    case "cosine" => cosineLocal
+    case other    => throw new IllegalArgumentException(s"unknown metric '$other'")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language-ID heuristic and
+  * document fingerprinting. All built from codegen'd built-in functions
+  * (no UDFs), and all designed so a DuckDB oracle can reproduce the exact
+  * values: integer counts, single divisions, and md5 — nothing
+  * engine-specific.
+  */
+object TextFunctions {
+
+  /** Whitespace token count without materializing the split array:
+    * spaces + 1, exact integer arithmetic in any engine.
+    */
+  def tokenCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, " ", "")) + lit(1)
+
+  /** Tokens as an array (single-space separated corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles: array of n-token substrings joined by a space.
+    * Empty array when the document has fewer than n tokens (guards Spark's
+    * `sequence(1,0)` descending-sequence surprise).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val count = size(w) - lit(n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), count), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles. */
+  def charShingles(text: Column, n: Int): Column = {
+    val count = length(text) - lit(n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), count), i => substring(text, i.cast("int"), lit(n)))
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** English-ish stopword list used by quality scoring and language ID. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "in", "to", "it")
+
+  /** Count of tokens that are stopwords. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords.map(lit): _*)))
+
+  /** Quality score in [0,1]: weighted mix of stopword ratio, mean word
+    * length band and length band — the usual cheap heuristics a pretraining
+    * pipeline applies before expensive model-based filters. Exact-arithmetic
+    * composition (each ratio is one integer division).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok  = tokenCount(text).cast("double")
+    val nStop = stopwordCount(text).cast("double")
+    val nChar = length(text).cast("double")
+    val stopRatio = nStop / nTok
+    // mean token length (chars excluding spaces / tokens)
+    val meanLen = (nChar - (nTok - lit(1.0))) / nTok
+    val lenOk  = when(nChar >= 100.0 && nChar <= 2000.0, lit(1.0)).otherwise(lit(0.0))
+    val wordOk = when(meanLen >= 3.0 && meanLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    stopRatio * lit(0.4) + lenOk * lit(0.3) + wordOk * lit(0.3)
+  }
+
+  /** Language-marker token sets for the n-gram language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "es", "de"),
+  )
+
+  /** Language-ID heuristic: argmax of marker-token hits, first-listed wins
+    * ties, "und" (unknown) when nothing matches. Deterministic and
+    * reproducible in SQL.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the lowercased text — identical hex in
+    * Spark and DuckDB, so exact-dedup and oracle checks can share it.
+    */
+  def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** Rolling polynomial hash (Karp–Rabin) over the token stream, mod 2⁶¹−1.
+    * Pure integer arithmetic; used for content-defined chunking /
+    * fingerprinting at scale. Multiplication stays in range because token
+    * hashes are reduced mod 2³¹ first.
+    */
+  def rollingHash(text: Column): Column = {
+    val P = 1000003L
+    val M = (1L << 61) - 1
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => (acc * lit(P) + pmod(xxhash64(t), lit(1L << 31))) % lit(M))
+  }
+}

@@ -1,0 +1,220 @@
+package graft.hnsw
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Distances, Levels}
+
+/** Node row of the persisted index (FIXTURES.md §1 plus the partition id). */
+case class NodeRow(id: Long, vector: Array[Float], level: Int, tombstone: Boolean, pid: Int)
+
+/** Edge row of the persisted adjacency (FIXTURES.md §2 plus partition id). */
+case class EdgeRow(pid: Int, src: Long, layer: Int, dst: Long)
+
+/** Build/search parameters — reference constructor surface
+  * (`hsnw_trial.py:79-100`) with defaults M=16, max_m0=2·M, efc=200, efs=50,
+  * mL=1/ln(max(2,M)).
+  */
+case class HnswParams(
+    dim: Int,
+    m: Int = 16,
+    maxM0: Int = -1,
+    efConstruction: Int = 200,
+    efSearch: Int = 50,
+    mL: Double = Double.NaN,
+    metric: String = "l2",
+    numPartitions: Int = 16) {
+  def maxM0Resolved: Int = if (maxM0 > 0) maxM0 else 2 * m
+  def mLResolved: Double = if (mL.isNaN) Levels.defaultML(m) else mL
+  require(Distances.metrics.contains(metric), s"unknown metric '$metric'")
+}
+
+/** Index metadata — the nine reference fields (`hsnw_trial.py:330-340`)
+  * plus the partition count of the distributed build.
+  */
+case class IndexMeta(
+    dim: Int, m: Int, max_m0: Int, ef_construction: Int, ef_search: Int,
+    mL: Double, metric: String, entry_point: Long, max_layer: Int,
+    num_partitions: Int)
+
+/** A built index: distributed node + edge tables plus small meta. */
+case class HnswIndex(nodes: DataFrame, edges: DataFrame, meta: IndexMeta)
+
+/** Distributed HNSW: partition-parallel batch build, persistence, batch ANN
+  * query, tombstone delete and rebuild (SURVEY.md §7.4).
+  *
+  * Design for scale: the sequential reference insert loop
+  * (`hsnw_trial.py:197-265`, single RLock) cannot parallelize, so the build
+  * partitions rows deterministically by `id % P`, builds an independent
+  * sub-graph per partition with [[LocalHnsw]] inside `mapPartitions` (no
+  * shuffle beyond the initial hash partition), and answers queries by
+  * searching every sub-graph in parallel and merging with a global top-k —
+  * shuffle volume O(queries × k × P), never O(n). Levels are a pure
+  * function of id ([[Levels]]), so the build is reproducible on any cluster
+  * size.
+  */
+object Hnsw {
+
+  /** Deterministic partition assignment: id % P (round-robin for dense ids,
+    * so every partition sees a representative sample of the data).
+    */
+  private def withPid(input: DataFrame, p: Int): DataFrame =
+    input.withColumn("pid", pmod(col("id"), lit(p.toLong)).cast("int"))
+
+  /** Batch build: (id: long, vector: array&lt;float&gt;) → [[HnswIndex]].
+    * Insertion order within a partition is ascending id, making the whole
+    * build a pure function of (input, params).
+    */
+  def build(input: DataFrame, params: HnswParams): HnswIndex = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val p = params.numPartitions
+    val nodes = withPid(input, p)
+      .withColumn("level", Levels.levelFor(col("id"), params.mLResolved))
+      .withColumn("tombstone", lit(false))
+      .select(col("id"), col("vector").cast("array<float>").as("vector"),
+        col("level"), col("tombstone"), col("pid"))
+      .as[NodeRow]
+      .cache()
+
+    // One group per pid (an explicit groupByKey, NOT repartition(p, pid):
+    // hash partitioning may co-locate several pids in one task). Rows arrive
+    // sorted by id, so insertion order — and therefore the graph — is a pure
+    // function of (input, params).
+    val edges: Dataset[EdgeRow] = nodes
+      .groupByKey(_.pid)
+      .flatMapSortedGroups(col("id")) { (pid, rows) =>
+        val idx = new LocalHnsw(params.dim, params.m, params.maxM0Resolved,
+          params.efConstruction, params.metric)
+        rows.foreach(r => idx.add(r.id, r.vector, r.level))
+        idx.edges.map { case (src, layer, dst) => EdgeRow(pid, src, layer, dst) }
+      }
+
+    val meta = metaFor(nodes.toDF(), params, p)
+    HnswIndex(nodes.toDF(), edges.toDF(), meta)
+  }
+
+  /** Entry point = lowest id among the highest-level live nodes (reference
+    * B6 maintenance, recomputed relationally: ORDER BY level DESC, id ASC).
+    */
+  private def metaFor(nodes: DataFrame, params: HnswParams, p: Int): IndexMeta = {
+    val top = nodes.filter(!col("tombstone"))
+      .orderBy(col("level").desc, col("id").asc).select("id", "level").head()
+    IndexMeta(params.dim, params.m, params.maxM0Resolved, params.efConstruction,
+      params.efSearch, params.mLResolved, params.metric,
+      top.getLong(0), top.getInt(1), p)
+  }
+
+  // ---- persistence (reference P1/P2, `hsnw_trial.py:310-376`) ----
+
+  def save(index: HnswIndex, dir: String): Unit = {
+    index.nodes.write.mode("overwrite").parquet(s"$dir/vectors")
+    index.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    val m = index.meta
+    val json =
+      s"""{"dim":${m.dim},"M":${m.m},"max_m0":${m.max_m0},"ef_construction":${m.ef_construction},
+         |"ef_search":${m.ef_search},"mL":${m.mL},"metric":"${m.metric}",
+         |"entry_point":${m.entry_point},"max_layer":${m.max_layer},"num_partitions":${m.num_partitions}}"""
+        .stripMargin.replace("\n", "")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/meta.json"), json)
+  }
+
+  /** Load with the reference's defaulting rules for absent meta fields
+    * (`hsnw_trial.py:351-355`): efc=200, efs=50, metric="l2", max_m0=2·M.
+    */
+  def load(spark: SparkSession, dir: String): HnswIndex = {
+    val nodes = spark.read.parquet(s"$dir/vectors")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val raw = Files.readString(Paths.get(s"$dir/meta.json"))
+    def field(name: String): Option[String] =
+      s""""$name"\\s*:\\s*("([^"]*)"|[-0-9.eE]+)""".r.findFirstMatchIn(raw)
+        .map(m => Option(m.group(2)).getOrElse(m.group(1)))
+    val m = field("M").map(_.toInt).getOrElse(16)
+    val meta = IndexMeta(
+      dim = field("dim").map(_.toInt).getOrElse(0),
+      m = m,
+      max_m0 = field("max_m0").map(_.toInt).getOrElse(2 * m),
+      ef_construction = field("ef_construction").map(_.toInt).getOrElse(200),
+      ef_search = field("ef_search").map(_.toInt).getOrElse(50),
+      mL = field("mL").map(_.toDouble).getOrElse(Levels.defaultML(m)),
+      metric = field("metric").getOrElse("l2"),
+      entry_point = field("entry_point").map(_.toLong).getOrElse(-1L),
+      max_layer = field("max_layer").map(_.toInt).getOrElse(-1),
+      num_partitions = field("num_partitions").map(_.toInt).getOrElse(16))
+    HnswIndex(nodes, edges, meta)
+  }
+
+  // ---- batch ANN query (SURVEY.md Q1b/Q7) ----
+
+  /** Batch ANN: search every partition's sub-graph for every query, then a
+    * global per-query top-k merge. The query set is collected and broadcast
+    * (batch query sets are small by contract — SURVEY.md §3.1); the node and
+    * edge tables are cogrouped by pid so each task rebuilds exactly one
+    * sub-graph. Output: (qid, rank, id, dist).
+    */
+  def annQuery(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1): DataFrame = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val m = index.meta
+    val efUsed = math.max(if (ef > 0) ef else m.ef_search, k)
+    val qArr = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val qB = spark.sparkContext.broadcast(qArr)
+
+    val nodesDs = index.nodes.select("id", "vector", "level", "tombstone", "pid").as[NodeRow]
+      .groupByKey(_.pid)
+    val edgesDs = index.edges.select("pid", "src", "layer", "dst").as[EdgeRow]
+      .groupByKey(_.pid)
+
+    val perPart = nodesDs.cogroup(edgesDs) { (pid, nodeIt, edgeIt) =>
+      val nodeArr = nodeIt.toArray
+      if (nodeArr.isEmpty) Iterator.empty
+      else {
+        val tomb = nodeArr.iterator.filter(_.tombstone).map(_.id).toSet
+        val idx = LocalHnsw.fromRows(m.dim, m.m, m.max_m0, m.ef_construction, m.metric,
+          nodeArr.iterator.map(n => (n.id, n.vector, n.level)),
+          edgeIt.map(e => (e.src, e.layer, e.dst)))
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k, efUsed + tomb.size, tomb.contains)
+            .iterator.map { case (id, dist) => (qid, id, dist) }
+        }
+      }
+    }.toDF("qid", "id", "dist")
+
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    perPart.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "dist")
+  }
+
+  // ---- mutation / lifecycle (reference M1/B7) ----
+
+  /** Lazy tombstone delete as an immutable snapshot rewrite. */
+  def delete(index: HnswIndex, ids: Seq[Long]): HnswIndex = {
+    val nodes = index.nodes.withColumn("tombstone",
+      col("tombstone") || col("id").isin(ids: _*))
+    index.copy(nodes = nodes)
+  }
+
+  /** Rebuild from live rows only (reference `rebuild`, `hsnw_trial.py:381-389`). */
+  def rebuild(index: HnswIndex, params: HnswParams): HnswIndex =
+    build(index.nodes.filter(!col("tombstone")).select("id", "vector"), params)
+
+  // ---- evaluation (SURVEY.md D8 — the reference's declared-but-missing test) ----
+
+  /** recall@k of the ANN result against the exact oracle, per query and
+    * overall. Input frames both shaped (qid, rank, id, dist).
+    */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = ann.select("qid", "id")
+      .join(exact.select(col("qid"), col("id")), Seq("qid", "id"))
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    exact.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), (coalesce(col("hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("recall"))
+  }
+}

@@ -1,0 +1,238 @@
+package graft.hnsw
+
+import scala.collection.mutable
+
+import graft.functions.Distances
+
+/** Partition-local HNSW graph — the plain-Scala inner loop of the
+  * distributed build (SURVEY.md B1–B6, §7.3 "graph build inner loop").
+  *
+  * Implements the same algorithm family as the reference engine
+  * (`hsnw_trial.py:67-294`): multi-layer navigable small-world graph with
+  * greedy descent through sparse upper layers, bounded best-first search
+  * (two heaps + visited set + early exit) on the target layer, a diversity
+  * neighbor-selection heuristic, bidirectional linking with degree pruning,
+  * and entry-point maintenance. Written fresh for Scala: ids are global
+  * longs supplied by the caller (the Spark build job assigns them
+  * deterministically), and levels are supplied per-id (see
+  * [[graft.functions.Levels]]) instead of drawn from a shared sequential
+  * RNG — that is what makes the build partition-parallel.
+  *
+  * This class is used strictly inside `mapPartitions`; it never touches the
+  * DataFrame layer.
+  */
+final class LocalHnsw(
+    val dim: Int,
+    val m: Int,
+    val maxM0: Int,
+    val efConstruction: Int,
+    val metricName: String) extends Serializable {
+
+  private val distFn = Distances.metricLocal(metricName)
+
+  val vectors = new mutable.LongMap[Array[Float]]()
+  val levels = new mutable.LongMap[Int]()
+  /** id → (layer → neighbor ids); array index is the layer. */
+  val graph = new mutable.LongMap[Array[mutable.ArrayBuffer[Long]]]()
+  var entryPoint: Long = -1L
+  var maxLayer: Int = -1
+
+  def size: Int = vectors.size
+
+  @inline private def d(q: Array[Float], id: Long): Double = distFn(q, vectors(id))
+
+  /** Bounded best-first search on one layer (reference `_search_layer`,
+    * `hsnw_trial.py:156-192`): min-heap frontier, bounded max-heap of the
+    * current best `ef`, visited set, early exit when the frontier head is
+    * worse than the worst of the kept set. Returns (dist, id) ascending.
+    */
+  def searchLayer(q: Array[Float], entry: Long, ef: Int, layer: Int): Array[(Double, Long)] = {
+    val visited = new mutable.HashSet[Long]()
+    visited += entry
+    // frontier: nearest first → reverse ordering (PriorityQueue pops max)
+    val frontier = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
+    // kept: worst first, bounded at ef
+    val kept = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1))
+    val d0 = d(q, entry)
+    frontier.enqueue((d0, entry))
+    kept.enqueue((d0, entry))
+    while (frontier.nonEmpty) {
+      val (cd, c) = frontier.dequeue()
+      if (kept.size >= ef && cd > kept.head._1) {
+        frontier.clear() // early exit
+      } else {
+        val nbrs = neighborsAt(c, layer)
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (!visited.contains(nb)) {
+            visited += nb
+            val nd = d(q, nb)
+            if (kept.size < ef || nd < kept.head._1) {
+              frontier.enqueue((nd, nb))
+              kept.enqueue((nd, nb))
+              if (kept.size > ef) kept.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    kept.dequeueAll.toArray.sortBy(_._1)
+  }
+
+  @inline private def neighborsAt(id: Long, layer: Int): mutable.ArrayBuffer[Long] = {
+    val layers = graph(id)
+    if (layer < layers.length) layers(layer) else mutable.ArrayBuffer.empty
+  }
+
+  /** Diversity heuristic (reference `_select_neighbors`,
+    * `hsnw_trial.py:133-151`): scan candidates by ascending distance to the
+    * query; keep one unless an already-selected neighbor is closer to it
+    * than it is to the query.
+    */
+  def selectNeighbors(candidates: Array[(Double, Long)], cap: Int): Array[Long] = {
+    val selected = new mutable.ArrayBuffer[Long](cap)
+    var i = 0
+    while (i < candidates.length && selected.size < cap) {
+      val (cd, c) = candidates(i)
+      val cv = vectors(c)
+      var keep = true
+      var j = 0
+      while (keep && j < selected.size) {
+        if (distFn(cv, vectors(selected(j))) < cd) keep = false
+        j += 1
+      }
+      if (keep) selected += c
+      i += 1
+    }
+    selected.toArray
+  }
+
+  /** Greedy hill-climb to the locally nearest node on one layer
+    * (reference insert/query phase-1 descent, `hsnw_trial.py:223-233`).
+    */
+  private def greedyStep(q: Array[Float], start: Long, layer: Int): Long = {
+    var cur = start
+    var curD = d(q, cur)
+    var improved = true
+    while (improved) {
+      improved = false
+      val nbrs = neighborsAt(cur, layer)
+      var i = 0
+      while (i < nbrs.length) {
+        val nb = nbrs(i)
+        val nd = d(q, nb)
+        if (nd < curD) { cur = nb; curD = nd; improved = true }
+        i += 1
+      }
+    }
+    cur
+  }
+
+  /** Full insert (reference `add_point`, `hsnw_trial.py:197-265`), with id
+    * and level supplied by the caller.
+    */
+  def add(id: Long, vector: Array[Float], level: Int): Unit = {
+    require(vector.length == dim, s"dimension mismatch: ${vector.length} != $dim")
+    vectors(id) = vector
+    levels(id) = level
+    graph(id) = Array.fill(level + 1)(new mutable.ArrayBuffer[Long](if (level == 0) maxM0 else m))
+
+    if (entryPoint < 0) { entryPoint = id; maxLayer = level; return }
+
+    var cur = entryPoint
+    var layer = maxLayer
+    while (layer > level) { cur = greedyStep(vector, cur, layer); layer -= 1 }
+
+    layer = math.min(level, maxLayer)
+    while (layer >= 0) {
+      val cands = searchLayer(vector, cur, efConstruction, layer)
+      val cap = if (layer == 0) maxM0 else m
+      val selected = selectNeighbors(cands, cap)
+      var i = 0
+      while (i < selected.length) {
+        val nb = selected(i)
+        link(id, nb, layer, cap)
+        i += 1
+      }
+      cur = cands(0)._2
+      layer -= 1
+    }
+
+    if (level > maxLayer) { maxLayer = level; entryPoint = id }
+  }
+
+  /** Bidirectional link + degree prune (reference `hsnw_trial.py:246-254`):
+    * when a neighbor list exceeds its cap, keep the `cap` closest to that
+    * node.
+    */
+  private def link(a: Long, b: Long, layer: Int, cap: Int): Unit = {
+    graph(a)(layer) += b
+    val bl = graph(b)(layer)
+    bl += a
+    if (bl.length > cap) {
+      val bv = vectors(b)
+      val pruned = bl.map(x => (distFn(bv, vectors(x)), x)).sortBy(_._1).take(cap).map(_._2)
+      bl.clear()
+      bl ++= pruned
+    }
+  }
+
+  /** Top-k ANN search (reference `search`, `hsnw_trial.py:267-294`):
+    * greedy descent to layer 1, bounded best-first on layer 0 with
+    * ef = max(ef, k), rescore + ascending sort + take k. `skip` filters
+    * tombstoned ids out of the result (reference Q3 semantics).
+    */
+  def search(q: Array[Float], k: Int, ef: Int, skip: Long => Boolean = _ => false): Array[(Long, Double)] = {
+    if (entryPoint < 0) return Array.empty
+    val width = math.max(ef, k)
+    var cur = entryPoint
+    var layer = maxLayer
+    while (layer >= 1) { cur = greedyStep(q, cur, layer); layer -= 1 }
+    searchLayer(q, cur, width, 0)
+      .iterator
+      .filterNot { case (_, id) => skip(id) }
+      .map { case (dist, id) => (id, dist) }
+      .take(k)
+      .toArray
+  }
+
+  /** Flatten the adjacency to (src, layer, dst) rows. */
+  def edges: Iterator[(Long, Int, Long)] =
+    graph.iterator.flatMap { case (src, layers) =>
+      layers.iterator.zipWithIndex.flatMap { case (nbrs, layer) =>
+        nbrs.iterator.map(dst => (src, layer, dst))
+      }
+    }
+}
+
+object LocalHnsw {
+  /** Rebuild a LocalHnsw from persisted rows without re-running insertion —
+    * used by the distributed query path to reconstruct each partition's
+    * sub-graph from the edges table.
+    */
+  def fromRows(
+      dim: Int, m: Int, maxM0: Int, efConstruction: Int, metricName: String,
+      nodes: Iterator[(Long, Array[Float], Int)],
+      edges: Iterator[(Long, Int, Long)]): LocalHnsw = {
+    val idx = new LocalHnsw(dim, m, maxM0, efConstruction, metricName)
+    nodes.foreach { case (id, vec, level) =>
+      idx.vectors(id) = vec
+      idx.levels(id) = level
+      idx.graph(id) = Array.fill(level + 1)(new mutable.ArrayBuffer[Long]())
+      // entry point = lowest id among the highest-level nodes (deterministic,
+      // matches HnswBuild's ORDER BY level DESC, id ASC LIMIT 1 meta rule)
+      if (idx.entryPoint < 0 || level > idx.maxLayer ||
+          (level == idx.maxLayer && id < idx.entryPoint)) {
+        idx.entryPoint = id
+        idx.maxLayer = level
+      }
+    }
+    edges.foreach { case (src, layer, dst) =>
+      val layers = idx.graph(src)
+      if (layer < layers.length) layers(layer) += dst
+    }
+    idx
+  }
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Distances, TextFunctions}
+
+/** Deduplication operators for large-scale text pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB north star):
+  *   - exact dedup is a hash partial-aggregate (map-side combine) — the only
+  *     shuffle is one row per distinct key;
+  *   - MinHash signatures are a `groupBy(doc).agg(min…)` over the exploded
+  *     shingles — `min` partial-aggregates map-side, so the shuffle is
+  *     O(docs × H), never O(shingles);
+  *   - LSH banding turns near-dup detection into an equi-join on band value
+  *     (shuffle on band key, AQE handles hot bands), avoiding the O(n²)
+  *     pair enumeration entirely;
+  *   - md5 is used as the hash family so a DuckDB oracle reproduces every
+  *     signature byte-for-byte.
+  */
+object Dedup {
+
+  /** Exact dedup decision per row: canonical id = min id sharing the same
+    * normalized text (md5 keyed so wide text never shuffles), plus an
+    * `is_dup` flag. Keeps every input row (stable row count for oracles).
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy("fp")
+    docs
+      .select(col(idCol), fp.as("fp"))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+      .select(col(idCol), col("canonical_id"), col("is_dup"))
+  }
+
+  /** MinHash signature column for one hash-family member: the lexicographic
+    * minimum of `md5(seed || '|' || shingle)` over the document's shingles.
+    * A uniform hash to hex strings, so the min is a valid MinHash draw —
+    * and byte-identical in DuckDB.
+    */
+  def minhashAgg(shingleCol: Column, seed: Int): Column =
+    min(md5(concat(lit(s"s$seed|"), shingleCol)))
+
+  /** Per-document MinHash signatures over word n-gram shingles.
+    * Output: (id, mh0..mh{h-1}).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, h: Int = 4): DataFrame = {
+    val exploded = docs.select(
+      col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(minhashAgg(col("shingle"), 0).as("mh0"),
+           (1 until h).map(i => minhashAgg(col("shingle"), i).as(s"mh$i")): _*)
+  }
+
+  /** LSH candidate pairs: documents whose band (concatenation of `rows`
+    * consecutive signatures) collides in at least one band. Self-join on the
+    * band key — shuffle on band, not O(n²).
+    * Output: (id_a, id_b, band) with id_a < id_b, distinct pairs per band.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, h: Int = 4, rows: Int = 2): DataFrame = {
+    val nBands = h / rows
+    val banded = (0 until nBands).map { b =>
+      val bandVal = concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+      sigs.select(col(idCol).as("id"), lit(b).as("band"), bandVal.as("band_val"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("id").as("id_a"), col("band"), col("band_val"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "band")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs that share at least one
+    * shingle, computed relationally: explode distinct shingles, self-join on
+    * shingle (intersection counts), join per-doc set sizes (union by
+    * inclusion–exclusion). One integer division at the end → oracle-exact.
+    * `minJaccard` prunes the (potentially quadratic) low-similarity tail.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = docs.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash signature (w bits) over the token stream: bit j of the
+    * signature is the sign of Σ_tokens (±1 depending on bit j of
+    * md5(token)). Bits come from the first 8 hex chars of md5 → a 32-bit
+    * integer via base conversion — both engines agree byte-for-byte.
+    */
+  def simhash(textCol: Column, bits: Int = 16): Column =
+    simhashFromTokens(TextFunctions.tokens(textCol), bits)
+
+  /** SimHash from a token-array column. */
+  def simhashFromTokens(toks: Column, bits: Int): Column = {
+    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitCols = (0 until bits).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, hv) => acc + when(shiftright(hv, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
+    * label or LSH bucket): pairs with cosine distance below `maxDist`.
+    * The blocking key keeps the self-join from being O(n²) — at 100 TB the
+    * key would be an LSH bucket of the embedding itself.
+    */
+  def embeddingNearDupPairs(
+      embs: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      maxDist: Double): DataFrame = {
+    val a = embs.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", Distances.cosine(Distances.toDouble(col("v_a")), Distances.toDouble(col("v_b"))))
+      .filter(col("dist") < maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (3L, "completely different words appear in this one here"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup flags the duplicate and keeps the lowest id as canonical") {
+    val res = Dedup.exactDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res(0L) === (0L, false))
+    assert(res(1L) === (0L, true))
+    assert(res(2L) === (2L, false))
+    assert(res(3L) === (3L, false))
+  }
+
+  test("minhash signatures are identical for identical docs and differ otherwise") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getString(i))).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(3L))
+  }
+
+  test("lsh candidate pairs find the exact duplicate pair") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard: dup pair has jaccard 1.0; near-dup in (0,1)") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    val nd = pairs((0L, 2L))
+    assert(nd > 0.0 && nd < 1.0)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash of identical docs is equal; hamming distance to near-dup is small") {
+    val sh = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sh")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(1L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("embedding near-dup pairs within block") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f, 0.0f), 1),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(1.0f, 0.0f, 0.0f), 2),
+    ).toDF("id", "vector", "label")
+    val pairs = Dedup.embeddingNearDupPairs(embs, "id", "vector", "label", 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L))) // 2 is orthogonal; 3 is in another block
+  }
+}

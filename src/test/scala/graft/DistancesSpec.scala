@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Distances, Levels, TextFunctions}
+
+class DistancesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("l2 column function matches hand-computed value") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 6.0, 3.0))).toDF("a", "b")
+    val d = df.select(Distances.l2($"a", $"b")).head().getDouble(0)
+    assert(d === 5.0)
+  }
+
+  test("cosine of identical vectors is 0; orthogonal is 1") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
+    val res = df.select(Distances.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(res(0)) < 1e-12)
+    assert(math.abs(res(1) - 1.0) < 1e-12)
+  }
+
+  test("cosine zero-norm convention returns exactly 1.0 (hsnw_trial.py:51-52)") {
+    val df = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(Distances.cosine($"a", $"b")).head().getDouble(0) === 1.0)
+  }
+
+  test("local distance twins agree with column functions") {
+    val a = Array(0.5f, -1.5f, 2.0f)
+    val b = Array(1.0f, 0.25f, -2.0f)
+    val df = Seq((a.map(_.toDouble), b.map(_.toDouble))).toDF("a", "b")
+    val colL2 = df.select(Distances.l2($"a", $"b")).head().getDouble(0)
+    val colCos = df.select(Distances.cosine($"a", $"b")).head().getDouble(0)
+    assert(math.abs(colL2 - Distances.l2Local(a, b)) < 1e-12)
+    assert(math.abs(colCos - Distances.cosineLocal(a, b)) < 1e-12)
+  }
+
+  test("metric registry rejects unknown names (hsnw_trial.py:88-89)") {
+    intercept[IllegalArgumentException](Distances.metric("manhattan"))
+    intercept[IllegalArgumentException](Distances.metricLocal("manhattan"))
+  }
+
+  test("level function is id-stable and matches the local twin") {
+    val mL = Levels.defaultML(16)
+    val df = spark.range(1000).select(Levels.levelFor($"id", mL).as("level"))
+    val fromCol = df.collect().map(_.getInt(0))
+    val fromLocal = (0L until 1000L).map(Levels.levelForLocal(_, mL))
+    assert(fromCol.toSeq === fromLocal)
+    // levels follow the expected geometric-ish decay: most mass at 0
+    assert(fromCol.count(_ == 0) > 600)
+    assert(fromCol.max <= 10)
+  }
+
+  test("token count and shingles") {
+    val df = Seq("the quick brown fox", "ab").toDF("text")
+    val counts = df.select(TextFunctions.tokenCount($"text")).collect().map(_.getInt(0))
+    assert(counts.toSeq === Seq(4, 1))
+    val sh = df.select(TextFunctions.wordShingles($"text", 3)).collect().map(_.getSeq[String](0))
+    assert(sh(0) === Seq("the quick brown", "quick brown fox"))
+    assert(sh(1) === Seq.empty)
+  }
+
+  test("langId picks the marker-richest language deterministically") {
+    val df = Seq("the cat is on the mat", "der hund und die katze", "xyzzy plugh").toDF("text")
+    val langs = df.select(TextFunctions.langId($"text")).collect().map(_.getString(0))
+    assert(langs.toSeq === Seq("en", "de", "und"))
+  }
+}

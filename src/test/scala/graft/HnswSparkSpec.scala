@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.hnsw.{Hnsw, HnswParams}
+import graft.operators.Knn
+
+class HnswSparkSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val input = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vector"))
+  private lazy val params = HnswParams(dim = 64, m = 8, efConstruction = 64, numPartitions = 4)
+
+  private lazy val index = Hnsw.build(input, params)
+
+  test("build produces edges on every populated layer and respects caps") {
+    val perSrc = index.edges.groupBy("src", "layer").count().collect()
+    assert(perSrc.nonEmpty)
+    perSrc.foreach { r =>
+      val cap = if (r.getInt(1) == 0) params.maxM0Resolved else params.m
+      assert(r.getLong(2) <= cap, s"degree ${r.getLong(2)} over cap $cap at layer ${r.getInt(1)}")
+    }
+  }
+
+  test("ann query self-match and recall vs exact oracle") {
+    val queries = input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val ann = Hnsw.annQuery(index, queries, k = 10)
+    // self-match at rank 1, dist 0
+    val rank1 = ann.filter(col("rank") === 1).collect()
+    rank1.foreach { r => assert(r.getAs[Long]("qid") === r.getAs[Long]("id")); assert(r.getAs[Double]("dist") === 0.0) }
+
+    val embD = input.select(col("id"), Distances.toDouble(col("vector")).as("vector"))
+    val qD = embD.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val exact = Knn.exactTopK(embD, qD, 10, Distances.l2)
+    val recall = Hnsw.recallAtK(ann, exact, 10)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.8, s"avg recall@10 $recall")
+  }
+
+  test("save/load round-trip preserves search results (hsnw_trial.py:310-376)") {
+    val tmp = Files.createTempDirectory("hnsw-io").toString
+    Hnsw.save(index, tmp)
+    val loaded = Hnsw.load(spark, tmp)
+    assert(loaded.meta === index.meta)
+    val queries = input.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+    val before = Hnsw.annQuery(index, queries, 5).collect().map(_.toSeq).toSet
+    val after = Hnsw.annQuery(loaded, queries, 5).collect().map(_.toSeq).toSet
+    assert(before === after)
+  }
+
+  test("tombstoned ids are excluded from ann results; rebuild drops them") {
+    val deleted = Hnsw.delete(index, Seq(0L, 8L))
+    val queries = input.filter(col("id") === 0).select(col("id").as("qid"), col("vector"))
+    val res = Hnsw.annQuery(deleted, queries, 10).collect()
+    assert(!res.exists(r => r.getAs[Long]("id") == 0L || r.getAs[Long]("id") == 8L))
+
+    val rebuilt = Hnsw.rebuild(deleted, params)
+    assert(rebuilt.nodes.count() === input.count() - 2)
+  }
+}
