@@ -28,6 +28,17 @@ object SparkEntry {
 
   private val EmbDim = 64
 
+  /** One HNSW build per data dir, shared by the hnsw_* queries (edges
+    * cached — the graph is reused, not rebuilt, per downstream action).
+    */
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, graft.hnsw.HnswIndex]
+  private def builtIndex(s: SparkSession, dir: String): graft.hnsw.HnswIndex =
+    indexCache.getOrElseUpdate(dir, {
+      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
+      idx.copy(edges = idx.edges.cache())
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's CIFAR ranked-report experience (SURVEY.md Q8): exact
     * top-k with labels and query-row marker.
@@ -154,24 +165,21 @@ object SparkEntry {
 
     // ---- B1–B6: distributed HNSW build (rows-only check; graph is stochastic-ish but deterministic given params) ----
     "hnsw_build_stats" -> ((s, dir) => {
-      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
-      val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
+      val idx = builtIndex(s, dir)
       idx.edges.groupBy("layer").agg(count(lit(1)).as("n_edges")).orderBy("layer")
     }),
 
     // ---- Q1b: batch ANN query over the built index (rows-only) ----
     "hnsw_ann_topk" -> ((s, dir) => {
-      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
-      val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
-      val queries = input.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      val idx = builtIndex(s, dir)
+      val queries = idx.nodes.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
       Hnsw.annQuery(idx, queries, k = 10)
     }),
 
     // ---- D8: recall@k of ANN vs exact oracle (rows-only; the reference's declared-but-missing eval) ----
     "hnsw_recall" -> ((s, dir) => {
-      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
-      val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
-      val queries = input.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      val idx = builtIndex(s, dir)
+      val queries = idx.nodes.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
       val ann = Hnsw.annQuery(idx, queries, k = 10)
       val exact = Knn.exactTopK(
         emb(s, dir), emb(s, dir).filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector")),

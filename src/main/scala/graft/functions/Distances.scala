@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.VectorExpressions
 
 /** Vector distance functions as composable [[Column]] expressions.
   *
@@ -26,13 +27,11 @@ object Distances {
     */
   def toDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Dot product Σ aᵢ·bᵢ. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product Σ aᵢ·bᵢ (native codegen'd expression). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
-  /** Squared Euclidean distance Σ (aᵢ−bᵢ)². */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  /** Squared Euclidean distance Σ (aᵢ−bᵢ)² (native codegen'd expression). */
+  def sqDist(a: Column, b: Column): Column = VectorExpressions.sqDist(a, b)
 
   /** Euclidean distance ‖a−b‖₂ (reference `l2_distance`, `hsnw_trial.py:44-45`). */
   def l2(a: Column, b: Column): Column = sqrt(sqDist(a, b))
@@ -41,13 +40,26 @@ object Distances {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine distance 1 − cos(a,b), returning exactly 1.0 when either norm is
-    * zero (reference convention, `hsnw_trial.py:48-54`).
+    * zero (reference convention, `hsnw_trial.py:48-54`). Fused single-loop
+    * codegen'd expression.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm(a)
-    val nb = norm(b)
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
+
+  // ---- HOF (built-in higher-order-function) compositions, kept as the
+  //      reference implementations the native expressions are tested
+  //      against (bit-identical fold order) ----
+
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def sqDistHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val na = sqrt(dotHof(a, a))
+    val nb = sqrt(dotHof(b, b))
     when(na === lit(0.0) || nb === lit(0.0), lit(1.0))
-      .otherwise(lit(1.0) - dot(a, b) / (na * nb))
+      .otherwise(lit(1.0) - dotHof(a, b) / (na * nb))
   }
 
   /** Cosine similarity (0.0 when either norm is zero). */

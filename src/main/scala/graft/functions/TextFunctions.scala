@@ -21,18 +21,28 @@ object TextFunctions {
   /** Tokens as an array (single-space separated corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles: array of n-token substrings joined by a space.
+  /** Word n-gram shingles from an already-materialized token-array column.
     * Empty array when the document has fewer than n tokens (guards Spark's
     * `sequence(1,0)` descending-sequence surprise).
+    *
+    * PERFORMANCE: pass a *column reference* to a token array, not
+    * `split(...)` inline — lambda bodies are excluded from codegen
+    * subexpression elimination, so an inlined split would re-tokenize the
+    * document once per element access (O(tokens²) per doc).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  def wordShinglesFromTokens(w: Column, n: Int): Column = {
     val count = size(w) - lit(n - 1)
     when(count >= 1,
       transform(sequence(lit(1), count), i =>
         concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*))
     ).otherwise(array().cast("array<string>"))
   }
+
+  /** Word n-gram shingles straight from text — convenience for small inputs;
+    * see the performance note on [[wordShinglesFromTokens]].
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(text), n)
 
   /** Character n-gram shingles. */
   def charShingles(text: Column, n: Int): Column = {

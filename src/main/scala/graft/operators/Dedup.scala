@@ -50,9 +50,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, h: Int = 4): DataFrame = {
-    val exploded = docs.select(
-      col(idCol),
-      explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+    val exploded = explodedShingles(docs, idCol, textCol, n)
     exploded
       .groupBy(col(idCol))
       .agg(minhashAgg(col("shingle"), 0).as("mh0"),
@@ -84,11 +82,19 @@ object Dedup {
     * inclusion–exclusion). One integer division at the end → oracle-exact.
     * `minJaccard` prunes the (potentially quadratic) low-similarity tail.
     */
+  /** (id, shingle) rows with the token array materialized in its own
+    * projection first — keeps tokenization out of the shingle lambda (see
+    * [[TextFunctions.wordShinglesFromTokens]]).
+    */
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol), explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("shingle"))
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      explode(TextFunctions.wordShingles(col(textCol), n)).as("shingle"))
+    val sh = explodedShingles(docs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle"))
       .distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")

@@ -37,6 +37,31 @@ class DistancesSpec extends SparkSpec {
     assert(math.abs(colCos - Distances.cosineLocal(a, b)) < 1e-12)
   }
 
+  test("native codegen expressions are bit-identical to the HOF compositions") {
+    val rng = new scala.util.Random(42)
+    val rows = Seq.fill(50)((Array.fill(64)(rng.nextGaussian().toFloat),
+                             Array.fill(64)(rng.nextGaussian().toFloat)))
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+      Distances.sqDist($"a", $"b").as("n_sq"),
+      Distances.sqDistHof(Distances.toDouble($"a"), Distances.toDouble($"b")).as("h_sq"),
+      Distances.dot($"a", $"b").as("n_dot"),
+      Distances.dotHof(Distances.toDouble($"a"), Distances.toDouble($"b")).as("h_dot"),
+      Distances.cosine($"a", $"b").as("n_cos"),
+      Distances.cosineHof(Distances.toDouble($"a"), Distances.toDouble($"b")).as("h_cos"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // exact, not approximate
+      assert(r.getDouble(2) === r.getDouble(3))
+      assert(r.getDouble(4) === r.getDouble(5))
+    }
+  }
+
+  test("native cosine zero-norm convention and float/double mixing") {
+    val df = Seq((Array(0f, 0f), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(Distances.cosine($"a", $"b")).head().getDouble(0) === 1.0)
+  }
+
   test("metric registry rejects unknown names (hsnw_trial.py:88-89)") {
     intercept[IllegalArgumentException](Distances.metric("manhattan"))
     intercept[IllegalArgumentException](Distances.metricLocal("manhattan"))
