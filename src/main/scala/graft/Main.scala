@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hnsw.{Hnsw, HnswParams}
+import graft.sources.Datagen
+
+/** spark-submit CLI with the reference's flag surface (`hsnw_trial.py:450-481`):
+  *
+  *   --build --n N --dim D --out DIR [--M --efc --efs --mL --metric --seed --partitions]
+  *   --load DIR [--query-file PARQUET] [--k K] [--ef EF] [--max-queries N] [--out DIR]
+  *
+  * `--serve` is intentionally absent (BASELINE.json scope: batch index
+  * construction, no query serving); batch query over a file replaces it
+  * (reference `_cli_query`, `hsnw_trial.py:417-427`).
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val flags = Set("--build") // boolean flags
+    @annotation.tailrec
+    def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
+      case Nil => acc
+      case f :: tail if flags.contains(f) => go(tail, acc + (f.drop(2) -> "true"))
+      case k :: v :: tail if k.startsWith("--") => go(tail, acc + (k.drop(2) -> v))
+      case other :: _ => throw new IllegalArgumentException(s"unexpected argument '$other'")
+    }
+    go(args.toList, Map.empty)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .appName("graft-hnsw")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, opts)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): Unit = {
+    if (opts.contains("build")) {
+      val n = opts.getOrElse("n", "1000").toLong
+      val dim = opts.getOrElse("dim", "64").toInt
+      val out = opts.getOrElse("out", sys.error("--build requires --out DIR"))
+      val params = HnswParams(
+        dim = dim,
+        m = opts.getOrElse("M", "16").toInt,
+        efConstruction = opts.getOrElse("efc", "200").toInt,
+        efSearch = opts.getOrElse("efs", "50").toInt,
+        mL = opts.get("mL").map(_.toDouble).getOrElse(Double.NaN),
+        metric = opts.getOrElse("metric", "l2"),
+        numPartitions = opts.getOrElse("partitions", "16").toInt)
+      val input = opts.get("input") match {
+        case Some(path) => spark.read.parquet(path)
+        case None => Datagen.gaussianVectors(spark, n, dim, opts.getOrElse("seed", "42").toLong)
+      }
+      val t0 = System.nanoTime()
+      val index = Hnsw.build(input, params)
+      Hnsw.save(index, out)
+      val built = index.nodes.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[build] indexed $built vectors dim=$dim in $secs%.1f s " +
+        f"(${built / secs}%.1f vec/s) -> $out")
+
+    } else if (opts.contains("load")) {
+      val dir = opts("load")
+      val index = Hnsw.load(spark, dir)
+      val k = opts.getOrElse("k", "10").toInt
+      val ef = opts.getOrElse("ef", "-1").toInt
+      val queries: DataFrame = opts.get("query-file") match {
+        case Some(path) =>
+          val q = spark.read.parquet(path)
+          opts.get("max-queries").map(m => q.limit(m.toInt)).getOrElse(q)
+        case None => // reference default: query the index's own first vector
+          index.nodes.orderBy("id").limit(1).select(col("id").as("qid"), col("vector"))
+      }
+      val t0 = System.nanoTime()
+      val res = Hnsw.annQuery(index, queries, k, ef)
+      opts.get("out") match {
+        case Some(out) =>
+          res.write.mode("overwrite").parquet(out)
+          println(s"[query] wrote results -> $out")
+        case None => res.show(50, truncate = false)
+      }
+      println(f"[query] done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    } else if (opts.contains("serve")) {
+      sys.error("--serve is out of scope (batch engine; use --load --query-file for batch queries)")
+    } else {
+      println(
+        """usage:
+          |  --build [--input PARQUET | --n N --dim D] --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--out DIR]""".stripMargin)
+    }
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Distances, Levels, TextFunctions}
 import graft.hnsw.{Hnsw, HnswParams}
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Dedup, Ivf, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -163,6 +163,84 @@ object SparkEntry {
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
     }),
 
+    // ---- IVF: cell assignment (map-side argmin vs broadcast centroids) ----
+    "q18_ivf_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("id") < 10).select(col("id").as("cid"), col("vector").as("cvector"))
+      Ivf.assign(e.select("id", "vector"), centroids, Distances.l2)
+    }),
+
+    // ---- IVF: nprobe-bucketed approximate top-k search ----
+    "q19_ivf_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centroids = e.filter(col("id") < 10).select(col("id").as("cid"), col("vector").as("cvector"))
+      val assigned = Ivf.assign(e.select("id", "vector"), centroids, Distances.l2)
+        .join(e.select("id", "vector"), "id")
+      val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      Ivf.search(assigned, queries, centroids, k = 5, nprobe = 3, Distances.l2)
+    }),
+
+    // ---- SimHash signatures (relational, 16-bit) ----
+    "q20_simhash" -> ((s, dir) =>
+      Dedup.simhashRelational(tbl(s, dir, "documents"), "doc_id", "text", bits = 16)),
+
+    // ---- general analytics: event-time hourly window aggregation ----
+    // (batch twin of the Structured Streaming windowed-agg path; exact-only
+    //  aggregates — sums of non-integral doubles are order-dependent)
+    "q21_event_window" -> ((s, dir) =>
+      // ts arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong);
+      // hour-truncate to epoch seconds with exact integer arithmetic
+      // (timestamp types round-trip differently across engines; integers
+      // compare exactly)
+      tbl(s, dir, "events")
+        .groupBy(
+          expr("(ts DIV 3600000000000) * 3600").as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))),
+
+    // ---- partial-aggregate scan query (map-side combine; integral sums are exact) ----
+    "q22_lineitem_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    // ---- broadcast dimension join + predicate pushdown ----
+    "q23_join_segment" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val cust = tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("max_price"))
+    }),
+
+    // ---- multimodal: binary payload + typed metadata projection ----
+    "q24_media_meta" -> ((s, dir) => {
+      val media = graft.multimodal.MediaOps.fromText(tbl(s, dir, "documents"), "doc_id", "text")
+      media.select(col("id"), col("kind"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("fp"),
+        expr("CAST((length(content) + 15) DIV 16 AS BIGINT)").as("n_frames"))
+    }),
+
+    // ---- multimodal: frame sampling over the binary payload (typed Dataset path) ----
+    "q25_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.multimodal.MediaOps.fromText(tbl(s, dir, "documents"), "doc_id", "text")
+        .as[graft.multimodal.MediaRow]
+      val frames = graft.multimodal.MediaOps.sampleFrames(media, stride = 2)
+      val counts = frames.groupBy("id").agg(count(lit(1)).as("n_sampled"))
+      val first = frames.filter(col("frame_idx") === 0)
+        .select(col("id"), hex(col("frame")).as("first_frame_hex"))
+      counts.join(first, "id")
+    }),
+
     // ---- B1–B6: distributed HNSW build (rows-only check; graph is stochastic-ish but deterministic given params) ----
     "hnsw_build_stats" -> ((s, dir) => {
       val idx = builtIndex(s, dir)
@@ -304,6 +382,79 @@ object SparkEntry {
 
       "q16_fingerprint" ->
         "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+
+      "q21_event_window" ->
+        """SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
+          |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+          |  min(value) AS min_value, max(value) AS max_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q22_lineitem_agg" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |  sum(l_quantity) AS sum_qty,
+          |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+          |  count(DISTINCT l_orderkey) AS n_orders
+          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+      "q23_join_segment" ->
+        """SELECT c_mktsegment, count(*) AS n_orders, max(o_totalprice) AS max_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin,
+
+      "q24_media_meta" ->
+        """SELECT doc_id AS id,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  md5(text) AS fp,
+          |  (CAST(octet_length(encode(text)) AS BIGINT) + 15) // 16 AS n_frames
+          |FROM documents""".stripMargin,
+
+      "q25_frame_sample" ->
+        """SELECT doc_id AS id,
+          |  ((CAST(octet_length(encode(text)) AS BIGINT) + 15) // 16 + 1) // 2 AS n_sampled,
+          |  substring(hex(encode(text)), 1, 32) AS first_frame_hex
+          |FROM documents""".stripMargin,
+
+      "q18_ivf_assign" ->
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),
+           |scored AS (SELECT e.vec_id AS id, c.cid, ${l2Sql("e.embedding", "c.ce", EmbDim)} AS dist
+           |  FROM embeddings e, c),
+           |r AS (SELECT id, cid, dist,
+           |  row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn FROM scored)
+           |SELECT id, cid, dist FROM r WHERE rn = 1""".stripMargin,
+
+      "q19_ivf_search" ->
+        s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),
+           |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+           |cscored AS (SELECT q.qid, c.cid, ${l2Sql("q.qe", "c.ce", EmbDim)} AS cdist FROM q, c),
+           |probed AS (SELECT qid, cid FROM (
+           |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cdist ASC, cid ASC) AS cr
+           |  FROM cscored) WHERE cr <= 3),
+           |ascored AS (SELECT e.vec_id AS id, c.cid, ${l2Sql("e.embedding", "c.ce", EmbDim)} AS dist
+           |  FROM embeddings e, c),
+           |assigned AS (SELECT id, cid FROM (
+           |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+           |  FROM ascored) WHERE rn = 1),
+           |cand AS (SELECT p.qid, a.id, ${l2Sql("e.embedding", "q.qe", EmbDim)} AS dist
+           |  FROM probed p JOIN assigned a ON a.cid = p.cid
+           |  JOIN embeddings e ON e.vec_id = a.id JOIN q ON q.qid = p.qid)
+           |SELECT qid, "rank", id, dist FROM (
+           |  SELECT qid, id, dist,
+           |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS "rank"
+           |  FROM cand) WHERE "rank" <= 5""".stripMargin,
+
+      "q20_simhash" -> {
+        val hexIdx = (p: Int) => s"(strpos('0123456789abcdef', substring(md5(tok), $p, 1)) - 1)"
+        val hv = s"${hexIdx(1)} * 4096 + ${hexIdx(2)} * 256 + ${hexIdx(3)} * 16 + ${hexIdx(4)}"
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j").mkString(", ")
+        val sig = (0 until 16).map(j =>
+          s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |hv AS (SELECT doc_id, $hv AS v FROM toks),
+           |votes AS (SELECT doc_id, $votes FROM hv GROUP BY doc_id)
+           |SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM votes""".stripMargin
+      },
 
       "q17_embed_neardup" -> {
         val d = cosineSql("a.embedding", "b.embedding", EmbDim)

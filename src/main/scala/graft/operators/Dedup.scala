@@ -129,6 +129,29 @@ object Dedup {
     bitCols.reduce(_ + _)
   }
 
+  /** Relational SimHash over exploded tokens — the scale form (partial
+    * aggregation; shuffle is one row per (doc, bit-vote) group, never the
+    * token stream). Token hash = integer value of the first 4 md5 hex chars
+    * (16-bit hash family, oracle-reproducible); signature bit j is the sign
+    * of the ±1 votes of bit j across tokens. Output: (id, simhash: long).
+    */
+  def simhashRelational(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 16): DataFrame = {
+    require(bits <= 16, "token hash family is 16-bit")
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val hv = conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))).as(s"v$j")
+    }
+    val grouped = toks.select(col(idCol), hv.as("hv"))
+      .groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    grouped.select(col(idCol), sig.as("simhash"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
     * label or LSH bucket): pairs with cosine distance below `maxDist`.
     * The blocking key keeps the self-join from being O(n²) — at 100 TB the

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate similarity search — the bucketed scale
+  * path for ANN over an embedding column (SURVEY.md "similarity search"
+  * pipeline operator).
+  *
+  * Scale design: cell assignment is a map-side `min(struct(dist, cid))`
+  * partial aggregate against broadcast centroids — the only shuffle is one
+  * row per vector (its argmin), never the n×k score matrix. Search probes
+  * `nprobe` cells per query, so the candidate join touches ~n·nprobe/k rows
+  * instead of n, shuffled on the cell id (AQE handles hot cells).
+  * Determinism: ties broken by centroid id via the struct's lexicographic
+  * ordering, so results are reproducible and oracle-checkable.
+  */
+object Ivf {
+
+  /** Assign each vector to its nearest centroid.
+    * In: vectors (id, vector), centroids (cid, cvector). Out: (id, cid, dist).
+    */
+  def assign(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      dist: (Column, Column) => Column): DataFrame = {
+    val scored = vectors
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("cid"), dist(col("vector"), col("cvector")).as("dist"))
+    scored
+      .groupBy("id")
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("cid"), col("best.dist").as("dist"))
+  }
+
+  /** The `nprobe` nearest centroids per query: (qid, cid). */
+  def probes(
+      queries: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val scored = queries
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"), dist(col("vector"), col("cvector")).as("cdist"))
+    val w = Window.partitionBy("qid").orderBy(col("cdist").asc, col("cid").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select("qid", "cid")
+  }
+
+  /** IVF top-k search: score only vectors in the probed cells.
+    * In: assigned (id, vector, cid) — vectors carrying their cell id.
+    * Out: (qid, rank, id, dist).
+    */
+  def search(
+      assigned: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val probed = probes(queries, centroids, nprobe, dist)
+    val candidates = probed
+      .join(queries.select(col("qid"), col("vector").as("q_vector")), "qid")
+      .join(assigned.select(col("id"), col("vector").as("i_vector"), col("cid")), "cid")
+      .select(col("qid"), col("id"), dist(col("i_vector"), col("q_vector")).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
+    candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "id", "dist")
+  }
+}
