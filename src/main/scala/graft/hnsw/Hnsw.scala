@@ -113,7 +113,13 @@ object Hnsw {
   def save(index: HnswIndex, dir: String): Unit = {
     index.nodes.write.mode("overwrite").parquet(s"$dir/vectors")
     index.edges.write.mode("overwrite").parquet(s"$dir/edges")
-    val m = index.meta
+    saveMeta(index.meta, dir)
+  }
+
+  /** Write only meta.json (used by the streaming append path, which never
+    * rewrites existing graph partitions).
+    */
+  def saveMeta(m: IndexMeta, dir: String): Unit = {
     val json =
       s"""{"dim":${m.dim},"M":${m.m},"max_m0":${m.max_m0},"ef_construction":${m.ef_construction},
          |"ef_search":${m.ef_search},"mL":${m.mL},"metric":"${m.metric}",

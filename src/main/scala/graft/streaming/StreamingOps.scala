@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.functions.TextFunctions
+import graft.hnsw.{Hnsw, HnswParams}
+
+/** Structured Streaming surface: incremental index maintenance (the
+  * streaming twin of the reference's `add_point` real-time insert,
+  * `hsnw_trial.py:197-265`), streaming dedup and event-time windowed
+  * aggregation with watermarks.
+  *
+  * Design: the reference serializes inserts behind one lock; the streaming
+  * engine instead treats each micro-batch as a new set of immutable
+  * sub-graph partitions appended to the index directory (`foreachBatch` →
+  * partition-parallel build → parquet append). Queries see every appended
+  * partition through the same per-partition search + global top-k merge,
+  * so freshness is one micro-batch behind at most — and nothing ever
+  * rewrites existing graph partitions (cheap at 100 TB: append-only).
+  */
+object StreamingOps {
+
+  /** Append one (micro-)batch of vectors to an index directory as fresh
+    * sub-graph partitions. Exposed for both the foreachBatch sink and
+    * direct batch use. `batchPartitions` bounds sub-graph size; pids are
+    * offset to stay disjoint from existing partitions.
+    */
+  def appendBatch(batch: DataFrame, dir: String, params: HnswParams, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val built = Hnsw.build(batch.select("id", "vector"), params)
+    // disjoint pid space per batch: pid' = pid + (batchId+1) * numPartitions
+    val offset = (batchId + 1) * params.numPartitions
+    val withOffset = built.copy(
+      nodes = built.nodes.withColumn("pid", (col("pid") + lit(offset)).cast("int")),
+      edges = built.edges.withColumn("pid", (col("pid") + lit(offset)).cast("int")))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/meta.json"))) {
+      Hnsw.save(withOffset, dir) // bootstrap: first batch creates the index
+    } else {
+      withOffset.nodes.write.mode("append").parquet(s"$dir/vectors")
+      withOffset.edges.write.mode("append").parquet(s"$dir/edges")
+      // refresh meta if this batch raised the top layer (entry rule:
+      // level DESC, id ASC — recomputed over the full appended table;
+      // existing graph partitions are never rewritten)
+      val merged = Hnsw.load(spark, dir)
+      val top = merged.nodes.filter(!col("tombstone"))
+        .orderBy(col("level").desc, col("id").asc).select("id", "level").head()
+      Hnsw.saveMeta(
+        merged.meta.copy(entry_point = top.getLong(0), max_layer = top.getInt(1)), dir)
+    }
+  }
+
+  /** Streaming incremental index add: vectors stream (id, vector) →
+    * append-only sub-graph partitions per micro-batch.
+    */
+  def incrementalAdd(stream: DataFrame, dir: String, params: HnswParams): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, dir, params, batchId)
+      }
+
+  /** Streaming exact dedup: keep the first document per content fingerprint
+    * within the watermark horizon (state is bounded by the watermark —
+    * the streaming twin of Dedup.exactDedup).
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Event-time windowed counts with watermark (late data dropped after
+    * `watermark`): the streaming twin of q21_event_window.
+    */
+  def windowedEventCounts(events: DataFrame, tsCol: String,
+                          windowLen: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.hnsw.{Hnsw, HnswParams}
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVec(id: Long, dim: Int): Array[Float] = {
+    val rng = new scala.util.Random(id)
+    Array.fill(dim)(rng.nextGaussian().toFloat)
+  }
+
+  test("incremental add: micro-batches append sub-graphs; queries see all batches") {
+    val dir = Files.createTempDirectory("hnsw-stream").toString
+    val params = HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val stream = source.toDF().toDF("id", "vector")
+    val query = StreamingOps.incrementalAdd(stream, dir, params)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+    source.addData((0L until 50L).map(i => (i, randVec(i, 16))): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val q2 = StreamingOps.incrementalAdd(stream, dir, params)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    source.addData((50L until 80L).map(i => (i, randVec(i, 16))): _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val index = Hnsw.load(spark, dir)
+    assert(index.nodes.count() === 80)
+    // query a vector from each batch: self-match at rank 1
+    val queries = Seq((7L, randVec(7L, 16)), (77L, randVec(77L, 16))).toDF("qid", "vector")
+    val res = Hnsw.annQuery(index, queries, k = 3).filter(col("rank") === 1).collect()
+    assert(res.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap === Map(7L -> 7L, 77L -> 77L))
+    res.foreach(r => assert(r.getAs[Double]("dist") === 0.0))
+  }
+
+  test("streaming dedup keeps first doc per fingerprint within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingOps.streamingDedup(
+      source.toDF().toDF("ts", "doc_id", "text"), "ts", "text")
+    val query = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    source.addData((t0, 1L, "same text"), (t0, 2L, "same text"), (t0, 3L, "other text"))
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+    assert(ids.size === 2)
+    assert(ids.contains(3L))
+    assert(ids.intersect(Set(1L, 2L)).size === 1)
+  }
+
+  test("windowed event counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val counts = StreamingOps.windowedEventCounts(
+      source.toDF().toDF("ts", "event_type"), "ts")
+    val query = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    source.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows === Set(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 11:00:00", "view", 1L)))
+  }
+}
