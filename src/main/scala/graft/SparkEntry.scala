@@ -19,11 +19,15 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** embeddings table prepared as the vector index: (id, vector(double), label). */
+  /** embeddings table prepared as the vector index: (id, vector, label).
+    * Float arrays go straight to the native distance expressions, which
+    * widen per element — bit-identical to a double-cast pass, minus the
+    * per-row transform.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings").select(
       col("vec_id").as("id"),
-      Distances.toDouble(col("embedding")).as("vector"),
+      col("embedding").as("vector"),
       col("label"))
 
   private val EmbDim = 64
@@ -158,7 +162,7 @@ object SparkEntry {
     // ---- embedding-cosine near-dup pairs (blocked by label) ----
     "q17_embed_neardup" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), Distances.toDouble(col("embedding")).as("vector"), col("label"))
+        .select(col("vec_id"), col("embedding").as("vector"), col("label"))
       Dedup.embeddingNearDupPairs(e, "vec_id", "vector", "label", maxDist = 0.65)
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
     }),

@@ -41,8 +41,33 @@ object Knn {
       .select(col("qid"), col("id"), dist(col("i_vector"), col("q_vector")).as("dist"))
   }
 
-  /** Per-query exact top-k: window rank over the scored pairs. */
+  /** Per-query exact top-k via the partial-aggregating TopKByDist custom
+    * aggregate: bounded per-group heaps on the map side, so the shuffle
+    * carries O(queries × k) rows per partition instead of the full n×q
+    * score matrix. Deterministic (dist asc, id asc) — bit-identical to
+    * [[exactTopKWindow]].
+    */
   def exactTopK(
+      index: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dist: (Column, Column) => Column,
+      idCol: String = "id",
+      vecCol: String = "vector",
+      qidCol: String = "qid"): DataFrame = {
+    val scored = scoreAll(index, queries, dist, idCol, vecCol, qidCol)
+    scored
+      .groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
+  }
+
+  /** Per-query exact top-k: window rank over the scored pairs (reference
+    * form; shuffles every scored row — kept for comparison/tests).
+    */
+  def exactTopKWindow(
       index: DataFrame,
       queries: DataFrame,
       k: Int,

@@ -1,0 +1,141 @@
+// Lives under org.apache.spark.sql for the same private[sql] reasons as
+// VectorExpressions (TypedImperativeAggregate & friends are internal API).
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer ordered by (dist asc, id asc): a size-capped binary
+  * max-heap — insert is O(log k), and only k entries ever ship in a shuffle.
+  */
+final class TopKBuffer(val k: Int) {
+  // parallel arrays as a max-heap on (dist, id); root = current worst
+  val dists = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+    d1 > d2 || (d1 == d2 && i1 > i2)
+
+  def insert(d: Double, id: Long): Unit = {
+    if (size < k) {
+      var i = size
+      dists(i) = d; ids(i) = id; size += 1
+      while (i > 0 && worse(dists(i), ids(i), dists((i - 1) / 2), ids((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        swap(i, p); i = p
+      }
+    } else if (k > 0 && worse(dists(0), ids(0), d, id)) {
+      dists(0) = d; ids(0) = id
+      siftDown()
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val td = dists(a); dists(a) = dists(b); dists(b) = td
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && worse(dists(l), ids(l), dists(m), ids(m))) m = l
+      if (r < size && worse(dists(r), ids(r), dists(m), ids(m))) m = r
+      if (m == i) done = true else { swap(i, m); i = m }
+    }
+  }
+
+  def mergeFrom(other: TopKBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.dists(i), other.ids(i)); i += 1 }
+  }
+
+  /** Entries sorted ascending by (dist, id). */
+  def sorted: Array[(Double, Long)] =
+    (0 until size).map(i => (dists(i), ids(i))).toArray
+      .sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+}
+
+/** Partial-aggregating per-group top-k by distance (SURVEY.md Q1a at scale):
+  * `groupBy(qid).agg(topk)` keeps a bounded heap per group on the map side,
+  * so a brute-force kNN over n vectors shuffles O(groups × k × partitions)
+  * rows instead of the full n×q score matrix that a Window rank would.
+  * Ordering is total — (dist asc, id asc) — so results are deterministic
+  * and bit-identical to the Window form.
+  *
+  * Output: array&lt;struct&lt;dist: double, id: long&gt;&gt; sorted ascending.
+  */
+case class TopKByDist(
+    distChild: Expression,
+    idChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(distChild, idChild)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("dist", DoubleType, nullable = false),
+                   StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val d = distChild.eval(input)
+    val id = idChild.eval(input)
+    if (d != null && id != null) {
+      buffer.insert(d.asInstanceOf[Double], id.asInstanceOf[Long])
+    }
+    buffer
+  }
+
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = { b1.mergeFrom(b2); b1 }
+
+  override def eval(buffer: TopKBuffer): Any =
+    new GenericArrayData(buffer.sorted.map { case (d, id) => InternalRow(d, id) })
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.size * 16)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) { bb.putDouble(buffer.dists(i)); bb.putLong(buffer.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { val d = bb.getDouble; val id = bb.getLong; buf.insert(d, id); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByDist =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByDist =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(distChild = newChildren(0), idChild = newChildren(1))
+  override def prettyName: String = "topk_by_dist"
+}
+
+object TopKAggregate {
+  /** Column API: per-group bounded top-k by (dist, id). */
+  def topKByDist(dist: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKByDist(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
+}

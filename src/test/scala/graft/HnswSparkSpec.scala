@@ -52,6 +52,15 @@ class HnswSparkSpec extends SparkSpec {
     assert(before === after)
   }
 
+  test("partial-aggregate topk equals window topk exactly") {
+    val embD = input.select(col("id"), Distances.toDouble(col("vector")).as("vector"))
+    val qD = embD.filter(col("id") % 37 === 0).select(col("id").as("qid"), col("vector"))
+    val a = Knn.exactTopK(embD, qD, 7, Distances.l2).collect().map(_.toSeq).toSet
+    val b = Knn.exactTopKWindow(embD, qD, 7, Distances.l2).collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("tombstoned ids are excluded from ann results; rebuild drops them") {
     val deleted = Hnsw.delete(index, Seq(0L, 8L))
     val queries = input.filter(col("id") === 0).select(col("id").as("qid"), col("vector"))

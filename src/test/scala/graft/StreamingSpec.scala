@@ -23,20 +23,14 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Array[Float])]
     val stream = source.toDF().toDF("id", "vector")
-    val query = StreamingOps.incrementalAdd(stream, dir, params)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-
+    // one continuous query; each processAllAvailable cycle is a micro-batch
+    // (restarting without a checkpoint would replay the MemoryStream)
+    val query = StreamingOps.incrementalAdd(stream, dir, params).start()
     source.addData((0L until 50L).map(i => (i, randVec(i, 16))): _*)
     query.processAllAvailable()
-    query.stop()
-
-    val q2 = StreamingOps.incrementalAdd(stream, dir, params)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
     source.addData((50L until 80L).map(i => (i, randVec(i, 16))): _*)
-    q2.processAllAvailable()
-    q2.stop()
+    query.processAllAvailable()
+    query.stop()
 
     val index = Hnsw.load(spark, dir)
     assert(index.nodes.count() === 80)
