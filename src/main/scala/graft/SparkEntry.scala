@@ -251,6 +251,15 @@ object SparkEntry {
       idx.edges.groupBy("layer").agg(count(lit(1)).as("n_edges")).orderBy("layer")
     }),
 
+    // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----
+    "hnsw_merge_stats" -> ((s, dir) => {
+      val merged = graft.hnsw.HnswMerge.merge(builtIndex(s, dir), level0SampleMod = 8)
+      merged.edges.groupBy("layer").agg(
+        count(lit(1)).as("n_edges"),
+        sum(when(pmod(col("src"), lit(8L)) =!= pmod(col("dst"), lit(8L)), 1L).otherwise(0L))
+          .as("n_cross_partition")).orderBy("layer")
+    }),
+
     // ---- Q1b: batch ANN query over the built index (rows-only) ----
     "hnsw_ann_topk" -> ((s, dir) => {
       val idx = builtIndex(s, dir)

@@ -1,0 +1,74 @@
+package graft.hnsw
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKAggregate
+
+import graft.functions.Distances
+import graft.operators.Knn
+
+/** Cross-partition graph merge (SURVEY.md §7.4.1c): union the per-partition
+  * sub-graphs into ONE navigable HNSW graph by adding cross-partition links
+  * for a boundary set, then re-applying the degree caps relationally.
+  *
+  * Boundary set = every node with level ≥ 1 (the navigable backbone —
+  * ~e^(−1/mL) of nodes) plus a deterministic sample of level-0 nodes. For
+  * each boundary node we find its global exact top-m neighbours and link
+  * both directions on every layer both endpoints reach; the union is then
+  * degree-pruned per (node, layer) keeping the closest `cap` via the
+  * partial-aggregating top-k (shuffle O(nodes × cap)).
+  *
+  * Scale note: the boundary kNN here is brute-force (B×B with broadcast
+  * queries) — fine while |B| fits a broadcast; at 100 TB swap the candidate
+  * generator for the IVF/LSH-blocked path (graft.operators.Ivf) — the merge
+  * machinery (link union + relational prune) is unchanged.
+  */
+object HnswMerge {
+
+  /** Returns a merged single-graph index: same nodes (pid collapsed to 0),
+    * edges spanning partitions, degree caps respected.
+    */
+  def merge(index: HnswIndex, level0SampleMod: Int = 16): HnswIndex = {
+    val m = index.meta
+    val dist = Distances.metric(m.metric)
+    val nodes = index.nodes
+    val levels = nodes.select(col("id"), col("level"))
+
+    val boundary = nodes.filter(col("level") >= 1 || pmod(col("id"), lit(level0SampleMod.toLong)) === 0)
+    val bQueries = boundary.select(col("id").as("qid"), col("vector"))
+
+    // global exact top-(m+1) within the boundary set; drop self-matches
+    val topm = Knn.exactTopK(boundary, bQueries, m.m + 1, dist)
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid").as("src"), col("id").as("dst"))
+
+    // bidirectional, on every layer both endpoints populate
+    val bidir = topm.union(topm.select(col("dst").as("src"), col("src").as("dst")))
+    val crossEdges = bidir
+      .join(levels.select(col("id").as("src"), col("level").as("l_src")), "src")
+      .join(levels.select(col("id").as("dst"), col("level").as("l_dst")), "dst")
+      .select(col("src"), explode(sequence(lit(0), least(col("l_src"), col("l_dst")))).as("layer"), col("dst"))
+
+    val unioned = index.edges.select("src", "layer", "dst")
+      .union(crossEdges.select("src", "layer", "dst"))
+      .distinct()
+
+    // relational degree prune: keep the `cap` closest per (src, layer),
+    // deterministic (dist asc, dst asc), partial-aggregated
+    val scored = unioned
+      .join(nodes.select(col("id").as("src"), col("vector").as("v_src")), "src")
+      .join(nodes.select(col("id").as("dst"), col("vector").as("v_dst")), "dst")
+      .select(col("src"), col("layer"), col("dst"), dist(col("v_src"), col("v_dst")).as("dist"))
+    val pruned = scored
+      .groupBy(col("src"), col("layer"))
+      .agg(TopKAggregate.topKByDist(col("dist"), col("dst"), m.max_m0).as("top"))
+      .select(col("src"), col("layer"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .filter(col("layer") === 0 || col("pos") < m.m) // M above layer 0, max_m0 at layer 0
+      .select(lit(0).as("pid"), col("src"), col("layer"), col("entry.id").as("dst"))
+
+    HnswIndex(
+      nodes.withColumn("pid", lit(0)),
+      pruned,
+      m.copy(num_partitions = 1))
+  }
+}

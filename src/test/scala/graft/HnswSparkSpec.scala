@@ -61,6 +61,27 @@ class HnswSparkSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("cross-partition merge yields one navigable graph with high recall") {
+    val merged = graft.hnsw.HnswMerge.merge(index, level0SampleMod = 4)
+    // caps respected after relational prune
+    val over = merged.edges.groupBy("src", "layer").count()
+      .filter((col("layer") === 0 && col("count") > params.maxM0Resolved) ||
+              (col("layer") > 0 && col("count") > params.m)).count()
+    assert(over === 0)
+    // merged graph is queryable as ONE partition with decent recall
+    val queries = input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val ann = Hnsw.annQuery(merged, queries, k = 10)
+    val exact = Knn.exactTopK(
+      input, input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector")),
+      10, Distances.l2)
+    val recall = Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.8, s"merged-graph recall@10 $recall")
+    // edges actually span build partitions (pid collapsed; check src/dst mix)
+    val crossCount = merged.edges
+      .filter(pmod(col("src"), lit(4)) =!= pmod(col("dst"), lit(4))).count()
+    assert(crossCount > 0, "no cross-partition links created")
+  }
+
   test("tombstoned ids are excluded from ann results; rebuild drops them") {
     val deleted = Hnsw.delete(index, Seq(0L, 8L))
     val queries = input.filter(col("id") === 0).select(col("id").as("qid"), col("vector"))
