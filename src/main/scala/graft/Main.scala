@@ -90,6 +90,26 @@ object Main {
       }
       println(f"[query] done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    } else if (opts.contains("eval-recall")) {
+      // recall@k of the ANN path vs the exact oracle on sampled queries
+      // (the reference's declared-but-unimplemented evaluation, SURVEY D8)
+      val dir = opts("eval-recall")
+      val index = Hnsw.load(spark, dir)
+      val k = opts.getOrElse("k", "10").toInt
+      val sampleMod = opts.getOrElse("sample-mod", "1000").toLong
+      val queries = index.nodes.filter(col("id") % sampleMod === 0)
+        .select(col("id").as("qid"), col("vector"))
+      val dist = graft.functions.Distances.metric(index.meta.metric)
+      val t0 = System.nanoTime()
+      val ann = Hnsw.annQuery(index, queries, k)
+      val exact = graft.operators.Knn.exactTopK(
+        index.nodes.filter(!col("tombstone")).select("id", "vector"), queries, k, dist)
+      val recall = Hnsw.recallAtK(ann, exact, k)
+        .agg(avg("recall").as("avg"), min("recall").as("min"), count(lit(1)).as("n"))
+        .head()
+      println(f"[eval] recall@$k avg=${recall.getDouble(0)}%.4f min=${recall.getDouble(1)}%.4f " +
+        f"over ${recall.getLong(2)} queries in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
     } else if (opts.contains("serve")) {
       sys.error("--serve is out of scope (batch engine; use --load --query-file for batch queries)")
     } else {
