@@ -251,6 +251,22 @@ object SparkEntry {
       idx.edges.groupBy("layer").agg(count(lit(1)).as("n_edges")).orderBy("layer")
     }),
 
+    // ---- Karp–Rabin rolling hash over token streams ----
+    "q26_rolling_hash" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rhash"))),
+
+    // ---- composite cleaning pipeline: quality filter → dedup keep → lang distribution ----
+    "q27_clean_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val kept = docs
+        .filter(TextFunctions.qualityScore(col("text")) >= 0.55)
+      val canonical = Dedup.exactDedup(kept, "doc_id", "text").filter(!col("is_dup"))
+      kept.join(canonical.select("doc_id"), "doc_id")
+        .select(TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----
     "hnsw_merge_stats" -> ((s, dir) => {
       val merged = graft.hnsw.HnswMerge.merge(builtIndex(s, dir), level0SampleMod = 8)
@@ -286,6 +302,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     import OracleSql._
     val knnDist = l2Sql("e.embedding", "q.embedding", EmbDim)
+    // language-ID CASE over a given text expression (shared by q14/q27)
+    def langCase(textExpr: String): String = {
+      val scores = TextFunctions.LangMarkers.map { case (lang, markers) =>
+        lang -> stopCountSql(textExpr, markers)
+      }
+      val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val cases = scores.map { case (lang, sc) =>
+        s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"CASE $cases ELSE 'und' END"
+    }
+    // quality-score expression over documents.text (shared by q15/q27)
+    val qualityExpr: String = {
+      val nTok = s"CAST(${tokenCountSql("text")} AS DOUBLE)"
+      val nStop = s"CAST(${stopCountSql("text", TextFunctions.Stopwords)} AS DOUBLE)"
+      val nChar = "CAST(length(text) AS DOUBLE)"
+      val meanLen = s"($nChar - ($nTok - 1.0)) / $nTok"
+      val lenOk = s"CASE WHEN $nChar >= 100.0 AND $nChar <= 2000.0 THEN 1.0 ELSE 0.0 END"
+      val wordOk = s"CASE WHEN $meanLen >= 3.0 AND $meanLen <= 12.0 THEN 1.0 ELSE 0.0 END"
+      s"($nStop / $nTok) * 0.4 + $lenOk * 0.3 + $wordOk * 0.3"
+    }
     Map(
       "q01_l2_project" -> {
         val terms = Seq(
@@ -370,28 +407,29 @@ object SparkEntry {
            |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
            |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.2""".stripMargin,
 
-      "q14_langid" -> {
-        val scores = TextFunctions.LangMarkers.map { case (lang, markers) =>
-          lang -> stopCountSql("text", markers)
-        }
-        val best = s"greatest(${scores.map(_._2).mkString(", ")})"
-        val cases = scores.map { case (lang, sc) =>
-          s"WHEN $sc = $best AND $sc > 0 THEN '$lang'"
-        }.mkString(" ")
-        s"SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang FROM documents"
-      },
+      "q14_langid" ->
+        s"SELECT doc_id, lang, ${langCase("text")} AS pred_lang FROM documents",
 
-      "q15_quality" -> {
-        val nTok = s"CAST(${tokenCountSql("text")} AS DOUBLE)"
-        val nStop = s"CAST(${stopCountSql("text", TextFunctions.Stopwords)} AS DOUBLE)"
-        val nChar = "CAST(length(text) AS DOUBLE)"
-        val meanLen = s"($nChar - ($nTok - 1.0)) / $nTok"
-        val lenOk = s"CASE WHEN $nChar >= 100.0 AND $nChar <= 2000.0 THEN 1.0 ELSE 0.0 END"
-        val wordOk = s"CASE WHEN $meanLen >= 3.0 AND $meanLen <= 12.0 THEN 1.0 ELSE 0.0 END"
+      "q15_quality" ->
         s"""SELECT doc_id, ${tokenCountSql("text")} AS n_tokens,
-           |  ($nStop / $nTok) * 0.4 + $lenOk * 0.3 + $wordOk * 0.3 AS quality
+           |  $qualityExpr AS quality
+           |FROM documents""".stripMargin,
+
+      "q26_rolling_hash" -> {
+        val hexIdx = (p: Int) => s"(strpos('0123456789abcdef', substring(md5(tok), $p, 1)) - 1)"
+        val hv = s"CAST(((((${hexIdx(1)} * 16 + ${hexIdx(2)}) * 16 + ${hexIdx(3)}) * 16 + ${hexIdx(4)}) * 16 + ${hexIdx(5)}) AS BIGINT)"
+        s"""SELECT doc_id, list_reduce(
+           |  list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), tok -> $hv)),
+           |  (acc, h) -> (acc * ${TextFunctions.RollingHashMul} + h) % ${TextFunctions.RollingHashMod}) AS rhash
            |FROM documents""".stripMargin
       },
+
+      "q27_clean_pipeline" ->
+        s"""WITH kept AS (SELECT doc_id, text FROM documents WHERE $qualityExpr >= 0.55),
+           |canon AS (SELECT doc_id, text,
+           |  min(doc_id) OVER (PARTITION BY md5(lower(text))) AS cid FROM kept)
+           |SELECT ${langCase("text")} AS pred_lang, count(*) AS n_docs
+           |FROM canon WHERE doc_id = cid GROUP BY 1""".stripMargin,
 
       "q16_fingerprint" ->
         "SELECT doc_id, md5(lower(text)) AS fp FROM documents",

@@ -104,17 +104,18 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(lower(text))
 
-  /** Rolling polynomial hash (Karp–Rabin) over the token stream, mod 2⁶¹−1.
-    * Pure integer arithmetic; used for content-defined chunking /
-    * fingerprinting at scale. Multiplication stays in range because token
-    * hashes are reduced mod 2³¹ first.
+  /** Rolling polynomial hash (Karp–Rabin) over the token stream,
+    * acc' = (acc·31 + h(tok)) mod (2³¹−1) with h = the integer value of the
+    * first 5 md5 hex chars (20 bits). All intermediate products stay below
+    * 2³⁶ — exact in int64 under ANSI mode and reproducible in any engine
+    * (md5 + integer arithmetic only, so it is DuckDB-oracle-checkable).
     */
-  def rollingHash(text: Column): Column = {
-    val P = 1000003L
-    val M = (1L << 61) - 1
+  val RollingHashMod: Long = 2147483647L // 2^31 − 1 (Mersenne)
+  val RollingHashMul: Long = 31L
+
+  def rollingHash(text: Column): Column =
     aggregate(
-      tokens(text),
+      transform(tokens(text), t => conv(substring(md5(t), 1, 5), 16, 10).cast("long")),
       lit(0L),
-      (acc, t) => (acc * lit(P) + pmod(xxhash64(t), lit(1L << 31))) % lit(M))
-  }
+      (acc, h) => (acc * lit(RollingHashMul) + h) % lit(RollingHashMod))
 }
