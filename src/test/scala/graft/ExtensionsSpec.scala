@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface via SparkSessionExtensions (own session: extensions are
+  * fixed at session build time).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate would return the shared test session (extensions are fixed
+    // at session construction) — force a fresh session on the same context
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-test")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  }
+
+  test("vector functions and topk aggregate are callable from SQL") {
+    import spark.implicits._
+    Seq((1L, Array(0f, 3f), Array(4f, 0f)), (2L, Array(1f, 1f), Array(1f, 1f)))
+      .toDF("id", "a", "b").createOrReplaceTempView("v")
+    val rows = spark.sql(
+      """SELECT id, vector_l2(a, b) AS l2, vector_dot(a, b) AS dot,
+        |       vector_cosine_distance(a, b) AS cos
+        |FROM v ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getDouble(1) === 5.0)
+    assert(rows(0).getDouble(2) === 0.0)
+    assert(rows(1).getDouble(1) === 0.0)
+    assert(math.abs(rows(1).getDouble(3)) < 1e-12)
+
+    Seq((1L, 0.5, 10L), (1L, 0.1, 11L), (1L, 0.3, 12L), (2L, 0.9, 13L))
+      .toDF("qid", "dist", "id").createOrReplaceTempView("scored")
+    val top = spark.sql(
+      "SELECT qid, topk_by_dist(dist, id, 2) AS top FROM scored GROUP BY qid ORDER BY qid")
+      .collect()
+    val q1 = top(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(q1 === Seq((0.1, 11L), (0.3, 12L)))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) === Seq(13L))
+  }
+}
