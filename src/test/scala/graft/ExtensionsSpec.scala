@@ -16,7 +16,9 @@ class ExtensionsSpec extends AnyFunSuite {
     SparkSession.builder()
     .master("local[2]")
     .appName("graft-ext-test")
-    .config("spark.sql.extensions", "graft.GraftExtensions")
+    // withExtensions works even when an existing SparkContext is reused
+    // (the spark.sql.extensions config is only honored for a fresh context)
+    .withExtensions(new GraftExtensions()(_))
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
