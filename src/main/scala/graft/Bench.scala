@@ -19,10 +19,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    // matched-baseline measurement: the reference's only published
+    // throughput number is 67.13 vec/s for 5,000 x dim-512 cosine inserts
+    // (BASELINE.md); measure the same build end-to-end (datagen excluded,
+    // parquet persistence included).
+    val matchedVecsPerSec = {
+      val params = graft.hnsw.HnswParams(
+        dim = 512, m = 16, efConstruction = 200, metric = "cosine", numPartitions = 16)
+      val input = graft.sources.Datagen.gaussianVectors(spark, 5000, 512).cache()
+      input.count() // materialize datagen outside the timed window
+      val out = java.nio.file.Files.createTempDirectory("bench-idx").toString
+      val t0 = System.nanoTime()
+      graft.hnsw.Hnsw.save(graft.hnsw.Hnsw.build(input, params), out)
+      5000.0 / ((System.nanoTime() - t0) / 1e9)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_vecs_per_sec_dim512_cosine":$matchedVecsPerSec,"baseline_vecs_per_sec":67.13}""")
     spark.stop()
   }
 }

@@ -267,6 +267,25 @@ object SparkEntry {
         .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
     }),
 
+    // ---- BPE-ish subword token counting ----
+    "q28_bpe_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))),
+
+    // ---- gap-based sessionization (window lag + running sum; exact ns ints) ----
+    "q29_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t"))
+      e.withColumn("brk",
+          when(col("t") - lag(col("t"), 1).over(byUser) > 600000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("t")).as("session_start_us"), count(lit(1)).as("n_events"))
+    }),
+
     // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----
     "hnsw_merge_stats" -> ((s, dir) => {
       val merged = graft.hnsw.HnswMerge.merge(builtIndex(s, dir), level0SampleMod = 8)
@@ -465,6 +484,21 @@ object SparkEntry {
           |  ((CAST(octet_length(encode(text)) AS BIGINT) + 15) // 16 + 1) // 2 AS n_sampled,
           |  substring(hex(encode(text)), 1, 32) AS first_frame_hex
           |FROM documents""".stripMargin,
+
+      "q28_bpe_tokens" ->
+        s"SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '${TextFunctions.BpePattern}')) AS BIGINT) AS n_bpe FROM documents",
+
+      "q29_sessionize" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+          |gaps AS (SELECT user_id, event_id, t,
+          |  CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 600000000
+          |       THEN 1 ELSE 0 END AS brk FROM e),
+          |sess AS (SELECT user_id, t,
+          |  sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM gaps)
+          |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(t) AS session_start_us,
+          |  count(*) AS n_events
+          |FROM sess GROUP BY 1, 2""".stripMargin,
 
       "q18_ivf_assign" ->
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),

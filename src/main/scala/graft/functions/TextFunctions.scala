@@ -99,6 +99,17 @@ object TextFunctions {
     }
   }
 
+  /** BPE-ish subword token count: runs of letters, runs of digits, and
+    * single other non-space characters — the cheap proxy for tokenizer cost
+    * accounting in a pretraining pipeline. The pattern uses only constructs
+    * with identical semantics in Java regex and RE2, so a DuckDB oracle
+    * reproduces it.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
   /** Document fingerprint: md5 of the lowercased text — identical hex in
     * Spark and DuckDB, so exact-dedup and oracle checks can share it.
     */
