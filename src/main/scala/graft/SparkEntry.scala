@@ -142,17 +142,15 @@ object SparkEntry {
     "q13_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)),
 
-    // ---- language-ID heuristic ----
+    // ---- language-ID heuristic (relational scale form) ----
     "q14_langid" -> ((s, dir) =>
-      tbl(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))),
+      graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "pred_lang")),
 
     // ---- quality scoring (length/stopword/word-length heuristics) ----
     "q15_quality" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(
-        col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.qualityScore(col("text")).as("quality"))),
+      graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "quality")),
 
     // ---- document fingerprinting ----
     "q16_fingerprint" -> ((s, dir) =>
@@ -258,12 +256,10 @@ object SparkEntry {
 
     // ---- composite cleaning pipeline: quality filter → dedup keep → lang distribution ----
     "q27_clean_pipeline" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
-      val kept = docs
-        .filter(TextFunctions.qualityScore(col("text")) >= 0.55)
+      val stats = graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
+      val kept = stats.filter(col("quality") >= 0.55)
       val canonical = Dedup.exactDedup(kept, "doc_id", "text").filter(!col("is_dup"))
       kept.join(canonical.select("doc_id"), "doc_id")
-        .select(TextFunctions.langId(col("text")).as("pred_lang"))
         .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
     }),
 

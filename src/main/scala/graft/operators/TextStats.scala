@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Relational text statistics: the 100 TB-shape twin of the per-row HOF
+  * functions in [[TextFunctions]]. One token explode + one partial-agg
+  * groupBy (map-side combine, codegen'd hash aggregate) replaces the
+  * interpreted `filter(tokens(...))` lambdas — identical values, linear
+  * shuffle of one row per document.
+  *
+  * Output per doc: (id, text passthrough columns) + n_tokens, n_stop,
+  * quality, pred_lang.
+  */
+object TextStats {
+
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    def hitSum(words: Seq[String], name: String) =
+      sum(when(col("tok").isin(words.map(lit): _*), 1L).otherwise(0L)).as(name)
+    val aggs =
+      hitSum(TextFunctions.Stopwords, "n_stop") +:
+        TextFunctions.LangMarkers.map { case (lang, markers) => hitSum(markers, s"score_$lang") }
+    val agg = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+
+    val withAgg = docs.join(agg, Seq(idCol), "left")
+      .na.fill(0L, "n_stop" +: TextFunctions.LangMarkers.map(t => s"score_${t._1}"))
+
+    val nTok = TextFunctions.tokenCount(col(textCol)).cast("double")
+    val nStop = col("n_stop").cast("double")
+    val nChar = length(col(textCol)).cast("double")
+    val meanLen = (nChar - (nTok - lit(1.0))) / nTok
+    val lenOk = when(nChar >= 100.0 && nChar <= 2000.0, lit(1.0)).otherwise(lit(0.0))
+    val wordOk = when(meanLen >= 3.0 && meanLen <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val quality = (nStop / nTok) * lit(0.4) + lenOk * lit(0.3) + wordOk * lit(0.3)
+
+    val scores = TextFunctions.LangMarkers.map { case (lang, _) => lang -> col(s"score_$lang") }
+    val best = greatest(scores.map(_._2): _*)
+    val predLang = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+
+    withAgg
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("quality", quality)
+      .withColumn("pred_lang", predLang)
+  }
+}

@@ -87,6 +87,19 @@ class DistancesSpec extends SparkSpec {
     assert(sh(1) === Seq.empty)
   }
 
+  test("relational text stats equal the per-row HOF forms exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rel = graft.operators.TextStats.textStats(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tokens", $"quality", $"pred_lang")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getString(3))).toMap
+    val hof = docs.select($"doc_id",
+        TextFunctions.tokenCount($"text"),
+        TextFunctions.qualityScore($"text"),
+        TextFunctions.langId($"text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getString(3))).toMap
+    assert(rel === hof) // bit-exact, not approximate
+  }
+
   test("langId picks the marker-richest language deterministically") {
     val df = Seq("the cat is on the mat", "der hund und die katze", "xyzzy plugh").toDF("text")
     val langs = df.select(TextFunctions.langId($"text")).collect().map(_.getString(0))
