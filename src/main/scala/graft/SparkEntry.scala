@@ -282,6 +282,24 @@ object SparkEntry {
         .agg(min(col("t")).as("session_start_us"), count(lit(1)).as("n_events"))
     }),
 
+    // ---- semi-structured: JSON property extraction from the event stream ----
+    "q30_json_extract" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .filter(col("k") >= 50)),
+
+    // ---- vector normalization projection (unit L2 norm; zero vector preserved) ----
+    "q31_normalize" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // norm materialized in its own projection so the lambda divides by a
+      // column, not a re-evaluated expression (lambda bodies skip CSE)
+      e.select(col("id"), col("vector"), Distances.norm(col("vector")).as("n"))
+        .select(col("id"),
+          when(col("n") === 0.0, Distances.toDouble(col("vector")))
+            .otherwise(transform(col("vector"), x => x.cast("double") / col("n"))).as("unit"))
+    }),
+
     // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----
     "hnsw_merge_stats" -> ((s, dir) => {
       val merged = graft.hnsw.HnswMerge.merge(builtIndex(s, dir), level0SampleMod = 8)
@@ -495,6 +513,18 @@ object SparkEntry {
           |SELECT user_id, CAST(sid AS BIGINT) AS sid, min(t) AS session_start_us,
           |  count(*) AS n_events
           |FROM sess GROUP BY 1, 2""".stripMargin,
+
+      "q30_json_extract" ->
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin,
+
+      "q31_normalize" -> {
+        val n = s"sqrt(${dotSql("embedding", "embedding", EmbDim)})"
+        s"""SELECT vec_id AS id,
+           |  CASE WHEN $n = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+           |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / $n) END AS unit
+           |FROM embeddings""".stripMargin
+      },
 
       "q18_ivf_assign" ->
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),
