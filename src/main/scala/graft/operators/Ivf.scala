@@ -61,9 +61,14 @@ object Ivf {
       nprobe: Int,
       dist: (Column, Column) => Column): DataFrame = {
     val probed = probes(queries, centroids, nprobe, dist)
-    val candidates = probed
-      .join(queries.select(col("qid"), col("vector").as("q_vector")), "qid")
-      .join(assigned.select(col("id"), col("vector").as("i_vector"), col("cid")), "cid")
+    // (qid, cid, q_vector) is queries × nprobe rows — broadcast it so the
+    // big assigned side never shuffles (statically invisible to the
+    // planner, which would otherwise sort-merge on cid)
+    val probeSide = broadcast(
+      probed.join(queries.select(col("qid"), col("vector").as("q_vector")), "qid"))
+    val candidates = assigned
+      .select(col("id"), col("vector").as("i_vector"), col("cid"))
+      .join(probeSide, "cid")
       .select(col("qid"), col("id"), dist(col("i_vector"), col("q_vector")).as("dist"))
     val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
     candidates.withColumn("rank", row_number().over(w))
