@@ -300,6 +300,16 @@ object SparkEntry {
             .otherwise(transform(col("vector"), x => x.cast("double") / col("n"))).as("unit"))
     }),
 
+    // ---- as-of join: each click matched to the user's latest prior purchase ----
+    "q32_asof_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t"), col("event_type"))
+      val clicks = e.filter(col("event_type") === "click").select("user_id", "t", "event_id")
+      val purchases = e.filter(col("event_type") === "purchase").select("user_id", "t")
+      graft.operators.AsOf.asOfJoin(clicks, purchases, "user_id", "t", "last_purchase_t")
+        .select("event_id", "user_id", "t", "last_purchase_t")
+    }),
+
     // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----
     "hnsw_merge_stats" -> ((s, dir) => {
       val merged = graft.hnsw.HnswMerge.merge(builtIndex(s, dir), level0SampleMod = 8)
@@ -525,6 +535,13 @@ object SparkEntry {
            |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / $n) END AS unit
            |FROM embeddings""".stripMargin
       },
+
+      "q32_asof_join" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),
+          |c AS (SELECT user_id, event_id, t FROM e WHERE event_type = 'click'),
+          |p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase')
+          |SELECT c.event_id, c.user_id, c.t, p.t AS last_purchase_t
+          |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.t >= p.t""".stripMargin,
 
       "q18_ivf_assign" ->
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),
