@@ -21,9 +21,13 @@ object Levels {
   /** mL default 1/ln(max(2, M)) (reference `hsnw_trial.py:95`). */
   def defaultML(m: Int): Double = 1.0 / math.log(math.max(2, m).toDouble)
 
-  /** Uniform (0, 1] from an id, bit-exact in any integer-correct engine. */
+  /** Uniform (0, 1] from an id, bit-exact in any integer-correct engine.
+    * id is reduced mod 2³¹ BEFORE the multiply so the product stays below
+    * 2⁶² for any int64 id (ANSI mode errors on overflow; values are
+    * unchanged for ids < 2³¹).
+    */
   def uniformFromId(id: Column): Column =
-    ((id * lit(KnuthMul)) % lit(Mod) + lit(1L)).cast("double") / lit(Mod.toDouble)
+    (((id % lit(Mod)) * lit(KnuthMul)) % lit(Mod) + lit(1L)).cast("double") / lit(Mod.toDouble)
 
   /** Level column: floor(−ln(U)·mL), as int. */
   def levelFor(id: Column, mL: Double): Column =
@@ -31,11 +35,11 @@ object Levels {
 
   /** Plain-Scala twin for the partition-local builder. */
   def levelForLocal(id: Long, mL: Double): Int = {
-    val u = ((id * KnuthMul) % Mod + 1).toDouble / Mod.toDouble
+    val u = (((id % Mod) * KnuthMul) % Mod + 1).toDouble / Mod.toDouble
     math.floor(-math.log(u) * mL).toInt
   }
 
   /** DuckDB SQL fragment computing the identical level for oracle checks. */
   def levelSql(idExpr: String, mL: Double): String =
-    s"CAST(floor(-ln((($idExpr * $KnuthMul) % $Mod + 1) / $Mod.0) * $mL) AS INT)"
+    s"CAST(floor(-ln(((($idExpr % $Mod) * $KnuthMul) % $Mod + 1) / $Mod.0) * $mL) AS INT)"
 }
