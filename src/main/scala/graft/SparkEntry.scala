@@ -135,7 +135,7 @@ object SparkEntry {
     // ---- LSH banding: candidate pairs via band-key equi-join ----
     "q12_lsh_pairs" -> ((s, dir) => {
       val sigs = Dedup.minhashSignatures(tbl(s, dir, "documents"), "doc_id", "text", n = 3, h = 4)
-      Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2)
+      Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
     }),
 
     // ---- exact n-gram Jaccard over shingle-sharing pairs ----
@@ -255,12 +255,19 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rhash"))),
 
     // ---- composite cleaning pipeline: quality filter → dedup keep → lang distribution ----
+    // Single pass: the stats subtree is evaluated ONCE (no self-join back
+    // through exactDedup — that shape re-derived the explode+agg subtree per
+    // join side). Canonical doc per fingerprint = min (doc_id, pred_lang)
+    // struct, a partial-aggregable min (map-side combine) instead of a
+    // window over fp.
     "q27_clean_pipeline" -> ((s, dir) => {
-      val stats = graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
-      val kept = stats.filter(col("quality") >= 0.55)
-      val canonical = Dedup.exactDedup(kept, "doc_id", "text").filter(!col("is_dup"))
-      kept.join(canonical.select("doc_id"), "doc_id")
-        .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+      val kept = graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .filter(col("quality") >= 0.55)
+      kept
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min(struct(col("doc_id"), col("pred_lang"))).as("c"))
+        .groupBy(col("c.pred_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // ---- BPE-ish subword token counting ----
@@ -290,14 +297,18 @@ object SparkEntry {
         .filter(col("k") >= 50)),
 
     // ---- vector normalization projection (unit L2 norm; zero vector preserved) ----
+    // Output exploded to scalar rows (id, pos, component) so the oracle
+    // compare stays array-free; the division is per-component and
+    // bit-identical either way.
     "q31_normalize" -> ((s, dir) => {
       val e = emb(s, dir)
-      // norm materialized in its own projection so the lambda divides by a
+      // norm materialized in its own projection so the division uses a
       // column, not a re-evaluated expression (lambda bodies skip CSE)
       e.select(col("id"), col("vector"), Distances.norm(col("vector")).as("n"))
-        .select(col("id"),
-          when(col("n") === 0.0, Distances.toDouble(col("vector")))
-            .otherwise(transform(col("vector"), x => x.cast("double") / col("n"))).as("unit"))
+        .select(col("id"), col("n"), posexplode(col("vector")).as(Seq("pos", "x")))
+        .select(col("id"), col("pos"),
+          when(col("n") === 0.0, col("x").cast("double"))
+            .otherwise(col("x").cast("double") / col("n")).as("component"))
     }),
 
     // ---- as-of join: each click matched to the user's latest prior purchase ----
@@ -435,9 +446,12 @@ object SparkEntry {
            |banded AS (
            |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
            |  UNION ALL
-           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig)
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000)
            |SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band
-           |FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id""".stripMargin,
+           |FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id""".stripMargin,
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},
@@ -530,10 +544,14 @@ object SparkEntry {
 
       "q31_normalize" -> {
         val n = s"sqrt(${dotSql("embedding", "embedding", EmbDim)})"
-        s"""SELECT vec_id AS id,
-           |  CASE WHEN $n = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
-           |       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / $n) END AS unit
-           |FROM embeddings""".stripMargin
+        // scalar + unnest in a CTE (DuckDB 1.0 rejects lateral column args
+        // to the table-fn generate_series); i is 1-based like element_at
+        s"""WITH idx AS (SELECT vec_id, embedding,
+           |  unnest(generate_series(1, len(embedding))) AS i FROM embeddings)
+           |SELECT vec_id AS id, CAST(i - 1 AS INT) AS pos,
+           |  CASE WHEN $n = 0.0 THEN CAST(embedding[i] AS DOUBLE)
+           |       ELSE CAST(embedding[i] AS DOUBLE) / $n END AS component
+           |FROM idx""".stripMargin
       },
 
       "q32_asof_join" ->

@@ -61,19 +61,42 @@ object Dedup {
     * consecutive signatures) collides in at least one band. Self-join on the
     * band key — shuffle on band, not O(n²).
     * Output: (id_a, id_b, band) with id_a < id_b, distinct pairs per band.
+    *
+    * Plan shape (the 100 TB path): the band table is built in ONE pass over
+    * `sigs` (`posexplode` of the band-value array — a union of per-band
+    * selects would re-derive the whole signature subtree per band per join
+    * side, 4× the dominant stage) and eagerly materialized
+    * (`localCheckpoint`) before the self-join, so signatures are computed
+    * exactly once no matter how many times the join scans them.
+    *
+    * `maxBandSize` guards the hot-band pair blowup: a degenerate band value
+    * shared by B documents emits B² pairs; bands larger than the cap are
+    * dropped (standard LSH practice — such mega-clusters are found by the
+    * exact-dup pass instead). The count is a window over the same
+    * (band, band_val) partitioning the join shuffles on.
     */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String, h: Int = 4, rows: Int = 2): DataFrame = {
+  def lshCandidatePairs(sigs: DataFrame, idCol: String, h: Int = 4, rows: Int = 2,
+                        maxBandSize: Int = Int.MaxValue): DataFrame = {
     val nBands = h / rows
-    val banded = (0 until nBands).map { b =>
-      val bandVal = concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
-      sigs.select(col(idCol).as("id"), lit(b).as("band"), bandVal.as("band_val"))
-    }.reduce(_ unionByName _)
-    val a = banded.select(col("id").as("id_a"), col("band"), col("band_val"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("band_val"))
+    val bandVals = (0 until nBands).map { b =>
+      concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+    }
+    val banded = sigs
+      .select(col(idCol).as("id"), posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
+    val guarded =
+      if (maxBandSize == Int.MaxValue) banded
+      else banded
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "band_val")))
+        .filter(col("bn") <= maxBandSize)
+        .drop("bn")
+    // eager materialization: truncates lineage so neither join side
+    // recomputes the signature aggregation
+    val mat = guarded.localCheckpoint()
+    val a = mat.select(col("id").as("id_a"), col("band"), col("band_val"))
+    val b = mat.select(col("id").as("id_b"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "band")
-      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for pairs that share at least one

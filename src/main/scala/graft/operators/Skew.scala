@@ -26,8 +26,11 @@ object Skew {
       saltBuckets: Int,
       partials: Seq[Column],
       finals: Seq[Column]): DataFrame = {
+    // deterministic salt: hash of the full row content — reproducible
+    // across task retries (monotonically_increasing_id is not), and rows
+    // with distinct payloads still spread over the buckets
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
