@@ -14,10 +14,21 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
     // whichever query happens to run first
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // local-iteration aids (unset in driver runs → full suite, one rep):
+    // SPARK_GRAFT_ONLY=q12,q17 filters queries; SPARK_GRAFT_REPS=3 repeats
+    // each timed query, keeping the minimum (exposes run-to-run variance)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (reps > 1) System.err.println(s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(" ")}")
+      name -> times.min
     }.toMap
     // matched-baseline measurement: the reference's only published
     // throughput number is 67.13 vec/s for 5,000 x dim-512 cosine inserts

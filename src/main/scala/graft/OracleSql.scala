@@ -45,6 +45,19 @@ object OracleSql {
        |  SELECT doc_id, concat_ws(' ', ${(0 until n).map(j => s"w[i+$j]").mkString(", ")}) AS shingle
        |  FROM tokidx)""".stripMargin
 
+  /** Sign-pattern LSH bucket of an embedding list column — mirrors
+    * Dedup.embeddingBucket: bit g = [group-g component sum > 0], packed as
+    * an integer. Left-associative sums, identical association order.
+    */
+  def embeddingBucketSql(vec: String, dim: Int, bits: Int): String = {
+    val group = dim / bits
+    (0 until bits).map { g =>
+      val s = (g * group until (g + 1) * group)
+        .map(i => s"CAST($vec[${i + 1}] AS DOUBLE)").mkString(" + ")
+      s"(CASE WHEN $s > 0.0 THEN ${1L << g} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** MinHash aggregate for seed s over column `shingle`. */
   def minhashSql(seed: Int): String = s"min(md5(concat('s$seed|', shingle)))"
 

@@ -165,6 +165,17 @@ object SparkEntry {
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
     }),
 
+    // ---- embedding near-dup, LSH-bucket blocked (the 100 TB path: no
+    //      label dependence — blocking key is a sign-pattern hash of the
+    //      vector itself) ----
+    "q33_embed_neardup_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vector"),
+          Dedup.embeddingBucket(col("embedding"), EmbDim, bits = 8).as("bucket"))
+      Dedup.embeddingNearDupPairs(e, "vec_id", "vector", "bucket", maxDist = 0.65)
+        .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
+    }),
+
     // ---- IVF: cell assignment (map-side argmin vs broadcast centroids) ----
     "q18_ivf_assign" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -606,6 +617,15 @@ object SparkEntry {
         val d = cosineSql("a.embedding", "b.embedding", EmbDim)
         s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
            |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE $d < 0.65""".stripMargin
+      },
+
+      "q33_embed_neardup_lsh" -> {
+        val d = cosineSql("a.embedding", "b.embedding", EmbDim)
+        s"""WITH bk AS (SELECT vec_id, embedding,
+           |  ${embeddingBucketSql("embedding", EmbDim, 8)} AS bucket FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
+           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE $d < 0.65""".stripMargin
       },
     )

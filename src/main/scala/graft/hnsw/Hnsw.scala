@@ -2,6 +2,8 @@ package graft.hnsw
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -132,15 +134,22 @@ object Hnsw {
   /** Load with the reference's defaulting rules for absent meta fields
     * (`hsnw_trial.py:351-355`): efc=200, efs=50, metric="l2", max_m0=2·M.
     */
-  def load(spark: SparkSession, dir: String): HnswIndex = {
-    val nodes = spark.read.parquet(s"$dir/vectors")
-    val edges = spark.read.parquet(s"$dir/edges")
+  def load(spark: SparkSession, dir: String): HnswIndex =
+    HnswIndex(
+      spark.read.parquet(s"$dir/vectors"),
+      spark.read.parquet(s"$dir/edges"),
+      loadMeta(dir))
+
+  /** meta.json alone (no table scans) — the streaming append path's cheap
+    * entry-point check reads just this.
+    */
+  def loadMeta(dir: String): IndexMeta = {
     val raw = Files.readString(Paths.get(s"$dir/meta.json"))
     def field(name: String): Option[String] =
       s""""$name"\\s*:\\s*("([^"]*)"|[-0-9.eE]+)""".r.findFirstMatchIn(raw)
         .map(m => Option(m.group(2)).getOrElse(m.group(1)))
     val m = field("M").map(_.toInt).getOrElse(16)
-    val meta = IndexMeta(
+    IndexMeta(
       dim = field("dim").map(_.toInt).getOrElse(0),
       m = m,
       max_m0 = field("max_m0").map(_.toInt).getOrElse(2 * m),
@@ -151,45 +160,74 @@ object Hnsw {
       entry_point = field("entry_point").map(_.toLong).getOrElse(-1L),
       max_layer = field("max_layer").map(_.toInt).getOrElse(-1),
       num_partitions = field("num_partitions").map(_.toInt).getOrElse(16))
-    HnswIndex(nodes, edges, meta)
   }
 
   // ---- batch ANN query (SURVEY.md Q1b/Q7) ----
 
   /** Batch ANN: search every partition's sub-graph for every query, then a
-    * global per-query top-k merge. The query set is collected and broadcast
-    * (batch query sets are small by contract — SURVEY.md §3.1); the node and
-    * edge tables are cogrouped by pid so each task rebuilds exactly one
-    * sub-graph. Output: (qid, rank, id, dist).
+    * global per-query top-k merge. The query set is broadcast in bounded
+    * chunks of `queryBatchSize` — driver memory never holds more than one
+    * chunk, so an unboundedly large `--query-file` cannot OOM the driver
+    * (each extra chunk re-scans the index: the documented trade-off; batch
+    * query sets are small by contract — SURVEY.md §3.1). The node and edge
+    * tables are cogrouped by pid so each task rebuilds exactly one
+    * sub-graph. Tombstones are skipped during traversal (not by widening
+    * ef) — search cost is independent of the total delete count.
+    * Output: (qid, rank, id, dist).
     */
-  def annQuery(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1): DataFrame = {
+  def annQuery(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1,
+               queryBatchSize: Int = 1 << 16): DataFrame = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     val m = index.meta
     val efUsed = math.max(if (ef > 0) ef else m.ef_search, k)
-    val qArr = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
-      .as[(Long, Array[Float])].collect()
-    val qB = spark.sparkContext.broadcast(qArr)
 
     val nodesDs = index.nodes.select("id", "vector", "level", "tombstone", "pid").as[NodeRow]
       .groupByKey(_.pid)
     val edgesDs = index.edges.select("pid", "src", "layer", "dst").as[EdgeRow]
       .groupByKey(_.pid)
 
-    val perPart = nodesDs.cogroup(edgesDs) { (pid, nodeIt, edgeIt) =>
-      val nodeArr = nodeIt.toArray
-      if (nodeArr.isEmpty) Iterator.empty
-      else {
-        val tomb = nodeArr.iterator.filter(_.tombstone).map(_.id).toSet
-        val idx = LocalHnsw.fromRows(m.dim, m.m, m.max_m0, m.ef_construction, m.metric,
-          nodeArr.iterator.map(n => (n.id, n.vector, n.level)),
-          edgeIt.map(e => (e.src, e.layer, e.dst)))
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          idx.search(qv, k, efUsed + tomb.size, tomb.contains)
-            .iterator.map { case (id, dist) => (qid, id, dist) }
+    def perPartFor(qArr: Array[(Long, Array[Float])]):
+        (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]) = {
+      val qB = spark.sparkContext.broadcast(qArr)
+      val df = nodesDs.cogroup(edgesDs) { (pid, nodeIt, edgeIt) =>
+        val nodeArr = nodeIt.toArray
+        if (nodeArr.isEmpty) Iterator.empty
+        else {
+          val tomb = nodeArr.iterator.filter(_.tombstone).map(_.id).toSet
+          val idx = LocalHnsw.fromRows(m.dim, m.m, m.max_m0, m.ef_construction, m.metric,
+            nodeArr.iterator.map(n => (n.id, n.vector, n.level)),
+            edgeIt.map(e => (e.src, e.layer, e.dst)))
+          qB.value.iterator.flatMap { case (qid, qv) =>
+            idx.search(qv, k, efUsed, tomb.contains)
+              .iterator.map { case (id, dist) => (qid, id, dist) }
+          }
         }
+      }.toDF("qid", "id", "dist")
+      (df, qB)
+    }
+
+    val grouped = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
+      .as[(Long, Array[Float])].toLocalIterator().asScala.grouped(queryBatchSize)
+    val first = if (grouped.hasNext) grouped.next().toArray else Array.empty[(Long, Array[Float])]
+    val perPart =
+      if (!grouped.hasNext) perPartFor(first)._1 // common case: one chunk, fully lazy
+      else {
+        // each chunk is searched eagerly (localCheckpoint) and its broadcast
+        // destroyed before the next chunk is collected — bounded driver
+        // memory regardless of query-file size; qids are disjoint across
+        // chunks so the global rank window below stays correct
+        var acc = List.empty[DataFrame]
+        var chunk = first
+        var more = true
+        while (more) {
+          val (df, qB) = perPartFor(chunk)
+          acc ::= df.localCheckpoint()
+          qB.destroy()
+          if (grouped.hasNext) chunk = grouped.next().toArray else more = false
+        }
+        acc.reduce(_ union _)
       }
-    }.toDF("qid", "id", "dist")
 
     val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
     perPart.withColumn("rank", row_number().over(w))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TopKAggregate
 
 import graft.functions.Distances
-import graft.operators.Knn
+import graft.operators.Ivf
 
 /** Cross-partition graph merge (SURVEY.md §7.4.1c): union the per-partition
   * sub-graphs into ONE navigable HNSW graph by adding cross-partition links
@@ -13,22 +13,29 @@ import graft.operators.Knn
   *
   * Boundary set = every node with level ≥ 1 (the navigable backbone —
   * ~e^(−1/mL) of nodes) plus a deterministic sample of level-0 nodes. For
-  * each boundary node we find its global exact top-m neighbours and link
-  * both directions on every layer both endpoints reach; the union is then
-  * degree-pruned per (node, layer) keeping the closest `cap` via the
-  * partial-aggregating top-k (shuffle O(nodes × cap)).
+  * each boundary node we find its global top-m neighbours within the
+  * boundary and link both directions on every layer both endpoints reach;
+  * the union is then degree-pruned per (node, layer) keeping the closest
+  * `cap` via the partial-aggregating top-k (shuffle O(nodes × cap)).
   *
-  * Scale note: the boundary kNN here is brute-force (B×B with broadcast
-  * queries) — fine while |B| fits a broadcast; at 100 TB swap the candidate
-  * generator for the IVF/LSH-blocked path (graft.operators.Ivf) — the merge
-  * machinery (link union + relational prune) is unchanged.
+  * Scale: the boundary kNN is IVF-blocked ([[Ivf.searchLarge]]) — centroids
+  * are a deterministic id-sample of the boundary, both join sides shuffle
+  * on the probed cell id, and nothing is broadcast but the centroids. So
+  * the candidate volume is O(B · nprobe · cellSize), never B×B, and no
+  * side has to fit in driver or broadcast memory.
   */
 object HnswMerge {
 
   /** Returns a merged single-graph index: same nodes (pid collapsed to 0),
     * edges spanning partitions, degree caps respected.
+    *
+    * @param centroidMod IVF centroids = boundary nodes with id ≡ 0 (mod
+    *                    this); falls back to the lowest-id boundary node if
+    *                    the sample is empty.
+    * @param nprobe      probed cells per boundary node for the candidate kNN
     */
-  def merge(index: HnswIndex, level0SampleMod: Int = 16): HnswIndex = {
+  def merge(index: HnswIndex, level0SampleMod: Int = 16,
+            centroidMod: Int = 64, nprobe: Int = 4): HnswIndex = {
     val m = index.meta
     val dist = Distances.metric(m.metric)
     val nodes = index.nodes
@@ -37,8 +44,18 @@ object HnswMerge {
     val boundary = nodes.filter(col("level") >= 1 || pmod(col("id"), lit(level0SampleMod.toLong)) === 0)
     val bQueries = boundary.select(col("id").as("qid"), col("vector"))
 
-    // global exact top-(m+1) within the boundary set; drop self-matches
-    val topm = Knn.exactTopK(boundary, bQueries, m.m + 1, dist)
+    // IVF-blocked boundary kNN: deterministic centroid sample, cell-id
+    // equi-join, bounded-heap top-(m+1); drop self-matches
+    val sampled = boundary.filter(pmod(col("id"), lit(centroidMod.toLong)) === 0)
+      .select(col("id").as("cid"), col("vector").as("cvector"))
+    val centroids =
+      if (sampled.isEmpty)
+        boundary.orderBy(col("id").asc).limit(1)
+          .select(col("id").as("cid"), col("vector").as("cvector"))
+      else sampled
+    val assigned = Ivf.assign(boundary.select(col("id"), col("vector")), centroids, dist)
+      .join(boundary.select(col("id"), col("vector")), "id")
+    val topm = Ivf.searchLarge(assigned, bQueries, centroids, m.m + 1, nprobe, dist)
       .filter(col("id") =!= col("qid"))
       .select(col("qid").as("src"), col("id").as("dst"))
 

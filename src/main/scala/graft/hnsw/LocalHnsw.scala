@@ -45,8 +45,14 @@ final class LocalHnsw(
     * `hsnw_trial.py:156-192`): min-heap frontier, bounded max-heap of the
     * current best `ef`, visited set, early exit when the frontier head is
     * worse than the worst of the kept set. Returns (dist, id) ascending.
+    *
+    * `skip` (tombstones, reference `hsnw_trial.py:178-179`) excludes ids
+    * from the KEPT set but still traverses through them — so search cost is
+    * independent of the total delete count (no ef widening needed), and
+    * deleted hub nodes keep routing until a rebuild reclaims them.
     */
-  def searchLayer(q: Array[Float], entry: Long, ef: Int, layer: Int): Array[(Double, Long)] = {
+  def searchLayer(q: Array[Float], entry: Long, ef: Int, layer: Int,
+                  skip: Long => Boolean = _ => false): Array[(Double, Long)] = {
     val visited = new mutable.HashSet[Long]()
     visited += entry
     // frontier: nearest first → reverse ordering (PriorityQueue pops max)
@@ -55,7 +61,7 @@ final class LocalHnsw(
     val kept = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1))
     val d0 = d(q, entry)
     frontier.enqueue((d0, entry))
-    kept.enqueue((d0, entry))
+    if (!skip(entry)) kept.enqueue((d0, entry))
     while (frontier.nonEmpty) {
       val (cd, c) = frontier.dequeue()
       if (kept.size >= ef && cd > kept.head._1) {
@@ -70,8 +76,10 @@ final class LocalHnsw(
             val nd = d(q, nb)
             if (kept.size < ef || nd < kept.head._1) {
               frontier.enqueue((nd, nb))
-              kept.enqueue((nd, nb))
-              if (kept.size > ef) kept.dequeue()
+              if (!skip(nb)) {
+                kept.enqueue((nd, nb))
+                if (kept.size > ef) kept.dequeue()
+              }
             }
           }
           i += 1
@@ -181,8 +189,10 @@ final class LocalHnsw(
 
   /** Top-k ANN search (reference `search`, `hsnw_trial.py:267-294`):
     * greedy descent to layer 1, bounded best-first on layer 0 with
-    * ef = max(ef, k), rescore + ascending sort + take k. `skip` filters
-    * tombstoned ids out of the result (reference Q3 semantics).
+    * ef = max(ef, k), rescore + ascending sort + take k. `skip`
+    * (tombstones, reference Q3 semantics) excludes ids from the kept set
+    * during traversal — never from the graph walk — so cost does not grow
+    * with the delete count.
     */
   def search(q: Array[Float], k: Int, ef: Int, skip: Long => Boolean = _ => false): Array[(Long, Double)] = {
     if (entryPoint < 0) return Array.empty
@@ -190,9 +200,8 @@ final class LocalHnsw(
     var cur = entryPoint
     var layer = maxLayer
     while (layer >= 1) { cur = greedyStep(q, cur, layer); layer -= 1 }
-    searchLayer(q, cur, width, 0)
+    searchLayer(q, cur, width, 0, skip)
       .iterator
-      .filterNot { case (_, id) => skip(id) }
       .map { case (dist, id) => (id, dist) }
       .take(k)
       .toArray

@@ -175,10 +175,30 @@ object Dedup {
     grouped.select(col(idCol), sig.as("simhash"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within a blocking key (e.g.
-    * label or LSH bucket): pairs with cosine distance below `maxDist`.
-    * The blocking key keeps the self-join from being O(n²) — at 100 TB the
-    * key would be an LSH bucket of the embedding itself.
+  /** Sign-pattern LSH bucket of an embedding — the 100 TB blocking key for
+    * [[embeddingNearDupPairs]] when no natural key exists (axis-aligned
+    * random-hyperplane LSH, deterministic and oracle-exact): bit g of the
+    * bucket is `[Σ of the g-th contiguous group of dim/bits components > 0]`.
+    * Near-identical vectors agree on every group sum's sign, so near-dups
+    * collide; the 2^bits buckets bound the self-join to O(n²/2^bits)
+    * expected pairs. Left-associative double sums + integer bit packing
+    * only, so a DuckDB oracle reproduces the bucket byte-for-byte.
+    */
+  def embeddingBucket(vec: Column, dim: Int, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 62 && dim >= bits, s"need 1 <= bits <= min(62, dim), got dim=$dim bits=$bits")
+    val group = dim / bits
+    (0 until bits).map { g =>
+      val s = (g * group until (g + 1) * group)
+        .map(i => element_at(vec, i + 1).cast("double"))
+        .reduce(_ + _)
+      when(s > 0.0, lit(1L << g)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (a natural
+    * key such as label, or — the scale path — [[embeddingBucket]]): pairs
+    * with cosine distance below `maxDist`. The blocking key keeps the
+    * self-join from being O(n²).
     */
   def embeddingNearDupPairs(
       embs: DataFrame, idCol: String, vecCol: String, blockCol: String,

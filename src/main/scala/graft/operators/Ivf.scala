@@ -49,6 +49,51 @@ object Ivf {
       .select("qid", "cid")
   }
 
+  /** The `nprobe` nearest centroids per query via the partial-aggregating
+    * bounded heap — for LARGE query sets, where [[probes]]' window would
+    * shuffle the full q×C score matrix. Shuffle is O(q × nprobe).
+    */
+  def probesAgg(
+      queries: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val scored = queries
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"), dist(col("vector"), col("cvector")).as("cdist"))
+    scored.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("cdist"), col("cid"), nprobe).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("cid"))
+  }
+
+  /** IVF top-k for a LARGE query set (e.g. an all-pairs kNN-join, where the
+    * query side is as big as the index side): both sides shuffle on the
+    * probed cell id — a plain equi-join, nothing broadcast but the
+    * centroids — and the per-query top-k is the partial-aggregating bounded
+    * heap. Candidate volume is Σ probed-cell sizes (~n·nprobe/C), never
+    * n×q. Out: (qid, rank, id, dist).
+    */
+  def searchLarge(
+      assigned: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val probed = probesAgg(queries, centroids, nprobe, dist)
+    val qSide = probed.join(queries.select(col("qid"), col("vector").as("q_vector")), "qid")
+    val candidates = assigned
+      .select(col("id"), col("vector").as("i_vector"), col("cid"))
+      .join(qSide, "cid")
+      .select(col("qid"), col("id"), dist(col("i_vector"), col("q_vector")).as("dist"))
+    candidates.groupBy("qid")
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
+  }
+
   /** IVF top-k search: score only vectors in the probed cells.
     * In: assigned (id, vector, cid) — vectors carrying their cell id.
     * Out: (qid, rank, id, dist).

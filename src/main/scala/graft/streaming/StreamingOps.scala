@@ -30,7 +30,6 @@ object StreamingOps {
     */
   def appendBatch(batch: DataFrame, dir: String, params: HnswParams, batchId: Long): Unit = {
     if (batch.isEmpty) return
-    val spark = batch.sparkSession
     val built = Hnsw.build(batch.select("id", "vector"), params)
     // disjoint pid space per batch: pid' = pid + (batchId+1) * numPartitions
     val offset = (batchId + 1) * params.numPartitions
@@ -42,14 +41,17 @@ object StreamingOps {
     } else {
       withOffset.nodes.write.mode("append").parquet(s"$dir/vectors")
       withOffset.edges.write.mode("append").parquet(s"$dir/edges")
-      // refresh meta if this batch raised the top layer (entry rule:
-      // level DESC, id ASC — recomputed over the full appended table;
-      // existing graph partitions are never rewritten)
-      val merged = Hnsw.load(spark, dir)
-      val top = merged.nodes.filter(!col("tombstone"))
-        .orderBy(col("level").desc, col("id").asc).select("id", "level").head()
-      Hnsw.saveMeta(
-        merged.meta.copy(entry_point = top.getLong(0), max_layer = top.getInt(1)), dir)
+      // incremental meta refresh: the BATCH's own top (already computed by
+      // its build) against current meta.json — per-batch cost is O(batch),
+      // never a re-scan of the whole appended index. Entry rule preserved:
+      // level DESC, id ASC — the stored entry only changes if the batch
+      // strictly beats it, which is exactly the global argmax maintained
+      // inductively.
+      val cur = Hnsw.loadMeta(dir)
+      val bm = built.meta
+      if (bm.max_layer > cur.max_layer ||
+          (bm.max_layer == cur.max_layer && bm.entry_point < cur.entry_point))
+        Hnsw.saveMeta(cur.copy(entry_point = bm.entry_point, max_layer = bm.max_layer), dir)
     }
   }
 

@@ -54,6 +54,30 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
   }
 
+  test("embedding bucket: near-identical vectors collide, opposite-sign vectors differ") {
+    val embs = Seq(
+      (0L, Array(0.5f, 0.4f, -0.3f, -0.2f, 0.1f, 0.2f, -0.5f, -0.6f)),
+      (1L, Array(0.51f, 0.39f, -0.31f, -0.19f, 0.11f, 0.19f, -0.49f, -0.61f)), // tiny perturbation
+      (2L, Array(-0.5f, -0.4f, 0.3f, 0.2f, -0.1f, -0.2f, 0.5f, 0.6f)),         // negated
+    ).toDF("id", "vector")
+    val b = embs.select($"id", Dedup.embeddingBucket($"vector", dim = 8, bits = 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(2L))
+  }
+
+  test("embedding near-dup with LSH-bucket blocking finds the near pair without a label") {
+    val embs = Seq(
+      (0L, Array(1.0f, 0.8f, -0.5f, -0.5f, 0.9f, 0.7f, -0.4f, -0.3f)),
+      (1L, Array(0.99f, 0.81f, -0.51f, -0.49f, 0.89f, 0.71f, -0.41f, -0.29f)), // near-dup of 0
+      (2L, Array(-1.0f, -0.8f, 0.5f, 0.5f, -0.9f, -0.7f, 0.4f, 0.3f)),          // far (negated)
+    ).toDF("id", "vector")
+    val blocked = embs.withColumn("bucket", Dedup.embeddingBucket($"vector", dim = 8, bits = 4))
+    val pairs = Dedup.embeddingNearDupPairs(blocked, "id", "vector", "bucket", 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("embedding near-dup pairs within block") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),

@@ -65,6 +65,19 @@ class LocalHnswSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(res.map(_._1).toSet.intersect(dead).isEmpty)
   }
 
+  test("heavy deletes: k live results still returned at fixed ef (no ef widening)") {
+    val vecs = randomVectors(400, 16, seed = 13)
+    val idx = buildIndex(vecs)
+    // tombstone half the index; ef stays at 50 — traversal passes through
+    // dead nodes, only the kept set skips them
+    val dead = (0 until 400 by 2).map(_.toLong).toSet
+    val res = idx.search(vecs(1), 10, 50, dead.contains)
+    assert(res.length === 10, s"expected k live results, got ${res.length}")
+    assert(res.map(_._1).forall(id => !dead.contains(id)))
+    // live self-match still wins
+    assert(res.head._1 === 1L && res.head._2 === 0.0)
+  }
+
   test("degree caps are respected (M for upper layers, max_m0 for layer 0)") {
     val vecs = randomVectors(500, 8, seed = 5)
     val idx = buildIndex(vecs)
