@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // index-aware ANN rewrite: ORDER BY vector_l2(vec, q) LIMIT k over a
+    // view registered in graft.plans.IndexRegistry runs the HNSW graph
+    // traversal instead of a full scan (post-hoc resolution: needs the view
+    // name, which the optimizer erases)
+    ext.injectPostHocResolutionRule(session => graft.plans.AnnTopKRewrite(session))
+
     ext.injectFunction((FunctionIdentifier("vector_sqdist"),
       info("vector_sqdist", "vector_sqdist(a, b) - squared L2 distance between float/double arrays"),
       (children: Seq[Expression]) => VectorSqDist(children(0), children(1))))

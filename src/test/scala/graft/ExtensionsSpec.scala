@@ -46,4 +46,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(q1 === Seq((0.1, 11L), (0.3, 12L)))
     assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) === Seq(13L))
   }
+
+  test("ANN rewrite: ORDER BY vector_l2 LIMIT k over a registered index runs the graph path") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+
+    val rng = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val index = Hnsw.build(vecs.toDF("id", "vector"),
+      HnswParams(dim = 8, m = 4, efConstruction = 32, numPartitions = 2))
+    index.nodes.createOrReplaceTempView("emb_idx")
+    IndexRegistry.register("emb_idx", index)
+
+    val q = vecs(3)._2
+    val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val before = IndexRegistry.rewriteCount
+    val df = spark.sql(
+      s"SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_idx ORDER BY dist LIMIT 5")
+    assert(IndexRegistry.rewriteCount === before + 1, "rewrite did not fire")
+
+    // bit-identical to the direct ANN path
+    val expected = Hnsw.annQuery(index, Seq((0L, q)).toDF("qid", "vector"), 5)
+      .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    assert(got.head._1 === 3L && got.head._2 === 0.0) // self-match at rank 1
+
+    // unregistered view name → no rewrite, brute-force fallback still works
+    index.nodes.createOrReplaceTempView("emb_plain")
+    val before2 = IndexRegistry.rewriteCount
+    val exact = spark.sql(
+      s"SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_plain ORDER BY dist LIMIT 5")
+      .collect()
+    assert(IndexRegistry.rewriteCount === before2)
+    assert(exact.head.getLong(0) === 3L)
+  }
 }
