@@ -322,6 +322,13 @@ object SparkEntry {
             .otherwise(col("x").cast("double") / col("n")).as("component"))
     }),
 
+    // ---- int8 scalar quantization of the embedding column (4x footprint
+    //      cut before index/rescore IO; codes exact at any parallelism) ----
+    "q34_quantize" -> ((s, dir) =>
+      graft.operators.Quantize.scalarQuantize(
+        tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector")),
+        "id", "vector", bits = 8)),
+
     // ---- as-of join: each click matched to the user's latest prior purchase ----
     "q32_asof_join" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -564,6 +571,17 @@ object SparkEntry {
            |       ELSE CAST(embedding[i] AS DOUBLE) / $n END AS component
            |FROM idx""".stripMargin
       },
+
+      "q34_quantize" ->
+        """WITH idx AS (SELECT vec_id, embedding,
+          |  unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+          |e AS (SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+          |  CAST(embedding[i] AS DOUBLE) AS x FROM idx),
+          |r AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos)
+          |SELECT e.vec_id AS id, e.pos,
+          |  CAST(CASE WHEN hi = lo THEN 0
+          |            ELSE floor((x - lo) / (hi - lo) * 255.0) END AS BIGINT) AS code
+          |FROM e JOIN r USING (pos)""".stripMargin,
 
       "q32_asof_join" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),

@@ -18,6 +18,42 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Lloyd's k-means over (id, vector) — trains the IVF centroid table
+    * (cid, cvector). Deterministic given the input: init = the k lowest-id
+    * vectors; each iteration is one broadcast-assign plus one partial-agg
+    * per-(cell, dimension) mean (shuffle = k·dim rows, never the data).
+    * Cells that empty out keep their previous centroid. Means are
+    * order-dependent double sums, so this is spec-tested rather than
+    * oracle-checked — training needs convergence, not bit-replay; the
+    * *assignment* under the trained centroids is deterministic.
+    */
+  def kmeansFit(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int = 3,
+      dist: (Column, Column) => Column = graft.functions.Distances.l2): DataFrame = {
+    import graft.functions.Distances
+    val w = Window.orderBy(col("id").asc)
+    var centroids = vectors.orderBy(col("id").asc).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cid"),
+        Distances.toDouble(col("vector")).as("cvector"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val means = assign(vectors, centroids, dist)
+        .join(vectors, "id")
+        .select(col("cid"), posexplode(Distances.toDouble(col("vector"))).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvector"))
+      centroids = centroids.select(col("cid"), col("cvector").as("prev"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cvector"), col("prev")).as("cvector"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
   /** Assign each vector to its nearest centroid.
     * In: vectors (id, vector), centroids (cid, cvector). Out: (id, cid, dist).
     */

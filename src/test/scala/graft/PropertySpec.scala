@@ -12,8 +12,13 @@ import graft.hnsw.LocalHnsw
 class PropertySpec extends AnyFunSuite {
 
   private def check(prop: Prop): Unit = {
+    // fixed seed: the search self-match property is probabilistic at small
+    // ef (ANN gives no exactness guarantee), so unseeded runs flake rarely;
+    // a pinned seed keeps the suite deterministic without weakening the
+    // property at the ef values actually exercised
     val res = org.scalacheck.Test.check(
-      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100), prop)
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(100)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -45,22 +50,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("search: self-match@1 dist 0; ascending distances; k respected; ef clamp") {
+  private lazy val searchFixture: (Array[Array[Float]], LocalHnsw) = {
     val rng = new scala.util.Random(4242)
     val vecs = Array.fill(300)(Array.fill(12)(rng.nextGaussian().toFloat))
     val mL = Levels.defaultML(16)
     val idx = new LocalHnsw(12, 16, 32, 100, "l2")
     vecs.zipWithIndex.foreach { case (v, i) => idx.add(i.toLong, v, Levels.levelForLocal(i.toLong, mL)) }
+    (vecs, idx)
+  }
+
+  test("search structure: nonempty, ascending distances, k respected, ef clamp") {
+    // structural guarantees that hold at ANY ef — including ef < k (the
+    // clamp) and ef too small for good recall. Self-match is deliberately
+    // NOT asserted here: ANN makes no exactness promise at tiny ef, and
+    // a seeded sweep does hit such counterexamples.
+    val (vecs, idx) = searchFixture
     check(Prop.forAll(Gen.chooseNum(0, 299), Gen.chooseNum(1, 20), Gen.chooseNum(1, 60)) { (qi, k, ef) =>
-      val res = idx.search(vecs(qi), k, ef) // ef may be < k: must clamp internally
+      val res = idx.search(vecs(qi), k, ef)
       val dists = res.map(_._2).toSeq
-      res.nonEmpty &&
-        res.head._1 == qi.toLong && res.head._2 == 0.0 && // self-match (duplicate-free gaussians)
-        res.length <= k &&
-        res.length >= math.min(k, 1) &&
-        dists == dists.sorted &&
-        (k > res.length || res.length == k)
+      res.nonEmpty && res.length <= k && dists == dists.sorted
     })
+  }
+
+  test("search recall: self-match@1 dist 0 for every indexed vector at adequate ef") {
+    val (vecs, idx) = searchFixture
+    (0 until 300).foreach { qi =>
+      val res = idx.search(vecs(qi), 5, 64)
+      assert(res.head._1 === qi.toLong, s"qi=$qi missed self")
+      assert(res.head._2 === 0.0)
+    }
   }
 
   test("duplicate vectors: both copies rank before anything else, dist 0") {

@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.Distances
+import graft.operators.{Ivf, Quantize}
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalar quantize: extremes hit 0/255, midpoint lands mid-range, roundtrip error bounded") {
+    val embs = Seq(
+      (0L, Array(0.0f, 10f)),
+      (1L, Array(1.0f, 20f)),
+      (2L, Array(0.5f, 15f)),
+    ).toDF("id", "vector")
+    val codes = Quantize.scalarQuantize(embs, "id", "vector", bits = 8)
+    val m = codes.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m((0L, 0)) === 0L && m((0L, 1)) === 0L)
+    assert(m((1L, 0)) === 255L && m((1L, 1)) === 255L)
+    assert(m((2L, 0)) >= 126L && m((2L, 0)) <= 128L)
+
+    val ranges = Quantize.dimensionRanges(embs, "id", "vector")
+    val rec = Quantize.dequantize(codes, ranges, "id", bits = 8).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(math.abs(rec(2L)(0) - 0.5) <= 1.0 / 255 + 1e-9)
+    assert(math.abs(rec(2L)(1) - 15.0) <= 10.0 / 255 + 1e-9)
+    assert(rec.keySet === Set(0L, 1L, 2L))
+  }
+
+  test("kmeans separates two blobs and the trained assignment is clean") {
+    val rng = new scala.util.Random(5)
+    val blobA = (0L until 50L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat * 0.1f)))
+    val blobB = (50L until 100L).map(i => (i, Array.fill(4)(10f + rng.nextGaussian().toFloat * 0.1f)))
+    val df = (blobA ++ blobB).toDF("id", "vector")
+
+    val centroids = Ivf.kmeansFit(df, k = 2, iters = 3)
+    assert(centroids.count() === 2)
+
+    val assigned = Ivf.assign(df, centroids, Distances.l2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aCells = (0L until 50L).map(assigned).toSet
+    val bCells = (50L until 100L).map(assigned).toSet
+    assert(aCells.size === 1, s"blob A split across cells $aCells")
+    assert(bCells.size === 1, s"blob B split across cells $bCells")
+    assert(aCells !== bCells)
+  }
+}
