@@ -1,12 +1,23 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.functions.TextFunctions
 import graft.hnsw.{Hnsw, HnswParams}
+
+/** Input row for the stateful sessionizer: one event. */
+case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+/** Per-user open-session state (epoch millis; counts). */
+case class SessionState(startMs: Long, lastMs: Long, n: Long)
+
+/** One closed session. */
+case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, duration_ms: Long)
 
 /** Structured Streaming surface: incremental index maintenance (the
   * streaming twin of the reference's `add_point` real-time insert,
@@ -75,6 +86,65 @@ object StreamingOps {
       .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Stateful gap-based sessionization — the streaming twin of
+    * q29_sessionize, built on `flatMapGroupsWithState` with event-time
+    * timeout: per-user state is one open session (start, last, count);
+    * a new event either extends it or closes it (emitting the closed
+    * session), and the watermark passing `last + gap` closes idle sessions
+    * via timeout. State is O(users with an open session) — bounded by the
+    * timeout, never by stream length — which is what makes this shape hold
+    * on an unbounded 100 TB/day event stream.
+    *
+    * Input columns: (user_id: long, event_id: long, ts: timestamp).
+    * Output: one row per CLOSED session (append mode).
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long = 600000L,
+                       watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def closed(s: SessionState) =
+            SessionOut(uid, new Timestamp(s.startMs), s.n, s.lastMs - s.startMs)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(closed).iterator
+            state.remove()
+            out
+          } else {
+            // events within a micro-batch are not ordered — sort by (ts, id)
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  out += closed(s)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must sit above the current watermark; an already-
+              // expired session then times out on the next batch
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 
   /** Event-time windowed counts with watermark (late data dropped after
     * `watermark`): the streaming twin of q21_event_window.

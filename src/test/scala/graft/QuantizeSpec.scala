@@ -26,6 +26,36 @@ class QuantizeSpec extends SparkSpec {
     assert(rec.keySet === Set(0L, 1L, 2L))
   }
 
+  test("product quantization: codes are m cells; reconstruction error well under blob spacing") {
+    import graft.operators.Pq
+    val rng = new scala.util.Random(9)
+    // 2 blobs per sub-block space → 4 distinct (code0, code1) combos
+    def point(hi0: Boolean, hi1: Boolean): Array[Float] = {
+      val b0 = Array.fill(4)((if (hi0) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      val b1 = Array.fill(4)((if (hi1) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      b0 ++ b1
+    }
+    val data = (0L until 80L).map(i => (i, point(i % 2 == 0, (i / 2) % 2 == 0)))
+    val df = data.toDF("id", "vector")
+
+    val codebooks = Pq.pqFit(df, dim = 8, m = 2, k = 2, iters = 3)
+    assert(codebooks.count() === 4) // 2 sub-blocks x 2 cells
+
+    val codes = Pq.pqEncode(df, codebooks, dim = 8, m = 2)
+    val codeMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codeMap.values.forall(_.length === 2))
+    // same blob combo -> same codes; different combo -> different codes
+    assert(codeMap(0L) === codeMap(4L)) // both (hi0=true, hi1=true)
+    assert(codeMap(0L) !== codeMap(1L))
+
+    val rec = Pq.pqDecode(codes, codebooks, m = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    data.foreach { case (id, v) =>
+      val err = math.sqrt(v.zip(rec(id)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(err < 2.0, s"id=$id reconstruction err $err") // blob spacing is 10
+    }
+  }
+
   test("kmeans separates two blobs and the trained assignment is clean") {
     val rng = new scala.util.Random(5)
     val blobA = (0L until 50L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat * 0.1f)))

@@ -58,6 +58,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("stateful sessionization: gap closes sessions in-stream, watermark times out idle ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Timestamp)]
+    val sessions = StreamingOps.sessionizeStream(
+      source.toDF().toDF("user_id", "event_id", "ts"),
+      gapMs = 600000L, watermark = "10 minutes")
+    val query = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // user 1: three events in one burst; user 2: one event
+    source.addData((1L, 10L, t("2024-01-01 10:00:00")),
+                   (1L, 11L, t("2024-01-01 10:01:00")),
+                   (1L, 12L, t("2024-01-01 10:02:00")),
+                   (2L, 20L, t("2024-01-01 10:00:00")))
+    query.processAllAvailable()
+    // user 1 returns after > gap: closes the first session inside the fn
+    source.addData((1L, 13L, t("2024-01-01 10:30:00")))
+    query.processAllAvailable()
+    // far-future event advances the watermark → idle sessions time out
+    source.addData((99L, 90L, t("2024-01-01 12:00:00")))
+    query.processAllAvailable()
+    source.addData((99L, 91L, t("2024-01-01 14:00:00")))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("sess_out")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows.contains((1L, "2024-01-01 10:00:00", 3L))) // closed by the gap
+    assert(rows.contains((1L, "2024-01-01 10:30:00", 1L))) // closed by timeout
+    assert(rows.contains((2L, "2024-01-01 10:00:00", 1L))) // closed by timeout
+    assert(!rows.exists(_._1 == 99L) || rows.exists(r => r._1 == 99L && r._2 == "2024-01-01 12:00:00"))
+  }
+
   test("windowed event counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
