@@ -339,6 +339,20 @@ object SparkEntry {
         .select("event_id", "user_id", "t", "last_purchase_t")
     }),
 
+    // ---- bounded range join (bucketed equi-join, no BNLJ): clicks within
+    //      1 hour after each purchase by the same user ----
+    "q35_range_join" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event"), col("t").as("pt"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_event"), col("t").as("ct"))
+      graft.operators.RangeJoin
+        .boundedRangeJoin(purchases, clicks, Seq("user_id"), "pt", "ct", 0L, 3600000000L)
+        .select(col("p_event"), col("c_event"), (col("ct") - col("pt")).as("dt"))
+    }),
+
     // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----
     "hnsw_merge_stats" -> ((s, dir) => {
       val merged = graft.hnsw.HnswMerge.merge(builtIndex(s, dir), level0SampleMod = 8)
@@ -571,6 +585,14 @@ object SparkEntry {
            |       ELSE CAST(embedding[i] AS DOUBLE) / $n END AS component
            |FROM idx""".stripMargin
       },
+
+      "q35_range_join" ->
+        """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),
+          |p AS (SELECT user_id, event_id AS p_event, t AS pt FROM e WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, event_id AS c_event, t AS ct FROM e WHERE event_type = 'click')
+          |SELECT p.p_event, c.c_event, c.ct - p.pt AS dt
+          |FROM p JOIN c ON p.user_id = c.user_id
+          |  AND c.ct >= p.pt AND c.ct <= p.pt + 3600000000""".stripMargin,
 
       "q34_quantize" ->
         """WITH idx AS (SELECT vec_id, embedding,

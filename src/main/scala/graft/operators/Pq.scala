@@ -50,6 +50,35 @@ object Pq {
         s => s.getField("cid")).as("codes"))
   }
 
+  /** ADC (asymmetric distance) top-k over PQ codes: per query, a lookup
+    * table of squared distances from each query sub-vector to every
+    * codebook cell (|q|·m·k rows — tiny — broadcast), joined to the
+    * exploded code table and partial-agg summed per (query, vector), then
+    * the bounded-heap top-k. The original vectors are never read: the scan
+    * is m longs per row instead of `dim` floats — the point of PQ at
+    * 100 TB. Output: (qid, rank, id, dist) with dist = √Σⱼ‖q⁽ʲ⁾−c⁽ʲ⁾‖².
+    */
+  def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+              dim: Int, m: Int, k: Int): DataFrame = {
+    val subDim = dim / m
+    val lut = queries.crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub"), col("cid"),
+        Distances.sqDist(
+          slice(Distances.toDouble(col("vector")), col("sub") * lit(subDim) + lit(1), lit(subDim)),
+          col("cvector")).as("d2"))
+    val exploded = codes.select(col("id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+    val scored = exploded
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d2")).as("d2sum"))
+      .select(col("qid"), col("id"), sqrt(col("d2sum")).as("dist"))
+    scored.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
+  }
+
   /** Reconstruct (id, vector: array&lt;double&gt;) from codes + codebooks —
     * concatenation of each sub-block's centroid. Used for recall/error
     * evaluation and asymmetric-distance rescoring.

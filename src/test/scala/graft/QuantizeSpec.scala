@@ -56,6 +56,28 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("ADC top-k over PQ codes retrieves the query's own blob without reading vectors") {
+    import graft.operators.Pq
+    val rng = new scala.util.Random(21)
+    def point(hi0: Boolean, hi1: Boolean): Array[Float] = {
+      val b0 = Array.fill(4)((if (hi0) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      val b1 = Array.fill(4)((if (hi1) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      b0 ++ b1
+    }
+    val data = (0L until 80L).map(i => (i, point(i % 2 == 0, (i / 2) % 2 == 0)))
+    val df = data.toDF("id", "vector")
+    val codebooks = Pq.pqFit(df, dim = 8, m = 2, k = 2, iters = 3)
+    val codes = Pq.pqEncode(df, codebooks, dim = 8, m = 2)
+
+    // query = vector of id 0; its blob combo has 20 members
+    val queries = Seq((0L, data.head._2)).toDF("qid", "vector")
+    val top = Pq.adcTopK(codes, codebooks, queries, dim = 8, m = 2, k = 5).collect()
+    assert(top.length === 5)
+    assert(top.forall(_.getAs[Double]("dist") < 1.0)) // same-combo cells: near-zero ADC dist
+    val sameCombo = data.filter { case (i, _) => i % 2 == 0 && (i / 2) % 2 == 0 }.map(_._1).toSet
+    assert(top.map(_.getAs[Long]("id")).forall(sameCombo.contains))
+  }
+
   test("kmeans separates two blobs and the trained assignment is clean") {
     val rng = new scala.util.Random(5)
     val blobA = (0L until 50L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat * 0.1f)))
