@@ -96,12 +96,13 @@ object Main {
       val dir = opts("eval-recall")
       val index = Hnsw.load(spark, dir)
       val k = opts.getOrElse("k", "10").toInt
+      val ef = opts.getOrElse("ef", "-1").toInt
       val sampleMod = opts.getOrElse("sample-mod", "1000").toLong
       val queries = index.nodes.filter(col("id") % sampleMod === 0)
         .select(col("id").as("qid"), col("vector"))
       val dist = graft.functions.Distances.metric(index.meta.metric)
       val t0 = System.nanoTime()
-      val ann = Hnsw.annQuery(index, queries, k)
+      val ann = Hnsw.annQuery(index, queries, k, ef)
       val exact = graft.operators.Knn.exactTopK(
         index.nodes.filter(!col("tombstone")).select("id", "vector"), queries, k, dist)
       val recall = Hnsw.recallAtK(ann, exact, k)
