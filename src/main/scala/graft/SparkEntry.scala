@@ -138,6 +138,16 @@ object SparkEntry {
       Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
     }),
 
+    // ---- dup clusters: connected components over the LSH pair graph
+    //      (transitive closure -> one canonical doc per near-dup group) ----
+    "q36_dup_clusters" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+        .select("id_a", "id_b").distinct()
+      Dedup.dupClusters(docs, pairs, "doc_id")
+    }),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs ----
     "q13_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)),
@@ -484,6 +494,27 @@ object SparkEntry {
            |  FROM banded) WHERE bn <= 1000)
            |SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band
            |FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id""".stripMargin,
+
+      "q36_dup_clusters" ->
+        s"""WITH RECURSIVE ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS comp FROM documents
+           |  UNION
+           |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
+           |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin,
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},

@@ -195,6 +195,43 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Duplicate-cluster assignment: connected components over a candidate
+    * pair list (e.g. [[lshCandidatePairs]] output) by iterative min-label
+    * propagation — component id = the minimum doc id reachable through the
+    * pair graph; docs in no pair keep their own id. This is the standard
+    * step after LSH: transitive closure turns pairwise hits into dedup
+    * groups, from which one canonical doc per group survives.
+    *
+    * Scale design: each iteration is one equi-join (labels × symmetric
+    * edges) + one partial-agg min — shuffle O(V + E) — and the loop stops
+    * when a convergence count hits zero, after O(component diameter)
+    * iterations (near-dup clusters are shallow in practice). Labels are
+    * localCheckpointed per iteration so lineage stays flat.
+    * Output: (idCol, comp).
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                  maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("comp"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key (a natural
     * key such as label, or — the scale path — [[embeddingBucket]]): pairs
     * with cosine distance below `maxDist`. The blocking key keeps the

@@ -76,6 +76,22 @@ object StreamingOps {
         appendBatch(batch, dir, params, batchId)
       }
 
+  /** Streaming batch-query surface — the engine's stand-in for the
+    * reference's HTTP serving loop (declared out of scope, BASELINE.json):
+    * a stream of (qid, vector) queries is answered per micro-batch against
+    * an immutable index snapshot, results appended as parquet. Freshness
+    * composes with [[incrementalAdd]]: reload the snapshot between
+    * streaming restarts to pick up appended partitions.
+    */
+  def streamingAnnQuery(queries: DataFrame, index: graft.hnsw.HnswIndex,
+                        outDir: String, k: Int): DataStreamWriter[Row] =
+    queries.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Hnsw.annQuery(index, batch, k).write.mode("append").parquet(outDir)
+      }
+
   /** Streaming exact dedup: keep the first document per content fingerprint
     * within the watermark horizon (state is bounded by the watermark —
     * the streaming twin of Dedup.exactDedup).

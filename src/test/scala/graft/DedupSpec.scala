@@ -54,6 +54,14 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
   }
 
+  test("dup clusters: transitive closure of the pair list; isolated docs keep their id") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val all = Seq(0L, 1L, 2L, 3L, 5L, 6L).toDF("doc_id")
+    val comp = Dedup.dupClusters(all, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("embedding bucket: near-identical vectors collide, opposite-sign vectors differ") {
     val embs = Seq(
       (0L, Array(0.5f, 0.4f, -0.3f, -0.2f, 0.1f, 0.2f, -0.5f, -0.6f)),

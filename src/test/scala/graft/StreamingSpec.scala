@@ -41,6 +41,28 @@ class StreamingSpec extends SparkSpec {
     res.foreach(r => assert(r.getAs[Double]("dist") === 0.0))
   }
 
+  test("streaming ann query: micro-batched queries answered against a static index") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = (0L until 60L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
+    val index = Hnsw.build(input, HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2))
+    val out = Files.createTempDirectory("ann-serve").toString
+
+    val source = MemoryStream[(Long, Array[Float])]
+    val query = StreamingOps.streamingAnnQuery(
+      source.toDF().toDF("qid", "vector"), index, out, k = 3).start()
+    source.addData((7L, randVec(7L, 16)))
+    query.processAllAvailable()
+    source.addData((21L, randVec(21L, 16)), (33L, randVec(33L, 16)))
+    query.processAllAvailable()
+    query.stop()
+
+    val res = spark.read.parquet(out)
+    assert(res.count() === 9) // 3 queries x k=3
+    val self = res.filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap
+    assert(self === Map(7L -> 7L, 21L -> 21L, 33L -> 33L))
+  }
+
   test("streaming dedup keeps first doc per fingerprint within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, Long, String)]
