@@ -82,6 +82,15 @@ class HnswSparkSpec extends SparkSpec {
     assert(crossCount > 0, "no cross-partition links created")
   }
 
+  test("chunked query broadcast: many small chunks return exactly the single-chunk result") {
+    val queries = input.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
+    val oneChunk = Hnsw.annQuery(index, queries, k = 5).collect().map(_.toSeq).toSet
+    val chunked = Hnsw.annQuery(index, queries, k = 5, queryBatchSize = 2)
+      .collect().map(_.toSeq).toSet
+    assert(chunked === oneChunk)
+    assert(oneChunk.nonEmpty)
+  }
+
   test("tombstoned ids are excluded from ann results; rebuild drops them") {
     val deleted = Hnsw.delete(index, Seq(0L, 8L))
     val queries = input.filter(col("id") === 0).select(col("id").as("qid"), col("vector"))
