@@ -339,6 +339,21 @@ object SparkEntry {
         tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector")),
         "id", "vector", bits = 8)),
 
+    // ---- skew-safe salted aggregation (two-phase; identical result to a
+    //      plain groupBy count — the salt only reshapes the shuffle) ----
+    "q37_salted_count" -> ((s, dir) =>
+      graft.operators.Skew.saltedCount(
+        tbl(s, dir, "lineitem").select("l_returnflag"), "l_returnflag", saltBuckets = 16)),
+
+    // ---- rollup analytics: subtotals + grand total in one pass (exact
+    //      aggregates only: counts, min/max, integral sums) ----
+    "q38_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          max(col("l_extendedprice")).as("max_price"))),
+
     // ---- as-of join: each click matched to the user's latest prior purchase ----
     "q32_asof_join" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -616,6 +631,14 @@ object SparkEntry {
            |       ELSE CAST(embedding[i] AS DOUBLE) / $n END AS component
            |FROM idx""".stripMargin
       },
+
+      "q37_salted_count" ->
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1",
+
+      "q38_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          |  sum(l_quantity) AS sum_qty, max(l_extendedprice) AS max_price
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
       "q35_range_join" ->
         """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events),

@@ -79,6 +79,38 @@ object Pq {
         col("entry.id").as("id"), col("entry.dist").as("dist"))
   }
 
+  /** IVF-PQ top-k — the canonical 100 TB ANN read path: coarse IVF cells
+    * prune the candidate set (only `nprobe` cells per query are read), and
+    * ADC over PQ codes scores the survivors. Per-candidate IO is one coarse
+    * cell id + m code bytes; the float vectors are never touched.
+    *
+    * @param assignedCodes (id, cid, codes) — each vector's coarse cell and
+    *                      PQ codes (from [[Ivf.assign]] + [[pqEncode]])
+    */
+  def ivfPqTopK(assignedCodes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                queries: DataFrame, dim: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val subDim = dim / m
+    val probed = Ivf.probesAgg(queries, centroids, nprobe, Distances.l2)
+    val lut = queries.crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub"), col("cid").as("code"),
+        Distances.sqDist(
+          slice(Distances.toDouble(col("vector")), col("sub") * lit(subDim) + lit(1), lit(subDim)),
+          col("cvector")).as("d2"))
+    val candidates = assignedCodes
+      .join(probed, Seq("cid"))
+      .select(col("qid"), col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = candidates
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d2")).as("d2sum"))
+      .select(col("qid"), col("id"), sqrt(col("d2sum")).as("dist"))
+    scored.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
+  }
+
   /** Reconstruct (id, vector: array&lt;double&gt;) from codes + codebooks —
     * concatenation of each sub-block's centroid. Used for recall/error
     * evaluation and asymmetric-distance rescoring.

@@ -78,6 +78,30 @@ class QuantizeSpec extends SparkSpec {
     assert(top.map(_.getAs[Long]("id")).forall(sameCombo.contains))
   }
 
+  test("IVF-PQ: coarse probe + ADC retrieves the query's blob reading only cells and codes") {
+    import graft.operators.Pq
+    val rng = new scala.util.Random(27)
+    def point(hi0: Boolean, hi1: Boolean): Array[Float] = {
+      val b0 = Array.fill(4)((if (hi0) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      val b1 = Array.fill(4)((if (hi1) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      b0 ++ b1
+    }
+    val data = (0L until 80L).map(i => (i, point(i % 2 == 0, (i / 2) % 2 == 0)))
+    val df = data.toDF("id", "vector")
+    val centroids = Ivf.kmeansFit(df, k = 4, iters = 3)
+    val codebooks = Pq.pqFit(df, dim = 8, m = 2, k = 2, iters = 3)
+    val assignedCodes = Ivf.assign(df, centroids, Distances.l2).select("id", "cid")
+      .join(Pq.pqEncode(df, codebooks, dim = 8, m = 2), "id")
+
+    val queries = Seq((0L, data.head._2)).toDF("qid", "vector")
+    val top = Pq.ivfPqTopK(assignedCodes, codebooks, centroids, queries,
+      dim = 8, m = 2, k = 5, nprobe = 1).collect()
+    assert(top.length === 5)
+    val sameCombo = data.filter { case (i, _) => i % 2 == 0 && (i / 2) % 2 == 0 }.map(_._1).toSet
+    assert(top.map(_.getAs[Long]("id")).forall(sameCombo.contains))
+    assert(top.forall(_.getAs[Double]("dist") < 1.0))
+  }
+
   test("kmeans separates two blobs and the trained assignment is clean") {
     val rng = new scala.util.Random(5)
     val blobA = (0L until 50L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat * 0.1f)))
