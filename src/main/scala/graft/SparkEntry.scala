@@ -148,6 +148,28 @@ object SparkEntry {
       Dedup.dupClusters(docs, pairs, "doc_id")
     }),
 
+    // ---- benchmark decontamination: train docs sharing >= 5 shingles
+    //      with any "benchmark" doc (doc_id % 50 == 0 plays the benchmark) ----
+    "q39_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, minOverlap = 5)
+    }),
+
+    // ---- deterministic stratified sampling (data-mixing quotas): keep
+    //      50% of en, 10% of und, 20% of other languages, keyed on an
+    //      md5 id hash — reproducible at any partitioning ----
+    "q40_stratified_sample" -> ((s, dir) => {
+      val stats = graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("pred_lang"))
+      val rate = when(col("pred_lang") === "en", lit(50))
+        .when(col("pred_lang") === "und", lit(10))
+        .otherwise(lit(20))
+      graft.operators.Sampling.hashSample(stats, "doc_id", rate)
+    }),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs ----
     "q13_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)),
@@ -530,6 +552,25 @@ object SparkEntry {
            |  UNION
            |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
            |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin,
+
+      "q39_contamination" ->
+        s"""WITH ${shingleCte(3)},
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+           |ts AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+           |SELECT ts.doc_id, count(*) AS n_shared
+           |FROM ts JOIN bs ON ts.shingle = bs.shingle
+           |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+      "q40_stratified_sample" -> {
+        val hexIdx = (p: Int) =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
+        val hv = s"(((${hexIdx(1)} * 16 + ${hexIdx(2)}) * 16 + ${hexIdx(3)}) * 16 + ${hexIdx(4)})"
+        s"""SELECT doc_id, ${langCase("text")} AS pred_lang
+           |FROM documents
+           |WHERE $hv % 100 < CASE ${langCase("text")}
+           |  WHEN 'en' THEN 50 WHEN 'und' THEN 10 ELSE 20 END""".stripMargin
+      },
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},

@@ -114,6 +114,24 @@ object Dedup {
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
       .select(col(idCol), explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("shingle"))
 
+  /** Benchmark-contamination flags: training docs sharing at least
+    * `minOverlap` distinct n-gram shingles with ANY benchmark doc — the
+    * standard decontamination pass before a training run. Relational shape:
+    * the benchmark shingle set is a distinct projection (usually small —
+    * broadcast-able), the train side explodes once, and the overlap count
+    * is a partial-agg groupBy — shuffle O(matching shingle rows), never a
+    * doc×doc comparison. Output: (idCol, n_shared) for flagged docs only.
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, minOverlap: Int = 5): DataFrame = {
+    val ts = explodedShingles(train, idCol, textCol, n).distinct()
+    val bs = explodedShingles(bench, idCol, textCol, n).select(col("shingle")).distinct()
+    ts.join(bs, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     val sh = explodedShingles(docs, idCol, textCol, n)

@@ -54,6 +54,29 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
   }
 
+  test("contamination: shared-shingle overlap flags only docs over the threshold") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),       // 4 shared 3-gram shingles
+      (1L, "alpha beta gamma nothing else here at all"), // 1 shared shingle
+      (2L, "completely unrelated words appear in this"),
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(train, bench, "doc_id", "text", n = 3, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged === Map(0L -> 4L))
+  }
+
+  test("hash sampling is deterministic and respects the rate direction") {
+    import graft.operators.Sampling
+    val df = (0L until 1000L).toDF("doc_id")
+    val a = Sampling.hashSample(df, "doc_id", lit(30)).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, "doc_id", lit(30)).collect().map(_.getLong(0)).toSet
+    assert(a === b) // reproducible
+    assert(a.size > 200 && a.size < 400, s"~30% expected, got ${a.size}")
+    val wider = Sampling.hashSample(df, "doc_id", lit(60)).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wider)) // rate increase only adds rows (nested samples)
+  }
+
   test("dup clusters: transitive closure of the pair list; isolated docs keep their id") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
     val all = Seq(0L, 1L, 2L, 3L, 5L, 6L).toDF("doc_id")
