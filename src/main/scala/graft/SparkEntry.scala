@@ -170,6 +170,31 @@ object SparkEntry {
       graft.operators.Sampling.hashSample(stats, "doc_id", rate)
     }),
 
+    // ---- the full training-data pipeline, one declarative plan:
+    //      quality filter → exact-dedup keep → benchmark decontamination →
+    //      stratified mixing quotas → corpus mixture stats. Every stage is
+    //      individually oracle-checked (q15/q10/q39/q40); this composes
+    //      them end-to-end and hash-matches the whole pipeline. ----
+    "q41_full_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val kept = graft.operators.TextStats.textStats(train, "doc_id", "text")
+        .filter(col("quality") >= 0.55)
+      val canon = kept
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+        .agg(min(struct(col("doc_id"), col("pred_lang"))).as("c"))
+        .select(col("c.doc_id").as("doc_id"), col("c.pred_lang").as("pred_lang"))
+      val contaminated = Dedup.contamination(train, bench, "doc_id", "text", n = 3, minOverlap = 5)
+        .select("doc_id")
+      val clean = canon.join(contaminated, Seq("doc_id"), "left_anti")
+      val rate = when(col("pred_lang") === "en", lit(50))
+        .when(col("pred_lang") === "und", lit(10))
+        .otherwise(lit(20))
+      graft.operators.Sampling.hashSample(clean, "doc_id", rate)
+        .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+    }),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs ----
     "q13_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)),
@@ -552,6 +577,27 @@ object SparkEntry {
            |  UNION
            |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
            |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin,
+
+      "q41_full_pipeline" -> {
+        val hexIdx = (p: Int) =>
+          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
+        val hv = s"(((${hexIdx(1)} * 16 + ${hexIdx(2)}) * 16 + ${hexIdx(3)}) * 16 + ${hexIdx(4)})"
+        s"""WITH ${shingleCte(3)},
+           |sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+           |contaminated AS (SELECT sh.doc_id FROM sh JOIN bs ON sh.shingle = bs.shingle
+           |  WHERE sh.doc_id % 50 <> 0 GROUP BY 1 HAVING count(*) >= 5),
+           |kept AS (SELECT doc_id, text FROM documents
+           |  WHERE doc_id % 50 <> 0 AND $qualityExpr >= 0.55),
+           |canon AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+           |  min(doc_id) OVER (PARTITION BY md5(lower(text))) AS cid FROM kept) WHERE doc_id = cid),
+           |clean AS (SELECT c.doc_id, c.text FROM canon c
+           |  LEFT JOIN contaminated x ON c.doc_id = x.doc_id WHERE x.doc_id IS NULL),
+           |sampled AS (SELECT doc_id, ${langCase("text")} AS pred_lang FROM clean
+           |  WHERE $hv % 100 < CASE ${langCase("text")}
+           |    WHEN 'en' THEN 50 WHEN 'und' THEN 10 ELSE 20 END)
+           |SELECT pred_lang, count(*) AS n_docs FROM sampled GROUP BY 1""".stripMargin
+      },
 
       "q39_contamination" ->
         s"""WITH ${shingleCte(3)},
