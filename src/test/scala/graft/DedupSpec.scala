@@ -54,6 +54,14 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
   }
 
+  test("dup clusters: a 64-node chain converges via pointer jumping") {
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val all = (0L until 64L).toDF("doc_id")
+    val comp = Dedup.dupClusters(all, chain, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet === Set(0L), s"chain did not fully converge: ${comp.values.toSet}")
+  }
+
   test("contamination: shared-shingle overlap flags only docs over the threshold") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val train = Seq(
