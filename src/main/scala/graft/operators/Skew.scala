@@ -30,7 +30,7 @@ object Skew {
     // across task retries (monotonically_increasing_id is not), and rows
     // with distinct payloads still spread over the buckets
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

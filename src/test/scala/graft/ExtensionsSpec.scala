@@ -81,5 +81,37 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()
     assert(IndexRegistry.rewriteCount === before2)
     assert(exact.head.getLong(0) === 3L)
+
+    // metric mismatch → no rewrite (l2 index, cosine ORDER BY)
+    val before3 = IndexRegistry.rewriteCount
+    spark.sql(
+      s"SELECT id, vector_cosine_distance(vector, $qSql) AS dist FROM emb_idx ORDER BY dist LIMIT 5")
+      .collect()
+    assert(IndexRegistry.rewriteCount === before3)
+  }
+
+  test("ANN rewrite fires for a cosine-metric index via vector_cosine_distance") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 150L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val index = Hnsw.build(vecs.toDF("id", "vector"),
+      HnswParams(dim = 8, m = 4, efConstruction = 32, metric = "cosine", numPartitions = 2))
+    index.nodes.createOrReplaceTempView("emb_cos_idx")
+    IndexRegistry.register("emb_cos_idx", index)
+
+    val q = vecs(11)._2
+    val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val before = IndexRegistry.rewriteCount
+    val got = spark.sql(
+      s"SELECT id, vector_cosine_distance(vector, $qSql) AS dist FROM emb_cos_idx ORDER BY dist LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(IndexRegistry.rewriteCount === before + 1, "cosine rewrite did not fire")
+    val expected = Hnsw.annQuery(index, Seq((0L, q)).toDF("qid", "vector"), 5)
+      .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+    assert(got.head._1 === 11L)
   }
 }
