@@ -105,4 +105,31 @@ class DistancesSpec extends SparkSpec {
     val langs = df.select(TextFunctions.langId($"text")).collect().map(_.getString(0))
     assert(langs.toSeq === Seq("en", "de", "und"))
   }
+
+  test("char shingles, stopword count, cosine similarity, token-array simhash") {
+    val df = Seq(("abcde", "the cat of doom")).toDF("a", "b")
+    val row = df.select(
+      TextFunctions.charShingles($"a", 3),
+      TextFunctions.charShingles($"a", 9),
+      TextFunctions.stopwordCount($"b")).head()
+    assert(row.getSeq[String](0) === Seq("abc", "bcd", "cde"))
+    assert(row.getSeq[String](1) === Seq.empty) // shorter than n → empty
+    assert(row.getInt(2) === 2)                 // "the", "of"
+
+    val v = Seq((Array(1.0, 0.0), Array(0.0, 3.0), Array(2.0, 0.0), Array(0.0, 0.0)))
+      .toDF("x", "y", "z", "zero")
+    val sims = v.select(
+      Distances.cosineSim($"x", $"y"), Distances.cosineSim($"x", $"z"),
+      Distances.cosineSim($"x", $"zero")).head()
+    assert(sims.getDouble(0) === 0.0) // orthogonal
+    assert(sims.getDouble(1) === 1.0) // parallel
+    assert(sims.getDouble(2) === 0.0) // zero-norm convention
+
+    // simhashFromTokens over the pre-split array equals simhash over text
+    val t = Seq("the quick brown fox").toDF("text")
+    val pair = t.select(
+      graft.operators.Dedup.simhash($"text", 16),
+      graft.operators.Dedup.simhashFromTokens(TextFunctions.tokens($"text"), 16)).head()
+    assert(pair.getLong(0) === pair.getLong(1))
+  }
 }
