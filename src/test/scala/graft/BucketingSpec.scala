@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketing
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    // inspect the pre-adaptive plan: bucketed co-location is decided at
+    // planning time, AQE wrapping just obscures the tree. Broadcast is
+    // disabled so the comparison isolates co-location (a broadcast join
+    // also avoids shuffles — for the DIM side; bucketing covers fact-fact).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }.length
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = java.nio.file.Paths.get(warehouse, name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("same-key same-count bucketed tables join with zero shuffles") {
+    Seq("b_facts", "b_dims").foreach(dropTable)
+    val facts = (0L until 1000L).map(i => (i % 50, i, i * 2.0)).toDF("k", "row_id", "v")
+    val dims = (0L until 50L).map(i => (i, s"name_$i")).toDF("k", "name")
+    Bucketing.writeBucketed(facts, "b_facts", "k", 8)
+    Bucketing.writeBucketed(dims, "b_dims", "k", 8)
+
+    val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+    assert(shuffleCount(joined) === 0, "bucketed join should not shuffle either side")
+    assert(joined.count() === 1000)
+
+    // aggregation on the bucket key is also shuffle-free
+    val agg = spark.table("b_facts").groupBy("k").agg(sum("v"))
+    assert(shuffleCount(agg) === 0, "bucketed agg should not shuffle")
+    assert(agg.count() === 50)
+
+    // control: the same join over plain (un-bucketed) frames does shuffle
+    val plain = facts.join(dims, "k")
+    assert(shuffleCount(plain) > 0)
+  }
+}
