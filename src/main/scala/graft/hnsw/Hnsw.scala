@@ -179,60 +179,81 @@ object Hnsw {
                queryBatchSize: Int = 1 << 16): DataFrame = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
-    val m = index.meta
-    val efUsed = math.max(if (ef > 0) ef else m.ef_search, k)
-
-    val nodesDs = index.nodes.select("id", "vector", "level", "tombstone", "pid").as[NodeRow]
-      .groupByKey(_.pid)
-    val edgesDs = index.edges.select("pid", "src", "layer", "dst").as[EdgeRow]
-      .groupByKey(_.pid)
-
-    def perPartFor(qArr: Array[(Long, Array[Float])]):
-        (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]) = {
-      val qB = spark.sparkContext.broadcast(qArr)
-      val df = nodesDs.cogroup(edgesDs) { (pid, nodeIt, edgeIt) =>
-        val nodeArr = nodeIt.toArray
-        if (nodeArr.isEmpty) Iterator.empty
-        else {
-          val tomb = nodeArr.iterator.filter(_.tombstone).map(_.id).toSet
-          val idx = LocalHnsw.fromRows(m.dim, m.m, m.max_m0, m.ef_construction, m.metric,
-            nodeArr.iterator.map(n => (n.id, n.vector, n.level)),
-            edgeIt.map(e => (e.src, e.layer, e.dst)))
-          qB.value.iterator.flatMap { case (qid, qv) =>
-            idx.search(qv, k, efUsed, tomb.contains)
-              .iterator.map { case (id, dist) => (qid, id, dist) }
-          }
-        }
-      }.toDF("qid", "id", "dist")
-      (df, qB)
-    }
-
     val grouped = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
       .as[(Long, Array[Float])].toLocalIterator().asScala.grouped(queryBatchSize)
     val first = if (grouped.hasNext) grouped.next().toArray else Array.empty[(Long, Array[Float])]
     val perPart =
-      if (!grouped.hasNext) perPartFor(first)._1 // common case: one chunk, fully lazy
+      if (!grouped.hasNext) perPartFor(index, first, k, ef)._1 // one chunk: fully lazy
       else {
         // each chunk is searched eagerly (localCheckpoint) and its broadcast
         // destroyed before the next chunk is collected — bounded driver
         // memory regardless of query-file size; qids are disjoint across
-        // chunks so the global rank window below stays correct
+        // chunks so the global rank window below stays correct.
+        // Durability note: localCheckpoint blocks are executor-local, so on
+        // a real cluster an executor loss mid-query fails the job (retry
+        // from the query file); the trade is deliberate — the alternative
+        // (keeping every chunk's lineage + broadcast alive) is exactly the
+        // unbounded driver memory this path exists to avoid.
         var acc = List.empty[DataFrame]
         var chunk = first
         var more = true
         while (more) {
-          val (df, qB) = perPartFor(chunk)
+          val (df, qB) = perPartFor(index, chunk, k, ef)
           acc ::= df.localCheckpoint()
           qB.destroy()
           if (grouped.hasNext) chunk = grouped.next().toArray else more = false
         }
         acc.reduce(_ union _)
       }
+    rankTopK(perPart, k)
+  }
 
+  /** ANN for an in-memory query batch. Plan construction runs NO Spark job
+    * (the broadcast is driver-side) — the SQL rewrite rule builds this
+    * during analysis, where submitting jobs would make EXPLAIN execute
+    * cluster work.
+    */
+  def annQueryBatch(index: HnswIndex, qArr: Array[(Long, Array[Float])],
+                    k: Int, ef: Int = -1): DataFrame =
+    rankTopK(perPartFor(index, qArr, k, ef)._1, k)
+
+  private def rankTopK(perPart: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
     perPart.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "id", "dist")
+  }
+
+  /** Per-partition sub-graph search for one broadcast chunk: cogroup nodes
+    * and edges by pid, rebuild each sub-graph, emit (qid, id, dist)
+    * candidates (k per query per partition).
+    */
+  private def perPartFor(index: HnswIndex, qArr: Array[(Long, Array[Float])], k: Int, ef: Int):
+      (DataFrame, org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Float])]]) = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val m = index.meta
+    val efUsed = math.max(if (ef > 0) ef else m.ef_search, k)
+    val nodesDs = index.nodes.select("id", "vector", "level", "tombstone", "pid").as[NodeRow]
+      .groupByKey(_.pid)
+    val edgesDs = index.edges.select("pid", "src", "layer", "dst").as[EdgeRow]
+      .groupByKey(_.pid)
+    val qB = spark.sparkContext.broadcast(qArr)
+    val df = nodesDs.cogroup(edgesDs) { (pid, nodeIt, edgeIt) =>
+      val nodeArr = nodeIt.toArray
+      if (nodeArr.isEmpty) Iterator.empty
+      else {
+        val tomb = nodeArr.iterator.filter(_.tombstone).map(_.id).toSet
+        val idx = LocalHnsw.fromRows(m.dim, m.m, m.max_m0, m.ef_construction, m.metric,
+          nodeArr.iterator.map(n => (n.id, n.vector, n.level)),
+          edgeIt.map(e => (e.src, e.layer, e.dst)))
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, k, efUsed, tomb.contains)
+            .iterator.map { case (id, dist) => (qid, id, dist) }
+        }
+      }
+    }.toDF("qid", "id", "dist")
+    (df, qB)
   }
 
   // ---- mutation / lifecycle (reference M1/B7) ----

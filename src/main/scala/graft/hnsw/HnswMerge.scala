@@ -55,9 +55,16 @@ object HnswMerge {
       else sampled
     val assigned = Ivf.assign(boundary.select(col("id"), col("vector")), centroids, dist)
       .join(boundary.select(col("id"), col("vector")), "id")
-    val topm = Ivf.searchLarge(assigned, bQueries, centroids, m.m + 1, nprobe, dist)
+    val probed = Ivf.searchLarge(assigned, bQueries, centroids, m.m + 1, nprobe, dist)
       .filter(col("id") =!= col("qid"))
       .select(col("qid").as("src"), col("id").as("dst"))
+    // navigability floor: a boundary node alone in its probed cells gets no
+    // candidates from the blocked kNN — fall back to a link with the global
+    // entry point so every boundary node stays reachable cross-partition
+    val lonely = bQueries.select(col("qid").as("src")).distinct()
+      .except(probed.select(col("src")).distinct())
+      .filter(col("src") =!= m.entry_point)
+    val topm = probed.union(lonely.select(col("src"), lit(m.entry_point).as("dst")))
 
     // bidirectional, on every layer both endpoints populate
     val bidir = topm.union(topm.select(col("dst").as("src"), col("src").as("dst")))

@@ -235,7 +235,14 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("comp")).localCheckpoint()
+    // vertex set = docs ∪ pair endpoints: an endpoint missing from `docs`
+    // (pairs computed before a filter) must still RELAY labels, or a chain
+    // through it silently splits the component; relay-only vertices are
+    // dropped from the output below
+    val vertices = docs.select(col(idCol).as("id"))
+      .union(sym.select(col("src").as("id")))
+      .distinct()
+    var labels = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -254,7 +261,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("comp"))
+    // drop relay-only vertices and remap each component to its minimum DOC
+    // id (a relay could otherwise win the min and leak a non-doc id)
+    val docLabels = labels.join(docs.select(col(idCol).as("id")), "id")
+    val docComp = docLabels.groupBy(col("comp")).agg(min(col("id")).as("doc_comp"))
+    docLabels.join(docComp, "comp")
+      .select(col("id").as(idCol), col("doc_comp").as("comp"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (a natural

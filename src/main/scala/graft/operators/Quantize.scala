@@ -47,7 +47,8 @@ object Quantize {
 
   /** Reconstruction: (id, vector: array&lt;double&gt;) from exploded codes +
     * the range table — midpoint-of-cell dequantization (code + 0.5 bins),
-    * clamped implicitly by the code range.
+    * clamped to [lo, hi] (the top code's midpoint would otherwise overshoot
+    * hi by (hi−lo)/(2·levels)).
     */
   def dequantize(codes: DataFrame, ranges: DataFrame, idCol: String, bits: Int = 8): DataFrame = {
     val levels = (1 << bits) - 1
@@ -55,8 +56,8 @@ object Quantize {
       .join(broadcast(ranges), "pos")
       .select(col(idCol), col("pos"),
         when(col("hi") === col("lo"), col("lo"))
-          .otherwise(col("lo") +
-            (col("code").cast("double") + lit(0.5)) / lit(levels.toDouble) * (col("hi") - col("lo")))
+          .otherwise(least(col("hi"), col("lo") +
+            (col("code").cast("double") + lit(0.5)) / lit(levels.toDouble) * (col("hi") - col("lo"))))
           .as("x"))
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),

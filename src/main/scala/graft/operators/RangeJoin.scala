@@ -30,9 +30,11 @@ object RangeJoin {
       hi: Long): DataFrame = {
     require(hi >= lo, s"empty window [$lo, $hi]")
     val w = math.max(hi - lo, 1L)
-    // floor-division bucket, exact for any sign: subtract the (always
-    // non-negative) pmod remainder first, so the division is exact
-    def bucket(c: Column): Column = ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    // bucket id = the bucket's START VALUE (c − c mod w): pure long
+    // arithmetic, exact for any magnitude and sign — an actual division
+    // would route through doubles and can mis-bucket values ≥ 2^53
+    // (e.g. epoch-nanos), silently dropping matches
+    def bucket(c: Column): Column = c - pmod(c, lit(w))
     val lb = left
       .withColumn("__lo", col(ltCol) + lit(lo))
       .withColumn("__hi", col(ltCol) + lit(hi))

@@ -26,11 +26,16 @@ object Skew {
       saltBuckets: Int,
       partials: Seq[Column],
       finals: Seq[Column]): DataFrame = {
-    // deterministic salt: hash of the full row content — reproducible
-    // across task retries (monotonically_increasing_id is not), and rows
-    // with distinct payloads still spread over the buckets
+    // salt = hash(row content, position-in-partition, partition id): the
+    // position term is what spreads IDENTICAL rows — the canonical hot-key
+    // case — across buckets (a pure content hash would put every copy of
+    // the hot row in one bucket, recreating the straggler). The salt value
+    // is partitioning-dependent, which is harmless by construction: only
+    // algebraic aggregates are supported, and their two-phase merge is
+    // invariant to how rows were salted.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64((df.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id()): _*),
+        lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)

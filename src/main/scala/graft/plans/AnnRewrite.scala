@@ -22,6 +22,13 @@ import graft.hnsw.{Hnsw, HnswIndex}
   * the recognized top-k shape, and only when an index is registered for
   * that exact view name; everything else falls back to the brute-force
   * (still distributed, still correct) plan.
+  *
+  * LIFECYCLE CONTRACT: the registry binds a NAME to an index snapshot and
+  * is JVM-global. If the view is replaced (`createOrReplaceTempView`) or
+  * dropped, `register` the new index or `unregister` the name — a stale
+  * registration would keep serving the old snapshot for the rewritten
+  * shape (the same way a stale external index would after reloading a
+  * table in any engine).
   */
 object IndexRegistry {
   final case class Entry(index: HnswIndex, idCol: String, vecCol: String)
@@ -39,8 +46,6 @@ object IndexRegistry {
   def rewriteCount: Long = fired.get
   private[plans] def markFired(): Unit = fired.incrementAndGet()
 }
-
-private[plans] case class QueryVecRow(qid: Long, vector: Array[Float])
 
 /** Index-aware top-k rewrite (SURVEY.md §7.3 stretch): turns the analyzed
   * shape
@@ -118,8 +123,10 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       qVec <- queryVector(qExpr)
       if qVec.length == entry.index.meta.dim
     } yield {
-      val qDf = session.createDataFrame(Seq(QueryVecRow(0L, qVec)))
-      val ann = Hnsw.annQuery(entry.index, qDf, k).queryExecution.analyzed
+      // annQueryBatch builds the plan without submitting a Spark job —
+      // a rule that ran jobs would make plain EXPLAIN execute cluster work
+      val ann = Hnsw.annQueryBatch(entry.index, Array((0L, qVec)), k)
+        .queryExecution.analyzed
       val annId = ann.output.find(_.name == "id").get
       val annDist = ann.output.find(_.name == "dist").get
       val sorted = Sort(Seq(SortOrder(annDist, Ascending)), global = true, ann)

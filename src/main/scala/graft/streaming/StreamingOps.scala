@@ -134,30 +134,31 @@ object StreamingOps {
             state.remove()
             out
           } else {
-            // events within a micro-batch are not ordered — sort by (ts, id)
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = state.getOption
-            val out = Seq.newBuilder[SessionOut]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
-                case Some(s) =>
-                  out += closed(s)
-                  open = Some(SessionState(t, t, 1))
-                case None =>
-                  open = Some(SessionState(t, t, 1))
-              }
-            }
-            open.foreach { s =>
-              state.update(s)
-              // timeout must sit above the current watermark; an already-
-              // expired session then times out on the next batch
-              state.setTimeoutTimestamp(
-                math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
-            }
-            out.result().iterator
+            // interval-merge semantics, robust to in-watermark LATE data:
+            // the open state is one interval, each event a point interval;
+            // sort by start and merge any neighbor within the gap — so a
+            // late event can EXTEND the open session backwards (start is
+            // lowered) or, if it is more than a gap earlier, form its own
+            // session. Only the latest interval stays open (earlier ones
+            // close now — bounded state: exactly one open session per key).
+            val intervals = state.getOption.map(s => (s.startMs, s.lastMs, s.n)).toSeq ++
+              batch.map(e => (e.ts.getTime, e.ts.getTime, 1L)).toSeq
+            val merged = intervals.sortBy(iv => (iv._1, iv._2))
+              .foldLeft(List.empty[(Long, Long, Long)]) {
+                case (Nil, iv) => iv :: Nil
+                case (cur :: rest, iv) =>
+                  if (iv._1 - cur._2 <= gapMs)
+                    (cur._1, math.max(cur._2, iv._2), cur._3 + iv._3) :: rest
+                  else iv :: cur :: rest
+              }.reverse
+            val open = SessionState(merged.last._1, merged.last._2, merged.last._3)
+            state.update(open)
+            // timeout must sit above the current watermark; an already-
+            // expired session then times out on the next batch
+            state.setTimeoutTimestamp(
+              math.max(open.lastMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            merged.dropRight(1).iterator
+              .map { case (s0, s1, n) => closed(SessionState(s0, s1, n)) }
           }
       }
   }

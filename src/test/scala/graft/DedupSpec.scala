@@ -54,6 +54,16 @@ class DedupSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
   }
 
+  test("dup clusters: pair endpoints outside docs still relay; comp is a doc id") {
+    // 2 and 0 are relays (not in docs): 1-2-3 must still connect, and the
+    // 0 relay must not leak into comp (min DOC id wins)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 0L), (0L, 7L)).toDF("id_a", "id_b")
+    val docsOnly = Seq(1L, 3L, 5L, 7L).toDF("doc_id")
+    val comp = Dedup.dupClusters(docsOnly, pairs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
   test("dup clusters: a 64-node chain converges via pointer jumping") {
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val all = (0L until 64L).toDF("doc_id")

@@ -24,6 +24,9 @@ class QuantizeSpec extends SparkSpec {
     assert(math.abs(rec(2L)(0) - 0.5) <= 1.0 / 255 + 1e-9)
     assert(math.abs(rec(2L)(1) - 15.0) <= 10.0 / 255 + 1e-9)
     assert(rec.keySet === Set(0L, 1L, 2L))
+    // extremes stay inside [lo, hi] (top code clamps, never overshoots)
+    assert(rec(1L)(0) <= 1.0 && rec(1L)(1) <= 20.0)
+    assert(rec(0L)(0) >= 0.0 && rec(0L)(1) >= 10.0)
   }
 
   test("product quantization: codes are m cells; reconstruction error well under blob spacing") {

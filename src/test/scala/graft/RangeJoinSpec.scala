@@ -28,6 +28,22 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((100L, 901L), (100L, 902L), (100L, 903L), (101L, 905L), (200L, 906L)))
   }
 
+  test("epoch-nanosecond magnitudes (beyond double precision) bucket exactly") {
+    // values near 1.7e18 are far past 2^53: any double arithmetic in the
+    // bucket id would mis-assign and silently drop these matches
+    val base = 1700000000000000000L
+    val left = Seq((1L, 1L, base)).toDF("k", "lid", "lt")
+    val right = Seq(
+      (1L, 10L, base),                  // boundary ==
+      (1L, 11L, base + 999_999_999L),   // inside
+      (1L, 12L, base + 1_000_000_001L), // just outside
+      (1L, 13L, base - 1L),             // before
+    ).toDF("k", "rid", "rt")
+    val got = RangeJoin.boundedRangeJoin(left, right, Seq("k"), "lt", "rt", 0L, 1_000_000_000L)
+      .select("rid").as[Long].collect().toSet
+    assert(got === Set(10L, 11L))
+  }
+
   test("negative offsets (window before the anchor) work") {
     val left = Seq((1L, 1L, 10000L)).toDF("k", "lid", "lt")
     val right = Seq((1L, 10L, 9400L), (1L, 11L, 9000L), (1L, 12L, 8999L), (1L, 13L, 10001L))

@@ -115,6 +115,40 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.exists(_._1 == 99L) || rows.exists(r => r._1 == 99L && r._2 == "2024-01-01 12:00:00"))
   }
 
+  test("stateful sessionization: in-watermark late events extend backwards or split correctly") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long, Timestamp)]
+    val sessions = StreamingOps.sessionizeStream(
+      source.toDF().toDF("user_id", "event_id", "ts"),
+      gapMs = 600000L, watermark = "30 minutes") // watermark wider than gap
+    val query = sessions.writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    source.addData((1L, 10L, t("2024-01-01 10:00:00")),
+                   (1L, 11L, t("2024-01-01 10:01:00")),
+                   (1L, 12L, t("2024-01-01 10:02:00")))
+    query.processAllAvailable()
+    // late but within gap of the open session start → extends it BACKWARDS
+    source.addData((1L, 13L, t("2024-01-01 09:55:00")))
+    query.processAllAvailable()
+    // late and more than a gap before the open session → its own session
+    source.addData((1L, 14L, t("2024-01-01 09:40:00")))
+    query.processAllAvailable()
+    // watermark advance times out the open session
+    source.addData((99L, 90L, t("2024-01-01 11:00:00")))
+    query.processAllAvailable()
+    source.addData((99L, 91L, t("2024-01-01 13:00:00")))
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("sess_late_out")
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows.contains((1L, "2024-01-01 09:40:00", 1L)), s"split session missing: $rows")
+    assert(rows.contains((1L, "2024-01-01 09:55:00", 4L)), s"backward-extended session missing: $rows")
+  }
+
   test("windowed event counts with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Timestamp, String)]
