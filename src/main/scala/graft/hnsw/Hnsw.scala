@@ -176,7 +176,7 @@ object Hnsw {
     * Output: (qid, rank, id, dist).
     */
   def annQuery(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1,
-               queryBatchSize: Int = 1 << 16): DataFrame = {
+               queryBatchSize: Int = 1 << 16, spillPath: Option[String] = None): DataFrame = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     val grouped = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
@@ -185,25 +185,31 @@ object Hnsw {
     val perPart =
       if (!grouped.hasNext) perPartFor(index, first, k, ef)._1 // one chunk: fully lazy
       else {
-        // each chunk is searched eagerly (localCheckpoint) and its broadcast
-        // destroyed before the next chunk is collected — bounded driver
-        // memory regardless of query-file size; qids are disjoint across
-        // chunks so the global rank window below stays correct.
-        // Durability note: localCheckpoint blocks are executor-local, so on
-        // a real cluster an executor loss mid-query fails the job (retry
-        // from the query file); the trade is deliberate — the alternative
-        // (keeping every chunk's lineage + broadcast alive) is exactly the
-        // unbounded driver memory this path exists to avoid.
+        // each chunk is searched eagerly and its broadcast destroyed before
+        // the next chunk is collected — bounded driver memory regardless of
+        // query-file size; qids are disjoint across chunks so the global
+        // rank window below stays correct. Chunk materialization:
+        //   - spillPath (a shared-FS dir on a real cluster): durable parquet
+        //     appends — survives executor loss;
+        //   - default localCheckpoint: executor-local blocks — fast, but an
+        //     executor loss mid-query fails the job (retry from the file).
         var acc = List.empty[DataFrame]
         var chunk = first
         var more = true
+        var firstChunk = true
         while (more) {
           val (df, qB) = perPartFor(index, chunk, k, ef)
-          acc ::= df.localCheckpoint()
+          spillPath match {
+            case Some(path) =>
+              df.write.mode(if (firstChunk) "overwrite" else "append").parquet(path)
+            case None =>
+              acc ::= df.localCheckpoint()
+          }
           qB.destroy()
+          firstChunk = false
           if (grouped.hasNext) chunk = grouped.next().toArray else more = false
         }
-        acc.reduce(_ union _)
+        spillPath.map(spark.read.parquet(_)).getOrElse(acc.reduce(_ union _))
       }
     rankTopK(perPart, k)
   }

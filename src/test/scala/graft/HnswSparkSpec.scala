@@ -89,6 +89,11 @@ class HnswSparkSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(chunked === oneChunk)
     assert(oneChunk.nonEmpty)
+    // durable spill variant (cluster path: shared-FS parquet appends)
+    val spill = Files.createTempDirectory("ann-spill").toString
+    val spilled = Hnsw.annQuery(index, queries, k = 5, queryBatchSize = 2,
+      spillPath = Some(spill)).collect().map(_.toSeq).toSet
+    assert(spilled === oneChunk)
   }
 
   test("tombstoned ids are excluded from ann results; rebuild drops them") {
