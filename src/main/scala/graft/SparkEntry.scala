@@ -43,6 +43,23 @@ object SparkEntry {
       idx.copy(edges = idx.edges.cache())
     })
 
+  /** IVF-PQ artifacts per data dir (centroids, codebooks, assigned codes),
+    * trained once and shared by the ivfpq_* queries — mirrors
+    * [[builtIndex]]'s reuse pattern.
+    */
+  private val ivfpqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+  private def ivfpqArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfpqCache.getOrElseUpdate(dir, {
+      val e = emb(s, dir).select("id", "vector")
+      val centroids = Ivf.kmeansFit(e, k = 16, iters = 2)
+      val codebooks = graft.operators.Pq.pqFit(e, EmbDim, m = 8, k = 16, iters = 2)
+      val assignedCodes = Ivf.assign(e, centroids, Distances.l2).select("id", "cid")
+        .join(graft.operators.Pq.pqEncode(e, codebooks, EmbDim, m = 8), "id")
+        .localCheckpoint()
+      (centroids, codebooks, assignedCodes)
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's CIFAR ranked-report experience (SURVEY.md Q8): exact
     * top-k with labels and query-row marker.
@@ -423,6 +440,30 @@ object SparkEntry {
       graft.operators.RangeJoin
         .boundedRangeJoin(purchases, clicks, Seq("user_id"), "pt", "ct", 0L, 3600000000L)
         .select(col("p_event"), col("c_event"), (col("ct") - col("pt")).as("dt"))
+    }),
+
+    // ---- IVF-PQ end-to-end on the shared embeddings: trained coarse cells
+    //      + per-sub-block codebooks, ADC scoring over codes (rows-only:
+    //      approximate by construction, like the hnsw_* entries) ----
+    "ivfpq_topk" -> ((s, dir) => {
+      val (centroids, codebooks, assignedCodes) = ivfpqArtifacts(s, dir)
+      val e = emb(s, dir)
+      val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      graft.operators.Pq.ivfPqTopK(assignedCodes, codebooks, centroids, queries,
+        EmbDim, m = 8, k = 10, nprobe = 4)
+    }),
+
+    // ---- recall of the refined IVF-PQ path vs the exact oracle (rows-only):
+    //      ADC prune to 50 candidates, exact rescore of only those ----
+    "ivfpq_recall" -> ((s, dir) => {
+      val (centroids, codebooks, assignedCodes) = ivfpqArtifacts(s, dir)
+      val e = emb(s, dir).select("id", "vector")
+      val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      val ann = graft.operators.Pq.ivfPqTopKRefined(assignedCodes, codebooks, centroids,
+        queries, e, EmbDim, m = 8, k = 10, nprobe = 8, refine = 50)
+      val exact = Knn.exactTopK(e, queries, 10, Distances.l2)
+      Hnsw.recallAtK(ann, exact, 10)
+        .agg(avg(col("recall")).as("avg_recall"), count(lit(1)).as("n_queries"))
     }),
 
     // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Distances
@@ -20,35 +21,69 @@ import graft.functions.Distances
   */
 object Pq {
 
+  /** One row per (sub, id): the sliced sub-vector, as doubles. */
+  private def subVectors(vectors: DataFrame, dim: Int, m: Int): DataFrame = {
+    val subDim = dim / m
+    vectors
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("vector"))
+      .select(col("id"), col("sub"),
+        slice(Distances.toDouble(col("vector")), col("sub") * lit(subDim) + lit(1), lit(subDim))
+          .as("vector"))
+  }
+
   /** Train per-sub-block codebooks: (sub, cid, cvector) with cvector of
     * length dim/m. `dim` must be divisible by `m`.
+    *
+    * All m sub-block codebooks train TOGETHER as one grouped Lloyd's
+    * k-means — the sub-block id is just another grouping key, so each
+    * iteration is a single broadcast-assign + one partial-agg mean pass
+    * over the (sub, id) rows, not m sequential per-block jobs (which cost
+    * m× the fixed job overhead and m× the input scans).
     */
   def pqFit(vectors: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 3): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
-    val subDim = dim / m
-    (0 until m).map { j =>
-      val sub = vectors.select(col("id"),
-        slice(col("vector"), j * subDim + 1, subDim).as("vector"))
-      Ivf.kmeansFit(sub, k, iters).select(lit(j).as("sub"), col("cid"), col("cvector"))
-    }.reduce(_ unionByName _)
+    val subs = subVectors(vectors, dim, m)
+    // deterministic init: the k lowest ids of each sub-block
+    val w = Window.partitionBy("sub").orderBy(col("id").asc)
+    var centroids = subs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("sub"), (col("rn") - 1).cast("long").as("cid"), col("vector").as("cvector"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val assigned = assignGrouped(subs, centroids)
+      val means = assigned.join(subs, Seq("sub", "id"))
+        .select(col("sub"), col("cid"), posexplode(col("vector")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("mn"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("cvector"))
+      centroids = centroids.select(col("sub"), col("cid"), col("cvector").as("prev"))
+        .join(means, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"), coalesce(col("cvector"), col("prev")).as("cvector"))
+        .localCheckpoint()
+    }
+    centroids
   }
 
-  /** Encode: (id, codes: array&lt;long&gt; of length m) — codes[j] is the
-    * nearest cell of sub-block j's codebook.
+  /** Nearest codebook cell per (sub, id): broadcast the (small) codebook
+    * table, argmin via partial-aggregable min(struct).
     */
-  def pqEncode(vectors: DataFrame, codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
-    val subDim = dim / m
-    (0 until m).map { j =>
-      val sub = vectors.select(col("id"),
-        slice(col("vector"), j * subDim + 1, subDim).as("vector"))
-      val cb = codebooks.filter(col("sub") === j).select(col("cid"), col("cvector"))
-      Ivf.assign(sub, cb, Distances.l2)
-        .select(col("id"), lit(j).as("sub"), col("cid"))
-    }.reduce(_ unionByName _)
+  private def assignGrouped(subs: DataFrame, codebooks: DataFrame): DataFrame =
+    subs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("sub"), col("id"),
+        struct(Distances.sqDist(col("vector"), col("cvector")).as("dist"), col("cid")).as("sc"))
+      .groupBy(col("sub"), col("id")).agg(min(col("sc")).as("best"))
+      .select(col("sub"), col("id"), col("best.cid").as("cid"))
+
+  /** Encode: (id, codes: array&lt;long&gt; of length m) — codes[j] is the
+    * nearest cell of sub-block j's codebook. One pass over the (sub, id)
+    * rows for all sub-blocks.
+    */
+  def pqEncode(vectors: DataFrame, codebooks: DataFrame, dim: Int, m: Int): DataFrame =
+    assignGrouped(subVectors(vectors, dim, m), codebooks)
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
         s => s.getField("cid")).as("codes"))
-  }
 
   /** ADC (asymmetric distance) top-k over PQ codes: per query, a lookup
     * table of squared distances from each query sub-vector to every
@@ -105,6 +140,30 @@ object Pq {
       .agg(sum(col("d2")).as("d2sum"))
       .select(col("qid"), col("id"), sqrt(col("d2sum")).as("dist"))
     scored.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
+  }
+
+  /** IVF-PQ with exact refinement — the production read path: ADC over
+    * codes prunes to `refine` candidates per query (cheap, code-only IO),
+    * then ONLY those candidates' true vectors are fetched and re-scored
+    * exactly. Per query the exact work is `refine` distance evaluations
+    * instead of n — the float column is touched for a few dozen rows.
+    * Out: (qid, rank, id, dist) with exact distances.
+    */
+  def ivfPqTopKRefined(assignedCodes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                       queries: DataFrame, vectors: DataFrame,
+                       dim: Int, m: Int, k: Int, nprobe: Int, refine: Int = 50): DataFrame = {
+    val coarse = ivfPqTopK(assignedCodes, codebooks, centroids, queries, dim, m, refine, nprobe)
+      .select(col("qid"), col("id"))
+    val rescored = coarse
+      .join(vectors.select(col("id"), col("vector").as("i_vector")), "id")
+      .join(broadcast(queries.select(col("qid"), col("vector").as("q_vector"))), "qid")
+      .select(col("qid"), col("id"),
+        sqrt(Distances.sqDist(col("i_vector"), col("q_vector"))).as("dist"))
+    rescored.groupBy(col("qid"))
       .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),

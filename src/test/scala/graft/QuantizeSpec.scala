@@ -103,6 +103,13 @@ class QuantizeSpec extends SparkSpec {
     val sameCombo = data.filter { case (i, _) => i % 2 == 0 && (i / 2) % 2 == 0 }.map(_._1).toSet
     assert(top.map(_.getAs[Long]("id")).forall(sameCombo.contains))
     assert(top.forall(_.getAs[Double]("dist") < 1.0))
+
+    // exact-rescore refinement recovers the true self-match at dist 0
+    // (ADC alone cannot: code distances never hit exactly zero)
+    val refined = Pq.ivfPqTopKRefined(assignedCodes, codebooks, centroids, queries, df,
+      dim = 8, m = 2, k = 5, nprobe = 1, refine = 10).collect()
+    assert(refined.head.getAs[Long]("id") === 0L)
+    assert(refined.head.getAs[Double]("dist") === 0.0)
   }
 
   test("kmeans separates two blobs and the trained assignment is clean") {
