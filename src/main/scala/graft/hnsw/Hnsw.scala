@@ -183,14 +183,23 @@ object Hnsw {
       .as[(Long, Array[Float])].toLocalIterator().asScala.grouped(queryBatchSize)
     val first = if (grouped.hasNext) grouped.next().toArray else Array.empty[(Long, Array[Float])]
     val perPart =
-      if (!grouped.hasNext) perPartFor(index, first, k, ef)._1 // one chunk: fully lazy
+      if (!grouped.hasNext) spillPath match {
+        // spill applies to the single-chunk case too (uniform contract:
+        // the directory always reflects THIS query's candidates)
+        case Some(path) =>
+          perPartFor(index, first, k, ef)._1.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        case None => perPartFor(index, first, k, ef)._1 // one chunk: fully lazy
+      }
       else {
         // each chunk is searched eagerly and its broadcast destroyed before
         // the next chunk is collected — bounded driver memory regardless of
         // query-file size; qids are disjoint across chunks so the global
         // rank window below stays correct. Chunk materialization:
         //   - spillPath (a shared-FS dir on a real cluster): durable parquet
-        //     appends — survives executor loss;
+        //     appends — survives executor loss. The caller owns the dir for
+        //     the LIFETIME of the returned DataFrame: a second annQuery on
+        //     the same path overwrites it under an uncollected result;
         //   - default localCheckpoint: executor-local blocks — fast, but an
         //     executor loss mid-query fails the job (retry from the file).
         var acc = List.empty[DataFrame]

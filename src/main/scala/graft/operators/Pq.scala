@@ -8,16 +8,17 @@ import graft.functions.Distances
 
 /** Product quantization — the canonical 100 TB ANN memory layout (IVF-PQ):
   * the vector is split into `m` contiguous sub-blocks, each sub-block gets
-  * its own k-cell codebook (Lloyd's k-means, [[Ivf.kmeansFit]]), and a
-  * vector is stored as `m` small cell ids (m bytes at k ≤ 256 — a 256×
-  * footprint cut for a 512-dim float32 embedding at m=8).
+  * its own k-cell codebook (Lloyd's k-means), and a vector is stored as
+  * `m` small cell ids (m bytes at k ≤ 256 — a 256× footprint cut for a
+  * 512-dim float32 embedding at m=8).
   *
-  * Scale design: training fans out as m independent k-means runs over the
-  * sliced column (each run shuffles k·subDim rows per iteration, never the
-  * data); encoding is m broadcast-assign passes unioned and re-grouped by
-  * id — the big table is scanned per sub-block but never shuffled except
-  * for the final O(n) code assembly. Codes are deterministic given the
-  * trained codebooks (min(struct) tie-break by cell id).
+  * Scale design: all m codebooks train TOGETHER as one grouped k-means
+  * over the materialized (sub, id) slice table — per iteration one
+  * broadcast-assign + one partial-agg mean pass, never m sequential
+  * per-block jobs; encoding is a single broadcast-assign pass re-grouped
+  * by id. The big table is never shuffled except for the O(n) code
+  * assembly. Codes are deterministic given the trained codebooks
+  * (min(struct) tie-break by cell id).
   */
 object Pq {
 
@@ -42,11 +43,18 @@ object Pq {
     */
   def pqFit(vectors: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 3): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
-    val subs = subVectors(vectors, dim, m)
-    // deterministic init: the k lowest ids of each sub-block
-    val w = Window.partitionBy("sub").orderBy(col("id").asc)
-    var centroids = subs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    // materialized once: the training loop reads this on BOTH sides of the
+    // means join every iteration — unmaterialized it would re-explode the
+    // source per side per iteration (the q12-style recompute disease)
+    val subs = subVectors(vectors, dim, m).localCheckpoint()
+    // deterministic init: slice the k lowest-id VECTORS (a bounded
+    // TakeOrdered on the unexploded table — a window over the full
+    // exploded table would funnel every sub-block's rows into one task
+    // just to pick k seeds)
+    val seeds = vectors.orderBy(col("id").asc).limit(k)
+    val w = Window.partitionBy("sub").orderBy(col("id").asc) // over m·k seed rows only
+    var centroids = subVectors(seeds, dim, m)
+      .withColumn("rn", row_number().over(w))
       .select(col("sub"), (col("rn") - 1).cast("long").as("cid"), col("vector").as("cvector"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
