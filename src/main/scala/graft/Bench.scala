@@ -11,9 +11,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
-    // whichever query happens to run first
+    // untimed warmup: JVM/codegen costs land here, not on whichever query
+    // happens to run first; entry() reads sf0.001, so also touch the
+    // BENCHMARKED dataset's parquet footers
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    Seq("lineitem", "documents", "embeddings", "events").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => () }
+    }
     // SPARK_GRAFT_ONLY=q12,q17 filters queries (local iteration aid).
     // Each query is timed SPARK_GRAFT_REPS times keeping the minimum —
     // default 2: this VM shows 3-4x run-to-run noise on identical plans
@@ -26,29 +30,42 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      if (reps > 1) System.err.println(s"[bench] $name reps: ${times.map(t => f"$t%.2f").mkString(" ")}")
-      name -> times.min
+      if (reps > 1) System.err.println(
+        s"[bench] $name reps: ${times.map { case (t, ok) => f"$t%.2f${if (ok) "" else "(FAIL)"}" }.mkString(" ")}")
+      val good = times.collect { case (t, true) => t }
+      // a failed query must not masquerade as a fast one: sentinel -1
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }.toMap
     // matched-baseline measurement: the reference's only published
     // throughput number is 67.13 vec/s for 5,000 x dim-512 cosine inserts
     // (BASELINE.md); measure the same build end-to-end (datagen excluded,
     // parquet persistence included).
-    val matchedVecsPerSec = {
+    // skipped (sentinel -1) under SPARK_GRAFT_ONLY: local single-query
+    // iteration should not pay 3 dim-512 builds per run
+    val matchedVecsPerSec = if (only.isDefined) -1.0 else {
       val params = graft.hnsw.HnswParams(
         dim = 512, m = 16, efConstruction = 200, metric = "cosine", numPartitions = 16)
       val input = graft.sources.Datagen.gaussianVectors(spark, 5000, 512).cache()
       input.count() // materialize datagen outside the timed window
       // best of 3: same environmental noise as above (identical builds
       // swing 3-4x on this VM); peak throughput is the plan's real cost
-      (1 to 3).map { _ =>
-        val out = java.nio.file.Files.createTempDirectory("bench-idx").toString
+      val best = (1 to 3).map { _ =>
+        val out = java.nio.file.Files.createTempDirectory("bench-idx")
         val t0 = System.nanoTime()
-        graft.hnsw.Hnsw.save(graft.hnsw.Hnsw.build(input, params), out)
-        5000.0 / ((System.nanoTime() - t0) / 1e9)
+        graft.hnsw.Hnsw.save(graft.hnsw.Hnsw.build(input, params), out.toString)
+        val v = 5000.0 / ((System.nanoTime() - t0) / 1e9)
+        // clean the throwaway index (repeated local runs otherwise
+        // accumulate /tmp garbage)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        v
       }.max
+      input.unpersist()
+      best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

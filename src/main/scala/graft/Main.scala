@@ -18,7 +18,7 @@ import graft.sources.Datagen
 object Main {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("--build") // boolean flags
+    val flags = Set("--build", "--serve") // boolean flags
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
@@ -117,7 +117,8 @@ object Main {
       println(
         """usage:
           |  --build [--input PARQUET | --n N --dim D] --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
-          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--out DIR]""".stripMargin)
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--out DIR]
+          |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]""".stripMargin)
     }
   }
 }

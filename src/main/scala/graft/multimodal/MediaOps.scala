@@ -86,9 +86,11 @@ object MediaOps {
     */
   def resizeMeta(media: DataFrame, maxSide: Int): DataFrame = {
     val scale = least(lit(1.0), lit(maxSide.toDouble) / greatest(col("width"), col("height"), lit(1)))
+    // round (truncation could zero a dimension at extreme aspect ratios)
+    // and clamp to >= 1 — a real codec rejects zero-sized frames
     media
-      .withColumn("width", (col("width") * scale).cast("int"))
-      .withColumn("height", (col("height") * scale).cast("int"))
+      .withColumn("width", greatest(round(col("width") * scale).cast("int"), lit(1)))
+      .withColumn("height", greatest(round(col("height") * scale).cast("int"), lit(1)))
   }
 
   /** Fixture: wrap a text table as media rows (utf-8 payload bytes) —
@@ -97,9 +99,9 @@ object MediaOps {
   def fromText(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).cast("long").as("id"),
-      (when(col(idCol) % 3 === 0, "image")
-        .when(col(idCol) % 3 === 1, "audio")
-        .otherwise("video")).as("kind"),
+      (when(pmod(col(idCol), lit(3)) === 0, "image")
+        .when(pmod(col(idCol), lit(3)) === 1, "audio")
+        .otherwise("video")).as("kind"), // pmod: signed % never hits 0/1 for negative ids
       encode(col(textCol), "UTF-8").as("content"),
       (pmod(col(idCol), lit(640)) + 32).cast("int").as("width"),
       (pmod(col(idCol), lit(480)) + 32).cast("int").as("height"),

@@ -30,12 +30,15 @@ object AsOf {
       timeCol: String,
       out: String = "asof_time"): DataFrame = {
     val leftCols = left.columns
-    // tag and align schemas: right rows carry their time as the value to
-    // propagate; at equal times right sorts BEFORE left (inclusive join)
-    val l = left.withColumn("__v", lit(null).cast("long")).withColumn("__is_left", lit(1))
+    // tag and align schemas: right rows carry their time — in its ORIGINAL
+    // type (a cast to long would truncate sub-second timestamps/fractional
+    // times) — as the value to propagate; at equal times right sorts
+    // BEFORE left (inclusive join)
+    val vType = right.schema(timeCol).dataType
+    val l = left.withColumn("__v", lit(null).cast(vType)).withColumn("__is_left", lit(1))
     val r = right.select(
       col(keyCol), col(timeCol),
-      col(timeCol).cast("long").as("__v"), lit(0).as("__is_left"))
+      col(timeCol).as("__v"), lit(0).as("__is_left"))
     val aligned = l.select(
       (Seq(col(keyCol), col(timeCol), col("__v"), col("__is_left")) ++
         leftCols.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)

@@ -25,8 +25,14 @@ object TextStats {
         TextFunctions.LangMarkers.map { case (lang, markers) => hitSum(markers, s"score_$lang") }
     val agg = toks.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
 
-    val withAgg = docs.join(agg, Seq(idCol), "left")
-      .na.fill(0L, "n_stop" +: TextFunctions.LangMarkers.map(t => s"score_${t._1}"))
+    // zero-fill only where text is present: a null text explodes to no
+    // token rows (null agg), and the per-row HOF twins return null there —
+    // an unconditional fill would diverge from them on n_stop
+    val fillCols = "n_stop" +: TextFunctions.LangMarkers.map(t => s"score_${t._1}")
+    val withAgg = fillCols.foldLeft(docs.join(agg, Seq(idCol), "left")) { (df, c) =>
+      df.withColumn(c,
+        when(col(textCol).isNull, col(c)).otherwise(coalesce(col(c), lit(0L))))
+    }
 
     val nTok = TextFunctions.tokenCount(col(textCol)).cast("double")
     val nStop = col("n_stop").cast("double")
@@ -46,5 +52,8 @@ object TextStats {
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
       .withColumn("quality", quality)
       .withColumn("pred_lang", predLang)
+      // internal per-language vote columns stay internal (the documented
+      // output shape is passthrough + n_stop/n_tokens/quality/pred_lang)
+      .drop(TextFunctions.LangMarkers.map(t => s"score_${t._1}"): _*)
   }
 }
