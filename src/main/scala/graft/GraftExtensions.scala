@@ -44,11 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("topk_by_dist"),
       info("topk_by_dist", "topk_by_dist(dist, id, k) - aggregate: k smallest (dist,id) pairs, sorted"),
       (children: Seq[Expression]) => {
+        require(children.length == 3, "topk_by_dist(dist, id, k) takes 3 arguments")
+        require(children(2).foldable, "topk_by_dist: k must be a literal")
         val k = children(2).eval(null) match {
           case i: Int => i
           case l: Long => l.toInt
           case other => throw new IllegalArgumentException(s"k must be an integer literal, got $other")
         }
+        require(k > 0, s"topk_by_dist: k must be positive, got $k")
         TopKByDist(children(0), children(1), k).toAggregateExpression()
       }))
   }

@@ -22,12 +22,13 @@ object Levels {
   def defaultML(m: Int): Double = 1.0 / math.log(math.max(2, m).toDouble)
 
   /** Uniform (0, 1] from an id, bit-exact in any integer-correct engine.
-    * id is reduced mod 2³¹ BEFORE the multiply so the product stays below
-    * 2⁶² for any int64 id (ANSI mode errors on overflow; values are
-    * unchanged for ids < 2³¹).
+    * id is reduced mod 2³¹ (FLOOR mod — signed `%` would go negative for
+    * negative ids, making log(U) NaN/NULL) BEFORE the multiply so the
+    * product stays below 2⁶² for any int64 id (ANSI mode errors on
+    * overflow; values are unchanged for non-negative ids < 2³¹).
     */
   def uniformFromId(id: Column): Column =
-    (((id % lit(Mod)) * lit(KnuthMul)) % lit(Mod) + lit(1L)).cast("double") / lit(Mod.toDouble)
+    ((pmod(id, lit(Mod)) * lit(KnuthMul)) % lit(Mod) + lit(1L)).cast("double") / lit(Mod.toDouble)
 
   /** Level column: floor(−ln(U)·mL), as int. */
   def levelFor(id: Column, mL: Double): Column =
@@ -35,11 +36,13 @@ object Levels {
 
   /** Plain-Scala twin for the partition-local builder. */
   def levelForLocal(id: Long, mL: Double): Int = {
-    val u = (((id % Mod) * KnuthMul) % Mod + 1).toDouble / Mod.toDouble
+    val u = ((java.lang.Math.floorMod(id, Mod) * KnuthMul) % Mod + 1).toDouble / Mod.toDouble
     math.floor(-math.log(u) * mL).toInt
   }
 
-  /** DuckDB SQL fragment computing the identical level for oracle checks. */
+  /** DuckDB SQL fragment computing the identical level for oracle checks
+    * (the inner `% + Mod) %` is floor-mod, matching Spark's pmod).
+    */
   def levelSql(idExpr: String, mL: Double): String =
-    s"CAST(floor(-ln(((($idExpr % $Mod) * $KnuthMul) % $Mod + 1) / $Mod.0) * $mL) AS INT)"
+    s"CAST(floor(-ln((((($idExpr % $Mod + $Mod) % $Mod) * $KnuthMul) % $Mod + 1) / $Mod.0) * $mL) AS INT)"
 }

@@ -5,7 +5,6 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Distances, Levels}
@@ -80,6 +79,9 @@ object Hnsw {
       .select(col("id"), col("vector").cast("array<float>").as("vector"),
         col("level"), col("tombstone"), col("pid"))
       .as[NodeRow]
+      // shared by the edge-build pass and metaFor; OWNERSHIP: the cache
+      // lives with the returned index — long-lived sessions building many
+      // throwaway indexes should index.nodes.unpersist() when done
       .cache()
 
     // One group per pid (an explicit groupByKey, NOT repartition(p, pid):
@@ -101,13 +103,16 @@ object Hnsw {
 
   /** Entry point = lowest id among the highest-level live nodes (reference
     * B6 maintenance, recomputed relationally: ORDER BY level DESC, id ASC).
+    * An empty input yields the empty-index sentinel (entry −1, layer −1) —
+    * searches over it return no rows, mirroring the reference's
+    * empty-index → [] behavior — instead of crashing the build.
     */
   private def metaFor(nodes: DataFrame, params: HnswParams, p: Int): IndexMeta = {
     val top = nodes.filter(!col("tombstone"))
-      .orderBy(col("level").desc, col("id").asc).select("id", "level").head()
+      .orderBy(col("level").desc, col("id").asc).select("id", "level").limit(1).collect()
+    val (ep, ml) = top.headOption.map(r => (r.getLong(0), r.getInt(1))).getOrElse((-1L, -1))
     IndexMeta(params.dim, params.m, params.maxM0Resolved, params.efConstruction,
-      params.efSearch, params.mLResolved, params.metric,
-      top.getLong(0), top.getInt(1), p)
+      params.efSearch, params.mLResolved, params.metric, ep, ml, p)
   }
 
   // ---- persistence (reference P1/P2, `hsnw_trial.py:310-376`) ----
@@ -232,12 +237,17 @@ object Hnsw {
                     k: Int, ef: Int = -1): DataFrame =
     rankTopK(perPartFor(index, qArr, k, ef)._1, k)
 
-  private def rankTopK(perPart: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("dist").asc, col("id").asc)
-    perPart.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "id", "dist")
-  }
+  /** Global per-query top-k over the per-partition candidates via the
+    * bounded-heap partial aggregate — shuffle O(q·k), not a full window
+    * sort of the q·k·P candidate set. Deterministic (dist asc, id asc),
+    * bit-identical to the window form (equivalence spec-tested for Knn).
+    */
+  private def rankTopK(perPart: DataFrame, k: Int): DataFrame =
+    perPart.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
 
   /** Per-partition sub-graph search for one broadcast chunk: cogroup nodes
     * and edges by pid, rebuild each sub-graph, emit (qid, id, dist)

@@ -207,6 +207,27 @@ final class LocalHnsw(
       .toArray
   }
 
+  /** Sort every neighbor list by (distance to the owning node, id).
+    * Persisted edge rows arrive in SHUFFLE order when a sub-graph is
+    * rebuilt, and best-first search outcomes depend on neighbor scan order
+    * (a candidate pruned from the kept heap is also never enqueued on the
+    * frontier) — normalizing makes query results reproducible run-to-run
+    * on the same index.
+    */
+  def normalizeAdjacency(): Unit =
+    graph.foreach { case (src, layers) =>
+      val sv = vectors(src)
+      layers.foreach { nbrs =>
+        if (nbrs.length > 1) {
+          val sorted = nbrs
+            .map(d => (vectors.get(d).map(distFn(sv, _)).getOrElse(Double.MaxValue), d))
+            .sortBy(identity).map(_._2)
+          nbrs.clear()
+          nbrs ++= sorted
+        }
+      }
+    }
+
   /** Flatten the adjacency to (src, layer, dst) rows. */
   def edges: Iterator[(Long, Int, Long)] =
     graph.iterator.flatMap { case (src, layers) =>
@@ -242,6 +263,7 @@ object LocalHnsw {
       val layers = idx.graph(src)
       if (layer < layers.length) layers(layer) += dst
     }
+    idx.normalizeAdjacency()
     idx
   }
 }

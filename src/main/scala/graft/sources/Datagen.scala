@@ -14,12 +14,16 @@ object Datagen {
   /** n gaussian vectors of the given dim: (id: long, vector: array<float>). */
   def gaussianVectors(spark: SparkSession, n: Long, dim: Int, seed: Long = 42L,
                       numPartitions: Int = 32): DataFrame = {
-    // rand/randn are seeded per-column; using seed+i per dimension keeps the
-    // table deterministic for a fixed partition count, which is all the
-    // reference's seeded RNG guaranteed too (insertion-order determinism).
+    // rand/randn are seeded per-column; per-dimension seeds are strided by
+    // a large prime because Spark initializes each partition's RNG with
+    // (columnSeed + partitionIndex) — consecutive seeds (seed + i) would
+    // make dimension i of partition p share the exact random stream with
+    // dimension i+1 of partition p-1 (shifted-duplicate coordinates, far
+    // from iid). Deterministic for a fixed partition count, which is all
+    // the reference's seeded RNG guaranteed too.
     spark.range(0, n, 1, numPartitions)
       .select(col("id"),
-        array((0 until dim).map(i => randn(seed + i).cast("float")): _*).as("vector"))
+        array((0 until dim).map(i => randn(seed + i * 1000003L).cast("float")): _*).as("vector"))
   }
 
   /** Deterministic id-hash-based vectors: reproducible across ANY partition

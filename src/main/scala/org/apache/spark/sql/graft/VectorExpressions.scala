@@ -37,6 +37,22 @@ abstract class VectorFoldExpression extends BinaryExpression with ExpectsInputTy
   @inline protected final def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
+  /** Mismatched lengths would read the shorter array out of bounds
+    * (UnsafeArrayData has no bounds check — garbage values, not an error)
+    * — reject them, mirroring the reference's dimension validation (F6).
+    */
+  @inline protected final def checkLengths(x: ArrayData, y: ArrayData): Unit =
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"$prettyName: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+
+  /** Codegen twin of [[checkLengths]]. */
+  protected def lengthCheckCode(a: String, b: String): String =
+    s"""if ($a.numElements() != $b.numElements()) {
+       |  throw new IllegalArgumentException("$prettyName: dimension mismatch ("
+       |    + $a.numElements() + " vs " + $b.numElements() + ")");
+       |}""".stripMargin
+
   /** Java accessor snippet for codegen. */
   protected def getter(arrVar: String, e: Expression, iVar: String): String =
     if (elemIsFloat(e)) s"(double) $arrVar.getFloat($iVar)" else s"$arrVar.getDouble($iVar)"
@@ -48,6 +64,7 @@ case class VectorSqDist(left: Expression, right: Expression) extends VectorFoldE
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    checkLengths(x, y)
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     var acc = 0.0
     var i = 0
@@ -61,6 +78,7 @@ case class VectorSqDist(left: Expression, right: Expression) extends VectorFoldE
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
       s"""
+         |${lengthCheckCode(a, b)}
          |int ${i}n = $a.numElements();
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < ${i}n; $i++) {
@@ -81,6 +99,7 @@ case class VectorDot(left: Expression, right: Expression) extends VectorFoldExpr
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    checkLengths(x, y)
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     var acc = 0.0
     var i = 0
@@ -93,6 +112,7 @@ case class VectorDot(left: Expression, right: Expression) extends VectorFoldExpr
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       s"""
+         |${lengthCheckCode(a, b)}
          |int ${i}n = $a.numElements();
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < ${i}n; $i++) {
@@ -116,6 +136,7 @@ case class VectorCosineDistance(left: Expression, right: Expression) extends Vec
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    checkLengths(x, y)
     val (lf, rf) = (elemIsFloat(left), elemIsFloat(right))
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -135,6 +156,7 @@ case class VectorCosineDistance(left: Expression, right: Expression) extends Vec
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
+         |${lengthCheckCode(a, b)}
          |int ${i}n = $a.numElements();
          |double ${ev.value}Dot = 0.0;
          |double ${ev.value}Na = 0.0;

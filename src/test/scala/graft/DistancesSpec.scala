@@ -106,6 +106,16 @@ class DistancesSpec extends SparkSpec {
     assert(langs.toSeq === Seq("en", "de", "und"))
   }
 
+  test("mismatched vector dimensions raise instead of reading out of bounds") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f))).toDF("a", "b")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).toSeq
+    val e = intercept[Exception] { df.select(Distances.l2($"a", $"b")).collect() }
+    assert(chain(e).exists(m => m != null && m.contains("dimension mismatch")), chain(e).toString)
+    val e2 = intercept[Exception] { df.select(Distances.cosine($"a", $"b")).collect() }
+    assert(chain(e2).exists(m => m != null && m.contains("dimension mismatch")))
+  }
+
   test("char shingles, stopword count, cosine similarity, token-array simhash") {
     val df = Seq(("abcde", "the cat of doom")).toDF("a", "b")
     val row = df.select(

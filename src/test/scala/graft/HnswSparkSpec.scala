@@ -82,6 +82,23 @@ class HnswSparkSpec extends SparkSpec {
     assert(crossCount > 0, "no cross-partition links created")
   }
 
+  test("empty input builds the empty-index sentinel; queries over it return no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vector")
+    val idx = Hnsw.build(empty, params)
+    assert(idx.meta.entry_point === -1L && idx.meta.max_layer === -1)
+    val q = Seq((0L, Array.fill(64)(0f))).toDF("qid", "vector")
+    assert(Hnsw.annQuery(idx, q, 3).collect().isEmpty)
+  }
+
+  test("ann query is reproducible run-to-run on the same index (normalized adjacency)") {
+    val queries = input.filter(col("id") % 60 === 0).select(col("id").as("qid"), col("vector"))
+    val a = Hnsw.annQuery(index, queries, k = 10).collect().map(_.toSeq).toSet
+    val b = Hnsw.annQuery(index, queries, k = 10).collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("chunked query broadcast: many small chunks return exactly the single-chunk result") {
     val queries = input.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
     val oneChunk = Hnsw.annQuery(index, queries, k = 5).collect().map(_.toSeq).toSet
