@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Lifecycle helper for eager `localCheckpoint()` materializations.
+  *
+  * Several operators ([[Dedup.lshCandidatePairs]], [[Dedup.dupClusters]],
+  * [[Ivf.kmeansFit]], [[Pq.pqFit]]) eagerly localCheckpoint intermediate
+  * frames — the checkpoint truncates lineage and stops self-joins /
+  * iterative loops from recomputing the dominant subtree per consumer.
+  * The cost: those operators run cluster jobs at CONSTRUCTION time (even
+  * under EXPLAIN), and each checkpoint pins executor storage blocks until
+  * freed. Inside training/propagation loops only the LATEST checkpoint is
+  * live — superseded iterations are released here so a long session never
+  * accumulates per-iteration blocks.
+  *
+  * A localCheckpoint has no lineage to recompute from: only unpersist a
+  * frame once nothing returned to the caller can reference it.
+  */
+private[graft] object Checkpoints {
+
+  /** Free the executor blocks behind an eagerly localCheckpointed frame
+    * that has been superseded. No-op for frames that are not a direct
+    * checkpoint scan (safety: never unpersists through derived plans).
+    */
+  def unpersist(df: Dataset[_]): Unit = df.queryExecution.analyzed match {
+    case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+    case _             => ()
+  }
+}

@@ -74,6 +74,12 @@ object Dedup {
     * dropped (standard LSH practice — such mega-clusters are found by the
     * exact-dup pass instead). The count is a window over the same
     * (band, band_val) partitioning the join shuffles on.
+    *
+    * NOTE: this operator is EAGER — the localCheckpoint runs cluster jobs
+    * at construction time (even under EXPLAIN), and its blocks stay pinned
+    * for the lifetime of the returned DataFrame (a localCheckpoint cannot
+    * be recomputed, so it is never freed automatically; see
+    * [[Checkpoints]]).
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, h: Int = 4, rows: Int = 2,
                         maxBandSize: Int = Int.MaxValue): DataFrame = {
@@ -132,11 +138,35 @@ object Dedup {
       .filter(col("n_shared") >= minOverlap)
   }
 
+  /** `maxDf` guards the hot-shingle pair blowup — the q12/`maxBandSize`
+    * problem in its exact-Jaccard form: the self-join on `shingle` emits B²
+    * intersection rows for a shingle shared by B documents, so one
+    * ubiquitous stop-shingle ("of the and") in 10⁶ docs would emit 10¹²
+    * join rows before `minJaccard` ever runs. Shingles with document
+    * frequency above the cap are dropped BEFORE the join (standard
+    * practice — ubiquitous shingles carry no Jaccard signal), and the
+    * per-doc set sizes are computed on the SAME capped set so the
+    * inclusion–exclusion union stays consistent: the result is the exact
+    * Jaccard over the non-ubiquitous shingle universe. The df count is a
+    * window over the same `shingle` partitioning the join shuffles on.
+    * Default = no cap (small-corpus exact semantics).
+    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = explodedShingles(docs, idCol, textCol, n)
+                        n: Int = 3, minJaccard: Double = 0.0,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
+    val shAll = explodedShingles(docs, idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
       .distinct()
+    val capped =
+      if (maxDf == Int.MaxValue) shAll
+      else shAll
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+    // eager materialization (same shape as lshCandidatePairs): the capped
+    // shingle set feeds the size aggregate AND both self-join sides —
+    // unmaterialized, the explode+distinct subtree would run three times
+    val sh = capped.localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -242,25 +272,35 @@ object Dedup {
     val vertices = docs.select(col(idCol).as("id"))
       .union(sym.select(col("src").as("id")))
       .distinct()
-    var labels = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var checkpointed = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var labels = checkpointed
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("ncomp"))
+      // prev rides along into the checkpoint so convergence is a plain
+      // filter over the materialized blocks — no separate join job per round
       val prop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jumping: follow the label one more hop (comp's own comp is
       // always <= comp, so this only ever tightens)
       val next = prop
         .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
-        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        .select(col("id"), col("prev"), coalesce(col("comp2"), col("comp")).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      Checkpoints.unpersist(checkpointed) // superseded — next is materialized
+      checkpointed = next
+      labels = next.select("id", "comp")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"dupClusters hit maxIter=$maxIter before converging — " +
+          "component labels may be split; raise maxIter for deep pair graphs")
+    Checkpoints.unpersist(sym) // the output below reads only `labels`
     // drop relay-only vertices and remap each component to its minimum DOC
     // id (a relay could otherwise win the min and leak a non-doc id)
     val docLabels = labels.join(docs.select(col(idCol).as("id")), "id")

@@ -46,10 +46,14 @@ object Ivf {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cvector"))
+      val superseded = centroids
       centroids = centroids.select(col("cid"), col("cvector").as("prev"))
         .join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("cvector"), col("prev")).as("cvector"))
         .localCheckpoint()
+      // the new checkpoint is materialized; the previous iteration's blocks
+      // are unreachable — free them (only the LATEST centroids stay pinned)
+      Checkpoints.unpersist(superseded)
     }
     centroids
   }

@@ -65,11 +65,16 @@ object Pq {
         .groupBy(col("sub"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
           s => s.getField("mn")).as("cvector"))
+      val superseded = centroids
       centroids = centroids.select(col("sub"), col("cid"), col("cvector").as("prev"))
         .join(means, Seq("sub", "cid"), "left")
         .select(col("sub"), col("cid"), coalesce(col("cvector"), col("prev")).as("cvector"))
         .localCheckpoint()
+      // previous iteration's centroid blocks are unreachable — free them
+      Checkpoints.unpersist(superseded)
     }
+    // training is done: the slice table was only read by the loop above
+    Checkpoints.unpersist(subs)
     centroids
   }
 

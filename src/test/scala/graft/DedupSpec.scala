@@ -46,6 +46,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("ngram jaccard maxDf cap: one hot shingle no longer emits B² pairs; rare-shingle pairs survive") {
+    // 10 docs share ONE ubiquitous shingle ("hot hot hot") and nothing else;
+    // two more docs share only rare shingles (a genuine near-dup pair)
+    val hot = (0L until 10L).map(i => (i, s"hot hot hot u$i v$i w$i"))
+    val rare = Seq((100L, "rare alpha beta gamma delta"), (101L, "rare alpha beta gamma other"))
+    val d = (hot ++ rare).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 < 100L) === 45, "without the cap the hot shingle emits all B(B-1)/2 pairs")
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, maxDf = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 < 100L), "hot-shingle-only pairs must be gone under the cap")
+    assert(capped.contains((100L, 101L)), "rare-shingle pairs must survive the cap")
+  }
+
   test("simhash of identical docs is equal; hamming distance to near-dup is small") {
     val sh = docs.select($"doc_id", Dedup.simhash($"text", 16).as("sh")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
