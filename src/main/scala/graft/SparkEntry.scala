@@ -212,9 +212,12 @@ object SparkEntry {
         .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
     }),
 
-    // ---- exact n-gram Jaccard over shingle-sharing pairs ----
+    // ---- exact n-gram Jaccard over shingle-sharing pairs; maxDf drops
+    //      ubiquitous stop-shingles before the self-join (the hot-shingle
+    //      B² guard — mirrored in the oracle) ----
     "q13_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", n = 3, minJaccard = 0.2)),
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.2, maxDf = 5)),
 
     // ---- language-ID heuristic (relational scale form) ----
     "q14_langid" -> ((s, dir) =>
@@ -466,10 +469,13 @@ object SparkEntry {
         .agg(avg(col("recall")).as("avg_recall"), count(lit(1)).as("n_queries"))
     }),
 
-    // ---- §7.4.1c: cross-partition merge into one navigable graph (rows-only) ----
+    // ---- §7.4.1c: cross-partition merge into one navigable graph,
+    //      re-sharded for distributed queries (rows-only). Stats are over
+    //      LOGICAL edges (each edge is duplicated to both endpoints'
+    //      query shards — dedup before counting). ----
     "hnsw_merge_stats" -> ((s, dir) => {
       val merged = graft.hnsw.HnswMerge.merge(builtIndex(s, dir), level0SampleMod = 8)
-      merged.edges.groupBy("layer").agg(
+      merged.edges.select("src", "layer", "dst").distinct().groupBy("layer").agg(
         count(lit(1)).as("n_edges"),
         sum(when(pmod(col("src"), lit(8L)) =!= pmod(col("dst"), lit(8L)), 1L).otherwise(0L))
           .as("n_cross_partition")).orderBy("layer")
@@ -661,7 +667,10 @@ object SparkEntry {
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},
-           |sh AS (SELECT DISTINCT doc_id AS id, shingle FROM shingles),
+           |shd AS (SELECT DISTINCT doc_id AS id, shingle FROM shingles),
+           |sh AS (SELECT id, shingle FROM (
+           |  SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+           |  FROM shd) WHERE df <= 5),
            |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
            |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
            |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2)

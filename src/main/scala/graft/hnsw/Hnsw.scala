@@ -290,6 +290,30 @@ object Hnsw {
     index.copy(nodes = nodes)
   }
 
+  /** Delete with a per-id outcome report — reference M1 parity: the
+    * reference's `delete` returns False for out-of-bounds or
+    * already-deleted ids (`hsnw_trial.py:296-305`); the distributed twin
+    * reports the same outcome relationally. One row per REQUESTED id:
+    * (id, deleted, status) with status ∈ {deleted, already_deleted,
+    * not_found}. The lookup filters the node table down to the requested
+    * ids (pushed to the scan) and broadcasts that bounded slice against
+    * the request list — never a full-table collect.
+    */
+  def deleteWithReport(index: HnswIndex, ids: Seq[Long]): (HnswIndex, DataFrame) = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val req = ids.toDF("id")
+    val present = index.nodes.filter(col("id").isin(ids: _*))
+      .select(col("id"), col("tombstone"))
+    val report = req.join(broadcast(present), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(!col("tombstone"), lit(false)).as("deleted"),
+        when(col("tombstone").isNull, lit("not_found"))
+          .when(col("tombstone"), lit("already_deleted"))
+          .otherwise(lit("deleted")).as("status"))
+    (delete(index, ids), report)
+  }
+
   /** Rebuild from live rows only (reference `rebuild`, `hsnw_trial.py:381-389`). */
   def rebuild(index: HnswIndex, params: HnswParams): HnswIndex =
     build(index.nodes.filter(!col("tombstone")).select("id", "vector"), params)

@@ -1,6 +1,6 @@
 package graft.hnsw
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.TopKAggregate
 
@@ -23,19 +23,35 @@ import graft.operators.Ivf
   * on the probed cell id, and nothing is broadcast but the centroids. So
   * the candidate volume is O(B · nprobe · cellSize), never B×B, and no
   * side has to fit in driver or broadcast memory.
+  *
+  * The merged artifact stays DISTRIBUTED at query time: the single logical
+  * graph is re-sharded into `numShards` self-contained query shards (each
+  * node homed at `id % numShards`; every merged edge duplicated to both
+  * endpoints' shards; foreign endpoints carried as tombstoned GHOST copies
+  * so search routes through them but only home nodes surface — the same
+  * route-through-but-exclude mechanism tombstone deletes use). `annQuery`
+  * cogroups by pid as usual, so no task ever rebuilds more than one shard
+  * (~n/numShards home nodes + its ghost fringe) — the merged graph is
+  * never a single-task rebuild. Duplication cost is bounded: ≤ 2× edges,
+  * and each node ghosts into at most min(degree, numShards−1) foreign
+  * shards — the knob trades query parallelism against ghost-fringe
+  * storage.
   */
 object HnswMerge {
 
-  /** Returns a merged single-graph index: same nodes (pid collapsed to 0),
-    * edges spanning partitions, degree caps respected.
+  /** Returns a merged-graph index re-sharded for distributed queries: one
+    * logical graph, edges spanning the original build partitions, degree
+    * caps respected, nodes+edges split into self-contained query shards.
     *
     * @param centroidMod IVF centroids = boundary nodes with id ≡ 0 (mod
     *                    this); falls back to the lowest-id boundary node if
     *                    the sample is empty.
     * @param nprobe      probed cells per boundary node for the candidate kNN
+    * @param numShards   query shards of the merged graph (≤ 0 → keep the
+    *                    input index's partition count)
     */
   def merge(index: HnswIndex, level0SampleMod: Int = 16,
-            centroidMod: Int = 64, nprobe: Int = 4): HnswIndex = {
+            centroidMod: Int = 64, nprobe: Int = 4, numShards: Int = -1): HnswIndex = {
     val m = index.meta
     val dist = Distances.metric(m.metric)
     val nodes = index.nodes
@@ -88,11 +104,35 @@ object HnswMerge {
       .agg(TopKAggregate.topKByDist(col("dist"), col("dst"), m.max_m0).as("top"))
       .select(col("src"), col("layer"), posexplode(col("top")).as(Seq("pos", "entry")))
       .filter(col("layer") === 0 || col("pos") < m.m) // M above layer 0, max_m0 at layer 0
-      .select(lit(0).as("pid"), col("src"), col("layer"), col("entry.id").as("dst"))
+      .select(col("src"), col("layer"), col("entry.id").as("dst"))
+
+    // ---- re-shard the single logical graph into query shards ----
+    // Every merged edge lands in BOTH endpoints' shards, so a shard's
+    // sub-graph keeps 2-hop routing through foreign nodes; foreign
+    // endpoints ride along as tombstoned ghost copies (search navigates
+    // through them, results surface only from a node's home shard — no
+    // duplicate ids in the global top-k merge).
+    val p = if (numShards > 0) numShards else math.max(1, index.meta.num_partitions)
+    val shardOf = (c: Column) => pmod(c, lit(p.toLong)).cast("int")
+    val bySrc = pruned.select(shardOf(col("src")).as("pid"), col("src"), col("layer"), col("dst"))
+    val byDst = pruned
+      .filter(shardOf(col("src")) =!= shardOf(col("dst")))
+      .select(shardOf(col("dst")).as("pid"), col("src"), col("layer"), col("dst"))
+    val shardEdges = bySrc.union(byDst)
+
+    val homeNodes = nodes.withColumn("pid", shardOf(col("id")))
+      .select("id", "vector", "level", "tombstone", "pid")
+    val ghostIds = shardEdges.select(col("pid"), col("src").as("id"))
+      .union(shardEdges.select(col("pid"), col("dst").as("id")))
+      .distinct()
+      .join(homeNodes.select("pid", "id"), Seq("pid", "id"), "left_anti")
+    val ghosts = ghostIds
+      .join(nodes.select(col("id"), col("vector"), col("level")), "id")
+      .select(col("id"), col("vector"), col("level"), lit(true).as("tombstone"), col("pid"))
 
     HnswIndex(
-      nodes.withColumn("pid", lit(0)),
-      pruned,
-      m.copy(num_partitions = 1))
+      homeNodes.union(ghosts),
+      shardEdges,
+      m.copy(num_partitions = p))
   }
 }

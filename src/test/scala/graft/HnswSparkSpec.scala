@@ -61,22 +61,35 @@ class HnswSparkSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("cross-partition merge yields one navigable graph with high recall") {
+  test("cross-partition merge yields one navigable graph, sharded for distributed queries") {
     val merged = graft.hnsw.HnswMerge.merge(index, level0SampleMod = 4)
-    // caps respected after relational prune
-    val over = merged.edges.groupBy("src", "layer").count()
+    // caps respected after relational prune (LOGICAL edges — each edge is
+    // duplicated to both endpoints' shards, so dedup before counting)
+    val over = merged.edges.select("src", "layer", "dst").distinct()
+      .groupBy("src", "layer").count()
       .filter((col("layer") === 0 && col("count") > params.maxM0Resolved) ||
               (col("layer") > 0 && col("count") > params.m)).count()
     assert(over === 0)
-    // merged graph is queryable as ONE partition with decent recall
+    // the merged graph stays DISTRIBUTED: >1 query shard, never a
+    // single-task whole-graph rebuild
+    assert(merged.meta.num_partitions > 1)
+    assert(merged.nodes.select("pid").distinct().count() > 1)
+    // each id is HOME (non-ghost) in exactly one shard → no duplicate
+    // result candidates across shards
+    val maxHomes = merged.nodes.filter(!col("tombstone"))
+      .groupBy("id").count().agg(max("count")).head().getLong(0)
+    assert(maxHomes === 1L)
+    // merged graph is queryable across shards with decent recall
     val queries = input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
     val ann = Hnsw.annQuery(merged, queries, k = 10)
+    val dupIds = ann.groupBy("qid", "id").count().filter(col("count") > 1).count()
+    assert(dupIds === 0, "ghost copies must never surface as duplicate results")
     val exact = Knn.exactTopK(
       input, input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector")),
       10, Distances.l2)
     val recall = Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
     assert(recall >= 0.8, s"merged-graph recall@10 $recall")
-    // edges actually span build partitions (pid collapsed; check src/dst mix)
+    // edges actually span build partitions (check src/dst mix)
     val crossCount = merged.edges
       .filter(pmod(col("src"), lit(4)) =!= pmod(col("dst"), lit(4))).count()
     assert(crossCount > 0, "no cross-partition links created")
@@ -111,6 +124,20 @@ class HnswSparkSpec extends SparkSpec {
     val spilled = Hnsw.annQuery(index, queries, k = 5, queryBatchSize = 2,
       spillPath = Some(spill)).collect().map(_.toSeq).toSet
     assert(spilled === oneChunk)
+  }
+
+  test("delete report: unknown ids report not_found, repeats report already_deleted (hsnw_trial.py:296-305)") {
+    val (deleted, report) = Hnsw.deleteWithReport(index, Seq(0L, 8L, 999999L))
+    val byId = report.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(byId(0L) === (true, "deleted"))
+    assert(byId(8L) === (true, "deleted"))
+    assert(byId(999999L) === (false, "not_found"))
+    // a second delete of the same ids reports already_deleted, like the
+    // reference returning False on a repeat delete
+    val (_, again) = Hnsw.deleteWithReport(deleted, Seq(8L, 999999L))
+    val byId2 = again.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(byId2(8L) === (false, "already_deleted"))
+    assert(byId2(999999L) === (false, "not_found"))
   }
 
   test("tombstoned ids are excluded from ann results; rebuild drops them") {
