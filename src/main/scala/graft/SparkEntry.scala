@@ -488,6 +488,15 @@ object SparkEntry {
       Hnsw.annQuery(idx, queries, k = 10)
     }),
 
+    // ---- Q1b at scale: distributed batch ANN with no driver round-trip
+    //      (query table replicated to shards, one shuffle; rows-only —
+    //      spec-asserted bit-equal to annQuery) ----
+    "hnsw_ann_topk_large" -> ((s, dir) => {
+      val idx = builtIndex(s, dir)
+      val queries = idx.nodes.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      Hnsw.annQueryLarge(idx, queries, k = 10)
+    }),
+
     // ---- D8: recall@k of ANN vs exact oracle (rows-only; the reference's declared-but-missing eval) ----
     "hnsw_recall" -> ((s, dir) => {
       val idx = builtIndex(s, dir)

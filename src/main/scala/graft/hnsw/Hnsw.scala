@@ -44,6 +44,14 @@ case class IndexMeta(
 /** A built index: distributed node + edge tables plus small meta. */
 case class HnswIndex(nodes: DataFrame, edges: DataFrame, meta: IndexMeta)
 
+/** Tagged-union row shipping nodes (kind 0), edges (kind 1) and replicated
+  * queries (kind 2) to each shard in ONE shuffle — the carrier of
+  * [[Hnsw.annQueryLarge]]'s driver-free query path. Sorted arrival by
+  * (kind, id) lets one pass build the sub-graph and then stream queries.
+  */
+case class AnnUnionRow(pid: Int, kind: Int, id: Long, vector: Array[Float],
+                       level: Int, tombstone: Boolean, layer: Int, dst: Long)
+
 /** Distributed HNSW: partition-parallel batch build, persistence, batch ANN
   * query, tombstone delete and rebuild (SURVEY.md §7.4).
   *
@@ -225,6 +233,71 @@ object Hnsw {
         }
         spillPath.map(spark.read.parquet(_)).getOrElse(acc.reduce(_ union _))
       }
+    rankTopK(perPart, k)
+  }
+
+  /** Distributed batch ANN with NO driver round-trip — the large-query-set
+    * twin of [[annQuery]] (which streams the query set through the driver
+    * in bounded chunks and re-scans the index per chunk). Here the query
+    * table stays distributed: each query row is replicated to every shard
+    * (`explode(sequence(0, P−1))`), unioned with the node and edge tables
+    * into one tagged stream, and shuffled ONCE by pid. Each task receives
+    * its shard sorted by (kind, id) — nodes first, then edges, then
+    * queries — so it rebuilds exactly one sub-graph and then streams the
+    * replicated queries through it; the global per-query top-k is the same
+    * bounded-heap partial aggregate as [[annQuery]]. Shuffle volume
+    * O(nodes + edges + q·P) in, O(q·k·P) out; driver memory O(1); the
+    * index is scanned exactly once however large the query set is.
+    * Bit-identical to [[annQuery]] on the same inputs (spec-asserted).
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryLarge(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1): DataFrame = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val m = index.meta
+    val efUsed = math.max(if (ef > 0) ef else m.ef_search, k)
+    val p = math.max(1, m.num_partitions)
+    val nodesU = index.nodes.select(
+      col("pid").cast("int").as("pid"), lit(0).as("kind"), col("id").cast("long").as("id"),
+      col("vector").cast("array<float>").as("vector"), col("level"), col("tombstone"),
+      lit(0).as("layer"), lit(0L).as("dst"))
+    val edgesU = index.edges.select(
+      col("pid").cast("int").as("pid"), lit(1).as("kind"), col("src").cast("long").as("id"),
+      lit(null).cast("array<float>").as("vector"), lit(0).as("level"), lit(false).as("tombstone"),
+      col("layer"), col("dst"))
+    val queriesU = queries
+      .select(col("qid").cast("long"), col("vector").cast("array<float>").as("vector"))
+      .select(explode(sequence(lit(0), lit(p - 1))).as("pid"), lit(2).as("kind"),
+        col("qid").as("id"), col("vector"), lit(0).as("level"), lit(false).as("tombstone"),
+        lit(0).as("layer"), lit(0L).as("dst"))
+    val perPart = nodesU.union(edgesU).union(queriesU).as[AnnUnionRow]
+      .groupByKey(_.pid)
+      .flatMapSortedGroups(col("kind"), col("id")) { (_, rows) =>
+        val it = rows.buffered
+        val tomb = scala.collection.mutable.HashSet.empty[Long]
+        // lazy slices of the sorted stream: fromRows consumes nodes fully
+        // before touching edges, matching the (kind, id) sort order
+        val nodeRows = new Iterator[(Long, Array[Float], Int)] {
+          def hasNext: Boolean = it.hasNext && it.head.kind == 0
+          def next(): (Long, Array[Float], Int) = {
+            val n = it.next()
+            if (n.tombstone) tomb += n.id
+            (n.id, n.vector, n.level)
+          }
+        }
+        val edgeRows = new Iterator[(Long, Int, Long)] {
+          def hasNext: Boolean = it.hasNext && it.head.kind == 1
+          def next(): (Long, Int, Long) = { val e = it.next(); (e.id, e.layer, e.dst) }
+        }
+        val idx = LocalHnsw.fromRows(m.dim, m.m, m.max_m0, m.ef_construction, m.metric,
+          nodeRows, edgeRows)
+        if (idx.size == 0) Iterator.empty
+        else it.flatMap { q =>
+          idx.search(q.vector, k, efUsed, tomb.contains)
+            .iterator.map { case (id, dist) => (q.id, id, dist) }
+        }
+      }
+      .toDF("qid", "id", "dist")
     rankTopK(perPart, k)
   }
 

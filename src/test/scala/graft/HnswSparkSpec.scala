@@ -126,6 +126,20 @@ class HnswSparkSpec extends SparkSpec {
     assert(spilled === oneChunk)
   }
 
+  test("annQueryLarge (no driver round-trip) is bit-equal to annQuery, including on a deleted index") {
+    val queries = input.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
+    val small = Hnsw.annQuery(index, queries, k = 7).collect().map(_.toSeq).toSet
+    val large = Hnsw.annQueryLarge(index, queries, k = 7).collect().map(_.toSeq).toSet
+    assert(large === small)
+    assert(small.nonEmpty)
+    // tombstones flow through the distributed path identically
+    val del = Hnsw.delete(index, Seq(0L, 40L))
+    val a = Hnsw.annQuery(del, queries, k = 7).collect().map(_.toSeq).toSet
+    val b = Hnsw.annQueryLarge(del, queries, k = 7).collect().map(_.toSeq).toSet
+    assert(b === a)
+    assert(!b.exists(r => r(2) == 0L || r(2) == 40L))
+  }
+
   test("delete report: unknown ids report not_found, repeats report already_deleted (hsnw_trial.py:296-305)") {
     val (deleted, report) = Hnsw.deleteWithReport(index, Seq(0L, 8L, 999999L))
     val byId = report.collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
