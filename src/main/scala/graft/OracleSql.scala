@@ -58,6 +58,16 @@ object OracleSql {
     }.mkString(" + ")
   }
 
+  /** Integer value of the first `nChars` md5 hex chars of an expression —
+    * DuckDB twin of `conv(substring(md5(x), 1, nChars), 16, 10)` (Horner
+    * chain over strpos-decoded hex digits; exact integer arithmetic).
+    */
+  def md5PrefixValueSql(expr: String, nChars: Int): String = {
+    val digit = (p: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5($expr), $p, 1)) - 1)"
+    s"CAST(${(2 to nChars).foldLeft(digit(1))((acc, p) => s"($acc * 16 + ${digit(p)})")} AS BIGINT)"
+  }
+
   /** MinHash aggregate for seed s over column `shingle`. */
   def minhashSql(seed: Int): String = s"min(md5(concat('s$seed|', shingle)))"
 

@@ -635,9 +635,7 @@ object SparkEntry {
            |SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id""".stripMargin,
 
       "q41_full_pipeline" -> {
-        val hexIdx = (p: Int) =>
-          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
-        val hv = s"(((${hexIdx(1)} * 16 + ${hexIdx(2)}) * 16 + ${hexIdx(3)}) * 16 + ${hexIdx(4)})"
+        val hv = md5PrefixValueSql("CAST(doc_id AS VARCHAR)", 8)
         s"""WITH ${shingleCte(3)},
            |sh AS (SELECT DISTINCT doc_id, shingle FROM shingles),
            |bs AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
@@ -665,9 +663,7 @@ object SparkEntry {
            |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
 
       "q40_stratified_sample" -> {
-        val hexIdx = (p: Int) =>
-          s"(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), $p, 1)) - 1)"
-        val hv = s"(((${hexIdx(1)} * 16 + ${hexIdx(2)}) * 16 + ${hexIdx(3)}) * 16 + ${hexIdx(4)})"
+        val hv = md5PrefixValueSql("CAST(doc_id AS VARCHAR)", 8)
         s"""SELECT doc_id, ${langCase("text")} AS pred_lang
            |FROM documents
            |WHERE $hv % 100 < CASE ${langCase("text")}

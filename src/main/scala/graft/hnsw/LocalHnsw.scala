@@ -46,10 +46,15 @@ final class LocalHnsw(
     * current best `ef`, visited set, early exit when the frontier head is
     * worse than the worst of the kept set. Returns (dist, id) ascending.
     *
-    * `skip` (tombstones, reference `hsnw_trial.py:178-179`) excludes ids
-    * from the KEPT set but still traverses through them — so search cost is
-    * independent of the total delete count (no ef widening needed), and
-    * deleted hub nodes keep routing until a rebuild reclaims them.
+    * `skip` (tombstones) excludes ids from the KEPT set but still
+    * traverses through them. This DELIBERATELY deviates from the reference,
+    * whose `_search_layer` `continue`s on tombstoned neighbors and never
+    * routes through them (`hsnw_trial.py:178-179`): pruning deleted nodes
+    * from traversal disconnects the graph around deleted hubs and forces ef
+    * widening as the delete count grows. Routing through them keeps search
+    * cost independent of the total delete count — deleted hubs keep
+    * navigating until a rebuild reclaims them — while still never
+    * returning them.
     */
   def searchLayer(q: Array[Float], entry: Long, ef: Int, layer: Int,
                   skip: Long => Boolean = _ => false): Array[(Double, Long)] = {
@@ -190,9 +195,10 @@ final class LocalHnsw(
   /** Top-k ANN search (reference `search`, `hsnw_trial.py:267-294`):
     * greedy descent to layer 1, bounded best-first on layer 0 with
     * ef = max(ef, k), rescore + ascending sort + take k. `skip`
-    * (tombstones, reference Q3 semantics) excludes ids from the kept set
-    * during traversal — never from the graph walk — so cost does not grow
-    * with the delete count.
+    * (tombstones — Q3's "deleted ids never surface" outcome) excludes ids
+    * from the kept set during traversal — never from the graph walk (a
+    * deliberate deviation from the reference's prune-from-traversal, see
+    * [[searchLayer]]) — so cost does not grow with the delete count.
     */
   def search(q: Array[Float], k: Int, ef: Int, skip: Long => Boolean = _ => false): Array[(Long, Double)] = {
     if (entryPoint < 0) return Array.empty

@@ -231,6 +231,15 @@ object Dedup {
     * collide; the 2^bits buckets bound the self-join to O(n²/2^bits)
     * expected pairs. Left-associative double sums + integer bit packing
     * only, so a DuckDB oracle reproduces the bucket byte-for-byte.
+    *
+    * SIZING: `bits` must GROW with n — the self-join emits
+    * O(Σ blockSize²) rows, so pick bits ≈ log2(n / targetBlockSize)
+    * (expected block ≈ n / 2^bits). bits=8 (256 buckets) suits ~10⁵
+    * rows; a 10⁹-row corpus at a ~1k-row target block needs bits≈20, and
+    * a 100 TB corpus bits≈27 — still far below the 62-bit cap and the
+    * dim floor for high-dim embeddings. Too many bits splits true
+    * near-dup pairs across buckets (each bit is another sign that must
+    * agree), so don't over-shoot the target block size.
     */
   def embeddingBucket(vec: Column, dim: Int, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 62 && dim >= bits, s"need 1 <= bits <= min(62, dim), got dim=$dim bits=$bits")

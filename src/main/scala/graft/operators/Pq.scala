@@ -105,6 +105,10 @@ object Pq {
     * the bounded-heap top-k. The original vectors are never read: the scan
     * is m longs per row instead of `dim` floats — the point of PQ at
     * 100 TB. Output: (qid, rank, id, dist) with dist = √Σⱼ‖q⁽ʲ⁾−c⁽ʲ⁾‖².
+    *
+    * QUERY-SET SIZE CONTRACT: the LUT broadcast bounds `queries` (q·m·k
+    * rows must fit a broadcast); for larger query sets go through
+    * [[ivfPqTopKLarge]] (shuffled LUT join).
     */
   def adcTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
               dim: Int, m: Int, k: Int): DataFrame = {
@@ -132,23 +136,47 @@ object Pq {
     * ADC over PQ codes scores the survivors. Per-candidate IO is one coarse
     * cell id + m code bytes; the float vectors are never touched.
     *
+    * QUERY-SET SIZE CONTRACT: the per-query LUT (q·m·k rows) is broadcast,
+    * so `queries` must stay within broadcast limits (≤ ~10⁵ queries at
+    * m=8, k=256). For all-pairs/kNN-join-scale query sets use
+    * [[ivfPqTopKLarge]], which shuffles the LUT instead.
+    *
     * @param assignedCodes (id, cid, codes) — each vector's coarse cell and
     *                      PQ codes (from [[Ivf.assign]] + [[pqEncode]])
     */
   def ivfPqTopK(assignedCodes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
-                queries: DataFrame, dim: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+                queries: DataFrame, dim: Int, m: Int, k: Int, nprobe: Int): DataFrame =
+    ivfPqTopKImpl(assignedCodes, codebooks, centroids, queries, dim, m, k, nprobe,
+      broadcastLut = true)
+
+  /** IVF-PQ top-k for LARGE query sets — the [[Ivf.searchLarge]] analogue
+    * of [[ivfPqTopK]]: the per-query ADC lookup table is NOT broadcast;
+    * candidates (probed-cell equi-join rows) and the LUT both shuffle on
+    * (qid, sub, code), so no side has to fit in broadcast or driver
+    * memory. Nothing is broadcast but the centroids and codebooks (k·m
+    * rows each). Bit-identical results to [[ivfPqTopK]] (spec-asserted).
+    */
+  def ivfPqTopKLarge(assignedCodes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                     queries: DataFrame, dim: Int, m: Int, k: Int, nprobe: Int): DataFrame =
+    ivfPqTopKImpl(assignedCodes, codebooks, centroids, queries, dim, m, k, nprobe,
+      broadcastLut = false)
+
+  private def ivfPqTopKImpl(assignedCodes: DataFrame, codebooks: DataFrame, centroids: DataFrame,
+                            queries: DataFrame, dim: Int, m: Int, k: Int, nprobe: Int,
+                            broadcastLut: Boolean): DataFrame = {
     val subDim = dim / m
     val probed = Ivf.probesAgg(queries, centroids, nprobe, Distances.l2)
-    val lut = queries.crossJoin(broadcast(codebooks))
+    val lut0 = queries.crossJoin(broadcast(codebooks))
       .select(col("qid"), col("sub"), col("cid").as("code"),
         Distances.sqDist(
           slice(Distances.toDouble(col("vector")), col("sub") * lit(subDim) + lit(1), lit(subDim)),
           col("cvector")).as("d2"))
+    val lut = if (broadcastLut) broadcast(lut0) else lut0
     val candidates = assignedCodes
       .join(probed, Seq("cid"))
       .select(col("qid"), col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
     val scored = candidates
-      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .join(lut, Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("d2")).as("d2sum"))
       .select(col("qid"), col("id"), sqrt(col("d2sum")).as("dist"))

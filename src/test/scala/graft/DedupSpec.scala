@@ -142,6 +142,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("embedding bucket at bits=16: near-dups still collide, buckets spread, pairs found") {
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(32)(rng.nextGaussian().toFloat)
+    val embs = ((0L until 200L).map { i =>
+      (i, Array.fill(32)(rng.nextGaussian().toFloat))
+    } ++ Seq((500L, base), (501L, base.map(x => x + 0.001f)))).toDF("id", "vector")
+    val bucketed = embs.withColumn("bucket", Dedup.embeddingBucket($"vector", dim = 32, bits = 16))
+    // near-identical vectors agree on all 16 sign bits
+    val b = bucketed.filter($"id" >= 500L).select("bucket").as[Long].collect()
+    assert(b(0) === b(1))
+    // 2^16 buckets over 202 random vectors: blocks stay tiny (the point of
+    // raising bits with n)
+    val maxBlock = bucketed.groupBy("bucket").count().agg(max("count")).head().getLong(0)
+    assert(maxBlock <= 4, s"max block $maxBlock — buckets did not spread")
+    val pairs = Dedup.embeddingNearDupPairs(bucketed, "id", "vector", "bucket", 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((500L, 501L)))
+  }
+
   test("embedding near-dup pairs within block") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),

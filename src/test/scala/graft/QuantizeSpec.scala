@@ -112,6 +112,30 @@ class QuantizeSpec extends SparkSpec {
     assert(refined.head.getAs[Double]("dist") === 0.0)
   }
 
+  test("ivfPqTopKLarge (shuffled LUT) is bit-equal to the broadcast-LUT path") {
+    import graft.operators.Pq
+    val rng = new scala.util.Random(33)
+    def point(hi0: Boolean, hi1: Boolean): Array[Float] = {
+      val b0 = Array.fill(4)((if (hi0) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      val b1 = Array.fill(4)((if (hi1) 10f else 0f) + rng.nextGaussian().toFloat * 0.1f)
+      b0 ++ b1
+    }
+    val data = (0L until 80L).map(i => (i, point(i % 2 == 0, (i / 2) % 2 == 0)))
+    val df = data.toDF("id", "vector")
+    val centroids = Ivf.kmeansFit(df, k = 4, iters = 2)
+    val codebooks = Pq.pqFit(df, dim = 8, m = 2, k = 2, iters = 2)
+    val assignedCodes = Ivf.assign(df, centroids, Distances.l2).select("id", "cid")
+      .join(Pq.pqEncode(df, codebooks, dim = 8, m = 2), "id")
+    // a query-side as big as the index side — the kNN-join shape
+    val queries = data.map { case (i, v) => (i, v) }.toDF("qid", "vector")
+    val small = Pq.ivfPqTopK(assignedCodes, codebooks, centroids, queries,
+      dim = 8, m = 2, k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    val large = Pq.ivfPqTopKLarge(assignedCodes, codebooks, centroids, queries,
+      dim = 8, m = 2, k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(large === small)
+    assert(small.nonEmpty)
+  }
+
   test("kmeans separates two blobs and the trained assignment is clean") {
     val rng = new scala.util.Random(5)
     val blobA = (0L until 50L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat * 0.1f)))
