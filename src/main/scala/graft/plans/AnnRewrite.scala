@@ -4,10 +4,13 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graft.{VectorCosineDistance, VectorSqDist}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.{PlanBridge, TopKAggregate, TopKByDist, VectorCosineDistance, VectorSqDist}
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
 import graft.hnsw.{Hnsw, HnswIndex}
@@ -73,6 +76,9 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           tryRewrite(k, orderAttr, p).getOrElse(gl)
         case _ => gl
       }
+    // batch-query shape: GROUP BY qid + topk_by_dist over a cross join of
+    // a registered view with a query table
+    case agg: Aggregate => tryBatchRewrite(agg).getOrElse(agg)
   }
 
   private def viewName(plan: LogicalPlan): Option[String] = plan match {
@@ -137,4 +143,110 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       IndexRegistry.markFired()
       Project(out, sorted)
     }
+
+  // ---- batch-query shape (SURVEY.md Q7 as SQL): GROUP BY qid +
+  //      topk_by_dist over a cross join of a registered view with a
+  //      query table →
+  //
+  //   Aggregate [qid], [qid, topk_by_dist(sqrt(vector_sqdist(vec, qvec)), id, k)]
+  //     Join Cross
+  //       SubqueryAlias <registered view>
+  //       <query table plan>               (qid, qvec from this side)
+  //
+  //      rewritten to the single-shuffle distributed ANN path
+  //      ([[Hnsw.annQueryLarge]] — lazy end-to-end, so EXPLAIN still runs
+  //      no jobs) re-aggregated through the same topk_by_dist over the
+  //      O(q·k·P) candidates instead of scoring every (row × query) pair.
+
+  /** Registered-index entry anywhere in a chain of subquery aliases
+    * (`FROM emb_idx e` analyzes to SubqueryAlias e / SubqueryAlias emb_idx).
+    */
+  private def registeredEntry(plan: LogicalPlan): Option[IndexRegistry.Entry] = plan match {
+    case sa: SubqueryAlias =>
+      IndexRegistry.lookup(sa.alias).orElse(registeredEntry(sa.child))
+    case _ => None
+  }
+
+  private def tryBatchRewrite(agg: Aggregate): Option[LogicalPlan] =
+    if (!agg.resolved) None
+    else agg.groupingExpressions match {
+      case Seq(gk: AttributeReference) if gk.dataType == LongType =>
+        agg.child match {
+          case Join(left, right, jt, None, _) if jt == Cross || jt == Inner =>
+            (registeredEntry(left), registeredEntry(right)) match {
+              case (Some(e), None) => batchRewrite(agg, gk, e, left, right)
+              case (None, Some(e)) => batchRewrite(agg, gk, e, right, left)
+              case _               => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** (view vector attribute, query vector attribute) from either argument
+    * order of the distance call, each anchored to its own join side.
+    */
+  private def batchOperands(a: Expression, b: Expression,
+                            viewPlan: LogicalPlan, queryPlan: LogicalPlan)
+      : Option[(AttributeReference, AttributeReference)] =
+    (a, b) match {
+      case (v: AttributeReference, q: AttributeReference)
+          if viewPlan.outputSet.contains(v) && queryPlan.outputSet.contains(q) => Some((v, q))
+      case (q: AttributeReference, v: AttributeReference)
+          if viewPlan.outputSet.contains(v) && queryPlan.outputSet.contains(q) => Some((v, q))
+      case _ => None
+    }
+
+  private def batchRewrite(agg: Aggregate, gk: AttributeReference, entry: IndexRegistry.Entry,
+                           viewPlan: LogicalPlan, queryPlan: LogicalPlan): Option[LogicalPlan] = {
+    val aggExprs = agg.aggregateExpressions
+    for {
+      _ <- Some(())
+      if aggExprs.length == 2 && queryPlan.outputSet.contains(gk)
+      qidOut <- aggExprs.collectFirst {
+        case ar: AttributeReference if ar.exprId == gk.exprId => ar: NamedExpression
+        case a @ Alias(ar: AttributeReference, _) if ar.exprId == gk.exprId => a: NamedExpression
+      }
+      topOut <- aggExprs.collectFirst {
+        case a @ Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty &&
+              ae.aggregateFunction.isInstanceOf[TopKByDist] =>
+          (a, ae.aggregateFunction.asInstanceOf[TopKByDist])
+      }
+      (topAlias, topk) = topOut
+      if (topk.idChild match {
+        case ar: AttributeReference =>
+          ar.name == entry.idCol && ar.dataType == LongType && viewPlan.outputSet.contains(ar)
+        case _ => false
+      })
+      vq <- topk.distChild match {
+        case Sqrt(VectorSqDist(a, b)) if entry.index.meta.metric == "l2" =>
+          batchOperands(a, b, viewPlan, queryPlan)
+        case VectorCosineDistance(a, b) if entry.index.meta.metric == "cosine" =>
+          batchOperands(a, b, viewPlan, queryPlan)
+        case _ => None
+      }
+      (vecAttr, qvecAttr) = vq
+      if vecAttr.name == entry.vecCol
+      if (qvecAttr.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      })
+    } yield {
+      val queries = PlanBridge.ofRows(session, queryPlan)
+        .select(PlanBridge.column(gk).as("qid"), PlanBridge.column(qvecAttr).as("vector"))
+      val ann = Hnsw.annQueryLarge(entry.index, queries, topk.k)
+      val regrouped = ann.groupBy(col("qid"))
+        .agg(TopKAggregate.topKByDist(col("dist"), col("id"), topk.k).as("top"))
+      val plan2 = regrouped.queryExecution.analyzed
+      val q2 = plan2.output.find(_.name == "qid").get
+      val t2 = plan2.output.find(_.name == "top").get
+      val out = aggExprs.map { ne =>
+        if (ne.exprId == qidOut.exprId) Alias(q2, ne.name)(exprId = ne.exprId)
+        else Alias(t2, ne.name)(exprId = topAlias.exprId)
+      }
+      IndexRegistry.markFired()
+      Project(out, plan2)
+    }
+  }
 }

@@ -90,6 +90,50 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(IndexRegistry.rewriteCount === before3)
   }
 
+  test("batch ANN rewrite: GROUP BY qid + topk_by_dist over a cross join runs the index path") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+
+    val rng = new scala.util.Random(29)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val index = Hnsw.build(vecs.toDF("id", "vector"),
+      HnswParams(dim = 8, m = 4, efConstruction = 32, numPartitions = 2))
+    index.nodes.createOrReplaceTempView("emb_batch_idx")
+    IndexRegistry.register("emb_batch_idx", index)
+
+    val queries = Seq(3L, 50L, 120L).map(i => (i, vecs(i.toInt)._2))
+    queries.toDF("qid", "vector").createOrReplaceTempView("batch_q")
+
+    val before = IndexRegistry.rewriteCount
+    val df = spark.sql(
+      """SELECT q.qid, topk_by_dist(vector_l2(e.vector, q.vector), e.id, 5) AS top
+        |FROM emb_batch_idx e CROSS JOIN batch_q q
+        |GROUP BY q.qid""".stripMargin)
+    assert(IndexRegistry.rewriteCount === before + 1, "batch rewrite did not fire")
+
+    // bit-equal to the direct distributed ANN path aggregated the same way
+    val got = df.collect().map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getDouble(0), x.getLong(1)))
+    }.toMap
+    val expected = Hnsw.annQuery(index, queries.toDF("qid", "vector"), 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"), r.getAs[Long]("id"), r.getAs[Double]("dist")))
+      .groupBy(_._1).map { case (qid, rs) => qid -> rs.sortBy(_._2).map(r => (r._4, r._3)).toSeq }
+    assert(got === expected)
+    // self-match at the head of each query's list
+    queries.foreach { case (qid, _) => assert(got(qid).head === ((0.0, qid))) }
+
+    // unregistered view → no rewrite, brute force still answers
+    index.nodes.createOrReplaceTempView("emb_batch_plain")
+    val before2 = IndexRegistry.rewriteCount
+    val exact = spark.sql(
+      """SELECT q.qid, topk_by_dist(vector_l2(e.vector, q.vector), e.id, 5) AS top
+        |FROM emb_batch_plain e CROSS JOIN batch_q q
+        |GROUP BY q.qid""".stripMargin).collect()
+    assert(IndexRegistry.rewriteCount === before2)
+    assert(exact.length === 3)
+  }
+
   test("ANN rewrite fires for a cosine-metric index via vector_cosine_distance") {
     import graft.hnsw.{Hnsw, HnswParams}
     import graft.plans.IndexRegistry
