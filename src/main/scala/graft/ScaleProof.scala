@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.hnsw.{Hnsw, HnswParams}
+import graft.operators.{Dedup, Knn}
+import graft.sources.Datagen
+
+/** One-order-of-magnitude scale proof (VERDICT r02 #6): every 100 TB claim
+  * in the README extrapolates from sf0.1 — this main runs the same
+  * operators at 10× the largest committed bench point (5M×64 vs the 500k
+  * README row) and prints one JSON line with wall times, committed as
+  * `BENCH_SCALE.json`. Run:
+  *
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.ScaleProof [n]"
+  *
+  * Phases: distributed HNSW build (M=12, efc=100, 32 partitions — the
+  * 500k row's config), recall\@10 eval at ef=50/ef=200 vs the exact
+  * brute-force oracle, the driver-free [[Hnsw.annQueryLarge]] path, and
+  * the label-free embedding near-dup pass with the bucket width the
+  * sizing rule prescribes at this n (bits=16 → expected block ≈ n/2^16).
+  * 1% of ids get a planted near-duplicate (id + n) so the near-dup pass
+  * has real positives to find.
+  */
+object ScaleProof {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-proof")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale_idx")
+    val params = HnswParams(dim = dim, m = 12, efConstruction = 100, numPartitions = 32)
+    val input = Datagen.gaussianVectors(spark, n, dim)
+
+    // ---- phase 1: build + persist (the 500k README row's config, 10×) ----
+    val (_, buildSecs) = timed {
+      Hnsw.save(Hnsw.build(input, params), out)
+    }
+    System.err.println(f"[scale] build $n%d x $dim in $buildSecs%.1f s (${n / buildSecs}%.0f vec/s)")
+
+    val index = {
+      val idx = Hnsw.load(spark, out)
+      idx.copy(edges = idx.edges.cache(), nodes = idx.nodes.cache())
+    }
+    // 250 sampled queries: the exact brute-force oracle is O(n·q) and
+    // dominates wall time at 5M — 250 keeps the recall estimate within
+    // ±~2% while keeping the oracle phase near the build's cost
+    val sampleMod = math.max(1L, n / 250L)
+    val queries = index.nodes.filter(col("id") % sampleMod === 0)
+      .select(col("id").as("qid"), col("vector"))
+
+    // ---- phase 2: exact oracle (the brute-force baseline ANN must beat) ----
+    val (exact, exactSecs) = timed {
+      Knn.exactTopK(index.nodes.select("id", "vector"), queries, 10, Distances.l2)
+        .localCheckpoint()
+    }
+
+    // ---- phase 3: ANN recall at ef=50 and ef=200 ----
+    def recallAt(ef: Int): (Double, Double) = {
+      val (ann, annSecs) = timed(Hnsw.annQuery(index, queries, 10, ef).localCheckpoint())
+      (Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0), annSecs)
+    }
+    val (recall50, ann50Secs) = recallAt(50)
+    val (recall200, ann200Secs) = recallAt(200)
+    System.err.println(f"[scale] recall@10 ef50=$recall50%.3f (${ann50Secs}%.1f s) " +
+      f"ef200=$recall200%.3f (${ann200Secs}%.1f s) exact=${exactSecs}%.1f s")
+
+    // ---- phase 4: driver-free distributed query path at the same scale ----
+    val (largeCount, largeSecs) = timed(Hnsw.annQueryLarge(index, queries, 10).count())
+
+    // ---- phase 5: label-free near-dup at the prescribed bucket width ----
+    // 1% planted near-duplicates (id ≥ n marks a perturbed copy of id − n)
+    val planted = input.filter(col("id") % 100 === 0)
+      .select((col("id") + n).as("id"),
+        transform(col("vector"), x => (x + lit(0.001f)).cast("float")).as("vector"))
+    val corpus = input.union(planted)
+      .withColumn("bucket", Dedup.embeddingBucket(col("vector"), dim, bits = 16))
+    val ((pairs, found), dupSecs) = timed {
+      val p = Dedup.embeddingNearDupPairs(corpus, "id", "vector", "bucket", maxDist = 0.05)
+        .localCheckpoint()
+      (p.count(), p.filter(col("id_b") - col("id_a") === n).count())
+    }
+    val expectedPlanted = (n + 99) / 100
+    System.err.println(f"[scale] neardup bits=16: $pairs pairs ($found/$expectedPlanted planted found) in $dupSecs%.1f s")
+
+    println(s"""{"n":$n,"dim":$dim,"build_sec":$buildSecs,"build_vec_per_sec":${n / buildSecs},""" +
+      s""""exact_topk_sec":$exactSecs,"ann_ef50_sec":$ann50Secs,"recall10_ef50":$recall50,""" +
+      s""""ann_ef200_sec":$ann200Secs,"recall10_ef200":$recall200,""" +
+      s""""ann_query_large_sec":$largeSecs,"ann_query_large_rows":$largeCount,""" +
+      s""""neardup_bits16_sec":$dupSecs,"neardup_pairs":$pairs,"planted_found":$found,"planted_total":$expectedPlanted}""")
+    spark.stop()
+  }
+}

@@ -234,22 +234,23 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))),
 
-    // ---- embedding-cosine near-dup pairs (blocked by label) ----
+    // ---- embedding-cosine near-dup pairs (blocked by label; hot blocks
+    //      capped — oracle-mirrored) ----
     "q17_embed_neardup" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("vector"), col("label"))
-      Dedup.embeddingNearDupPairs(e, "vec_id", "vector", "label", maxDist = 0.65)
+      Dedup.embeddingNearDupPairs(e, "vec_id", "vector", "label", maxDist = 0.65, maxBlock = 1000)
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
     }),
 
     // ---- embedding near-dup, LSH-bucket blocked (the 100 TB path: no
     //      label dependence — blocking key is a sign-pattern hash of the
-    //      vector itself) ----
+    //      vector itself; hot buckets capped) ----
     "q33_embed_neardup_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").as("vector"),
           Dedup.embeddingBucket(col("embedding"), EmbDim, bits = 8).as("bucket"))
-      Dedup.embeddingNearDupPairs(e, "vec_id", "vector", "bucket", maxDist = 0.65)
+      Dedup.embeddingNearDupPairs(e, "vec_id", "vector", "bucket", maxDist = 0.65, maxBlock = 1000)
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
     }),
 
@@ -851,17 +852,23 @@ object SparkEntry {
 
       "q17_embed_neardup" -> {
         val d = cosineSql("a.embedding", "b.embedding", EmbDim)
-        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
-           |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        s"""WITH kept AS (SELECT vec_id, embedding, label FROM (
+           |  SELECT vec_id, embedding, label, count(*) OVER (PARTITION BY label) AS bn
+           |  FROM embeddings) WHERE bn <= 1000)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
+           |FROM kept a JOIN kept b ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE $d < 0.65""".stripMargin
       },
 
       "q33_embed_neardup_lsh" -> {
         val d = cosineSql("a.embedding", "b.embedding", EmbDim)
         s"""WITH bk AS (SELECT vec_id, embedding,
-           |  ${embeddingBucketSql("embedding", EmbDim, 8)} AS bucket FROM embeddings)
+           |  ${embeddingBucketSql("embedding", EmbDim, 8)} AS bucket FROM embeddings),
+           |kept AS (SELECT vec_id, embedding, bucket FROM (
+           |  SELECT vec_id, embedding, bucket, count(*) OVER (PARTITION BY bucket) AS bn
+           |  FROM bk) WHERE bn <= 1000)
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
-           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE $d < 0.65""".stripMargin
       },
     )

@@ -322,12 +322,27 @@ object Dedup {
     * key such as label, or — the scale path — [[embeddingBucket]]): pairs
     * with cosine distance below `maxDist`. The blocking key keeps the
     * self-join from being O(n²).
+    *
+    * `maxBlock` guards the hot-block pair blowup (the [[lshCandidatePairs]]
+    * `maxBandSize` / [[ngramJaccardPairs]] `maxDf` guard in embedding
+    * form): a degenerate block — e.g. a mass of all-zero or identical
+    * vectors collapsing into one bucket — emits B² scored pairs. Blocks
+    * larger than the cap are dropped before the join (such mega-clusters
+    * belong to the exact-dup pass); the count is a window over the same
+    * block partitioning the join shuffles on. Default = no cap.
     */
   def embeddingNearDupPairs(
       embs: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      maxDist: Double): DataFrame = {
-    val a = embs.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = embs.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      maxDist: Double, maxBlock: Int = Int.MaxValue): DataFrame = {
+    val rows = embs.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    val guarded =
+      if (maxBlock == Int.MaxValue) rows
+      else rows
+        .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk")))
+        .filter(col("bn") <= maxBlock)
+        .drop("bn")
+    val a = guarded.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = guarded.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", Distances.cosine(Distances.toDouble(col("v_a")), Distances.toDouble(col("v_b"))))

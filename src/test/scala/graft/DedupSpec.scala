@@ -161,6 +161,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((500L, 501L)))
   }
 
+  test("embedding near-dup maxBlock cap: a degenerate hot block emits no pairs, small blocks survive") {
+    // 12 identical vectors collapse into one block; a 2-vector block holds
+    // a genuine near-dup pair
+    val hot = (0L until 12L).map(i => (i, Array(1.0f, 1.0f, 1.0f, 1.0f), 7))
+    val ok = Seq((100L, Array(0.5f, -0.5f, 0.5f, -0.5f), 9),
+                 (101L, Array(0.51f, -0.49f, 0.5f, -0.5f), 9))
+    val embs = (hot ++ ok).toDF("id", "vector", "blk")
+    val uncapped = Dedup.embeddingNearDupPairs(embs, "id", "vector", "blk", 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(_._1 < 100L) === 66, "identical-vector block emits all B(B-1)/2 pairs")
+    val capped = Dedup.embeddingNearDupPairs(embs, "id", "vector", "blk", 0.1, maxBlock = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+  }
+
   test("embedding near-dup pairs within block") {
     val embs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 1),

@@ -126,6 +126,15 @@ class HnswSparkSpec extends SparkSpec {
     assert(spilled === oneChunk)
   }
 
+  test("annQueryLarge over the sharded merged graph matches annQuery on it (ghosts never duplicate)") {
+    val merged = graft.hnsw.HnswMerge.merge(index, level0SampleMod = 4)
+    val queries = input.filter(col("id") % 70 === 0).select(col("id").as("qid"), col("vector"))
+    val viaDriver = Hnsw.annQuery(merged, queries, k = 6).collect().map(_.toSeq).toSet
+    val distributed = Hnsw.annQueryLarge(merged, queries, k = 6).collect().map(_.toSeq).toSet
+    assert(distributed === viaDriver)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("annQueryLarge (no driver round-trip) is bit-equal to annQuery, including on a deleted index") {
     val queries = input.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
     val small = Hnsw.annQuery(index, queries, k = 7).collect().map(_.toSeq).toSet
