@@ -211,6 +211,43 @@ object Pq {
         col("entry.id").as("id"), col("entry.dist").as("dist"))
   }
 
+  /** Persisted IVF-PQ artifact: coarse centroids, per-sub-block codebooks,
+    * the encoded corpus (id, cid, codes), and the (dim, m) geometry.
+    */
+  final case class IvfPqIndex(centroids: DataFrame, codebooks: DataFrame,
+                              assignedCodes: DataFrame, dim: Int, m: Int)
+
+  /** Persist a trained IVF-PQ artifact — the PQ twin of `Hnsw.save`: at
+    * 100 TB the expensive parts (k-means training + corpus encoding) run
+    * once and every later session loads parquet + a meta json instead of
+    * retraining. Three parquet tables + meta.json.
+    */
+  def saveIvfPq(index: IvfPqIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    index.assignedCodes.write.mode("overwrite").parquet(s"$dir/codes")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"),
+      s"""{"dim":${index.dim},"m":${index.m}}""")
+  }
+
+  /** Load a persisted IVF-PQ artifact; [[ivfPqTopK]] / [[ivfPqTopKLarge]] /
+    * [[ivfPqTopKRefined]] run directly over the loaded tables
+    * (spec-asserted identical results across the round-trip).
+    */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex = {
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/meta.json"))
+    def field(name: String): Int =
+      s""""$name"\\s*:\\s*([0-9]+)""".r.findFirstMatchIn(raw)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"meta.json missing '$name' in $dir"))
+    IvfPqIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"),
+      dim = field("dim"), m = field("m"))
+  }
+
   /** Reconstruct (id, vector: array&lt;double&gt;) from codes + codebooks —
     * concatenation of each sub-block's centroid. Used for recall/error
     * evaluation and asymmetric-distance rescoring.

@@ -136,6 +136,31 @@ class QuantizeSpec extends SparkSpec {
     assert(small.nonEmpty)
   }
 
+  test("IVF-PQ save/load round-trip preserves search results exactly") {
+    import graft.operators.Pq
+    val rng = new scala.util.Random(41)
+    val data = (0L until 60L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val df = data.toDF("id", "vector")
+    val centroids = Ivf.kmeansFit(df, k = 4, iters = 2)
+    val codebooks = Pq.pqFit(df, dim = 8, m = 2, k = 4, iters = 2)
+    val assignedCodes = Ivf.assign(df, centroids, Distances.l2).select("id", "cid")
+      .join(Pq.pqEncode(df, codebooks, dim = 8, m = 2), "id")
+    val idx = Pq.IvfPqIndex(centroids, codebooks, assignedCodes, dim = 8, m = 2)
+
+    val queries = Seq((0L, data.head._2), (1L, data(7)._2)).toDF("qid", "vector")
+    val before = Pq.ivfPqTopK(idx.assignedCodes, idx.codebooks, idx.centroids, queries,
+      idx.dim, idx.m, k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq-io").toString
+    Pq.saveIvfPq(idx, tmp)
+    val loaded = Pq.loadIvfPq(spark, tmp)
+    assert(loaded.dim === 8 && loaded.m === 2)
+    val after = Pq.ivfPqTopK(loaded.assignedCodes, loaded.codebooks, loaded.centroids, queries,
+      loaded.dim, loaded.m, k = 5, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(after === before)
+    assert(before.nonEmpty)
+  }
+
   test("kmeans separates two blobs and the trained assignment is clean") {
     val rng = new scala.util.Random(5)
     val blobA = (0L until 50L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat * 0.1f)))
