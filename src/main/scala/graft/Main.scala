@@ -18,7 +18,7 @@ import graft.sources.Datagen
 object Main {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("--build", "--serve") // boolean flags
+    val flags = Set("--build", "--serve", "--large") // boolean flags
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
@@ -81,7 +81,12 @@ object Main {
           index.nodes.orderBy("id").limit(1).select(col("id").as("qid"), col("vector"))
       }
       val t0 = System.nanoTime()
-      val res = Hnsw.annQuery(index, queries, k, ef)
+      // --large: the driver-free single-shuffle path (queries stay
+      // distributed; the index is scanned once however big the file is) —
+      // for query files too large to stream through the driver in chunks
+      val res =
+        if (opts.contains("large")) Hnsw.annQueryLarge(index, queries, k, ef)
+        else Hnsw.annQuery(index, queries, k, ef)
       opts.get("out") match {
         case Some(out) =>
           res.write.mode("overwrite").parquet(out)
@@ -117,7 +122,7 @@ object Main {
       println(
         """usage:
           |  --build [--input PARQUET | --n N --dim D] --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
-          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--out DIR]
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large] [--out DIR]
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]""".stripMargin)
     }
   }
