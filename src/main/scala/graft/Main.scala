@@ -116,6 +116,16 @@ object Main {
       println(f"[eval] recall@$k avg=${recall.getDouble(0)}%.4f min=${recall.getDouble(1)}%.4f " +
         f"over ${recall.getLong(2)} queries in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    } else if (opts.contains("gen-queries")) {
+      // synthetic (qid, vector) query file for --load --query-file runs
+      val n = opts.getOrElse("n", "1000").toLong
+      val dim = opts.getOrElse("dim", "64").toInt
+      val out = opts("gen-queries")
+      Datagen.gaussianVectors(spark, n, dim, opts.getOrElse("seed", "7").toLong)
+        .select(col("id").as("qid"), col("vector"))
+        .write.mode("overwrite").parquet(out)
+      println(s"[gen-queries] wrote $n queries dim=$dim -> $out")
+
     } else if (opts.contains("serve")) {
       sys.error("--serve is out of scope (batch engine; use --load --query-file for batch queries)")
     } else {
@@ -123,7 +133,8 @@ object Main {
         """usage:
           |  --build [--input PARQUET | --n N --dim D] --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
           |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large] [--out DIR]
-          |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]""".stripMargin)
+          |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
+          |  --gen-queries OUT --n N --dim D [--seed 7]""".stripMargin)
     }
   }
 }
