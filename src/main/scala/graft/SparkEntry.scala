@@ -212,6 +212,11 @@ object SparkEntry {
         .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
     }),
 
+    // ---- repetition filter stats: duplicate-n-gram ratios per doc (the
+    //      boilerplate/spam signal of corpus-cleaning recipes) ----
+    "q42_repetition" -> ((s, dir) =>
+      graft.operators.TextStats.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text", n = 3)),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs; maxDf drops
     //      ubiquitous stop-shingles before the self-join (the hot-shingle
     //      B² guard — mirrored in the oracle) ----
@@ -670,6 +675,14 @@ object SparkEntry {
            |WHERE $hv % 100 < CASE ${langCase("text")}
            |  WHEN 'en' THEN 50 WHEN 'und' THEN 10 ELSE 20 END""".stripMargin
       },
+
+      "q42_repetition" ->
+        s"""WITH ${shingleCte(3)},
+           |per AS (SELECT doc_id, shingle, count(*) AS c FROM shingles GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles, count(*) AS n_distinct,
+           |  CAST(max(c) AS BIGINT) AS max_rep,
+           |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ratio
+           |FROM per GROUP BY 1""".stripMargin,
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},

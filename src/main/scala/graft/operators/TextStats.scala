@@ -56,4 +56,32 @@ object TextStats {
       // output shape is passthrough + n_stop/n_tokens/quality/pred_lang)
       .drop(TextFunctions.LangMarkers.map(t => s"score_${t._1}"): _*)
   }
+
+  /** Repetition statistics per document over word n-gram shingles — the
+    * standard repetitive-document filter of LLM training pipelines (a doc
+    * that is mostly repeated n-grams is boilerplate/spam, not prose; cf.
+    * the duplicate-n-gram-fraction rules in published corpus-cleaning
+    * recipes). Output per doc: n_shingles (total, WITH repeats),
+    * n_distinct, max_rep (the single most-repeated shingle's count), and
+    * dup_ratio = 1 − n_distinct/n_shingles.
+    *
+    * Scale shape: one explode + two partial-aggregating groupBys (map-side
+    * combine both times) — shuffle O(distinct (doc, shingle)) then O(docs),
+    * never the token stream. Integer counts + one double division, so a
+    * DuckDB oracle reproduces every ratio bit-for-bit. Docs shorter than
+    * n tokens have no shingles and are absent from the output (identical
+    * in the oracle).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol), explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("shingle"))
+    val per = sh.groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+    per.groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_rep"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+  }
 }

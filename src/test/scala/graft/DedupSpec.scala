@@ -99,6 +99,20 @@ class DedupSpec extends SparkSpec {
     assert(flagged === Map(0L -> 4L))
   }
 
+  test("repetition stats: a repetitive doc scores high dup_ratio, prose scores zero") {
+    import graft.operators.TextStats
+    val d = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"),  // 6 shingles, 1 distinct
+      (1L, "one two three four five six seven eight"),  // 6 shingles, all distinct
+      (2L, "ab cd"),                                    // < n tokens → absent
+    ).toDF("doc_id", "text")
+    val r = TextStats.repetitionStats(d, "doc_id", "text", n = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(0L) === ((6L, 1L, 6L, 1.0 - 1.0 / 6.0)))
+    assert(r(1L) === ((6L, 6L, 1L, 0.0)))
+    assert(!r.contains(2L))
+  }
+
   test("hash sampling is deterministic and respects the rate direction") {
     import graft.operators.Sampling
     val df = (0L until 1000L).toDF("doc_id")
