@@ -75,14 +75,18 @@ object Dedup {
     * exact-dup pass instead). The count is a window over the same
     * (band, band_val) partitioning the join shuffles on.
     *
-    * NOTE: this operator is EAGER — the localCheckpoint runs cluster jobs
-    * at construction time (even under EXPLAIN), and its blocks stay pinned
-    * for the lifetime of the returned DataFrame (a localCheckpoint cannot
-    * be recomputed, so it is never freed automatically; see
-    * [[Checkpoints]]).
+    * NOTE: this operator is EAGER by default — the localCheckpoint runs
+    * cluster jobs at construction time (even under EXPLAIN), and its
+    * blocks stay pinned for the lifetime of the returned DataFrame (a
+    * localCheckpoint cannot be recomputed, so it is never freed
+    * automatically; see [[Checkpoints]]). Pass `materialize = false` to
+    * keep the plan fully lazy and manage persistence yourself (cache the
+    * band table, or accept the signature subtree running once per join
+    * side).
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, h: Int = 4, rows: Int = 2,
-                        maxBandSize: Int = Int.MaxValue): DataFrame = {
+                        maxBandSize: Int = Int.MaxValue,
+                        materialize: Boolean = true): DataFrame = {
     val nBands = h / rows
     val bandVals = (0 until nBands).map { b =>
       concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
@@ -97,7 +101,7 @@ object Dedup {
         .drop("bn")
     // eager materialization: truncates lineage so neither join side
     // recomputes the signature aggregation
-    val mat = guarded.localCheckpoint()
+    val mat = if (materialize) guarded.localCheckpoint() else guarded
     val a = mat.select(col("id").as("id_a"), col("band"), col("band_val"))
     val b = mat.select(col("id").as("id_b"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))

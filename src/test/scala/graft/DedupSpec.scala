@@ -35,6 +35,11 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
       .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
+    // lazy variant (materialize = false: no construction-time jobs, caller
+    // owns persistence) returns the identical pair set
+    val lazyPairs = Dedup.lshCandidatePairs(sigs, "doc_id", materialize = false)
+      .select("id_a", "id_b").distinct().as[(Long, Long)].collect().toSet
+    assert(lazyPairs === pairs)
   }
 
   test("ngram jaccard: dup pair has jaccard 1.0; near-dup in (0,1)") {
