@@ -187,6 +187,13 @@ object Hnsw {
     * sub-graph. Tombstones are skipped during traversal (not by widening
     * ef) — search cost is independent of the total delete count.
     * Output: (qid, rank, id, dist).
+    *
+    * Recall tuning: `ef` must grow with the per-partition sub-graph size
+    * (n / numPartitions), not with n — at a fixed ef a 10× larger
+    * sub-graph is explored proportionally less (measured in
+    * BENCH_SCALE.json: recall@10 0.556 at ef=50 vs 0.917 at ef=800 on
+    * 156k-node partitions; 0.872 at ef=50 on 15.6k-node ones). Budget ef
+    * or partition count accordingly.
     */
   def annQuery(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1,
                queryBatchSize: Int = 1 << 16, spillPath: Option[String] = None): DataFrame = {
