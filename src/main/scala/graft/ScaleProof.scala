@@ -67,15 +67,18 @@ object ScaleProof {
         .localCheckpoint()
     }
 
-    // ---- phase 3: ANN recall at ef=50 and ef=200 ----
+    // ---- phase 3: ANN recall sweep — ef must scale with sub-graph size,
+    // so the sweep includes the large-ef point the annQuery scaladoc cites
     def recallAt(ef: Int): (Double, Double) = {
       val (ann, annSecs) = timed(Hnsw.annQuery(index, queries, 10, ef).localCheckpoint())
       (Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0), annSecs)
     }
     val (recall50, ann50Secs) = recallAt(50)
     val (recall200, ann200Secs) = recallAt(200)
+    val (recall800, ann800Secs) = recallAt(800)
     System.err.println(f"[scale] recall@10 ef50=$recall50%.3f (${ann50Secs}%.1f s) " +
-      f"ef200=$recall200%.3f (${ann200Secs}%.1f s) exact=${exactSecs}%.1f s")
+      f"ef200=$recall200%.3f (${ann200Secs}%.1f s) ef800=$recall800%.3f (${ann800Secs}%.1f s) " +
+      f"exact=${exactSecs}%.1f s")
 
     // ---- phase 4: driver-free distributed query path at the same scale ----
     val (largeCount, largeSecs) = timed(Hnsw.annQueryLarge(index, queries, 10).count())
@@ -98,6 +101,7 @@ object ScaleProof {
     println(s"""{"n":$n,"dim":$dim,"build_sec":$buildSecs,"build_vec_per_sec":${n / buildSecs},""" +
       s""""exact_topk_sec":$exactSecs,"ann_ef50_sec":$ann50Secs,"recall10_ef50":$recall50,""" +
       s""""ann_ef200_sec":$ann200Secs,"recall10_ef200":$recall200,""" +
+      s""""ann_ef800_sec":$ann800Secs,"recall10_ef800":$recall800,""" +
       s""""ann_query_large_sec":$largeSecs,"ann_query_large_rows":$largeCount,""" +
       s""""neardup_bits16_sec":$dupSecs,"neardup_pairs":$pairs,"planted_found":$found,"planted_total":$expectedPlanted}""")
     spark.stop()

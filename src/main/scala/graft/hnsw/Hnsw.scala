@@ -378,13 +378,22 @@ object Hnsw {
     * not_found}. The lookup filters the node table down to the requested
     * ids (pushed to the scan) and broadcasts that bounded slice against
     * the request list — never a full-table collect.
+    *
+    * Merged-index safe: a re-sharded merged graph ([[HnswMerge.merge]])
+    * stores up to numShards−1 tombstoned GHOST copies of a node in foreign
+    * shards, so the raw node table has several rows per id. The lookup
+    * collapses to one row per id first — a node is live iff ANY copy is
+    * live (only the home copy ever is) — so the report keeps its
+    * one-row-per-requested-id contract and a live node never also reports
+    * `already_deleted` from its ghosts.
     */
   def deleteWithReport(index: HnswIndex, ids: Seq[Long]): (HnswIndex, DataFrame) = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     val req = ids.toDF("id")
     val present = index.nodes.filter(col("id").isin(ids: _*))
-      .select(col("id"), col("tombstone"))
+      .groupBy(col("id"))
+      .agg((min(when(col("tombstone"), 1).otherwise(0)) === 1).as("tombstone"))
     val report = req.join(broadcast(present), Seq("id"), "left")
       .select(col("id"),
         coalesce(!col("tombstone"), lit(false)).as("deleted"),

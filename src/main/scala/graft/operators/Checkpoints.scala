@@ -28,4 +28,14 @@ private[graft] object Checkpoints {
     case l: LogicalRDD => l.rdd.unpersist(blocking = false)
     case _             => ()
   }
+
+  /** The id of the RDD backing a localCheckpointed frame, if the frame is
+    * a direct checkpoint scan. Lets callers (and specs) track exactly the
+    * blocks a frame pins instead of counting the context-global persistent
+    * set, which is shared with every other consumer of the session.
+    */
+  def rddId(df: Dataset[_]): Option[Int] = df.queryExecution.analyzed match {
+    case l: LogicalRDD => Some(l.rdd.id)
+    case _             => None
+  }
 }

@@ -154,10 +154,19 @@ object Dedup {
     * Jaccard over the non-ubiquitous shingle universe. The df count is a
     * window over the same `shingle` partitioning the join shuffles on.
     * Default = no cap (small-corpus exact semantics).
+    *
+    * Like [[lshCandidatePairs]], this operator is EAGER by default — the
+    * shingle set feeds the size aggregate AND both self-join sides, so it
+    * is `localCheckpoint`ed once instead of recomputed three times, which
+    * runs cluster jobs at construction (even under EXPLAIN) and pins the
+    * blocks for the result's lifetime (see [[Checkpoints]]). Pass
+    * `materialize = false` to keep the plan fully lazy and manage
+    * persistence yourself.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minJaccard: Double = 0.0,
-                        maxDf: Int = Int.MaxValue): DataFrame = {
+                        maxDf: Int = Int.MaxValue,
+                        materialize: Boolean = true): DataFrame = {
     val shAll = explodedShingles(docs, idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
       .distinct()
@@ -170,7 +179,7 @@ object Dedup {
     // eager materialization (same shape as lshCandidatePairs): the capped
     // shingle set feeds the size aggregate AND both self-join sides —
     // unmaterialized, the explode+distinct subtree would run three times
-    val sh = capped.localCheckpoint()
+    val sh = if (materialize) capped.localCheckpoint() else capped
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

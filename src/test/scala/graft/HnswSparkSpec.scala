@@ -163,6 +163,28 @@ class HnswSparkSpec extends SparkSpec {
     assert(byId2(999999L) === (false, "not_found"))
   }
 
+  test("delete report on a re-sharded merged index: ghosts never fan out or flip the verdict") {
+    val merged = graft.hnsw.HnswMerge.merge(index, level0SampleMod = 4)
+    // pick an id that actually has ghost copies (>1 physical row), so the
+    // test exercises the collapse, not just the plain path
+    val ghosted = merged.nodes.groupBy("id").count()
+      .filter(col("count") > 1).orderBy("id").limit(1)
+      .collect().headOption.map(_.getLong(0))
+    assert(ghosted.nonEmpty, "merge produced no ghost copies — test premise broken")
+    val gid = ghosted.get
+    val (deletedIdx, report) = Hnsw.deleteWithReport(merged, Seq(gid, 999999L))
+    val rows = report.collect()
+    assert(rows.length === 2, s"one row per requested id expected, got ${rows.toSeq}")
+    val byId = rows.map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(byId(gid) === (true, "deleted"), "live node must report deleted despite tombstoned ghosts")
+    assert(byId(999999L) === (false, "not_found"))
+    // repeat delete: still one row, now already_deleted
+    val (_, again) = Hnsw.deleteWithReport(deletedIdx, Seq(gid))
+    val rows2 = again.collect()
+    assert(rows2.length === 1)
+    assert(rows2.head.getString(2) === "already_deleted")
+  }
+
   test("tombstoned ids are excluded from ann results; rebuild drops them") {
     val deleted = Hnsw.delete(index, Seq(0L, 8L))
     val queries = input.filter(col("id") === 0).select(col("id").as("qid"), col("vector"))
