@@ -217,6 +217,35 @@ object SparkEntry {
     "q42_repetition" -> ((s, dir) =>
       graft.operators.TextStats.repetitionStats(tbl(s, dir, "documents"), "doc_id", "text", n = 3)),
 
+    // ---- boilerplate discovery: corpus-wide top-k n-grams by document
+    //      frequency (sort-limit top-k, never a full-vocabulary window) ----
+    "q43_top_ngrams" -> ((s, dir) =>
+      graft.operators.TextStats.topNgrams(tbl(s, dir, "documents"), "doc_id", "text", n = 3, k = 20)),
+
+    // ---- training-sequence packing: token-budget bin assignment via a
+    //      hierarchical (blocked) prefix sum — no global-order window ----
+    "q44_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.sequenceStats(tbl(s, dir, "documents"), "doc_id", "text",
+        targetTokens = 2048, blockSize = 64)),
+
+    // ---- Zipf head: top-R vocabulary with cumulative token share ----
+    "q45_vocab_coverage" -> ((s, dir) =>
+      graft.operators.TextStats.vocabCoverage(tbl(s, dir, "documents"), "text", topR = 50)),
+
+    // ---- PII scrubbing: regexp count + redact, exercised on contact
+    //      strings derived deterministically from the corpus (the raw
+    //      synthetic docs contain no PII-shaped spans; deriving them in
+    //      the query keeps the regex parity oracle-checked end-to-end) ----
+    "q46_pii_redact" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val synth = concat(col("text"),
+        lit(" contact: "), element_at(w, 1), lit("@"), element_at(w, 2),
+        lit(".com tel: 555-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" ip: 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".1"))
+      graft.operators.Pii.piiStats(
+        tbl(s, dir, "documents").select(col("doc_id"), synth.as("text")), "doc_id", "text")
+    }),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs; maxDf drops
     //      ubiquitous stop-shingles before the self-join (the hot-shingle
     //      B² guard — mirrored in the oracle) ----
@@ -683,6 +712,53 @@ object SparkEntry {
            |  CAST(max(c) AS BIGINT) AS max_rep,
            |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_ratio
            |FROM per GROUP BY 1""".stripMargin,
+
+      "q43_top_ngrams" ->
+        s"""WITH ${shingleCte(3)},
+           |st AS (SELECT shingle, count(DISTINCT doc_id) AS df, count(*) AS cf
+           |  FROM shingles GROUP BY 1),
+           |top AS (SELECT shingle, df, cf FROM st ORDER BY df DESC, cf DESC, shingle LIMIT 20)
+           |SELECT row_number() OVER (ORDER BY df DESC, cf DESC, shingle) AS rank,
+           |  shingle, df, cf FROM top""".stripMargin,
+
+      "q44_pack_sequences" ->
+        s"""WITH t AS (SELECT doc_id, ${tokenCountSql("text")} AS n_tok FROM documents),
+           |c AS (SELECT doc_id, n_tok,
+           |  CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS strt FROM t)
+           |SELECT CAST(strt // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs,
+           |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+           |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+           |FROM c GROUP BY 1""".stripMargin,
+
+      "q45_vocab_coverage" ->
+        s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+           |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+           |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+           |top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 50)
+           |SELECT row_number() OVER (ORDER BY cnt DESC, word) AS rank, word, cnt,
+           |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           |    / CAST(total AS DOUBLE) AS cum_share
+           |FROM top, t""".stripMargin,
+
+      "q46_pii_redact" -> {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+        val ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+        s"""WITH s AS (SELECT doc_id, concat(text, ' contact: ',
+           |    string_split(text, ' ')[1], '@', string_split(text, ' ')[2], '.com tel: 555-',
+           |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+           |    ' ip: 10.0.', CAST(doc_id % 256 AS VARCHAR), '.1') AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text, '$ipv4Re')) AS BIGINT) AS n_ipv4,
+           |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$emailRe', '<EMAIL>', 'g'), '$phoneRe', '<PHONE>', 'g'),
+           |    '$ipv4Re', '<IP>', 'g')) AS BIGINT) AS redacted_len
+           |FROM s""".stripMargin
+      },
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -83,5 +84,57 @@ object TextStats {
         max(col("c")).as("max_rep"))
       .withColumn("dup_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Top-k word n-grams of the corpus by document frequency (ties: corpus
+    * frequency desc, then shingle asc — fully deterministic). The staple
+    * boilerplate-discovery pass of corpus cleaning: the n-grams appearing
+    * in the most documents are the headers/footers/license blurbs a
+    * repetition filter should learn.
+    *
+    * Scale shape: one shingle explode, one partial-agg groupBy (Spark
+    * plans the distinct-doc count as a two-phase aggregate on the same
+    * shuffle), then a global top-k via sort-limit — TakeOrderedAndProject
+    * keeps k rows per partition and merges on the driver, so no single
+    * task ever holds the vocabulary. The rank window runs AFTER the limit,
+    * over k rows. Output: (shingle, df, cf, rank), k rows.
+    */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, k: Int = 20): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col("id"), explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("shingle"))
+    val stats = sh.groupBy("shingle")
+      .agg(countDistinct(col("id")).as("df"), count(lit(1)).as("cf"))
+    val order = Seq(col("df").desc, col("cf").desc, col("shingle").asc)
+    stats.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("rank", "shingle", "df", "cf")
+  }
+
+  /** Zipf head of the corpus vocabulary: the `topR` most frequent words
+    * with their cumulative share of ALL tokens — the curve a tokenizer
+    * budget or stopword list is read off of. `cum_share` divides two
+    * exactly-summed longs, so the doubles are oracle-exact.
+    *
+    * Scale shape: token explode → partial-agg word counts; the global
+    * top-R is a sort-limit (TakeOrderedAndProject), and the rank/cumsum
+    * window runs over the R surviving rows only — never over the full
+    * vocabulary. The corpus-total token count is a scalar aggregate
+    * broadcast back (one row).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, topR: Int = 50): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val order = Seq(col("cnt").desc, col("word").asc)
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.orderBy(order: _*).limit(topR)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(
+        Window.orderBy(order: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("cnt"),
+        (col("cum_cnt").cast("double") / col("total").cast("double")).as("cum_share"))
   }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, Pii, TextStats}
+
+/** Training-data prep operators added round 4: sequence packing, PII
+  * scrubbing, boilerplate n-grams, vocabulary coverage.
+  */
+class PipelinePrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: hierarchical prefix sum equals the naive global window exactly") {
+    // 200 docs with irregular token counts and a non-trivial block split
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Packing.packSequences(docs, "doc_id", "text", targetTokens = 11, blockSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // naive oracle: one global window (fine on 200 rows in a spec)
+    val naive = docs
+      .select(col("doc_id"), (size(split(col("text"), " "))).cast("long").as("n_tok"))
+      .withColumn("start", coalesce(sum("n_tok").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), expr("start div 11").as("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(packed === naive)
+    // sequences are contiguous id ranges: ids within a seq are consecutive
+    val bySeq = packed.groupBy(_._3).values
+    bySeq.foreach { g =>
+      val ids = g.map(_._1).sorted
+      assert(ids.last - ids.head + 1 === ids.length, s"non-contiguous sequence: ${ids.toSeq}")
+    }
+  }
+
+  test("sequenceStats: every sequence meets the budget before overshooting by at most one doc") {
+    val docs = (0L until 100L)
+      .map(i => (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val target = 20
+    val stats = Packing.sequenceStats(docs, "doc_id", "text", targetTokens = target, blockSize = 8)
+      .orderBy("seq_id").collect()
+    val maxDoc = 13L
+    stats.dropRight(1).foreach { r =>
+      val tokens = r.getLong(2)
+      // a doc is never split, so fill ∈ (target − maxDoc, target + maxDoc)
+      assert(tokens > target - maxDoc && tokens < target + maxDoc,
+        s"seq ${r.getLong(0)} fill $tokens outside (${target - maxDoc}, ${target + maxDoc})")
+    }
+    assert(stats.map(_.getLong(1)).sum === 100L, "every doc assigned exactly once")
+  }
+
+  test("pii: counts and redaction on crafted spans; clean text untouched") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+x@example.org or bob@sub.domain.io today"),
+      (2L, "call 555-0199 or 800-1234 from 10.0.0.1"),
+      (3L, "no pii here just words"),
+      (4L, "mixed a@b.co 127.0.0.1 555-9999 end")
+    ).toDF("doc_id", "text")
+    val r = Pii.piiStats(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === ((2L, 0L, 0L)))
+    assert(r(2L) === ((0L, 2L, 1L)))
+    assert(r(3L) === ((0L, 0L, 0L)))
+    assert(r(4L) === ((1L, 1L, 1L)))
+    val red = docs.filter(col("doc_id") === 4L)
+      .select(Pii.redact(col("text"))).head().getString(0)
+    assert(red === "mixed <EMAIL> <IP> <PHONE> end")
+    val clean = docs.filter(col("doc_id") === 3L)
+      .select(Pii.redact(col("text"))).head().getString(0)
+    assert(clean === "no pii here just words")
+  }
+
+  test("topNgrams: a planted boilerplate trigram ranks first by document frequency") {
+    val boiler = "all rights reserved"
+    val docs = (0L until 30L).map { i =>
+      val body = s"doc $i unique words number${i} x${i} y${i}"
+      (i, if (i % 2 == 0) s"$body $boiler" else body)
+    }.toDF("doc_id", "text")
+    val top = TextStats.topNgrams(docs, "doc_id", "text", n = 3, k = 5).collect()
+    assert(top.head.getString(1) === boiler)
+    assert(top.head.getLong(2) === 15L) // df = the 15 even docs
+    assert(top.head.getLong(0) === 1L)  // rank
+    // ranks are 1..k and ordering is (df desc, cf desc, shingle asc)
+    assert(top.map(_.getLong(0)).toSeq === (1L to 5L))
+    val key = top.map(r => (-r.getLong(2), -r.getLong(3), r.getString(1)))
+    assert(key.sorted.toSeq === key.toSeq)
+  }
+
+  test("vocabCoverage: cumulative share is monotone and ends at the true corpus share") {
+    val docs = Seq(
+      (1L, "the the the cat sat"),
+      (2L, "the cat ran far"),
+      (3L, "dog ran")
+    ).toDF("doc_id", "text")
+    // corpus: the×4 cat×2 ran×2 sat far dog — 11 tokens
+    val cov = TextStats.vocabCoverage(docs, "text", topR = 3).orderBy("rank").collect()
+    assert(cov.map(_.getString(1)).toSeq === Seq("the", "cat", "ran"))
+    assert(cov.map(_.getLong(2)).toSeq === Seq(4L, 2L, 2L))
+    val shares = cov.map(_.getDouble(3))
+    assert(shares.toSeq === Seq(4.0 / 11, 6.0 / 11, 8.0 / 11))
+  }
+}
