@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("streaming pii scrub: stateless redaction projection runs unchanged on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    // Pii is a pure projection (no state, no shuffle) — the exact batch
+    // expression drops into a streaming plan with no operator changes
+    val scrubbed = source.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), graft.operators.Pii.redact(col("text")).as("text"),
+        graft.operators.Pii.emailCount(col("text")).as("n_emails"))
+    val query = scrubbed.writeStream.format("memory").queryName("pii_out")
+      .outputMode("append").start()
+    source.addData((1L, "mail a@b.co now"), (2L, "clean"))
+    query.processAllAvailable()
+    source.addData((3L, "ping 10.0.0.1 and 555-1234"))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("pii_out").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(
+      (1L, "mail <EMAIL> now", 1L),
+      (2L, "clean", 0L),
+      (3L, "ping <IP> and <PHONE>", 0L)))
+  }
+
   test("stateful sessionization: gap closes sessions in-stream, watermark times out idle ones") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, Long, Timestamp)]
