@@ -1,9 +1,12 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
-import org.apache.spark.sql.graft.{TopKByDist, VectorCosineDistance, VectorDot, VectorSqDist}
+import org.apache.spark.sql.graft.{PlanBridge, TopKByDist, VectorCosineDistance, VectorDot, VectorSqDist}
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Pii}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql` users (and thrift/connect
@@ -53,6 +56,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(k > 0, s"topk_by_dist: k must be positive, got $k")
         TopKByDist(children(0), children(1), k).toAggregateExpression()
+      }))
+
+    // ---- text / pipeline layer as SQL functions ----
+    // Column-composed builders: wrap the call-site children in Columns,
+    // compose with the same functions the Scala API uses (identical
+    // expression trees → identical results and codegen), unwrap.
+    def register1(name: String, usage: String)(f: Column => Column): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (children: Seq[Expression]) => {
+          require(children.length == 1, s"$name takes 1 argument")
+          PlanBridge.expression(f(PlanBridge.column(children.head)))
+        }))
+    def litInt(e: Expression, name: String, arg: String): Int = {
+      require(e.foldable, s"$name: $arg must be an integer literal")
+      e.eval(null) match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other   => throw new IllegalArgumentException(s"$name: $arg must be an integer literal, got $other")
+      }
+    }
+    def register2Lit(name: String, usage: String)(f: (Column, Int) => Column): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        (children: Seq[Expression]) => {
+          require(children.length == 2, s"$name takes 2 arguments")
+          PlanBridge.expression(f(PlanBridge.column(children.head), litInt(children(1), name, "arg 2")))
+        }))
+
+    register1("token_count", "token_count(text) - whitespace token count")(TextFunctions.tokenCount)
+    register1("bpe_token_count", "bpe_token_count(text) - BPE-ish sub-word token count")(TextFunctions.bpeTokenCount)
+    register1("lang_id", "lang_id(text) - n-gram-marker language guess (en/de/fr/und)")(TextFunctions.langId)
+    register1("quality_score", "quality_score(text) - [0,1] length/stopword/word-length heuristic")(TextFunctions.qualityScore)
+    register1("doc_fingerprint", "doc_fingerprint(text) - md5 of lowercased text")(TextFunctions.fingerprint)
+    register1("rolling_hash", "rolling_hash(text) - Karp-Rabin rolling hash mod 2^31-1")(TextFunctions.rollingHash)
+    register1("pii_redact", "pii_redact(text) - emails/phones/IPv4 replaced by placeholders")(Pii.redact)
+    register1("pii_email_count", "pii_email_count(text) - email-shaped span count")(Pii.emailCount)
+    register1("pii_phone_count", "pii_phone_count(text) - phone-shaped span count")(Pii.phoneCount)
+    register1("pii_ipv4_count", "pii_ipv4_count(text) - IPv4-shaped span count")(Pii.ipv4Count)
+    register2Lit("word_shingles", "word_shingles(text, n) - array of word n-grams")(TextFunctions.wordShingles)
+    register2Lit("simhash", "simhash(text, bits) - sign-vote SimHash signature")(Dedup.simhash)
+    ext.injectFunction((FunctionIdentifier("embedding_bucket"),
+      info("embedding_bucket", "embedding_bucket(vec, dim, bits) - sign-pattern LSH block id"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "embedding_bucket(vec, dim, bits) takes 3 arguments")
+        PlanBridge.expression(Dedup.embeddingBucket(PlanBridge.column(children.head),
+          litInt(children(1), "embedding_bucket", "dim"), litInt(children(2), "embedding_bucket", "bits")))
       }))
   }
 }

@@ -21,4 +21,18 @@ object PlanBridge {
     * attribute-exact selection, immune to name ambiguity.
     */
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column — the inverse of [[column]].
+    * Lets Column-composed functions (the whole text/pipeline layer) be
+    * registered as SQL functions: wrap the call-site child expressions in
+    * Columns, compose with the functions API, unwrap the result.
+    *
+    * Uses the ACTIVE session's node-to-expression converter
+    * (`classic.SparkSession.expression`) for an eager conversion —
+    * `ExpressionUtils.expression` alone wraps the tree in a lazy
+    * `ColumnNodeExpression` that an injected-function call site would
+    * carry unresolved all the way into codegen.
+    */
+  def expression(c: Column): Expression =
+    SparkSession.active.asInstanceOf[ClassicSparkSession].expression(c)
 }

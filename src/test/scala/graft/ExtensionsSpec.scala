@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
 
 /** SQL surface via SparkSessionExtensions (own session: extensions are
   * fixed at session build time).
@@ -45,6 +48,57 @@ class ExtensionsSpec extends AnyFunSuite {
     val q1 = top(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getDouble(0), r.getLong(1)))
     assert(q1 === Seq((0.1, 11L), (0.3, 12L)))
     assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) === Seq(13L))
+  }
+
+  test("text/pipeline functions are callable from SQL, bit-equal to the Column API") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog sat on the mat with them all day"),
+      (2L, "der und die katze ist nicht auf das mit ein war"),
+      (3L, "mail me a@b.co or 10.1.2.3 at 555-4321 thanks"),
+      (4L, "word soup with no markers whatsoever")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sql_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, token_count(text) AS tc, bpe_token_count(text) AS bc,
+        |  lang_id(text) AS lang, quality_score(text) AS q,
+        |  doc_fingerprint(text) AS fp, rolling_hash(text) AS rh,
+        |  pii_redact(text) AS red, pii_email_count(text) AS ne,
+        |  pii_phone_count(text) AS np, pii_ipv4_count(text) AS ni,
+        |  word_shingles(text, 3) AS sh3, simhash(text, 16) AS sim
+        |FROM sql_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaCols = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("tc"),
+      TextFunctions.bpeTokenCount(col("text")).as("bc"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.rollingHash(col("text")).as("rh"),
+      graft.operators.Pii.redact(col("text")).as("red"),
+      graft.operators.Pii.emailCount(col("text")).as("ne"),
+      graft.operators.Pii.phoneCount(col("text")).as("np"),
+      graft.operators.Pii.ipv4Count(col("text")).as("ni"),
+      TextFunctions.wordShingles(col("text"), 3).as("sh3"),
+      graft.operators.Dedup.simhash(col("text"), 16).as("sim"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.map(_.toSeq.map {
+      case s: scala.collection.Seq[_] => s.toList
+      case x => x
+    }).toSeq === viaCols.map(_.toSeq.map {
+      case s: scala.collection.Seq[_] => s.toList
+      case x => x
+    }).toSeq)
+    // spot semantics: language markers found, redaction applied
+    assert(viaSql(0).getString(3) === "en")
+    assert(viaSql(1).getString(3) === "de")
+    assert(viaSql(2).getString(7) === "mail me <EMAIL> or <IP> at <PHONE> thanks")
+
+    val bucket = spark.sql(
+      "SELECT embedding_bucket(array(CAST(1.0 AS FLOAT), CAST(-2.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT)), 4, 2) AS b")
+      .head().getLong(0)
+    val bucketCol = Seq(Tuple1(Array(1.0f, -2.0f, 3.0f, 0.5f))).toDF("v")
+      .select(graft.operators.Dedup.embeddingBucket(col("v"), 4, 2).as("b")).head().getLong(0)
+    assert(bucket === bucketCol)
   }
 
   test("ANN rewrite: ORDER BY vector_l2 LIMIT k over a registered index runs the graph path") {
