@@ -38,12 +38,23 @@ object OracleSql {
     * Mirrors TextFunctions.wordShingles (empty for docs shorter than n
     * tokens — generate_series(1, len-&lt;n-1&gt;) is empty when stop &lt; start).
     */
-  def shingleCte(n: Int): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |tokidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${n - 1})) AS i FROM toks),
-       |shingles AS (
+  def shingleCte(n: Int): String = {
+    val from = shingleCteFrom(n, "documents", "shingles")
+    // historical names: the single-source form keeps its original CTE names
+    from.replace("shingles_toks", "toks").replace("shingles_tokidx", "tokidx")
+  }
+
+  /** [[shingleCte]] parametrized by source relation and output CTE name,
+    * for queries shingling more than one document set (e.g. the
+    * incremental new-batch-vs-corpus dedup). Internal CTEs are prefixed
+    * with the output name to stay collision-free.
+    */
+  def shingleCteFrom(n: Int, src: String, name: String): String =
+    s"""${name}_toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${name}_tokidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${n - 1})) AS i FROM ${name}_toks),
+       |$name AS (
        |  SELECT doc_id, concat_ws(' ', ${(0 until n).map(j => s"w[i+$j]").mkString(", ")}) AS shingle
-       |  FROM tokidx)""".stripMargin
+       |  FROM ${name}_tokidx)""".stripMargin
 
   /** Sign-pattern LSH bucket of an embedding list column — mirrors
     * Dedup.embeddingBucket: bit g = [group-g component sum > 0], packed as

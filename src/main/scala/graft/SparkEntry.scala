@@ -246,6 +246,32 @@ object SparkEntry {
         tbl(s, dir, "documents").select(col("doc_id"), synth.as("text")), "doc_id", "text")
     }),
 
+    // ---- Gopher-style quality rule flags: per-rule booleans + conjunction,
+    //      one token explode + one partial-agg groupBy ----
+    "q47_gopher_rules" -> ((s, dir) =>
+      graft.operators.TextStats.gopherRules(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- incremental crawl dedup: a new batch (docs with id%10<2, plus
+    //      "re-crawled" verbatim copies of corpus docs under new ids) is
+    //      statused against the existing corpus — exact fingerprint probe +
+    //      capped cross-corpus n-gram Jaccard; the corpus is never
+    //      self-compared ----
+    "q48_incremental_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text")
+      val recrawled = corpus.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text"))
+      val newBatch = docs.filter(col("doc_id") % 10 < 2).select("doc_id", "text")
+        .unionAll(recrawled)
+      Dedup.incrementalDedup(newBatch, corpus, "doc_id", "text",
+        n = 3, minJaccard = 0.2, maxDf = 5)
+    }),
+
+    // ---- training-mixture table: per-source token share + temperature-0.5
+    //      relative sampling weight (sqrt share, exact-arithmetic form) ----
+    "q49_mixture_weights" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureWeights(tbl(s, dir, "documents"), "source", "text")),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs; maxDf drops
     //      ubiquitous stop-shingles before the self-join (the hot-shingle
     //      B² guard — mirrored in the oracle) ----
@@ -759,6 +785,74 @@ object SparkEntry {
            |    '$ipv4Re', '<IP>', 'g')) AS BIGINT) AS redacted_len
            |FROM s""".stripMargin
       },
+
+      "q47_gopher_rules" -> {
+        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |a AS (SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(len(tok)) AS BIGINT) AS sum_len,
+           |  CAST(max(len(tok)) AS BIGINT) AS max_word_len,
+           |  count(DISTINCT tok) AS n_distinct,
+           |  CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM w GROUP BY 1),
+           |b AS (SELECT doc_id, n_words, n_stop, max_word_len,
+           |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_ratio
+           |  FROM a)
+           |SELECT doc_id, n_words, mean_word_len, n_stop, dup_word_ratio, max_word_len,
+           |  n_words >= 30 AND n_words <= 100000 AS word_count_ok,
+           |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_len_ok,
+           |  n_stop >= 2 AS stop_ok,
+           |  dup_word_ratio <= 0.55 AS dup_ok,
+           |  max_word_len <= 15 AS word_len_ok,
+           |  (n_words >= 30 AND n_words <= 100000)
+           |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           |    AND n_stop >= 2 AND dup_word_ratio <= 0.55 AND max_word_len <= 15 AS keep
+           |FROM b""".stripMargin
+      },
+
+      "q48_incremental_dedup" ->
+        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+           |newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2
+           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents
+           |    WHERE doc_id % 10 >= 2 AND doc_id % 50 = 7),
+           |${shingleCteFrom(3, "corp", "csh_raw")},
+           |${shingleCteFrom(3, "newd", "nsh_raw")},
+           |csd AS (SELECT DISTINCT doc_id, shingle FROM csh_raw),
+           |cdf AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM csd),
+           |csh AS (SELECT doc_id, shingle FROM cdf WHERE df <= 5),
+           |hot AS (SELECT DISTINCT shingle FROM cdf WHERE df > 5),
+           |nsd AS (SELECT DISTINCT doc_id, shingle FROM nsh_raw),
+           |nsh AS (SELECT doc_id, shingle FROM nsd WHERE shingle NOT IN (SELECT shingle FROM hot)),
+           |na AS (SELECT doc_id, count(*) AS n_a FROM nsh GROUP BY 1),
+           |nb AS (SELECT doc_id, count(*) AS n_b FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_corp, count(*) AS n_inter
+           |  FROM nsh a JOIN csh b ON a.shingle = b.shingle GROUP BY 1, 2),
+           |jac AS (SELECT id_new,
+           |    CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS j
+           |  FROM inter JOIN na ON na.doc_id = inter.id_new JOIN nb ON nb.doc_id = inter.id_corp),
+           |near AS (SELECT id_new, count(*) AS n_near, max(j) AS bj
+           |  FROM jac WHERE j >= 0.2 GROUP BY 1),
+           |ex AS (SELECT DISTINCT n.doc_id FROM newd n
+           |  JOIN corp c ON md5(lower(n.text)) = md5(lower(c.text)))
+           |SELECT nd.doc_id,
+           |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           |       WHEN near.id_new IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+           |  COALESCE(near.n_near, 0) AS n_near_matches,
+           |  COALESCE(near.bj, 0.0) AS best_jaccard
+           |FROM newd nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
+           |  LEFT JOIN near ON near.id_new = nd.doc_id""".stripMargin,
+
+      "q49_mixture_weights" ->
+        s"""WITH per AS (SELECT source, count(*) AS n_docs,
+           |    CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  max(n_tokens) AS max_tokens FROM per)
+           |SELECT source, n_docs, n_tokens,
+           |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+           |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+           |FROM per, tot""".stripMargin,
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},

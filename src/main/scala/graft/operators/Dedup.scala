@@ -194,6 +194,81 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental dedup of a NEW document batch against an EXISTING corpus —
+    * the shape every recurring crawl ingest runs: nothing in the corpus is
+    * re-compared against itself; only new×corpus pairs are scored. Each new
+    * doc gets a status:
+    *   - `exact_dup`  — its fingerprint (md5 of lowercased text) already
+    *     exists in the corpus;
+    *   - `near_dup`   — exact n-gram Jaccard ≥ `minJaccard` against at
+    *     least one corpus doc (over the capped shingle universe below);
+    *   - `new`        — neither.
+    * plus `n_near_matches` (corpus docs above the threshold) and
+    * `best_jaccard` (0.0 when none — never null, so engines agree).
+    *
+    * Scale shape: the corpus side explodes to distinct (id, shingle) ONCE;
+    * shingles with corpus document frequency &gt; `maxDf` are dropped from
+    * BOTH sides before the equi-join (the [[ngramJaccardPairs]] hot-shingle
+    * guard in cross-corpus form — the df window partitions by `shingle`,
+    * the same key the join shuffles on), and per-doc set sizes are computed
+    * on the SAME capped universe so inclusion–exclusion stays consistent.
+    * Join volume is O(shingle-match rows) with every corpus shingle bounded
+    * to `maxDf` docs; the new batch is assumed the (much) smaller side.
+    * The fingerprint probe is a semi-join on md5 — one shuffle of hashes,
+    * never text. Like [[ngramJaccardPairs]], the two shingle sets are
+    * localCheckpointed by default (each feeds its size aggregate AND the
+    * join); pass `materialize = false` for a fully lazy plan.
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minJaccard: Double = 0.5,
+                       maxDf: Int = Int.MaxValue,
+                       materialize: Boolean = true): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    val fpCorpus = corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+    val exact = newDocs
+      .select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .join(fpCorpus, Seq("fp"), "left_semi")
+      .select(col("id")).withColumn("is_exact", lit(true))
+
+    val corpusShAll = explodedShingles(corpus, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle")).distinct()
+    val newShAll = explodedShingles(newDocs, idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle")).distinct()
+    val (corpusSh, newSh) =
+      if (maxDf == Int.MaxValue) (ckpt(corpusShAll), ckpt(newShAll))
+      else {
+        val withDf = ckpt(corpusShAll
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle"))))
+        val hot = withDf.filter(col("df") > maxDf).select("shingle").distinct()
+        (withDf.filter(col("df") <= maxDf).drop("df"),
+          ckpt(newShAll.join(hot, Seq("shingle"), "left_anti")))
+      }
+
+    val nA = newSh.groupBy("id").agg(count(lit(1)).as("n_a"))
+    val nB = corpusSh.groupBy("id").agg(count(lit(1)).as("n_b"))
+    val near = newSh.as("a")
+      .join(corpusSh.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.id").as("id_new"), col("b.id").as("id_corp"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(nA.select(col("id").as("id_new"), col("n_a")), "id_new")
+      .join(nB.select(col("id").as("id_corp"), col("n_b")), "id_corp")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy(col("id_new").as("id"))
+      .agg(count(lit(1)).as("n_near_matches"), max(col("jaccard")).as("best_jaccard"))
+
+    newDocs.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(col("n_near_matches").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("n_near_matches"), lit(0L)).as("n_near_matches"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }
+
   /** SimHash signature (w bits) over the token stream: bit j of the
     * signature is the sign of Σ_tokens (±1 depending on bit j of
     * md5(token)). Bits come from the first 8 hex chars of md5 → a 32-bit

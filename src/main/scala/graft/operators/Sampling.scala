@@ -30,4 +30,54 @@ object Sampling {
     */
   def hashSample(df: DataFrame, idCol: String, ratePct: Column): DataFrame =
     df.filter(pmod(idHash(col(idCol)), lit(100L)) < ratePct)
+
+  /** Per-source corpus composition with temperature-0.5 sampling weights —
+    * the mixture table a training run is configured from: n_docs, n_tokens,
+    * exact token share, and `rel_weight` = √(n_tokens_s) / √(max_s n_tokens)
+    * (∝ share^T with T = 0.5 — the standard square-root temperature that
+    * up-weights small sources without letting them dominate).
+    *
+    * `rel_weight` is deliberately relative-to-the-largest-source rather
+    * than normalized to Σ = 1: normalizing needs a sum of per-source
+    * square roots — an order-dependent double sum the bit-exact oracle
+    * contract excludes. All columns here are integer aggregates plus
+    * single exact ops (÷, sqrt), so a DuckDB oracle reproduces them
+    * bit-for-bit at any parallelism. For probabilities, see
+    * [[mixtureWeightsNormalized]].
+    *
+    * Scale shape: one partial-agg groupBy over the corpus (token counts
+    * computed without materializing token arrays), one single-row scalar
+    * aggregate broadcast back.
+    */
+  def mixtureWeights(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val per = docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"), max(col("n_tokens")).as("max_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("token_share"),
+        (sqrt(col("n_tokens").cast("double")) / sqrt(col("max_tokens").cast("double")))
+          .as("rel_weight"))
+  }
+
+  /** [[mixtureWeights]] plus `weight` = rel_weight / Σ_s rel_weight — true
+    * sampling probabilities (Σ weight = 1). The denominator is a sum of
+    * doubles, folded in SORTED source order over a collected array
+    * (`aggregate(array_sort(collect_list(...)))`) so the association order
+    * is fixed and the result is deterministic at any parallelism — but it
+    * is a cross-engine reassociation hazard, which is why this variant is
+    * spec-tested rather than oracle-checked. The source list is one row per
+    * source (thousands at most) — driver-safe by construction.
+    */
+  def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val mw = mixtureWeights(docs, sourceCol, textCol)
+    val denom = mw.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(sourceCol).as("s"), col("rel_weight").as("r")))),
+        lit(0.0), (acc, x) => acc + x("r")).as("denom"))
+    mw.crossJoin(broadcast(denom))
+      .withColumn("weight", col("rel_weight") / col("denom"))
+      .drop("denom")
+  }
 }

@@ -112,6 +112,51 @@ object TextStats {
       .select("rank", "shingle", "df", "cf")
   }
 
+  /** Gopher-style per-document quality rule flags — the published
+    * repetition/length/stopword heuristics of large-corpus cleaning
+    * recipes (word-count band, mean-word-length band, minimum stopword
+    * hits, duplicate-word ratio cap, maximum word length), each reported
+    * as its own boolean plus the conjunction (`keep`), so a pipeline can
+    * tune or ablate rules individually instead of re-running the scan.
+    *
+    * Scale shape: one token explode + one partial-agg groupBy (the
+    * distinct-word count plans as a two-phase aggregate on the same
+    * shuffle) — shuffle O(distinct (doc, word)), never the token stream.
+    * Every reported value is integer counts + single exact divisions, so a
+    * DuckDB oracle reproduces the doubles and the rule booleans
+    * bit-for-bit. Docs with null text are absent from the output.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 30, maxWords: Long = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minStopHits: Long = 2, maxDupRatio: Double = 0.55,
+                  maxWordLen: Long = 15): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val agg = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("tok")).cast("long")).as("sum_len"),
+      max(length(col("tok")).cast("long")).as("max_word_len"),
+      countDistinct(col("tok")).as("n_distinct"),
+      sum(when(col("tok").isin(TextFunctions.Stopwords.map(lit): _*), 1L).otherwise(0L))
+        .as("n_stop"))
+    agg
+      .withColumn("mean_word_len", col("sum_len").cast("double") / col("n_words").cast("double"))
+      .withColumn("dup_word_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"))
+      .withColumn("word_count_ok", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mean_len_ok",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("stop_ok", col("n_stop") >= minStopHits)
+      .withColumn("dup_ok", col("dup_word_ratio") <= maxDupRatio)
+      .withColumn("word_len_ok", col("max_word_len") <= maxWordLen)
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_len_ok") && col("stop_ok") &&
+          col("dup_ok") && col("word_len_ok"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"), col("n_stop"),
+        col("dup_word_ratio"), col("max_word_len"), col("word_count_ok"),
+        col("mean_len_ok"), col("stop_ok"), col("dup_ok"), col("word_len_ok"), col("keep"))
+  }
+
   /** Zipf head of the corpus vocabulary: the `topR` most frequent words
     * with their cumulative share of ALL tokens — the curve a tokenizer
     * budget or stopword list is read off of. `cum_share` divides two

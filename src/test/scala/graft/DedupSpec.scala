@@ -206,4 +206,46 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L))) // 2 is orthogonal; 3 is in another block
   }
+
+  test("incremental dedup: exact / near / new statuses against a corpus, corpus never self-compared") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // corpus-internal dup: must NOT surface
+      (2L, "pack my box with five dozen liquor jugs today"),
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),   // verbatim re-crawl
+      (11L, "the quick brown fox jumps over the sleepy dog"), // near dup of 0/1
+      (12L, "completely unrelated words appear in this one"), // genuinely new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(newBatch, corpus, "doc_id", "text", n = 3, minJaccard = 0.2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L), "exactly one row per NEW doc — corpus rows never report")
+    assert(out(10L)._1 === "exact_dup")
+    assert(out(10L)._3 === 1.0, "a verbatim copy also scores jaccard 1.0")
+    assert(out(11L)._1 === "near_dup")
+    assert(out(11L)._2 === 2L, "near dup of both corpus copies")
+    assert(out(11L)._3 > 0.0 && out(11L)._3 < 1.0)
+    assert(out(12L) === (("new", 0L, 0.0)))
+  }
+
+  test("incremental dedup maxDf cap: a corpus-hot shingle creates no matches; lazy plan is bit-equal") {
+    // 10 corpus docs share ONE ubiquitous shingle; the new doc contains it too
+    // plus a rare overlap with one corpus doc
+    val corpus = ((0L until 10L).map(i => (i, s"hot hot hot u$i v$i w$i")) :+
+      (20L, "rare alpha beta gamma delta")).toDF("doc_id", "text")
+    val newBatch = Seq((100L, "hot hot hot rare alpha beta gamma other")).toDF("doc_id", "text")
+    val uncapped = Dedup.incrementalDedup(newBatch, corpus, "doc_id", "text", n = 3, minJaccard = 0.01)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(uncapped(100L)._2 === 11L, "without the cap the hot shingle matches every corpus doc")
+    val capped = Dedup.incrementalDedup(newBatch, corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.01, maxDf = 5)
+    val cap = capped.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cap(100L)._1 === "near_dup")
+    assert(cap(100L)._2 === 1L, "only the rare-shingle match survives the cap")
+    val lazyOut = Dedup.incrementalDedup(newBatch, corpus, "doc_id", "text",
+      n = 3, minJaccard = 0.01, maxDf = 5, materialize = false)
+    assert(lazyOut.collect().toSeq.sortBy(_.getLong(0)) ===
+      capped.collect().toSeq.sortBy(_.getLong(0)))
+  }
 }

@@ -101,4 +101,47 @@ class PipelinePrepSpec extends SparkSpec {
     val shares = cov.map(_.getDouble(3))
     assert(shares.toSeq === Seq(4.0 / 11, 6.0 / 11, 8.0 / 11))
   }
+
+  test("gopherRules: each rule trips on its own violation; clean doc keeps") {
+    import spark.implicits._
+    val good = ("the and of " + Seq.tabulate(40)(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (0L, good),                                          // passes every rule
+      (1L, "the and of too few words"),                    // word_count_ok = false
+      (2L, ("the and " + Seq.fill(41)("xy").mkString(" "))),         // mean len < 3 + dup ratio high
+      (3L, good.replace("word39", "supercalifragilistic")), // max word len > 15
+      (4L, Seq.tabulate(43)(i => s"word$i").mkString(" ")), // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextStats.gopherRules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep"))
+    assert(!r(1L).getAs[Boolean]("word_count_ok") && !r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("mean_len_ok") && !r(2L).getAs[Boolean]("dup_ok"))
+    assert(!r(3L).getAs[Boolean]("word_len_ok") && r(3L).getAs[Boolean]("word_count_ok"))
+    assert(!r(4L).getAs[Boolean]("stop_ok") && r(4L).getAs[Boolean]("word_count_ok"))
+    // reported stats are exact
+    assert(r(0L).getAs[Long]("n_words") === 43L)
+    assert(r(0L).getAs[Long]("n_stop") === 3L)
+    assert(r(4L).getAs[Double]("dup_word_ratio") === 0.0)
+  }
+
+  test("mixtureWeights: exact shares, rel weight 1.0 for the largest source, sqrt scaling") {
+    import spark.implicits._
+    // source a: 4 docs × 9 tokens; source b: 1 doc × 9 tokens → shares 4/5, 1/5
+    val nine = "w w w w w w w w w"
+    val docs = (Seq.fill(4)("a") :+ "b").zipWithIndex
+      .map { case (s, i) => (i.toLong, s, nine) }.toDF("doc_id", "source", "text")
+    val mw = graft.operators.Sampling.mixtureWeights(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(mw("a").getAs[Long]("n_tokens") === 36L)
+    assert(mw("a").getAs[Double]("token_share") === 0.8)
+    assert(mw("a").getAs[Double]("rel_weight") === 1.0)
+    assert(mw("b").getAs[Double]("rel_weight") === math.sqrt(9.0) / math.sqrt(36.0))
+
+    val norm = graft.operators.Sampling.mixtureWeightsNormalized(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(norm.values.sum - 1.0) < 1e-12, "normalized weights sum to 1")
+    // temperature 0.5 halves the 4:1 token imbalance to 2:1 in sampling weight
+    assert(math.abs(norm("a") / norm("b") - 2.0) < 1e-12)
+  }
 }
