@@ -542,6 +542,25 @@ object SparkEntry {
           .as("n_cross_partition")).orderBy("layer")
     }),
 
+    // ---- filtered exact kNN: top-k under an attribute predicate — the
+    //      exact twin of the filtered ANN path, oracle-checked ----
+    "q50_filtered_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      Knn.exactTopK(e.filter(col("label") % 3 === 0), queries, 10, Distances.l2)
+    }),
+
+    // ---- filtered ANN over the built index (rows-only; predicate
+    //      correctness + recall vs q50's exact form are spec-asserted) ----
+    "hnsw_ann_filtered" -> ((s, dir) => {
+      val idx = builtIndex(s, dir)
+      val e = emb(s, dir)
+      val queries = idx.nodes.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+      // selectivity ≈ 1/3 → ef widened to ~3× the unfiltered budget
+      Hnsw.annQueryFiltered(idx, queries, k = 10,
+        allowedIds = e.filter(col("label") % 3 === 0).select("id"), ef = 192)
+    }),
+
     // ---- Q1b: batch ANN query over the built index (rows-only) ----
     "hnsw_ann_topk" -> ((s, dir) => {
       val idx = builtIndex(s, dir)
@@ -616,6 +635,14 @@ object SparkEntry {
       "q03_knn_topk" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
            |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist FROM embeddings e, q),
+           |ranked AS (SELECT qid, id, dist,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS "rank" FROM scored)
+           |SELECT qid, "rank", id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,
+
+      "q50_filtered_knn" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist
+           |  FROM embeddings e, q WHERE e.label % 3 = 0),
            |ranked AS (SELECT qid, id, dist,
            |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS "rank" FROM scored)
            |SELECT qid, "rank", id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,

@@ -308,6 +308,42 @@ object Hnsw {
     rankTopK(perPart, k)
   }
 
+  /** Filtered ANN — top-k restricted to an allowed id set (the standard
+    * attribute-predicate search of vector engines: "nearest neighbors among
+    * `lang = 'en'` docs"). The caller evaluates its predicate wherever the
+    * attributes live (`attrs.filter(pred).select("id")`) and passes the
+    * surviving ids; filtering composes with ANY Spark predicate that way,
+    * with Catalyst pushing it to the attribute scan.
+    *
+    * Mechanism: filter-as-tombstone. Disallowed nodes get their tombstone
+    * flag set in a rewritten node table, and the ordinary query paths do
+    * the rest — [[LocalHnsw.searchLayer]] excludes skipped ids from the
+    * KEPT set but still routes traversal through them, so a low-selectivity
+    * filter cannot disconnect the graph (the classic pre-filter-vs-
+    * post-filter failure). The id join shuffles O(nodes) once; no graph
+    * rebuild, no edge rewrite.
+    *
+    * Recall tuning: with selectivity s, a layer-0 sweep of width ef keeps
+    * only ≈ s·ef allowed candidates — budget `ef ≳ k/s` (e.g. k=10 at 10%
+    * selectivity → ef ≈ 100+). `large = true` routes through
+    * [[annQueryLarge]] (no driver round-trip) for big query sets.
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryFiltered(index: HnswIndex, queries: DataFrame, k: Int,
+                       allowedIds: DataFrame, ef: Int = -1,
+                       large: Boolean = false): DataFrame = {
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).cast("long").as("id"))
+      .distinct()
+      .withColumn("__allowed", lit(true))
+    val nodes = index.nodes.join(allowed, Seq("id"), "left")
+      .withColumn("tombstone", col("tombstone") || col("__allowed").isNull)
+      .drop("__allowed")
+    val filtered = index.copy(nodes = nodes)
+    if (large) annQueryLarge(filtered, queries, k, ef)
+    else annQuery(filtered, queries, k, ef)
+  }
+
   /** ANN for an in-memory query batch. Plan construction runs NO Spark job
     * (the broadcast is driver-side) — the SQL rewrite rule builds this
     * during analysis, where submitting jobs would make EXPLAIN execute

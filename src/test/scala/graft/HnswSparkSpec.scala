@@ -95,6 +95,35 @@ class HnswSparkSpec extends SparkSpec {
     assert(crossCount > 0, "no cross-partition links created")
   }
 
+  test("filtered ANN: only allowed ids surface, recall vs the exact filtered oracle, large path bit-equal") {
+    val attrs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("label"))
+    val allowed = attrs.filter(col("label") % 3 === 0).select("id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val queries = input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    // selectivity ~1/3 → ef widened ~3× (see annQueryFiltered scaladoc)
+    val ann = Hnsw.annQueryFiltered(index, queries, k = 10, allowed, ef = 192)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(allowedSet.contains(r.getAs[Long]("id")),
+      s"id ${r.getAs[Long]("id")} violates the filter"))
+
+    val embD = input.select(col("id"), Distances.toDouble(col("vector")).as("vector"))
+    val qD = embD.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val exact = Knn.exactTopK(embD.join(allowed, "id"), qD, 10, Distances.l2)
+    val recall = Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.8, s"filtered avg recall@10 $recall")
+
+    val large = Hnsw.annQueryFiltered(index, queries, k = 10, allowed, ef = 192, large = true)
+    assert(large.collect().map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+  }
+
+  test("filtered ANN with an empty allowed set returns no rows (never crashes the traversal)") {
+    val queries = input.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
+    val none = input.select("id").filter(lit(false))
+    assert(Hnsw.annQueryFiltered(index, queries, k = 5, none).count() === 0L)
+  }
+
   test("empty input builds the empty-index sentinel; queries over it return no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vector")
