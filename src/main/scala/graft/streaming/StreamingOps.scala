@@ -103,6 +103,36 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming incremental corpus dedup — the recurring-ingest pipeline as
+    * one continuous query: every micro-batch of documents is statused
+    * against a STATIC existing corpus with the batch operator
+    * [[graft.operators.Dedup.incrementalDedup]] (exact fingerprint
+    * semi-join + df-capped cross-corpus n-gram Jaccard), and the per-doc
+    * verdicts (exact_dup / near_dup / new) are appended as parquet.
+    * In-stream repeats within the watermark horizon are dropped FIRST by
+    * [[streamingDedup]]'s fingerprint state, so a doc that recurs inside
+    * the stream is statused once — state stays watermark-bounded, and the
+    * corpus side is re-read per batch only in the capped shingle form.
+    *
+    * Input columns: (idCol: long, tsCol: timestamp, textCol: string).
+    * Output rows (outDir): (idCol, status, n_near_matches, best_jaccard).
+    */
+  def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame,
+                                idCol: String, tsCol: String, textCol: String,
+                                outDir: String, n: Int = 3, minJaccard: Double = 0.5,
+                                maxDf: Int = Int.MaxValue,
+                                watermark: String = "1 hour"): DataStreamWriter[Row] =
+    streamingDedup(docs, tsCol, textCol, watermark)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .incrementalDedup(batch.select(idCol, textCol), corpus, idCol, textCol,
+              n, minJaccard, maxDf)
+            .write.mode("append").parquet(outDir)
+      }
+
   /** Stateful gap-based sessionization — the streaming twin of
     * q29_sessionize, built on `flatMapGroupsWithState` with event-time
     * timeout: per-user state is one open session (start, last, count);

@@ -80,6 +80,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("streaming incremental dedup: micro-batches statused against a static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs today"),
+    ).toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("sid-out").toString
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingOps.streamingIncrementalDedup(
+      source.toDF().toDF("doc_id", "ts", "text"), corpus,
+      "doc_id", "ts", "text", outDir, minJaccard = 0.2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sid-ckpt").toString)
+      .start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    source.addData(
+      (10L, t0, "the quick brown fox jumps over the lazy dog"),   // exact vs corpus
+      (11L, t0, "the quick brown fox jumps over the sleepy dog")) // near vs corpus
+    query.processAllAvailable()
+    source.addData(
+      (12L, t0, "completely unrelated words appear in this one"), // new
+      (13L, t0, "the quick brown fox jumps over the lazy dog"))   // in-stream repeat of 10 → dropped
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(10L, 11L, 12L), "in-stream repeat must be dropped by the fingerprint state")
+    assert(out(10L) === "exact_dup")
+    assert(out(11L) === "near_dup")
+    assert(out(12L) === "new")
+  }
+
   test("streaming pii scrub: stateless redaction projection runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
