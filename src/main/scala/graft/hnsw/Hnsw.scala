@@ -443,6 +443,24 @@ object Hnsw {
   def rebuild(index: HnswIndex, params: HnswParams): HnswIndex =
     build(index.nodes.filter(!col("tombstone")).select("id", "vector"), params)
 
+  /** Compact an index that has accumulated many small sub-graphs — the
+    * maintenance pass a streaming deployment runs periodically:
+    * [[graft.streaming.StreamingOps.incrementalAdd]] appends one isolated
+    * sub-graph per micro-batch, and since every query searches every pid,
+    * per-query fan-out grows with batch count while per-sub-graph recall
+    * quality shrinks. Compaction merges them into ONE navigable graph
+    * re-sharded into `targetShards` balanced query shards
+    * ([[HnswMerge.merge]]: IVF-blocked boundary kNN for cross-sub-graph
+    * links, relational degree prune, ghost-fringe sharding) — no
+    * per-vector re-insertion, unlike [[rebuild]], which re-runs the full
+    * build. Tombstoned rows stay tombstoned through the merge; run
+    * [[rebuild]] instead when the goal is reclaiming deleted mass.
+    */
+  def compact(index: HnswIndex, targetShards: Int): HnswIndex = {
+    require(targetShards > 0, s"compact: targetShards must be positive, got $targetShards")
+    HnswMerge.merge(index, numShards = targetShards)
+  }
+
   // ---- evaluation (SURVEY.md D8 — the reference's declared-but-missing test) ----
 
   /** recall@k of the ANN result against the exact oracle, per query and

@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.hnsw.{Hnsw, HnswParams}
+import graft.operators.Knn
 import graft.streaming.StreamingOps
 
 class StreamingSpec extends SparkSpec {
@@ -39,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     val res = Hnsw.annQuery(index, queries, k = 3).filter(col("rank") === 1).collect()
     assert(res.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap === Map(7L -> 7L, 77L -> 77L))
     res.foreach(r => assert(r.getAs[Double]("dist") === 0.0))
+  }
+
+  test("compaction: accumulated micro-batch sub-graphs merge into balanced shards, recall preserved") {
+    val dir = Files.createTempDirectory("hnsw-compact").toString
+    val params = HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val query = StreamingOps.incrementalAdd(source.toDF().toDF("id", "vector"), dir, params).start()
+    (0 until 4).foreach { b =>
+      source.addData((b * 40L until (b + 1) * 40L).map(i => (i, randVec(i, 16))): _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    val accumulated = Hnsw.load(spark, dir)
+    val pidsBefore = accumulated.nodes.select("pid").distinct().count()
+    assert(pidsBefore === 8, "4 batches x 2 partitions accumulate 8 isolated sub-graphs")
+
+    val compacted = Hnsw.compact(accumulated, targetShards = 2)
+    val homePids = compacted.nodes.filter(!col("tombstone")).select("pid").distinct().count()
+    assert(homePids === 2)
+    // every live node is homed exactly once (ghost copies are all tombstoned)
+    assert(compacted.nodes.filter(!col("tombstone")).count() === 160)
+
+    val queries = Seq(3L, 47L, 89L, 123L, 159L).map(i => (i, randVec(i, 16))).toDF("qid", "vector")
+    val ann = Hnsw.annQuery(compacted, queries, k = 5, ef = 64)
+    val exact = Knn.exactTopK(
+      accumulated.nodes.select(col("id"), graft.functions.Distances.toDouble(col("vector")).as("vector")),
+      queries.select(col("qid"), graft.functions.Distances.toDouble(col("vector")).as("vector")),
+      5, graft.functions.Distances.l2)
+    val recall = Hnsw.recallAtK(ann, exact, 5).agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.8, s"post-compaction avg recall@5 $recall")
   }
 
   test("streaming ann query: micro-batched queries answered against a static index") {
