@@ -272,6 +272,12 @@ object SparkEntry {
     "q49_mixture_weights" -> ((s, dir) =>
       graft.operators.Sampling.mixtureWeights(tbl(s, dir, "documents"), "source", "text")),
 
+    // ---- context-window chunking: overlapping token windows per doc
+    //      (shuffle-free projection + explode; chunk text oracle-exact) ----
+    "q51_chunk_windows" -> ((s, dir) =>
+      graft.operators.Packing.chunkWindows(tbl(s, dir, "documents"), "doc_id", "text",
+        window = 32, stride = 24)),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs; maxDf drops
     //      ubiquitous stop-shingles before the self-join (the hot-shingle
     //      B² guard — mirrored in the oracle) ----
@@ -880,6 +886,15 @@ object SparkEntry {
            |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
            |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
            |FROM per, tot""".stripMargin,
+
+      "q51_chunk_windows" ->
+        s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           |s AS (SELECT doc_id, w, unnest(generate_series(1, len(w), 24)) AS start FROM t)
+           |SELECT doc_id, CAST((start - 1) // 24 AS BIGINT) AS chunk_id,
+           |  CAST(start AS BIGINT) AS start_tok,
+           |  CAST(least(32, len(w) - start + 1) AS BIGINT) AS n_tokens,
+           |  array_to_string(w[start:start+31], ' ') AS chunk_text
+           |FROM s""".stripMargin,
 
       "q13_jaccard_pairs" ->
         s"""WITH ${shingleCte(3)},

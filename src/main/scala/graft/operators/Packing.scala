@@ -67,4 +67,34 @@ object Packing {
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
         min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
+
+  /** Context-window chunking: split each document's token stream into
+    * windows of `window` tokens advancing by `stride` — the
+    * overlapping-window chunker run before tokenizer sharding when
+    * documents exceed the model context (stride &lt; window keeps
+    * cross-boundary context in both chunks). Window starts are
+    * 1, 1+stride, 1+2·stride, … up to the token count, so every token
+    * lands in at least one chunk; trailing chunks may be shorter than
+    * `window` (the standard overflow-token semantics).
+    *
+    * Output per (doc, chunk): chunk_id (0-based), start_tok (1-based),
+    * n_tokens, chunk_text. Scale shape: a pure projection + explode —
+    * no shuffle, no state, linear in corpus size; integer arithmetic +
+    * array slicing only, so a DuckDB oracle reproduces every row
+    * (including the `chunk_text` strings) exactly.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"chunkWindows: window must be positive, got $window")
+    require(stride > 0, s"chunkWindows: stride must be positive, got $stride")
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1), size(col("w")), lit(stride))).as("start"))
+      .select(col(idCol),
+        expr(s"CAST((start - 1) DIV $stride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(window), size(col("w")) - col("start") + 1).cast("long").as("n_tokens"),
+        array_join(slice(col("w"), col("start"), lit(window)), " ").as("chunk_text"))
+  }
 }

@@ -102,6 +102,28 @@ class PipelinePrepSpec extends SparkSpec {
     assert(shares.toSeq === Seq(4.0 / 11, 6.0 / 11, 8.0 / 11))
   }
 
+  test("chunkWindows: overlapping windows cover every token; tails shorten; short docs chunk once") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b"),                                    // shorter than the window
+    ).toDF("doc_id", "text")
+    val chunks = Packing.chunkWindows(docs, "doc_id", "text", window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(c => (c._1, c._2))
+    val d0 = chunks.filter(_._1 == 0L)
+    assert(d0.map(_._3).toSeq === Seq(1L, 4L, 7L, 10L), "starts advance by stride up to n")
+    assert(d0.map(_._4).toSeq === Seq(4L, 4L, 4L, 1L), "tail chunk is short, never empty")
+    assert(d0.head._5 === "t1 t2 t3 t4")
+    assert(d0.last._5 === "t10")
+    assert(d0.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L), "chunk ids are dense from 0")
+    // every token index is covered by at least one chunk
+    val covered = d0.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered === (1L to 10L).toSet)
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.toSeq === Seq((1L, 0L, 1L, 2L, "a b")))
+  }
+
   test("gopherRules: each rule trips on its own violation; clean doc keeps") {
     import spark.implicits._
     val good = ("the and of " + Seq.tabulate(40)(i => s"word$i").mkString(" "))
