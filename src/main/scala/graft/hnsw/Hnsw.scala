@@ -332,6 +332,18 @@ object Hnsw {
   def annQueryFiltered(index: HnswIndex, queries: DataFrame, k: Int,
                        allowedIds: DataFrame, ef: Int = -1,
                        large: Boolean = false): DataFrame = {
+    val filtered = withAllowed(index, allowedIds)
+    if (large) annQueryLarge(filtered, queries, k, ef)
+    else annQuery(filtered, queries, k, ef)
+  }
+
+  /** The filter-as-tombstone node rewrite behind [[annQueryFiltered]], as a
+    * reusable index view: nodes outside `allowedIds` get their tombstone
+    * flag set. Fully lazy (one join plan, no jobs) — the SQL rewrite rule
+    * builds this during analysis, where running jobs would make EXPLAIN
+    * execute cluster work.
+    */
+  def withAllowed(index: HnswIndex, allowedIds: DataFrame): HnswIndex = {
     val allowed = allowedIds
       .select(col(allowedIds.columns.head).cast("long").as("id"))
       .distinct()
@@ -339,9 +351,7 @@ object Hnsw {
     val nodes = index.nodes.join(allowed, Seq("id"), "left")
       .withColumn("tombstone", col("tombstone") || col("__allowed").isNull)
       .drop("__allowed")
-    val filtered = index.copy(nodes = nodes)
-    if (large) annQueryLarge(filtered, queries, k, ef)
-    else annQuery(filtered, queries, k, ef)
+    index.copy(nodes = nodes)
   }
 
   /** ANN for an in-memory query batch. Plan construction runs NO Spark job

@@ -105,9 +105,20 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def tryRewrite(k: Int, orderAttr: AttributeReference, p: Project): Option[LogicalPlan] =
+  private def tryRewrite(k: Int, orderAttr: AttributeReference, p: Project): Option[LogicalPlan] = {
+    // optional attribute predicate between the projection and the view:
+    //   ... WHERE <pred> ORDER BY dist LIMIT k
+    // routes to the filtered path (filter-as-tombstone, Hnsw.withAllowed) —
+    // the predicate must be deterministic and subquery-free so evaluating
+    // it again for the allowed-id set cannot diverge from the original plan
+    val (srcPlan, filterCond) = p.child match {
+      case f: Filter if f.condition.deterministic &&
+          !f.condition.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        (f.child, Some(f.condition))
+      case other => (other, None)
+    }
     for {
-      name <- viewName(p.child)
+      name <- viewName(srcPlan)
       entry <- IndexRegistry.lookup(name)
       distAlias <- p.projectList.collectFirst {
         case a: Alias if a.exprId == orderAttr.exprId => a
@@ -131,7 +142,14 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     } yield {
       // annQueryBatch builds the plan without submitting a Spark job —
       // a rule that ran jobs would make plain EXPLAIN execute cluster work
-      val ann = Hnsw.annQueryBatch(entry.index, Array((0L, qVec)), k)
+      // (withAllowed is a lazy join plan, so the filtered path is too)
+      val idx = filterCond match {
+        case Some(cond) =>
+          Hnsw.withAllowed(entry.index,
+            PlanBridge.ofRows(session, Filter(cond, srcPlan)).select(col(entry.idCol)))
+        case None => entry.index
+      }
+      val ann = Hnsw.annQueryBatch(idx, Array((0L, qVec)), k)
         .queryExecution.analyzed
       val annId = ann.output.find(_.name == "id").get
       val annDist = ann.output.find(_.name == "dist").get
@@ -143,6 +161,7 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       IndexRegistry.markFired()
       Project(out, sorted)
     }
+  }
 
   // ---- batch-query shape (SURVEY.md Q7 as SQL): GROUP BY qid +
   //      topk_by_dist over a cross join of a registered view with a

@@ -101,6 +101,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bucket === bucketCol)
   }
 
+  test("ANN rewrite: WHERE predicate + ORDER BY vector_l2 LIMIT k routes to the filtered path") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val index = Hnsw.build(vecs.toDF("id", "vector"),
+      HnswParams(dim = 8, m = 4, efConstruction = 32, numPartitions = 2))
+    index.nodes.createOrReplaceTempView("emb_fidx")
+    IndexRegistry.register("emb_fidx", index)
+
+    val q = vecs(4)._2
+    val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val before = IndexRegistry.rewriteCount
+    val df = spark.sql(
+      s"""SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_fidx
+         |WHERE id % 2 = 0 ORDER BY dist LIMIT 5""".stripMargin)
+    assert(IndexRegistry.rewriteCount === before + 1, "filtered rewrite did not fire")
+    // EXPLAIN-equivalent laziness: plan construction ran no jobs is implied
+    // by the rule contract; here assert semantics instead
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (id, _) => assert(id % 2 === 0L, s"id $id violates the WHERE predicate") }
+    assert(got.head._1 === 4L && got.head._2 === 0.0)
+
+    // bit-identical to the direct filtered ANN path
+    val allowed = index.nodes.filter(col("id") % 2 === 0).select("id")
+    val expected = Hnsw.annQueryFiltered(index, Seq((0L, q)).toDF("qid", "vector"), 5, allowed)
+      .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected)
+
+    // a nondeterministic predicate must NOT reroute (falls back to exact)
+    val before2 = IndexRegistry.rewriteCount
+    spark.sql(
+      s"""SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_fidx
+         |WHERE rand() < 2.0 ORDER BY dist LIMIT 5""".stripMargin).collect()
+    assert(IndexRegistry.rewriteCount === before2, "nondeterministic predicate must not rewrite")
+  }
+
   test("ANN rewrite: ORDER BY vector_l2 LIMIT k over a registered index runs the graph path") {
     import graft.hnsw.{Hnsw, HnswParams}
     import graft.plans.IndexRegistry
