@@ -83,6 +83,20 @@ object ScaleProof {
     // ---- phase 4: driver-free distributed query path at the same scale ----
     val (largeCount, largeSecs) = timed(Hnsw.annQueryLarge(index, queries, 10).count())
 
+    // ---- phase 4b: filtered ANN at the same scale — 1/3 selectivity
+    // (id % 3 = 0), ef widened ~3× per the k/selectivity budget; recall is
+    // measured against the exact top-k over the pre-filtered corpus ----
+    val allowed = index.nodes.filter(col("id") % 3 === 0).select("id")
+    val (filteredRecall, filteredSecs) = timed {
+      val ann = Hnsw.annQueryFiltered(index, queries, 10, allowed, ef = 600)
+        .localCheckpoint()
+      val exactF = Knn.exactTopK(
+        index.nodes.filter(col("id") % 3 === 0).select("id", "vector"), queries, 10, Distances.l2)
+        .localCheckpoint()
+      Hnsw.recallAtK(ann, exactF, 10).agg(avg("recall")).head().getDouble(0)
+    }
+    System.err.println(f"[scale] filtered ANN (sel=1/3, ef=600): recall@10 $filteredRecall%.3f in $filteredSecs%.1f s (incl. exact oracle)")
+
     // ---- phase 5: label-free near-dup at the prescribed bucket width ----
     // 1% planted near-duplicates (id ≥ n marks a perturbed copy of id − n)
     val planted = input.filter(col("id") % 100 === 0)
@@ -103,6 +117,7 @@ object ScaleProof {
       s""""ann_ef200_sec":$ann200Secs,"recall10_ef200":$recall200,""" +
       s""""ann_ef800_sec":$ann800Secs,"recall10_ef800":$recall800,""" +
       s""""ann_query_large_sec":$largeSecs,"ann_query_large_rows":$largeCount,""" +
+      s""""filtered_ann_sec":$filteredSecs,"recall10_filtered_ef600":$filteredRecall,""" +
       s""""neardup_bits16_sec":$dupSecs,"neardup_pairs":$pairs,"planted_found":$found,"planted_total":$expectedPlanted}""")
     spark.stop()
   }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing, TextStats}
+import graft.sources.Datagen
+
+/** Order-of-magnitude scale proof for the TEXT pipeline — the dedup/quality
+  * claims' twin of [[ScaleProof]] (which covers the vector ops): the sf0.1
+  * bench corpus is 5,000 docs, so every "would hold at 100 TB" argument for
+  * the text operators extrapolates from that. This main runs the heavy text
+  * operators at 200×+ that size (default 1M synthetic docs, ~80M tokens)
+  * with PLANTED duplicates, so correctness of the dedup passes is checked
+  * at scale, not just wall time. Prints one JSON line, committed as
+  * `BENCH_SCALE_TEXT.json`. Run:
+  *
+  *   sbt "runMain graft.TextScaleProof [n]"
+  *
+  * Corpus: [[Datagen.syntheticDocs]] (word-soup in the test corpus's
+  * shape) + 1% exact duplicates (ids n..n+n/100 copy id·100's text) + 1%
+  * near duplicates (one token prepended). Phases: Gopher rules, exact
+  * dedup, MinHash+LSH candidate pairs, incremental new-batch-vs-corpus
+  * dedup, context-window chunking.
+  */
+object TextScaleProof {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-text-scale-proof")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = Datagen.syntheticDocs(spark, n)
+    val nPlant = n / 100
+    // exact duplicates: ids [n, n+nPlant) carry id*100's text verbatim
+    val exactDups = base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") / 100 + n).cast("long").as("doc_id"), col("text"))
+    // near duplicates: ids [n+nPlant, n+2*nPlant) prepend one token
+    val nearDups = base.filter(col("doc_id") % 100 === 1)
+      .select((col("doc_id") / 100 + n + nPlant).cast("long").as("doc_id"),
+        concat(lit("zz "), col("text")).as("text"))
+    val corpus = base.unionAll(exactDups).unionAll(nearDups).localCheckpoint()
+    val total = corpus.count()
+    System.err.println(s"[textscale] corpus $total docs ($n base + $nPlant exact-dup + $nPlant near-dup planted)")
+
+    // ---- phase 1: Gopher rules over the full corpus ----
+    val (keepCount, gopherSecs) = timed {
+      TextStats.gopherRules(corpus, "doc_id", "text").filter(col("keep")).count()
+    }
+    System.err.println(f"[textscale] gopher rules: $keepCount kept in $gopherSecs%.1f s")
+
+    // ---- phase 2: exact dedup — planted exact dups must all flag ----
+    val (exactFound, exactSecs) = timed {
+      Dedup.exactDedup(corpus, "doc_id", "text").filter(col("is_dup")).count()
+    }
+    System.err.println(f"[textscale] exact dedup: $exactFound dups in $exactSecs%.1f s (planted $nPlant)")
+
+    // ---- phase 3: MinHash + LSH candidate pairs; a planted exact dup
+    // collides on every band, so pairs >= planted count ----
+    val (lshPairs, lshSecs) = timed {
+      val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3)
+      Dedup.lshCandidatePairs(sigs, "doc_id", maxBandSize = 1000)
+        .select("id_a", "id_b").distinct().count()
+    }
+    System.err.println(f"[textscale] lsh pairs: $lshPairs in $lshSecs%.1f s")
+
+    // ---- phase 4: incremental dedup — the planted tail is the "new
+    // batch", the base corpus is the existing one; every exact plant must
+    // status exact_dup, every near plant near_dup ----
+    val newBatch = corpus.filter(col("doc_id") >= n)
+    val existing = corpus.filter(col("doc_id") < n)
+    val ((incExact, incNear), incSecs) = timed {
+      val st = Dedup.incrementalDedup(newBatch, existing, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 1000).localCheckpoint()
+      (st.filter(col("status") === "exact_dup").count(),
+        st.filter(col("status") === "near_dup").count())
+    }
+    System.err.println(f"[textscale] incremental dedup: $incExact exact / $incNear near in $incSecs%.1f s " +
+      f"(planted $nPlant/$nPlant)")
+
+    // ---- phase 5: context-window chunking over the corpus ----
+    val (chunks, chunkSecs) = timed {
+      Packing.chunkWindows(corpus, "doc_id", "text", window = 32, stride = 24).count()
+    }
+    System.err.println(f"[textscale] chunking: $chunks chunks in $chunkSecs%.1f s")
+
+    println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_kept":$keepCount,""" +
+      s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
+      s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
+      s""""incremental_sec":$incSecs,"incremental_exact":$incExact,"incremental_near":$incNear,""" +
+      s""""planted_each":$nPlant,"chunk_sec":$chunkSecs,"chunks":$chunks}""")
+    spark.stop()
+  }
+}

@@ -26,6 +26,32 @@ object Datagen {
         array((0 until dim).map(i => randn(seed + i * 1000003L).cast("float")): _*).as("vector"))
   }
 
+  /** Deterministic synthetic word-soup documents: (doc_id: long, text:
+    * string). ~25% of positions are stopwords (so quality/language
+    * heuristics have signal); the rest are hashed words `w0`–`w99999`, so
+    * the 3-gram shingle space is ~10¹³ and shingle document frequencies
+    * stay realistic at millions of docs (a tiny fixed vocabulary would make
+    * EVERY shingle ubiquitous and defeat df-capped dedup). Every token is a
+    * pure function of (doc_id, position) via xxhash64 — reproducible across
+    * any partition layout, the text twin of [[hashVectors]]. Lengths vary
+    * 40–119 tokens.
+    */
+  def syntheticDocs(spark: SparkSession, n: Long, seed: Long = 42L,
+                    numPartitions: Int = 32): DataFrame = {
+    val stop = array(Seq("the", "a", "of", "and", "is", "in", "to", "it").map(lit): _*)
+    val len = (pmod(xxhash64(col("id"), lit(seed)), lit(80L)) + 40L).cast("int")
+    spark.range(0, n, 1, numPartitions)
+      .select(col("id").as("doc_id"),
+        array_join(
+          transform(sequence(lit(1), len), i => {
+            val h = xxhash64(col("id"), i, lit(seed + 1))
+            when(pmod(h, lit(4L)) === 0L,
+              element_at(stop, (pmod(xxhash64(col("id"), i, lit(seed + 2)), lit(8L)) + 1).cast("int")))
+              .otherwise(concat(lit("w"), pmod(h, lit(100000L)).cast("string")))
+          }),
+          " ").as("text"))
+  }
+
   /** Deterministic id-hash-based vectors: reproducible across ANY partition
     * layout (each component is a pure function of (id, dimension index)).
     * Uniform in [-1, 1); used where partition-count independence matters.

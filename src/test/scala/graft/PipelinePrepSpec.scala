@@ -102,6 +102,23 @@ class PipelinePrepSpec extends SparkSpec {
     assert(shares.toSeq === Seq(4.0 / 11, 6.0 / 11, 8.0 / 11))
   }
 
+  test("syntheticDocs: deterministic, partition-independent, stopword-bearing, length-banded") {
+    val a = graft.sources.Datagen.syntheticDocs(spark, 200, numPartitions = 4)
+    val b = graft.sources.Datagen.syntheticDocs(spark, 200, numPartitions = 13)
+    assert(a.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ===
+      b.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq,
+      "texts must not depend on the partition layout")
+    val stats = TextStats.gopherRules(a, "doc_id", "text").collect()
+    stats.foreach { r =>
+      val n = r.getAs[Long]("n_words")
+      assert(n >= 40L && n <= 119L, s"doc length $n outside the 40-119 band")
+      assert(r.getAs[Long]("n_stop") >= 2L, "stopwords must be present for quality heuristics")
+    }
+    // hashed words keep shingles rare: no two distinct docs should be identical
+    val distinctTexts = a.select("text").distinct().count()
+    assert(distinctTexts === 200L)
+  }
+
   test("chunkWindows: overlapping windows cover every token; tails shorten; short docs chunk once") {
     import spark.implicits._
     val docs = Seq(
