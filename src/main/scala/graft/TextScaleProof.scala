@@ -51,11 +51,17 @@ object TextScaleProof {
     val total = corpus.count()
     System.err.println(s"[textscale] corpus $total docs ($n base + $nPlant exact-dup + $nPlant near-dup planted)")
 
-    // ---- phase 1: Gopher rules over the full corpus ----
+    // ---- phase 1: Gopher rules over the full corpus, both forms — the
+    // shuffle-free HOF projection vs the relational explode+groupBy ----
+    val (keepCountHof, gopherHofSecs) = timed {
+      TextStats.gopherRulesHof(corpus, "doc_id", "text").filter(col("keep")).count()
+    }
     val (keepCount, gopherSecs) = timed {
       TextStats.gopherRules(corpus, "doc_id", "text").filter(col("keep")).count()
     }
-    System.err.println(f"[textscale] gopher rules: $keepCount kept in $gopherSecs%.1f s")
+    require(keepCount == keepCountHof,
+      s"gopher forms disagree: relational $keepCount vs hof $keepCountHof")
+    System.err.println(f"[textscale] gopher rules: $keepCount kept — relational $gopherSecs%.1f s, hof $gopherHofSecs%.1f s")
 
     // ---- phase 2: exact dedup — planted exact dups must all flag ----
     val (exactFound, exactSecs) = timed {
@@ -92,7 +98,7 @@ object TextScaleProof {
     }
     System.err.println(f"[textscale] chunking: $chunks chunks in $chunkSecs%.1f s")
 
-    println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_kept":$keepCount,""" +
+    println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
       s""""incremental_sec":$incSecs,"incremental_exact":$incExact,"incremental_near":$incNear,""" +

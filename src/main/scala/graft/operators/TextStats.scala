@@ -157,6 +157,52 @@ object TextStats {
         col("mean_len_ok"), col("stop_ok"), col("dup_ok"), col("word_len_ok"), col("keep"))
   }
 
+  /** Shuffle-free twin of [[gopherRules]]: every statistic is per-document,
+    * so the whole rule set is a pure projection over higher-order functions
+    * (size / aggregate / array_distinct / filter on the token array) — NO
+    * explode, NO shuffle, identical values (spec-asserted bit-equal).
+    *
+    * Trade-off, measured at 1.02M docs / ~80M tokens
+    * (`BENCH_SCALE_TEXT.json`): this form moves zero shuffle bytes but
+    * pays interpreted-lambda evaluation per token (HOF bodies are outside
+    * whole-stage codegen), 27.8 s vs the relational form's 17.8 s on this
+    * host — the codegen'd explode+hash-aggregate wins when CPU is the
+    * constraint. Prefer this form on shuffle-bound clusters (wide rows,
+    * congested network), the relational form on CPU-bound ones.
+    */
+  def gopherRulesHof(docs: DataFrame, idCol: String, textCol: String,
+                     minWords: Long = 30, maxWords: Long = 100000,
+                     minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                     minStopHits: Long = 2, maxDupRatio: Double = 0.55,
+                     maxWordLen: Long = 15): DataFrame = {
+    val base = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        array_max(transform(col("w"), t => length(t))).cast("long").as("max_word_len"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        size(filter(col("w"), t => t.isin(TextFunctions.Stopwords.map(lit): _*)))
+          .cast("long").as("n_stop"))
+    base
+      .withColumn("mean_word_len", col("sum_len").cast("double") / col("n_words").cast("double"))
+      .withColumn("dup_word_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double"))
+      .withColumn("word_count_ok", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mean_len_ok",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("stop_ok", col("n_stop") >= minStopHits)
+      .withColumn("dup_ok", col("dup_word_ratio") <= maxDupRatio)
+      .withColumn("word_len_ok", col("max_word_len") <= maxWordLen)
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_len_ok") && col("stop_ok") &&
+          col("dup_ok") && col("word_len_ok"))
+      .select(col(idCol), col("n_words"), col("mean_word_len"), col("n_stop"),
+        col("dup_word_ratio"), col("max_word_len"), col("word_count_ok"),
+        col("mean_len_ok"), col("stop_ok"), col("dup_ok"), col("word_len_ok"), col("keep"))
+  }
+
   /** Zipf head of the corpus vocabulary: the `topR` most frequent words
     * with their cumulative share of ALL tokens — the curve a tokenizer
     * budget or stopword list is read off of. `cum_share` divides two

@@ -164,6 +164,17 @@ class PipelinePrepSpec extends SparkSpec {
     assert(r(4L).getAs[Double]("dup_word_ratio") === 0.0)
   }
 
+  test("gopherRulesHof (shuffle-free projection) is bit-equal to the relational form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rel = TextStats.gopherRules(docs, "doc_id", "text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue())
+    val hof = TextStats.gopherRulesHof(docs, "doc_id", "text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue())
+    assert(rel.length === 500)
+    assert(hof.toSeq === rel.toSeq)
+  }
+
   test("mixtureWeights: exact shares, rel weight 1.0 for the largest source, sqrt scaling") {
     import spark.implicits._
     // source a: 4 docs × 9 tokens; source b: 1 doc × 9 tokens → shares 4/5, 1/5
