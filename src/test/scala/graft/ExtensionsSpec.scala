@@ -101,6 +101,41 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bucket === bucketCol)
   }
 
+  test("EXPLAIN of the rewritten shapes (plain and filtered) runs no Spark jobs") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+
+    val vecs = (0L until 64L).map(i => (i, Array.tabulate(8)(d => (i * 31 + d).toFloat % 7)))
+    val index = Hnsw.build(vecs.toDF("id", "vector"),
+      HnswParams(dim = 8, m = 4, efConstruction = 16, numPartitions = 2))
+    index.nodes.createOrReplaceTempView("emb_explain")
+    IndexRegistry.register("emb_explain", index)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val qSql = (0 until 8).map(d => s"CAST($d AS FLOAT)").mkString("array(", ", ", ")")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val before = IndexRegistry.rewriteCount
+      spark.sql(
+        s"EXPLAIN SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_explain ORDER BY dist LIMIT 3")
+        .collect()
+      spark.sql(
+        s"""EXPLAIN SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_explain
+           |WHERE id % 2 = 0 ORDER BY dist LIMIT 3""".stripMargin).collect()
+      // listener events are async; a short quiesce keeps the zero-job
+      // assertion honest without private[spark] listenerBus access
+      Thread.sleep(500)
+      assert(IndexRegistry.rewriteCount >= before + 2, "both EXPLAIN statements must rewrite")
+      assert(jobs.get() === 0,
+        s"EXPLAIN of a rewritten query must not run cluster jobs, ran ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("ANN rewrite: WHERE predicate + ORDER BY vector_l2 LIMIT k routes to the filtered path") {
     import graft.hnsw.{Hnsw, HnswParams}
     import graft.plans.IndexRegistry
