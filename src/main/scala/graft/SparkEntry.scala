@@ -278,6 +278,11 @@ object SparkEntry {
       graft.operators.Packing.chunkWindows(tbl(s, dir, "documents"), "doc_id", "text",
         window = 32, stride = 24)),
 
+    // ---- cross-source duplication matrix: LSH near-dup pairs counted per
+    //      unordered source pair (the crawl-audit table) ----
+    "q52_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(tbl(s, dir, "documents"), "doc_id", "text", "source")),
+
     // ---- exact n-gram Jaccard over shingle-sharing pairs; maxDf drops
     //      ubiquitous stop-shingles before the self-join (the hot-shingle
     //      B² guard — mirrored in the oracle) ----
@@ -886,6 +891,26 @@ object SparkEntry {
            |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
            |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
            |FROM per, tot""".stripMargin,
+
+      "q52_source_overlap" ->
+        s"""WITH ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id)
+           |SELECT least(sa.source, sb.source) AS src_a,
+           |  greatest(sa.source, sb.source) AS src_b, count(*) AS n_pairs
+           |FROM pairs
+           |JOIN documents sa ON sa.doc_id = pairs.id_a
+           |JOIN documents sb ON sb.doc_id = pairs.id_b
+           |GROUP BY 1, 2""".stripMargin,
 
       "q51_chunk_windows" ->
         s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

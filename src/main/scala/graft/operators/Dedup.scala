@@ -269,6 +269,35 @@ object Dedup {
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
   }
 
+  /** Cross-source duplication matrix — which ingestion sources overlap:
+    * near-dup candidate pairs (MinHash+LSH, [[lshCandidatePairs]]) labeled
+    * with both documents' sources and counted per unordered source pair.
+    * The standard crawl-audit table: a hot (src_a, src_b) cell means two
+    * feeds are re-serving the same content and one should be dropped
+    * before training. Diagonal cells count within-source duplication.
+    *
+    * Scale shape: the LSH pair discovery is the audited q12 path (banded
+    * equi-join, hot-band cap); the source labels join on id (shuffle
+    * O(pairs + docs)); the matrix aggregate is a partial-agg groupBy over
+    * at most |sources|² rows. Output: (src_a, src_b, n_pairs) with
+    * src_a ≤ src_b.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, n: Int = 3, h: Int = 4,
+                          maxBandSize: Int = 1000): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, h)
+    val pairs = lshCandidatePairs(sigs, idCol, h, maxBandSize = maxBandSize)
+      .select("id_a", "id_b").distinct()
+    val src = docs.select(col(idCol).as("id"), col(sourceCol).as("src"))
+    pairs
+      .join(src.select(col("id").as("id_a"), col("src").as("src_of_a")), "id_a")
+      .join(src.select(col("id").as("id_b"), col("src").as("src_of_b")), "id_b")
+      .select(least(col("src_of_a"), col("src_of_b")).as("src_a"),
+        greatest(col("src_of_a"), col("src_of_b")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SimHash signature (w bits) over the token stream: bit j of the
     * signature is the sign of Σ_tokens (±1 depending on bit j of
     * md5(token)). Bits come from the first 8 hex chars of md5 → a 32-bit

@@ -207,6 +207,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L))) // 2 is orthogonal; 3 is in another block
   }
 
+  test("source overlap matrix: cross-feed dup pairs land in the right unordered cell") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "feedA"),
+      (1L, "the quick brown fox jumps over the lazy dog", "feedB"), // cross-feed dup
+      (2L, "the quick brown fox jumps over the lazy dog", "feedB"), // within-B dup
+      (3L, "pack my box with five dozen liquor jugs today", "feedA"),
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlapMatrix(d, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m(("feedA", "feedB")) === 2L, "doc 0 pairs with both B copies")
+    assert(m(("feedB", "feedB")) === 1L, "within-source dup counts on the diagonal")
+    assert(!m.contains(("feedA", "feedA")), "doc 3 matches nothing")
+  }
+
   test("incremental dedup: exact / near / new statuses against a corpus, corpus never self-compared") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
