@@ -267,6 +267,20 @@ object SparkEntry {
         n = 3, minJaccard = 0.2, maxDf = 5)
     }),
 
+    // ---- bloom-pruned incremental exact dedup: same ingest split as q48,
+    //      but the corpus is represented by a reusable relational bloom word
+    //      table and only bloom candidates reach the confirming fp semi-join.
+    //      The bloom changes cost, not the answer → plain-semi-join oracle ----
+    "q53_bloom_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text")
+      val recrawled = corpus.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text"))
+      val newBatch = docs.filter(col("doc_id") % 10 < 2).select("doc_id", "text")
+        .unionAll(recrawled)
+      Dedup.bloomPrunedDedup(newBatch, corpus, "doc_id", "text", mBits = 1L << 20, k = 5)
+    }),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -880,6 +894,17 @@ object SparkEntry {
            |  COALESCE(near.bj, 0.0) AS best_jaccard
            |FROM newd nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
            |  LEFT JOIN near ON near.id_new = nd.doc_id""".stripMargin,
+
+      "q53_bloom_dedup" ->
+        """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+          |newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2
+          |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents
+          |    WHERE doc_id % 10 >= 2 AND doc_id % 50 = 7),
+          |cfp AS (SELECT DISTINCT md5(lower(text)) AS fp FROM corp)
+          |SELECT n.doc_id,
+          |  CASE WHEN md5(lower(n.text)) IN (SELECT fp FROM cfp)
+          |       THEN 'exact_dup' ELSE 'new' END AS status
+          |FROM newd n""".stripMargin,
 
       "q49_mixture_weights" ->
         s"""WITH per AS (SELECT source, count(*) AS n_docs,

@@ -72,17 +72,23 @@ object Dedup {
     * `maxBandSize` guards the hot-band pair blowup: a degenerate band value
     * shared by B documents emits B² pairs; bands larger than the cap are
     * dropped (standard LSH practice — such mega-clusters are found by the
-    * exact-dup pass instead). The count is a window over the same
-    * (band, band_val) partitioning the join shuffles on.
+    * exact-dup pass instead).
     *
-    * NOTE: this operator is EAGER by default — the localCheckpoint runs
-    * cluster jobs at construction time (even under EXPLAIN), and its
-    * blocks stay pinned for the lifetime of the returned DataFrame (a
-    * localCheckpoint cannot be recomputed, so it is never freed
-    * automatically; see [[Checkpoints]]). Pass `materialize = false` to
-    * keep the plan fully lazy and manage persistence yourself (cache the
-    * band table, or accept the signature subtree running once per join
-    * side).
+    * Two physical shapes, same result:
+    *   - CAPPED (`maxBandSize` finite) — the scale path: ONE shuffle total.
+    *     `groupBy(band, band_val).agg(collect_list(id))` (partial-agg merge,
+    *     aggregation buffers bounded by filtering on the group count in the
+    *     same pass), then pairs expand from each sorted id array with
+    *     higher-order functions — no window sort, no self-join, and the
+    *     signature subtree runs exactly once, so no materialization is
+    *     needed either (the plan stays fully lazy; EXPLAIN runs no jobs).
+    *   - UNCAPPED — band groups are unbounded, so collecting a group into
+    *     one aggregation buffer could OOM an executor; falls back to the
+    *     streaming band-key self-join, with the band table
+    *     `localCheckpoint`ed so neither join side recomputes the signature
+    *     aggregation. This variant is EAGER by default (jobs at
+    *     construction, blocks pinned — see [[Checkpoints]]); pass
+    *     `materialize = false` to manage persistence yourself.
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String, h: Int = 4, rows: Int = 2,
                         maxBandSize: Int = Int.MaxValue,
@@ -93,20 +99,31 @@ object Dedup {
     }
     val banded = sigs
       .select(col(idCol).as("id"), posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
-    val guarded =
-      if (maxBandSize == Int.MaxValue) banded
-      else banded
-        .withColumn("bn", count(lit(1)).over(Window.partitionBy("band", "band_val")))
-        .filter(col("bn") <= maxBandSize)
-        .drop("bn")
-    // eager materialization: truncates lineage so neither join side
-    // recomputes the signature aggregation
-    val mat = if (materialize) guarded.localCheckpoint() else guarded
-    val a = mat.select(col("id").as("id_a"), col("band"), col("band_val"))
-    val b = mat.select(col("id").as("id_b"), col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "band")
+    if (maxBandSize != Int.MaxValue) {
+      // single-shuffle grouped form: each (band, band_val) group is one row;
+      // a doc contributes each band once, so ids within a group are distinct
+      val groups = banded
+        .groupBy("band", "band_val")
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) <= maxBandSize && size(col("ids")) >= 2)
+        .select(col("band"), array_sort(col("ids")).as("ids"))
+      // ordered pairs from the sorted array: (ids[i], ids[j]) for i < j —
+      // identical to the join form's id_a < id_b filter
+      groups
+        .select(col("band"), explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("band"))
+    } else {
+      // eager materialization: truncates lineage so neither join side
+      // recomputes the signature aggregation
+      val mat = if (materialize) banded.localCheckpoint() else banded
+      val a = mat.select(col("id").as("id_a"), col("band"), col("band_val"))
+      val b = mat.select(col("id").as("id_b"), col("band"), col("band_val"))
+      a.join(b, Seq("band", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "band")
+    }
   }
 
   /** Exact n-gram Jaccard similarity for pairs that share at least one
@@ -465,5 +482,102 @@ object Dedup {
       .withColumn("dist", Distances.cosine(Distances.toDouble(col("v_a")), Distances.toDouble(col("v_b"))))
       .filter(col("dist") < maxDist)
       .select("id_a", "id_b", "dist")
+  }
+
+  // --------------------------------------------------------------------------
+  // Bloom-pruned incremental exact dedup — the recurring-ingest fast path.
+  // --------------------------------------------------------------------------
+
+  /** The k bloom bit positions of a fingerprint column: pos_i =
+    * pmod(xxhash64(fp, i), mBits). xxhash64 with the probe index folded in
+    * gives k independent 64-bit hash streams without a second hash family.
+    */
+  private def bloomPositions(fp: Column, mBits: Long, k: Int): Column =
+    array((0 until k).map(i => pmod(xxhash64(fp, lit(i)), lit(mBits))): _*)
+
+  /** Build a Bloom filter over the corpus' document fingerprints as a
+    * RELATIONAL artifact: one row per 64-bit word that has any bit set,
+    * `(word_idx: long, bits: long)`. Because the filter is a DataFrame, it
+    * is built with one partial-aggregated pass (`bit_or` combines map-side),
+    * can be written to parquet and REUSED across ingests — the 100 TB corpus
+    * is scanned once at build time, never again per batch — and can be
+    * incrementally extended by unioning new fingerprint words and re-OR-ing
+    * (`bit_or` is idempotent and associative).
+    *
+    * Sizing (standard bloom math): for n distinct fingerprints and target
+    * false-positive rate p, mBits ≈ −n·ln p / (ln 2)² and k ≈ (m/n)·ln 2.
+    * E.g. n=10⁹, p=1% → m ≈ 9.6·10⁹ bits ≈ 1.2 GB ≈ 1.5·10⁸ words — too big
+    * to broadcast, but the probe ([[bloomProbe]]) is an equi-join on
+    * `word_idx`, so it stays a shuffle of the (small) new batch's k rows per
+    * doc against the word table, never a corpus re-scan.
+    */
+  def bloomBuild(corpus: DataFrame, textCol: String,
+                 mBits: Long = 1L << 22, k: Int = 5): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    corpus
+      .select(TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .select(explode(bloomPositions(col("fp"), mBits, k)).as("pos"))
+      .select(expr("pos DIV 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy("word_idx")
+      .agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Per-new-doc bloom verdict against a [[bloomBuild]] word table:
+    * `(id, fp, maybe_dup)`. `maybe_dup = false` is DEFINITE (no false
+    * negatives); `maybe_dup = true` means "candidate — confirm exactly".
+    *
+    * Plan shape: explode k probe rows per new doc, equi-join the word table
+    * on `word_idx` (broadcast when the filter is small — pass
+    * `broadcastBloom = true` — else a shuffle of k·|new| probe rows against
+    * |set words| rows), then a partial-agg `bool_and` back to one row per
+    * doc. A probe position whose word row is absent is an unset word → miss.
+    */
+  def bloomProbe(bloom: DataFrame, newDocs: DataFrame, idCol: String, textCol: String,
+                 mBits: Long = 1L << 22, k: Int = 5,
+                 broadcastBloom: Boolean = true): DataFrame = {
+    val words = if (broadcastBloom) broadcast(bloom) else bloom
+    newDocs
+      .select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .select(col("id"), col("fp"), explode(bloomPositions(col("fp"), mBits, k)).as("pos"))
+      .select(col("id"), col("fp"), expr("pos DIV 64").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .join(words, Seq("word_idx"), "left")
+      .select(col("id"), col("fp"),
+        (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask")) =!= 0L).as("hit"))
+      .groupBy("id", "fp")
+      .agg(min(col("hit")).as("maybe_dup")) // bool AND: all k probes must hit
+  }
+
+  /** Bloom-pruned incremental EXACT dedup: statuses each new doc
+    * `exact_dup` / `new` against the corpus, with the semi-join on
+    * fingerprints narrowed to bloom candidates first. The result is
+    * bit-identical to the plain `fp IN corpus` semi-join (the bloom has no
+    * false negatives; false positives are eliminated by the confirming
+    * join) — the bloom changes the COST, not the answer, which is why the
+    * q53 oracle is the plain semi-join.
+    *
+    * Why this matters at 100 TB: [[incrementalDedup]]'s exact probe
+    * shuffles the full corpus fingerprint set on every ingest. Here the
+    * corpus is represented by the reusable mBits/8-byte word table; the
+    * per-ingest cost is the probe join (O(k·|new| + set words)) plus a
+    * semi-join of only the surviving candidates (true dups + p·|new| false
+    * positives) against the corpus — under a 1% false-positive sizing,
+    * ~99% of genuinely-new docs never touch the corpus table at all.
+    */
+  def bloomPrunedDedup(newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                       mBits: Long = 1L << 22, k: Int = 5,
+                       broadcastBloom: Boolean = true): DataFrame = {
+    val bloom = bloomBuild(corpus, textCol, mBits, k)
+    val verdicts = bloomProbe(bloom, newDocs, idCol, textCol, mBits, k, broadcastBloom)
+    val candidates = verdicts.filter(col("maybe_dup"))
+    val corpusFps = corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
+    val confirmed = candidates
+      .join(corpusFps, Seq("fp"), "left_semi")
+      .select(col("id"), lit(true).as("is_dup"))
+    newDocs.select(col(idCol).as("id"))
+      .join(confirmed, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("is_dup"), lit("exact_dup")).otherwise(lit("new")).as("status"))
   }
 }

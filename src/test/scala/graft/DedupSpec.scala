@@ -262,4 +262,63 @@ class DedupSpec extends SparkSpec {
     assert(lazyOut.collect().toSeq.sortBy(_.getLong(0)) ===
       capped.collect().toSeq.sortBy(_.getLong(0)))
   }
+
+  test("lsh grouped (capped) form emits the same pairs as the self-join form; hot bands drop") {
+    // 6 docs in two identical-text groups of 3 → every band collides within
+    // each group; pair set must be all 3-choose-2 pairs per group per band
+    val cdocs = (0L until 6L).map(i => (i, if (i < 3) "aaa bbb ccc ddd" else "eee fff ggg hhh"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(cdocs, "doc_id", "text")
+    val joined = Dedup.lshCandidatePairs(sigs, "doc_id") // uncapped → self-join path
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val grouped = Dedup.lshCandidatePairs(sigs, "doc_id", maxBandSize = 100) // capped → grouped path
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(grouped === joined, "grouped HOF expansion must be bit-equal to the join form")
+    assert(grouped.nonEmpty)
+    // a cap below the group size drops the whole band — no partial emission
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", maxBandSize = 2)
+      .collect()
+    assert(capped.isEmpty, "bands over the cap are dropped entirely")
+    // the capped path is a single aggregation pass: fully lazy, EXPLAIN-safe
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.lshCandidatePairs(sigs, "doc_id", maxBandSize = 100).queryExecution.executedPlan
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "capped path must not checkpoint/cache at construction")
+  }
+
+  test("bloom-pruned dedup matches the plain semi-join exactly and actually prunes") {
+    val corpus = (0L until 40L).map(i => (i, s"corpus document number $i with body $i"))
+      .toDF("doc_id", "text")
+    val newBatch = ((100L until 110L).map(i => (i, s"corpus document number ${i - 100} with body ${i - 100}")) ++
+      (200L until 230L).map(i => (i, s"genuinely new content $i never seen")))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomPrunedDedup(newBatch, corpus, "doc_id", "text", mBits = 1L << 16, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === 40)
+    (100L until 110L).foreach(i => assert(out(i) === "exact_dup", s"planted dup $i"))
+    (200L until 230L).foreach(i => assert(out(i) === "new", s"new doc $i"))
+    // the bloom has no false negatives: every true dup is a candidate
+    val bloom = Dedup.bloomBuild(corpus, "text", mBits = 1L << 16, k = 5)
+    val verdicts = Dedup.bloomProbe(bloom, newBatch, "doc_id", "text", mBits = 1L << 16, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (100L until 110L).foreach(i => assert(verdicts(i), s"true dup $i must be a bloom candidate"))
+    // and at this sizing (2^16 bits for 40 keys) it prunes essentially all new docs
+    val nCandidates = verdicts.count(_._2)
+    assert(nCandidates < 40, s"bloom should prune most genuinely-new docs, kept $nCandidates")
+    // the word table is bounded by set bits: ≤ n_keys·k rows, ≤ mBits/64 rows
+    val nWords = bloom.count()
+    assert(nWords <= 40L * 5 && nWords <= (1L << 16) / 64)
+  }
+
+  test("bloom word table unions incrementally: OR of two builds equals one build of the union") {
+    val a = (0L until 20L).map(i => (i, s"alpha doc $i")).toDF("doc_id", "text")
+    val b = (20L until 40L).map(i => (i, s"beta doc $i")).toDF("doc_id", "text")
+    val whole = Dedup.bloomBuild(a.unionAll(b), "text", mBits = 1L << 12, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Dedup.bloomBuild(a, "text", mBits = 1L << 12, k = 3)
+      .unionAll(Dedup.bloomBuild(b, "text", mBits = 1L << 12, k = 3))
+      .groupBy("word_idx").agg(org.apache.spark.sql.functions.bit_or(col("bits")).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole, "bit_or is associative — incremental extension is exact")
+  }
 }
