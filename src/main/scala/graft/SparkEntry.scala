@@ -281,6 +281,31 @@ object SparkEntry {
       Dedup.bloomPrunedDedup(newBatch, corpus, "doc_id", "text", mBits = 1L << 20, k = 5)
     }),
 
+    // ---- per-language adaptive quality gate: keep the top half of EACH
+    //      language's quality distribution (exact percent_rank semantics,
+    //      computed over the distinct-score distribution — no per-group
+    //      full sort). NaN/null scores excluded up front (n_tokens >= 1) ----
+    "q54_adaptive_quality" -> ((s, dir) => {
+      val stats = graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .filter(col("n_tokens") >= 1)
+        .select(col("doc_id"), col("lang"), col("quality"))
+      graft.operators.TextStats.adaptiveThreshold(stats, "doc_id", "lang", "quality", minPct = 0.5)
+    }),
+
+    // ---- canonical doc per near-dup cluster: q36's components + q15's
+    //      quality -> keep the best-quality member (ties: lowest id) ----
+    "q55_canonical_docs" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+        .select("id_a", "id_b").distinct()
+      val clusters = Dedup.dupClusters(docs, pairs, "doc_id")
+      val scores = graft.operators.TextStats.textStats(docs, "doc_id", "text")
+        .filter(col("n_tokens") >= 1)
+        .select(col("doc_id"), col("quality"))
+      Dedup.canonicalDocs(clusters, scores, "doc_id", "quality")
+    }),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -894,6 +919,52 @@ object SparkEntry {
            |  COALESCE(near.bj, 0.0) AS best_jaccard
            |FROM newd nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
            |  LEFT JOIN near ON near.id_new = nd.doc_id""".stripMargin,
+
+      "q54_adaptive_quality" ->
+        s"""WITH s AS (SELECT doc_id, lang, $qualityExpr AS quality FROM documents
+           |  WHERE ${tokenCountSql("text")} >= 1),
+           |d AS (SELECT lang, quality, count(*) AS c FROM s GROUP BY 1, 2),
+           |cum AS (SELECT lang, quality,
+           |    COALESCE(sum(c) OVER (PARTITION BY lang ORDER BY quality
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+           |    sum(c) OVER (PARTITION BY lang) AS n
+           |  FROM d),
+           |p AS (SELECT lang, quality,
+           |    CASE WHEN n = 1 THEN 0.0
+           |         ELSE CAST(below AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS q_pct
+           |  FROM cum)
+           |SELECT s.doc_id, s.lang, s.quality, p.q_pct, p.q_pct >= 0.5 AS kept
+           |FROM s JOIN p ON s.lang = p.lang AND s.quality = p.quality""".stripMargin,
+
+      "q55_canonical_docs" ->
+        s"""WITH RECURSIVE ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS comp FROM documents
+           |  UNION
+           |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+           |comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id),
+           |scored AS (SELECT c.doc_id, c.comp, $qualityExpr AS score
+           |  FROM comps c JOIN documents USING (doc_id)
+           |  WHERE ${tokenCountSql("text")} >= 1),
+           |best AS (SELECT comp, max(score) AS best_score FROM scored GROUP BY 1),
+           |canon AS (SELECT s.comp, min(s.doc_id) AS canonical_id
+           |  FROM scored s JOIN best b ON s.comp = b.comp AND s.score = b.best_score
+           |  GROUP BY 1)
+           |SELECT s.doc_id, s.comp, c.canonical_id, s.doc_id = c.canonical_id AS keep
+           |FROM scored s JOIN canon c ON s.comp = c.comp""".stripMargin,
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

@@ -484,6 +484,37 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Canonical-document selection per duplicate cluster: given cluster
+    * labels ([[dupClusters]] output `(id, comp)`) and a per-doc score
+    * (e.g. [[TextStats.textStats]] quality), pick ONE representative per
+    * cluster — highest score, ties broken by lowest id — and flag every
+    * member. This is the step that turns "these docs are near-dups" into
+    * "train on THIS one, drop those": per-doc output
+    * `(id, comp, canonical_id, keep)`.
+    *
+    * Scores must be non-null/non-NaN (NaN poisons `max` identically in
+    * both engines but then fails the score = best equality — filter
+    * first). Docs without a score row are excluded (inner join).
+    *
+    * Scale shape: two partial-agg groupBys on `comp` (max score, then min
+    * id among ties) and equi-joins on `comp` — no window over member
+    * lists, so a pathological mega-cluster costs a hot join key, not a
+    * single-task sort.
+    */
+  def canonicalDocs(clusters: DataFrame, scores: DataFrame, idCol: String,
+                    scoreCol: String): DataFrame = {
+    val c = clusters.select(col(idCol).as("id"), col("comp"))
+    val s = scores.select(col(idCol).as("id"), col(scoreCol).as("score"))
+    val scored = c.join(s, "id")
+    val best = scored.groupBy("comp").agg(max(col("score")).as("best_score"))
+    val canon = scored.join(best, "comp")
+      .filter(col("score") === col("best_score"))
+      .groupBy("comp").agg(min(col("id")).as("canonical_id"))
+    scored.join(canon, "comp")
+      .select(col("id").as(idCol), col("comp"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
+
   // --------------------------------------------------------------------------
   // Bloom-pruned incremental exact dedup — the recurring-ingest fast path.
   // --------------------------------------------------------------------------

@@ -58,6 +58,51 @@ object TextStats {
       .drop(TextFunctions.LangMarkers.map(t => s"score_${t._1}"): _*)
   }
 
+  /** Per-group adaptive quality gate: keep documents at or above the
+    * `minPct` quantile of `scoreCol` WITHIN their `groupCol` group (e.g.
+    * language) — the corpus-curation rule "keep the top half of each
+    * language", which a single global threshold gets wrong for
+    * under-represented languages (their score distribution differs, so a
+    * global cut either drops a whole language or keeps its spam).
+    *
+    * Exact `percent_rank` semantics: q_pct = (# group rows with strictly
+    * lower score) / (group size − 1), 0.0 for singleton groups; kept =
+    * q_pct ≥ minPct. Tied scores share one q_pct, so the gate is
+    * deterministic under any row order. Scores must be non-null and
+    * non-NaN (filter first); NaN would diverge between engines on join
+    * equality.
+    *
+    * Scale shape: the textbook `percent_rank().over(partitionBy(group)
+    * .orderBy(score))` sorts EACH GROUP IN ONE TASK — a mostly-English
+    * 100 TB corpus lands on one executor. Instead the score distribution
+    * is first collapsed to one row per DISTINCT (group, score) by a
+    * partial-aggregated count — the only pass over full data, a plain
+    * hash shuffle — then the cumulative/total counts run over that
+    * compact distribution table (a per-group sort of distinct scores
+    * only, ≪ docs for any bounded scoring formula), and q_pct joins back
+    * on (group, score).
+    */
+  def adaptiveThreshold(df: DataFrame, idCol: String, groupCol: String, scoreCol: String,
+                        minPct: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol), col(scoreCol))
+    val counts = base.groupBy(col(groupCol), col(scoreCol)).agg(count(lit(1)).as("c"))
+    // one row per distinct (group, score) → the ordered window has no ties
+    // and ROWS framing is deterministic
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    val pct = counts
+      .withColumn("below", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("q_pct",
+        when(col("n") === 1L, lit(0.0))
+          .otherwise(col("below").cast("double") / (col("n") - lit(1L)).cast("double")))
+      .select(col(groupCol), col(scoreCol), col("q_pct"))
+    base.join(pct, Seq(groupCol, scoreCol))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("q_pct"),
+        (col("q_pct") >= lit(minPct)).as("kept"))
+  }
+
   /** Repetition statistics per document over word n-gram shingles — the
     * standard repetitive-document filter of LLM training pipelines (a doc
     * that is mostly repeated n-grams is boilerplate/spam, not prose; cf.

@@ -194,4 +194,54 @@ class PipelinePrepSpec extends SparkSpec {
     // temperature 0.5 halves the 4:1 token imbalance to 2:1 in sampling weight
     assert(math.abs(norm("a") / norm("b") - 2.0) < 1e-12)
   }
+
+  test("adaptiveThreshold: per-group percent_rank semantics, ties share a pct, singletons keep") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextStats
+    val df = Seq(
+      // group "en": scores 1,2,2,4 → pct 0, 1/3, 1/3, 1
+      (0L, "en", 1.0), (1L, "en", 2.0), (2L, "en", 2.0), (3L, "en", 4.0),
+      // group "de": singleton → pct 0.0, kept at minPct 0.5? 0.0 >= 0.5 is false
+      (10L, "de", 9.0),
+      // group "fr": two docs → pct 0 and 1
+      (20L, "fr", 1.0), (21L, "fr", 5.0),
+    ).toDF("doc_id", "lang", "quality")
+    val out = TextStats.adaptiveThreshold(df, "doc_id", "lang", "quality", minPct = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(0L) === ((0.0, false)))
+    assert(out(1L)._1 === 1.0 / 3.0)
+    assert(out(2L)._1 === 1.0 / 3.0)
+    assert(out(3L) === ((1.0, true)))
+    assert(out(10L) === ((0.0, false)), "singleton group gets pct 0.0")
+    assert(out(20L) === ((0.0, false)))
+    assert(out(21L) === ((1.0, true)))
+    // cross-check against Spark's own percent_rank on the full (small) data
+    val ref = df.withColumn("p", org.apache.spark.sql.functions.percent_rank()
+        .over(Window.partitionBy("lang").orderBy("quality")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.foreach { case (id, (p, _)) => assert(p === ref(id), s"doc $id diverges from percent_rank") }
+  }
+
+  test("canonicalDocs: best score wins, ties break to lowest id, every member flagged") {
+    import graft.operators.Dedup
+    val clusters = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L), // cluster 0
+      (5L, 5L),                     // singleton cluster
+      (7L, 7L), (8L, 7L),           // cluster 7: tied best score
+    ).toDF("doc_id", "comp")
+    val scores = Seq(
+      (0L, 0.2), (1L, 0.9), (2L, 0.5),
+      (5L, 0.1),
+      (7L, 0.8), (8L, 0.8),
+    ).toDF("doc_id", "quality")
+    val out = Dedup.canonicalDocs(clusters, scores, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size === 6, "one row per cluster member")
+    assert(out(0L) === ((0L, 1L, false)))
+    assert(out(1L) === ((0L, 1L, true)), "highest quality is canonical")
+    assert(out(2L) === ((0L, 1L, false)))
+    assert(out(5L) === ((5L, 5L, true)), "singleton is its own canonical")
+    assert(out(7L) === ((7L, 7L, true)), "tie broken to lowest id")
+    assert(out(8L) === ((7L, 7L, false)))
+  }
 }
