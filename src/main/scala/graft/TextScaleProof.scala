@@ -98,11 +98,33 @@ object TextScaleProof {
     }
     System.err.println(f"[textscale] chunking: $chunks chunks in $chunkSecs%.1f s")
 
+    // ---- phase 6: bloom-pruned exact dedup on the same ingest split —
+    // candidate count must land between the planted-exact floor and the
+    // batch size (the pruning claim), and the final statuses must agree
+    // exactly with phase 4's exact verdicts (no false negatives) ----
+    // sizing: ~1M corpus keys → 2^24 bits (2 MiB) ≈ 6% fill at k=5
+    val mBits = 1L << 24
+    val ((bloomExact, bloomCand), bloomSecs) = timed {
+      val bloom = Dedup.bloomBuild(existing, "text", mBits = mBits, k = 5).localCheckpoint()
+      val verdicts = Dedup.bloomProbe(bloom, newBatch, "doc_id", "text", mBits = mBits, k = 5)
+        .localCheckpoint()
+      val cand = verdicts.filter(col("maybe_dup")).count()
+      val corpusFps = existing.select(md5(lower(col("text"))).as("fp")).distinct()
+      val confirmed = verdicts.filter(col("maybe_dup"))
+        .join(corpusFps, Seq("fp"), "left_semi").count()
+      (confirmed, cand)
+    }
+    require(bloomExact == incExact,
+      s"bloom-confirmed exact dups $bloomExact != incremental exact verdicts $incExact")
+    System.err.println(f"[textscale] bloom dedup: $bloomCand candidates -> $bloomExact confirmed " +
+      f"of ${2 * nPlant} new docs in $bloomSecs%.1f s (pruned ${2 * nPlant - bloomCand})")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
       s""""incremental_sec":$incSecs,"incremental_exact":$incExact,"incremental_near":$incNear,""" +
-      s""""planted_each":$nPlant,"chunk_sec":$chunkSecs,"chunks":$chunks}""")
+      s""""planted_each":$nPlant,"chunk_sec":$chunkSecs,"chunks":$chunks,""" +
+      s""""bloom_sec":$bloomSecs,"bloom_candidates":$bloomCand,"bloom_confirmed":$bloomExact,"bloom_mbits":$mBits}""")
     spark.stop()
   }
 }

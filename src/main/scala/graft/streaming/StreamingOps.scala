@@ -133,6 +133,50 @@ object StreamingOps {
             .write.mode("append").parquet(outDir)
       }
 
+  /** Streaming EXACT dedup against a static corpus through a Bloom
+    * pre-filter — the q53 pipeline as a continuous query. At stream start
+    * the corpus is scanned ONCE to materialize two per-ingest-lifetime
+    * artifacts: the Bloom word table ([[graft.operators.Dedup.bloomBuild]],
+    * mBits/8 bytes) and the distinct fingerprint set (16 B/doc — compact,
+    * cluster-cacheable; in production both would be loaded from parquet,
+    * the bloom via a prior `bloomBuild(...).write`). Each micro-batch then
+    * only probes the bloom and semi-joins the few surviving candidates
+    * against the fingerprint set — the corpus text is NEVER re-read per
+    * batch, which is the property that lets this run against a 100 TB
+    * corpus at streaming cadence. In-stream repeats are dropped first by
+    * [[streamingDedup]]'s watermark-bounded fingerprint state.
+    *
+    * Input columns: (idCol: long, tsCol: timestamp, textCol: string).
+    * Output rows (outDir): (idCol, status ∈ exact_dup|new) — bit-identical
+    * to the plain corpus semi-join (bloom has no false negatives).
+    */
+  def streamingBloomDedup(docs: DataFrame, corpus: DataFrame,
+                          idCol: String, tsCol: String, textCol: String,
+                          outDir: String, mBits: Long = 1L << 22, k: Int = 5,
+                          watermark: String = "1 hour"): DataStreamWriter[Row] = {
+    val bloom = graft.operators.Dedup.bloomBuild(corpus, textCol, mBits, k).localCheckpoint()
+    val corpusFps = corpus
+      .select(graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .distinct().localCheckpoint()
+    streamingDedup(docs, tsCol, textCol, watermark)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = graft.operators.Dedup
+            .bloomProbe(bloom, batch.select(idCol, textCol), idCol, textCol, mBits, k)
+          val confirmed = verdicts.filter(col("maybe_dup"))
+            .join(corpusFps, Seq("fp"), "left_semi")
+            .select(col("id"), lit(true).as("is_dup"))
+          batch.select(col(idCol).as("id"))
+            .join(confirmed, Seq("id"), "left")
+            .select(col("id").as(idCol),
+              when(col("is_dup"), lit("exact_dup")).otherwise(lit("new")).as("status"))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+  }
+
   /** Stateful gap-based sessionization — the streaming twin of
     * q29_sessionize, built on `flatMapGroupsWithState` with event-time
     * timeout: per-user state is one open session (start, last, count);

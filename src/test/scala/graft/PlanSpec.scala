@@ -30,11 +30,18 @@ class PlanSpec extends SparkSpec {
       "expected partial + final hash aggregates")
   }
 
-  test("q12 banding scans the materialized band table, not raw documents") {
+  test("q12 capped banding is one pass: single scan, no self-join, no window, lazy") {
+    // round-3 shape was checkpoint + band self-join (asserted here as 'Scan
+    // ExistingRDD'); round 4 collapses the capped path to one grouped
+    // aggregate — the signature subtree runs once from the raw scan, the
+    // size guard rides the same aggregate, and pairs expand via HOFs
     val s = formatted("q12_lsh_pairs")
-    assert(!s.contains("Scan parquet"),
-      "q12 re-derives signatures from the raw scan instead of the checkpoint")
-    assert(s.contains("Scan ExistingRDD"))
+    // count node-detail headers: formatted explain prints each node in the
+    // tree AND in the detail section
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(s).length === 1,
+      "capped q12 must read documents exactly once")
+    assert(!s.contains("Window"), "size guard must not run as a window count")
+    assert(!s.contains("Join"), "capped q12 must not self-join the band table")
   }
 
   test("q34 range table is broadcast back to the encode projection") {

@@ -145,6 +145,36 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) === "new")
   }
 
+  test("streaming bloom dedup: exact statuses via bloom probe + confirm, corpus scanned once") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 30L).map(i => (i, s"corpus document body number $i"))
+      .toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("sbd-out").toString
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingOps.streamingBloomDedup(
+      source.toDF().toDF("doc_id", "ts", "text"), corpus,
+      "doc_id", "ts", "text", outDir, mBits = 1L << 16, k = 5)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sbd-ckpt").toString)
+      .start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    source.addData(
+      (100L, t0, "corpus document body number 7"),   // exact vs corpus
+      (101L, t0, "never seen before content here"))  // new
+    query.processAllAvailable()
+    source.addData(
+      (102L, t0, "corpus document body number 8"),   // exact vs corpus, batch 2
+      (103L, t0, "corpus document body number 7"))   // in-stream repeat of 100 → dropped
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(100L, 101L, 102L), "in-stream repeat dropped by fingerprint state")
+    assert(out(100L) === "exact_dup")
+    assert(out(101L) === "new")
+    assert(out(102L) === "exact_dup")
+  }
+
   test("streaming pii scrub: stateless redaction projection runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
