@@ -306,6 +306,21 @@ object SparkEntry {
       Dedup.canonicalDocs(clusters, scores, "doc_id", "quality")
     }),
 
+    // ---- leakage-safe train/valid split: the split hashes the dup-CLUSTER
+    //      label, so near-duplicates never straddle the eval boundary ----
+    "q56_leakage_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+        .select("id_a", "id_b").distinct()
+      val clusters = Dedup.dupClusters(docs, pairs, "doc_id")
+      graft.operators.Sampling.leakageSafeSplit(clusters, "doc_id", validPct = 10)
+    }),
+
+    // ---- bigram LM table: top-20 bigrams with conditional P(w2|w1) ----
+    "q57_bigram_lm" -> ((s, dir) =>
+      graft.operators.TextStats.bigramLm(tbl(s, dir, "documents"), "text", topK = 20)),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -965,6 +980,41 @@ object SparkEntry {
            |  GROUP BY 1)
            |SELECT s.doc_id, s.comp, c.canonical_id, s.doc_id = c.canonical_id AS keep
            |FROM scored s JOIN canon c ON s.comp = c.comp""".stripMargin,
+
+      "q56_leakage_split" ->
+        s"""WITH RECURSIVE ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach AS (
+           |  SELECT doc_id AS id, doc_id AS comp FROM documents
+           |  UNION
+           |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+           |comps AS (SELECT id AS doc_id, min(comp) AS comp FROM reach GROUP BY id)
+           |SELECT doc_id, comp,
+           |  CASE WHEN ${md5PrefixValueSql("CAST(comp AS VARCHAR)", 8)} % 100 < 10
+           |       THEN 'valid' ELSE 'train' END AS split
+           |FROM comps""".stripMargin,
+
+      "q57_bigram_lm" ->
+        s"""WITH ${shingleCte(2)},
+           |pc AS (SELECT shingle AS bigram, count(*) AS n_pair FROM shingles GROUP BY 1),
+           |pw AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1, n_pair FROM pc),
+           |fc AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_first FROM pw GROUP BY 1)
+           |SELECT bigram, pw.w1, n_pair, n_first,
+           |  CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE) AS cond_p
+           |FROM pw JOIN fc ON pw.w1 = fc.w1
+           |ORDER BY n_pair DESC, bigram LIMIT 20""".stripMargin,
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

@@ -70,6 +70,25 @@ object Sampling {
     * spec-tested rather than oracle-checked. The source list is one row per
     * source (thousands at most) — driver-safe by construction.
     */
+  /** Leakage-safe train/validation split: the split decision hashes the
+    * DUP-CLUSTER label ([[Dedup.dupClusters]] `comp`), not the document id,
+    * so near-duplicates can never straddle the boundary — the standard
+    * eval-contamination bug where a paraphrase of a validation doc sits in
+    * train. Every member of a cluster lands in the same split; singleton
+    * docs (their own cluster) split independently, so the realized
+    * validation fraction stays ≈ validPct on a mostly-unique corpus.
+    *
+    * Same determinism contract as [[hashSample]]: md5-derived 32-bit hash
+    * mod 100, reproducible on any cluster/partitioning/engine. Scale
+    * shape: a pure projection over the cluster-label table — no shuffle
+    * of its own. Output: (idCol, comp, split ∈ train|valid).
+    */
+  def leakageSafeSplit(clusters: DataFrame, idCol: String, validPct: Int): DataFrame =
+    clusters.select(col(idCol), col("comp"))
+      .withColumn("split",
+        when(pmod(idHash(col("comp")), lit(100L)) < validPct, lit("valid"))
+          .otherwise(lit("train")))
+
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)
     val denom = mw.agg(

@@ -103,6 +103,31 @@ object TextStats {
         (col("q_pct") >= lit(minPct)).as("kept"))
   }
 
+  /** Bigram language-model table: the top-K bigrams by corpus count with
+    * their conditional probability P(w2 | w1) = n(w1 w2) / n(w1 ·) — the
+    * classic count-based LM estimate, and the statistic behind
+    * perplexity-flavored quality filters and boilerplate detectors.
+    * `n_first` counts w1 in bigram-FIRST position (= Σ over its pair
+    * counts), so probabilities per w1 sum to exactly 1.
+    *
+    * Scale shape: one explode, one partial-agg groupBy over bigrams (the
+    * only full-data shuffle), then a groupBy + equi-join over DISTINCT
+    * bigram rows only; top-K is sort-limit (TakeOrdered — never a full
+    * global sort materialized). Integer counts + one exact division;
+    * ties on n_pair break by bigram text, so top-K is deterministic.
+    */
+  def bigramLm(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val bg = docs.select(explode(TextFunctions.wordShingles(col(textCol), 2)).as("bigram"))
+    val pairCounts = bg.groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
+    pairCounts.join(firstCounts, "w1")
+      .withColumn("cond_p", col("n_pair").cast("double") / col("n_first").cast("double"))
+      .orderBy(col("n_pair").desc, col("bigram"))
+      .select("bigram", "w1", "n_pair", "n_first", "cond_p")
+      .limit(topK)
+  }
+
   /** Repetition statistics per document over word n-gram shingles — the
     * standard repetitive-document filter of LLM training pipelines (a doc
     * that is mostly repeated n-grams is boilerplate/spam, not prose; cf.

@@ -222,6 +222,40 @@ class PipelinePrepSpec extends SparkSpec {
     out.foreach { case (id, (p, _)) => assert(p === ref(id), s"doc $id diverges from percent_rank") }
   }
 
+  test("leakageSafeSplit: cluster members share a split; realized fraction tracks validPct") {
+    import graft.operators.Sampling
+    // 100 singleton clusters + one 5-member cluster labeled comp=3
+    val clusters = ((0L until 100L).map(i => (i, i)) ++ (200L until 205L).map(i => (i, 3L)))
+      .toDF("doc_id", "comp")
+    val out = Sampling.leakageSafeSplit(clusters, "doc_id", validPct = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val bigCluster = out.filter(_._2 == 3L).map(_._3).toSet
+    assert(bigCluster.size === 1, "every member of a cluster lands in the same split")
+    val validFrac = out.count(_._3 == "valid").toDouble / out.length
+    assert(validFrac > 0.0 && validFrac < 0.35, s"split fraction wildly off: $validFrac")
+    // determinism: same input → same assignment
+    val again = Sampling.leakageSafeSplit(clusters, "doc_id", validPct = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
+
+  test("bigramLm: counts, conditional probabilities, deterministic top-k ordering") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (0L, "a b a b a c"), // bigrams: "a b" x2, "b a" x2, "a c" x1
+      (1L, "a b"),         // "a b" x1
+    ).toDF("doc_id", "text")
+    val out = TextStats.bigramLm(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("a b") === ((3L, 4L, 0.75)), "P(b|a) = 3/4")
+    assert(out("a c") === ((1L, 4L, 0.25)), "P(c|a) = 1/4")
+    assert(out("b a") === ((2L, 2L, 1.0)), "P(a|b) = 1")
+    // per-w1 conditional probabilities sum to exactly 1
+    val byW1 = TextStats.bigramLm(docs, "text", topK = 10)
+      .collect().groupBy(_.getString(1)).view.mapValues(_.map(_.getDouble(4)).sum)
+    byW1.foreach { case (w1, s) => assert(s === 1.0, s"P(.|$w1) must sum to 1, got $s") }
+  }
+
   test("canonicalDocs: best score wins, ties break to lowest id, every member flagged") {
     import graft.operators.Dedup
     val clusters = Seq(
