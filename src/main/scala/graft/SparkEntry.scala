@@ -321,6 +321,18 @@ object SparkEntry {
     "q57_bigram_lm" -> ((s, dir) =>
       graft.operators.TextStats.bigramLm(tbl(s, dir, "documents"), "text", topK = 20)),
 
+    // ---- hashed bag-of-words features: sparse (doc, bucket, tf) rows,
+    //      md5-bucketed tokens — deterministic model-free "embeddings" ----
+    "q58_hashed_bow" -> ((s, dir) =>
+      graft.operators.Features.hashedBow(tbl(s, dir, "documents"), "doc_id", "text", dim = 64)),
+
+    // ---- exact BoW-cosine top-k similar docs (self-match ranks first at
+    //      1.0 — the reference's golden-output semantics, relationally) ----
+    "q59_bow_topk" -> ((s, dir) => {
+      val bow = graft.operators.Features.hashedBow(tbl(s, dir, "documents"), "doc_id", "text", dim = 64)
+      graft.operators.Features.bowCosineTopK(bow, "doc_id", queryId = 42L, k = 10)
+    }),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -1015,6 +1027,25 @@ object SparkEntry {
            |  CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE) AS cond_p
            |FROM pw JOIN fc ON pw.w1 = fc.w1
            |ORDER BY n_pair DESC, bigram LIMIT 20""".stripMargin,
+
+      "q58_hashed_bow" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           |SELECT doc_id, ${md5PrefixValueSql("tok", 8)} % 64 AS bucket, count(*) AS tf
+           |FROM toks GROUP BY 1, 2""".stripMargin,
+
+      "q59_bow_topk" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |bow AS (SELECT doc_id, ${md5PrefixValueSql("tok", 8)} % 64 AS bucket, count(*) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |q AS (SELECT bucket, tf AS qtf FROM bow WHERE doc_id = 42),
+           |dt AS (SELECT b.doc_id, CAST(sum(b.tf * q.qtf) AS BIGINT) AS dot
+           |  FROM bow b JOIN q USING (bucket) GROUP BY 1),
+           |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM bow GROUP BY 1),
+           |qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 42)
+           |SELECT d.doc_id,
+           |  CAST(d.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE) * CAST(qn.qn2 AS DOUBLE)) AS cos_sim
+           |FROM dt d JOIN norms n USING (doc_id), qn
+           |ORDER BY cos_sim DESC, d.doc_id LIMIT 10""".stripMargin,
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

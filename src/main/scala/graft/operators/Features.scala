@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic text feature generation — the classical, model-free
+  * stand-in for learned embeddings (torch embedding generation is declared
+  * out of scope; cf. SURVEY §2.6): hashed bag-of-words vectors and exact
+  * cosine similarity search over them. Everything here is md5 + integer
+  * arithmetic + one final exact double op, so a DuckDB oracle reproduces
+  * features AND similarity rankings bit-for-bit — which is what lets the
+  * full documents → features → top-k pipeline sit in the correctness gate
+  * rather than being spec-only like the learned-vector paths.
+  */
+object Features {
+
+  /** Hashed bag-of-words features in sparse (id, bucket, tf) form: each
+    * token hashes to one of `dim` buckets (32-bit md5 prefix mod dim — the
+    * [[Sampling.idHash]] family), tf = token count in the bucket. Sparse
+    * rows, not arrays: at 100 TB an `Array(dim)` per doc materializes
+    * dim × docs cells regardless of occupancy, while sparse rows shuffle
+    * only what exists, partial-aggregate map-side, and feed joins/aggs
+    * directly (the dense form is one `groupBy(id).pivot` away when a
+    * small-dim model table is genuinely needed).
+    */
+  def hashedBow(docs: DataFrame, idCol: String, textCol: String, dim: Int = 256): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Exact top-k most similar documents to `queryId` by hashed-BoW cosine.
+    * The query doc ranks itself first at similarity 1.0 — the reference's
+    * golden-output self-match semantics (README.md:21-27, rank-1
+    * self-match) in relational form.
+    *
+    * Exactness: dot products and squared norms are BIGINT sums of BIGINT
+    * products — order-independent — and the only floating-point ops are
+    * one product, one sqrt and one division in a fixed association, so
+    * rankings (ties broken by id) reproduce across engines bit-for-bit.
+    * The denominator is `sqrt(n2 · qn2)` rather than `sqrt(n2) · sqrt(qn2)`
+    * deliberately: the latter makes self-similarity 1 + 1ulp
+    * (sqrt(6)·sqrt(6) = 6.000000000000001), the former keeps the
+    * self-match at exactly 1.0 whenever n2·qn2 stays within double's 2⁵³
+    * integer range.
+    *
+    * Scale shape: the query vector (≤ dim rows) broadcasts to the sparse
+    * feature table — the dot product is a broadcast equi-join on `bucket`
+    * + one partial-agg sum, never a doc×doc comparison; norms are a
+    * partial-agg groupBy; top-k is TakeOrdered. For query BATCHES, join
+    * on bucket with a (qid, bucket, tf) table instead — same plan with one
+    * more grouping key; the single-query form is the oracle-checked one.
+    */
+  def bowCosineTopK(bow: DataFrame, idCol: String, queryId: Long, k: Int = 10): DataFrame = {
+    val q = bow.filter(col(idCol) === queryId)
+      .select(col("bucket"), col("tf").as("qtf"))
+    val dot = bow.join(broadcast(q), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("qtf")).as("dot"))
+    val norms = bow.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("n2"))
+    val qNorm = norms.filter(col(idCol) === queryId).select(col("n2").as("qn2"))
+    dot
+      .join(norms, idCol)
+      .join(broadcast(qNorm))
+      .select(col(idCol),
+        (col("dot").cast("double") /
+          sqrt(col("n2").cast("double") * col("qn2").cast("double"))).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -256,6 +256,42 @@ class PipelinePrepSpec extends SparkSpec {
     byW1.foreach { case (w1, s) => assert(s === 1.0, s"P(.|$w1) must sum to 1, got $s") }
   }
 
+  test("hashedBow: tf sums to token count; identical docs get identical features") {
+    import graft.operators.Features
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma"),
+      (1L, "alpha beta alpha gamma"), // identical
+      (2L, "delta epsilon"),
+    ).toDF("doc_id", "text")
+    val bow = Features.hashedBow(docs, "doc_id", "text", dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = bow.groupBy(_._1)
+    assert(byDoc(0L).map(_._3).sum === 4L, "tf mass equals token count")
+    assert(byDoc(2L).map(_._3).sum === 2L)
+    assert(byDoc(0L).map(t => (t._2, t._3)).toSet === byDoc(1L).map(t => (t._2, t._3)).toSet,
+      "identical text → identical sparse features")
+    assert(bow.forall(t => t._2 >= 0 && t._2 < 16), "buckets in range")
+  }
+
+  test("bowCosineTopK: self-match ranks first at exactly 1.0; identical doc ties at 1.0") {
+    import graft.operators.Features
+    val docs = Seq(
+      (0L, "alpha beta alpha gamma"),
+      (1L, "alpha beta alpha gamma"), // identical to 0 → cos 1.0
+      (2L, "alpha beta other words"), // partial overlap
+      (3L, "totally disjoint tokens here"),
+    ).toDF("doc_id", "text")
+    val bow = Features.hashedBow(docs, "doc_id", "text", dim = 64)
+    val top = Features.bowCosineTopK(bow, "doc_id", queryId = 0L, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top(0)._1 === 0L && top(0)._2 === 1.0, "query doc ranks itself first at exactly 1.0")
+    assert(top(1)._1 === 1L && top(1)._2 === 1.0, "identical doc ties at 1.0, id tie-break")
+    assert(top(2)._1 === 2L && top(2)._2 > 0.0 && top(2)._2 < 1.0)
+    // doc 3 shares no TOKENS with the query, but 64 buckets can collide —
+    // only assert it never outranks the genuine partial overlap
+    top.find(_._1 == 3L).foreach(d3 => assert(d3._2 <= top(2)._2))
+  }
+
   test("canonicalDocs: best score wins, ties break to lowest id, every member flagged") {
     import graft.operators.Dedup
     val clusters = Seq(
