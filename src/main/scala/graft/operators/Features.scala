@@ -34,6 +34,25 @@ object Features {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Densify sparse BoW rows into `(id, vector: array<float>)` — the
+    * [[graft.hnsw.Hnsw.build]] input contract, connecting the text feature
+    * pipeline to the ANN stack (text → hashedBow → densify → HNSW index →
+    * annQuery). Purely relational scatter: the sparse entries collect into
+    * a map (partial-agg `collect_list`), and a `transform(sequence(...))`
+    * projection reads each dimension with a zero default — no UDF, no
+    * driver materialization. Only use for MODEL-FACING dims (the dense
+    * array costs dim cells per doc regardless of sparsity — that cost is
+    * why [[hashedBow]] stays sparse for everything else).
+    */
+  def densify(bow: DataFrame, idCol: String, dim: Int): DataFrame =
+    bow
+      .groupBy(col(idCol).as("id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket").cast("int"), col("tf").cast("float")))).as("m"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0f))).as("vector"))
+
   /** Exact top-k most similar documents to `queryId` by hashed-BoW cosine.
     * The query doc ranks itself first at similarity 1.0 — the reference's
     * golden-output self-match semantics (README.md:21-27, rank-1

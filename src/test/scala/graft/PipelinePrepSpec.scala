@@ -292,6 +292,35 @@ class PipelinePrepSpec extends SparkSpec {
     top.find(_._1 == 3L).foreach(d3 => assert(d3._2 <= top(2)._2))
   }
 
+  test("text -> hashedBow -> densify -> HNSW: ANN recall vs the exact BoW-cosine oracle") {
+    import graft.operators.Features
+    import graft.hnsw.{Hnsw, HnswParams}
+    // 60 docs in 3 vocab families so cosine structure is real
+    val docs = (0L until 60L).map { i =>
+      val fam = i % 3
+      val toks = (0 until 20).map(j => s"w${fam}_${(i + j) % 12}").mkString(" ")
+      (i, toks)
+    }.toDF("doc_id", "text")
+    val bow = Features.hashedBow(docs, "doc_id", "text", dim = 32)
+    val dense = Features.densify(bow, "doc_id", dim = 32)
+    assert(dense.selectExpr("size(vector)").distinct().collect().map(_.getInt(0)).toSeq === Seq(32))
+    // densify scatters exactly the sparse mass: per-doc sum(vector) == token count
+    val mass = dense.selectExpr("id", "aggregate(vector, 0.0F, (a, x) -> a + x) AS s")
+      .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(mass.values.forall(_ === 20.0f), "each doc has 20 tokens of tf mass")
+
+    val index = Hnsw.build(dense, HnswParams(dim = 32, m = 8, efConstruction = 64,
+      metric = "cosine", numPartitions = 2))
+    val qvec = dense.filter(col("id") === 7L).selectExpr("7L AS qid", "vector")
+    val ann = Hnsw.annQuery(index, qvec, k = 10, ef = 64)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = Features.bowCosineTopK(bow, "doc_id", queryId = 7L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(ann.contains(7L), "self-match must be found")
+    assert(recall >= 0.8, s"ANN recall vs exact BoW-cosine was $recall")
+  }
+
   test("canonicalDocs: best score wins, ties break to lowest id, every member flagged") {
     import graft.operators.Dedup
     val clusters = Seq(

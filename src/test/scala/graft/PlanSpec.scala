@@ -47,4 +47,17 @@ class PlanSpec extends SparkSpec {
   test("q34 range table is broadcast back to the encode projection") {
     assert(formatted("q34_quantize").contains("BroadcastHashJoin"))
   }
+
+  test("q58 hashed BoW is one scan + partial/final aggregate") {
+    val s = formatted("q58_hashed_bow")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(s).length === 1)
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "tf counts must partial-aggregate map-side")
+  }
+
+  test("q59 BoW top-k broadcasts the query vector; dot product is a hash join on bucket") {
+    val s = formatted("q59_bow_topk")
+    assert(s.contains("BroadcastHashJoin"), "query-vector side must broadcast")
+    assert(s.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not a global sort")
+  }
 }
