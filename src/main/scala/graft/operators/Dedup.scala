@@ -211,6 +211,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard for a GIVEN candidate-pair list — the
+    * verification stage of a production MinHash pipeline: LSH proposes
+    * ([[lshCandidatePairs]]), exact Jaccard verifies, and the expensive
+    * set arithmetic runs ONLY on proposed pairs. Differs from
+    * [[ngramJaccardPairs]] (which scores every shingle-sharing pair) in
+    * both direction and cost: shingle sets are built only for documents
+    * appearing in some pair (semi-join prune — on a lightly-duplicated
+    * corpus that is a tiny fraction of it), and the intersection join is
+    * keyed on the pair list, so volume is O(pairs × shingles/doc), never
+    * O(shingle-collision rows).
+    *
+    * Output: every input pair with `n_inter`, `jaccard` (0.0 when the
+    * union is empty — never null/NaN) and `is_dup = jaccard ≥ minJaccard`
+    * — LSH false positives stay visible as rejected rows, which is what a
+    * pipeline audits when tuning band/row parameters.
+    */
+  def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, minJaccard: Double = 0.5,
+                      materialize: Boolean = true): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val members = p.select(col("id_a").as(idCol)).union(p.select(col("id_b").as(idCol))).distinct()
+    val shAll = explodedShingles(docs.join(members, Seq(idCol), "left_semi"), idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle"))
+      .distinct()
+    // feeds the size aggregate AND both intersection sides
+    val sh = if (materialize) shAll.localCheckpoint() else shAll
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = p
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val unionSize =
+      coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)) - coalesce(col("n_inter"), lit(0L))
+    p
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"), "left")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        when(unionSize === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_inter"), lit(0L)).cast("double") / unionSize.cast("double"))
+          .as("jaccard"))
+      .withColumn("is_dup", col("jaccard") >= lit(minJaccard))
+  }
+
   /** Incremental dedup of a NEW document batch against an EXISTING corpus —
     * the shape every recurring crawl ingest runs: nothing in the corpus is
     * re-compared against itself; only new×corpus pairs are scored. Each new

@@ -286,6 +286,28 @@ class DedupSpec extends SparkSpec {
       "capped path must not checkpoint/cache at construction")
   }
 
+  test("jaccardForPairs verifies only the given pairs; rejections visible; agrees with ngramJaccardPairs") {
+    val vdocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0 → jaccard 1.0
+      (2L, "the quick brown fox jumps over the sleepy dog"), // near dup
+      (3L, "completely different words appear in this one here"),
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardForPairs(pairs, vdocs, "doc_id", "text", n = 3, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet === Set((0L, 1L), (0L, 2L), (0L, 3L)), "exactly the given pairs, no more")
+    assert(out((0L, 1L)) === ((7L, 1.0, true)), "identical docs verify at exactly 1.0")
+    assert(out((0L, 3L))._1 === 0L, "disjoint pair stays visible with zero intersection")
+    assert(out((0L, 3L))._2 === 0.0 && !out((0L, 3L))._3)
+    assert(out((0L, 2L))._2 > 0.0 && out((0L, 2L))._2 < 1.0)
+    // agreement with the all-pairs operator on the pairs both cover
+    val allPairs = Dedup.ngramJaccardPairs(vdocs, "doc_id", "text", n = 3, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(allPairs((0L, 1L)) === out((0L, 1L))._2)
+    assert(allPairs((0L, 2L)) === out((0L, 2L))._2)
+  }
+
   test("bloom-pruned dedup matches the plain semi-join exactly and actually prunes") {
     val corpus = (0L until 40L).map(i => (i, s"corpus document number $i with body $i"))
       .toDF("doc_id", "text")
