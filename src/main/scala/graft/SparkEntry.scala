@@ -343,6 +343,11 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- BPE-trainer pair statistics: corpus-weighted adjacent char-pair
+    //      counts over the distinct-vocab table (the merge-step argmax) ----
+    "q61_bpe_pairs" -> ((s, dir) =>
+      graft.operators.TextStats.bpePairCounts(tbl(s, dir, "documents"), "text", topK = 20)),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -1092,6 +1097,15 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      "q61_bpe_pairs" ->
+        """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+          |vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1 HAVING len(tok) >= 2),
+          |idx AS (SELECT tok, n_tok, unnest(generate_series(1, len(tok) - 1)) AS i FROM vocab),
+          |pr AS (SELECT substring(tok, i, 2) AS pair, CAST(sum(n_tok) AS BIGINT) AS n_pair
+          |  FROM idx GROUP BY 1)
+          |SELECT pair, n_pair FROM pr
+          |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

@@ -128,6 +128,34 @@ object TextStats {
       .limit(topK)
   }
 
+  /** BPE-trainer pair statistics: corpus-weighted counts of adjacent
+    * character pairs — the quantity a byte-pair-encoding tokenizer trainer
+    * maximizes at every merge step. Top-K table of (pair, n_pair) where
+    * n_pair = Σ over vocabulary words of (occurrences of the pair in the
+    * word) × (word's corpus frequency).
+    *
+    * Scale shape — the actual BPE-trainer trick: the token STREAM first
+    * collapses to the distinct-vocabulary table with counts (one
+    * partial-agg groupBy — the only full-data shuffle; natural language
+    * vocabulary is orders of magnitude smaller than the stream), and the
+    * character-pair explosion runs over vocab entries weighted by
+    * `n_tok`. Integer counts throughout; top-K is TakeOrdered with the
+    * pair text breaking ties.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      .filter(length(col("tok")) >= 2)
+    vocab
+      .select(col("n_tok"),
+        explode(transform(sequence(lit(1), length(col("tok")) - lit(1)),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("n_tok")).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Repetition statistics per document over word n-gram shingles — the
     * standard repetitive-document filter of LLM training pipelines (a doc
     * that is mostly repeated n-grams is boilerplate/spam, not prose; cf.

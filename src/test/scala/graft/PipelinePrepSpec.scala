@@ -321,6 +321,19 @@ class PipelinePrepSpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN recall vs exact BoW-cosine was $recall")
   }
 
+  test("bpePairCounts: corpus-weighted adjacent char pairs, repeats within a word counted") {
+    import graft.operators.TextStats
+    val docs = Seq(
+      (0L, "aaab aaab ab"), // vocab: aaab ×2 (pairs aa,aa,ab per occurrence), ab ×1
+      (1L, "x"),            // 1-char token: no pairs
+    ).toDF("doc_id", "text")
+    val out = TextStats.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("aa") === 4L, "aa appears twice in 'aaab', weighted by corpus count 2")
+    assert(out("ab") === 3L, "once per 'aaab' (x2) plus the standalone 'ab'")
+    assert(out.size === 2, "single-char tokens contribute no pairs")
+  }
+
   test("canonicalDocs: best score wins, ties break to lowest id, every member flagged") {
     import graft.operators.Dedup
     val clusters = Seq(
