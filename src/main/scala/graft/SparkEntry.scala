@@ -343,6 +343,13 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- batch BoW-cosine top-k: bounded-heap per-query aggregate over
+    //      the sparse feature join (cosine DISTANCE, the vector convention) ----
+    "q62_bow_topk_batch" -> ((s, dir) => {
+      val bow = graft.operators.Features.hashedBow(tbl(s, dir, "documents"), "doc_id", "text", dim = 64)
+      graft.operators.Features.bowCosineTopKBatch(bow, "doc_id", queryIds = Seq(7L, 42L), k = 10)
+    }),
+
     // ---- BPE-trainer pair statistics: corpus-weighted adjacent char-pair
     //      counts over the distinct-vocab table (the merge-step argmax) ----
     "q61_bpe_pairs" -> ((s, dir) =>
@@ -1097,6 +1104,23 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      "q62_bow_topk_batch" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |bow AS (SELECT doc_id, ${md5PrefixValueSql("tok", 8)} % 64 AS bucket, count(*) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |q AS (SELECT doc_id AS qid, bucket, tf AS qtf FROM bow WHERE doc_id IN (7, 42)),
+           |dt AS (SELECT q.qid, b.doc_id, CAST(sum(b.tf * q.qtf) AS BIGINT) AS dot
+           |  FROM bow b JOIN q USING (bucket) GROUP BY 1, 2),
+           |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM bow GROUP BY 1),
+           |qn AS (SELECT doc_id AS qid, n2 AS qn2 FROM norms WHERE doc_id IN (7, 42)),
+           |scored AS (SELECT dt.qid, dt.doc_id,
+           |    1.0 - CAST(dt.dot AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE) * CAST(qn.qn2 AS DOUBLE)) AS dist
+           |  FROM dt JOIN norms n ON n.doc_id = dt.doc_id JOIN qn ON qn.qid = dt.qid)
+           |SELECT qid, rank, doc_id, dist FROM (
+           |  SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id) AS INT) AS rank,
+           |         doc_id, dist
+           |  FROM scored) WHERE rank <= 10""".stripMargin,
 
       "q61_bpe_pairs" ->
         """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -75,6 +75,38 @@ object Features {
     * on bucket with a (qid, bucket, tf) table instead — same plan with one
     * more grouping key; the single-query form is the oracle-checked one.
     */
+  /** Batch form of [[bowCosineTopK]]: top-k per query id through the
+    * bounded-heap `TopKByDist` aggregate — map-side heaps keep the shuffle
+    * at O(queries × k) rows per partition, never the q×n score matrix
+    * (same machinery as [[Knn.exactTopK]]). Scores are COSINE DISTANCE
+    * (1 − cosine), ascending — the vector stack's convention — computed
+    * with the same BIGINT dot/norm exactness as the single-query form.
+    * Output: (qid, rank, id, dist), ties broken by id.
+    */
+  def bowCosineTopKBatch(bow: DataFrame, idCol: String, queryIds: Seq[Long],
+                         k: Int = 10): DataFrame = {
+    val q = bow.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("bucket"), col("tf").as("qtf"))
+    val dot = bow.join(broadcast(q), "bucket")
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("tf") * col("qtf")).as("dot"))
+    val norms = bow.groupBy(col(idCol)).agg(sum(col("tf") * col("tf")).as("n2"))
+    val qn = norms.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), col("n2").as("qn2"))
+    val scored = dot
+      .join(norms, idCol)
+      .join(broadcast(qn), "qid")
+      .select(col("qid"), col(idCol).as("id"),
+        (lit(1.0) - col("dot").cast("double") /
+          sqrt(col("n2").cast("double") * col("qn2").cast("double"))).as("dist"))
+    scored
+      .groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as(idCol), col("entry.dist").as("dist"))
+  }
+
   def bowCosineTopK(bow: DataFrame, idCol: String, queryId: Long, k: Int = 10): DataFrame = {
     val q = bow.filter(col(idCol) === queryId)
       .select(col("bucket"), col("tf").as("qtf"))

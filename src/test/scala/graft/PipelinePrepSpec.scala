@@ -334,6 +334,27 @@ class PipelinePrepSpec extends SparkSpec {
     assert(out.size === 2, "single-char tokens contribute no pairs")
   }
 
+  test("bowCosineTopKBatch agrees with the single-query form per qid") {
+    import graft.operators.Features
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until 15).map(j => s"t${(i * 3 + j) % 40}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bow = Features.hashedBow(docs, "doc_id", "text", dim = 64)
+    val batch = Features.bowCosineTopKBatch(bow, "doc_id", queryIds = Seq(3L, 11L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    Seq(3L, 11L).foreach { qid =>
+      val single = Features.bowCosineTopK(bow, "doc_id", queryId = qid, k = 5)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1) -> (r.getLong(0), 1.0 - r.getDouble(1)) }.toMap
+      single.foreach { case (key, (id, dist)) =>
+        assert(batch(key)._1 === id, s"rank order diverges at $key")
+        assert(math.abs(batch(key)._2 - dist) < 1e-12, s"distance diverges at $key")
+      }
+      assert(batch((qid, 1))._1 === qid && batch((qid, 1))._2 === 0.0,
+        "self-match first at distance exactly 0.0")
+    }
+  }
+
   test("canonicalDocs: best score wins, ties break to lowest id, every member flagged") {
     import graft.operators.Dedup
     val clusters = Seq(
