@@ -119,12 +119,35 @@ object TextScaleProof {
     System.err.println(f"[textscale] bloom dedup: $bloomCand candidates -> $bloomExact confirmed " +
       f"of ${2 * nPlant} new docs in $bloomSecs%.1f s (pruned ${2 * nPlant - bloomCand})")
 
+    // ---- phase 7: hashed BoW features + exact batch top-k — the planted
+    // verbatim copy of each query doc must surface at distance 0.0 (the
+    // feature pipeline rediscovers the plants via similarity search) ----
+    import graft.operators.Features
+    val queryIds = Seq(0L, 100L, 200L)
+    val ((bowNnz, zeroHits), bowSecs) = timed {
+      val bow = Features.hashedBow(corpus, "doc_id", "text", dim = 256).localCheckpoint()
+      val nnz = bow.count()
+      val zeros = Features.bowCosineTopKBatch(bow, "doc_id", queryIds, k = 10)
+        .filter(col("dist") === 0.0)
+        .select("qid", "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      (nnz, zeros)
+    }
+    queryIds.foreach { q =>
+      val copyId = q / 100 + n // planted exact copy of doc q (q % 100 == 0)
+      require(zeroHits.contains(q -> copyId),
+        s"planted copy $copyId of query $q not found at distance 0.0")
+    }
+    System.err.println(f"[textscale] hashed BoW: $bowNnz sparse cells; batch top-k found all " +
+      f"${queryIds.size} planted copies at dist 0.0 in $bowSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
       s""""incremental_sec":$incSecs,"incremental_exact":$incExact,"incremental_near":$incNear,""" +
       s""""planted_each":$nPlant,"chunk_sec":$chunkSecs,"chunks":$chunks,""" +
-      s""""bloom_sec":$bloomSecs,"bloom_candidates":$bloomCand,"bloom_confirmed":$bloomExact,"bloom_mbits":$mBits}""")
+      s""""bloom_sec":$bloomSecs,"bloom_candidates":$bloomCand,"bloom_confirmed":$bloomExact,"bloom_mbits":$mBits,""" +
+      s""""bow_sec":$bowSecs,"bow_nnz":$bowNnz,"bow_planted_found":${queryIds.size}}""")
     spark.stop()
   }
 }
