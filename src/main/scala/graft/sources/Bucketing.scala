@@ -23,4 +23,34 @@ object Bucketing {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Training-shard sink: write `df` as size-bounded, deterministically
+    * ordered parquet shards — the delivery format a training run consumes
+    * (fixed-size files so data-loader workers stripe evenly; stable
+    * content so a re-run of the pipeline produces byte-comparable shards).
+    *
+    * Layout contract: rows are range-partitioned by `orderCol` (so shard
+    * boundaries follow the global order, e.g. pack/sequence id from
+    * [[graft.operators.Packing]]), sorted within each shard, and each
+    * FILE holds at most `recordsPerFile` rows (`maxRecordsPerFile` splits
+    * an oversized partition into consecutive files without re-shuffling).
+    *
+    * The one driver-side job is the `count()` that sizes the partitioning
+    * — unavoidable for a fixed-records contract and amortized over the
+    * write. Returns the shard-file count.
+    */
+  def writeShards(df: DataFrame, outDir: String, orderCol: String,
+                  recordsPerFile: Int): Int = {
+    require(recordsPerFile > 0, "recordsPerFile must be positive")
+    val n = df.count()
+    val parts = math.max(1, math.ceil(n.toDouble / recordsPerFile).toInt)
+    df.repartitionByRange(parts, org.apache.spark.sql.functions.col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", recordsPerFile.toLong)
+      .parquet(outDir)
+    val fs = new java.io.File(outDir)
+    fs.listFiles().count(f => f.getName.endsWith(".parquet"))
+  }
 }

@@ -53,4 +53,33 @@ class BucketingSpec extends SparkSpec {
     val plain = facts.join(dims, "k")
     assert(shuffleCount(plain) > 0)
   }
+
+  test("writeShards: size-bounded files, global order across shards, deterministic re-run") {
+    import graft.sources.Bucketing
+    val df = spark.range(0, 1000).selectExpr("id", "id * 2 AS payload")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    val nFiles = Bucketing.writeShards(df, dir, "id", recordsPerFile = 128)
+    assert(nFiles >= 8, s"1000 rows at <=128/file needs >= 8 files, got $nFiles")
+    // every file respects the record bound; total row count preserved
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    val perFile = files.map(f => spark.read.parquet(f.getAbsolutePath).count())
+    assert(perFile.forall(_ <= 128), s"oversized shard: ${perFile.toSeq}")
+    assert(perFile.sum === 1000L)
+    // range partitioning: files partition the id space into disjoint intervals
+    val ranges = files.map { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath).select("id").collect().map(_.getLong(0))
+      (ids.min, ids.max, ids.toSeq)
+    }.sortBy(_._1)
+    ranges.foreach { case (_, _, ids) => assert(ids === ids.sorted, "sorted within file") }
+    ranges.sliding(2).foreach {
+      case Array((_, max1, _), (min2, _, _)) => assert(max1 < min2, "disjoint ordered ranges")
+      case _ =>
+    }
+    // deterministic: a second run writes identical shard contents
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString + "/out"
+    Bucketing.writeShards(df, dir2, "id", recordsPerFile = 128)
+    val a = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(dir2).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }

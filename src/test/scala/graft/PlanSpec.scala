@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
     assert(formatted("q34_quantize").contains("BroadcastHashJoin"))
   }
 
+  test("q53 bloom probe broadcasts the word table; no window, no cartesian") {
+    val s = formatted("q53_bloom_dedup")
+    assert(s.contains("BroadcastHashJoin"), "bloom word table must broadcast to the probe")
+    assert(!s.contains("Window"), "bloom path has no window operators")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("q58 hashed BoW is one scan + partial/final aggregate") {
     val s = formatted("q58_hashed_bow")
     assert("""\(\d+\) Scan parquet""".r.findAllIn(s).length === 1)
