@@ -350,6 +350,12 @@ object SparkEntry {
       graft.operators.Features.bowCosineTopKBatch(bow, "doc_id", queryIds = Seq(7L, 42L), k = 10)
     }),
 
+    // ---- Z-order (Morton) values: the multi-column data-skipping layout
+    //      key — exact bit interleave, oracle-checkable ----
+    "q63_zorder" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Bucketing.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))),
+
     // ---- BPE-trainer pair statistics: corpus-weighted adjacent char-pair
     //      counts over the distinct-vocab table (the merge-step argmax) ----
     "q61_bpe_pairs" -> ((s, dir) =>
@@ -1121,6 +1127,11 @@ object SparkEntry {
            |  SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id) AS INT) AS rank,
            |         doc_id, dist
            |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+      "q63_zorder" ->
+        s"""SELECT l_orderkey, l_linenumber,
+           |  ${graft.sources.Bucketing.zValueSql("l_partkey", "l_suppkey")} AS zval
+           |FROM lineitem""".stripMargin,
 
       "q61_bpe_pairs" ->
         """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

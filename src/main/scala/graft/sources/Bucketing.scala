@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Persisted co-location: bucketed tables make every future equi-join or
   * aggregation on the bucket key shuffle-free on that side — at 100 TB the
@@ -23,6 +24,32 @@ object Bucketing {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Z-order (Morton) value of two non-negative int columns: bit b of `x`
+    * lands at position 2b, bit b of `y` at 2b+1. Sorting or
+    * range-partitioning by this value clusters rows that are close in
+    * BOTH dimensions into the same files, so parquet min/max stats prune
+    * scans filtered on EITHER column — the standard multi-column
+    * data-skipping layout (a single-column sort gives perfect pruning on
+    * one column and none on the other). Pure integer bit arithmetic
+    * (shift/and/or), so the value is engine-exact and oracle-checkable.
+    * 32 bits per input column → the z-value fits a signed 64-bit long.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, "bits per column must be in [1, 32]")
+    val xs = x.cast("long"); val ys = y.cast("long")
+    (0 until bits).map { b =>
+      val xb = shiftleft(shiftright(xs, b).bitwiseAND(lit(1L)), 2 * b)
+      val yb = shiftleft(shiftright(ys, b).bitwiseAND(lit(1L)), 2 * b + 1)
+      xb.bitwiseOR(yb)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The same z-value as a DuckDB SQL expression string (oracle twin). */
+  def zValueSql(x: String, y: String, bits: Int = 32): String =
+    (0 until bits).map { b =>
+      s"(((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1}))"
+    }.mkString(" | ")
 
   /** Training-shard sink: write `df` as size-bounded, deterministically
     * ordered parquet shards — the delivery format a training run consumes

@@ -54,6 +54,25 @@ class BucketingSpec extends SparkSpec {
     assert(shuffleCount(plain) > 0)
   }
 
+  test("zValue: matches a bit-twiddling reference; z-sorted shards prune on BOTH columns") {
+    import graft.sources.Bucketing
+    def zRef(x: Long, y: Long): Long =
+      (0 until 32).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    val df = spark.range(0, 256).selectExpr("CAST(id / 16 AS LONG) AS x", "CAST(id % 16 AS LONG) AS y")
+    val got = df.select(col("x"), col("y"), Bucketing.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z === zRef(x, y), s"z($x,$y)") }
+    // locality: order by z, cut into 4 consecutive blocks of 64; each block's
+    // x-range and y-range must span at most half the domain (a single-column
+    // sort gives full-domain ranges on the other column in every block)
+    val sorted = got.sortBy(_._3).grouped(64).toSeq
+    sorted.foreach { block =>
+      val (xs, ys) = (block.map(_._1), block.map(_._2))
+      assert(xs.max - xs.min <= 8, s"x-range too wide: ${xs.min}..${xs.max}")
+      assert(ys.max - ys.min <= 8, s"y-range too wide: ${ys.min}..${ys.max}")
+    }
+  }
+
   test("writeShards: size-bounded files, global order across shards, deterministic re-run") {
     import graft.sources.Bucketing
     val df = spark.range(0, 1000).selectExpr("id", "id * 2 AS payload")
