@@ -73,6 +73,27 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered shards touch fewer files than x-sorted shards for a y filter") {
+    import graft.sources.Bucketing
+    import org.apache.spark.sql.functions.input_file_name
+    val df = spark.range(0, 4096)
+      .selectExpr("CAST(id / 64 AS LONG) AS x", "CAST(id % 64 AS LONG) AS y")
+    def touched(dir: String): Long =
+      spark.read.parquet(dir).filter("y = 5")
+        .select(input_file_name()).distinct().count()
+    val zDir = java.nio.file.Files.createTempDirectory("zlay").toString + "/out"
+    val xDir = java.nio.file.Files.createTempDirectory("xlay").toString + "/out"
+    Bucketing.writeShards(df.withColumn("z", Bucketing.zValue(col("x"), col("y"))),
+      zDir, "z", recordsPerFile = 256)
+    Bucketing.writeShards(df, xDir, "x", recordsPerFile = 256)
+    val (zFiles, xFiles) = (touched(zDir), touched(xDir))
+    // x-sorted layout scatters every y value across ALL files; the z-order
+    // layout concentrates a y slice into a subset — parquet min/max stats
+    // then skip the rest at scan time
+    assert(xFiles >= 16, s"control should touch every file, got $xFiles")
+    assert(zFiles * 2 <= xFiles, s"z-layout touched $zFiles vs control $xFiles — no pruning win")
+  }
+
   test("writeShards: size-bounded files, global order across shards, deterministic re-run") {
     import graft.sources.Bucketing
     val df = spark.range(0, 1000).selectExpr("id", "id * 2 AS payload")
