@@ -177,6 +177,23 @@ object StreamingOps {
       }
   }
 
+  /** Live training-mixture accounting: running per-source document and
+    * token totals over the ingest stream — the quota dashboard a
+    * continuous ingestion runs against ("stop crawling source X when its
+    * token share exceeds the mixture plan"). A plain streaming
+    * aggregation in update/complete mode: state is ONE row per source
+    * (bounded by the source universe, never by stream length), partial
+    * aggregation applies within each micro-batch, and the token count is
+    * the same exact expression as the batch [[graft.operators.Sampling
+    * .mixtureWeights]], so a snapshot of this stream equals the batch
+    * table over the same rows.
+    */
+  def streamingMixtureCounts(docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
+
   /** Stateful gap-based sessionization — the streaming twin of
     * q29_sessionize, built on `flatMapGroupsWithState` with event-time
     * timeout: per-user state is one open session (start, last, count);

@@ -175,6 +175,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(102L) === "exact_dup")
   }
 
+  test("streaming mixture counts: per-source totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, String)]
+    val counts = StreamingOps.streamingMixtureCounts(
+      source.toDF().toDF("source", "text"), "source", "text")
+    val query = counts.writeStream.format("memory").queryName("mix_out")
+      .outputMode("complete").start()
+    source.addData(("web", "a b c"), ("web", "d e"), ("books", "f g h i"))
+    query.processAllAvailable()
+    source.addData(("web", "j"), ("wiki", "k l"))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("mix_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("web") === ((3L, 6L)), "3 web docs, 6 tokens total across batches")
+    assert(out("books") === ((1L, 4L)))
+    assert(out("wiki") === ((1L, 2L)))
+    // snapshot equals the batch operator over the same rows
+    val batch = Seq(("web", "a b c"), ("web", "d e"), ("books", "f g h i"),
+      ("web", "j"), ("wiki", "k l")).toDF("source", "text")
+    val ref = graft.operators.Sampling.mixtureWeights(batch, "source", "text")
+      .select("source", "n_docs", "n_tokens").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ref === out)
+  }
+
   test("streaming pii scrub: stateless redaction projection runs unchanged on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
