@@ -102,5 +102,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PlanBridge.expression(Dedup.embeddingBucket(PlanBridge.column(children.head),
           litInt(children(1), "embedding_bucket", "dim"), litInt(children(2), "embedding_bucket", "bits")))
       }))
+    ext.injectFunction((FunctionIdentifier("z_value"),
+      info("z_value", "z_value(x, y) - Morton bit-interleave for multi-column locality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "z_value(x, y) takes 2 arguments")
+        PlanBridge.expression(graft.sources.Bucketing.zValue(
+          PlanBridge.column(children(0)), PlanBridge.column(children(1))))
+      }))
   }
 }

@@ -99,6 +99,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val bucketCol = Seq(Tuple1(Array(1.0f, -2.0f, 3.0f, 0.5f))).toDF("v")
       .select(graft.operators.Dedup.embeddingBucket(col("v"), 4, 2).as("b")).head().getLong(0)
     assert(bucket === bucketCol)
+
+    val zSql = spark.sql("SELECT z_value(5, 3) AS z").head().getLong(0)
+    val zCol = spark.range(1).select(
+      graft.sources.Bucketing.zValue(
+        org.apache.spark.sql.functions.lit(5L),
+        org.apache.spark.sql.functions.lit(3L)).as("z")).head().getLong(0)
+    assert(zSql === zCol)
+    assert(zSql === 27L, "z(101b, 11b) = 011011b") // interleave: y1 x1 y0 x0 ...
   }
 
   test("EXPLAIN of the rewritten shapes (plain and filtered) runs no Spark jobs") {
