@@ -9,6 +9,7 @@ import graft.sources.Datagen
 /** spark-submit CLI with the reference's flag surface (`hsnw_trial.py:450-481`):
   *
   *   --build --n N --dim D --out DIR [--M --efc --efs --mL --metric --seed --partitions]
+  *           [--input PARQUET | --input-idx IDX3-UBYTE(.gz)]
   *   --load DIR [--query-file PARQUET] [--k K] [--ef EF] [--max-queries N] [--out DIR]
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
@@ -56,9 +57,12 @@ object Main {
         mL = opts.get("mL").map(_.toDouble).getOrElse(Double.NaN),
         metric = opts.getOrElse("metric", "l2"),
         numPartitions = opts.getOrElse("partitions", "16").toInt)
-      val input = opts.get("input") match {
-        case Some(path) => spark.read.parquet(path)
-        case None => Datagen.gaussianVectors(spark, n, dim, opts.getOrElse("seed", "42").toLong)
+      val input = (opts.get("input"), opts.get("input-idx")) match {
+        case (Some(path), _) => spark.read.parquet(path)
+        // raw Fashion-MNIST-style idx3-ubyte(.gz) — the reference's actual
+        // dataset format, decoded natively (sources/Idx)
+        case (None, Some(path)) => graft.sources.Idx.readImages(spark, path)
+        case (None, None) => Datagen.gaussianVectors(spark, n, dim, opts.getOrElse("seed", "42").toLong)
       }
       val t0 = System.nanoTime()
       val index = Hnsw.build(input, params)
