@@ -356,6 +356,23 @@ object SparkEntry {
       tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         graft.sources.Bucketing.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))),
 
+    // ---- dedup detection quality: precision/recall of LSH candidate
+    //      pairs against planted re-crawl ground truth (the D8 recall
+    //      evaluator in dedup form) ----
+    "q64_dedup_metrics" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text")
+      val recrawled = corpus.filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("text"))
+      val all = corpus.unionAll(recrawled)
+      val truth = corpus.filter(col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + lit(10000L)).as("id_b"))
+      val sigs = Dedup.minhashSignatures(all, "doc_id", "text", n = 3, h = 4)
+      val predicted = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+        .select("id_a", "id_b")
+      Dedup.pairMetrics(predicted, truth)
+    }),
+
     // ---- BPE-trainer pair statistics: corpus-weighted adjacent char-pair
     //      counts over the distinct-vocab table (the merge-step argmax) ----
     "q61_bpe_pairs" -> ((s, dir) =>
@@ -1132,6 +1149,38 @@ object SparkEntry {
         s"""SELECT l_orderkey, l_linenumber,
            |  ${graft.sources.Bucketing.zValueSql("l_partkey", "l_suppkey")} AS zval
            |FROM lineitem""".stripMargin,
+
+      "q64_dedup_metrics" ->
+        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+           |allc AS (SELECT doc_id, text FROM corp
+           |  UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM corp WHERE doc_id % 50 = 7),
+           |${shingleCteFrom(3, "allc", "ash")},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"min(md5(concat('s$i|', shingle))) AS mh$i").mkString(", ")}
+           |  FROM ash GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |pred AS (SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id),
+           |tr AS (SELECT DISTINCT least(doc_id, doc_id + 10000) AS id_a,
+           |    greatest(doc_id, doc_id + 10000) AS id_b
+           |  FROM corp WHERE doc_id % 50 = 7),
+           |j AS (SELECT COALESCE(p.in_p, 0) AS in_p, COALESCE(t.in_t, 0) AS in_t FROM
+           |  (SELECT id_a, id_b, 1 AS in_p FROM pred) p
+           |  FULL OUTER JOIN (SELECT id_a, id_b, 1 AS in_t FROM tr) t
+           |  USING (id_a, id_b)),
+           |m AS (SELECT CAST(sum(in_p) AS BIGINT) AS n_pred, CAST(sum(in_t) AS BIGINT) AS n_truth,
+           |    CAST(sum(in_p * in_t) AS BIGINT) AS n_tp FROM j)
+           |SELECT n_pred, n_truth, n_tp,
+           |  CASE WHEN n_pred = 0 THEN 0.0
+           |       ELSE CAST(n_tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+           |  CASE WHEN n_truth = 0 THEN 0.0
+           |       ELSE CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+           |FROM m""".stripMargin,
 
       "q61_bpe_pairs" ->
         """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -529,6 +529,33 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Detection-quality metrics for a pair predictor — the dedup stack's
+    * twin of the ANN recall evaluator (reference D8): precision/recall of
+    * a predicted pair set against a ground-truth pair set (planted
+    * duplicates, labeled eval data). One relational plan: full-outer join
+    * on the normalized pair key, three partial-agg sums, two exact
+    * divisions. Output is a single row (n_pred, n_truth, n_tp, precision,
+    * recall); 0.0 (not NaN/null) when a denominator is 0, so engines
+    * agree on empty inputs. Pairs are normalized to id_a &lt; id_b so
+    * orientation never splits a match.
+    */
+  def pairMetrics(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    val p = norm(predicted).withColumn("in_p", lit(1L))
+    val t = norm(truth).withColumn("in_t", lit(1L))
+    p.join(t, Seq("id_a", "id_b"), "full_outer")
+      .agg(sum(coalesce(col("in_p"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("in_t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("in_p"), lit(0L)) * coalesce(col("in_t"), lit(0L))).as("n_tp"))
+      .select(col("n_pred"), col("n_truth"), col("n_tp"),
+        when(col("n_pred") === 0L, lit(0.0))
+          .otherwise(col("n_tp").cast("double") / col("n_pred").cast("double")).as("precision"),
+        when(col("n_truth") === 0L, lit(0.0))
+          .otherwise(col("n_tp").cast("double") / col("n_truth").cast("double")).as("recall"))
+  }
+
   /** Canonical-document selection per duplicate cluster: given cluster
     * labels ([[dupClusters]] output `(id, comp)`) and a per-doc score
     * (e.g. [[TextStats.textStats]] quality), pick ONE representative per

@@ -308,6 +308,20 @@ class DedupSpec extends SparkSpec {
     assert(allPairs((0L, 2L)) === out((0L, 2L))._2)
   }
 
+  test("pairMetrics: orientation-normalized precision/recall; empty sets give 0.0 not NaN") {
+    val predicted = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val truth = Seq((2L, 1L), (4L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val m = Dedup.pairMetrics(predicted, truth).head()
+    assert(m.getLong(0) === 3L, "reversed duplicate (2,1) collapses with (1,2)")
+    assert(m.getLong(1) === 3L)
+    assert(m.getLong(2) === 2L, "tp: {1,2} and {3,4}")
+    assert(m.getDouble(3) === 2.0 / 3.0)
+    assert(m.getDouble(4) === 2.0 / 3.0)
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Dedup.pairMetrics(empty, truth).head()
+    assert(e.getLong(0) === 0L && e.getDouble(3) === 0.0 && e.getDouble(4) === 0.0)
+  }
+
   test("bloom-pruned dedup matches the plain semi-join exactly and actually prunes") {
     val corpus = (0L until 40L).map(i => (i, s"corpus document number $i with body $i"))
       .toDF("doc_id", "text")
