@@ -322,6 +322,33 @@ class DedupSpec extends SparkSpec {
     assert(e.getLong(0) === 0L && e.getDouble(3) === 0.0 && e.getDouble(4) === 0.0)
   }
 
+  test("round-4 operators degrade cleanly on empty inputs (no throw, sane shapes)") {
+    import graft.operators.{Features, Sampling, TextStats}
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(Dedup.bloomBuild(noDocs, "text").count() === 0, "empty corpus → empty word table")
+    val st = Dedup.bloomPrunedDedup(someDocs, noDocs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(1L -> "new"), "empty corpus → everything is new")
+    assert(Dedup.bloomPrunedDedup(noDocs, someDocs, "doc_id", "text").count() === 0,
+      "empty batch → empty verdicts")
+    assert(TextStats.bigramLm(noDocs, "text").count() === 0)
+    assert(TextStats.bpePairCounts(noDocs, "text").count() === 0)
+    assert(Features.hashedBow(noDocs, "doc_id", "text").count() === 0)
+    assert(Features.bowCosineTopK(Features.hashedBow(someDocs, "doc_id", "text"), "doc_id",
+      queryId = 999L).count() === 0, "unknown query id → empty result, not a crash")
+    val noClusters = Seq.empty[(Long, Long)].toDF("doc_id", "comp")
+    assert(Sampling.leakageSafeSplit(noClusters, "doc_id", 10).count() === 0)
+    val noScores = Seq.empty[(Long, Double)].toDF("doc_id", "quality")
+    assert(Dedup.canonicalDocs(noClusters, noScores, "doc_id", "quality").count() === 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.jaccardForPairs(noPairs, someDocs, "doc_id", "text").count() === 0)
+    val thr = TextStats.adaptiveThreshold(
+      Seq.empty[(Long, String, Double)].toDF("doc_id", "lang", "quality"),
+      "doc_id", "lang", "quality")
+    assert(thr.count() === 0)
+  }
+
   test("bloom-pruned dedup matches the plain semi-join exactly and actually prunes") {
     val corpus = (0L until 40L).map(i => (i, s"corpus document number $i with body $i"))
       .toDF("doc_id", "text")
