@@ -226,6 +226,12 @@ object Dedup {
     * union is empty — never null/NaN) and `is_dup = jaccard ≥ minJaccard`
     * — LSH false positives stay visible as rejected rows, which is what a
     * pipeline audits when tuning band/row parameters.
+    *
+    * Like [[ngramJaccardPairs]], EAGER by default: the pruned shingle set
+    * feeds its size aggregate AND both intersection sides, so it is
+    * `localCheckpoint`ed once at construction (jobs run even under
+    * EXPLAIN; blocks pinned — see [[Checkpoints]]). Pass
+    * `materialize = false` for a fully lazy plan.
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, minJaccard: Double = 0.5,
