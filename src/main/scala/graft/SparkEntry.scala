@@ -356,6 +356,17 @@ object SparkEntry {
       tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         graft.sources.Bucketing.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))),
 
+    // ---- MinHash Jaccard estimate on LSH candidates: the triage tier
+    //      between propose (q12) and exact verify (q60) — signatures
+    //      only, shingle sets never touched ----
+    "q65_minhash_estimate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+        .select("id_a", "id_b").distinct()
+      Dedup.minhashEstimate(pairs, sigs, "doc_id", h = 4)
+    }),
+
     // ---- dedup detection quality: precision/recall of LSH candidate
     //      pairs against planted re-crawl ground truth (the D8 recall
     //      evaluator in dedup form) ----
@@ -1149,6 +1160,24 @@ object SparkEntry {
         s"""SELECT l_orderkey, l_linenumber,
            |  ${graft.sources.Bucketing.zValueSql("l_partkey", "l_suppkey")} AS zval
            |FROM lineitem""".stripMargin,
+
+      "q65_minhash_estimate" ->
+        s"""WITH ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id)
+           |SELECT p.id_a, p.id_b,
+           |  CAST(${(0 until 4).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS n_agree,
+           |  CAST(${(0 until 4).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 4.0 AS est_jaccard
+           |FROM prs p JOIN sig sa ON sa.doc_id = p.id_a JOIN sig sb ON sb.doc_id = p.id_b""".stripMargin,
 
       "q64_dedup_metrics" ->
         s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

@@ -211,6 +211,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** MinHash Jaccard ESTIMATE for a candidate-pair list — the estimator
+    * that justifies MinHash's existence: est = (# agreeing hash slots)/h,
+    * an unbiased estimate of the true Jaccard computed from the h-slot
+    * signatures alone — document shingle sets are never touched, so the
+    * cost is O(pairs × h) regardless of document length. The triage tier
+    * between [[lshCandidatePairs]] (propose) and [[jaccardForPairs]]
+    * (exact verify): at 100 TB, estimate-first lets the exact pass run
+    * only on pairs whose estimate clears a looser bar. Standard error is
+    * √(j(1−j)/h) — h=4 is a bench setting, production uses 64–256.
+    *
+    * Output: (id_a, id_b, n_agree, est_jaccard). Integer count + one
+    * exact division — oracle-reproducible.
+    */
+  def minhashEstimate(pairs: DataFrame, sigs: DataFrame, idCol: String,
+                      h: Int = 4): DataFrame = {
+    val cols = (0 until h).map(i => s"mh$i")
+    val a = sigs.select(col(idCol).as("id_a") +: cols.map(c => col(c).as(s"a_$c")): _*)
+    val b = sigs.select(col(idCol).as("id_b") +: cols.map(c => col(c).as(s"b_$c")): _*)
+    val agree = cols.map(c => when(col(s"a_$c") === col(s"b_$c"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs.select("id_a", "id_b")
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(col("id_a"), col("id_b"), agree.as("n_agree"),
+        (agree.cast("double") / lit(h.toDouble)).as("est_jaccard"))
+  }
+
   /** Exact n-gram Jaccard for a GIVEN candidate-pair list — the
     * verification stage of a production MinHash pipeline: LSH proposes
     * ([[lshCandidatePairs]]), exact Jaccard verifies, and the expensive

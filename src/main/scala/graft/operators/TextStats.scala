@@ -128,6 +128,28 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Approximate corpus cardinality sketches — the pragmatic statistics
+    * tier at 100 TB, where exact `countDistinct` shuffles every distinct
+    * value: HyperLogLog++ (`approx_count_distinct`) estimates distinct
+    * tokens and distinct documents-per-token-bearing signals in ONE pass
+    * with O(1) state per aggregate (relative standard deviation `rsd`,
+    * default 5%; memory grows as ~1/rsd²). Spec-only by contract: sketch
+    * internals differ across engines, so there is no bit-exact oracle —
+    * the spec bounds the estimate against the exact count instead.
+    * Output (1 row): n_docs, n_tokens (exact streams), approx_distinct
+    * Exact distincts stay available everywhere else in the engine; this
+    * is the knob you reach for when the exact pass is the bottleneck.
+    */
+  def corpusSketch(docs: DataFrame, idCol: String, textCol: String,
+                   rsd: Double = 0.05): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    toks.agg(
+      approx_count_distinct(col(idCol), rsd).as("approx_docs"),
+      count(lit(1)).as("n_tokens"),
+      approx_count_distinct(col("tok"), rsd).as("approx_vocab"))
+  }
+
   /** BPE-trainer pair statistics: corpus-weighted counts of adjacent
     * character pairs — the quantity a byte-pair-encoding tokenizer trainer
     * maximizes at every merge step. Top-K table of (pair, n_pair) where

@@ -308,6 +308,39 @@ class DedupSpec extends SparkSpec {
     assert(allPairs((0L, 2L)) === out((0L, 2L))._2)
   }
 
+  test("minhashEstimate: identical docs estimate 1.0; estimates live in {0, 1/h, ..., 1}") {
+    val vdocs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the sleepy dog"),
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(vdocs, "doc_id", "text", n = 3, h = 4)
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val est = Dedup.minhashEstimate(pairs, sigs, "doc_id", h = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(est((0L, 1L)) === ((4L, 1.0)), "identical docs agree on every slot")
+    val (nAgree, e) = est((0L, 2L))
+    assert(nAgree >= 0L && nAgree <= 4L && e === nAgree / 4.0)
+    // the near-dup estimate correlates with the exact Jaccard ordering
+    val exact = Dedup.jaccardForPairs(pairs, vdocs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(exact((0L, 1L)) === 1.0 && est((0L, 1L))._2 >= est((0L, 2L))._2)
+  }
+
+  test("corpusSketch: HLL estimates land within rsd bounds of the exact counts") {
+    import graft.operators.TextStats
+    val docs = (0L until 300L).map(i => (i, (0 until 20).map(j => s"w${(i * 13 + j) % 500}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = TextStats.corpusSketch(docs, "doc_id", "text", rsd = 0.05).head()
+    val (approxDocs, nTokens, approxVocab) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nTokens === 300L * 20, "token count stays exact")
+    assert(math.abs(approxDocs - 300.0) / 300.0 < 0.15, s"docs estimate $approxDocs")
+    val exactVocab = docs.selectExpr("explode(split(text, ' ')) AS t")
+      .select("t").distinct().count()
+    assert(math.abs(approxVocab - exactVocab.toDouble) / exactVocab < 0.15,
+      s"vocab estimate $approxVocab vs exact $exactVocab")
+  }
+
   test("pairMetrics: orientation-normalized precision/recall; empty sets give 0.0 not NaN") {
     val predicted = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val truth = Seq((2L, 1L), (4L, 3L), (7L, 8L)).toDF("id_a", "id_b")
