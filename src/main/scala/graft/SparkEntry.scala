@@ -367,6 +367,19 @@ object SparkEntry {
       Dedup.minhashEstimate(pairs, sigs, "doc_id", h = 4)
     }),
 
+    // ---- the full near-dup triage ladder as ONE declarative plan:
+    //      LSH propose -> signature-only estimate filter -> exact verify
+    //      runs ONLY on pairs whose estimate clears the bar ----
+    "q66_triage_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+        .select("id_a", "id_b").distinct()
+      val survivors = Dedup.minhashEstimate(pairs, sigs, "doc_id", h = 4)
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      Dedup.jaccardForPairs(survivors, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
+    }),
+
     // ---- dedup detection quality: precision/recall of LSH candidate
     //      pairs against planted re-crawl ground truth (the D8 recall
     //      evaluator in dedup form) ----
@@ -1160,6 +1173,45 @@ object SparkEntry {
         s"""SELECT l_orderkey, l_linenumber,
            |  ${graft.sources.Bucketing.zValueSql("l_partkey", "l_suppkey")} AS zval
            |FROM lineitem""".stripMargin,
+
+      "q66_triage_dedup" ->
+        s"""WITH ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |lsh AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id),
+           |surv AS (SELECT l.id_a, l.id_b
+           |  FROM lsh l JOIN sig sa ON sa.doc_id = l.id_a JOIN sig sb ON sb.doc_id = l.id_b
+           |  WHERE CAST(${(0 until 4).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 4.0 >= 0.5),
+           |sd AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |sz AS (SELECT doc_id, count(*) AS n_sh FROM sd GROUP BY 1),
+           |it AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+           |  FROM surv p
+           |  JOIN sd a ON a.doc_id = p.id_a
+           |  JOIN sd b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2)
+           |SELECT p.id_a, p.id_b, COALESCE(it.n_inter, 0) AS n_inter,
+           |  CASE WHEN COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(it.n_inter, 0) = 0
+           |       THEN 0.0
+           |       ELSE CAST(COALESCE(it.n_inter, 0) AS DOUBLE) /
+           |            CAST(COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(it.n_inter, 0) AS DOUBLE)
+           |  END AS jaccard,
+           |  (CASE WHEN COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(it.n_inter, 0) = 0
+           |        THEN 0.0
+           |        ELSE CAST(COALESCE(it.n_inter, 0) AS DOUBLE) /
+           |             CAST(COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(it.n_inter, 0) AS DOUBLE)
+           |   END) >= 0.4 AS is_dup
+           |FROM surv p
+           |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
+           |LEFT JOIN sz sa ON sa.doc_id = p.id_a
+           |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
 
       "q65_minhash_estimate" ->
         s"""WITH ${shingleCte(3)},
