@@ -115,7 +115,10 @@ object StreamingOps {
     * corpus side is re-read per batch only in the capped shingle form.
     *
     * Input columns: (idCol: long, tsCol: timestamp, textCol: string).
-    * Output rows (outDir): (idCol, status, n_near_matches, best_jaccard).
+    * Output rows (outDir): (idCol, status, n_near_matches, best_jaccard)
+    * + a `batch_id` partition column — each micro-batch overwrites its
+    * own partition, so replayed batches are idempotent (plain append
+    * would duplicate verdicts under at-least-once retries).
     */
   def streamingIncrementalDedup(docs: DataFrame, corpus: DataFrame,
                                 idCol: String, tsCol: String, textCol: String,
@@ -125,12 +128,16 @@ object StreamingOps {
     streamingDedup(docs, tsCol, textCol, watermark)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // idempotent on micro-batch replay: each batch overwrites ITS OWN
+        // partition directory, so a retried batch cannot duplicate
+        // verdicts (plain append would be at-least-once). Readers
+        // partition-discover outDir (verdict columns + batch_id).
         if (!batch.isEmpty)
           graft.operators.Dedup
             .incrementalDedup(batch.select(idCol, textCol), corpus, idCol, textCol,
               n, minJaccard, maxDf)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
 
   /** Streaming EXACT dedup against a static corpus through a Bloom
@@ -147,7 +154,8 @@ object StreamingOps {
     * [[streamingDedup]]'s watermark-bounded fingerprint state.
     *
     * Input columns: (idCol: long, tsCol: timestamp, textCol: string).
-    * Output rows (outDir): (idCol, status ∈ exact_dup|new) — bit-identical
+    * Output rows (outDir): (idCol, status ∈ exact_dup|new) + a `batch_id`
+    * partition column (idempotent per-batch overwrite) — bit-identical
     * to the plain corpus semi-join (bloom has no false negatives).
     */
   def streamingBloomDedup(docs: DataFrame, corpus: DataFrame,
@@ -161,7 +169,9 @@ object StreamingOps {
     streamingDedup(docs, tsCol, textCol, watermark)
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch overwrite partition → idempotent replay (see
+        // streamingIncrementalDedup)
         if (!batch.isEmpty) {
           val verdicts = graft.operators.Dedup
             .bloomProbe(bloom, batch.select(idCol, textCol), idCol, textCol, mBits, k)
@@ -172,7 +182,7 @@ object StreamingOps {
             .join(confirmed, Seq("id"), "left")
             .select(col("id").as(idCol),
               when(col("is_dup"), lit("exact_dup")).otherwise(lit("new")).as("status"))
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         }
       }
   }

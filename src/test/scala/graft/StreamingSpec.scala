@@ -173,6 +173,10 @@ class StreamingSpec extends SparkSpec {
     assert(out(100L) === "exact_dup")
     assert(out(101L) === "new")
     assert(out(102L) === "exact_dup")
+    // idempotent-replay layout: one overwrite-partition per non-empty batch
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    assert(batchDirs.length >= 2, s"expected per-batch partitions, got ${batchDirs.toSeq}")
   }
 
   test("streaming mixture counts: per-source totals accumulate across micro-batches") {
