@@ -76,12 +76,19 @@ object Dedup {
     *
     * Two physical shapes, same result:
     *   - CAPPED (`maxBandSize` finite) — the scale path: ONE shuffle total.
-    *     `groupBy(band, band_val).agg(collect_list(id))` (partial-agg merge,
-    *     aggregation buffers bounded by filtering on the group count in the
-    *     same pass), then pairs expand from each sorted id array with
+    *     `groupBy(band, band_val)` with a size-capped collect aggregate
+    *     ([[org.apache.spark.sql.graft.CappedCollectLong]]): the aggregation
+    *     buffer is bounded at cap+1 elements at EVERY stage (partial,
+    *     shuffle, merge), so a degenerate hot (band, band_val) group can
+    *     never OOM an executor — it surfaces truncated at cap+1 and the
+    *     `size <= cap` filter drops it, while in-cap groups are collected
+    *     exactly. Pairs then expand from each sorted id array with
     *     higher-order functions — no window sort, no self-join, and the
     *     signature subtree runs exactly once, so no materialization is
     *     needed either (the plan stays fully lazy; EXPLAIN runs no jobs).
+    *     Requires a long-typed `idCol` (the buffer is primitive-array
+    *     backed); a non-long id falls back to `collect_list` + size filter
+    *     (same results, unbounded buffer on hot groups).
     *   - UNCAPPED — band groups are unbounded, so collecting a group into
     *     one aggregation buffer could OOM an executor; falls back to the
     *     streaming band-key self-join, with the band table
@@ -101,10 +108,17 @@ object Dedup {
       .select(col(idCol).as("id"), posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
     if (maxBandSize != Int.MaxValue) {
       // single-shuffle grouped form: each (band, band_val) group is one row;
-      // a doc contributes each band once, so ids within a group are distinct
+      // a doc contributes each band once, so ids within a group are distinct.
+      // CappedCollectLong bounds the aggregation buffer at cap+1 at every
+      // stage — over-cap groups surface truncated (provably over-cap) and
+      // the size filter drops them; in-cap groups are collected exactly.
+      val idIsLong = banded.schema("id").dataType == org.apache.spark.sql.types.LongType
+      val collectIds =
+        if (idIsLong) org.apache.spark.sql.graft.TopKAggregate.cappedCollectLong(col("id"), maxBandSize)
+        else collect_list(col("id"))
       val groups = banded
         .groupBy("band", "band_val")
-        .agg(collect_list(col("id")).as("ids"))
+        .agg(collectIds.as("ids"))
         .filter(size(col("ids")) <= maxBandSize && size(col("ids")) >= 2)
         .select(col("band"), array_sort(col("ids")).as("ids"))
       // ordered pairs from the sorted array: (ids[i], ids[j]) for i < j —

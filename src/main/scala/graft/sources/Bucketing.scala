@@ -33,10 +33,15 @@ object Bucketing {
     * data-skipping layout (a single-column sort gives perfect pruning on
     * one column and none on the other). Pure integer bit arithmetic
     * (shift/and/or), so the value is engine-exact and oracle-checkable.
-    * 32 bits per input column → the z-value fits a signed 64-bit long.
+    * Capped at 31 bits per column so the top interleaved bit (2·30+1 = 61)
+    * never reaches the long's sign bit: with 32 bits, bit 31 of `y` landed
+    * at bit 63, making any y ≥ 2^31 NEGATIVE (sorts before everything —
+    * locality contract broken) and overflowing DuckDB's checked `<<` in
+    * the SQL twin. 31+31 interleaved bits fit positions 0..61, always
+    * non-negative, both engines agree.
     */
-  def zValue(x: Column, y: Column, bits: Int = 32): Column = {
-    require(bits >= 1 && bits <= 32, "bits per column must be in [1, 32]")
+  def zValue(x: Column, y: Column, bits: Int = 31): Column = {
+    require(bits >= 1 && bits <= 31, "bits per column must be in [1, 31]")
     val xs = x.cast("long"); val ys = y.cast("long")
     (0 until bits).map { b =>
       val xb = shiftleft(shiftright(xs, b).bitwiseAND(lit(1L)), 2 * b)
@@ -46,10 +51,12 @@ object Bucketing {
   }
 
   /** The same z-value as a DuckDB SQL expression string (oracle twin). */
-  def zValueSql(x: String, y: String, bits: Int = 32): String =
+  def zValueSql(x: String, y: String, bits: Int = 31): String = {
+    require(bits >= 1 && bits <= 31, "bits per column must be in [1, 31]")
     (0 until bits).map { b =>
       s"(((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1}))"
     }.mkString(" | ")
+  }
 
   /** Training-shard sink: write `df` as size-bounded, deterministically
     * ordered parquet shards — the delivery format a training run consumes
@@ -77,7 +84,11 @@ object Bucketing {
       .mode("overwrite")
       .option("maxRecordsPerFile", recordsPerFile.toLong)
       .parquet(outDir)
-    val fs = new java.io.File(outDir)
-    fs.listFiles().count(f => f.getName.endsWith(".parquet"))
+    // Hadoop FS listing, not java.io.File: outDir may be hdfs:// or s3a://
+    // (java.io.File.listFiles returns null there and NPEs after a
+    // successful write)
+    val hPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = hPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(hPath).count(s => s.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -21,12 +21,31 @@ import org.apache.spark.sql.functions._
   * Scale notes: IDX is a single-blob format — each FILE is the unit of
   * parallelism (a 60k-image file is one ~47 MB task; a 100 TB corpus
   * arrives as many files, e.g. one per shard, and decodes
-  * embarrassingly parallel). Ids are `fileOffset + row index within
-  * file`, so a caller ingesting shards passes distinct offsets per file
-  * pattern to keep ids globally unique — same contract the reference's
-  * enumerate() gives a single file.
+  * embarrassingly parallel). Ids are `idOffset + fileIndex * idStride +
+  * row index within file`, where fileIndex is the file's rank in the
+  * path-sorted list of matched files — so a glob/directory load of many
+  * shards yields globally unique ids in one call (no silent collisions),
+  * and image and label shard sets that sort consistently (the MNIST
+  * `…-images-…`/`…-labels-…` naming does) get ALIGNED ids file-by-file.
+  * Each file must hold fewer than `idStride` rows (asserted per file).
   */
 object Idx {
+
+  /** Default per-file id space: 2^32 rows per shard file. */
+  val DefaultIdStride: Long = 1L << 32
+
+  /** Path-sorted matched files → base id per file. `binaryFile` prunes to
+    * file-status columns when only `path` is selected, so this listing pass
+    * reads no file content. Driver-side, but O(#files) — the file listing
+    * itself is already driver-held.
+    */
+  private def fileBases(spark: SparkSession, path: String,
+                        idOffset: Long, idStride: Long): Map[String, Long] = {
+    import spark.implicits._
+    val paths = spark.read.format("binaryFile").load(path)
+      .select("path").as[String].collect().sorted
+    paths.zipWithIndex.map { case (p, i) => p -> (idOffset + i.toLong * idStride) }.toMap
+  }
 
   private def inflate(bytes: Array[Byte]): DataInputStream = {
     val raw = new ByteArrayInputStream(bytes)
@@ -53,16 +72,19 @@ object Idx {
     * [[graft.hnsw.Hnsw.build]] directly.
     */
   def readImages(spark: SparkSession, path: String, normalize: Boolean = true,
-                 idOffset: Long = 0L): DataFrame = {
+                 idOffset: Long = 0L, idStride: Long = DefaultIdStride): DataFrame = {
     import spark.implicits._
+    val bases = fileBases(spark, path, idOffset, idStride)
     spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
       .mapPartitions { files =>
-        files.flatMap { bytes =>
+        files.flatMap { case (p, bytes) =>
+          val base = bases(p)
           val in = inflate(bytes)
           val dims = readHeader(in, 3)
           val (n, rows, cols) = (dims(0), dims(1), dims(2))
+          require(n < idStride, s"IDX file $p holds $n rows >= idStride $idStride: ids would collide")
           val pix = rows * cols
           Iterator.tabulate(n) { i =>
             val buf = new Array[Byte](pix)
@@ -74,7 +96,7 @@ object Idx {
               v(j) = if (normalize) u / 255.0f else u.toFloat
               j += 1
             }
-            (idOffset + i, v)
+            (base + i, v)
           }
         }
       }
@@ -82,16 +104,20 @@ object Idx {
   }
 
   /** Decode an idx1-ubyte label file (or .gz) to (id: long, label: int). */
-  def readLabels(spark: SparkSession, path: String, idOffset: Long = 0L): DataFrame = {
+  def readLabels(spark: SparkSession, path: String, idOffset: Long = 0L,
+                 idStride: Long = DefaultIdStride): DataFrame = {
     import spark.implicits._
+    val bases = fileBases(spark, path, idOffset, idStride)
     spark.read.format("binaryFile").load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
       .mapPartitions { files =>
-        files.flatMap { bytes =>
+        files.flatMap { case (p, bytes) =>
+          val base = bases(p)
           val in = inflate(bytes)
           val n = readHeader(in, 1)(0)
-          Iterator.tabulate(n) { i => (idOffset + i, in.readUnsignedByte()) }
+          require(n < idStride, s"IDX file $p holds $n rows >= idStride $idStride: ids would collide")
+          Iterator.tabulate(n) { i => (base + i, in.readUnsignedByte()) }
         }
       }
       .toDF("id", "label")

@@ -132,10 +132,103 @@ case class TopKByDist(
   override def prettyName: String = "topk_by_dist"
 }
 
+/** Growable-but-bounded long buffer: stores at most cap+1 elements. One
+  * element of headroom is the overflow sentinel — a group whose true size
+  * exceeds `cap` always surfaces with exactly cap+1 elements, so a
+  * `size <= cap` filter downstream drops it, while groups within the cap
+  * are collected exactly (no element is ever dropped from them).
+  */
+final class CappedLongBuffer(val cap: Int) {
+  val values = new Array[Long](cap + 1)
+  var size = 0
+
+  def add(v: Long): Unit =
+    if (size <= cap) { values(size) = v; size += 1 }
+
+  def mergeFrom(other: CappedLongBuffer): Unit = {
+    var i = 0
+    while (i < other.size && size <= cap) { values(size) = other.values(i); size += 1; i += 1 }
+  }
+}
+
+/** Size-capped `collect_list` for long keys: the aggregation buffer is
+  * bounded at cap+1 elements at every stage (partial, shuffle, merge), so a
+  * degenerate hot group can never OOM an executor — unlike
+  * `collect_list(...)` + `filter(size(...) <= cap)`, which materializes the
+  * whole group in one buffer before the filter drops it.
+  *
+  * Semantics: bit-equal to `collect_list` + size filter for every group the
+  * filter would keep. Groups over the cap are truncated to cap+1 elements —
+  * enough to be provably over-cap — and MUST be dropped by the caller with
+  * `filter(size(col) <= cap)`; their contents are partition-order-dependent
+  * and carry no meaning. Element order within a kept group is
+  * partition-dependent (exactly like `collect_list`) — sort downstream if
+  * order matters.
+  */
+case class CappedCollectLong(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedLongBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): CappedLongBuffer = new CappedLongBuffer(cap)
+
+  override def update(buffer: CappedLongBuffer, input: InternalRow): CappedLongBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(b1: CappedLongBuffer, b2: CappedLongBuffer): CappedLongBuffer = {
+    b1.mergeFrom(b2); b1
+  }
+
+  override def eval(buffer: CappedLongBuffer): Any =
+    new GenericArrayData(java.util.Arrays.copyOf(buffer.values, buffer.size))
+
+  override def serialize(buffer: CappedLongBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.size * 8)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) { bb.putLong(buffer.values(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedLongBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new CappedLongBuffer(cap)
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "capped_collect_long"
+}
+
 object TopKAggregate {
   /** Column API: per-group bounded top-k by (dist, id). */
   def topKByDist(dist: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(
       TopKByDist(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
+
+  /** Column API: size-capped collect_list over a long column (buffer bounded
+    * at cap+1 at every aggregation stage). Pair with `filter(size(...) <= cap)`.
+    */
+  def cappedCollectLong(value: Column, cap: Int): Column =
+    ExpressionUtils.column(
+      CappedCollectLong(ExpressionUtils.expression(value), cap)
         .toAggregateExpression())
 }

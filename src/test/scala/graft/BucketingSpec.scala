@@ -57,7 +57,13 @@ class BucketingSpec extends SparkSpec {
   test("zValue: matches a bit-twiddling reference; z-sorted shards prune on BOTH columns") {
     import graft.sources.Bucketing
     def zRef(x: Long, y: Long): Long =
-      (0 until 32).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+      (0 until 31).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    // the max 31-bit inputs exercise the top interleaved position (bit 61):
+    // with the old 32-bit default, y >= 2^31 hit the sign bit and went
+    // negative — assert the full-domain z stays non-negative
+    val big = spark.sql(s"SELECT ${(1L << 31) - 1}L AS x, ${(1L << 31) - 1}L AS y")
+      .select(Bucketing.zValue(col("x"), col("y")).as("z")).head().getLong(0)
+    assert(big === zRef((1L << 31) - 1, (1L << 31) - 1) && big > 0L)
     val df = spark.range(0, 256).selectExpr("CAST(id / 16 AS LONG) AS x", "CAST(id % 16 AS LONG) AS y")
     val got = df.select(col("x"), col("y"), Bucketing.zValue(col("x"), col("y")).as("z"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

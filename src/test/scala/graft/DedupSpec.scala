@@ -284,6 +284,41 @@ class DedupSpec extends SparkSpec {
     Dedup.lshCandidatePairs(sigs, "doc_id", maxBandSize = 100).queryExecution.executedPlan
     assert(spark.sparkContext.getPersistentRDDs.keySet === before,
       "capped path must not checkpoint/cache at construction")
+    // ... and its aggregate is the size-capped collect (buffer bounded at
+    // cap+1 at every stage), not collect_list-then-filter
+    val plan = Dedup.lshCandidatePairs(sigs, "doc_id", maxBandSize = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("capped_collect_long"),
+      "capped path must bound the aggregation buffer, not filter after collect_list")
+  }
+
+  test("capped_collect_long: exact within cap, over-cap groups provably droppable, buffer bounded") {
+    import org.apache.spark.sql.graft.TopKAggregate
+    // groups of size 1..6 under cap=4: sizes 1-4 collect exactly, 5-6 surface
+    // truncated at cap+1=5 so the size filter drops them — bit-equal to
+    // collect_list + filter for every kept group
+    val rows = (1 to 6).flatMap(g => (0 until g).map(i => (g.toLong, g * 100L + i)))
+      .toDF("g", "id")
+    val got = rows.groupBy("g")
+      .agg(TopKAggregate.cappedCollectLong(col("id"), 4).as("ids"))
+      .select(col("g"), org.apache.spark.sql.functions.array_sort(col("ids")).as("ids"),
+        org.apache.spark.sql.functions.size(col("ids")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1).toSeq, r.getInt(2))).toMap
+    (1 to 4).foreach { g =>
+      assert(got(g.toLong)._1 === (0 until g).map(i => g * 100L + i),
+        s"group of $g within cap must collect exactly")
+    }
+    Seq(5, 6).foreach { g =>
+      assert(got(g.toLong)._2 === 5, s"over-cap group of $g must surface at exactly cap+1")
+    }
+    // the buffer class itself never grows past cap+1, whatever is thrown at it
+    val buf = new org.apache.spark.sql.graft.CappedLongBuffer(4)
+    (0L until 1000L).foreach(buf.add)
+    assert(buf.size === 5 && buf.values.length === 5)
+    val other = new org.apache.spark.sql.graft.CappedLongBuffer(4)
+    (0L until 1000L).foreach(other.add)
+    buf.mergeFrom(other)
+    assert(buf.size === 5, "merge must not grow the buffer past cap+1")
   }
 
   test("jaccardForPairs verifies only the given pairs; rejections visible; agrees with ngramJaccardPairs") {

@@ -48,6 +48,32 @@ class IdxSpec extends SparkSpec {
     assert(raw(1L).toSeq === imgs(1).map(_.toFloat).toSeq)
   }
 
+  test("directory load of many idx shards: per-file id bases, no collisions, labels stay aligned") {
+    val imgDir = Files.createTempDirectory("idxm-img").toString
+    val labDir = Files.createTempDirectory("idxm-lab").toString
+    // two shard files per side; path-sorted order pairs shard-a with shard-a
+    writeIdx3(s"$imgDir/shard-a-images-idx3-ubyte", imgs, rows = 2, cols = 2, gzip = false)
+    writeIdx3(s"$imgDir/shard-b-images-idx3-ubyte", imgs.reverse, rows = 2, cols = 2, gzip = false)
+    writeIdx1(s"$labDir/shard-a-labels-idx1-ubyte", Seq(1, 2), gzip = false)
+    writeIdx1(s"$labDir/shard-b-labels-idx1-ubyte", Seq(3, 4), gzip = false)
+    val vecs = Idx.readImages(spark, imgDir)
+    val ids = vecs.select("id").collect().map(_.getLong(0)).toSet
+    // shard-a gets base 0, shard-b gets base idStride — globally unique
+    assert(ids === Set(0L, 1L, Idx.DefaultIdStride, Idx.DefaultIdStride + 1),
+      "each file must get its own id base (no silent collisions)")
+    val labels = Idx.readLabels(spark, labDir)
+    val joined = vecs.join(labels, "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("label")).toMap
+    assert(joined.size === 4, "every image row must find its label")
+    assert(joined(0L) === 1 && joined(Idx.DefaultIdStride) === 3)
+    // a stride smaller than a file's row count is rejected loudly
+    val err = intercept[org.apache.spark.SparkException] {
+      Idx.readImages(spark, imgDir, idStride = 1L).collect()
+    }
+    assert(err.getMessage.contains("ids would collide") ||
+      Option(err.getCause).exists(_.getMessage.contains("ids would collide")))
+  }
+
   test("gzipped idx files inflate transparently; labels align with images by id") {
     val dir = Files.createTempDirectory("idxgz").toString
     writeIdx3(s"$dir/imgs-idx3-ubyte.gz", imgs, rows = 2, cols = 2, gzip = true)
