@@ -43,6 +43,18 @@ object SparkEntry {
       idx.copy(edges = idx.edges.cache())
     })
 
+  /** Locality-sharded (routed) build per data dir — [[builtIndex]]'s twin
+    * for the centroid-routed query path.
+    */
+  private val routedCache = scala.collection.concurrent.TrieMap.empty[String, graft.hnsw.HnswIndex]
+  private def routedIndex(s: SparkSession, dir: String): graft.hnsw.HnswIndex =
+    routedCache.getOrElseUpdate(dir, {
+      val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
+      val idx = Hnsw.buildRouted(input,
+        HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
+      idx.copy(edges = idx.edges.cache())
+    })
+
   /** IVF-PQ artifacts per data dir (centroids, codebooks, assigned codes),
     * trained once and shared by the ivfpq_* queries — mirrors
     * [[builtIndex]]'s reuse pattern.
@@ -721,6 +733,18 @@ object SparkEntry {
       val idx = builtIndex(s, dir)
       val queries = idx.nodes.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
       Hnsw.annQueryLarge(idx, queries, k = 10)
+    }),
+
+    // ---- Q1b at 100×: centroid-routed ANN over a locality-sharded index —
+    //      each query probes its nearest quarter of the k-means cells and
+    //      searches ONLY the shards owning them (per-query cost O(s·ef),
+    //      not O(P·ef)); spill assignment keeps boundary recall
+    //      (rows-only; recall vs all-shard spec-asserted in HnswRoutedSpec) ----
+    "hnsw_ann_routed" -> ((s, dir) => {
+      val idx = routedIndex(s, dir)
+      val queries = emb(s, dir).filter(col("id") % 100 === 0)
+        .select(col("id").as("qid"), col("vector"))
+      Hnsw.annQueryRouted(idx, queries, k = 10)
     }),
 
     // ---- D8: recall@k of ANN vs exact oracle (rows-only; the reference's declared-but-missing eval) ----

@@ -34,15 +34,23 @@ case class HnswParams(
 }
 
 /** Index metadata — the nine reference fields (`hsnw_trial.py:330-340`)
-  * plus the partition count of the distributed build.
+  * plus the partition count of the distributed build and the live-node
+  * count at build time (`num_nodes`, -1 when unknown — e.g. an index
+  * loaded from a pre-existing meta.json without the field), which feeds
+  * the auto-ef budget without a query-time count job.
   */
 case class IndexMeta(
     dim: Int, m: Int, max_m0: Int, ef_construction: Int, ef_search: Int,
     mL: Double, metric: String, entry_point: Long, max_layer: Int,
-    num_partitions: Int)
+    num_partitions: Int, num_nodes: Long = -1L)
 
-/** A built index: distributed node + edge tables plus small meta. */
-case class HnswIndex(nodes: DataFrame, edges: DataFrame, meta: IndexMeta)
+/** A built index: distributed node + edge tables plus small meta.
+  * `centroids` is the shard routing table (cid, cvector, pid) present only
+  * on locality-sharded indexes ([[Hnsw.buildRouted]]) — it is what lets
+  * [[Hnsw.annQueryRouted]] search the s nearest shards instead of all P.
+  */
+case class HnswIndex(nodes: DataFrame, edges: DataFrame, meta: IndexMeta,
+                     centroids: Option[DataFrame] = None)
 
 /** Tagged-union row shipping nodes (kind 0), edges (kind 1) and replicated
   * queries (kind 2) to each shard in ONE shuffle — the carrier of
@@ -77,11 +85,116 @@ object Hnsw {
     * Insertion order within a partition is ascending id, making the whole
     * build a pure function of (input, params).
     */
-  def build(input: DataFrame, params: HnswParams): HnswIndex = {
+  def build(input: DataFrame, params: HnswParams): HnswIndex =
+    buildFromPid(withPid(input, params.numPartitions), params, None)
+
+  /** Locality-sharded build — the shard-routed-query twin of [[build]].
+    *
+    * [[build]]'s `id % P` assignment gives every shard a representative
+    * sample of the whole vector space, so every query must search every
+    * shard ([[annQueryLarge]] replicates each query P ways — per-query cost
+    * O(P·ef), linear in cluster size: THE scale limiter at 100×). Here
+    * shards are vector-space LOCAL, so a centroid table routes each query
+    * to the few shards that can contain its neighbors
+    * ([[annQueryRouted]] — per-query cost O(s·ef), independent of P):
+    *
+    *   1. k-means over a bounded deterministic sample fits
+    *      `cellsPerShard · P` cell centroids ([[graft.operators.Ivf
+    *      .kmeansFit]] — IVF's coarse quantizer, reused as-is);
+    *   2. every vector joins its nearest cell (broadcast centroids,
+    *      map-side argmin — one O(n)-row shuffle);
+    *   3. cells pack into P shards by first-fit-decreasing on cell
+    *      population (driver-side over ≤ C cell sizes — k-means cells are
+    *      naturally skewed, FFD keeps the largest shard within ~2× the
+    *      mean, so no shard becomes the straggler task);
+    *   4. each shard builds its sub-graph exactly as [[build]] does, and
+    *      the (cid, cvector, pid) routing table rides on the index
+    *      (persisted by [[save]]).
+    *
+    * The driver holds O(C) cell sizes, never vectors. `sampleSize` bounds
+    * the k-means training set (deterministic seed — the build stays a pure
+    * function of its inputs); the full data is still assigned exactly.
+    */
+  def buildRouted(input: DataFrame, params: HnswParams, cellsPerShard: Int = 4,
+                  sampleSize: Int = 1 << 16, kmeansIters: Int = 5,
+                  spill: Double = 0.15): HnswIndex = {
     val spark = input.sparkSession
     import spark.implicits._
     val p = params.numPartitions
-    val nodes = withPid(input, p)
+    val c = math.max(p, p * cellsPerShard)
+    val distFn = Distances.metric(params.metric)
+    val base = input.select(col("id").cast("long").as("id"),
+      col("vector").cast("array<float>").as("vector"))
+    val n = base.count()
+    val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n).toDouble)
+    val sample = if (frac >= 1.0) base else base.sample(withReplacement = false, frac, seed = 7L)
+    val cents = graft.operators.Ivf.kmeansFit(sample, c, kmeansIters, distFn)
+    // top-2 cells per vector, carrying the vector through the bounded-heap
+    // aggregate so the assignment costs ONE O(n)-row shuffle (no join back
+    // to the input). SPILL assignment: a border vector — whose 2nd-nearest
+    // centroid is within (1+spill)× its nearest — is stored in BOTH cells'
+    // shards. This is what keeps routed recall near the all-shard level on
+    // boundary-heavy (e.g. isotropic) data: a neighbor just across one cell
+    // boundary is still found from the probed side. Duplicates are merged
+    // away at query time (rankTopK dedup), collapsed by [[rebuild]], and
+    // excluded from num_nodes. spill = 0 disables (exactly one copy each).
+    val top2 = base.crossJoin(broadcast(cents))
+      .select(col("id"), col("vector"), col("cid"),
+        distFn(col("vector"), col("cvector")).as("dist"))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.graft.TopKAggregate
+        .topKByDist(col("dist"), col("cid"), 2).as("top2"),
+        first(col("vector")).as("vector"))
+    val primary = top2.select(col("id"), col("vector"), col("top2")(0)("id").as("cid"))
+    val spilled = top2
+      .filter(size(col("top2")) === 2 &&
+        col("top2")(1)("dist") <= (lit(1.0) + lit(spill)) * col("top2")(0)("dist"))
+      .select(col("id"), col("vector"), col("top2")(1)("id").as("cid"))
+    val assigned = (if (spill > 0) primary.union(spilled) else primary).cache()
+    val allCids = cents.select("cid").as[Long].collect()
+    val sizes = assigned.groupBy("cid").count().as[(Long, Long)].collect().toMap
+    val pidOfCell = packCells(allCids.map(cid => cid -> sizes.getOrElse(cid, 0L)), p)
+    val cellPid = pidOfCell.toSeq.toDF("cid", "pid")
+    // a spill copy whose 2nd cell packs into the SAME shard as the primary
+    // would double-insert the id into one sub-graph — collapse on (id, pid)
+    val withPidDf = assigned.join(broadcast(cellPid), "cid")
+      .select("id", "vector", "pid").dropDuplicates("id", "pid")
+    val routing = cents.join(broadcast(cellPid), "cid")
+      .select(col("cid"), col("cvector"), col("pid")).localCheckpoint()
+    val idx = buildFromPid(withPidDf, params, Some(routing))
+    assigned.unpersist()
+    idx
+  }
+
+  /** First-fit decreasing: heaviest cell onto the currently lightest shard.
+    * Classic bin-packing bound: max shard load ≤ mean + max single cell —
+    * tight as long as no one cell dominates (tune `cellsPerShard` up if one
+    * does). Deterministic: ties break on (load, shard id) and cells sort by
+    * (-size, cid).
+    */
+  private def packCells(cellSizes: Array[(Long, Long)], p: Int): Map[Long, Int] = {
+    val load = Array.fill(p)(0L)
+    val out = Map.newBuilder[Long, Int]
+    cellSizes.sortBy { case (cid, n) => (-n, cid) }.foreach { case (cid, n) =>
+      var best = 0
+      var i = 1
+      while (i < p) { if (load(i) < load(best)) best = i; i += 1 }
+      load(best) += n
+      out += cid -> best
+    }
+    out.result()
+  }
+
+  /** Shared tail of [[build]]/[[buildRouted]]: per-shard sub-graph build
+    * over an already-assigned (id, vector, pid) frame. Insertion order
+    * within a shard is ascending id, making the whole build a pure function
+    * of (assignment, params).
+    */
+  private def buildFromPid(withPidDf: DataFrame, params: HnswParams,
+                           centroids: Option[DataFrame]): HnswIndex = {
+    val spark = withPidDf.sparkSession
+    import spark.implicits._
+    val nodes = withPidDf
       .withColumn("level", Levels.levelFor(col("id"), params.mLResolved))
       .withColumn("tombstone", lit(false))
       .select(col("id"), col("vector").cast("array<float>").as("vector"),
@@ -105,8 +218,8 @@ object Hnsw {
         idx.edges.map { case (src, layer, dst) => EdgeRow(pid, src, layer, dst) }
       }
 
-    val meta = metaFor(nodes.toDF(), params, p)
-    HnswIndex(nodes.toDF(), edges.toDF(), meta)
+    val meta = metaFor(nodes.toDF(), params, params.numPartitions)
+    HnswIndex(nodes.toDF(), edges.toDF(), meta, centroids)
   }
 
   /** Entry point = lowest id among the highest-level live nodes (reference
@@ -119,8 +232,13 @@ object Hnsw {
     val top = nodes.filter(!col("tombstone"))
       .orderBy(col("level").desc, col("id").asc).select("id", "level").limit(1).collect()
     val (ep, ml) = top.headOption.map(r => (r.getLong(0), r.getInt(1))).getOrElse((-1L, -1))
+    // one count over the (cached) node table: feeds the query-time auto-ef
+    // budget so searches never need a count job of their own (distinct ids:
+    // spill-assigned builds store border vectors twice)
+    val n = nodes.filter(!col("tombstone"))
+      .agg(countDistinct(col("id"))).head().getLong(0)
     IndexMeta(params.dim, params.m, params.maxM0Resolved, params.efConstruction,
-      params.efSearch, params.mLResolved, params.metric, ep, ml, p)
+      params.efSearch, params.mLResolved, params.metric, ep, ml, p, n)
   }
 
   // ---- persistence (reference P1/P2, `hsnw_trial.py:310-376`) ----
@@ -128,6 +246,7 @@ object Hnsw {
   def save(index: HnswIndex, dir: String): Unit = {
     index.nodes.write.mode("overwrite").parquet(s"$dir/vectors")
     index.edges.write.mode("overwrite").parquet(s"$dir/edges")
+    index.centroids.foreach(_.write.mode("overwrite").parquet(s"$dir/centroids"))
     saveMeta(index.meta, dir)
   }
 
@@ -138,7 +257,8 @@ object Hnsw {
     val json =
       s"""{"dim":${m.dim},"M":${m.m},"max_m0":${m.max_m0},"ef_construction":${m.ef_construction},
          |"ef_search":${m.ef_search},"mL":${m.mL},"metric":"${m.metric}",
-         |"entry_point":${m.entry_point},"max_layer":${m.max_layer},"num_partitions":${m.num_partitions}}"""
+         |"entry_point":${m.entry_point},"max_layer":${m.max_layer},"num_partitions":${m.num_partitions},
+         |"num_nodes":${m.num_nodes}}"""
         .stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(s"$dir/meta.json"), json)
@@ -147,11 +267,18 @@ object Hnsw {
   /** Load with the reference's defaulting rules for absent meta fields
     * (`hsnw_trial.py:351-355`): efc=200, efs=50, metric="l2", max_m0=2·M.
     */
-  def load(spark: SparkSession, dir: String): HnswIndex =
+  def load(spark: SparkSession, dir: String): HnswIndex = {
+    // routing table only exists for locality-sharded indexes; Hadoop FS
+    // existence check (dir may be hdfs:// / s3a://, not just local)
+    val cPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cents = if (fs.exists(cPath)) Some(spark.read.parquet(s"$dir/centroids")) else None
     HnswIndex(
       spark.read.parquet(s"$dir/vectors"),
       spark.read.parquet(s"$dir/edges"),
-      loadMeta(dir))
+      loadMeta(dir),
+      cents)
+  }
 
   /** meta.json alone (no table scans) — the streaming append path's cheap
     * entry-point check reads just this.
@@ -172,10 +299,31 @@ object Hnsw {
       metric = field("metric").getOrElse("l2"),
       entry_point = field("entry_point").map(_.toLong).getOrElse(-1L),
       max_layer = field("max_layer").map(_.toInt).getOrElse(-1),
-      num_partitions = field("num_partitions").map(_.toInt).getOrElse(16))
+      num_partitions = field("num_partitions").map(_.toInt).getOrElse(16),
+      num_nodes = field("num_nodes").map(_.toLong).getOrElse(-1L))
   }
 
   // ---- batch ANN query (SURVEY.md Q1b/Q7) ----
+
+  /** The search budget actually used for a query: an explicit `ef > 0`
+    * wins; the default (`ef = -1`) derives from SUB-GRAPH size instead of
+    * blindly using `meta.ef_search` — at a fixed ef a 10× larger sub-graph
+    * is explored proportionally less, which silently destroys recall at
+    * scale (measured on the 5M×64 fixture, BENCH_SCALE.json: recall@10
+    * 0.556 at ef=50 on 312k-node sub-graphs vs 0.917 at ef=800 on 156k —
+    * the ~nSub/200 line these numbers sit on is the budget used here).
+    * Clamped to [ef_search, 4096] and never below k. Indexes loaded
+    * without a num_nodes field (-1) keep the plain ef_search default.
+    */
+  private[graft] def efBudget(m: IndexMeta, k: Int, ef: Int): Int = {
+    val base: Long =
+      if (ef > 0) ef.toLong
+      else if (m.num_nodes > 0 && m.num_partitions > 0)
+        math.min(4096L,
+          math.max(m.ef_search.toLong, m.num_nodes / m.num_partitions.toLong / 200L))
+      else m.ef_search.toLong
+    math.max(base, k.toLong).toInt
+  }
 
   /** Batch ANN: search every partition's sub-graph for every query, then a
     * global per-query top-k merge. The query set is broadcast in bounded
@@ -192,8 +340,9 @@ object Hnsw {
     * (n / numPartitions), not with n — at a fixed ef a 10× larger
     * sub-graph is explored proportionally less (measured in
     * BENCH_SCALE.json: recall@10 0.556 at ef=50 vs 0.917 at ef=800 on
-    * 156k-node partitions; 0.872 at ef=50 on 15.6k-node ones). Budget ef
-    * or partition count accordingly.
+    * 156k-node partitions; 0.872 at ef=50 on 15.6k-node ones). The default
+    * `ef = -1` therefore derives the budget from sub-graph size
+    * ([[efBudget]]) — pass an explicit ef only to override it.
     */
   def annQuery(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1,
                queryBatchSize: Int = 1 << 16, spillPath: Option[String] = None): DataFrame = {
@@ -259,11 +408,64 @@ object Hnsw {
     * Output: (qid, rank, id, dist).
     */
   def annQueryLarge(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1): DataFrame = {
+    val p = math.max(1, index.meta.num_partitions)
+    val qRep = queries
+      .select(col("qid").cast("long").as("qid"), col("vector").cast("array<float>").as("vector"))
+      .select(explode(sequence(lit(0), lit(p - 1))).as("pid"), col("qid"), col("vector"))
+    unionSearch(index, qRep, k, ef)
+  }
+
+  /** Centroid-routed batch ANN — the sublinear-in-P query path over a
+    * locality-sharded index ([[buildRouted]]). Each query probes its
+    * `probeCells` nearest k-means cells (broadcast centroid table, bounded
+    * heap — IVF's nprobe, reused); the query is then replicated ONLY to the
+    * distinct shards owning those cells, and — unlike the all-shard paths —
+    * the node/edge tables are semi-joined down to the probed shards, so a
+    * query batch touching s of P shards ships s/P of the index through the
+    * shuffle. Per-query cost O(s·ef) instead of O(P·ef): query cost no
+    * longer grows with cluster/data size, the recall trade is nprobe-style
+    * (probe more cells → higher recall, measured in HnswRoutedSpec).
+    *
+    * Default probe budget: a quarter of the cells (= `cellsPerShard·P/4`),
+    * the s=P/4 operating point; k=∞-style exactness needs `probeCells = C`
+    * which degenerates to [[annQueryLarge]] bit-exactly (spec-asserted).
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryRouted(index: HnswIndex, queries: DataFrame, k: Int,
+                     probeCells: Int = -1, ef: Int = -1): DataFrame = {
+    val cents = index.centroids.getOrElse(throw new IllegalArgumentException(
+      "annQueryRouted needs a locality-sharded index (buildRouted/load of one); " +
+        "this index has no centroid routing table — use annQuery/annQueryLarge"))
+    val distFn = Distances.metric(index.meta.metric)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val pc =
+      if (probeCells > 0) probeCells
+      else math.max(1, (cents.count() / 4).toInt)
+    val probedPids = graft.operators.Ivf
+      .probesAgg(q, cents.select("cid", "cvector"), pc, distFn)
+      .join(broadcast(cents.select("cid", "pid")), "cid")
+      .select("qid", "pid").distinct()
+    val activePids = probedPids.select("pid").distinct()
+    // only probed shards ship: the node/edge scans are pruned by a
+    // broadcast semi-join before the single pid shuffle
+    val pruned = index.copy(
+      nodes = index.nodes.join(broadcast(activePids), Seq("pid"), "left_semi"),
+      edges = index.edges.join(broadcast(activePids), Seq("pid"), "left_semi"))
+    unionSearch(pruned, q.join(probedPids, "qid").select("pid", "qid", "vector"), k, ef)
+  }
+
+  /** Shared engine of [[annQueryLarge]]/[[annQueryRouted]]: queries arrive
+    * already replicated to their target shards as (pid, qid, vector); union
+    * with the node/edge tables into one tagged stream, shuffle ONCE by pid,
+    * rebuild each sub-graph from its sorted stream, stream the queries
+    * through it, global top-k merge.
+    */
+  private def unionSearch(index: HnswIndex, queriesWithPid: DataFrame, k: Int, ef: Int): DataFrame = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     val m = index.meta
-    val efUsed = math.max(if (ef > 0) ef else m.ef_search, k)
-    val p = math.max(1, m.num_partitions)
+    val efUsed = efBudget(m, k, ef)
     val nodesU = index.nodes.select(
       col("pid").cast("int").as("pid"), lit(0).as("kind"), col("id").cast("long").as("id"),
       col("vector").cast("array<float>").as("vector"), col("level"), col("tombstone"),
@@ -272,10 +474,10 @@ object Hnsw {
       col("pid").cast("int").as("pid"), lit(1).as("kind"), col("src").cast("long").as("id"),
       lit(null).cast("array<float>").as("vector"), lit(0).as("level"), lit(false).as("tombstone"),
       col("layer"), col("dst"))
-    val queriesU = queries
-      .select(col("qid").cast("long"), col("vector").cast("array<float>").as("vector"))
-      .select(explode(sequence(lit(0), lit(p - 1))).as("pid"), lit(2).as("kind"),
-        col("qid").as("id"), col("vector"), lit(0).as("level"), lit(false).as("tombstone"),
+    val queriesU = queriesWithPid
+      .select(col("pid").cast("int").as("pid"), lit(2).as("kind"),
+        col("qid").cast("long").as("id"), col("vector").cast("array<float>").as("vector"),
+        lit(0).as("level"), lit(false).as("tombstone"),
         lit(0).as("layer"), lit(0L).as("dst"))
     val perPart = nodesU.union(edgesU).union(queriesU).as[AnnUnionRow]
       .groupByKey(_.pid)
@@ -370,7 +572,10 @@ object Hnsw {
     */
   private def rankTopK(perPart: DataFrame, k: Int): DataFrame =
     perPart.groupBy(col("qid"))
-      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(col("dist"), col("id"), k).as("top"))
+      // dedup variant: a spill-assigned vector ([[buildRouted]]) lives in
+      // two shards and reaches the merge twice with the same (dist, id) —
+      // without dedup it would occupy two ranks. No-op for plain indexes.
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(col("dist"), col("id"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
         col("entry.id").as("id"), col("entry.dist").as("dist"))
@@ -384,7 +589,7 @@ object Hnsw {
     val spark = index.nodes.sparkSession
     import spark.implicits._
     val m = index.meta
-    val efUsed = math.max(if (ef > 0) ef else m.ef_search, k)
+    val efUsed = efBudget(m, k, ef)
     val nodesDs = index.nodes.select("id", "vector", "level", "tombstone", "pid").as[NodeRow]
       .groupByKey(_.pid)
     val edgesDs = index.edges.select("pid", "src", "layer", "dst").as[EdgeRow]
@@ -449,9 +654,13 @@ object Hnsw {
     (delete(index, ids), report)
   }
 
-  /** Rebuild from live rows only (reference `rebuild`, `hsnw_trial.py:381-389`). */
+  /** Rebuild from live rows only (reference `rebuild`, `hsnw_trial.py:381-389`).
+    * Collapses spill duplicates ([[buildRouted]] stores border vectors in
+    * two shards) so each vector enters the new build exactly once.
+    */
   def rebuild(index: HnswIndex, params: HnswParams): HnswIndex =
-    build(index.nodes.filter(!col("tombstone")).select("id", "vector"), params)
+    build(index.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector")), params)
 
   /** Compact an index that has accumulated many small sub-graphs — the
     * maintenance pass a streaming deployment runs periodically:

@@ -14,8 +14,14 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer ordered by (dist asc, id asc): a size-capped binary
   * max-heap — insert is O(log k), and only k entries ever ship in a shuffle.
+  *
+  * `dedup = true` skips exact (dist, id) duplicates on insert (O(size)
+  * linear probe — k is small by contract). Needed when the same physical
+  * row can reach one group from several shards, e.g. spill-assigned
+  * vectors in a routed HNSW index: without it the same neighbor would
+  * occupy two ranks.
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
   // parallel arrays as a max-heap on (dist, id); root = current worst
   val dists = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -24,7 +30,14 @@ final class TopKBuffer(val k: Int) {
   @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     d1 > d2 || (d1 == d2 && i1 > i2)
 
+  private def contains(d: Double, id: Long): Boolean = {
+    var i = 0
+    while (i < size) { if (ids(i) == id && dists(i) == d) return true; i += 1 }
+    false
+  }
+
   def insert(d: Double, id: Long): Unit = {
+    if (dedup && contains(d, id)) return
     if (size < k) {
       var i = size
       dists(i) = d; ids(i) = id; size += 1
@@ -80,7 +93,8 @@ case class TopKByDist(
     idChild: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    dedup: Boolean = false)
   extends TypedImperativeAggregate[TopKBuffer] {
 
   override def children: Seq[Expression] = Seq(distChild, idChild)
@@ -90,7 +104,7 @@ case class TopKByDist(
                    StructField("id", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, dedup)
 
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val d = distChild.eval(input)
@@ -117,7 +131,7 @@ case class TopKByDist(
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKBuffer(k)
+    val buf = new TopKBuffer(k, dedup)
     var i = 0
     while (i < n) { val d = bb.getDouble; val id = bb.getLong; buf.insert(d, id); i += 1 }
     buf
@@ -222,6 +236,15 @@ object TopKAggregate {
   def topKByDist(dist: Column, id: Column, k: Int): Column =
     ExpressionUtils.column(
       TopKByDist(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k)
+        .toAggregateExpression())
+
+  /** Top-k that skips exact (dist, id) duplicates — for merge paths where
+    * the same row can arrive from several shards (spill-assigned indexes).
+    */
+  def topKByDistDedup(dist: Column, id: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKByDist(ExpressionUtils.expression(dist), ExpressionUtils.expression(id), k,
+        dedup = true)
         .toAggregateExpression())
 
   /** Column API: size-capped collect_list over a long column (buffer bounded

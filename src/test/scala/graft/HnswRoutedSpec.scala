@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.hnsw.{Hnsw, HnswParams, IndexMeta}
+import graft.operators.Knn
+
+/** Locality-sharded build + centroid-routed ANN ([[Hnsw.buildRouted]] /
+  * [[Hnsw.annQueryRouted]]) and the sub-graph-size auto-ef budget
+  * ([[Hnsw.efBudget]]).
+  */
+class HnswRoutedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val input = spark.read.parquet(s"$dir/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("vector"))
+  private lazy val params = HnswParams(dim = 64, m = 8, efConstruction = 64, numPartitions = 4)
+  private lazy val routed = Hnsw.buildRouted(input, params, cellsPerShard = 4)
+  private lazy val queries = input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+
+  test("buildRouted: shards are balanced (FFD pack) and the routing table covers every cell") {
+    val sizes = routed.nodes.groupBy("pid").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet === (0 until params.numPartitions).toSet, "every shard populated")
+    val mean = sizes.values.sum.toDouble / sizes.size
+    assert(sizes.values.max <= 2 * mean, s"worst shard ${sizes.values.max} vs mean $mean — FFD pack failed")
+    val cents = routed.centroids.getOrElse(fail("routed index must carry a centroid table"))
+    assert(cents.count() === params.numPartitions.toLong * 4)
+    assert(cents.select("pid").distinct().count() === params.numPartitions.toLong,
+      "every shard owns at least one cell")
+    // every vector present; spill stores border vectors twice (bounded),
+    // but num_nodes counts distinct vectors
+    val nIn = input.count()
+    val nRows = routed.nodes.count()
+    assert(routed.nodes.select("id").distinct().count() === nIn)
+    assert(nRows >= nIn && nRows <= 2 * nIn, s"spill duplication $nRows/$nIn out of bounds")
+    assert(routed.meta.num_nodes === nIn)
+    // no duplicate id within one shard (would double-insert into a sub-graph)
+    assert(routed.nodes.groupBy("id", "pid").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("annQueryRouted at probeCells=C is bit-equal to the all-shard search") {
+    val all = Hnsw.annQueryLarge(routed, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val routedAll = Hnsw.annQueryRouted(routed, queries, k = 10, probeCells = 16)
+      .collect().map(_.toSeq).toSet
+    assert(routedAll === all, "probing every cell must degenerate to the all-shard result")
+  }
+
+  test("routed probe of a quarter of the cells keeps >=0.9x the all-shard recall at lower cost") {
+    // sf0.01 (5k vectors): at sf0.001's 500 vectors a 16-cell split leaves
+    // ~31 vectors/cell, so a query's top-10 intrinsically spans many cells
+    // and ANY probe-limited search caps out — neighbor concentration, not
+    // engine quality. 5k is the smallest SF where routing has signal.
+    val in01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    val idx01 = Hnsw.buildRouted(in01, params, cellsPerShard = 4)
+    val q01 = in01.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val embD = in01.select(col("id"), Distances.toDouble(col("vector")).as("vector"))
+    val qD = embD.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val exact = Knn.exactTopK(embD, qD, 10, Distances.l2)
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    val allShard = recallOf(Hnsw.annQueryLarge(idx01, q01, k = 10))
+    val routedR = recallOf(Hnsw.annQueryRouted(idx01, q01, k = 10)) // default = C/4 cells
+    assert(routedR >= 0.9 * allShard,
+      s"routed recall $routedR vs all-shard $allShard — routing lost too much")
+    // the routed path must actually prune: fewer (qid, pid) search pairs
+    // than full replication
+    val p = idx01.meta.num_partitions
+    val nQ = q01.count()
+    val cents = idx01.centroids.get
+    val probed = graft.operators.Ivf.probesAgg(
+        q01, cents.select("cid", "cvector"), 4, Distances.metric(idx01.meta.metric))
+      .join(cents.select("cid", "pid"), "cid").select("qid", "pid").distinct().count()
+    assert(probed < nQ * p, s"probed $probed pairs — no pruning vs all-shard ${nQ * p}")
+    idx01.nodes.unpersist()
+  }
+
+  test("save/load round-trips the routing table; routed query works after load") {
+    val tmp = Files.createTempDirectory("hnsw-routed-io").toString
+    Hnsw.save(routed, tmp)
+    val loaded = Hnsw.load(spark, tmp)
+    assert(loaded.centroids.isDefined, "load must pick up the persisted centroid table")
+    assert(loaded.meta === routed.meta)
+    val before = Hnsw.annQueryRouted(routed, queries, 5).collect().map(_.toSeq).toSet
+    val after = Hnsw.annQueryRouted(loaded, queries, 5).collect().map(_.toSeq).toSet
+    assert(before === after)
+    // a plain id%P index refuses routed queries loudly
+    val plain = Hnsw.build(input, params)
+    val err = intercept[IllegalArgumentException] {
+      Hnsw.annQueryRouted(plain, queries, 5)
+    }
+    assert(err.getMessage.contains("no centroid routing table"))
+  }
+
+  test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
+    def meta(n: Long, p: Int) = IndexMeta(64, 8, 16, 64, 50, 0.36, "l2", 0L, 1, p, n)
+    // explicit ef always wins, clamped to k
+    assert(Hnsw.efBudget(meta(5_000_000, 16), k = 10, ef = 200) === 200)
+    assert(Hnsw.efBudget(meta(5_000_000, 16), k = 300, ef = 200) === 300)
+    // small sub-graphs keep the ef_search default
+    assert(Hnsw.efBudget(meta(8_000, 4), k = 10, ef = -1) === 50)
+    // the 5M/16 BENCH_SCALE case: 312k-node sub-graphs -> 1562, not 50
+    assert(Hnsw.efBudget(meta(5_000_000, 16), k = 10, ef = -1) === 1562)
+    // the measured ef=800-at-156k point sits on the nSub/200 line
+    assert(Hnsw.efBudget(meta(2_500_000, 16), k = 10, ef = -1) === 781)
+    // capped so a single-shard billion-row meta cannot explode the heap
+    assert(Hnsw.efBudget(meta(2_000_000_000L, 1), k = 10, ef = -1) === 4096)
+    // unknown num_nodes (old meta.json) -> plain ef_search
+    assert(Hnsw.efBudget(meta(-1, 16), k = 10, ef = -1) === 50)
+  }
+}
