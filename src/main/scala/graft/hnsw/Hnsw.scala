@@ -42,7 +42,7 @@ case class HnswParams(
 case class IndexMeta(
     dim: Int, m: Int, max_m0: Int, ef_construction: Int, ef_search: Int,
     mL: Double, metric: String, entry_point: Long, max_layer: Int,
-    num_partitions: Int, num_nodes: Long = -1L)
+    num_partitions: Int, num_nodes: Long = -1L, num_cells: Int = -1)
 
 /** A built index: distributed node + edge tables plus small meta.
   * `centroids` is the shard routing table (cid, cvector, pid) present only
@@ -161,8 +161,11 @@ object Hnsw {
       .select("id", "vector", "pid").dropDuplicates("id", "pid")
     val routing = cents.join(broadcast(cellPid), "cid")
       .select(col("cid"), col("cvector"), col("pid")).localCheckpoint()
-    val idx = buildFromPid(withPidDf, params, Some(routing))
+    val idx0 = buildFromPid(withPidDf, params, Some(routing))
     assigned.unpersist()
+    // cell count rides on meta so routed query planning never needs a
+    // count job (the SQL rewrite builds plans under EXPLAIN)
+    val idx = idx0.copy(meta = idx0.meta.copy(num_cells = c))
     idx
   }
 
@@ -258,7 +261,7 @@ object Hnsw {
       s"""{"dim":${m.dim},"M":${m.m},"max_m0":${m.max_m0},"ef_construction":${m.ef_construction},
          |"ef_search":${m.ef_search},"mL":${m.mL},"metric":"${m.metric}",
          |"entry_point":${m.entry_point},"max_layer":${m.max_layer},"num_partitions":${m.num_partitions},
-         |"num_nodes":${m.num_nodes}}"""
+         |"num_nodes":${m.num_nodes},"num_cells":${m.num_cells}}"""
         .stripMargin.replace("\n", "")
     Files.createDirectories(Paths.get(dir))
     Files.writeString(Paths.get(s"$dir/meta.json"), json)
@@ -300,7 +303,8 @@ object Hnsw {
       entry_point = field("entry_point").map(_.toLong).getOrElse(-1L),
       max_layer = field("max_layer").map(_.toInt).getOrElse(-1),
       num_partitions = field("num_partitions").map(_.toInt).getOrElse(16),
-      num_nodes = field("num_nodes").map(_.toLong).getOrElse(-1L))
+      num_nodes = field("num_nodes").map(_.toLong).getOrElse(-1L),
+      num_cells = field("num_cells").map(_.toInt).getOrElse(-1))
   }
 
   // ---- batch ANN query (SURVEY.md Q1b/Q7) ----
@@ -441,6 +445,9 @@ object Hnsw {
       col("vector").cast("array<float>").as("vector"))
     val pc =
       if (probeCells > 0) probeCells
+      else if (index.meta.num_cells > 0) math.max(1, index.meta.num_cells / 4)
+      // hand-assembled routing table without meta: one count of a tiny
+      // table (the SQL rewrite never hits this — buildRouted/load set it)
       else math.max(1, (cents.count() / 4).toInt)
     val probedPids = graft.operators.Ivf
       .probesAgg(q, cents.select("cid", "cvector"), pc, distFn)

@@ -142,15 +142,22 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     } yield {
       // annQueryBatch builds the plan without submitting a Spark job —
       // a rule that ran jobs would make plain EXPLAIN execute cluster work
-      // (withAllowed is a lazy join plan, so the filtered path is too)
+      // (withAllowed is a lazy join plan, so the filtered path is too; the
+      // routed path reads its cell count from meta, also job-free)
       val idx = filterCond match {
         case Some(cond) =>
           Hnsw.withAllowed(entry.index,
             PlanBridge.ofRows(session, Filter(cond, srcPlan)).select(col(entry.idCol)))
         case None => entry.index
       }
-      val ann = Hnsw.annQueryBatch(idx, Array((0L, qVec)), k)
-        .queryExecution.analyzed
+      // a locality-sharded index gets the centroid-routed plan: the one
+      // query probes its nearest cells and only those shards ship
+      val ann = (if (idx.centroids.isDefined) {
+        import session.implicits._
+        Hnsw.annQueryRouted(idx, Seq((0L, qVec)).toDF("qid", "vector"), k)
+      } else {
+        Hnsw.annQueryBatch(idx, Array((0L, qVec)), k)
+      }).queryExecution.analyzed
       val annId = ann.output.find(_.name == "id").get
       val annDist = ann.output.find(_.name == "dist").get
       val sorted = Sort(Seq(SortOrder(annDist, Ascending)), global = true, ann)
@@ -254,7 +261,11 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     } yield {
       val queries = PlanBridge.ofRows(session, queryPlan)
         .select(PlanBridge.column(gk).as("qid"), PlanBridge.column(qvecAttr).as("vector"))
-      val ann = Hnsw.annQueryLarge(entry.index, queries, topk.k)
+      // routed plan for locality-sharded indexes (probe-prune the shards),
+      // all-shard single-shuffle otherwise — both lazy end-to-end
+      val ann =
+        if (entry.index.centroids.isDefined) Hnsw.annQueryRouted(entry.index, queries, topk.k)
+        else Hnsw.annQueryLarge(entry.index, queries, topk.k)
       val regrouped = ann.groupBy(col("qid"))
         .agg(TopKAggregate.topKByDist(col("dist"), col("id"), topk.k).as("top"))
       val plan2 = regrouped.queryExecution.analyzed

@@ -227,6 +227,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(IndexRegistry.rewriteCount === before3)
   }
 
+  test("ANN rewrite over a ROUTED index takes the centroid-routed plan, same results as Scala") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 400L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val input = vecs.toDF("id", "vector")
+    val index = Hnsw.buildRouted(input,
+      HnswParams(dim = 8, m = 4, efConstruction = 32, numPartitions = 2), cellsPerShard = 4)
+    assert(index.meta.num_cells === 8, "buildRouted must stamp the cell count into meta")
+    // the view is the ORIGINAL vector table (routed nodes hold spill copies)
+    input.createOrReplaceTempView("emb_routed")
+    IndexRegistry.register("emb_routed", index)
+
+    val q = vecs(7)._2
+    val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val before = IndexRegistry.rewriteCount
+    val df = spark.sql(
+      s"SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_routed ORDER BY dist LIMIT 5")
+    assert(IndexRegistry.rewriteCount === before + 1, "rewrite did not fire on the routed index")
+    val expected = Hnsw.annQueryRouted(index, Seq((0L, q)).toDF("qid", "vector"), 5)
+      .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === expected, "SQL routed plan must equal the Scala routed path")
+    assert(got.head._1 === 7L && got.head._2 === 0.0)
+    // ... and EXPLAIN of the routed shape still runs no jobs (meta carries
+    // the cell count, so plan construction never counts the centroid table)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(
+        s"EXPLAIN SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_routed ORDER BY dist LIMIT 3")
+        .collect()
+      // listener events are async; same quiesce as the plain EXPLAIN test
+      Thread.sleep(500)
+      assert(jobs.get() === 0, s"EXPLAIN of the routed rewrite ran ${jobs.get()} jobs")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      IndexRegistry.unregister("emb_routed")
+    }
+  }
+
   test("batch ANN rewrite: GROUP BY qid + topk_by_dist over a cross join runs the index path") {
     import graft.hnsw.{Hnsw, HnswParams}
     import graft.plans.IndexRegistry
