@@ -382,6 +382,18 @@ object SparkEntry {
     // ---- the full near-dup triage ladder as ONE declarative plan:
     //      LSH propose -> signature-only estimate filter -> exact verify
     //      runs ONLY on pairs whose estimate clears the bar ----
+    // ---- multimodal: REAL image decode (javax.imageio). Synthetic PNGs
+    //      with a closed-form gray(x,y) = (id*31 + x*7 + y*13) % 256; the
+    //      Spark side encodes real PNG bytes and sums the DECODED pixels,
+    //      the oracle computes the same integer sums from the formula
+    //      without ever touching an image — PNG is lossless, so equality
+    //      proves the codec path end-to-end ----
+    "q67_image_decode" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"))
+      graft.multimodal.MediaOps.imageStats(graft.multimodal.MediaOps.syntheticPngs(ids))
+    }),
+
     "q66_triage_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
@@ -1197,6 +1209,20 @@ object SparkEntry {
         s"""SELECT l_orderkey, l_linenumber,
            |  ${graft.sources.Bucketing.zValueSql("l_partkey", "l_suppkey")} AS zval
            |FROM lineitem""".stripMargin,
+
+      // the decoded-pixel sums re-derived from the pixel formula alone
+      // (scalar generate_series + unnest in a CTE — DuckDB 1.0's lateral
+      // limitation on the table function form)
+      "q67_image_decode" ->
+        """WITH imgs AS (
+          |  SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |px AS (
+          |  SELECT id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM imgs)
+          |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  CAST(w * h AS BIGINT) AS n_px,
+          |  CAST(SUM((id * 31 + (p % w) * 7 + (p // w) * 13) % 256) AS BIGINT) AS px_sum
+          |FROM px GROUP BY id, w, h""".stripMargin,
 
       "q66_triage_dedup" ->
         s"""WITH ${shingleCte(3)},

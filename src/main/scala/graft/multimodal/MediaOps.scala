@@ -25,14 +25,15 @@ case class MediaFrame(id: Long, frame_idx: Int, frame: Array[Byte])
   * video as opaque `binary` columns with typed metadata, plus decode /
   * feature-extract / resize / frame-sample over them.
   *
-  * The Spark-side plumbing — schema, typed Dataset boundaries, partition
-  * behavior, per-partition batch shape — is real and tested. The actual
-  * codec step is STUBBED with a deterministic byte-hash "decoder"
-  * ([[fakeDecode]]) because no image/audio libraries exist in this
-  * environment; swap `decodeFrame` for a real codec to productionize.
-  * Everything runs in `mapPartitions` so a real decoder amortizes any
-  * per-partition model/codec initialization, the same shape a Pandas-UDF
-  * `mapInPandas` would have in PySpark.
+  * The IMAGE path is real: PNG/JPEG/BMP/GIF payloads decode through
+  * `javax.imageio` (pure JVM, in every JRE) to pixels —
+  * [[imageStats]]/[[imageVectors]] feed the flatten/normalize→index
+  * contract the reference's image notebooks use (CIFAR notebook cell-2/3,
+  * minus torch). AUDIO/VIDEO decode remains STUBBED with a deterministic
+  * byte-hash "decoder" ([[fakeDecode]]) — no audio/video codecs exist in
+  * a bare JVM; the signature is the contract. Everything runs in
+  * `mapPartitions` so a real codec amortizes per-partition initialization,
+  * the same shape a Pandas-UDF `mapInPandas` would have in PySpark.
   */
 object MediaOps {
 
@@ -52,6 +53,143 @@ object MediaOps {
       i += 1
     }
     out
+  }
+
+  // ---- real image codec path (javax.imageio — public JVM API) ----
+
+  /** Encode a grayscale image whose pixel (x, y) is `gray(x, y)` (0..255)
+    * as PNG bytes. Deterministic fixture/datagen helper: PNG is lossless,
+    * so a decode of these bytes returns exactly `gray`.
+    */
+  def encodeGrayPng(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, gray(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode image bytes to (width, height, gray pixels row-major, 0..255).
+    * Single-band images read their raster directly; multi-band (RGB…)
+    * collapse by integer luminance (299·r + 587·g + 114·b) / 1000 — all
+    * integer arithmetic, so the result is engine- and platform-exact.
+    * Returns None for undecodable bytes (ImageIO contract: null image).
+    */
+  def decodeGray(content: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h)
+      if (img.getRaster.getNumBands == 1) {
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { out(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            out(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some((w, h, out))
+    }
+  }
+
+  /** Deterministic synthetic PNG table over an id column: width
+    * 8 + id % 9, height 8 + id % 7, gray(x, y) = (id·31 + x·7 + y·13) %
+    * 256. The closed form is the point: a SQL oracle can compute every
+    * decoded-pixel statistic from (id, x, y) alone — PNG is lossless, so
+    * checking [[imageStats]] of these bytes against that SQL proves the
+    * codec path end-to-end without the oracle ever touching an image.
+    * Output: (id, content).
+    */
+  def syntheticPngs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          (id, encodeGrayPng(w, h, (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt))
+        }
+      }
+      .toDF("id", "content")
+  }
+
+  /** Decoded-image statistics over an (id, content) frame: REAL decode
+    * (`javax.imageio`), integer outputs only (bit-exact for an oracle):
+    * (id, width, height, n_px, px_sum). Undecodable payloads are dropped
+    * (ImageIO returns null) — corrupt rows must not kill a 100 TB scan;
+    * count them upstream by comparing row counts if needed.
+    */
+  def imageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGray(bytes).map { case (w, h, px) =>
+            var s = 0L
+            var i = 0
+            while (i < px.length) { s += px(i); i += 1 }
+            (id, w.toLong, h.toLong, (w * h).toLong, s)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "n_px", "px_sum")
+  }
+
+  /** Decode + deterministic nearest-neighbor resize to side×side +
+    * flatten row-major + /255 normalize — image bytes in, (id, vector)
+    * out, feeding [[graft.hnsw.Hnsw.build]] directly (the reference
+    * notebooks' transform pipeline, `hsnw_trial.py`-adjacent cell-2/3,
+    * minus torch). Nearest-neighbor with pure integer source indexing
+    * (x·srcW/side) keeps the result platform-exact, unlike Graphics2D
+    * interpolation.
+    */
+  def imageVectors(media: DataFrame, side: Int = 8): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGray(bytes).map { case (w, h, px) =>
+            val v = new Array[Float](side * side)
+            var y = 0
+            while (y < side) {
+              val sy = y * h / side
+              var x = 0
+              while (x < side) {
+                val sx = x * w / side
+                v(y * side + x) = px(sy * w + sx) / 255.0f
+                x += 1
+              }
+              y += 1
+            }
+            (id, v)
+          }
+        }
+      }
+      .toDF("id", "vector")
   }
 
   /** Feature extraction over a media Dataset: per-partition batch loop

@@ -50,4 +50,55 @@ class MediaSpec extends SparkSpec {
     // small asset (id 0: w=32,h=32) untouched
     assert(resized(0L) === (32, 32))
   }
+
+  test("REAL image decode: PNG round-trip recovers exact pixels; corrupt bytes drop, not crash") {
+    import graft.multimodal.MediaOps
+    // encode → decode is the identity on pixels (PNG lossless)
+    val bytes = MediaOps.encodeGrayPng(5, 3, (x, y) => (x * 50 + y * 17) % 256)
+    val (w, h, px) = MediaOps.decodeGray(bytes).get
+    assert((w, h) === ((5, 3)))
+    for (y <- 0 until 3; x <- 0 until 5) assert(px(y * 5 + x) === (x * 50 + y * 17) % 256)
+    // imageStats over synthetic PNGs matches the closed-form sums (the q67
+    // oracle contract, asserted in-JVM too)
+    val ids = spark.range(0, 40).selectExpr("id * 5 AS id")
+    val stats = MediaOps.imageStats(MediaOps.syntheticPngs(ids))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats.size === 40)
+    stats.foreach { case (id, (gw, gh, npx, sum)) =>
+      val (ew, eh) = ((8 + id % 9).toInt, (8 + id % 7).toInt)
+      assert((gw, gh, npx) === ((ew.toLong, eh.toLong, (ew * eh).toLong)))
+      val expected = (for (p <- 0 until ew * eh)
+        yield (id * 31 + (p % ew) * 7 + (p / ew) * 13) % 256).sum
+      assert(sum === expected, s"decoded pixel sum for id $id")
+    }
+    // undecodable payloads are dropped (ImageIO null), never a crash
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, MediaOps.encodeGrayPng(4, 4, (_, _) => 9)))
+      .toDF("id", "content")
+    val kept = MediaOps.imageStats(junk).collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("image -> vector -> HNSW index -> query end-to-end (the notebooks' image-in flow)") {
+    import graft.multimodal.MediaOps
+    import graft.hnsw.{Hnsw, HnswParams}
+    val ids = spark.range(0, 120).toDF("id")
+    val vecs = MediaOps.imageVectors(MediaOps.syntheticPngs(ids), side = 8)
+    val n = vecs.count()
+    assert(n === 120)
+    val first = vecs.orderBy("id").head()
+    assert(first.getSeq[Float](1).length === 64)
+    assert(first.getSeq[Float](1).forall(v => v >= 0.0f && v <= 1.0f), "normalized to [0,1]")
+    val index = Hnsw.build(vecs, HnswParams(dim = 64, m = 4, efConstruction = 32, numPartitions = 2))
+    val queries = vecs.filter(org.apache.spark.sql.functions.col("id") % 20 === 0)
+      .select(org.apache.spark.sql.functions.col("id").as("qid"),
+        org.apache.spark.sql.functions.col("vector"))
+    val ann = Hnsw.annQuery(index, queries, k = 3)
+    val rank1 = ann.filter(org.apache.spark.sql.functions.col("rank") === 1).collect()
+    assert(rank1.nonEmpty)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("id"), "self-match at rank 1")
+      assert(r.getAs[Double]("dist") === 0.0)
+    }
+  }
 }
