@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Lifecycle helper for eager `localCheckpoint()` materializations.
@@ -37,5 +37,39 @@ private[graft] object Checkpoints {
   def rddId(df: Dataset[_]): Option[Int] = df.queryExecution.analyzed match {
     case l: LogicalRDD => Some(l.rdd.id)
     case _             => None
+  }
+
+  // ---- durable (spill-to-FS) twin of the localCheckpoint lifecycle ----
+  //
+  // localCheckpoint blocks are EXECUTOR-LOCAL: on a real cluster, losing
+  // one executor mid-loop kills the whole iterative job (a 100 TB
+  // clustering run cannot restart from scratch on every pre-emption).
+  // `materialize(df, Some(dir))` writes durable parquet on the shared FS
+  // instead — the annQuery spillPath pattern generalized. The caller owns
+  // `dir` for the LIFETIME of the returned frame; superseded iterations
+  // are deleted with `release`.
+
+  /** Eagerly materialize: durable parquet under `spill` when set (survives
+    * executor loss; read back as the frame to continue from), else
+    * `localCheckpoint` (fast, executor-local).
+    */
+  def materialize(df: DataFrame, spill: Option[String]): DataFrame = spill match {
+    case Some(dir) =>
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    case None => df.localCheckpoint()
+  }
+
+  /** Release a superseded [[materialize]] result: delete the spill dir, or
+    * unpersist the executor-local blocks. Only call once nothing returned
+    * to the caller can reference the frame.
+    */
+  def release(df: Dataset[_], spill: Option[String]): Unit = spill match {
+    case Some(dir) =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    case None => unpersist(df)
   }
 }

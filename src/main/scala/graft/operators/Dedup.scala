@@ -491,15 +491,22 @@ object Dedup {
     * propagation distance, so convergence takes O(log diameter) rounds
     * instead of O(diameter) — a 1M-long chain closes in ~20 rounds. The
     * loop stops when a convergence count hits zero. Labels are
-    * localCheckpointed per iteration so lineage stays flat.
+    * materialized per iteration so lineage stays flat: executor-local
+    * checkpoints by default, or DURABLE parquet under `spillPath` (the
+    * real-cluster setting — a lost executor no longer kills the whole
+    * propagation; see [[Checkpoints.materialize]]). The caller owns
+    * `spillPath` for the lifetime of the returned frame; superseded
+    * iterations are deleted as the loop advances.
     * Output: (idCol, comp).
     */
   def dupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-                  maxIter: Int = 25): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
+                  maxIter: Int = 25, spillPath: Option[String] = None): DataFrame = {
+    def sub(name: String): Option[String] = spillPath.map(root => s"$root/$name")
+    val sym = Checkpoints.materialize(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .distinct(),
+      sub("sym"))
     // vertex set = docs ∪ pair endpoints: an endpoint missing from `docs`
     // (pairs computed before a filter) must still RELAY labels, or a chain
     // through it silently splits the component; relay-only vertices are
@@ -507,7 +514,9 @@ object Dedup {
     val vertices = docs.select(col(idCol).as("id"))
       .union(sym.select(col("src").as("id")))
       .distinct()
-    var checkpointed = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+    var checkpointed = Checkpoints.materialize(
+      vertices.select(col("id"), col("id").as("comp")), sub("labels_0"))
+    var checkpointedName = "labels_0"
     var labels = checkpointed
     var converged = false
     var iter = 0
@@ -521,13 +530,17 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jumping: follow the label one more hop (comp's own comp is
       // always <= comp, so this only ever tightens)
-      val next = prop
-        .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
-        .select(col("id"), col("prev"), coalesce(col("comp2"), col("comp")).as("comp"))
-        .localCheckpoint()
+      val next = Checkpoints.materialize(
+        prop
+          .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+          .select(col("id"), col("prev"), coalesce(col("comp2"), col("comp")).as("comp")),
+        sub(s"labels_${iter + 1}"))
       converged = next.filter(col("comp") =!= col("prev")).isEmpty
-      Checkpoints.unpersist(checkpointed) // superseded — next is materialized
+      // superseded — next is materialized (durable dirs: the old iteration's
+      // parquet is deleted; local: blocks unpersist)
+      Checkpoints.release(checkpointed, sub(checkpointedName))
       checkpointed = next
+      checkpointedName = s"labels_${iter + 1}"
       labels = next.select("id", "comp")
       iter += 1
     }
@@ -535,7 +548,7 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"dupClusters hit maxIter=$maxIter before converging — " +
           "component labels may be split; raise maxIter for deep pair graphs")
-    Checkpoints.unpersist(sym) // the output below reads only `labels`
+    Checkpoints.release(sym, sub("sym")) // the output below reads only `labels`
     // drop relay-only vertices and remap each component to its minimum DOC
     // id (a relay could otherwise win the min and leak a non-doc id)
     val docLabels = labels.join(docs.select(col(idCol).as("id")), "id")

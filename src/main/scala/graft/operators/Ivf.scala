@@ -26,19 +26,29 @@ object Ivf {
     * order-dependent double sums, so this is spec-tested rather than
     * oracle-checked — training needs convergence, not bit-replay; the
     * *assignment* under the trained centroids is deterministic.
+    *
+    * `spillPath`: per-iteration centroids as durable parquet instead of
+    * executor-local checkpoint blocks — on a real cluster an executor loss
+    * mid-training then costs one task retry, not the whole fit (see
+    * [[Checkpoints.materialize]]). Caller owns the dir for the lifetime of
+    * the returned frame; superseded iterations are deleted as the loop
+    * advances.
     */
   def kmeansFit(
       vectors: DataFrame,
       k: Int,
       iters: Int = 3,
-      dist: (Column, Column) => Column = graft.functions.Distances.l2): DataFrame = {
+      dist: (Column, Column) => Column = graft.functions.Distances.l2,
+      spillPath: Option[String] = None): DataFrame = {
     import graft.functions.Distances
+    def sub(i: Int): Option[String] = spillPath.map(root => s"$root/centroids_$i")
     val w = Window.orderBy(col("id").asc)
-    var centroids = vectors.orderBy(col("id").asc).limit(k)
-      .select((row_number().over(w) - 1).cast("long").as("cid"),
-        Distances.toDouble(col("vector")).as("cvector"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var centroids = Checkpoints.materialize(
+      vectors.orderBy(col("id").asc).limit(k)
+        .select((row_number().over(w) - 1).cast("long").as("cid"),
+          Distances.toDouble(col("vector")).as("cvector")),
+      sub(0))
+    for (i <- 1 to iters) {
       val means = assign(vectors, centroids, dist)
         .join(vectors, "id")
         .select(col("cid"), posexplode(Distances.toDouble(col("vector"))).as(Seq("pos", "x")))
@@ -47,13 +57,14 @@ object Ivf {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cvector"))
       val superseded = centroids
-      centroids = centroids.select(col("cid"), col("cvector").as("prev"))
-        .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cvector"), col("prev")).as("cvector"))
-        .localCheckpoint()
-      // the new checkpoint is materialized; the previous iteration's blocks
-      // are unreachable — free them (only the LATEST centroids stay pinned)
-      Checkpoints.unpersist(superseded)
+      centroids = Checkpoints.materialize(
+        centroids.select(col("cid"), col("cvector").as("prev"))
+          .join(means, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cvector"), col("prev")).as("cvector")),
+        sub(i))
+      // the new materialization is complete; the previous iteration's copy
+      // is unreachable — free it (only the LATEST centroids stay live)
+      Checkpoints.release(superseded, sub(i - 1))
     }
     centroids
   }

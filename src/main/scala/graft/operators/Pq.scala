@@ -41,23 +41,29 @@ object Pq {
     * over the (sub, id) rows, not m sequential per-block jobs (which cost
     * m× the fixed job overhead and m× the input scans).
     */
-  def pqFit(vectors: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 3): DataFrame = {
+  def pqFit(vectors: DataFrame, dim: Int, m: Int, k: Int, iters: Int = 3,
+            spillPath: Option[String] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    def sub(name: String): Option[String] = spillPath.map(root => s"$root/$name")
     // materialized once: the training loop reads this on BOTH sides of the
     // means join every iteration — unmaterialized it would re-explode the
-    // source per side per iteration (the q12-style recompute disease)
-    val subs = subVectors(vectors, dim, m).localCheckpoint()
+    // source per side per iteration (the q12-style recompute disease).
+    // spillPath makes every loop materialization durable parquet instead of
+    // executor-local blocks (see Checkpoints.materialize; caller owns the
+    // dir for the lifetime of the returned frame)
+    val subs = Checkpoints.materialize(subVectors(vectors, dim, m), sub("subs"))
     // deterministic init: slice the k lowest-id VECTORS (a bounded
     // TakeOrdered on the unexploded table — a window over the full
     // exploded table would funnel every sub-block's rows into one task
     // just to pick k seeds)
     val seeds = vectors.orderBy(col("id").asc).limit(k)
     val w = Window.partitionBy("sub").orderBy(col("id").asc) // over m·k seed rows only
-    var centroids = subVectors(seeds, dim, m)
-      .withColumn("rn", row_number().over(w))
-      .select(col("sub"), (col("rn") - 1).cast("long").as("cid"), col("vector").as("cvector"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+    var centroids = Checkpoints.materialize(
+      subVectors(seeds, dim, m)
+        .withColumn("rn", row_number().over(w))
+        .select(col("sub"), (col("rn") - 1).cast("long").as("cid"), col("vector").as("cvector")),
+      sub("codebooks_0"))
+    for (i <- 1 to iters) {
       val assigned = assignGrouped(subs, centroids)
       val means = assigned.join(subs, Seq("sub", "id"))
         .select(col("sub"), col("cid"), posexplode(col("vector")).as(Seq("pos", "x")))
@@ -66,15 +72,16 @@ object Pq {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
           s => s.getField("mn")).as("cvector"))
       val superseded = centroids
-      centroids = centroids.select(col("sub"), col("cid"), col("cvector").as("prev"))
-        .join(means, Seq("sub", "cid"), "left")
-        .select(col("sub"), col("cid"), coalesce(col("cvector"), col("prev")).as("cvector"))
-        .localCheckpoint()
-      // previous iteration's centroid blocks are unreachable — free them
-      Checkpoints.unpersist(superseded)
+      centroids = Checkpoints.materialize(
+        centroids.select(col("sub"), col("cid"), col("cvector").as("prev"))
+          .join(means, Seq("sub", "cid"), "left")
+          .select(col("sub"), col("cid"), coalesce(col("cvector"), col("prev")).as("cvector")),
+        sub(s"codebooks_$i"))
+      // previous iteration's copy is unreachable — free it
+      Checkpoints.release(superseded, sub(s"codebooks_${i - 1}"))
     }
     // training is done: the slice table was only read by the loop above
-    Checkpoints.unpersist(subs)
+    Checkpoints.release(subs, sub("subs"))
     centroids
   }
 

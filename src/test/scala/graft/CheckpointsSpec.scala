@@ -73,4 +73,65 @@ class CheckpointsSpec extends SparkSpec {
     }
     assert(survivors.size <= 1, s"per-iteration centroid checkpoints leaked: created=$created survivors=$survivors")
   }
+
+  test("durable spillPath: dupClusters bit-equal to the local form; superseded iterations deleted; no blocks pinned") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // two chains and a singleton: 0-1-2, 10-11, 20
+    val docs = Seq(0L, 1L, 2L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(docs, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root = java.nio.file.Files.createTempDirectory("dup-spill").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val spilled = Dedup.dupClusters(docs, pairs, "doc_id", spillPath = Some(root))
+    val got = spilled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === local, "durable and local forms must agree exactly (integer label propagation)")
+    assert(got === Set((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L), (20L, 20L)))
+    // durable mode pins NO executor-local blocks ...
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "spillPath run must not localCheckpoint anything")
+    // ... and keeps exactly one labels_* dir (superseded iterations and sym deleted)
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left.count(_.startsWith("labels_")) === 1,
+      s"superseded iteration dirs must be deleted, found $left")
+    assert(!left.contains("sym"), s"sym dir must be released, found $left")
+    // the returned frame stays readable from the surviving dir
+    assert(spilled.count() === 6)
+  }
+
+  test("durable spillPath: kmeansFit trains on parquet iterations, cleans superseded, result usable") {
+    import graft.operators.Ivf
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val vecs = (0L until 64L).map(i => (i, Array.fill(4)(rng.nextGaussian().toFloat)))
+      .toDF("id", "vector")
+    val root = java.nio.file.Files.createTempDirectory("kmeans-spill").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cents = Ivf.kmeansFit(vecs, k = 4, iters = 3, spillPath = Some(root))
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "spillPath run must not localCheckpoint anything")
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left === Set("centroids_3"), s"only the final iteration may survive, found $left")
+    assert(cents.count() === 4)
+    // assignment under the durable centroids behaves (every vector assigned)
+    val assigned = Ivf.assign(vecs, cents, graft.functions.Distances.l2)
+    assert(assigned.count() === 64)
+    assert(assigned.select("cid").distinct().count() >= 2)
+  }
+
+  test("durable spillPath: pqFit cleans superseded codebook iterations and the slice table") {
+    import graft.operators.Pq
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val vecs = (0L until 48L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("id", "vector")
+    val root = java.nio.file.Files.createTempDirectory("pq-spill").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val codebooks = Pq.pqFit(vecs, dim = 8, m = 2, k = 4, iters = 2, spillPath = Some(root))
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before)
+    val left = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(left === Set("codebooks_2"), s"only the final codebooks may survive, found $left")
+    assert(codebooks.count() === 8) // m=2 blocks x k=4 cells
+  }
 }
