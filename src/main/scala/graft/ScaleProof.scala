@@ -80,8 +80,41 @@ object ScaleProof {
       f"ef200=$recall200%.3f (${ann200Secs}%.1f s) ef800=$recall800%.3f (${ann800Secs}%.1f s) " +
       f"exact=${exactSecs}%.1f s")
 
+    // ---- phase 3b: the DEFAULT budget (auto-ef from sub-graph size) must
+    // deliver >=0.9 recall with no manual ef — the footgun the r4 verdict
+    // flagged (defaults used to mean ef_search=50 → 0.556 here) ----
+    val autoEf = Hnsw.efBudget(index.meta, 10, -1)
+    val (recallAuto, annAutoSecs) = recallAt(-1)
+    System.err.println(f"[scale] recall@10 DEFAULT(auto ef=$autoEf) = $recallAuto%.3f (${annAutoSecs}%.1f s)")
+
     // ---- phase 4: driver-free distributed query path at the same scale ----
     val (largeCount, largeSecs) = timed(Hnsw.annQueryLarge(index, queries, 10).count())
+
+    // ---- phase 4r: centroid-routed shard pruning — the sublinear-in-P
+    // query path. Locality-sharded build (k-means cells + FFD pack + spill
+    // assignment), then the same query set through (a) the all-shard
+    // search over the routed index and (b) the routed probe of the nearest
+    // quarter of the cells. The routed point must keep >=0.9x the
+    // all-shard recall while searching ~P/4 shards per query — the cost
+    // model that survives P in the thousands ----
+    val (routedIdxRaw, routedBuildSecs) = timed {
+      val idx = Hnsw.buildRouted(input, params)
+      idx.edges.cache().count()
+      idx
+    }
+    val routedIdx = routedIdxRaw
+    val (allOnRoutedRecall, allOnRoutedSecs) = {
+      val (ann, secs) = timed(Hnsw.annQueryLarge(routedIdx, queries, 10).localCheckpoint())
+      (Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0), secs)
+    }
+    val (routedRecall, routedSecs) = {
+      val (ann, secs) = timed(Hnsw.annQueryRouted(routedIdx, queries, 10).localCheckpoint())
+      (Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0), secs)
+    }
+    val routedCells = routedIdx.meta.num_cells
+    System.err.println(f"[scale] routed build ${routedBuildSecs}%.1f s; all-shard-on-routed " +
+      f"recall=$allOnRoutedRecall%.3f (${allOnRoutedSecs}%.1f s); routed probe C/4 " +
+      f"recall=$routedRecall%.3f (${routedSecs}%.1f s, ratio ${routedRecall / math.max(allOnRoutedRecall, 1e-9)}%.3f)")
 
     // ---- phase 4b: filtered ANN at the same scale — 1/3 selectivity
     // (id % 3 = 0), ef widened ~3× per the k/selectivity budget; recall is
@@ -112,13 +145,21 @@ object ScaleProof {
     val expectedPlanted = (n + 99) / 100
     System.err.println(f"[scale] neardup bits=16: $pairs pairs ($found/$expectedPlanted planted found) in $dupSecs%.1f s")
 
-    println(s"""{"n":$n,"dim":$dim,"build_sec":$buildSecs,"build_vec_per_sec":${n / buildSecs},""" +
+    val line = s"""{"n":$n,"dim":$dim,"build_sec":$buildSecs,"build_vec_per_sec":${n / buildSecs},""" +
       s""""exact_topk_sec":$exactSecs,"ann_ef50_sec":$ann50Secs,"recall10_ef50":$recall50,""" +
       s""""ann_ef200_sec":$ann200Secs,"recall10_ef200":$recall200,""" +
       s""""ann_ef800_sec":$ann800Secs,"recall10_ef800":$recall800,""" +
+      s""""ann_auto_ef":$autoEf,"ann_auto_sec":$annAutoSecs,"recall10_auto":$recallAuto,""" +
       s""""ann_query_large_sec":$largeSecs,"ann_query_large_rows":$largeCount,""" +
+      s""""routed_build_sec":$routedBuildSecs,"routed_cells":$routedCells,""" +
+      s""""allshard_on_routed_sec":$allOnRoutedSecs,"recall10_allshard_on_routed":$allOnRoutedRecall,""" +
+      s""""routed_query_sec":$routedSecs,"recall10_routed":$routedRecall,""" +
       s""""filtered_ann_sec":$filteredSecs,"recall10_filtered_ef600":$filteredRecall,""" +
-      s""""neardup_bits16_sec":$dupSecs,"neardup_pairs":$pairs,"planted_found":$found,"planted_total":$expectedPlanted}""")
+      s""""neardup_bits16_sec":$dupSecs,"neardup_pairs":$pairs,"planted_found":$found,"planted_total":$expectedPlanted}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "BENCH_SCALE_LATEST.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[scale] could not write artifact: $e") }
     spark.stop()
   }
 }

@@ -382,6 +382,16 @@ object SparkEntry {
     // ---- the full near-dup triage ladder as ONE declarative plan:
     //      LSH propose -> signature-only estimate filter -> exact verify
     //      runs ONLY on pairs whose estimate clears the bar ----
+    // ---- targeted data selection: hashed n-gram domain-affinity score
+    //      (DSIR-style importance, log-free so it stays oracle-exact) —
+    //      fraction of a doc's distinct shingle buckets occurring in the
+    //      target domain (here: the English slice) ----
+    "q68_domain_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Sampling.domainScore(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text", n = 2, buckets = 65536)
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio). Synthetic PNGs
     //      with a closed-form gray(x,y) = (id*31 + x*7 + y*13) % 256; the
     //      Spark side encodes real PNG bytes and sums the DECODED pixels,
@@ -1209,6 +1219,25 @@ object SparkEntry {
         s"""SELECT l_orderkey, l_linenumber,
            |  ${graft.sources.Bucketing.zValueSql("l_partkey", "l_suppkey")} AS zval
            |FROM lineitem""".stripMargin,
+
+      "q68_domain_score" -> {
+        val b = md5PrefixValueSql("shingle", 8)
+        s"""WITH ${shingleCteFrom(2, "documents", "ds")},
+           |${shingleCteFrom(2, "(SELECT * FROM documents WHERE lang = 'en')", "ts")},
+           |db AS (SELECT DISTINCT doc_id, ($b) % 65536 AS b FROM ds),
+           |tb AS (SELECT DISTINCT ($b) % 65536 AS b FROM ts),
+           |cnt AS (
+           |  SELECT db.doc_id, count(*) AS n_buckets, count(tb.b) AS n_target
+           |  FROM db LEFT JOIN tb ON db.b = tb.b GROUP BY db.doc_id)
+           |SELECT d.doc_id,
+           |  COALESCE(n_buckets, 0) AS n_buckets,
+           |  COALESCE(n_target, 0) AS n_target,
+           |  CASE WHEN COALESCE(n_buckets, 0) = 0 THEN 0.0
+           |       ELSE CAST(COALESCE(n_target, 0) AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+           |  END AS domain_score
+           |FROM (SELECT DISTINCT doc_id FROM documents) d
+           |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
+      },
 
       // the decoded-pixel sums re-derived from the pixel formula alone
       // (scalar generate_series + unnest in a CTE — DuckDB 1.0's lateral

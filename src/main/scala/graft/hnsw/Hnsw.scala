@@ -129,28 +129,7 @@ object Hnsw {
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n).toDouble)
     val sample = if (frac >= 1.0) base else base.sample(withReplacement = false, frac, seed = 7L)
     val cents = graft.operators.Ivf.kmeansFit(sample, c, kmeansIters, distFn)
-    // top-2 cells per vector, carrying the vector through the bounded-heap
-    // aggregate so the assignment costs ONE O(n)-row shuffle (no join back
-    // to the input). SPILL assignment: a border vector — whose 2nd-nearest
-    // centroid is within (1+spill)× its nearest — is stored in BOTH cells'
-    // shards. This is what keeps routed recall near the all-shard level on
-    // boundary-heavy (e.g. isotropic) data: a neighbor just across one cell
-    // boundary is still found from the probed side. Duplicates are merged
-    // away at query time (rankTopK dedup), collapsed by [[rebuild]], and
-    // excluded from num_nodes. spill = 0 disables (exactly one copy each).
-    val top2 = base.crossJoin(broadcast(cents))
-      .select(col("id"), col("vector"), col("cid"),
-        distFn(col("vector"), col("cvector")).as("dist"))
-      .groupBy("id")
-      .agg(org.apache.spark.sql.graft.TopKAggregate
-        .topKByDist(col("dist"), col("cid"), 2).as("top2"),
-        first(col("vector")).as("vector"))
-    val primary = top2.select(col("id"), col("vector"), col("top2")(0)("id").as("cid"))
-    val spilled = top2
-      .filter(size(col("top2")) === 2 &&
-        col("top2")(1)("dist") <= (lit(1.0) + lit(spill)) * col("top2")(0)("dist"))
-      .select(col("id"), col("vector"), col("top2")(1)("id").as("cid"))
-    val assigned = (if (spill > 0) primary.union(spilled) else primary).cache()
+    val assigned = assignToCells(base, cents, distFn, spill).cache()
     val allCids = cents.select("cid").as[Long].collect()
     val sizes = assigned.groupBy("cid").count().as[(Long, Long)].collect().toMap
     val pidOfCell = packCells(allCids.map(cid => cid -> sizes.getOrElse(cid, 0L)), p)
@@ -167,6 +146,37 @@ object Hnsw {
     // count job (the SQL rewrite builds plans under EXPLAIN)
     val idx = idx0.copy(meta = idx0.meta.copy(num_cells = c))
     idx
+  }
+
+  /** Cell assignment with SPILL — shared by [[buildRouted]] and the
+    * streaming routed append. Top-2 cells per vector, carrying the vector
+    * through the bounded-heap aggregate so the assignment costs ONE
+    * O(n)-row shuffle (no join back to the input). A border vector —
+    * whose 2nd-nearest centroid is within (1+spill)× its nearest — is
+    * stored in BOTH cells' shards: this is what keeps routed recall near
+    * the all-shard level on boundary-heavy (e.g. isotropic) data, because
+    * a neighbor just across one cell boundary is still found from the
+    * probed side. Duplicates are merged away at query time (rankTopK
+    * dedup), collapsed by [[rebuild]], and excluded from num_nodes.
+    * spill = 0 disables (exactly one copy each).
+    * In: (id, vector), centroids (cid, cvector). Out: (id, vector, cid).
+    */
+  private[graft] def assignToCells(base: DataFrame, cents: DataFrame,
+                                   distFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                                   spill: Double): DataFrame = {
+    val top2 = base.crossJoin(broadcast(cents.select("cid", "cvector")))
+      .select(col("id"), col("vector"), col("cid"),
+        distFn(col("vector"), col("cvector")).as("dist"))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.graft.TopKAggregate
+        .topKByDist(col("dist"), col("cid"), 2).as("top2"),
+        first(col("vector")).as("vector"))
+    val primary = top2.select(col("id"), col("vector"), col("top2")(0)("id").as("cid"))
+    val spilled = top2
+      .filter(size(col("top2")) === 2 &&
+        col("top2")(1)("dist") <= (lit(1.0) + lit(spill)) * col("top2")(0)("dist"))
+      .select(col("id"), col("vector"), col("top2")(1)("id").as("cid"))
+    if (spill > 0) primary.union(spilled) else primary
   }
 
   /** First-fit decreasing: heaviest cell onto the currently lightest shard.
@@ -193,8 +203,8 @@ object Hnsw {
     * within a shard is ascending id, making the whole build a pure function
     * of (assignment, params).
     */
-  private def buildFromPid(withPidDf: DataFrame, params: HnswParams,
-                           centroids: Option[DataFrame]): HnswIndex = {
+  private[graft] def buildFromPid(withPidDf: DataFrame, params: HnswParams,
+                                  centroids: Option[DataFrame]): HnswIndex = {
     val spark = withPidDf.sparkSession
     import spark.implicits._
     val nodes = withPidDf
@@ -448,9 +458,13 @@ object Hnsw {
       else if (index.meta.num_cells > 0) math.max(1, index.meta.num_cells / 4)
       // hand-assembled routing table without meta: one count of a tiny
       // table (the SQL rewrite never hits this — buildRouted/load set it)
-      else math.max(1, (cents.count() / 4).toInt)
+      else math.max(1, (cents.select("cid").distinct().count() / 4).toInt)
+    // probe against DISTINCT cell geometry: after streaming appends a cell
+    // maps to SEVERAL pids (one per appended batch), and duplicate
+    // (cid, cvector) rows would eat top-k probe slots; the pid fan-out
+    // happens in the join below instead
     val probedPids = graft.operators.Ivf
-      .probesAgg(q, cents.select("cid", "cvector"), pc, distFn)
+      .probesAgg(q, cents.select("cid", "cvector").distinct(), pc, distFn)
       .join(broadcast(cents.select("cid", "pid")), "cid")
       .select("qid", "pid").distinct()
     val activePids = probedPids.select("pid").distinct()
@@ -669,6 +683,20 @@ object Hnsw {
     build(index.nodes.filter(!col("tombstone"))
       .groupBy(col("id")).agg(first(col("vector")).as("vector")), params)
 
+  /** [[rebuild]] for locality-sharded indexes: re-fits the cell geometry
+    * over the LIVE vectors and re-shards — the compaction pass a routed
+    * index needs after deletes or many streaming appends (appended batch
+    * shards accumulate and k-means drift makes the original geometry
+    * stale; a plain [[rebuild]] would silently drop the routing table and
+    * downgrade every future query to the all-shard path).
+    */
+  def rebuildRouted(index: HnswIndex, params: HnswParams, cellsPerShard: Int = 4,
+                    sampleSize: Int = 1 << 16, kmeansIters: Int = 5,
+                    spill: Double = 0.15): HnswIndex =
+    buildRouted(index.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector")),
+      params, cellsPerShard, sampleSize, kmeansIters, spill)
+
   /** Compact an index that has accumulated many small sub-graphs — the
     * maintenance pass a streaming deployment runs periodically:
     * [[graft.streaming.StreamingOps.incrementalAdd]] appends one isolated
@@ -681,6 +709,11 @@ object Hnsw {
     * per-vector re-insertion, unlike [[rebuild]], which re-runs the full
     * build. Tombstoned rows stay tombstoned through the merge; run
     * [[rebuild]] instead when the goal is reclaiming deleted mass.
+    *
+    * NOTE: merge re-shards WITHOUT vector-space locality, so the routing
+    * table of a routed index does not survive — the result answers
+    * all-shard queries only. Compact a ROUTED index with
+    * [[rebuildRouted]] instead (re-fits geometry, keeps the routed path).
     */
   def compact(index: HnswIndex, targetShards: Int): HnswIndex = {
     require(targetShards > 0, s"compact: targetShards must be positive, got $targetShards")

@@ -89,6 +89,47 @@ object Sampling {
         when(pmod(idHash(col("comp")), lit(100L)) < validPct, lit("valid"))
           .otherwise(lit("train")))
 
+  /** Hashed n-gram domain-affinity score for targeted data selection — the
+    * importance signal behind DSIR-style mixture curation, kept
+    * log-ratio-free so it stays oracle-exact: a document scores the
+    * fraction of its DISTINCT hashed word-n-gram buckets that also occur
+    * in a TARGET corpus (the domain to select for). Integer counts + one
+    * exact division; selection then filters or quota-samples on the score
+    * (compose with [[sampleByRate]]).
+    *
+    * Scale shape: the target side collapses to its distinct bucket set —
+    * at MOST `buckets` rows no matter how large the target corpus is, so
+    * it broadcasts at any scale; the doc side is one explode + distinct +
+    * broadcast-join + count partial-agg, shuffle O(doc-bucket pairs),
+    * never doc×target. Docs too short for any shingle score 0.0.
+    * Out: (idCol, n_buckets, n_target, domain_score).
+    */
+  def domainScore(docs: DataFrame, target: DataFrame, idCol: String, textCol: String,
+                  n: Int = 2, buckets: Int = 1 << 16): DataFrame = {
+    import graft.functions.TextFunctions
+    def bucketOf(sh: Column): Column =
+      pmod(conv(substring(md5(sh), 1, 8), 16, 10).cast("long"), lit(buckets.toLong))
+    def bucketSet(df: DataFrame, keep: Column*): DataFrame = df
+      .select(keep :+ TextFunctions.tokens(col(textCol)).as("w"): _*)
+      .select(keep :+ explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("sh"): _*)
+      .select(keep :+ bucketOf(col("sh")).as("b"): _*)
+      .distinct()
+    val docBuckets = bucketSet(docs, col(idCol))
+    val targetBuckets = bucketSet(target).withColumn("__t", lit(true))
+    val counts = docBuckets.join(broadcast(targetBuckets), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        count(col("__t")).as("n_target"))
+    docs.select(col(idCol)).distinct()
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        coalesce(col("n_target"), lit(0L)).as("n_target"),
+        when(coalesce(col("n_buckets"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_target"), lit(0L)).cast("double") /
+            coalesce(col("n_buckets"), lit(1L)).cast("double")).as("domain_score"))
+  }
+
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)
     val denom = mw.agg(

@@ -64,6 +64,8 @@ object StreamingOps {
           (bm.max_layer == cur.max_layer && bm.entry_point < cur.entry_point))
         Hnsw.saveMeta(cur.copy(entry_point = bm.entry_point, max_layer = bm.max_layer), dir)
     }
+    // the per-batch build cache must not outlive the batch (long streams)
+    built.nodes.unpersist()
   }
 
   /** Streaming incremental index add: vectors stream (id, vector) →
@@ -74,6 +76,78 @@ object StreamingOps {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, dir, params, batchId)
+      }
+
+  /** Append one micro-batch to a ROUTED index directory ([[Hnsw
+    * .buildRouted]]) without losing the routing property — the gap
+    * [[appendBatch]] leaves: its isolated sub-graphs carry no routing
+    * rows, so a routed query would silently never search appended data.
+    *
+    * Mechanism: batch vectors are assigned to the EXISTING cell geometry
+    * (same spill rule as the build — [[Hnsw.assignToCells]]), land in
+    * per-batch shards aligned with the home sharding (cell home pid p →
+    * batch shard `offset + p`), and the routing table gains one row per
+    * touched cell mapping it to the new shard. [[Hnsw.annQueryRouted]]
+    * then finds appended vectors through the same probe: a probed cell
+    * fans out to ALL its pids — home and appended — via the routing join.
+    * Nothing rewrites existing partitions; per-batch cost is O(batch).
+    * Centroid geometry is never refit here (k-means drift across appends
+    * is a compaction-time concern: [[Hnsw.rebuild]]/[[Hnsw.buildRouted]]).
+    */
+  def appendBatchRouted(batch: DataFrame, dir: String, params: HnswParams,
+                        batchId: Long, spill: Double = 0.15): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val meta = Hnsw.loadMeta(dir)
+    require(meta.num_cells > 0, s"$dir is not a routed index (no num_cells in meta.json)")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    // home mapping = the original build's rows (pid < P); appended batches
+    // add rows with pid >= P that must not attract further appends
+    val home = cents.filter(col("pid") < meta.num_partitions)
+      .select(col("cid"), col("cvector"), col("pid"))
+    val base = batch.select(col("id").cast("long").as("id"),
+      col("vector").cast("array<float>").as("vector"))
+    val assigned = graft.hnsw.Hnsw.assignToCells(
+      base, home, graft.functions.Distances.metric(meta.metric), spill)
+    val withPid = assigned.join(broadcast(home.select("cid", "pid")), "cid")
+      .select("id", "vector", "pid").dropDuplicates("id", "pid")
+    val built = Hnsw.buildFromPid(withPid, params, None)
+    val offset = ((batchId + 1) * params.numPartitions).toInt
+    built.nodes.withColumn("pid", (col("pid") + lit(offset)).cast("int"))
+      .write.mode("append").parquet(s"$dir/vectors")
+    built.edges.withColumn("pid", (col("pid") + lit(offset)).cast("int"))
+      .write.mode("append").parquet(s"$dir/edges")
+    // routing rows for the new shards: every touched home pid re-maps its
+    // cells to the batch shard (cells of untouched pids add nothing)
+    val touched = built.nodes.select((col("pid") + lit(offset)).cast("int").as("new_pid"),
+      col("pid").as("home_pid")).distinct()
+    home.join(broadcast(touched), home("pid") === touched("home_pid"))
+      .select(col("cid"), col("cvector"), col("new_pid").as("pid"))
+      .write.mode("append").parquet(s"$dir/centroids")
+    // meta: entry rule as appendBatch; num_nodes grows by the batch's
+    // distinct ids (spill copies excluded by buildFromPid's count)
+    val cur = Hnsw.loadMeta(dir)
+    val bm = built.meta
+    val better = bm.max_layer > cur.max_layer ||
+      (bm.max_layer == cur.max_layer && bm.entry_point < cur.entry_point)
+    Hnsw.saveMeta(cur.copy(
+      entry_point = if (better) bm.entry_point else cur.entry_point,
+      max_layer = if (better) bm.max_layer else cur.max_layer,
+      num_nodes = if (cur.num_nodes >= 0) cur.num_nodes + bm.num_nodes else -1L), dir)
+    // the per-batch build cache must not outlive the batch (long streams)
+    built.nodes.unpersist()
+  }
+
+  /** Streaming routed incremental add — [[incrementalAdd]]'s twin for
+    * locality-sharded indexes: appended micro-batches stay reachable from
+    * [[Hnsw.annQueryRouted]].
+    */
+  def incrementalAddRouted(stream: DataFrame, dir: String, params: HnswParams,
+                           spill: Double = 0.15): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchRouted(batch, dir, params, batchId, spill)
       }
 
   /** Streaming batch-query surface — the engine's stand-in for the

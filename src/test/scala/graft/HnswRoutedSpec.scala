@@ -96,6 +96,24 @@ class HnswRoutedSpec extends SparkSpec {
     assert(err.getMessage.contains("no centroid routing table"))
   }
 
+  test("rebuildRouted reclaims deletes, collapses spill copies, and keeps the routed path") {
+    val deleted = Hnsw.delete(routed, Seq(0L, 50L, 100L))
+    val fresh = Hnsw.rebuildRouted(deleted, params, cellsPerShard = 4)
+    assert(fresh.centroids.isDefined, "rebuild of a routed index must stay routed")
+    val ids = fresh.nodes.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(0L) && !ids.contains(50L) && !ids.contains(100L), "deleted mass reclaimed")
+    assert(fresh.meta.num_nodes === input.count() - 3)
+    // no duplicate (id, pid): spill copies from the OLD index never leak
+    // double inserts into the new build
+    assert(fresh.nodes.groupBy("id", "pid").count().filter(col("count") > 1).count() === 0)
+    // routed query works against the rebuilt index
+    val q = queries.filter(col("qid") =!= 0L && col("qid") =!= 50L && col("qid") =!= 100L)
+    val rank1 = Hnsw.annQueryRouted(fresh, q, k = 3).filter(col("rank") === 1).collect()
+    assert(rank1.nonEmpty)
+    rank1.foreach(r => assert(r.getAs[Long]("qid") === r.getAs[Long]("id")))
+    fresh.nodes.unpersist()
+  }
+
   test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
     def meta(n: Long, p: Int) = IndexMeta(64, 8, 16, 64, 50, 0.36, "l2", 0L, 1, p, n)
     // explicit ef always wins, clamped to k

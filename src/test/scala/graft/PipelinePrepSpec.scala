@@ -377,4 +377,23 @@ class PipelinePrepSpec extends SparkSpec {
     assert(out(7L) === ((7L, 7L, true)), "tie broken to lowest id")
     assert(out(8L) === ((7L, 7L, false)))
   }
+
+  test("domainScore: target-verbatim docs score 1.0, disjoint docs 0.0, mixed in between, short docs 0") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val target = Seq((100L, "the cat sat on the mat today")).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "the cat sat on the mat today"),            // verbatim target -> 1.0
+      (1L, "zzq qqz aaw wwa eer rre ttu"),             // disjoint vocabulary -> 0.0
+      (2L, "the cat sat zzq qqz aaw"),                 // 2 of 5 bigrams shared
+      (3L, "single"),                                  // too short for a bigram -> 0, kept
+    ).toDF("doc_id", "text")
+    val out = Sampling.domainScore(docs, target, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L), "every doc appears, including shingle-less ones")
+    assert(out(0L)._3 === 1.0)
+    assert(out(1L)._3 === 0.0)
+    assert(out(2L) === ((5L, 2L, 0.4)), s"mixed doc: got ${out(2L)}")
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
 }

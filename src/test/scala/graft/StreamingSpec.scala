@@ -42,6 +42,53 @@ class StreamingSpec extends SparkSpec {
     res.foreach(r => assert(r.getAs[Double]("dist") === 0.0))
   }
 
+  test("routed incremental add: appended batches stay reachable through the routed probe") {
+    val dir = Files.createTempDirectory("hnsw-routed-stream").toString
+    val params = HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2)
+    // bootstrap: a routed base index on disk
+    val base = (0L until 200L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
+    Hnsw.save(Hnsw.buildRouted(base, params, cellsPerShard = 2), dir)
+    val metaBefore = Hnsw.loadMeta(dir)
+    assert(metaBefore.num_cells === 4)
+
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Array[Float])]
+    val query = StreamingOps.incrementalAddRouted(
+      source.toDF().toDF("id", "vector"), dir, params).start()
+    source.addData((200L until 240L).map(i => (i, randVec(i, 16))): _*)
+    query.processAllAvailable()
+    source.addData((240L until 260L).map(i => (i, randVec(i, 16))): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val index = Hnsw.load(spark, dir)
+    // every appended vector present; routing table grew rows, geometry fixed
+    assert(index.nodes.select("id").distinct().count() === 260)
+    val cents = index.centroids.get
+    assert(cents.select("cid", "cvector").distinct().count() === 4,
+      "appends must not change the cell geometry")
+    assert(cents.count() > 4, "touched cells must gain routing rows for the batch shards")
+    assert(Hnsw.loadMeta(dir).num_nodes === 260, "num_nodes must track appends")
+    // the ROUTED probe finds vectors from the base AND both appended batches
+    val queries = Seq((7L, randVec(7L, 16)), (222L, randVec(222L, 16)), (255L, randVec(255L, 16)))
+      .toDF("qid", "vector")
+    val res = Hnsw.annQueryRouted(index, queries, k = 3)
+      .filter(col("rank") === 1).collect()
+    assert(res.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap ===
+      Map(7L -> 7L, 222L -> 222L, 255L -> 255L),
+      "routed query must self-match across base and appended shards")
+    res.foreach(r => assert(r.getAs[Double]("dist") === 0.0))
+    // plain appendBatch into a routed dir would strand data: the routed
+    // append is required to keep the probe complete (guard asserts loudly
+    // on a non-routed dir instead of corrupting)
+    val plainDir = Files.createTempDirectory("hnsw-plain-guard").toString
+    Hnsw.save(Hnsw.build(base, params), plainDir)
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.appendBatchRouted(base.limit(5), plainDir, params, batchId = 0L)
+    }
+    assert(err.getMessage.contains("not a routed index"))
+  }
+
   test("compaction: accumulated micro-batch sub-graphs merge into balanced shards, recall preserved") {
     val dir = Files.createTempDirectory("hnsw-compact").toString
     val params = HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2)
