@@ -52,29 +52,67 @@ object RoutedProof {
     val c = index.meta.num_cells
     System.err.println(f"[routed] build $n x $dim, P=$p, C=$c in $buildSecs%.1f s")
 
-    // 25 queries — a serving-shaped micro-batch, small enough that shard
-    // pruning is visible (a huge uniform batch touches every shard anyway)
-    val queries = index.nodes.filter(col("id") % (n / 25) === 0)
-      .select(col("id").as("qid"), col("vector")).distinct().localCheckpoint()
+    import spark.implicits._
     val cents = index.centroids.get
     val distFn = graft.functions.Distances.metric(index.meta.metric)
+    def shardsFor(qs: org.apache.spark.sql.DataFrame, pc: Int): (Long, Double) = {
+      val probed = graft.operators.Ivf
+        .probesAgg(qs, cents.select("cid", "cvector").distinct(), pc, distFn)
+        .join(cents.select("cid", "pid"), "cid").select("qid", "pid").distinct()
+        .localCheckpoint()
+      val union = probed.select("pid").distinct().count()
+      val perQuery = probed.groupBy("qid").count().agg(avg("count")).head().getDouble(0)
+      (union, perQuery)
+    }
 
+    // ---- shape 1: CLUSTERED micro-batch (the serving-adjacent burst:
+    // similar queries arrive together). Locality packing puts the probed
+    // neighboring cells in one or two shards — the semi-join ships s/P of
+    // the index, not all of it ----
+    val base = index.nodes.filter(col("id") === 0L).select("vector")
+      .head().getSeq[Float](0).toArray
+    val clustered = Seq.tabulate(25) { j =>
+      (j.toLong, base.updated(0, base(0) + j * 1e-3f))
+    }.toDF("qid", "vector").localCheckpoint()
+    val (clUnion, clPerQ) = shardsFor(clustered, 16)
+    val clSecs = timedMin(2)(Hnsw.annQueryRouted(index, clustered, 10, probeCells = 16).count())
+    val clAllSecs = timedMin(2)(Hnsw.annQueryLarge(index, clustered, 10).count())
+    System.err.println(f"[routed] clustered 25q pc=16: ships $clUnion/$p shards " +
+      f"($clPerQ%.1f per query) $clSecs%.1f s vs all-shard $clAllSecs%.1f s")
+
+    // ---- shape 2: LARGE uniform batch (the analytics shape: every shard
+    // legitimately ships once — scanning the index once is optimal — but
+    // per-task search work is q·s·ef instead of q·P·ef) ----
+    val qBig = index.nodes.filter(col("id") % (n / 50000) === 0)
+      .select(col("id").as("qid"), col("vector")).distinct().localCheckpoint()
+    val nBig = qBig.count()
+    val bigRoutedSecs = timedMin(2)(Hnsw.annQueryRouted(index, qBig, 10).count())
+    val bigAllSecs = timedMin(2)(Hnsw.annQueryLarge(index, qBig, 10).count())
+    System.err.println(f"[routed] large batch ($nBig queries): routed $bigRoutedSecs%.1f s " +
+      f"vs all-shard $bigAllSecs%.1f s")
+
+    // ---- shape 3: probe sweep on a small uniform batch (cost vs budget) ----
+    val queries = index.nodes.filter(col("id") % (n / 25) === 0)
+      .select(col("id").as("qid"), col("vector")).distinct().localCheckpoint()
     val sweep = Seq(4, 16, 64, c).map { pc =>
-      val shards = graft.operators.Ivf
-        .probesAgg(queries, cents.select("cid", "cvector").distinct(), pc, distFn)
-        .join(cents.select("cid", "pid"), "cid").select("pid").distinct().count()
+      val (union, perQ) = shardsFor(queries, pc)
       val secs = timedMin(2)(Hnsw.annQueryRouted(index, queries, 10, probeCells = pc).count())
-      System.err.println(f"[routed] probeCells=$pc%3d -> $shards%2d/$p shards shipped, $secs%.1f s")
-      (pc, shards, secs)
+      System.err.println(f"[routed] probeCells=$pc%3d -> union $union%2d/$p shards, " +
+        f"$perQ%.1f per query, $secs%.1f s")
+      (pc, union, perQ, secs)
     }
     val allSecs = timedMin(2)(Hnsw.annQueryLarge(index, queries, 10).count())
-    System.err.println(f"[routed] all-shard reference: $p shards, $allSecs%.1f s")
+    System.err.println(f"[routed] all-shard reference (25q): $p shards, $allSecs%.1f s")
 
-    val sweepJson = sweep.map { case (pc, shards, secs) =>
-      s"""{"probe_cells":$pc,"shards_shipped":$shards,"sec":$secs}"""
+    val sweepJson = sweep.map { case (pc, union, perQ, secs) =>
+      s"""{"probe_cells":$pc,"shards_union":$union,"shards_per_query":$perQ,"sec":$secs}"""
     }.mkString("[", ",", "]")
     val line = s"""{"n":$n,"dim":$dim,"num_partitions":$p,"num_cells":$c,""" +
-      s""""routed_build_sec":$buildSecs,"sweep":$sweepJson,"allshard_sec":$allSecs}"""
+      s""""routed_build_sec":$buildSecs,""" +
+      s""""clustered_q":25,"clustered_shards_union":$clUnion,"clustered_shards_per_query":$clPerQ,""" +
+      s""""clustered_routed_sec":$clSecs,"clustered_allshard_sec":$clAllSecs,""" +
+      s""""large_q":$nBig,"large_routed_sec":$bigRoutedSecs,"large_allshard_sec":$bigAllSecs,""" +
+      s""""sweep":$sweepJson,"allshard_sec":$allSecs}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_ROUTED_OUT", "BENCH_ROUTED.json")), line + "\n")

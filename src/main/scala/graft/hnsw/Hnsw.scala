@@ -103,10 +103,12 @@ object Hnsw {
     *      .kmeansFit]] — IVF's coarse quantizer, reused as-is);
     *   2. every vector joins its nearest cell (broadcast centroids,
     *      map-side argmin — one O(n)-row shuffle);
-    *   3. cells pack into P shards by first-fit-decreasing on cell
-    *      population (driver-side over ≤ C cell sizes — k-means cells are
-    *      naturally skewed, FFD keeps the largest shard within ~2× the
-    *      mean, so no shard becomes the straggler task);
+    *   3. cells pack into P shards by LOCALITY-AWARE balanced
+    *      region-growing (driver-side over ≤ C centroids+sizes):
+    *      neighboring cells share a shard, so a query's probed cells
+    *      co-locate and the routed semi-join ships few shards; the
+    *      per-shard population budget keeps the largest shard within
+    *      ~one cell of the mean — no straggler tasks;
     *   4. each shard builds its sub-graph exactly as [[build]] does, and
     *      the (cid, cvector, pid) routing table rides on the index
     *      (persisted by [[save]]).
@@ -130,9 +132,10 @@ object Hnsw {
     val sample = if (frac >= 1.0) base else base.sample(withReplacement = false, frac, seed = 7L)
     val cents = graft.operators.Ivf.kmeansFit(sample, c, kmeansIters, distFn)
     val assigned = assignToCells(base, cents, distFn, spill).cache()
-    val allCids = cents.select("cid").as[Long].collect()
+    val geom = cents.select(col("cid"), col("cvector")).as[(Long, Array[Double])].collect()
     val sizes = assigned.groupBy("cid").count().as[(Long, Long)].collect().toMap
-    val pidOfCell = packCells(allCids.map(cid => cid -> sizes.getOrElse(cid, 0L)), p)
+    val pidOfCell = packCells(
+      geom.map { case (cid, cv) => (cid, cv, sizes.getOrElse(cid, 0L)) }, p)
     val cellPid = pidOfCell.toSeq.toDF("cid", "pid")
     // a spill copy whose 2nd cell packs into the SAME shard as the primary
     // would double-insert the id into one sub-graph — collapse on (id, pid)
@@ -179,21 +182,107 @@ object Hnsw {
     if (spill > 0) primary.union(spilled) else primary
   }
 
-  /** First-fit decreasing: heaviest cell onto the currently lightest shard.
-    * Classic bin-packing bound: max shard load ≤ mean + max single cell —
-    * tight as long as no one cell dominates (tune `cellsPerShard` up if one
-    * does). Deterministic: ties break on (load, shard id) and cells sort by
-    * (-size, cid).
+  /** LOCALITY-AWARE balanced packing: cells that are close in vector space
+    * pack into the same shard, with a per-shard population budget.
+    *
+    * Why locality matters (measured, BENCH_ROUTED.json): a query probes a
+    * handful of NEIGHBORING cells; under size-only packing (first-fit
+    * decreasing) those neighbors scatter across shards — 25 queries × 4
+    * probed cells shipped 52 of 64 shards, erasing the semi-join prune.
+    * With neighboring cells co-located, a query's probe lands in one or
+    * two shards and the routed path ships s/P of the index for real.
+    *
+    * Greedy region-growing, driver-side over ≤C centroids: repeat P times
+    * — seed a shard with the unassigned cell farthest from all previous
+    * seeds (first seed = lowest cid; max-min ties by cid → deterministic),
+    * then grow it with the cell nearest the seed until the shard reaches
+    * the population target (remaining/remaining-shards, recomputed per
+    * shard so imbalance never accumulates). Balance bound ≈ target + one
+    * cell, same as FFD's. Packing distance is L2 on the centroid means for
+    * BOTH metrics — it only shapes shard membership; routing itself uses
+    * the index metric.
     */
-  private def packCells(cellSizes: Array[(Long, Long)], p: Int): Map[Long, Int] = {
-    val load = Array.fill(p)(0L)
+  private def packCells(cells: Array[(Long, Array[Double], Long)], p: Int): Map[Long, Int] = {
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val sorted = cells.sortBy(_._1)
+    val nCells = sorted.length
+    val assignedPid = Array.fill(nCells)(-1)
+    val seedDist = Array.fill(nCells)(Double.MaxValue) // min dist to any seed so far
+    var remainingPop = sorted.map(_._3).sum
     val out = Map.newBuilder[Long, Int]
-    cellSizes.sortBy { case (cid, n) => (-n, cid) }.foreach { case (cid, n) =>
-      var best = 0
-      var i = 1
-      while (i < p) { if (load(i) < load(best)) best = i; i += 1 }
-      load(best) += n
-      out += cid -> best
+    var s = 0
+    var assignedCount = 0
+    while (s < p && assignedCount < nCells) {
+      // seed: farthest unassigned cell from all previous seeds (lowest cid first round)
+      var seed = -1
+      var i = 0
+      while (i < nCells) {
+        if (assignedPid(i) < 0 && (seed < 0 || seedDist(i) > seedDist(seed))) seed = i
+        i += 1
+      }
+      val target = math.max(1L, remainingPop / (p - s))
+      assignedPid(seed) = s; assignedCount += 1
+      out += sorted(seed)._1 -> s
+      var pop = sorted(seed)._3
+      remainingPop -= pop
+      i = 0
+      while (i < nCells) { // update max-min structure for future seeds
+        if (assignedPid(i) < 0) seedDist(i) = math.min(seedDist(i), d2(sorted(i)._2, sorted(seed)._2))
+        i += 1
+      }
+      // grow: nearest unassigned cell to the seed until the budget is met
+      // (skip growth for the final shard only when everything is assigned)
+      var growing = true
+      while (growing && pop < target && assignedCount < nCells) {
+        var best = -1
+        var bestD = Double.MaxValue
+        i = 0
+        while (i < nCells) {
+          if (assignedPid(i) < 0) {
+            val dd = d2(sorted(i)._2, sorted(seed)._2)
+            if (dd < bestD || (dd == bestD && (best < 0 || sorted(i)._1 < sorted(best)._1))) {
+              best = i; bestD = dd
+            }
+          }
+          i += 1
+        }
+        if (best < 0) growing = false
+        else {
+          assignedPid(best) = s; assignedCount += 1
+          out += sorted(best)._1 -> s
+          pop += sorted(best)._3
+          remainingPop -= sorted(best)._3
+          i = 0
+          while (i < nCells) {
+            if (assignedPid(i) < 0) seedDist(i) = math.min(seedDist(i), d2(sorted(i)._2, sorted(best)._2))
+            i += 1
+          }
+        }
+      }
+      s += 1
+    }
+    // leftovers (more cells than P rounds could seed+grow): nearest assigned shard
+    var i = 0
+    while (i < nCells) {
+      if (assignedPid(i) < 0) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var j = 0
+        while (j < nCells) {
+          if (assignedPid(j) >= 0) {
+            val dd = d2(sorted(i)._2, sorted(j)._2)
+            if (dd < bestD) { bestD = dd; best = assignedPid(j) }
+          }
+          j += 1
+        }
+        assignedPid(i) = best
+        out += sorted(i)._1 -> best
+      }
+      i += 1
     }
     out.result()
   }

@@ -21,7 +21,7 @@ class HnswRoutedSpec extends SparkSpec {
   private lazy val routed = Hnsw.buildRouted(input, params, cellsPerShard = 4)
   private lazy val queries = input.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
 
-  test("buildRouted: shards are balanced (FFD pack) and the routing table covers every cell") {
+  test("buildRouted: shards are balanced (locality pack) and the routing table covers every cell") {
     val sizes = routed.nodes.groupBy("pid").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(sizes.keySet === (0 until params.numPartitions).toSet, "every shard populated")
     val mean = sizes.values.sum.toDouble / sizes.size
