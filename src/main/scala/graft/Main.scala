@@ -19,7 +19,7 @@ import graft.sources.Datagen
 object Main {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("--build", "--serve", "--large") // boolean flags
+    val flags = Set("--build", "--serve", "--large", "--routed") // boolean flags
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
@@ -65,12 +65,20 @@ object Main {
         case (None, None) => Datagen.gaussianVectors(spark, n, dim, opts.getOrElse("seed", "42").toLong)
       }
       val t0 = System.nanoTime()
-      val index = Hnsw.build(input, params)
+      // --routed: locality-sharded build with a centroid routing table —
+      // --load --routed then probes the nearest cells instead of all shards
+      val index =
+        if (opts.contains("routed"))
+          Hnsw.buildRouted(input, params,
+            cellsPerShard = opts.getOrElse("cells-per-shard", "4").toInt,
+            spill = opts.getOrElse("spill", "0.15").toDouble)
+        else Hnsw.build(input, params)
       Hnsw.save(index, out)
       val built = index.nodes.count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[build] indexed $built vectors dim=$dim in $secs%.1f s " +
-        f"(${built / secs}%.1f vec/s) -> $out")
+        f"(${built / secs}%.1f vec/s) -> $out" +
+        (if (opts.contains("routed")) f" [routed, ${index.meta.num_cells} cells]" else ""))
 
     } else if (opts.contains("load")) {
       val dir = opts("load")
@@ -89,7 +97,9 @@ object Main {
       // distributed; the index is scanned once however big the file is) —
       // for query files too large to stream through the driver in chunks
       val res =
-        if (opts.contains("large")) Hnsw.annQueryLarge(index, queries, k, ef)
+        if (opts.contains("routed")) Hnsw.annQueryRouted(index, queries, k,
+          probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef)
+        else if (opts.contains("large")) Hnsw.annQueryLarge(index, queries, k, ef)
         else Hnsw.annQuery(index, queries, k, ef)
       opts.get("out") match {
         case Some(out) =>
@@ -136,7 +146,8 @@ object Main {
       println(
         """usage:
           |  --build [--input PARQUET | --n N --dim D] --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
-          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large] [--out DIR]
+          |          [--routed [--cells-per-shard 4 --spill 0.15]]
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC]] [--out DIR]
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --gen-queries OUT --n N --dim D [--seed 7]""".stripMargin)
     }

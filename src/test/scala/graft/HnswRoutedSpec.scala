@@ -114,6 +114,44 @@ class HnswRoutedSpec extends SparkSpec {
     fresh.nodes.unpersist()
   }
 
+  test("cosine-metric routed index: build, probe and self-match all respect the metric") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 600L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val cosParams = HnswParams(dim = 16, m = 4, efConstruction = 32,
+      metric = "cosine", numPartitions = 2)
+    val idx = Hnsw.buildRouted(vecs.toDF("id", "vector"), cosParams, cellsPerShard = 2)
+    assert(idx.meta.metric === "cosine" && idx.centroids.isDefined)
+    val qs = vecs.filter(_._1 % 100 == 0).map { case (i, v) => (i, v) }.toDF("qid", "vector")
+    val rank1 = Hnsw.annQueryRouted(idx, qs, k = 3).filter(col("rank") === 1).collect()
+    assert(rank1.length === 6)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("qid") === r.getAs[Long]("id"), "cosine self-match at rank 1")
+      assert(math.abs(r.getAs[Double]("dist")) < 1e-12)
+    }
+    // full-probe degenerates to all-shard under cosine too
+    val all = Hnsw.annQueryLarge(idx, qs, 3).collect().map(_.toSeq).toSet
+    val routedAll = Hnsw.annQueryRouted(idx, qs, 3, probeCells = 4).collect().map(_.toSeq).toSet
+    assert(routedAll === all)
+    idx.nodes.unpersist()
+  }
+
+  test("CLI: --build --routed / --load --routed round-trip through Main.run") {
+    val out = java.nio.file.Files.createTempDirectory("cli-routed").toString + "/idx"
+    graft.Main.run(spark, Map("build" -> "true", "routed" -> "true",
+      "n" -> "500", "dim" -> "8", "out" -> out, "partitions" -> "2", "efc" -> "32", "M" -> "4"))
+    val meta = Hnsw.loadMeta(out)
+    assert(meta.num_cells === 8, "CLI routed build must persist the routing table + cell count")
+    // routed query path through the CLI (default: index's own first vector)
+    graft.Main.run(spark, Map("load" -> out, "routed" -> "true", "k" -> "3"))
+    // and the result parquet shape via --out
+    val resDir = java.nio.file.Files.createTempDirectory("cli-routed-res").toString + "/res"
+    graft.Main.run(spark, Map("load" -> out, "routed" -> "true", "k" -> "3", "out" -> resDir))
+    val res = spark.read.parquet(resDir)
+    assert(res.columns.sorted.toSeq === Seq("dist", "id", "qid", "rank"))
+    assert(res.filter(col("rank") === 1).head().getAs[Double]("dist") === 0.0)
+  }
+
   test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
     def meta(n: Long, p: Int) = IndexMeta(64, 8, 16, 64, 50, 0.36, "l2", 0L, 1, p, n)
     // explicit ef always wins, clamped to k
