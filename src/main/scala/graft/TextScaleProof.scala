@@ -141,13 +141,34 @@ object TextScaleProof {
     System.err.println(f"[textscale] hashed BoW: $bowNnz sparse cells; batch top-k found all " +
       f"${queryIds.size} planted copies at dist 0.0 in $bowSecs%.1f s")
 
+    // ---- phase 8: domain-affinity selection at corpus scale — target =
+    // the planted-duplicate tail (a "domain" whose shingles verbatim-match
+    // their base docs). The base docs the plants copied must score 1.0;
+    // the target side stays <= `buckets` rows however large the corpus ----
+    import graft.operators.Sampling
+    val ((dsRows, dsPerfect), dsSecs) = timed {
+      val target = corpus.filter(col("doc_id") >= n && col("doc_id") < n + nPlant)
+      val scored = Sampling.domainScore(corpus, target, "doc_id", "text", n = 2)
+        .localCheckpoint()
+      // copied-from bases: doc_id % 100 == 0 in the base range
+      val perfect = scored
+        .filter(col("doc_id") < n && col("doc_id") % 100 === 0 && col("domain_score") === 1.0)
+        .count()
+      (scored.count(), perfect)
+    }
+    require(dsPerfect == nPlant,
+      s"expected $nPlant verbatim-copied base docs at domain_score 1.0, got $dsPerfect")
+    System.err.println(f"[textscale] domain score: $dsRows docs scored, " +
+      f"$dsPerfect/$nPlant copied bases at exactly 1.0 in $dsSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
       s""""incremental_sec":$incSecs,"incremental_exact":$incExact,"incremental_near":$incNear,""" +
       s""""planted_each":$nPlant,"chunk_sec":$chunkSecs,"chunks":$chunks,""" +
       s""""bloom_sec":$bloomSecs,"bloom_candidates":$bloomCand,"bloom_confirmed":$bloomExact,"bloom_mbits":$mBits,""" +
-      s""""bow_sec":$bowSecs,"bow_nnz":$bowNnz,"bow_planted_found":${queryIds.size}}""")
+      s""""bow_sec":$bowSecs,"bow_nnz":$bowNnz,"bow_planted_found":${queryIds.size},""" +
+      s""""domain_score_sec":$dsSecs,"domain_scored":$dsRows,"domain_perfect":$dsPerfect}""")
     spark.stop()
   }
 }
