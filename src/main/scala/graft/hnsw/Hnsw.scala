@@ -511,10 +511,16 @@ object Hnsw {
     * Output: (qid, rank, id, dist).
     */
   def annQueryLarge(index: HnswIndex, queries: DataFrame, k: Int, ef: Int = -1): DataFrame = {
-    val p = math.max(1, index.meta.num_partitions)
+    // replicate to the ACTUAL shard set, not sequence(0, P-1): a streaming
+    // append ([[graft.streaming.StreamingOps.appendBatch]]) adds shards
+    // with pid >= P, which a meta-derived range would silently never
+    // search. The distinct-pid scan is lazy (no job at construction — the
+    // SQL rewrite builds this plan under EXPLAIN) and broadcast-tiny.
+    val pids = index.nodes.select(col("pid").cast("int").as("pid")).distinct()
     val qRep = queries
       .select(col("qid").cast("long").as("qid"), col("vector").cast("array<float>").as("vector"))
-      .select(explode(sequence(lit(0), lit(p - 1))).as("pid"), col("qid"), col("vector"))
+      .crossJoin(broadcast(pids))
+      .select(col("pid"), col("qid"), col("vector"))
     unionSearch(index, qRep, k, ef)
   }
 

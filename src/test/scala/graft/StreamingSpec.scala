@@ -40,6 +40,12 @@ class StreamingSpec extends SparkSpec {
     val res = Hnsw.annQuery(index, queries, k = 3).filter(col("rank") === 1).collect()
     assert(res.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap === Map(7L -> 7L, 77L -> 77L))
     res.foreach(r => assert(r.getAs[Double]("dist") === 0.0))
+    // the driver-free large path must ALSO see appended shards (it
+    // replicates queries to the actual pid set, not the base 0..P-1 range
+    // — a meta-derived range silently missed every appended batch)
+    val large = Hnsw.annQueryLarge(index, queries, k = 3).filter(col("rank") === 1).collect()
+    assert(large.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap ===
+      Map(7L -> 7L, 77L -> 77L), "annQueryLarge must search appended micro-batch shards")
   }
 
   test("routed incremental add: appended batches stay reachable through the routed probe") {
