@@ -117,13 +117,19 @@ object Main {
       val k = opts.getOrElse("k", "10").toInt
       val ef = opts.getOrElse("ef", "-1").toInt
       val sampleMod = opts.getOrElse("sample-mod", "1000").toLong
-      val queries = index.nodes.filter(col("id") % sampleMod === 0)
+      // one row per id: a routed index stores spill copies of border
+      // vectors, which would otherwise occupy two ranks in the exact
+      // oracle and double queries
+      val uniq = index.nodes.filter(!col("tombstone"))
+        .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      val queries = uniq.filter(col("id") % sampleMod === 0)
         .select(col("id").as("qid"), col("vector"))
       val dist = graft.functions.Distances.metric(index.meta.metric)
       val t0 = System.nanoTime()
-      val ann = Hnsw.annQuery(index, queries, k, ef)
-      val exact = graft.operators.Knn.exactTopK(
-        index.nodes.filter(!col("tombstone")).select("id", "vector"), queries, k, dist)
+      val ann =
+        if (index.centroids.isDefined) Hnsw.annQueryRouted(index, queries, k, ef = ef)
+        else Hnsw.annQuery(index, queries, k, ef)
+      val exact = graft.operators.Knn.exactTopK(uniq, queries, k, dist)
       val recall = Hnsw.recallAtK(ann, exact, k)
         .agg(avg("recall").as("avg"), min("recall").as("min"), count(lit(1)).as("n"))
         .head()

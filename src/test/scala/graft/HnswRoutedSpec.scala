@@ -150,6 +150,9 @@ class HnswRoutedSpec extends SparkSpec {
     val res = spark.read.parquet(resDir)
     assert(res.columns.sorted.toSeq === Seq("dist", "id", "qid", "rank"))
     assert(res.filter(col("rank") === 1).head().getAs[Double]("dist") === 0.0)
+    // eval-recall on the routed dir: spill copies must not double-count in
+    // the exact oracle or duplicate queries (runs the routed query path)
+    graft.Main.run(spark, Map("eval-recall" -> out, "k" -> "3", "sample-mod" -> "100"))
   }
 
   test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
