@@ -74,7 +74,9 @@ object Main {
             spill = opts.getOrElse("spill", "0.15").toDouble)
         else Hnsw.build(input, params)
       Hnsw.save(index, out)
-      val built = index.nodes.count()
+      // meta.num_nodes = distinct vectors (a routed build also stores
+      // spill copies of border vectors — those are storage, not corpus)
+      val built = index.meta.num_nodes
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[build] indexed $built vectors dim=$dim in $secs%.1f s " +
         f"(${built / secs}%.1f vec/s) -> $out" +
