@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
 /** Bounded top-k buffer ordered by (dist asc, id asc): a size-capped binary
   * max-heap — insert is O(log k), and only k entries ever ship in a shuffle.
   *
-  * `dedup = true` skips exact (dist, id) duplicates on insert (O(size)
-  * linear probe — k is small by contract). Needed when the same physical
-  * row can reach one group from several shards, e.g. spill-assigned
-  * vectors in a routed HNSW index: without it the same neighbor would
-  * occupy two ranks.
+  * `dedup = true` collapses duplicate ids on insert, keeping the better
+  * distance (O(size) linear probe — k is small by contract). Needed when
+  * the same physical row can reach one group from several shards, e.g.
+  * spill-assigned vectors in a routed HNSW index: without it the same
+  * neighbor would occupy two ranks. Dedup is by id alone — not (dist, id)
+  * — so even if two shards ever diverged in distance accumulation order
+  * (they don't today: identical bytes, deterministic arithmetic), the
+  * same neighbor still cannot take two ranks.
   */
 final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
   // parallel arrays as a max-heap on (dist, id); root = current worst
@@ -30,14 +33,23 @@ final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
   @inline private def worse(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
     d1 > d2 || (d1 == d2 && i1 > i2)
 
-  private def contains(d: Double, id: Long): Boolean = {
+  private def indexOf(id: Long): Int = {
     var i = 0
-    while (i < size) { if (ids(i) == id && dists(i) == d) return true; i += 1 }
-    false
+    while (i < size) { if (ids(i) == id) return i; i += 1 }
+    -1
   }
 
   def insert(d: Double, id: Long): Unit = {
-    if (dedup && contains(d, id)) return
+    if (dedup) {
+      val j = indexOf(id)
+      if (j >= 0) {
+        // duplicate id (spill copy): keep the better distance. Improving
+        // an entry can only break the heap invariant against its
+        // children, so a localized sift-down restores it.
+        if (d < dists(j)) { dists(j) = d; siftDown(j) }
+        return
+      }
+    }
     if (size < k) {
       var i = size
       dists(i) = d; ids(i) = id; size += 1
@@ -47,7 +59,7 @@ final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
       }
     } else if (k > 0 && worse(dists(0), ids(0), d, id)) {
       dists(0) = d; ids(0) = id
-      siftDown()
+      siftDown(0)
     }
   }
 
@@ -56,8 +68,8 @@ final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
   }
 
-  private def siftDown(): Unit = {
-    var i = 0
+  private def siftDown(start: Int): Unit = {
+    var i = start
     var done = false
     while (!done) {
       val l = 2 * i + 1; val r = 2 * i + 2
@@ -151,17 +163,46 @@ case class TopKByDist(
   * exceeds `cap` always surfaces with exactly cap+1 elements, so a
   * `size <= cap` filter downstream drops it, while groups within the cap
   * are collected exactly (no element is ever dropped from them).
+  *
+  * The backing array starts tiny and doubles up to cap+1: aggregation
+  * creates one buffer per group (and, in ObjectHashAggregate's sort-based
+  * fallback, per input row), so an eager cap-sized allocation would zero
+  * ~8·cap bytes per group regardless of group size — most groups hold a
+  * handful of elements.
   */
 final class CappedLongBuffer(val cap: Int) {
-  val values = new Array[Long](cap + 1)
+  private var arr = new Array[Long](math.min(8, cap + 1))
   var size = 0
 
+  def values: Array[Long] = arr
+
+  private def ensure(needed: Int): Unit = {
+    if (needed > arr.length) {
+      var cap2 = arr.length * 2
+      while (cap2 < needed) cap2 *= 2
+      arr = java.util.Arrays.copyOf(arr, math.min(cap2, cap + 1))
+    }
+  }
+
   def add(v: Long): Unit =
-    if (size <= cap) { values(size) = v; size += 1 }
+    if (size <= cap) { ensure(size + 1); arr(size) = v; size += 1 }
 
   def mergeFrom(other: CappedLongBuffer): Unit = {
+    val n = math.min(other.size, cap + 1 - size)
+    if (n > 0) {
+      ensure(size + n)
+      System.arraycopy(other.values, 0, arr, size, n)
+      size += n
+    }
+  }
+
+  /** Bulk append from a deserialized frame (n ≤ cap+1 by construction). */
+  def addAll(src: ByteBuffer, n: Int): Unit = {
+    val m = math.min(n, cap + 1 - size)
+    ensure(size + m)
     var i = 0
-    while (i < other.size && size <= cap) { values(size) = other.values(i); size += 1; i += 1 }
+    while (i < m) { arr(size + i) = src.getLong; i += 1 }
+    size += m
   }
 }
 
@@ -217,8 +258,7 @@ case class CappedCollectLong(
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = new CappedLongBuffer(cap)
-    var i = 0
-    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf.addAll(bb, n)
     buf
   }
 
