@@ -9,7 +9,7 @@ import graft.sources.Datagen
 /** spark-submit CLI with the reference's flag surface (`hsnw_trial.py:450-481`):
   *
   *   --build --n N --dim D --out DIR [--M --efc --efs --mL --metric --seed --partitions]
-  *           [--input PARQUET | --input-idx IDX3-UBYTE(.gz)]
+  *           [--input PARQUET | --input-idx IDX3-UBYTE(.gz) | --input-cifar CIFAR10-BIN(.gz)]
   *   --load DIR [--query-file PARQUET] [--k K] [--ef EF] [--max-queries N] [--out DIR]
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
@@ -19,7 +19,7 @@ import graft.sources.Datagen
 object Main {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("--build", "--serve", "--large", "--routed") // boolean flags
+    val flags = Set("--build", "--serve", "--large", "--routed", "--adaptive") // boolean flags
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
@@ -57,12 +57,21 @@ object Main {
         mL = opts.get("mL").map(_.toDouble).getOrElse(Double.NaN),
         metric = opts.getOrElse("metric", "l2"),
         numPartitions = opts.getOrElse("partitions", "16").toInt)
-      val input = (opts.get("input"), opts.get("input-idx")) match {
-        case (Some(path), _) => spark.read.parquet(path)
+      val input = (opts.get("input"), opts.get("input-idx"), opts.get("input-cifar")) match {
+        case (Some(path), _, _) => spark.read.parquet(path)
         // raw Fashion-MNIST-style idx3-ubyte(.gz) — the reference's actual
         // dataset format, decoded natively (sources/Idx)
-        case (None, Some(path)) => graft.sources.Idx.readImages(spark, path)
-        case (None, None) => Datagen.gaussianVectors(spark, n, dim, opts.getOrElse("seed", "42").toLong)
+        case (None, Some(path), _) => graft.sources.Idx.readImages(spark, path)
+        // raw cifar-10-binary data_batch_*.bin(.gz) — the reference's
+        // second pipeline's distribution format (sources/Cifar); labels
+        // ride along and are persisted for the label-join report when
+        // --labels-out is given
+        case (None, None, Some(path)) =>
+          val cifar = graft.sources.Cifar.read(spark, path)
+          opts.get("labels-out").foreach(lp =>
+            cifar.select("id", "label").write.mode("overwrite").parquet(lp))
+          cifar.select("id", "vector")
+        case (None, None, None) => Datagen.gaussianVectors(spark, n, dim, opts.getOrElse("seed", "42").toLong)
       }
       val t0 = System.nanoTime()
       // --routed: locality-sharded build with a centroid routing table —
@@ -101,6 +110,10 @@ object Main {
       val res =
         if (opts.contains("routed")) Hnsw.annQueryRouted(index, queries, k,
           probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef)
+        // --adaptive: routed when the probed-shard union actually prunes,
+        // all-shard when a dispersed batch would probe most shards anyway
+        else if (opts.contains("adaptive")) Hnsw.annQueryAdaptive(index, queries, k,
+          probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef)
         else if (opts.contains("large")) Hnsw.annQueryLarge(index, queries, k, ef)
         else Hnsw.annQuery(index, queries, k, ef)
       opts.get("out") match {
@@ -129,7 +142,9 @@ object Main {
       val dist = graft.functions.Distances.metric(index.meta.metric)
       val t0 = System.nanoTime()
       val ann =
-        if (index.centroids.isDefined) Hnsw.annQueryRouted(index, queries, k, ef = ef)
+        // adaptive: eval queries are a uniform sample of the index, the
+        // dispersed shape where always-routed loses to all-shard
+        if (index.centroids.isDefined) Hnsw.annQueryAdaptive(index, queries, k, ef = ef)
         else Hnsw.annQuery(index, queries, k, ef)
       val exact = graft.operators.Knn.exactTopK(uniq, queries, k, dist)
       val recall = Hnsw.recallAtK(ann, exact, k)
@@ -153,9 +168,10 @@ object Main {
     } else {
       println(
         """usage:
-          |  --build [--input PARQUET | --n N --dim D] --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
+          |  --build [--input PARQUET | --input-idx IDX3-UBYTE(.gz) | --input-cifar CIFAR10-BIN(.gz) [--labels-out DIR] | --n N --dim D]
+          |          --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
           |          [--routed [--cells-per-shard 4 --spill 0.15]]
-          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC]] [--out DIR]
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --adaptive] [--out DIR]
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --gen-queries OUT --n N --dim D [--seed 7]""".stripMargin)
     }

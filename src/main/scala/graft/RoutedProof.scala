@@ -77,8 +77,12 @@ object RoutedProof {
     val (clUnion, clPerQ) = shardsFor(clustered, 16)
     val clSecs = timedMin(2)(Hnsw.annQueryRouted(index, clustered, 10, probeCells = 16).count())
     val clAllSecs = timedMin(2)(Hnsw.annQueryLarge(index, clustered, 10).count())
+    // the chooser must keep the clustered win: union ≪ P/2 → routed regime
+    val clAdaptSecs = timedMin(2)(
+      Hnsw.annQueryAdaptive(index, clustered, 10, probeCells = 16).count())
     System.err.println(f"[routed] clustered 25q pc=16: ships $clUnion/$p shards " +
-      f"($clPerQ%.1f per query) $clSecs%.1f s vs all-shard $clAllSecs%.1f s")
+      f"($clPerQ%.1f per query) $clSecs%.1f s vs all-shard $clAllSecs%.1f s " +
+      f"(adaptive $clAdaptSecs%.1f s)")
 
     // ---- shape 2: LARGE uniform batch (the analytics shape: every shard
     // legitimately ships once — scanning the index once is optimal — but
@@ -88,8 +92,12 @@ object RoutedProof {
     val nBig = qBig.count()
     val bigRoutedSecs = timedMin(2)(Hnsw.annQueryRouted(index, qBig, 10).count())
     val bigAllSecs = timedMin(2)(Hnsw.annQueryLarge(index, qBig, 10).count())
+    // the chooser must shed the dispersed-batch penalty: a uniform sample
+    // probes cells across every shard, so union → P and adaptive takes the
+    // all-shard plan (paying only the probe-phase jobs on top)
+    val bigAdaptSecs = timedMin(2)(Hnsw.annQueryAdaptive(index, qBig, 10).count())
     System.err.println(f"[routed] large batch ($nBig queries): routed $bigRoutedSecs%.1f s " +
-      f"vs all-shard $bigAllSecs%.1f s")
+      f"vs all-shard $bigAllSecs%.1f s (adaptive $bigAdaptSecs%.1f s)")
 
     // ---- shape 3: probe sweep on a small uniform batch (cost vs budget) ----
     val queries = index.nodes.filter(col("id") % (n / 25) === 0)
@@ -111,7 +119,9 @@ object RoutedProof {
       s""""routed_build_sec":$buildSecs,""" +
       s""""clustered_q":25,"clustered_shards_union":$clUnion,"clustered_shards_per_query":$clPerQ,""" +
       s""""clustered_routed_sec":$clSecs,"clustered_allshard_sec":$clAllSecs,""" +
+      s""""clustered_adaptive_sec":$clAdaptSecs,""" +
       s""""large_q":$nBig,"large_routed_sec":$bigRoutedSecs,"large_allshard_sec":$bigAllSecs,""" +
+      s""""large_adaptive_sec":$bigAdaptSecs,""" +
       s""""sweep":$sweepJson,"allshard_sec":$allSecs}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(

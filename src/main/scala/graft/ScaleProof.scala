@@ -116,6 +116,18 @@ object ScaleProof {
       f"recall=$allOnRoutedRecall%.3f (${allOnRoutedSecs}%.1f s); routed probe C/4 " +
       f"recall=$routedRecall%.3f (${routedSecs}%.1f s, ratio ${routedRecall / math.max(allOnRoutedRecall, 1e-9)}%.3f)")
 
+    // ---- phase 4a: the regime chooser on the SAME uniform query set —
+    // this batch probes cells across every shard (the shape where r5's
+    // always-routed path lost 24% wall time to all-shard), so
+    // annQueryAdaptive must detect union → P and take the all-shard plan:
+    // adaptive_sec ≈ allshard_on_routed_sec + the probe-phase cost ----
+    val (adaptRecall, adaptSecs) = {
+      val (ann, secs) = timed(Hnsw.annQueryAdaptive(routedIdx, queries, 10).localCheckpoint())
+      (Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0), secs)
+    }
+    System.err.println(f"[scale] adaptive on uniform batch: recall=$adaptRecall%.3f " +
+      f"(${adaptSecs}%.1f s vs always-routed ${routedSecs}%.1f s / all-shard ${allOnRoutedSecs}%.1f s)")
+
     // ---- phase 4b: filtered ANN at the same scale — 1/3 selectivity
     // (id % 3 = 0), ef widened ~3× per the k/selectivity budget; recall is
     // measured against the exact top-k over the pre-filtered corpus ----
@@ -154,6 +166,7 @@ object ScaleProof {
       s""""routed_build_sec":$routedBuildSecs,"routed_cells":$routedCells,""" +
       s""""allshard_on_routed_sec":$allOnRoutedSecs,"recall10_allshard_on_routed":$allOnRoutedRecall,""" +
       s""""routed_query_sec":$routedSecs,"recall10_routed":$routedRecall,""" +
+      s""""adaptive_query_sec":$adaptSecs,"recall10_adaptive":$adaptRecall,""" +
       s""""filtered_ann_sec":$filteredSecs,"recall10_filtered_ef600":$filteredRecall,""" +
       s""""neardup_bits16_sec":$dupSecs,"neardup_pairs":$pairs,"planted_found":$found,"planted_total":$expectedPlanted}"""
     println(line)

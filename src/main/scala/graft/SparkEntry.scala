@@ -392,6 +392,18 @@ object SparkEntry {
         docs, docs.filter(col("lang") === "en"), "doc_id", "text", n = 2, buckets = 65536)
     }),
 
+    // ---- multimodal: REAL audio decode (javax.sound.sampled). Synthetic
+    //      16-bit PCM WAVs with closed-form samples (id*37 + i*101) % 4001
+    //      - 2000; the Spark side encodes real WAV bytes and sums the
+    //      DECODED samples, the oracle computes the same integer sums from
+    //      the formula without touching audio — PCM WAV is lossless, so
+    //      equality proves the JDK codec path end-to-end (q67's trick) ----
+    "q69_audio_decode" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id"))
+      graft.multimodal.MediaOps.audioStats(graft.multimodal.MediaOps.syntheticWavs(ids))
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio). Synthetic PNGs
     //      with a closed-form gray(x,y) = (id*31 + x*7 + y*13) % 256; the
     //      Spark side encodes real PNG bytes and sums the DECODED pixels,
@@ -1238,6 +1250,21 @@ object SparkEntry {
            |FROM (SELECT DISTINCT doc_id FROM documents) d
            |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
       },
+
+      // the decoded-sample sums re-derived from the sample formula alone
+      // (same scalar generate_series + unnest shape as q67)
+      "q69_audio_decode" ->
+        """WITH wavs AS (
+          |  SELECT doc_id AS id, 64 + doc_id % 33 AS n,
+          |         8000 + (doc_id % 3) * 4000 AS rate
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |s AS (
+          |  SELECT id, n, rate, unnest(generate_series(0, n - 1)) AS i FROM wavs),
+          |v AS (
+          |  SELECT id, n, rate, (id * 37 + i * 101) % 4001 - 2000 AS samp FROM s)
+          |SELECT id, CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+          |  CAST(SUM(samp) AS BIGINT) AS amp_sum, CAST(SUM(ABS(samp)) AS BIGINT) AS abs_sum
+          |FROM v GROUP BY id, n, rate""".stripMargin,
 
       // the decoded-pixel sums re-derived from the pixel formula alone
       // (scalar generate_series + unnest in a CTE — DuckDB 1.0's lateral

@@ -542,12 +542,21 @@ object Hnsw {
     */
   def annQueryRouted(index: HnswIndex, queries: DataFrame, k: Int,
                      probeCells: Int = -1, ef: Int = -1): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    routedSearch(index, q, probedPidsFor(index, q, probeCells), k, ef)
+  }
+
+  /** The probe phase of [[annQueryRouted]]: (qid, pid) — the distinct
+    * shards each query's `probeCells` nearest cells live in. Lazy (no
+    * jobs); exposed so the adaptive chooser can materialize it once and
+    * reuse it for both the regime decision and the routed search.
+    */
+  private[graft] def probedPidsFor(index: HnswIndex, q: DataFrame, probeCells: Int): DataFrame = {
     val cents = index.centroids.getOrElse(throw new IllegalArgumentException(
       "annQueryRouted needs a locality-sharded index (buildRouted/load of one); " +
         "this index has no centroid routing table — use annQuery/annQueryLarge"))
     val distFn = Distances.metric(index.meta.metric)
-    val q = queries.select(col("qid").cast("long").as("qid"),
-      col("vector").cast("array<float>").as("vector"))
     val pc =
       if (probeCells > 0) probeCells
       else if (index.meta.num_cells > 0) math.max(1, index.meta.num_cells / 4)
@@ -558,10 +567,18 @@ object Hnsw {
     // maps to SEVERAL pids (one per appended batch), and duplicate
     // (cid, cvector) rows would eat top-k probe slots; the pid fan-out
     // happens in the join below instead
-    val probedPids = graft.operators.Ivf
+    graft.operators.Ivf
       .probesAgg(q, cents.select("cid", "cvector").distinct(), pc, distFn)
       .join(broadcast(cents.select("cid", "pid")), "cid")
       .select("qid", "pid").distinct()
+  }
+
+  /** The search phase of [[annQueryRouted]]: semi-join-prune the index to
+    * the probed shards, replicate each query only to its probed shards,
+    * and run the shared single-shuffle engine.
+    */
+  private def routedSearch(index: HnswIndex, q: DataFrame, probedPids: DataFrame,
+                           k: Int, ef: Int): DataFrame = {
     val activePids = probedPids.select("pid").distinct()
     // only probed shards ship: the node/edge scans are pruned by a
     // broadcast semi-join before the single pid shuffle
@@ -569,6 +586,64 @@ object Hnsw {
       nodes = index.nodes.join(broadcast(activePids), Seq("pid"), "left_semi"),
       edges = index.edges.join(broadcast(activePids), Seq("pid"), "left_semi"))
     unionSearch(pruned, q.join(probedPids, "qid").select("pid", "qid", "vector"), k, ef)
+  }
+
+  /** Regime-aware batch ANN: routed when routing actually prunes, all-shard
+    * when it would not. Routing has TWO independent savings, and the
+    * chooser must weigh both (each measured, BENCH_ROUTED.json /
+    * BENCH_SCALE_LATEST.json):
+    *
+    *   - SHIPPING: only the probed-shard union s of the P shards is
+    *     scanned, shuffled and sub-graph-rebuilt. A dispersed batch probes
+    *     cells across every shard (s → P) and this saving vanishes —
+    *     at 5M×64, 250 uniform queries: always-routed 76.5s vs 58.3s
+    *     all-shard on the same index (r5's measured 24% penalty).
+    *   - SEARCH: each query is only streamed through its own probed
+    *     shards (avg s_q of P). This saving scales with QUERY VOLUME and
+    *     survives s → P: at 1M×64 with 50k uniform queries the union hits
+    *     64/64 yet always-routed still wins 96s vs 165s, because per-task
+    *     search work (q·s_q·ef) dwarfs the one-off sub-graph rebuilds.
+    *
+    * Decision: materialize the probe table once, then fall back to
+    * [[annQueryLarge]] only when BOTH savings are gone — the union
+    * reaches `fallbackFraction`·P (no shipping saving) AND the batch is
+    * rebuild-dominated, `q·efBudget < nSub·union` (total search
+    * node-visits below the sub-graph rebuild volume, so the search saving
+    * cannot repay the probe overhead either). Indexes without a
+    * `num_nodes` count treat every batch as rebuild-dominated
+    * (conservative: union rule alone). Measured calls on all four
+    * committed points: 5M/250q uniform → all-shard (saves 24%);
+    * 1M/50k uniform → routed (saves 42%); 1M/25q clustered → routed
+    * (saves 58%); 1M/25q at probeCells=4 (union 53/64) → all-shard
+    * (5.9s vs 6.7s).
+    *
+    * EAGER: runs the probe phase as real jobs at construction to make the
+    * decision — use [[annQueryRouted]]/[[annQueryLarge]] directly where
+    * plan construction must stay job-free (the SQL rewrite, EXPLAIN).
+    * Non-routed indexes go straight to [[annQueryLarge]].
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryAdaptive(index: HnswIndex, queries: DataFrame, k: Int,
+                       probeCells: Int = -1, ef: Int = -1,
+                       fallbackFraction: Double = 0.5): DataFrame = {
+    if (index.centroids.isEmpty) return annQueryLarge(index, queries, k, ef)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val probed = probedPidsFor(index, q, probeCells).localCheckpoint()
+    // shard and batch statistics from the materialized probe table and the
+    // routing table (both tiny) — never a scan of the node table
+    val totalPids = index.centroids.get.select("pid").distinct().count()
+    val stats = probed.agg(
+      countDistinct(col("pid")).as("union"),
+      countDistinct(col("qid")).as("q")).head()
+    val (probedUnion, qCount) = (stats.getLong(0), stats.getLong(1))
+    val m = index.meta
+    val nSub = if (m.num_nodes > 0 && m.num_partitions > 0) m.num_nodes / m.num_partitions else -1L
+    val rebuildDominated = nSub < 0 || qCount * efBudget(m, k, ef).toLong < nSub * probedUnion
+    if (probedUnion >= fallbackFraction * totalPids && rebuildDominated) {
+      graft.operators.Checkpoints.unpersist(probed)
+      annQueryLarge(index, queries, k, ef)
+    } else routedSearch(index, q, probed, k, ef)
   }
 
   /** Shared engine of [[annQueryLarge]]/[[annQueryRouted]]: queries arrive
@@ -791,6 +866,42 @@ object Hnsw {
     buildRouted(index.nodes.filter(!col("tombstone"))
       .groupBy(col("id")).agg(first(col("vector")).as("vector")),
       params, cellsPerShard, sampleSize, kmeansIters, spill)
+
+  /** Cheap consolidation for a ROUTED index after streaming appends —
+    * [[rebuildRouted]] minus the k-means refit and the O(n·C) assignment
+    * shuffle. Appended batch shards hold pid `offset + homePid` with
+    * `offset` a multiple of P ([[graft.streaming.StreamingOps
+    * .appendBatchRouted]]'s contract), so `pid % P` is the exact home
+    * shard of every appended row — folding is a projection, not a
+    * distance computation. Each home shard's sub-graph then rebuilds over
+    * its enlarged vector set (the unavoidable cost — sub-graph
+    * construction is what gives appended vectors real in-graph links
+    * instead of tiny per-batch islands). Tombstoned rows are dropped
+    * (reclaims deletes, like [[rebuildRouted]]); duplicate (id, pid) rows
+    * from re-delivered batches collapse; spill copies stay spill copies
+    * (their batch shard was their spill cell's home). The CELL GEOMETRY
+    * IS KEPT: routing table back to its home rows, `num_cells`
+    * preserved, `num_nodes` restored to the exact distinct live count
+    * (repairing the append-time double-count drift). Run
+    * [[rebuildRouted]] instead when k-means drift — not shard count — is
+    * the problem.
+    */
+  def compactRouted(index: HnswIndex, params: HnswParams): HnswIndex = {
+    val cents = index.centroids.getOrElse(throw new IllegalArgumentException(
+      "compactRouted needs a locality-sharded index (buildRouted/load of one); " +
+        "use compact/rebuild for plain indexes"))
+    require(params.numPartitions == index.meta.num_partitions,
+      s"params.numPartitions=${params.numPartitions} != index num_partitions=" +
+        s"${index.meta.num_partitions}: the pid % P fold would scramble shards")
+    val p = index.meta.num_partitions
+    val folded = index.nodes.filter(!col("tombstone"))
+      .select(col("id"), col("vector"), (col("pid") % p).cast("int").as("pid"))
+      .dropDuplicates("id", "pid")
+    val home = cents.filter(col("pid") < p)
+      .select(col("cid"), col("cvector"), col("pid")).localCheckpoint()
+    val idx = buildFromPid(folded, params, Some(home))
+    idx.copy(meta = idx.meta.copy(num_cells = index.meta.num_cells))
+  }
 
   /** Compact an index that has accumulated many small sub-graphs — the
     * maintenance pass a streaming deployment runs periodically:

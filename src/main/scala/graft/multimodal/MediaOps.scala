@@ -29,11 +29,16 @@ case class MediaFrame(id: Long, frame_idx: Int, frame: Array[Byte])
   * `javax.imageio` (pure JVM, in every JRE) to pixels —
   * [[imageStats]]/[[imageVectors]] feed the flatten/normalize→index
   * contract the reference's image notebooks use (CIFAR notebook cell-2/3,
-  * minus torch). AUDIO/VIDEO decode remains STUBBED with a deterministic
-  * byte-hash "decoder" ([[fakeDecode]]) — no audio/video codecs exist in
-  * a bare JVM; the signature is the contract. Everything runs in
-  * `mapPartitions` so a real codec amortizes per-partition initialization,
-  * the same shape a Pandas-UDF `mapInPandas` would have in PySpark.
+  * minus torch). The AUDIO path is real for WAV: 16-bit PCM decodes
+  * through `javax.sound.sampled` (also pure JVM) —
+  * [[audioStats]]/[[decodePcm]], with [[encodePcmWav]] as the lossless
+  * fixture encoder. VIDEO decode remains STUBBED with a deterministic
+  * byte-hash "decoder" ([[fakeDecode]]) — no video codec exists in a
+  * bare JVM (and none ships with this zero-egress build); the signature
+  * (bytes → fixed-dim float features) is the contract a real codec slots
+  * into. Everything runs in `mapPartitions` so a real codec amortizes
+  * per-partition initialization, the same shape a Pandas-UDF
+  * `mapInPandas` would have in PySpark.
   */
 object MediaOps {
 
@@ -190,6 +195,107 @@ object MediaOps {
         }
       }
       .toDF("id", "vector")
+  }
+
+  // ---- real audio codec path (javax.sound.sampled — public JVM API) ----
+
+  /** Encode 16-bit signed PCM mono samples as a canonical WAV byte array
+    * (44-byte RIFF header + little-endian payload). Deterministic fixture/
+    * datagen helper: PCM WAV is lossless, so a decode of these bytes
+    * returns exactly `samples` — the audio twin of [[encodeGrayPng]].
+    */
+  def encodePcmWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)             // PCM
+      .putShort(1)             // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)  // byte rate
+      .putShort(2)             // block align
+      .putShort(16)            // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Decode WAV bytes through the REAL JDK codec
+    * (`javax.sound.sampled.AudioSystem`) to (sample rate, interleaved
+    * 16-bit samples). Only PCM_SIGNED 16-bit payloads are accepted —
+    * other encodings and undecodable bytes return None (corrupt rows must
+    * not kill a 100 TB scan), mirroring [[decodeGray]]'s ImageIO
+    * contract.
+    */
+  def decodePcm(content: Array[Byte]): Option[(Int, Array[Short])] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        val hiOff = if (fmt.isBigEndian) 0 else 1
+        val loOff = 1 - hiOff
+        var i = 0
+        while (i < out.length) {
+          out(i) = (((bytes(2 * i + hiOff): Int) << 8) | (bytes(2 * i + loOff) & 0xff)).toShort
+          i += 1
+        }
+        Some((fmt.getSampleRate.toInt, out))
+      }
+    } catch { case _: javax.sound.sampled.UnsupportedAudioFileException | _: java.io.IOException => None }
+  }
+
+  /** Deterministic synthetic WAV table over an id column: rate
+    * 8000 + (id%3)·4000, n = 64 + id % 33 samples, sample(i) =
+    * (id·37 + i·101) % 4001 − 2000. Same closed-form trick as
+    * [[syntheticPngs]]: a SQL oracle re-derives every decoded-sample
+    * statistic from (id, i) alone, so checking [[audioStats]] against it
+    * proves the JDK codec path end-to-end without the oracle touching
+    * audio. Output: (id, content).
+    */
+  def syntheticWavs(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val n = (64 + id % 33).toInt
+          val samples = Array.tabulate(n)(i => ((id * 37 + i * 101L) % 4001L - 2000L).toShort)
+          (id, encodePcmWav(rate, samples))
+        }
+      }
+      .toDF("id", "content")
+  }
+
+  /** Decoded-audio statistics over an (id, content) frame: REAL decode
+    * (`javax.sound.sampled`), integer outputs only (bit-exact for an
+    * oracle): (id, sample_rate, n_samples, amp_sum, abs_sum).
+    * Undecodable/non-PCM payloads are dropped, as in [[imageStats]].
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodePcm(bytes).map { case (rate, samples) =>
+            var s = 0L
+            var a = 0L
+            var i = 0
+            while (i < samples.length) { s += samples(i); a += math.abs(samples(i).toLong); i += 1 }
+            (id, rate.toLong, samples.length.toLong, s, a)
+          }
+        }
+      }
+      .toDF("id", "sample_rate", "n_samples", "amp_sum", "abs_sum")
   }
 
   /** Feature extraction over a media Dataset: per-partition batch loop

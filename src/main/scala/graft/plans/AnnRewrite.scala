@@ -262,7 +262,12 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val queries = PlanBridge.ofRows(session, queryPlan)
         .select(PlanBridge.column(gk).as("qid"), PlanBridge.column(qvecAttr).as("vector"))
       // routed plan for locality-sharded indexes (probe-prune the shards),
-      // all-shard single-shuffle otherwise — both lazy end-to-end
+      // all-shard single-shuffle otherwise — both lazy end-to-end. NOT
+      // [[Hnsw.annQueryAdaptive]]: the chooser must RUN the probe phase to
+      // count the shard union, and this rule fires during analysis, where
+      // running jobs would make EXPLAIN execute cluster work. Dispersed SQL
+      // batches that would probe most shards can query the raw tables with
+      // annQueryAdaptive directly.
       val ann =
         if (entry.index.centroids.isDefined) Hnsw.annQueryRouted(entry.index, queries, topk.k)
         else Hnsw.annQueryLarge(entry.index, queries, topk.k)

@@ -29,25 +29,11 @@ import org.apache.spark.sql.functions._
   * `…-images-…`/`…-labels-…` naming does) get ALIGNED ids file-by-file.
   * Each file must hold fewer than `idStride` rows (asserted per file).
   */
-object Idx {
-
-  /** Default per-file id space: 2^32 rows per shard file. */
-  val DefaultIdStride: Long = 1L << 32
-
-  /** Path-sorted matched files → base id per file. `binaryFile` prunes to
-    * file-status columns when only `path` is selected, so this listing pass
-    * reads no file content. Driver-side, but O(#files) — the file listing
-    * itself is already driver-held.
-    */
-  private def fileBases(spark: SparkSession, path: String,
-                        idOffset: Long, idStride: Long): Map[String, Long] = {
-    import spark.implicits._
-    val paths = spark.read.format("binaryFile").load(path)
-      .select("path").as[String].collect().sorted
-    paths.zipWithIndex.map { case (p, i) => p -> (idOffset + i.toLong * idStride) }.toMap
-  }
-
-  private def inflate(bytes: Array[Byte]): DataInputStream = {
+/** Gzip-or-raw byte stream: gzip detected by its 1f 8b magic, shared by
+  * the binary file sources ([[Idx]], [[Cifar]]).
+  */
+private[sources] object Inflate {
+  def stream(bytes: Array[Byte]): DataInputStream = {
     val raw = new ByteArrayInputStream(bytes)
     val in =
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
@@ -55,6 +41,36 @@ object Idx {
       else raw
     new DataInputStream(in)
   }
+}
+
+object Idx {
+
+  /** Default per-file id space: 2^32 rows per shard file. */
+  val DefaultIdStride: Long = 1L << 32
+
+  /** One path-sorted listing of the matched files. `binaryFile` prunes to
+    * file-status columns when only `path` is selected, so this listing pass
+    * reads no file content. Driver-side, but O(#files) — the file listing
+    * itself is already driver-held. The DECODE pass is driven off this
+    * same concrete list (`load(paths: _*)`), never a second independent
+    * listing — a file appearing or vanishing between two listings would
+    * otherwise shift every later file's id base (breaking image/label
+    * alignment) or throw an unkeyed NoSuchElementException.
+    */
+  private def listFiles(spark: SparkSession, path: String): Array[String] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("path").as[String].collect().sorted
+  }
+
+  private def basesFor(paths: Array[String], idOffset: Long, idStride: Long): Map[String, Long] =
+    paths.zipWithIndex.map { case (p, i) => p -> (idOffset + i.toLong * idStride) }.toMap
+
+  private def baseOf(bases: Map[String, Long], p: String): Long =
+    bases.getOrElse(p, throw new IllegalStateException(
+      s"IDX decode saw unlisted file $p — the input set changed mid-read"))
+
+  private def inflate(bytes: Array[Byte]): DataInputStream = Inflate.stream(bytes)
 
   private def readHeader(in: DataInputStream, expectDims: Int): Array[Int] = {
     val magic = in.readInt()
@@ -74,13 +90,14 @@ object Idx {
   def readImages(spark: SparkSession, path: String, normalize: Boolean = true,
                  idOffset: Long = 0L, idStride: Long = DefaultIdStride): DataFrame = {
     import spark.implicits._
-    val bases = fileBases(spark, path, idOffset, idStride)
-    spark.read.format("binaryFile").load(path)
+    val paths = listFiles(spark, path)
+    val bases = basesFor(paths, idOffset, idStride)
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
         files.flatMap { case (p, bytes) =>
-          val base = bases(p)
+          val base = baseOf(bases, p)
           val in = inflate(bytes)
           val dims = readHeader(in, 3)
           val (n, rows, cols) = (dims(0), dims(1), dims(2))
@@ -107,13 +124,14 @@ object Idx {
   def readLabels(spark: SparkSession, path: String, idOffset: Long = 0L,
                  idStride: Long = DefaultIdStride): DataFrame = {
     import spark.implicits._
-    val bases = fileBases(spark, path, idOffset, idStride)
-    spark.read.format("binaryFile").load(path)
+    val paths = listFiles(spark, path)
+    val bases = basesFor(paths, idOffset, idStride)
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { files =>
         files.flatMap { case (p, bytes) =>
-          val base = bases(p)
+          val base = baseOf(bases, p)
           val in = inflate(bytes)
           val n = readHeader(in, 1)(0)
           require(n < idStride, s"IDX file $p holds $n rows >= idStride $idStride: ids would collide")

@@ -87,12 +87,24 @@ object StreamingOps {
     * (same spill rule as the build — [[Hnsw.assignToCells]]), land in
     * per-batch shards aligned with the home sharding (cell home pid p →
     * batch shard `offset + p`), and the routing table gains one row per
-    * touched cell mapping it to the new shard. [[Hnsw.annQueryRouted]]
-    * then finds appended vectors through the same probe: a probed cell
-    * fans out to ALL its pids — home and appended — via the routing join.
-    * Nothing rewrites existing partitions; per-batch cost is O(batch).
-    * Centroid geometry is never refit here (k-means drift across appends
-    * is a compaction-time concern: [[Hnsw.rebuild]]/[[Hnsw.buildRouted]]).
+    * cell the batch ACTUALLY LANDED IN, mapping it to the new shard —
+    * not one per cell of a touched home pid, which would make a probe of
+    * any sibling cell ship the whole batch shard as batches accumulate.
+    * [[Hnsw.annQueryRouted]] then finds appended vectors through the same
+    * probe: a probed cell fans out to ALL its pids — home and appended —
+    * via the routing join. Nothing rewrites existing partitions;
+    * per-batch cost is O(batch). Centroid geometry is never refit here
+    * (k-means drift across appends is a compaction-time concern:
+    * [[Hnsw.rebuild]]/[[Hnsw.buildRouted]]).
+    *
+    * The batch shard pid block is derived from the MAX PID already in the
+    * routing table (rounded up to the next multiple of P), never from
+    * `batchId` — so a stream restart that resets batchIds cannot collide
+    * a new batch's pids with an earlier batch's sub-graphs. A re-DELIVERED
+    * batch (foreachBatch retry after a sink failure) lands in a fresh pid
+    * block: its ids exist twice in different shards, which the per-query
+    * top-k dedup collapses ([[Hnsw]] rankTopK) — duplicated storage until
+    * [[Hnsw.rebuildRouted]] compacts.
     */
   def appendBatchRouted(batch: DataFrame, dir: String, params: HnswParams,
                         batchId: Long, spill: Double = 0.15): Unit = {
@@ -100,6 +112,12 @@ object StreamingOps {
     val spark = batch.sparkSession
     val meta = Hnsw.loadMeta(dir)
     require(meta.num_cells > 0, s"$dir is not a routed index (no num_cells in meta.json)")
+    // the pid block below is offset + [0, P) with P = the INDEX's shard
+    // count — params disagreeing would collide batch pids with home shards
+    // or adjacent batches, silently merging independent sub-graphs
+    require(params.numPartitions == meta.num_partitions,
+      s"params.numPartitions=${params.numPartitions} != index num_partitions=" +
+        s"${meta.num_partitions} ($dir): appended shard pids would collide")
     val cents = spark.read.parquet(s"$dir/centroids")
     // home mapping = the original build's rows (pid < P); appended batches
     // add rows with pid >= P that must not attract further appends
@@ -112,20 +130,27 @@ object StreamingOps {
     val withPid = assigned.join(broadcast(home.select("cid", "pid")), "cid")
       .select("id", "vector", "pid").dropDuplicates("id", "pid")
     val built = Hnsw.buildFromPid(withPid, params, None)
-    val offset = ((batchId + 1) * params.numPartitions).toInt
+    // next free pid block, from the routing table (tiny; every appended
+    // shard has routing rows, so max(pid) covers all prior appends)
+    val maxPid = cents.agg(max(col("pid"))).head().getInt(0)
+    val p = meta.num_partitions
+    val offset = (maxPid / p + 1) * p
     built.nodes.withColumn("pid", (col("pid") + lit(offset)).cast("int"))
       .write.mode("append").parquet(s"$dir/vectors")
     built.edges.withColumn("pid", (col("pid") + lit(offset)).cast("int"))
       .write.mode("append").parquet(s"$dir/edges")
-    // routing rows for the new shards: every touched home pid re-maps its
-    // cells to the batch shard (cells of untouched pids add nothing)
-    val touched = built.nodes.select((col("pid") + lit(offset)).cast("int").as("new_pid"),
-      col("pid").as("home_pid")).distinct()
-    home.join(broadcast(touched), home("pid") === touched("home_pid"))
-      .select(col("cid"), col("cvector"), col("new_pid").as("pid"))
+    // routing rows for the new shards: ONLY the cells the batch landed in
+    // (primary or spill assignment) — a probe of an untouched sibling cell
+    // must not ship this batch's shard
+    val touchedCells = assigned.select(col("cid")).distinct()
+    home.join(broadcast(touchedCells), Seq("cid"))
+      .select(col("cid"), col("cvector"), (col("pid") + lit(offset)).cast("int").as("pid"))
       .write.mode("append").parquet(s"$dir/centroids")
     // meta: entry rule as appendBatch; num_nodes grows by the batch's
-    // distinct ids (spill copies excluded by buildFromPid's count)
+    // distinct ids (spill copies excluded by buildFromPid's count). This
+    // DOUBLE-COUNTS ids re-appended over a long stream (the count only
+    // feeds the auto-ef budget, where drift means a slightly generous
+    // ef); rebuildRouted restores the exact count at compaction.
     val cur = Hnsw.loadMeta(dir)
     val bm = built.meta
     val better = bm.max_layer > cur.max_layer ||

@@ -79,6 +79,43 @@ class HnswRoutedSpec extends SparkSpec {
     idx01.nodes.unpersist()
   }
 
+  test("annQueryAdaptive: both regimes bit-equal their plan; chooser picks one of the two") {
+    // FORCED fallback: fallbackFraction=0 makes the union condition always
+    // true and a 1-query batch is always rebuild-dominated (q·ef ≪ nSub) —
+    // must be bit-equal to annQueryLarge on the same index
+    val oneQ = queries.limit(1)
+    val adaptive = Hnsw.annQueryAdaptive(routed, oneQ, k = 10, fallbackFraction = 0.0)
+      .collect().map(_.toSeq).toSet
+    val all = Hnsw.annQueryLarge(routed, oneQ, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(adaptive === all, "fallback regime must be bit-equal to the all-shard search")
+    // FORCED routed: a threshold above any possible union fraction — must
+    // be bit-equal to the always-routed path
+    val routedForced = Hnsw.annQueryRouted(routed, queries, k = 10, probeCells = 1)
+      .collect().map(_.toSeq).toSet
+    val adaptiveRouted = Hnsw.annQueryAdaptive(routed, queries, k = 10, probeCells = 1,
+      fallbackFraction = 1.1)
+      .collect().map(_.toSeq).toSet
+    assert(adaptiveRouted === routedForced,
+      "routed regime must be bit-equal to the always-routed search")
+    // default chooser: whatever it picks must be one of the two plans'
+    // exact results (the decision is data-dependent; the plans are not)
+    val auto = Hnsw.annQueryAdaptive(routed, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val routedRes = Hnsw.annQueryRouted(routed, queries, k = 10).collect().map(_.toSeq).toSet
+    val allRes = Hnsw.annQueryLarge(routed, queries, k = 10).collect().map(_.toSeq).toSet
+    assert(auto === routedRes || auto === allRes,
+      "adaptive must execute exactly one of the two underlying plans")
+    // a non-routed index has no probe table: adaptive must degrade to the
+    // all-shard path instead of throwing
+    val plain = Hnsw.build(input, params)
+    val plainAdaptive = Hnsw.annQueryAdaptive(plain, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val plainAll = Hnsw.annQueryLarge(plain, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(plainAdaptive === plainAll)
+  }
+
   test("save/load round-trips the routing table; routed query works after load") {
     val tmp = Files.createTempDirectory("hnsw-routed-io").toString
     Hnsw.save(routed, tmp)

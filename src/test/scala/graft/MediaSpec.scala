@@ -79,6 +79,35 @@ class MediaSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("REAL audio decode: WAV PCM round-trip recovers exact samples; non-audio bytes drop") {
+    import graft.multimodal.MediaOps
+    // encode → decode through the JDK codec is the identity (PCM lossless)
+    val samples = Array.tabulate(200)(i => ((i * 313) % 4001 - 2000).toShort)
+    val bytes = MediaOps.encodePcmWav(16000, samples)
+    val (rate, got) = MediaOps.decodePcm(bytes).get
+    assert(rate === 16000)
+    assert(got.toSeq === samples.toSeq)
+    // audioStats over synthetic WAVs matches the closed-form sums (the q69
+    // oracle contract, asserted in-JVM too)
+    val ids = spark.range(0, 30).selectExpr("id * 7 AS id")
+    val stats = MediaOps.audioStats(MediaOps.syntheticWavs(ids))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(stats.size === 30)
+    stats.foreach { case (id, (gr, gn, sum, absSum)) =>
+      val en = (64 + id % 33).toInt
+      assert((gr, gn) === ((8000 + (id % 3) * 4000, en.toLong)))
+      val vals = (0 until en).map(i => (id * 37 + i * 101L) % 4001L - 2000L)
+      assert(sum === vals.sum, s"decoded sample sum for id $id")
+      assert(absSum === vals.map(math.abs).sum)
+    }
+    // undecodable / non-PCM payloads are dropped, never a crash
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte](9, 9, 9, 9)), (2L, MediaOps.encodePcmWav(8000, samples)))
+      .toDF("id", "content")
+    val kept = MediaOps.audioStats(junk).collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("image -> vector -> HNSW index -> query end-to-end (the notebooks' image-in flow)") {
     import graft.multimodal.MediaOps
     import graft.hnsw.{Hnsw, HnswParams}

@@ -95,6 +95,103 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("not a routed index"))
   }
 
+  test("routed append maps only the cells the batch landed in; sibling-cell probes skip it") {
+    val dir = Files.createTempDirectory("hnsw-routed-cells").toString
+    val params = HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2)
+    val base = (0L until 200L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
+    Hnsw.save(Hnsw.buildRouted(base, params, cellsPerShard = 2), dir)
+    val p = Hnsw.loadMeta(dir).num_partitions
+    val homeCells = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getAs[Long]("cid"),
+        r.getAs[Seq[Double]]("cvector").map(_.toFloat).toArray, r.getAs[Int]("pid")))
+    // craft a batch glued to ONE cell's centroid; spill=0 keeps it there
+    val (cid0, cv0, pid0) = homeCells.head
+    val batch = (1000L until 1010L).map { i =>
+      (i, cv0.zipWithIndex.map { case (x, j) => x + (if (j == 0) (i - 1000L) * 1e-4f else 0f) })
+    }.toDF("id", "vector")
+    StreamingOps.appendBatchRouted(batch, dir, params, batchId = 0L, spill = 0.0)
+    val cents2 = spark.read.parquet(s"$dir/centroids")
+    val newRows = cents2.filter(col("pid") >= p)
+      .collect().map(r => (r.getAs[Long]("cid"), r.getAs[Int]("pid")))
+    assert(newRows.map(_._1).toSet === Set(cid0),
+      s"batch landed only in cell $cid0 — routing rows for sibling cells amplify probes")
+    assert(newRows.length === 1)
+    val batchPid = newRows.head._2
+    // a probe pinned to a DIFFERENT cell of the same home pid must not
+    // ship the batch shard
+    val sibling = homeCells.find(c => c._3 === pid0 && c._1 != cid0)
+    sibling.foreach { case (_, cvSib, _) =>
+      val index = Hnsw.load(spark, dir)
+      val q = Seq((0L, cvSib)).toDF("qid", "vector")
+      val probed = Hnsw.probedPidsFor(index, q, probeCells = 1)
+        .collect().map(_.getAs[Int]("pid")).toSet
+      assert(!probed.contains(batchPid),
+        s"sibling-cell probe shipped batch shard $batchPid: $probed")
+    }
+    // while a probe of the touched cell DOES reach the batch
+    val index = Hnsw.load(spark, dir)
+    val qTouched = Seq((1L, cv0)).toDF("qid", "vector")
+    val probedTouched = Hnsw.probedPidsFor(index, qTouched, probeCells = 1)
+      .collect().map(_.getAs[Int]("pid")).toSet
+    assert(probedTouched.contains(batchPid))
+    // appended data must remain searchable end-to-end
+    val self = Hnsw.annQueryRouted(index, Seq((1005L,
+      cv0.zipWithIndex.map { case (x, j) => x + (if (j == 0) 5 * 1e-4f else 0f) })).toDF("qid", "vector"),
+      k = 1).collect()
+    assert(self.head.getAs[Long]("id") === 1005L && self.head.getAs[Double]("dist") === 0.0)
+    // mismatched partition count is a loud error, not silent pid collision
+    val err = intercept[IllegalArgumentException] {
+      StreamingOps.appendBatchRouted(batch, dir, params.copy(numPartitions = 4), batchId = 9L)
+    }
+    assert(err.getMessage.contains("num_partitions"))
+  }
+
+  test("compactRouted: appended shards fold back to P home shards, geometry and recall kept") {
+    val dir = Files.createTempDirectory("hnsw-routed-compact").toString
+    val params = HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2)
+    val base = (0L until 200L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
+    Hnsw.save(Hnsw.buildRouted(base, params, cellsPerShard = 2), dir)
+    // three appended batches accumulate shards with pid >= P
+    (0 until 3).foreach { b =>
+      val batch = ((200 + b * 20).toLong until (220 + b * 20).toLong)
+        .map(i => (i, randVec(i, 16))).toDF("id", "vector")
+      StreamingOps.appendBatchRouted(batch, dir, params, batchId = b.toLong)
+    }
+    val grown = Hnsw.load(spark, dir)
+    val p = params.numPartitions
+    assert(grown.nodes.select("pid").distinct().count() > p, "appends must have added shards")
+    val geomBefore = grown.centroids.get.select("cid", "cvector").distinct()
+      .collect().map(r => r.getAs[Long]("cid")).sorted.toSeq
+
+    val compacted = Hnsw.compactRouted(grown, params)
+    // shard count back to P; routing table back to its home rows
+    assert(compacted.nodes.select("pid").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq === (0 until p))
+    assert(compacted.centroids.get.count() === geomBefore.size.toLong)
+    assert(compacted.centroids.get.select("cid").collect()
+      .map(_.getLong(0)).sorted.toSeq === geomBefore, "cell geometry must be preserved")
+    assert(compacted.meta.num_cells === grown.meta.num_cells)
+    // num_nodes restored to the exact distinct live count
+    assert(compacted.meta.num_nodes === 260)
+    assert(compacted.nodes.select("id").distinct().count() === 260)
+    // the routed probe still self-matches across base and appended data
+    val queries = Seq((7L, randVec(7L, 16)), (215L, randVec(215L, 16)), (255L, randVec(255L, 16)))
+      .toDF("qid", "vector")
+    val res = Hnsw.annQueryRouted(compacted, queries, k = 3)
+      .filter(col("rank") === 1).collect()
+    assert(res.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap ===
+      Map(7L -> 7L, 215L -> 215L, 255L -> 255L))
+    res.foreach(r => assert(r.getAs[Double]("dist") === 0.0))
+    // guards: plain index rejected; mismatched P rejected
+    intercept[IllegalArgumentException] {
+      Hnsw.compactRouted(Hnsw.build(base, params), params)
+    }
+    intercept[IllegalArgumentException] {
+      Hnsw.compactRouted(grown, params.copy(numPartitions = 4))
+    }
+    grown.nodes.unpersist(); compacted.nodes.unpersist()
+  }
+
   test("compaction: accumulated micro-batch sub-graphs merge into balanced shards, recall preserved") {
     val dir = Files.createTempDirectory("hnsw-compact").toString
     val params = HnswParams(dim = 16, m = 8, efConstruction = 32, numPartitions = 2)
