@@ -611,11 +611,13 @@ object Hnsw {
     * node-visits below the sub-graph rebuild volume, so the search saving
     * cannot repay the probe overhead either). Indexes without a
     * `num_nodes` count treat every batch as rebuild-dominated
-    * (conservative: union rule alone). Measured calls on all four
-    * committed points: 5M/250q uniform → all-shard (saves 24%);
-    * 1M/50k uniform → routed (saves 42%); 1M/25q clustered → routed
-    * (saves 58%); 1M/25q at probeCells=4 (union 53/64) → all-shard
-    * (5.9s vs 6.7s).
+    * (conservative: union rule alone). Measured calls on the committed
+    * points (BENCH_ROUTED.json, 1M×64): 50k uniform → routed, adaptive
+    * 131s vs 167s all-shard (the eager probe+decision costs ~20s over
+    * always-routed 107s — the price of not knowing the batch shape);
+    * 25q clustered → routed, 2.8s vs 5.0s; and the 5M/250q dispersed
+    * point (BENCH_SCALE_LATEST.json adaptive_query_sec) → all-shard,
+    * shedding r5's 24% routed penalty.
     *
     * EAGER: runs the probe phase as real jobs at construction to make the
     * decision — use [[annQueryRouted]]/[[annQueryLarge]] directly where
