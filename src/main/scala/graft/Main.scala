@@ -11,6 +11,7 @@ import graft.sources.Datagen
   *   --build --n N --dim D --out DIR [--M --efc --efs --mL --metric --seed --partitions]
   *           [--input PARQUET | --input-idx IDX3-UBYTE(.gz) | --input-cifar CIFAR10-BIN(.gz)]
   *   --load DIR [--query-file PARQUET] [--k K] [--ef EF] [--max-queries N] [--out DIR]
+  *   --compact DIR --out DIR [--target-shards N]
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -153,6 +154,26 @@ object Main {
       println(f"[eval] recall@$k avg=${recall.getDouble(0)}%.4f min=${recall.getDouble(1)}%.4f " +
         f"over ${recall.getLong(2)} queries in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    } else if (opts.contains("compact")) {
+      // streaming maintenance pass: fold accumulated appended shards back
+      // into the base sharding. A routed index keeps its cell geometry and
+      // routed query path (Hnsw.compactRouted — exact pid % P fold); a
+      // plain index merges its sub-graphs into --target-shards balanced
+      // shards (Hnsw.compact). Build params are reused from the index meta.
+      val dir = opts("compact")
+      val out = opts.getOrElse("out", sys.error("--compact requires --out DIR"))
+      val index = Hnsw.load(spark, dir)
+      val t0 = System.nanoTime()
+      val compacted =
+        if (index.centroids.isDefined) Hnsw.compactRouted(index, Hnsw.paramsOf(index.meta))
+        else Hnsw.compact(index,
+          opts.getOrElse("target-shards", index.meta.num_partitions.toString).toInt)
+      Hnsw.save(compacted, out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[compact] ${index.meta.num_nodes} -> ${compacted.meta.num_nodes} live vectors, " +
+        f"${compacted.meta.num_partitions} shards in $secs%.1f s -> $out" +
+        (if (index.centroids.isDefined) f" [routed, ${compacted.meta.num_cells} cells kept]" else ""))
+
     } else if (opts.contains("gen-queries")) {
       // synthetic (qid, vector) query file for --load --query-file runs
       val n = opts.getOrElse("n", "1000").toLong
@@ -173,6 +194,7 @@ object Main {
           |          [--routed [--cells-per-shard 4 --spill 0.15]]
           |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --adaptive] [--out DIR]
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
+          |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
           |  --gen-queries OUT --n N --dim D [--seed 7]""".stripMargin)
     }
   }

@@ -92,9 +92,12 @@ object RoutedProof {
     val nBig = qBig.count()
     val bigRoutedSecs = timedMin(2)(Hnsw.annQueryRouted(index, qBig, 10).count())
     val bigAllSecs = timedMin(2)(Hnsw.annQueryLarge(index, qBig, 10).count())
-    // the chooser must shed the dispersed-batch penalty: a uniform sample
-    // probes cells across every shard, so union → P and adaptive takes the
-    // all-shard plan (paying only the probe-phase jobs on top)
+    // a 50k-query batch is search-dominated (q·ef ≥ nSub·P): the chooser's
+    // short-circuit must keep the lazy always-routed plan — per-task
+    // search work dwarfs the one-off sub-graph rebuilds even at union = P,
+    // and no eager probe/decision jobs should run (adaptive ≈ routed here;
+    // the dispersed-batch fallback belongs to LOW-volume batches, measured
+    // at the 5M/250q ScaleProof point)
     val bigAdaptSecs = timedMin(2)(Hnsw.annQueryAdaptive(index, qBig, 10).count())
     System.err.println(f"[routed] large batch ($nBig queries): routed $bigRoutedSecs%.1f s " +
       f"vs all-shard $bigAllSecs%.1f s (adaptive $bigAdaptSecs%.1f s)")

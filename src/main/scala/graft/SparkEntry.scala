@@ -392,6 +392,21 @@ object SparkEntry {
         docs, docs.filter(col("lang") === "en"), "doc_id", "text", n = 2, buckets = 65536)
     }),
 
+    // ---- sources: CIFAR-binary record decode (the reference's second
+    //      pipeline's distribution format). Synthetic 3073-byte records
+    //      with closed-form bytes — label (id+r) % 10, pixel j
+    //      (id*31 + r*17 + 3j²) % 256 — half the files gzipped; the Spark
+    //      side decodes through the production Cifar record iterator
+    //      (inflate included) and computes raw-byte sums + a
+    //      position-weighted checksum, the oracle re-derives both from
+    //      the formula without touching a byte (q67's trick on the
+    //      binary source) ----
+    "q70_cifar_decode" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id").as("id"))
+      graft.sources.Cifar.decodeStats(graft.sources.Cifar.syntheticBatches(ids))
+    }),
+
     // ---- multimodal: REAL audio decode (javax.sound.sampled). Synthetic
     //      16-bit PCM WAVs with closed-form samples (id*37 + i*101) % 4001
     //      - 2000; the Spark side encodes real WAV bytes and sums the
@@ -1250,6 +1265,25 @@ object SparkEntry {
            |FROM (SELECT DISTINCT doc_id FROM documents) d
            |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
       },
+
+      // the decoded-record label + pixel-byte sums re-derived from the
+      // record formula alone (same scalar generate_series + unnest shape
+      // as q67; the gzip/raw split is invisible here by design — lossless
+      // codecs decode to the same bytes)
+      "q70_cifar_decode" ->
+        """WITH files AS (
+          |  SELECT doc_id AS id, 2 + doc_id % 3 AS recs
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |r AS (
+          |  SELECT id, unnest(generate_series(0, recs - 1)) AS rec FROM files),
+          |px AS (
+          |  SELECT id, rec, unnest(generate_series(0, 3071)) AS j FROM r)
+          |SELECT id, CAST(rec AS BIGINT) AS rec,
+          |  CAST((id + rec) % 10 AS INT) AS label,
+          |  CAST(SUM((id * 31 + rec * 17 + 3 * j * j) % 256) AS BIGINT) AS px_sum,
+          |  CAST(SUM((j % 101) * ((id * 31 + rec * 17 + 3 * j * j) % 256)) AS BIGINT)
+          |    AS px_wsum
+          |FROM px GROUP BY id, rec""".stripMargin,
 
       // the decoded-sample sums re-derived from the sample formula alone
       // (same scalar generate_series + unnest shape as q67)

@@ -604,7 +604,14 @@ object Hnsw {
     *     64/64 yet always-routed still wins 96s vs 165s, because per-task
     *     search work (q·s_q·ef) dwarfs the one-off sub-graph rebuilds.
     *
-    * Decision: materialize the probe table once, then fall back to
+    * Decision, two tiers. First a search-dominated SHORT-CIRCUIT from
+    * counts alone (no probe jobs): if `q·efBudget ≥ nSub·P` — total
+    * search node-visits at or above the worst-case (union = P) rebuild
+    * volume — then rebuild-dominated is false for every possible probe
+    * outcome, fallback can never fire, and the call returns the exact
+    * always-routed plan with the probe left lazy (fused into the one
+    * search job). High-volume batches therefore pay no decision overhead.
+    * Otherwise materialize the probe table once and fall back to
     * [[annQueryLarge]] only when BOTH savings are gone — the union
     * reaches `fallbackFraction`·P (no shipping saving) AND the batch is
     * rebuild-dominated, `q·efBudget < nSub·union` (total search
@@ -612,12 +619,10 @@ object Hnsw {
     * cannot repay the probe overhead either). Indexes without a
     * `num_nodes` count treat every batch as rebuild-dominated
     * (conservative: union rule alone). Measured calls on the committed
-    * points (BENCH_ROUTED.json, 1M×64): 50k uniform → routed, adaptive
-    * 131s vs 167s all-shard (the eager probe+decision costs ~20s over
-    * always-routed 107s — the price of not knowing the batch shape);
-    * 25q clustered → routed, 2.8s vs 5.0s; and the 5M/250q dispersed
-    * point (BENCH_SCALE_LATEST.json adaptive_query_sec) → all-shard,
-    * shedding r5's 24% routed penalty.
+    * points (BENCH_ROUTED.json, 1M×64): 50k uniform → short-circuit
+    * routed (vs 167s all-shard); 25q clustered → routed, 2.8s vs 5.0s;
+    * and the 5M/250q dispersed point (BENCH_SCALE_LATEST.json
+    * adaptive_query_sec) → all-shard, shedding r5's 24% routed penalty.
     *
     * EAGER: runs the probe phase as real jobs at construction to make the
     * decision — use [[annQueryRouted]]/[[annQueryLarge]] directly where
@@ -631,16 +636,25 @@ object Hnsw {
     if (index.centroids.isEmpty) return annQueryLarge(index, queries, k, ef)
     val q = queries.select(col("qid").cast("long").as("qid"),
       col("vector").cast("array<float>").as("vector"))
+    val m = index.meta
+    val totalPids = index.centroids.get.select("pid").distinct().count()
+    val nSub = if (m.num_nodes > 0 && m.num_partitions > 0) m.num_nodes / m.num_partitions else -1L
+    // search-dominated short-circuit: if total search node-visits exceed
+    // the WORST-CASE rebuild volume (union = P), rebuild-dominated is
+    // false for every possible probe outcome, so fallback can never fire —
+    // skip the eager probe decision and keep the probe lazy (fused into
+    // the one search job, exactly the always-routed plan). This is the
+    // high-query-volume regime where the eager decision cost ~20s of the
+    // 1M/50k point's 131s (BENCH_ROUTED adaptive vs always-routed 107s).
+    if (nSub > 0 && q.count() * efBudget(m, k, ef).toLong >= nSub * totalPids)
+      return routedSearch(index, q, probedPidsFor(index, q, probeCells), k, ef)
     val probed = probedPidsFor(index, q, probeCells).localCheckpoint()
     // shard and batch statistics from the materialized probe table and the
     // routing table (both tiny) — never a scan of the node table
-    val totalPids = index.centroids.get.select("pid").distinct().count()
     val stats = probed.agg(
       countDistinct(col("pid")).as("union"),
       countDistinct(col("qid")).as("q")).head()
     val (probedUnion, qCount) = (stats.getLong(0), stats.getLong(1))
-    val m = index.meta
-    val nSub = if (m.num_nodes > 0 && m.num_partitions > 0) m.num_nodes / m.num_partitions else -1L
     val rebuildDominated = nSub < 0 || qCount * efBudget(m, k, ef).toLong < nSub * probedUnion
     if (probedUnion >= fallbackFraction * totalPids && rebuildDominated) {
       graft.operators.Checkpoints.unpersist(probed)
@@ -846,6 +860,15 @@ object Hnsw {
           .otherwise(lit("deleted")).as("status"))
     (delete(index, ids), report)
   }
+
+  /** [[HnswParams]] reconstructed from a persisted index's meta — the
+    * params a maintenance pass (rebuild/compact) reuses so the rebuilt
+    * graph keeps the original build configuration.
+    */
+  def paramsOf(m: IndexMeta): HnswParams = HnswParams(
+    dim = m.dim, m = m.m, maxM0 = m.max_m0, efConstruction = m.ef_construction,
+    efSearch = m.ef_search, mL = m.mL, metric = m.metric,
+    numPartitions = m.num_partitions)
 
   /** Rebuild from live rows only (reference `rebuild`, `hsnw_trial.py:381-389`).
     * Collapses spill duplicates ([[buildRouted]] stores border vectors in

@@ -97,4 +97,72 @@ object Cifar {
     spark.read.format("binaryFile").load(path)
       .select("path").as[String].collect().sorted
   }
+
+  /** Synthetic cifar-10-binary file bodies with closed-form bytes, one
+    * file per input id (q70's fixture): `2 + id % 3` records; record r
+    * has label `(id + r) % 10` and pixel j `(id*31 + r*17 + 3j²) % 256`
+    * (quadratic so the byte sums vary per record — a linear stride walks
+    * every residue mod 256 and sums to a constant, which would let a
+    * misaligned decode pass). Even ids gzip the body — [[decodeStats]]
+    * must produce identical rows either way, which proves the
+    * magic-detect inflate path alongside the record decoder. Input: a
+    * DataFrame with a long `id` column.
+    */
+  def syntheticBatches(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("id").cast("long")).as[Long].map { id =>
+      val recs = (2 + id % 3).toInt
+      val bytes = new Array[Byte](recs * RecordBytes)
+      var r = 0
+      while (r < recs) {
+        val off = r * RecordBytes
+        bytes(off) = ((id + r) % 10).toByte
+        var j = 0L
+        while (j < PixelBytes) {
+          bytes(off + 1 + j.toInt) = ((id * 31 + r * 17 + 3 * j * j) % 256).toByte
+          j += 1
+        }
+        r += 1
+      }
+      (id, if (id % 2 == 0) gzipBytes(bytes) else bytes)
+    }.toDF("id", "content")
+  }
+
+  /** Decode `(id, content)` cifar-10-binary file bodies (raw or gzip) to
+    * one row per record — the oracle-checkable face of the decode path:
+    * the record's label, the exact sum of its 3072 raw pixel bytes, and a
+    * position-weighted checksum `Σ (j % 101)·pixel_j` (catches byte
+    * permutations the plain sum would miss). Runs the same
+    * [[decodeRecords]] iterator `read` uses, so a green oracle row
+    * certifies the production decoder, not a test twin.
+    */
+  def decodeStats(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeRecords(s"synthetic:$id", Inflate.stream(bytes), 0L,
+          normalize = false, Idx.DefaultIdStride)
+          .map { case (rec, v, label) =>
+            var s = 0L
+            var w = 0L
+            var j = 0
+            while (j < v.length) {
+              val px = v(j).toLong
+              s += px
+              w += (j % 101) * px
+              j += 1
+            }
+            (id, rec, label, s, w)
+          }
+      }.toDF("id", "rec", "label", "px_sum", "px_wsum")
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
 }

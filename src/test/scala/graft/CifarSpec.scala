@@ -75,6 +75,24 @@ class CifarSpec extends SparkSpec {
       .contains("label byte"))
   }
 
+  test("q70 fixtures: decodeStats recovers the closed form; gzip and raw files agree") {
+    import spark.implicits._
+    // id 4 is even → gzipped body; id 7 odd → raw; both 3 records
+    val stats = Cifar.decodeStats(Cifar.syntheticBatches(Seq(4L, 7L).toDF("id")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stats.size === 6)
+    for (id <- Seq(4L, 7L); rec <- 0L until (2 + id % 3)) {
+      val expLabel = ((id + rec) % 10).toInt
+      val pix = (0 until 3072).map(j => (id * 31 + rec * 17 + 3L * j * j) % 256)
+      val expSum = pix.sum
+      val expWsum = pix.zipWithIndex.map { case (p, j) => (j % 101) * p }.sum
+      assert(stats((id, rec)) === ((expLabel, expSum, expWsum)),
+        s"closed-form mismatch at id=$id rec=$rec")
+    }
+  }
+
   test("e2e: bytes -> index -> labeled kNN, replaying the reference's CIFAR flow") {
     val dir = Files.createTempDirectory("cifare2e").toString
     // 40 records in 4 label groups; pixels cluster by label so kNN of a

@@ -116,6 +116,39 @@ class HnswRoutedSpec extends SparkSpec {
     assert(plainAdaptive === plainAll)
   }
 
+  test("adaptive short-circuit: a search-dominated batch skips the eager probe decision") {
+    // force fixtures before counting jobs
+    routed.nodes.count(); queries.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ef=600 makes q·ef = 10·600 ≫ nSub·P = 500: search-dominated for
+      // ANY probe outcome — construction must run only the two tiny count
+      // jobs, leaving the probe lazy (fused into the search job)
+      val sc = Hnsw.annQueryAdaptive(routed, queries, k = 10, ef = 600)
+      Thread.sleep(500)
+      val scJobs = jobs.get()
+      // a 1-query batch at default ef is rebuild-dominated: the eager
+      // probe decision (checkpoint + stats agg) must cost strictly more
+      // construction jobs than the short-circuit did
+      jobs.set(0)
+      Hnsw.annQueryAdaptive(routed, queries.limit(1), k = 10, fallbackFraction = 0.0)
+      Thread.sleep(500)
+      val eagerJobs = jobs.get()
+      assert(scJobs < eagerJobs,
+        s"short-circuit construction ran $scJobs jobs, eager decision $eagerJobs — " +
+          "the search-dominated batch must skip the probe materialization")
+      // and the short-circuited plan is the always-routed plan, bit-exact
+      val exp = Hnsw.annQueryRouted(routed, queries, k = 10, ef = 600)
+        .collect().map(_.toSeq).toSet
+      assert(sc.collect().map(_.toSeq).toSet === exp)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("save/load round-trips the routing table; routed query works after load") {
     val tmp = Files.createTempDirectory("hnsw-routed-io").toString
     Hnsw.save(routed, tmp)
@@ -190,6 +223,14 @@ class HnswRoutedSpec extends SparkSpec {
     // eval-recall on the routed dir: spill copies must not double-count in
     // the exact oracle or duplicate queries (runs the routed query path)
     graft.Main.run(spark, Map("eval-recall" -> out, "k" -> "3", "sample-mod" -> "100"))
+    // --compact on a routed dir: keeps cell geometry and the routed path
+    // (params reconstructed from meta — no build flags needed)
+    val out2 = java.nio.file.Files.createTempDirectory("cli-routed-c").toString + "/idx"
+    graft.Main.run(spark, Map("compact" -> out, "out" -> out2))
+    val meta2 = Hnsw.loadMeta(out2)
+    assert(meta2.num_cells === meta.num_cells, "compact must keep the routing geometry")
+    assert(meta2.num_nodes === meta.num_nodes)
+    graft.Main.run(spark, Map("load" -> out2, "routed" -> "true", "k" -> "3"))
   }
 
   test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
