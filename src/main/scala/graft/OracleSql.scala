@@ -56,6 +56,18 @@ object OracleSql {
        |  SELECT doc_id, concat_ws(' ', ${(0 until n).map(j => s"w[i+$j]").mkString(", ")}) AS shingle
        |  FROM ${name}_tokidx)""".stripMargin
 
+  /** [[shingleCteFrom]] with the 1-based shingle-start position kept:
+    * (doc_id, pos, shingle) — the positioned form span-level dedup
+    * reassembles runs from. Same tokenization, same empty-series behavior
+    * for short docs.
+    */
+  def posShingleCteFrom(n: Int, src: String, name: String): String =
+    s"""${name}_toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${name}_tokidx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${n - 1})) AS i FROM ${name}_toks),
+       |$name AS (
+       |  SELECT doc_id, i AS pos, concat_ws(' ', ${(0 until n).map(j => s"w[i+$j]").mkString(", ")}) AS shingle
+       |  FROM ${name}_tokidx)""".stripMargin
+
   /** Sign-pattern LSH bucket of an embedding list column — mirrors
     * Dedup.embeddingBucket: bit g = [group-g component sum > 0], packed as
     * an integer. Left-associative sums, identical association order.

@@ -279,6 +279,29 @@ object SparkEntry {
         n = 3, minJaccard = 0.2, maxDf = 5)
     }),
 
+    // ---- span-level exact substring dedup (ExactSubstr discipline):
+    //      maximal runs of >= 2 consecutive duplicated 8-token shingles,
+    //      reported as 1-based inclusive token ranges ----
+    "q71_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 8, minRun = 2)),
+
+    // ---- per-doc duplicated-token accounting: union of all duplicated
+    //      8-shingle spans, overlap counted once; 0 for clean docs ----
+    "q72_span_coverage" -> ((s, dir) =>
+      Dedup.spanCoverage(tbl(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // ---- ingest-time span scrub: same corpus/new split as q48; tokens
+    //      of new docs covered by a corpus-known 8-shingle are removed,
+    //      text rebuilt in token order (keep-first: the corpus copy is
+    //      the one retained) ----
+    "q73_span_scrub" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text")
+      val newBatch = docs.filter(col("doc_id") % 10 < 2).select("doc_id", "text")
+      Dedup.scrubSpans(newBatch, corpus, "doc_id", "text", k = 8)
+    }),
+
     // ---- bloom-pruned incremental exact dedup: same ingest split as q48,
     //      but the corpus is represented by a reusable relational bloom word
     //      table and only bloom candidates reach the confirming fp semi-join.
@@ -1088,6 +1111,57 @@ object SparkEntry {
            |  COALESCE(near.bj, 0.0) AS best_jaccard
            |FROM newd nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
            |  LEFT JOIN near ON near.id_new = nd.doc_id""".stripMargin,
+
+      // duplicated = any second occurrence of the 8-shingle corpus-wide
+      // (across docs or within one); islands via pos - row_number per doc;
+      // span_end = last duplicated shingle start + 7 (integer arithmetic
+      // throughout — bit-exact by construction)
+      "q71_dup_spans" ->
+        s"""WITH ${posShingleCteFrom(8, "documents", "psh")},
+           |dup AS (SELECT shingle FROM psh GROUP BY shingle HAVING count(*) >= 2),
+           |mk AS (SELECT p.doc_id, p.pos FROM psh p JOIN dup USING (shingle)),
+           |isl AS (SELECT doc_id, pos,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM mk),
+           |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           |    count(*) AS n_shingles
+           |  FROM isl GROUP BY doc_id, island)
+           |SELECT doc_id, span_start, span_end, n_shingles
+           |FROM sp WHERE n_shingles >= 2""".stripMargin,
+
+      "q72_span_coverage" ->
+        s"""WITH ${posShingleCteFrom(8, "documents", "psh")},
+           |dup AS (SELECT shingle FROM psh GROUP BY shingle HAVING count(*) >= 2),
+           |mk AS (SELECT p.doc_id, p.pos FROM psh p JOIN dup USING (shingle)),
+           |cov AS (SELECT doc_id, count(DISTINCT tok) AS dup_tokens FROM (
+           |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tok FROM mk)
+           |  GROUP BY doc_id),
+           |nt AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+           |SELECT nt.doc_id, nt.n_tokens, COALESCE(cov.dup_tokens, 0) AS dup_tokens
+           |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+      "q73_span_scrub" ->
+        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+           |newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 2),
+           |${posShingleCteFrom(8, "newd", "nps")},
+           |${shingleCteFrom(8, "corp", "csh_raw")},
+           |csh AS (SELECT DISTINCT shingle FROM csh_raw),
+           |mk AS (SELECT p.doc_id, p.pos FROM nps p JOIN csh USING (shingle)),
+           |cov AS (SELECT DISTINCT doc_id, tok_idx FROM (
+           |    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tok_idx FROM mk)),
+           |ntk AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS tok_idx
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM newd)),
+           |kept AS (SELECT t.doc_id, t.tok_idx, t.w[t.tok_idx] AS tok
+           |  FROM ntk t LEFT JOIN cov c
+           |    ON t.doc_id = c.doc_id AND t.tok_idx = c.tok_idx
+           |  WHERE c.doc_id IS NULL),
+           |rb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tok_idx) AS text_scrubbed,
+           |    count(*) AS kept_tokens
+           |  FROM kept GROUP BY doc_id),
+           |nt AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM newd)
+           |SELECT nt.doc_id, COALESCE(rb.text_scrubbed, '') AS text_scrubbed,
+           |  nt.n_tokens, COALESCE(rb.kept_tokens, 0) AS kept_tokens
+           |FROM nt LEFT JOIN rb USING (doc_id)""".stripMargin,
 
       "q54_adaptive_quality" ->
         s"""WITH s AS (SELECT doc_id, lang, $qualityExpr AS quality FROM documents

@@ -743,4 +743,170 @@ object Dedup {
       .select(col("id").as(idCol),
         when(col("is_dup"), lit("exact_dup")).otherwise(lit("new")).as("status"))
   }
+
+  // -------------------------------------------------------------------------
+  // Span-level exact substring dedup (the ExactSubstr discipline: find and
+  // account for duplicated token RUNS, not just duplicated documents).
+  // Doc-level dedup misses boilerplate — headers, licenses, templated
+  // paragraphs — that repeats inside otherwise-unique documents; span-level
+  // detection is the standard corpus-prep pass for it.
+  //
+  // Relational shape (100 TB north star): positioned k-token shingles are a
+  // posexplode (one row per token, same order as the n-gram explodes above);
+  // "duplicated" is a partial-agg count per shingle; marking positions is a
+  // LEFT SEMI join back on the shingle key (fan-out ≤ 1 per position row, so
+  // a hot shingle can never blow up the join — the reason no df cap is
+  // needed here, unlike the pair-producing LSH/Jaccard paths); runs are a
+  // per-document gaps-and-islands window (partitioned by doc — never a
+  // global sort). Everything is integer arithmetic → bit-exact oracle.
+  // -------------------------------------------------------------------------
+
+  /** Positioned k-token shingles: (idCol, pos, shingle) with `pos` the
+    * 1-based index of the shingle's first token. Same tokenization and
+    * shingle text as [[explodedShingles]]; the position rides along so runs
+    * of consecutive duplicated shingles can be reassembled into spans.
+    */
+  private def positionedShingles(docs: DataFrame, idCol: String, textCol: String,
+                                 k: Int): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        posexplode(TextFunctions.wordShinglesFromTokens(col("w"), k)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("shingle"))
+
+  /** Shingle-start positions that are duplicated: the (idCol, pos) rows
+    * whose k-shingle occurs ≥ 2 times corpus-wide (across documents OR
+    * repeated within one — any second occurrence is a duplicate, matching
+    * the exact-substring-dedup convention).
+    */
+  private def dupPositions(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val ps = positionedShingles(docs, idCol, textCol, k)
+    val dup = ps.groupBy("shingle").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select("shingle")
+    ps.join(dup, Seq("shingle"), "left_semi").select(col(idCol), col("pos"))
+  }
+
+  /** Duplicated spans per document: maximal runs of ≥ `minRun` consecutive
+    * duplicated k-shingle positions, reported as token ranges
+    * (idCol, span_start, span_end, n_shingles) — span_end = last duplicated
+    * shingle start + k − 1, both ends 1-based inclusive. A span of
+    * `n_shingles` consecutive duplicated k-shingles certifies a duplicated
+    * substring of n_shingles + k − 1 tokens; `minRun` sets the shortest run
+    * worth reporting (minRun = 1 reports every duplicated shingle).
+    *
+    * Runs are maximal, so two spans of one document never share a shingle
+    * position — though for k > 2 their TOKEN ranges may overlap by up to
+    * k − 2 tokens around the separating non-duplicated position (use
+    * [[spanCoverage]] for overlap-free token accounting).
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 8, minRun: Int = 2): DataFrame = {
+    require(k >= 1, s"dupSpans: k must be >= 1, got $k")
+    require(minRun >= 1, s"dupSpans: minRun must be >= 1, got $minRun")
+    val marked = dupPositions(docs, idCol, textCol, k)
+    marked
+      .withColumn("island",
+        col("pos") - row_number().over(Window.partitionBy(idCol).orderBy("pos")))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .filter(col("n_shingles") >= minRun)
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_shingles"))
+  }
+
+  /** Per-document duplicated-token accounting: every document with its
+    * token count and the number of tokens covered by at least one
+    * duplicated k-shingle (the union of all duplicated spans — overlap
+    * counted once). (idCol, n_tokens, dup_tokens); dup_tokens = 0 for
+    * clean documents. The corpus-level sum of dup_tokens / n_tokens is the
+    * standard "fraction of the corpus that is duplicated text" statistic.
+    *
+    * The k-way position fan-out runs only on DUPLICATED positions (after
+    * the semi-join), so a mostly-clean corpus pays the explode on the dirty
+    * fraction alone.
+    */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8): DataFrame = {
+    require(k >= 1, s"spanCoverage: k must be >= 1, got $k")
+    val covered = dupPositions(docs, idCol, textCol, k)
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long"))).as("tok"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("tok")).as("dup_tokens"))
+    docs
+      .select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** Incremental span scrub — the ingest-time transform: rewrite each NEW
+    * document with every token covered by a corpus-known k-shingle removed
+    * (single-space re-join, in token order). The corpus is the retained
+    * copy, so this is the clean keep-first policy: boilerplate the corpus
+    * already contains never enters it twice, while genuinely new text
+    * passes through verbatim. Returns every new doc
+    * (idCol, text_scrubbed, n_tokens, kept_tokens) — a fully-duplicated
+    * doc survives as an empty string (filter on kept_tokens to drop).
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT shingle set once
+    * (reusable across ingests, like [[bloomBuild]]); marking is the same
+    * semi-join-bounded pass as [[dupSpans]]; the rebuild is one
+    * partial-agg `collect_list` per new doc sorted in-array — never a
+    * per-doc window or global sort.
+    */
+  def scrubSpans(newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8): DataFrame =
+    scrubSpansWithShingles(newDocs, corpusShingleSet(corpus, textCol, k),
+      idCol, textCol, k)
+
+  /** The corpus side of [[scrubSpans]] reduced to its reusable artifact:
+    * the distinct k-shingle set (single `shingle` column). Materialize or
+    * persist this once per ingest lifetime — like the Bloom word table —
+    * and feed it to [[scrubSpansWithShingles]] so recurring ingests never
+    * re-shingle the corpus.
+    */
+  def corpusShingleSet(corpus: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    corpus
+      .select(explode(TextFunctions.wordShingles(col(textCol), k)).as("shingle"))
+      .distinct()
+
+  /** [[scrubSpans]] against a pre-computed [[corpusShingleSet]]. */
+  def scrubSpansWithShingles(newDocs: DataFrame, corpusShingles: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 8): DataFrame = {
+    require(k >= 1, s"scrubSpans: k must be >= 1, got $k")
+    val marked = positionedShingles(newDocs, idCol, textCol, k)
+      .join(corpusShingles, Seq("shingle"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val covered = marked
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1).cast("long"))).as("tok_idx"))
+      .distinct()
+    val toks = newDocs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("tok_idx"),
+        col("col").as("tok"))
+    val rebuilt = toks
+      .join(covered, Seq(idCol, "tok_idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("tok_idx"), col("tok")))),
+            s => s("tok")),
+          " ").as("text_scrubbed"),
+        count(lit(1)).as("kept_tokens"))
+    newDocs
+      .select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
+        col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
 }

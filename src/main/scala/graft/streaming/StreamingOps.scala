@@ -286,6 +286,45 @@ object StreamingOps {
       }
   }
 
+  /** Streaming span scrub — ingest-time boilerplate removal as a
+    * continuous query. At stream start the corpus is reduced ONCE to its
+    * reusable distinct k-shingle set
+    * ([[graft.operators.Dedup.corpusShingleSet]] — the span-scrub analog
+    * of the Bloom word table; in production loaded from a prior
+    * `corpusShingleSet(...).write`). Each micro-batch is then rewritten by
+    * [[graft.operators.Dedup.scrubSpansWithShingles]]: tokens covered by a
+    * corpus-known k-shingle are removed (keep-first — the corpus copy is
+    * the retained one) and the scrubbed text is appended as parquet. The
+    * corpus text is NEVER re-read per batch. In-stream exact repeats are
+    * dropped first by [[streamingDedup]]'s watermark-bounded fingerprint
+    * state; like [[streamingIncrementalDedup]], cross-batch span overlap
+    * WITHIN the stream is deferred to the next corpus compaction (the
+    * shingle set is per-ingest-lifetime static).
+    *
+    * Input columns: (idCol: long, tsCol: timestamp, textCol: string).
+    * Output rows (outDir): (idCol, text_scrubbed, n_tokens, kept_tokens)
+    * + a `batch_id` partition column (idempotent per-batch overwrite).
+    */
+  def streamingSpanScrub(docs: DataFrame, corpus: DataFrame,
+                         idCol: String, tsCol: String, textCol: String,
+                         outDir: String, k: Int = 8,
+                         watermark: String = "1 hour"): DataStreamWriter[Row] = {
+    val corpusShingles =
+      graft.operators.Dedup.corpusShingleSet(corpus, textCol, k).localCheckpoint()
+    streamingDedup(docs, tsCol, textCol, watermark)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch overwrite partition → idempotent replay (see
+        // streamingIncrementalDedup)
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .scrubSpansWithShingles(batch.select(idCol, textCol), corpusShingles,
+              idCol, textCol, k)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Live training-mixture accounting: running per-source document and
     * token totals over the ingest stream — the quota dashboard a
     * continuous ingestion runs against ("stop crawling source X when its

@@ -452,4 +452,61 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged === whole, "bit_or is associative — incremental extension is exact")
   }
+
+  test("dupSpans: shared runs, self-repetition, minRun filter; clean docs absent") {
+    val d = Seq(
+      (0L, "a b c d e f g h"), // shares the "a b c d e" run with doc 1
+      (1L, "x y a b c d e z"),
+      (2L, "p q r s t u v w"), // clean
+      (3L, "m n o m n o m n o"), // self-repetition: every 3-shingle recurs
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(d, "doc_id", "text", k = 3, minRun = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans === Set(
+      (0L, 1L, 5L, 3L),  // positions 1-3 duplicated -> tokens 1..5
+      (1L, 3L, 7L, 3L),  // the same run sits at positions 3-5 in doc 1
+      (3L, 1L, 9L, 7L))) // one maximal run covering the whole doc
+    // minRun drops the short runs, keeps the long one
+    val long = Dedup.dupSpans(d, "doc_id", "text", k = 3, minRun = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(long === Set((3L, 1L, 9L, 7L)))
+  }
+
+  test("spanCoverage: union of spans counts overlapping tokens once; clean docs report 0") {
+    // doc 20's duplicated shingles sit at positions 1 and 3 (position 2 is
+    // unique), so the two token spans [1,3] and [3,5] overlap at token 3
+    val d = Seq(
+      (20L, "a b c d e q1 q2"),
+      (21L, "a b c r1 r2 r3 r4"), // plants "a b c"
+      (22L, "c d e s1 s2 s3 s4"), // plants "c d e"
+    ).toDF("doc_id", "text")
+    val cov = Dedup.spanCoverage(d, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(cov(20L) === (7L, 5L), "tokens 1..5, overlap at 3 counted once")
+    assert(cov(21L) === (7L, 3L))
+    assert(cov(22L) === (7L, 3L))
+    // a corpus with no duplicated shingle reports 0 for every doc
+    val clean = Dedup.spanCoverage(
+      Seq((0L, "w1 w2 w3 w4"), (1L, "v1 v2 v3 v4")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 3).as[(Long, Long, Long)].collect()
+    assert(clean.forall(_._3 === 0L))
+  }
+
+  test("scrubSpans: corpus-known spans removed keep-first, fresh text verbatim, full dup -> empty") {
+    val corpus = Seq((1L, "the quick brown fox END")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (100L, "x1 the quick brown fox x2"), // interior span known to corpus
+      (101L, "totally fresh text here"),   // untouched
+      (102L, "the quick brown fox"),       // fully covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(fresh, corpus, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(100L) === (("x1 x2", 6L, 2L)), "covered tokens 2..5 removed, order kept")
+    assert(out(101L) === (("totally fresh text here", 4L, 4L)))
+    assert(out(102L) === (("", 4L, 0L)), "fully-duplicated doc survives as empty row")
+    // empty corpus -> pure passthrough
+    val pass = Dedup.scrubSpans(fresh, corpus.filter(lit(false)), "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(pass(100L) === "x1 the quick brown fox x2")
+  }
 }

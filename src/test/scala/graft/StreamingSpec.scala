@@ -329,6 +329,35 @@ class StreamingSpec extends SparkSpec {
     assert(batchDirs.length >= 2, s"expected per-batch partitions, got ${batchDirs.toSeq}")
   }
 
+  test("streaming span scrub: corpus-known spans removed per micro-batch, keep-first") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((0L, "shared boiler plate text END")).toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("ssc-out").toString
+    val source = MemoryStream[(Long, Timestamp, String)]
+    val query = StreamingOps.streamingSpanScrub(
+      source.toDF().toDF("doc_id", "ts", "text"), corpus,
+      "doc_id", "ts", "text", outDir, k = 3)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ssc-ckpt").toString)
+      .start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    source.addData(
+      (100L, t0, "u1 shared boiler plate text u2"), // interior corpus span
+      (101L, t0, "all original words right here"))  // untouched
+    query.processAllAvailable()
+    source.addData(
+      (102L, t0, "shared boiler plate text"),       // fully covered, batch 2
+      (103L, t0, "u1 shared boiler plate text u2")) // in-stream repeat of 100 → dropped
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out.keySet === Set(100L, 101L, 102L), "in-stream repeat dropped by fingerprint state")
+    assert(out(100L) === (("u1 u2", 2L)), "covered tokens removed, order kept")
+    assert(out(101L) === (("all original words right here", 5L)))
+    assert(out(102L) === (("", 0L)), "fully-duplicated doc survives as empty row")
+  }
+
   test("streaming mixture counts: per-source totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(String, String)]
