@@ -21,7 +21,9 @@ import graft.sources.Datagen
   * shape) + 1% exact duplicates (ids n..n+n/100 copy id·100's text) + 1%
   * near duplicates (one token prepended). Phases: Gopher rules, exact
   * dedup, MinHash+LSH candidate pairs, incremental new-batch-vs-corpus
-  * dedup, context-window chunking.
+  * dedup, context-window chunking, bloom-pruned dedup, hashed BoW +
+  * batch top-k, domain-affinity selection, span-level dedup coverage,
+  * ingest-time span scrub.
   */
 object TextScaleProof {
   def main(args: Array[String]): Unit = {
@@ -161,6 +163,51 @@ object TextScaleProof {
     System.err.println(f"[textscale] domain score: $dsRows docs scored, " +
       f"$dsPerfect/$nPlant copied bases at exactly 1.0 in $dsSecs%.1f s")
 
+    // ---- phase 9: span-level exact substring dedup. The planted exact
+    // dups duplicate EVERY shingle of their doc pair, so exactly 3·nPlant
+    // docs (copied bases + their copies + the near-dup bases, whose every
+    // window recurs one position later in their plant) come back FULLY
+    // covered; the near-dup plants themselves keep exactly ONE uncovered
+    // token (the prepended "zz", whose first window is unique). Both
+    // counts are sharp at 1M docs (~70M positioned 8-shingles; the
+    // 100k-word vocabulary makes organic coverage negligible) ----
+    val ((fullCov, nearCov, spanCount), spanSecs) = timed {
+      val cov = Dedup.spanCoverage(corpus, "doc_id", "text", k = 8)
+        .localCheckpoint()
+      val full = cov.filter(col("dup_tokens") === col("n_tokens")).count()
+      val near = cov.filter(col("dup_tokens") > 0 &&
+        col("dup_tokens") === col("n_tokens") - 1).count()
+      val spans = Dedup.dupSpans(corpus, "doc_id", "text", k = 8, minRun = 2).count()
+      (full, near, spans)
+    }
+    require(fullCov == 3 * nPlant,
+      s"expected ${3 * nPlant} fully span-covered docs, got $fullCov")
+    require(nearCov == nPlant,
+      s"expected $nPlant docs covered except the prepended token, got $nearCov")
+    System.err.println(f"[textscale] span dedup: $fullCov fully-covered docs " +
+      f"(= 3 x $nPlant planted), $nearCov all-but-one-covered near-dups, " +
+      f"$spanCount spans in $spanSecs%.1f s")
+
+    // ---- phase 10: ingest-time span scrub. Corpus gains one 12-token
+    // boilerplate doc; the new batch is FRESH text (different seed — no
+    // corpus overlap) with that boilerplate appended. Boundary shingles
+    // mix fresh + boilerplate words and match nothing, so the scrub must
+    // remove EXACTLY the 12 boilerplate tokens from every new doc ----
+    val boiler = (1 to 12).map(i => s"bp$i").mkString(" ")
+    val (scrubExact, scrubSecs) = timed {
+      val corpusPlus = corpus.unionAll(
+        spark.range(1).select(lit(n * 10).as("doc_id"), lit(boiler).as("text")))
+      val fresh = Datagen.syntheticDocs(spark, nPlant, seed = 777L)
+        .select((col("doc_id") + n * 20).as("doc_id"),
+          concat(col("text"), lit(" " + boiler)).as("text"))
+      Dedup.scrubSpans(fresh, corpusPlus, "doc_id", "text", k = 8)
+        .filter(col("kept_tokens") === col("n_tokens") - 12).count()
+    }
+    require(scrubExact == nPlant,
+      s"expected $nPlant docs scrubbed of exactly 12 tokens, got $scrubExact")
+    System.err.println(f"[textscale] span scrub: $scrubExact/$nPlant new docs " +
+      f"lost exactly the 12-token boilerplate in $scrubSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
@@ -168,7 +215,9 @@ object TextScaleProof {
       s""""planted_each":$nPlant,"chunk_sec":$chunkSecs,"chunks":$chunks,""" +
       s""""bloom_sec":$bloomSecs,"bloom_candidates":$bloomCand,"bloom_confirmed":$bloomExact,"bloom_mbits":$mBits,""" +
       s""""bow_sec":$bowSecs,"bow_nnz":$bowNnz,"bow_planted_found":${queryIds.size},""" +
-      s""""domain_score_sec":$dsSecs,"domain_scored":$dsRows,"domain_perfect":$dsPerfect}""")
+      s""""domain_score_sec":$dsSecs,"domain_scored":$dsRows,"domain_perfect":$dsPerfect,""" +
+      s""""span_sec":$spanSecs,"span_full_covered":$fullCov,"span_near_covered":$nearCov,"span_count":$spanCount,""" +
+      s""""span_scrub_sec":$scrubSecs,"span_scrub_exact":$scrubExact}""")
     spark.stop()
   }
 }
