@@ -544,6 +544,15 @@ object SparkEntry {
         .withColumnRenamed("id_a", "vec_a").withColumnRenamed("id_b", "vec_b")
     }),
 
+    // ---- SemDeDup end-to-end: q33's blocked cosine pairs -> q36's
+    //      connected components -> per-row keep/drop verdict, as ONE
+    //      declarative plan (near-dup is not transitive, so the verdict
+    //      needs the cluster, not the pair list) ----
+    "q74_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(
+        tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", EmbDim, bits = 8, maxDist = 0.65, maxBlock = 1000)),
+
     // ---- IVF: cell assignment (map-side argmin vs broadcast centroids) ----
     "q18_ivf_assign" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1736,6 +1745,28 @@ object SparkEntry {
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
            |FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE $d < 0.65""".stripMargin
+      },
+
+      // q33's pair CTE + q36's recursive component CTE + the verdict
+      "q74_semantic_dedup" -> {
+        val d = cosineSql("a.embedding", "b.embedding", EmbDim)
+        s"""WITH RECURSIVE bk AS (SELECT vec_id, embedding,
+           |  ${embeddingBucketSql("embedding", EmbDim, 8)} AS bucket FROM embeddings),
+           |kept AS (SELECT vec_id, embedding, bucket FROM (
+           |  SELECT vec_id, embedding, bucket, count(*) OVER (PARTITION BY bucket) AS bn
+           |  FROM bk) WHERE bn <= 1000),
+           |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  WHERE $d < 0.65),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+           |reach AS (
+           |  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+           |  UNION
+           |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+           |sel AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+           |SELECT id AS vec_id, comp AS canonical_id, id <> comp AS is_dup
+           |FROM sel""".stripMargin
       },
     )
   }

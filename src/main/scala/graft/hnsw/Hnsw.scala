@@ -735,14 +735,21 @@ object Hnsw {
     * Recall tuning: with selectivity s, a layer-0 sweep of width ef keeps
     * only ≈ s·ef allowed candidates — budget `ef ≳ k/s` (e.g. k=10 at 10%
     * selectivity → ef ≈ 100+). `large = true` routes through
-    * [[annQueryLarge]] (no driver round-trip) for big query sets.
-    * Output: (qid, rank, id, dist).
+    * [[annQueryLarge]] (no driver round-trip) for big query sets;
+    * `routed = true` (locality-sharded indexes) composes the same node
+    * rewrite with [[annQueryRouted]] — the filter marks tombstones
+    * BEFORE the per-shard rebuild, so probed sub-graphs still route
+    * traversal through disallowed nodes and the semi-join shard pruning
+    * is unaffected (the rewrite touches the node table, never pids or
+    * the routing table). Output: (qid, rank, id, dist).
     */
   def annQueryFiltered(index: HnswIndex, queries: DataFrame, k: Int,
                        allowedIds: DataFrame, ef: Int = -1,
-                       large: Boolean = false): DataFrame = {
+                       large: Boolean = false, routed: Boolean = false,
+                       probeCells: Int = -1): DataFrame = {
     val filtered = withAllowed(index, allowedIds)
-    if (large) annQueryLarge(filtered, queries, k, ef)
+    if (routed) annQueryRouted(filtered, queries, k, probeCells, ef)
+    else if (large) annQueryLarge(filtered, queries, k, ef)
     else annQuery(filtered, queries, k, ef)
   }
 

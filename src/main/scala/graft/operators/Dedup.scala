@@ -744,6 +744,40 @@ object Dedup {
         when(col("is_dup"), lit("exact_dup")).otherwise(lit("new")).as("status"))
   }
 
+  /** SemDeDup-style semantic deduplication, end-to-end: a keep/drop
+    * verdict per embedding row from embedding-space proximity alone (no
+    * text comparison — catches paraphrases and re-encodings that every
+    * shingle-based pass misses). One declarative plan over the existing
+    * stages: sign-pattern LSH blocking ([[embeddingBucket]] — no trained
+    * model, so the blocking key is reproducible anywhere), within-block
+    * exact cosine pairs under `maxDist` ([[embeddingNearDupPairs]], hot
+    * blocks capped), connected components ([[dupClusters]] — near-dup is
+    * not transitive, so verdicts must be per CLUSTER, not per pair), and
+    * canonical = the cluster's minimum id. Output: (idCol, canonical_id,
+    * is_dup) for EVERY input row — filter `!is_dup` for the kept corpus,
+    * or join a quality score and re-pick canonicals with
+    * [[canonicalDocs]] when "keep the best, not the lowest-id" matters.
+    *
+    * Scale shape: the only pairwise work is inside capped blocks; the
+    * component iteration is the checkpointed O(V+E)-per-round pass of
+    * [[dupClusters]] (durable-spillable via `spillPath`). At 100 TB,
+    * `bits` tunes block granularity (more bits → smaller blocks → less
+    * pairwise work, more missed cross-block pairs — the standard
+    * recall/cost dial).
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    bits: Int = 8, maxDist: Double = 0.2,
+                    maxBlock: Int = Int.MaxValue, maxIter: Int = 25,
+                    spillPath: Option[String] = None): DataFrame = {
+    val bucketed = embs.select(col(idCol), col(vecCol),
+      embeddingBucket(col(vecCol), dim, bits).as("semdedup_block"))
+    val pairs = embeddingNearDupPairs(bucketed, idCol, vecCol, "semdedup_block",
+      maxDist, maxBlock)
+    dupClusters(embs.select(idCol), pairs, idCol, maxIter, spillPath)
+      .select(col(idCol), col("comp").as("canonical_id"),
+        (col(idCol) =!= col("comp")).as("is_dup"))
+  }
+
   // -------------------------------------------------------------------------
   // Span-level exact substring dedup (the ExactSubstr discipline: find and
   // account for duplicated token RUNS, not just duplicated documents).

@@ -453,6 +453,29 @@ class DedupSpec extends SparkSpec {
     assert(merged === whole, "bit_or is associative — incremental extension is exact")
   }
 
+  test("semanticDedup: transitive chain clusters to min id, far vectors and singletons keep") {
+    def rot(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.01f, 0.01f)
+    }
+    // a-b and b-c are within maxDist (1-cos30 ≈ 0.134) but a-c is not
+    // (1-cos60 = 0.5): only a per-CLUSTER verdict dedups c against a
+    val embs = Seq(
+      (10L, rot(10)), (11L, rot(40)), (12L, rot(70)),       // chain cluster
+      (20L, Array(0.01f, 0.01f, 1.0f, 0.1f)),               // same sign bucket, far
+      (30L, Array(-1.0f, -0.5f, -0.01f, -0.01f)),           // other bucket, singleton
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(embs, "vec_id", "embedding", dim = 4,
+      bits = 4, maxDist = 0.2)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) === ((10L, false)), "cluster canonical keeps")
+    assert(out(11L) === ((10L, true)))
+    assert(out(12L) === ((10L, true)), "chained via 11 despite dist(10,12) > maxDist")
+    assert(out(20L) === ((20L, false)))
+    assert(out(30L) === ((30L, false)))
+    assert(out.size === 5, "a verdict row for every input row")
+  }
+
   test("dupSpans: shared runs, self-repetition, minRun filter; clean docs absent") {
     val d = Seq(
       (0L, "a b c d e f g h"), // shares the "a b c d e" run with doc 1

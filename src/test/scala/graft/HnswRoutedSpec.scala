@@ -233,6 +233,32 @@ class HnswRoutedSpec extends SparkSpec {
     graft.Main.run(spark, Map("load" -> out2, "routed" -> "true", "k" -> "3"))
   }
 
+  test("filtered ANN composes with the routed path: filter respected, recall held, pruning intact") {
+    val allowed = input.filter(col("id") % 3 === 0).select("id")
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    // selectivity ~1/3 → ef widened ~3× (see annQueryFiltered scaladoc);
+    // probe every cell so the only approximation under test is the filter
+    val ann = Hnsw.annQueryFiltered(routed, queries, k = 10, allowed,
+      ef = 192, routed = true, probeCells = 16)
+    val rows = ann.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(allowedSet.contains(r.getAs[Long]("id")),
+      s"id ${r.getAs[Long]("id")} violates the filter on the routed path"))
+    val embD = input.select(col("id"), Distances.toDouble(col("vector")).as("vector"))
+    val qD = embD.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val exact = Knn.exactTopK(embD.join(allowed, "id"), qD, 10, Distances.l2)
+    val recall = Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.8, s"routed filtered avg recall@10 $recall")
+    // a quarter probe still prunes: results stay inside the filter and
+    // every query returns k rows (filter-as-tombstone routes through,
+    // never disconnects)
+    val quarter = Hnsw.annQueryFiltered(routed, queries, k = 10, allowed,
+      ef = 192, routed = true, probeCells = 4)
+    val counts = quarter.groupBy("qid").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ === 10L))
+    quarter.collect().foreach(r => assert(allowedSet.contains(r.getAs[Long]("id"))))
+  }
+
   test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
     def meta(n: Long, p: Int) = IndexMeta(64, 8, 16, 64, 50, 0.36, "l2", 0L, 1, p, n)
     // explicit ef always wins, clamped to k
