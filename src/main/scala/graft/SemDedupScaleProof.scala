@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Datagen
+
+/** Scale proof for [[graft.operators.Dedup.semanticDedup]] — the embedding
+  * twin of [[TextScaleProof]]'s span-dedup phases: 5M base vectors (dim 64)
+  * + 1% planted near-duplicates (id + n carries id's vector perturbed by
+  * +0.001 per component, the [[ScaleProof]] phase-5 convention), then the
+  * END-TO-END verdict — blocking, capped within-block pairs, connected
+  * components, keep/drop — in one call.
+  *
+  * The scale lesson this run encodes: `bits` must grow with corpus size.
+  * At bits=8 every one of the 256 blocks holds ~20k vectors, so the
+  * in-block pairwise pass explodes (and `maxBlock` would drop every
+  * block); at bits=16 the 65k blocks average ~77 vectors and the pairwise
+  * work is trivial, while a ±0.001 perturbation still lands in the same
+  * block >98% of the time (a sign-group flip needs |group sum| < 0.004).
+  *
+  * Correctness gates, sharp at 5M: every flagged duplicate's canonical
+  * must be exactly its base (id − n) — uniform random dim-64 vectors
+  * essentially never reach cosine distance < 0.05, so organic pairs and
+  * false merges are ~0 — and ≥95% of the plants must be flagged (the
+  * bucket-flip tail is the documented recall/cost dial, measured here).
+  * Prints one JSON line, committed as `BENCH_SCALE_SEMDEDUP.json`. Run:
+  *
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.SemDedupScaleProof [n]"
+  */
+object SemDedupScaleProof {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-semdedup-scale-proof")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val input = Datagen.hashVectors(spark, n, dim)
+    val planted = input.filter(col("id") % 100 === 0)
+      .select((col("id") + n).as("id"),
+        transform(col("vector"), x => (x + lit(0.001f)).cast("float")).as("vector"))
+    val corpus = input.union(planted).localCheckpoint()
+    val nPlant = (n + 99) / 100
+    System.err.println(s"[semdedup] corpus ${corpus.count()} vectors ($n base + $nPlant planted near-dups)")
+
+    val ((dups, good), secs) = timed {
+      val verdicts = Dedup.semanticDedup(corpus, "id", "vector", dim,
+        bits = 16, maxDist = 0.05, maxBlock = 10000).localCheckpoint()
+      (verdicts.filter(col("is_dup")).count(),
+        verdicts.filter(col("is_dup") && col("canonical_id") === col("id") - n).count())
+    }
+    val falseMerges = dups - good
+    require(falseMerges <= 5,
+      s"$falseMerges flagged duplicates whose canonical is not their planted base")
+    require(good >= (nPlant * 95) / 100,
+      s"only $good/$nPlant plants flagged — below the 95% bucket-retention floor")
+    System.err.println(f"[semdedup] verdicts: $dups flagged, $good/$nPlant plants with the " +
+      f"exact base as canonical, $falseMerges false merges in $secs%.1f s")
+
+    val line = s"""{"n":$n,"dim":$dim,"bits":16,"max_dist":0.05,""" +
+      s""""semdedup_sec":$secs,"flagged":$dups,"planted_flagged":$good,""" +
+      s""""planted_total":$nPlant,"false_merges":$falseMerges}"""
+    println(line)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_OUT", "BENCH_SCALE_SEMDEDUP.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[semdedup] could not write artifact: $e") }
+    spark.stop()
+  }
+}
