@@ -62,6 +62,33 @@ class PlanSpec extends SparkSpec {
       "tf counts must partial-aggregate map-side")
   }
 
+  test("q71 span marking is a bounded semi-join; islands window is per-document") {
+    val s = formatted("q71_dup_spans")
+    assert(s.contains("LeftSemi"),
+      "duplicated positions must be marked by a LEFT SEMI join (fan-out <= 1 per position)")
+    assert(!s.contains("CartesianProduct"))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(s).length === 2,
+      "exactly two document scans: positions + per-shingle duplicate counts")
+    assert(s.contains("windowspecdefinition(doc_id"),
+      "the gaps-and-islands window must partition by document, never globally")
+  }
+
+  test("q73 scrub marks via semi-join, removes via anti-join, no cartesian") {
+    val s = formatted("q73_span_scrub")
+    assert(s.contains("LeftSemi"), "corpus-known positions are a semi-join mark")
+    assert(s.contains("LeftAnti"), "covered tokens must be anti-joined out")
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("windowspecdefinition"),
+      "the rebuild is a sorted in-array collect, not a per-doc window")
+  }
+
+  test("q74 semantic dedup stays block-joined end-to-end (no cartesian)") {
+    val s = formatted("q74_semantic_dedup")
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "pairwise work must stay inside equi-joined blocks")
+  }
+
   test("q59 BoW top-k broadcasts the query vector; dot product is a hash join on bucket") {
     val s = formatted("q59_bow_topk")
     assert(s.contains("BroadcastHashJoin"), "query-vector side must broadcast")
