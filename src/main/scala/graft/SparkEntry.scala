@@ -430,6 +430,19 @@ object SparkEntry {
       graft.sources.Cifar.decodeStats(graft.sources.Cifar.syntheticBatches(ids))
     }),
 
+    // ---- multimodal: REAL video decode (YUV4MPEG2 — the public
+    //      uncompressed interchange format, plain-text header + raw
+    //      planes, parseable in a bare JVM). Closed-form luma
+    //      (id*31 + f*29 + x*7 + y*13) % 256; odd ids carry C420 chroma
+    //      (the skip path), even ids Cmono; the frame-weighted sum
+    //      catches frame permutations. The oracle re-derives both sums
+    //      from the formula without touching video bytes ----
+    "q75_video_decode" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id").as("id"))
+      graft.multimodal.MediaOps.videoStats(graft.multimodal.MediaOps.syntheticY4ms(ids))
+    }),
+
     // ---- multimodal: REAL audio decode (javax.sound.sampled). Synthetic
     //      16-bit PCM WAVs with closed-form samples (id*37 + i*101) % 4001
     //      - 2000; the Spark side encodes real WAV bytes and sums the
@@ -1370,6 +1383,27 @@ object SparkEntry {
 
       // the decoded-sample sums re-derived from the sample formula alone
       // (same scalar generate_series + unnest shape as q67)
+      // decoded-luma sums re-derived from the luma formula alone; flat
+      // index q over frames x pixels: f = q // (w*h), x = (q % (w*h)) % w,
+      // y = (q % (w*h)) // w (q67's trick with one more dimension)
+      "q75_video_decode" ->
+        """WITH vids AS (
+          |  SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+          |         2 + doc_id % 4 AS nf
+          |  FROM documents WHERE doc_id % 13 = 0),
+          |px AS (
+          |  SELECT id, w, h, nf, unnest(generate_series(0, nf * w * h - 1)) AS q FROM vids),
+          |v AS (
+          |  SELECT id, w, h, nf, q // (w * h) AS f,
+          |    (id * 31 + (q // (w * h)) * 29 + ((q % (w * h)) % w) * 7
+          |       + ((q % (w * h)) // w) * 13) % 256 AS luma
+          |  FROM px)
+          |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          |  CAST(nf AS BIGINT) AS n_frames,
+          |  CAST(SUM(luma) AS BIGINT) AS luma_sum,
+          |  CAST(SUM((f + 1) * luma) AS BIGINT) AS frame_weighted_sum
+          |FROM v GROUP BY id, w, h, nf""".stripMargin,
+
       "q69_audio_decode" ->
         """WITH wavs AS (
           |  SELECT doc_id AS id, 64 + doc_id % 33 AS n,

@@ -32,11 +32,13 @@ case class MediaFrame(id: Long, frame_idx: Int, frame: Array[Byte])
   * minus torch). The AUDIO path is real for WAV: 16-bit PCM decodes
   * through `javax.sound.sampled` (also pure JVM) —
   * [[audioStats]]/[[decodePcm]], with [[encodePcmWav]] as the lossless
-  * fixture encoder. VIDEO decode remains STUBBED with a deterministic
-  * byte-hash "decoder" ([[fakeDecode]]) — no video codec exists in a
-  * bare JVM (and none ships with this zero-egress build); the signature
-  * (bytes → fixed-dim float features) is the contract a real codec slots
-  * into. Everything runs in `mapPartitions` so a real codec amortizes
+  * fixture encoder. The VIDEO path is real for YUV4MPEG2 (the standard
+  * public uncompressed interchange format): [[decodeY4m]]/[[videoStats]],
+  * with [[encodeY4m]] as the lossless fixture encoder. COMPRESSED video
+  * (H.264 etc.) has no bare-JVM decoder and keeps the deterministic
+  * byte-hash stand-in ([[fakeDecode]]) — the signature (bytes →
+  * fixed-dim float features) is the contract a real codec slots into.
+  * Everything runs in `mapPartitions` so a real codec amortizes
   * per-partition initialization, the same shape a Pandas-UDF
   * `mapInPandas` would have in PySpark.
   */
@@ -296,6 +298,154 @@ object MediaOps {
         }
       }
       .toDF("id", "sample_rate", "n_samples", "amp_sum", "abs_sum")
+  }
+
+  // ---- real video codec path (YUV4MPEG2 — the standard PUBLIC
+  //      uncompressed video interchange format: mjpegtools/ffmpeg's
+  //      `-f yuv4mpegpipe`. A plain-text stream header, then per frame a
+  //      "FRAME" line + raw planes — parseable in a bare JVM, which is
+  //      what finally retires the video stub: compressed codecs (H.264
+  //      etc.) still have no JVM decoder, and [[fakeDecode]] remains the
+  //      documented slot for them) ----
+
+  /** Encode a YUV4MPEG2 stream whose frame f's luma at (x, y) is
+    * `luma(f, x, y)` (0..255). `mono = true` writes Cmono (luma plane
+    * only); `mono = false` writes C420jpeg with neutral (128) chroma
+    * planes. Uncompressed, so a decode returns exactly `luma` —
+    * the [[encodeGrayPng]]/[[encodePcmWav]] trick on video.
+    */
+  def encodeY4m(width: Int, height: Int, nFrames: Int,
+                luma: (Int, Int, Int) => Int, mono: Boolean = true,
+                fps: Int = 25): Array[Byte] = {
+    val cs = if (mono) "Cmono" else "C420jpeg"
+    val header = s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 $cs\n".getBytes("US-ASCII")
+    val frameHdr = "FRAME\n".getBytes("US-ASCII")
+    val chroma = if (mono) 0 else (width / 2) * (height / 2) * 2
+    val out = new java.io.ByteArrayOutputStream(
+      header.length + nFrames * (frameHdr.length + width * height + chroma))
+    out.write(header)
+    var f = 0
+    while (f < nFrames) {
+      out.write(frameHdr)
+      val plane = new Array[Byte](width * height)
+      var i = 0
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { plane(i) = luma(f, x, y).toByte; i += 1; x += 1 }
+        y += 1
+      }
+      out.write(plane)
+      if (!mono) {
+        val c = new Array[Byte](chroma)
+        java.util.Arrays.fill(c, 128.toByte)
+        out.write(c)
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode YUV4MPEG2 bytes to (width, height, one luma plane per frame).
+    * Accepts Cmono and the C420 family (chroma planes skipped — luma is
+    * what the pipeline features consume); other colorspaces, truncated
+    * streams and non-y4m bytes return None (corrupt rows must not kill a
+    * 100 TB scan), mirroring [[decodeGray]]/[[decodePcm]].
+    */
+  def decodeY4m(content: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < content.length && content(i) != '\n'.toByte) i += 1
+      if (i < content.length) i else -1
+    }
+    val nl = lineEnd(0)
+    if (nl < 0) return None
+    val header = new String(content, 0, nl, "US-ASCII")
+    if (!header.startsWith("YUV4MPEG2")) return None
+    var w = -1
+    var h = -1
+    var cs = "420jpeg" // the y4m default when no C tag is present
+    header.split(' ').drop(1).foreach { t =>
+      if (t.startsWith("W")) w = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("H")) h = t.drop(1).toIntOption.getOrElse(-1)
+      else if (t.startsWith("C")) cs = t.drop(1)
+    }
+    if (w <= 0 || h <= 0) return None
+    val chromaBytes =
+      if (cs == "mono") 0
+      else if (cs.startsWith("420")) (w / 2) * (h / 2) * 2
+      else return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var pos = nl + 1
+    while (pos < content.length) {
+      val fnl = lineEnd(pos)
+      if (fnl < 0) return None
+      if (!new String(content, pos, fnl - pos, "US-ASCII").startsWith("FRAME")) return None
+      pos = fnl + 1
+      if (pos + w * h + chromaBytes > content.length) return None
+      frames += java.util.Arrays.copyOfRange(content, pos, pos + w * h)
+      pos += w * h + chromaBytes
+    }
+    Some((w, h, frames.result()))
+  }
+
+  /** Deterministic synthetic y4m table over an id column: w = 8 + id%5,
+    * h = 6 + id%3, 2 + id%4 frames, luma(f, x, y) =
+    * (id·31 + f·29 + x·7 + y·13) % 256; odd ids carry C420jpeg chroma
+    * (exercising the skip path), even ids Cmono. Same closed-form trick
+    * as [[syntheticPngs]]/[[syntheticWavs]]: a SQL oracle re-derives
+    * every decoded-luma statistic from (id, f, x, y) alone. Output:
+    * (id, content).
+    */
+  def syntheticY4ms(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 5).toInt
+          val h = (6 + id % 3).toInt
+          val nf = (2 + id % 4).toInt
+          val bytes = encodeY4m(w, h, nf,
+            (f, x, y) => ((id * 31 + f * 29 + x * 7 + y * 13) % 256).toInt,
+            mono = id % 2 == 0)
+          (id, bytes)
+        }
+      }
+      .toDF("id", "content")
+  }
+
+  /** Decoded-video statistics over an (id, content) frame: REAL y4m
+    * decode, integer outputs only (bit-exact for an oracle): (id, width,
+    * height, n_frames, luma_sum, frame_weighted_sum) — the weighted sum
+    * (Σ (f+1)·luma) catches frame-order permutations the plain sum would
+    * miss, the decode twin of q70's position-weighted checksum.
+    * Undecodable payloads are dropped, as in [[imageStats]].
+    */
+  def videoStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeY4m(bytes).map { case (w, h, frames) =>
+            var sum = 0L
+            var weighted = 0L
+            var f = 0
+            while (f < frames.length) {
+              val plane = frames(f)
+              var i = 0
+              var fs = 0L
+              while (i < plane.length) { fs += plane(i) & 0xff; i += 1 }
+              sum += fs
+              weighted += (f + 1) * fs
+              f += 1
+            }
+            (id, w.toLong, h.toLong, frames.length.toLong, sum, weighted)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "n_frames", "luma_sum", "frame_weighted_sum")
   }
 
   /** Feature extraction over a media Dataset: per-partition batch loop

@@ -108,6 +108,47 @@ class MediaSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSeq === Seq(2L))
   }
 
+  test("REAL video decode: y4m round-trip recovers exact luma planes in both colorspaces") {
+    import graft.multimodal.MediaOps
+    def luma(f: Int, x: Int, y: Int) = (f * 29 + x * 7 + y * 13) % 256
+    for (mono <- Seq(true, false)) {
+      val bytes = MediaOps.encodeY4m(10, 6, 3, luma, mono = mono)
+      val (w, h, frames) = MediaOps.decodeY4m(bytes).get
+      assert((w, h, frames.length) === ((10, 6, 3)), s"mono=$mono")
+      for (f <- 0 until 3; y <- 0 until 6; x <- 0 until 10)
+        assert((frames(f)(y * 10 + x) & 0xff) === luma(f, x, y),
+          s"luma mismatch at f=$f x=$x y=$y mono=$mono")
+    }
+    // videoStats over synthetic y4ms matches the closed-form sums (the
+    // q75 oracle contract, asserted in-JVM too)
+    val ids = spark.range(0, 20).selectExpr("id * 13 AS id")
+    val stats = MediaOps.videoStats(MediaOps.syntheticY4ms(ids))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(stats.size === 20)
+    stats.foreach { case (id, (w, h, nf, sum, weighted)) =>
+      val (ew, eh, enf) = (8 + id % 5, 6 + id % 3, 2 + id % 4)
+      assert((w, h, nf) === ((ew, eh, enf)))
+      val lumas = for (f <- 0L until enf; y <- 0L until eh; x <- 0L until ew)
+        yield (f, (id * 31 + f * 29 + x * 7 + y * 13) % 256)
+      assert(sum === lumas.map(_._2).sum, s"luma sum for id $id")
+      assert(weighted === lumas.map { case (f, l) => (f + 1) * l }.sum)
+    }
+    // malformed streams drop, never crash: bad magic, truncated frame,
+    // unsupported colorspace
+    import spark.implicits._
+    val good = MediaOps.encodeY4m(8, 6, 2, luma)
+    val junk = Seq(
+      (1L, "not a video".getBytes("US-ASCII")),
+      (2L, good.dropRight(5)),
+      (3L, new String(good.takeWhile(_ != '\n'), "US-ASCII")
+        .replace("Cmono", "C444").getBytes("US-ASCII")
+        ++ good.dropWhile(_ != '\n')),
+      (4L, good),
+    ).toDF("id", "content")
+    assert(MediaOps.videoStats(junk).collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("image -> vector -> HNSW index -> query end-to-end (the notebooks' image-in flow)") {
     import graft.multimodal.MediaOps
     import graft.hnsw.{Hnsw, HnswParams}
