@@ -448,6 +448,45 @@ object MediaOps {
       .toDF("id", "width", "height", "n_frames", "luma_sum", "frame_weighted_sum")
   }
 
+  /** Decode + per-frame nearest-neighbor resize to side×side + flatten +
+    * /255 normalize — video bytes in, (id, frame_idx, vector) rows out,
+    * the video twin of [[imageVectors]]: each sampled frame becomes an
+    * indexable embedding (frame-level similarity search / near-dup over
+    * video). `stride` keeps every stride-th frame ([[sampleFrames]]'s
+    * dial, applied inside the decode so skipped frames never allocate).
+    * Same pure-integer source indexing as [[imageVectors]] —
+    * platform-exact.
+    */
+  def videoVectors(media: DataFrame, side: Int = 8, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"videoVectors: stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeY4m(bytes).toSeq.flatMap { case (w, h, frames) =>
+            frames.iterator.zipWithIndex.collect {
+              case (plane, f) if f % stride == 0 =>
+                val v = new Array[Float](side * side)
+                var y = 0
+                while (y < side) {
+                  val sy = y * h / side
+                  var x = 0
+                  while (x < side) {
+                    val sx = x * w / side
+                    v(y * side + x) = (plane(sy * w + sx) & 0xff) / 255.0f
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, f, v)
+            }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "vector")
+  }
+
   /** Feature extraction over a media Dataset: per-partition batch loop
     * (decoder init happens once per partition, not per row).
     */

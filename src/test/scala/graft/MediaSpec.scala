@@ -171,4 +171,33 @@ class MediaSpec extends SparkSpec {
       assert(r.getAs[Double]("dist") === 0.0)
     }
   }
+
+  test("video -> frame vectors -> HNSW -> query end-to-end; stride skips frames") {
+    import graft.multimodal.MediaOps
+    import graft.hnsw.{Hnsw, HnswParams}
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val ids = spark.range(0, 40).selectExpr("id * 13 AS id")
+    val vids = MediaOps.syntheticY4ms(ids)
+    val vecs = MediaOps.videoVectors(vids, side = 8)
+    // one row per frame: Σ (2 + id % 4) over the id set
+    val expectFrames = (0L until 40L).map(i => 2 + (i * 13) % 4).sum
+    assert(vecs.count() === expectFrames)
+    assert(vecs.head().getSeq[Float](2).forall(v => v >= 0.0f && v <= 1.0f))
+    // stride=2 keeps frames 0, 2, 4...
+    val strided = MediaOps.videoVectors(vids, side = 8, stride = 2)
+    val expectStrided = (0L until 40L).map(i => (2 + (i * 13) % 4 + 1) / 2).sum
+    assert(strided.count() === expectStrided)
+    assert(strided.filter(col("frame_idx") % 2 =!= 0).count() === 0L)
+    // frame-level similarity: index every frame under a synthetic row id,
+    // querying a frame's own vector must find it at distance 0
+    val rows = vecs.select(monotonically_increasing_id().as("rid"), col("vector"))
+      .localCheckpoint()
+    val index = Hnsw.build(rows.select(col("rid").as("id"), col("vector")),
+      HnswParams(dim = 64, m = 4, efConstruction = 32, numPartitions = 2))
+    val queries = rows.filter(col("rid") % 10 === 0)
+      .select(col("rid").as("qid"), col("vector"))
+    val rank1 = Hnsw.annQuery(index, queries, k = 3).filter(col("rank") === 1).collect()
+    assert(rank1.nonEmpty)
+    rank1.foreach(r => assert(r.getAs[Double]("dist") === 0.0, "self-frame at distance 0"))
+  }
 }
