@@ -32,6 +32,28 @@ object SparkEntry {
 
   private val EmbDim = 64
 
+  /** events table with `ts` normalized to epoch microseconds (`tus`),
+    * schema-dispatched: the driver has shipped `events.parquet` both as
+    * parquet TIMESTAMP(NANOS) — which `spark.sql.legacy.parquet.nanosAsLong`
+    * surfaces as a long — and as `timestamp[us]` (isAdjustedToUTC=false),
+    * which Spark reads as TIMESTAMP_NTZ. Both encodings must resolve.
+    * NTZ goes through a TimestampType cast under the UTC session zone, so
+    * the literal value is preserved — matching DuckDB's `epoch_us(ts)`.
+    * Integer arithmetic from here on: exact at any parallelism.
+    */
+  private def eventsMicros(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val e = tbl(s, dir, "events")
+    val tus = e.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case TimestampType    => unix_micros(col("ts"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported type $other (expected long nanos or timestamp)")
+    }
+    e.withColumn("tus", tus)
+  }
+
   /** One HNSW build per data dir, shared by the hnsw_* queries (edges
     * cached — the graph is reused, not rebuilt, per downstream action).
     */
@@ -591,13 +613,12 @@ object SparkEntry {
     // (batch twin of the Structured Streaming windowed-agg path; exact-only
     //  aggregates — sums of non-integral doubles are order-dependent)
     "q21_event_window" -> ((s, dir) =>
-      // ts arrives as long nanos (spark.sql.legacy.parquet.nanosAsLong);
       // hour-truncate to epoch seconds with exact integer arithmetic
       // (timestamp types round-trip differently across engines; integers
-      // compare exactly)
-      tbl(s, dir, "events")
+      // compare exactly); ts encoding handled by eventsMicros
+      eventsMicros(s, dir)
         .groupBy(
-          expr("(ts DIV 3600000000000) * 3600").as("hour_epoch"),
+          expr("(tus DIV 3600000000) * 3600").as("hour_epoch"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
@@ -681,8 +702,8 @@ object SparkEntry {
     "q29_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
-      val e = tbl(s, dir, "events")
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t"))
+      val e = eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("tus").as("t"))
       e.withColumn("brk",
           when(col("t") - lag(col("t"), 1).over(byUser) > 600000000L, 1L).otherwise(0L))
         .withColumn("sid", sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
@@ -736,8 +757,8 @@ object SparkEntry {
 
     // ---- as-of join: each click matched to the user's latest prior purchase ----
     "q32_asof_join" -> ((s, dir) => {
-      val e = tbl(s, dir, "events")
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t"), col("event_type"))
+      val e = eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("tus").as("t"), col("event_type"))
       val clicks = e.filter(col("event_type") === "click").select("user_id", "t", "event_id")
       val purchases = e.filter(col("event_type") === "purchase").select("user_id", "t")
       graft.operators.AsOf.asOfJoin(clicks, purchases, "user_id", "t", "last_purchase_t")
@@ -747,8 +768,8 @@ object SparkEntry {
     // ---- bounded range join (bucketed equi-join, no BNLJ): clicks within
     //      1 hour after each purchase by the same user ----
     "q35_range_join" -> ((s, dir) => {
-      val e = tbl(s, dir, "events")
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("t"), col("event_type"))
+      val e = eventsMicros(s, dir)
+        .select(col("user_id"), col("event_id"), col("tus").as("t"), col("event_type"))
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_event"), col("t").as("pt"))
       val clicks = e.filter(col("event_type") === "click")

@@ -12,8 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
-      // read as long and convert explicitly (see q21_event_window)
+      // events.parquet has shipped as TIMESTAMP(NANOS) (no Spark type —
+      // read as long) and as timestamp[us]; SparkEntry.eventsMicros
+      // dispatches on whichever schema arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

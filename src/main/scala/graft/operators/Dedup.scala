@@ -182,8 +182,10 @@ object Dedup {
     * practice — ubiquitous shingles carry no Jaccard signal), and the
     * per-doc set sizes are computed on the SAME capped set so the
     * inclusion–exclusion union stays consistent: the result is the exact
-    * Jaccard over the non-ubiquitous shingle universe. The df count is a
-    * window over the same `shingle` partitioning the join shuffles on.
+    * Jaccard over the non-ubiquitous shingle universe. The cap runs as a
+    * bounded-buffer grouped aggregate (long ids) or a partial-agg df +
+    * anti-join (otherwise) — never a window, so a degenerate hot shingle
+    * cannot land its whole partition in one task.
     * Default = no cap (small-corpus exact semantics).
     *
     * Like [[lshCandidatePairs]], this operator is EAGER by default — the
@@ -203,10 +205,24 @@ object Dedup {
       .distinct()
     val capped =
       if (maxDf == Int.MaxValue) shAll
-      else shAll
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-        .filter(col("df") <= maxDf)
-        .drop("df")
+      else if (shAll.schema("id").dataType == org.apache.spark.sql.types.LongType)
+        // one-shuffle grouped form (the q12 CappedCollectLong shape): the
+        // aggregation buffer is bounded at cap+1 at every stage, over-cap
+        // shingles surface truncated and are dropped by the size filter —
+        // never a window, whose degenerate hot shingle is exactly the
+        // partition that lands in one window task
+        shAll.groupBy("shingle")
+          .agg(org.apache.spark.sql.graft.TopKAggregate
+            .cappedCollectLong(col("id"), maxDf).as("ids"))
+          .filter(size(col("ids")) <= maxDf)
+          .select(explode(col("ids")).as("id"), col("shingle"))
+      else {
+        // non-long ids: partial-agg df + anti-join prune (hot list is
+        // bounded by |shingle rows|/maxDf keys)
+        val hot = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle")
+        shAll.join(hot, Seq("shingle"), "left_anti")
+      }
     // eager materialization (same shape as lshCandidatePairs): the capped
     // shingle set feeds the size aggregate AND both self-join sides —
     // unmaterialized, the explode+distinct subtree would run three times
@@ -318,8 +334,8 @@ object Dedup {
     * Scale shape: the corpus side explodes to distinct (id, shingle) ONCE;
     * shingles with corpus document frequency &gt; `maxDf` are dropped from
     * BOTH sides before the equi-join (the [[ngramJaccardPairs]] hot-shingle
-    * guard in cross-corpus form — the df window partitions by `shingle`,
-    * the same key the join shuffles on), and per-doc set sizes are computed
+    * guard in cross-corpus form — a partial-agg df count feeding an
+    * anti-join on `shingle`), and per-doc set sizes are computed
     * on the SAME capped universe so inclusion–exclusion stays consistent.
     * Join volume is O(shingle-match rows) with every corpus shingle bounded
     * to `maxDf` docs; the new batch is assumed the (much) smaller side.
@@ -346,10 +362,14 @@ object Dedup {
     val (corpusSh, newSh) =
       if (maxDf == Int.MaxValue) (ckpt(corpusShAll), ckpt(newShAll))
       else {
-        val withDf = ckpt(corpusShAll
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle"))))
-        val hot = withDf.filter(col("df") > maxDf).select("shingle").distinct()
-        (withDf.filter(col("df") <= maxDf).drop("df"),
+        // partial-agg df + anti-join, not a window: a corpus-hot shingle
+        // would land its whole partition in one window task. The hot list
+        // is bounded by |corpus shingle rows|/maxDf keys — checkpointed
+        // once (it prunes BOTH join sides), far smaller than pinning the
+        // full df-annotated shingle table.
+        val hot = ckpt(corpusShAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("shingle"))
+        (ckpt(corpusShAll.join(hot, Seq("shingle"), "left_anti")),
           ckpt(newShAll.join(hot, Seq("shingle"), "left_anti")))
       }
 
@@ -567,8 +587,8 @@ object Dedup {
     * form): a degenerate block — e.g. a mass of all-zero or identical
     * vectors collapsing into one bucket — emits B² scored pairs. Blocks
     * larger than the cap are dropped before the join (such mega-clusters
-    * belong to the exact-dup pass); the count is a window over the same
-    * block partitioning the join shuffles on. Default = no cap.
+    * belong to the exact-dup pass); the count is a partial-agg groupBy
+    * feeding an anti-join, never a window. Default = no cap.
     */
   def embeddingNearDupPairs(
       embs: DataFrame, idCol: String, vecCol: String, blockCol: String,
@@ -576,10 +596,15 @@ object Dedup {
     val rows = embs.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
     val guarded =
       if (maxBlock == Int.MaxValue) rows
-      else rows
-        .withColumn("bn", count(lit(1)).over(Window.partitionBy("blk")))
-        .filter(col("bn") <= maxBlock)
-        .drop("bn")
+      else {
+        // partial-agg block count + anti-join, not a window: the
+        // degenerate hot block the cap exists for is exactly the
+        // partition that would land in one window task. The hot list is
+        // bounded by n/maxBlock keys; AQE picks the join strategy.
+        val hot = rows.groupBy("blk").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBlock).select("blk")
+        rows.join(hot, Seq("blk"), "left_anti")
+      }
     val a = guarded.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
     val b = guarded.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("blk"))

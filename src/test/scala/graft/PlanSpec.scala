@@ -89,6 +89,16 @@ class PlanSpec extends SparkSpec {
       "pairwise work must stay inside equi-joined blocks")
   }
 
+  test("hot-block caps are partial-agg + anti-join, never a window (q17/q33/q74/q13)") {
+    // the degenerate hot block the cap guards against is exactly the
+    // partition a window count would land in one task
+    for (q <- Seq("q17_embed_neardup", "q33_embed_neardup_lsh",
+        "q74_semantic_dedup", "q13_jaccard_pairs")) {
+      val s = formatted(q)
+      assert(!s.contains("windowspecdefinition"), s"$q: cap must not run as a window")
+    }
+  }
+
   test("q59 BoW top-k broadcasts the query vector; dot product is a hash join on bucket") {
     val s = formatted("q59_bow_topk")
     assert(s.contains("BroadcastHashJoin"), "query-vector side must broadcast")
