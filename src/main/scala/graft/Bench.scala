@@ -26,8 +26,10 @@ object Bench {
     // the standard way to report the plan's actual cost under such noise.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // the literal filter "build" is the matched-baseline knob ONLY — it
+    // must not substring-select hnsw_build_stats et al. into the run
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .filter { case (n, _) => only.forall(_.exists(f => f != "build" && n.contains(f))) }
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -77,7 +79,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_vecs_per_sec_dim512_cosine":$matchedVecsPerSec,"baseline_vecs_per_sec":67.13}"""
+    // a SPARK_GRAFT_ONLY-filtered run must not masquerade as the full
+    // suite: its total is labeled spot_check_total so round-over-round
+    // comparisons of "total" always compare identical query sets
+    val metric = if (only.isDefined) "spot_check_total" else "total"
+    val line = s"""{"metric":"$metric","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_vecs_per_sec_dim512_cosine":$matchedVecsPerSec,"baseline_vecs_per_sec":67.13}"""
     println(line)
     // the same line as a FILE artifact: the stdout capture has been
     // tail-truncated before (r04's parsed field came back null) — a

@@ -13,6 +13,12 @@ import graft.sources.Datagen
   *   --load DIR [--query-file PARQUET] [--k K] [--ef EF] [--max-queries N] [--out DIR]
   *   --compact DIR --out DIR [--target-shards N]
   *
+  * plus the dedup-pipeline surface (S2 parity for the corpus-prep half):
+  *
+  *   --dedup-spans PARQUET --out DIR    span-level exact substring dedup report
+  *   --scrub PARQUET --corpus PARQUET --out DIR    ingest-time span scrub
+  *   --semdedup PARQUET --out DIR       semantic dedup verdicts (auto bits)
+  *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
   * (reference `_cli_query`, `hsnw_trial.py:417-427`).
@@ -174,6 +180,63 @@ object Main {
         f"${compacted.meta.num_partitions} shards in $secs%.1f s -> $out" +
         (if (index.centroids.isDefined) f" [routed, ${compacted.meta.num_cells} cells kept]" else ""))
 
+    } else if (opts.contains("dedup-spans")) {
+      // span-level exact substring dedup report (Dedup.dupSpans): maximal
+      // runs of >= --min-run consecutive duplicated --shingle-k-token
+      // shingles, as 1-based inclusive token ranges
+      val in = opts("dedup-spans")
+      val out = opts.getOrElse("out", sys.error("--dedup-spans requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "doc_id")
+      val textCol = opts.getOrElse("text-col", "text")
+      val t0 = System.nanoTime()
+      val spans = graft.operators.Dedup.dupSpans(spark.read.parquet(in), idCol, textCol,
+        k = opts.getOrElse("shingle-k", "8").toInt,
+        minRun = opts.getOrElse("min-run", "2").toInt)
+      spans.write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(f"[dedup-spans] $n duplicated spans in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("scrub")) {
+      // ingest-time span scrub (Dedup.scrubSpans): rewrite each NEW doc
+      // with every token covered by a corpus-known shingle removed
+      // (keep-first — the corpus copy is the one retained)
+      val in = opts("scrub")
+      val corpus = opts.getOrElse("corpus", sys.error("--scrub requires --corpus PARQUET"))
+      val out = opts.getOrElse("out", sys.error("--scrub requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "doc_id")
+      val textCol = opts.getOrElse("text-col", "text")
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.scrubSpans(
+          spark.read.parquet(in), spark.read.parquet(corpus), idCol, textCol,
+          k = opts.getOrElse("shingle-k", "8").toInt)
+        .write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .agg(count(lit(1)), sum("n_tokens"), sum("kept_tokens")).head()
+      println(f"[scrub] ${stats.getLong(0)} docs, ${stats.getLong(2)}/${stats.getLong(1)} tokens kept " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("semdedup")) {
+      // SemDeDup-style semantic dedup (Dedup.semanticDedup): per-row
+      // keep/drop verdicts from embedding proximity; --bits defaults to
+      // auto (derived from the corpus count, Dedup.autoBits)
+      val in = opts("semdedup")
+      val out = opts.getOrElse("out", sys.error("--semdedup requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "id")
+      val vecCol = opts.getOrElse("vec-col", "vector")
+      val df = spark.read.parquet(in).select(col(idCol), col(vecCol))
+      val dim = opts.get("dim").map(_.toInt)
+        .getOrElse(df.select(size(col(vecCol))).head().getInt(0))
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.semanticDedup(df, idCol, vecCol, dim,
+          bits = opts.getOrElse("bits", "-1").toInt,
+          maxDist = opts.getOrElse("max-dist", "0.2").toDouble,
+          maxBlock = opts.getOrElse("max-block", Int.MaxValue.toString).toInt)
+        .write.mode("overwrite").parquet(out)
+      val verdicts = spark.read.parquet(out)
+      val dropped = verdicts.filter(col("is_dup")).count()
+      println(f"[semdedup] ${verdicts.count()} rows, $dropped dropped as semantic dups " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("gen-queries")) {
       // synthetic (qid, vector) query file for --load --query-file runs
       val n = opts.getOrElse("n", "1000").toLong
@@ -195,7 +258,10 @@ object Main {
           |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --adaptive] [--out DIR]
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
-          |  --gen-queries OUT --n N --dim D [--seed 7]""".stripMargin)
+          |  --gen-queries OUT --n N --dim D [--seed 7]
+          |  --dedup-spans PARQUET --out DIR [--id-col doc_id --text-col text --shingle-k 8 --min-run 2]
+          |  --scrub PARQUET --corpus PARQUET --out DIR [--id-col doc_id --text-col text --shingle-k 8]
+          |  --semdedup PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]""".stripMargin)
     }
   }
 }

@@ -862,6 +862,44 @@ object SparkEntry {
       Hnsw.annQueryRouted(idx, queries, k = 10)
     }),
 
+    // ---- golden parity: the reference's committed experience end-to-end
+    //      (CIFAR notebook cell-4 / README top-5 table) from real decoded
+    //      image bytes — synthetic closed-form PNGs → javax.imageio decode
+    //      → 8×8 nearest-neighbor resize → /255 float vectors → exact k=5
+    //      ranked labeled report. PNG is lossless and float division is
+    //      exactly rounded in IEEE, so a DuckDB oracle re-derives every
+    //      vector component (and so every distance, rank and marker) from
+    //      the pixel formula without touching an image ----
+    "q76_golden_image_report" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"))
+      val vecs = graft.multimodal.MediaOps.imageVectors(
+        graft.multimodal.MediaOps.syntheticPngs(ids), side = 8)
+      val queries = vecs.filter(col("id") % 25 === 0)
+        .select(col("id").as("qid"), col("vector"))
+      val labels = vecs.select(col("id"),
+        concat(lit("class_"), (col("id") % 10).cast("string")).as("label_name"))
+      Knn.rankedReport(vecs, queries, labels, k = 5, Distances.l2)
+    }),
+
+    // ---- golden parity through the REAL ANN path: every indexed image
+    //      queries the built HNSW graph with its own vector; top-1 must be
+    //      itself at distance exactly 0 (README.md:21-27's self-match row,
+    //      the notebook's rank-1 "<- QUERY" line). The oracle is the
+    //      closed-form identity table — any graph/search regression that
+    //      breaks self-recall diffs against it ----
+    "q77_golden_selfmatch" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"))
+      val vecs = graft.multimodal.MediaOps.imageVectors(
+        graft.multimodal.MediaOps.syntheticPngs(ids), side = 8)
+      val idx = Hnsw.build(vecs,
+        HnswParams(dim = 64, m = 8, efConstruction = 64, numPartitions = 4))
+      val queries = vecs.select(col("id").as("qid"), col("vector"))
+      Hnsw.annQuery(idx, queries, k = 1)
+        .select(col("qid"), col("id").as("match_id"), col("dist"))
+    }),
+
     // ---- D8: recall@k of ANN vs exact oracle (rows-only; the reference's declared-but-missing eval) ----
     "hnsw_recall" -> ((s, dir) => {
       val idx = builtIndex(s, dir)
@@ -1451,6 +1489,32 @@ object SparkEntry {
           |  CAST(w * h AS BIGINT) AS n_px,
           |  CAST(SUM((id * 31 + (p % w) * 7 + (p // w) * 13) % 256) AS BIGINT) AS px_sum
           |FROM px GROUP BY id, w, h""".stripMargin,
+
+      // the golden ranked report re-derived with no image in sight: vector
+      // components from the pixel closed form (float32 division is exactly
+      // rounded, so CAST(.. AS REAL)/CAST(255 AS REAL) is bit-identical to
+      // the JVM's px/255.0f), distances via the unrolled left-associative
+      // l2Sql, ranks via the same (dist, id) total order
+      "q76_golden_image_report" -> {
+        val comp = "CAST(CAST((id * 31 + (((p % 8) * w) // 8) * 7 + (((p // 8) * h) // 8) * 13) % 256 AS REAL) / CAST(255 AS REAL) AS REAL)"
+        s"""WITH imgs AS (SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |vecs AS (SELECT id, list_transform(generate_series(0, 63), p -> $comp) AS v FROM imgs),
+           |qs AS (SELECT id AS qid, v AS qv FROM vecs WHERE id % 25 = 0),
+           |scored AS (SELECT qs.qid, i.id, ${l2Sql("qs.qv", "i.v", 64)} AS dist FROM qs, vecs i),
+           |r AS (SELECT qid, id, dist,
+           |  row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS rn FROM scored)
+           |SELECT qid, CAST(rn AS INT) AS rank, id, dist,
+           |  'class_' || CAST(id % 10 AS VARCHAR) AS label_name,
+           |  CASE WHEN id = qid THEN '<- QUERY' ELSE '' END AS marker
+           |FROM r WHERE rn <= 5""".stripMargin
+      },
+
+      // self-match through the real HNSW graph: the oracle is the identity
+      // table — rank-1 must be the query itself at distance exactly 0
+      "q77_golden_selfmatch" ->
+        """SELECT doc_id AS qid, doc_id AS match_id, CAST(0.0 AS DOUBLE) AS dist
+          |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
 
       "q66_triage_dedup" ->
         s"""WITH ${shingleCte(3)},

@@ -605,18 +605,23 @@ object Hnsw {
     *     search work (q·s_q·ef) dwarfs the one-off sub-graph rebuilds.
     *
     * Decision, two tiers. First a search-dominated SHORT-CIRCUIT from
-    * counts alone (no probe jobs): if `q·efBudget ≥ nSub·P` — total
-    * search node-visits at or above the worst-case (union = P) rebuild
-    * volume — then rebuild-dominated is false for every possible probe
-    * outcome, fallback can never fire, and the call returns the exact
-    * always-routed plan with the probe left lazy (fused into the one
+    * counts alone (no probe jobs): if `q·efBudget ≥ num_nodes` — total
+    * search node-visits at or above the worst-case (union = every pid)
+    * rebuild volume — then rebuild-dominated is false for every possible
+    * probe outcome, fallback can never fire, and the call returns the
+    * exact always-routed plan with the probe left lazy (fused into the one
     * search job). High-volume batches therefore pay no decision overhead.
     * Otherwise materialize the probe table once and fall back to
     * [[annQueryLarge]] only when BOTH savings are gone — the union
     * reaches `fallbackFraction`·P (no shipping saving) AND the batch is
-    * rebuild-dominated, `q·efBudget < nSub·union` (total search
-    * node-visits below the sub-graph rebuild volume, so the search saving
-    * cannot repay the probe overhead either). Indexes without a
+    * rebuild-dominated: `q·efBudget` below the probed rebuild volume
+    * (total search node-visits under the sub-graph rebuild work, so the
+    * search saving cannot repay the probe overhead either). The probed
+    * volume is `nSub·union` for a homogeneous index; an index carrying
+    * APPENDED shards (streaming adds — distinct pids &gt; P, shard sizes
+    * uneven) gets the exact per-pid-weighted sum instead, via one
+    * pid-column partial-agg count, so a long-streamed index's many small
+    * shards don't masquerade as full-size rebuild work. Indexes without a
     * `num_nodes` count treat every batch as rebuild-dominated
     * (conservative: union rule alone). Measured calls on the committed
     * points (BENCH_ROUTED.json, 1M×64): 50k uniform → short-circuit
@@ -646,21 +651,58 @@ object Hnsw {
     // the one search job, exactly the always-routed plan). This is the
     // high-query-volume regime where the eager decision cost ~20s of the
     // 1M/50k point's 131s (BENCH_ROUTED adaptive vs always-routed 107s).
-    if (nSub > 0 && q.count() * efBudget(m, k, ef).toLong >= nSub * totalPids)
+    // worst-case rebuild volume is the WHOLE index (union = every pid), so
+    // the exact short-circuit test is q·ef >= num_nodes — for a
+    // non-appended index this equals nSub·P; for an appended one it is
+    // strictly tighter (nSub·totalPids overstates: appended shards are
+    // smaller than num_nodes/P)
+    if (m.num_nodes > 0 && q.count() * efBudget(m, k, ef).toLong >= m.num_nodes)
       return routedSearch(index, q, probedPidsFor(index, q, probeCells), k, ef)
     val probed = probedPidsFor(index, q, probeCells).localCheckpoint()
     // shard and batch statistics from the materialized probe table and the
-    // routing table (both tiny) — never a scan of the node table
+    // routing table (both tiny) — the node table is only touched on the
+    // appended-shard branch below, and then as a pid-column-pruned
+    // partial-agg count
     val stats = probed.agg(
       countDistinct(col("pid")).as("union"),
       countDistinct(col("qid")).as("q")).head()
     val (probedUnion, qCount) = (stats.getLong(0), stats.getLong(1))
-    val rebuildDominated = nSub < 0 || qCount * efBudget(m, k, ef).toLong < nSub * probedUnion
+    val rebuildVolume = probedRebuildVolume(index, probed, nSub, probedUnion, totalPids)
+    val rebuildDominated = rebuildVolume < 0 || qCount * efBudget(m, k, ef).toLong < rebuildVolume
     if (probedUnion >= fallbackFraction * totalPids && rebuildDominated) {
       graft.operators.Checkpoints.unpersist(probed)
       annQueryLarge(index, queries, k, ef)
-    } else routedSearch(index, q, probed, k, ef)
+    } else {
+      // the returned plan re-derives the probe lazily (fused into the
+      // search job, same as the short-circuit path) so the eager decision
+      // copy can be released NOW — the routed branch must not pin probe
+      // blocks for the result's lifetime (repeated adaptive calls on a
+      // long-lived session would accumulate them)
+      val result = routedSearch(index, q, probedPidsFor(index, q, probeCells), k, ef)
+      graft.operators.Checkpoints.unpersist(probed)
+      result
+    }
   }
+
+  /** Sub-graph rebuild volume for a probed pid set — the cost-model term
+    * [[annQueryAdaptive]]'s rebuild-dominated test compares search work
+    * against. Homogeneous index (distinct pids == P): `nSub · union`, from
+    * counts alone. Index carrying APPENDED shards (streaming adds —
+    * distinct pids &gt; P, shard sizes uneven, and `meta.num_nodes` still
+    * the home build's count): the exact per-pid-weighted sum via one
+    * pid-column partial-agg over the node table, so a long-streamed
+    * index's many small shards don't each masquerade as a full home
+    * shard's rebuild work. -1 when the index has no node count (callers
+    * treat the batch as rebuild-dominated, the conservative default).
+    */
+  private[graft] def probedRebuildVolume(index: HnswIndex, probed: DataFrame,
+      nSub: Long, probedUnion: Long, totalPids: Long): Long =
+    if (nSub < 0) -1L
+    else if (totalPids > index.meta.num_partitions)
+      index.nodes.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+        .join(probed.select("pid").distinct(), "pid")
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    else nSub * probedUnion
 
   /** Shared engine of [[annQueryLarge]]/[[annQueryRouted]]: queries arrive
     * already replicated to their target shards as (pid, qid, vector); union

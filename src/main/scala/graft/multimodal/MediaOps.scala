@@ -320,7 +320,9 @@ object MediaOps {
     val cs = if (mono) "Cmono" else "C420jpeg"
     val header = s"YUV4MPEG2 W$width H$height F$fps:1 Ip A1:1 $cs\n".getBytes("US-ASCII")
     val frameHdr = "FRAME\n".getBytes("US-ASCII")
-    val chroma = if (mono) 0 else (width / 2) * (height / 2) * 2
+    // 4:2:0 chroma planes are ceil(w/2) × ceil(h/2) EACH — odd dimensions
+    // round UP (what ffmpeg emits), not down
+    val chroma = if (mono) 0 else ((width + 1) / 2) * ((height + 1) / 2) * 2
     val out = new java.io.ByteArrayOutputStream(
       header.length + nFrames * (frameHdr.length + width * height + chroma))
     out.write(header)
@@ -373,7 +375,7 @@ object MediaOps {
     if (w <= 0 || h <= 0) return None
     val chromaBytes =
       if (cs == "mono") 0
-      else if (cs.startsWith("420")) (w / 2) * (h / 2) * 2
+      else if (cs.startsWith("420")) ((w + 1) / 2) * ((h + 1) / 2) * 2 // ceil: odd dims round up
       else return None
     val frames = Vector.newBuilder[Array[Byte]]
     var pos = nl + 1

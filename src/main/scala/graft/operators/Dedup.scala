@@ -487,6 +487,20 @@ object Dedup {
     * near-dup pairs across buckets (each bit is another sign that must
     * agree), so don't over-shoot the target block size.
     */
+  /** Blocking-granularity default for [[semanticDedup]]: the bit count
+    * that puts the MEAN sign-LSH block near `targetBlock` rows —
+    * ceil(log2(n / targetBlock)), clamped to [1, maxBits]. A fixed bit
+    * default cannot be right across scales (the 5M-vector scale proof's
+    * finding: bits=8 leaves mean blocks ~400× over a 64-row target);
+    * the right value is a pure function of corpus size. `maxBits` caps at
+    * 24 (16M block keys) and callers must also cap at the embedding dim
+    * ([[embeddingBucket]]'s floor).
+    */
+  def autoBits(n: Long, targetBlock: Int = 64, maxBits: Int = 24): Int =
+    if (n <= targetBlock) 1
+    else math.min(maxBits,
+      math.max(1, math.ceil(math.log(n.toDouble / targetBlock) / math.log(2.0)).toInt))
+
   def embeddingBucket(vec: Column, dim: Int, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 62 && dim >= bits, s"need 1 <= bits <= min(62, dim), got dim=$dim bits=$bits")
     val group = dim / bits
@@ -788,14 +802,18 @@ object Dedup {
     * [[dupClusters]] (durable-spillable via `spillPath`). At 100 TB,
     * `bits` tunes block granularity (more bits → smaller blocks → less
     * pairwise work, more missed cross-block pairs — the standard
-    * recall/cost dial).
+    * recall/cost dial). Pass `bits = -1` (the default) to derive it from
+    * the corpus size via [[autoBits]] — costs one count job; the 5M-vector
+    * scale proof's finding was that a fixed default (8) leaves mean blocks
+    * 400× over target at that scale.
     */
   def semanticDedup(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-                    bits: Int = 8, maxDist: Double = 0.2,
+                    bits: Int = -1, maxDist: Double = 0.2,
                     maxBlock: Int = Int.MaxValue, maxIter: Int = 25,
                     spillPath: Option[String] = None): DataFrame = {
+    val b = if (bits == -1) autoBits(embs.count(), maxBits = math.min(24, dim)) else bits
     val bucketed = embs.select(col(idCol), col(vecCol),
-      embeddingBucket(col(vecCol), dim, bits).as("semdedup_block"))
+      embeddingBucket(col(vecCol), dim, b).as("semdedup_block"))
     val pairs = embeddingNearDupPairs(bucketed, idCol, vecCol, "semdedup_block",
       maxDist, maxBlock)
     dupClusters(embs.select(idCol), pairs, idCol, maxIter, spillPath)

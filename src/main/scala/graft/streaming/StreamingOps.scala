@@ -105,6 +105,13 @@ object StreamingOps {
     * block: its ids exist twice in different shards, which the per-query
     * top-k dedup collapses ([[Hnsw]] rankTopK) — duplicated storage until
     * [[Hnsw.rebuildRouted]] compacts.
+    *
+    * SINGLE WRITER: the read-maxPid → claim-block step is not atomic, so
+    * two concurrent appenders can read the same maxPid, claim the same
+    * offset, and silently merge independent sub-graphs under one pid. One
+    * Structured Streaming query per index directory is safe (foreachBatch
+    * serializes batches within a query); running multiple appending
+    * streams or ad-hoc append jobs against the same directory is not.
     */
   def appendBatchRouted(batch: DataFrame, dir: String, params: HnswParams,
                         batchId: Long, spill: Double = 0.15): Unit = {

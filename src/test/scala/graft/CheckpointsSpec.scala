@@ -120,6 +120,28 @@ class CheckpointsSpec extends SparkSpec {
     assert(assigned.select("cid").distinct().count() >= 2)
   }
 
+  test("annQueryAdaptive releases the eager probe checkpoint on BOTH branches") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    val input = graft.sources.Datagen.gaussianVectors(spark, 300, 8)
+    val idx = Hnsw.buildRouted(input,
+      HnswParams(dim = 8, m = 4, efConstruction = 16, numPartitions = 2), cellsPerShard = 2)
+    idx.nodes.count() // force the build before snapshotting pinned RDDs
+    val q1 = input.limit(1).select(col("id").as("qid"), col("vector"))
+    val before = persistentIds
+    for (_ <- 1 to 3) {
+      // routed branch: fallback threshold above any union fraction; a
+      // 1-query batch keeps q·ef < num_nodes so the eager decision (and
+      // its probe checkpoint) actually runs
+      Hnsw.annQueryAdaptive(idx, q1, k = 3, fallbackFraction = 1.1).count()
+      // fallback branch: union condition always true, 1 query is
+      // rebuild-dominated
+      Hnsw.annQueryAdaptive(idx, q1, k = 3, fallbackFraction = 0.0).count()
+    }
+    val leaked = awaitReleased(persistentIds -- before)
+    assert(leaked.isEmpty, s"repeated adaptive calls left pinned probe RDDs: $leaked")
+    idx.nodes.unpersist()
+  }
+
   test("durable spillPath: pqFit cleans superseded codebook iterations and the slice table") {
     import graft.operators.Pq
     import spark.implicits._

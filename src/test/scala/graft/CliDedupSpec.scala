@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** CLI round-trips for the dedup-pipeline surface (--dedup-spans, --scrub,
+  * --semdedup) — the S2 analog for the corpus-prep half — plus the
+  * autoBits sizing rule the --semdedup default rides on.
+  */
+class CliDedupSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+
+  test("--dedup-spans round-trip: duplicated boilerplate surfaces as spans") {
+    import spark.implicits._
+    val base = tmp("cli-spans")
+    Seq(
+      (1L, s"alpha beta gamma $boiler delta"),
+      (2L, s"epsilon $boiler zeta eta theta"),
+      (3L, "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("dedup-spans" -> s"$base/docs", "out" -> s"$base/spans",
+      "shingle-k" -> "4", "min-run" -> "2"))
+    val spans = spark.read.parquet(s"$base/spans")
+    assert(spans.columns.toSet === Set("doc_id", "span_start", "span_end", "n_shingles"))
+    assert(spans.select("doc_id").distinct().collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "both boilerplate carriers flagged, the clean doc absent")
+  }
+
+  test("--scrub round-trip: corpus-known boilerplate removed, fresh text verbatim") {
+    import spark.implicits._
+    val base = tmp("cli-scrub")
+    Seq((10L, s"corpus prefix $boiler corpus suffix words here"))
+      .toDF("doc_id", "text").write.parquet(s"$base/corpus")
+    Seq((20L, s"fresh opening $boiler fresh closing"),
+        (21L, "entirely new text with no shared shingles at all"))
+      .toDF("doc_id", "text").write.parquet(s"$base/new")
+    Main.run(spark, Map("scrub" -> s"$base/new", "corpus" -> s"$base/corpus",
+      "out" -> s"$base/scrubbed", "shingle-k" -> "4"))
+    val out = spark.read.parquet(s"$base/scrubbed").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_scrubbed")).toMap
+    assert(!out(20L).contains("boiler5"), "corpus-known span must be scrubbed")
+    assert(out(21L) === "entirely new text with no shared shingles at all")
+  }
+
+  test("--semdedup round-trip: near-identical embedding dropped, auto bits by default") {
+    import spark.implicits._
+    val base = tmp("cli-semdedup")
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    val vecs = (0 until 40).map(i => (i.toLong, vec(i))) :+ (100L, vec(0)) // dup of id 0
+    vecs.toDF("id", "vector").write.parquet(s"$base/embs")
+    Main.run(spark, Map("semdedup" -> s"$base/embs", "out" -> s"$base/verdicts",
+      "max-dist" -> "0.01"))
+    val v = spark.read.parquet(s"$base/verdicts")
+    assert(v.count() === 41)
+    val dup = v.filter(col("id") === 100L).head()
+    assert(dup.getAs[Boolean]("is_dup") && dup.getAs[Long]("canonical_id") === 0L)
+    assert(v.filter(col("is_dup")).count() === 1)
+  }
+
+  test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
+    assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
+    assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))
+    assert(Dedup.autoBits(64L) === 1)
+    assert(Dedup.autoBits(0L) === 1)
+    assert(Dedup.autoBits(Long.MaxValue) === 24, "hard cap at 24 bits")
+    // explicit override unchanged (q74 passes bits = 8)
+    assert(Dedup.autoBits(500L, targetBlock = 64) === 3)
+  }
+}

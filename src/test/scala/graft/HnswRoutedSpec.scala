@@ -116,6 +116,34 @@ class HnswRoutedSpec extends SparkSpec {
     assert(plainAdaptive === plainAll)
   }
 
+  test("appended shards: rebuild volume is per-pid weighted, flipping rebuild-dominated") {
+    val dir = Files.createTempDirectory("adaptive-append").toString
+    Hnsw.save(routed, dir)
+    // several tiny batches: distinct pids grow past P while meta.num_nodes
+    // stays the home build's count — the long-streamed shape
+    for (b <- 0 until 4) {
+      val batch = input.filter(col("id") % 20 === b)
+        .select((col("id") + lit(10000L * (b + 1))).as("id"), col("vector"))
+      graft.streaming.StreamingOps.appendBatchRouted(batch, dir, params, batchId = b.toLong)
+    }
+    val appended = Hnsw.load(spark, dir)
+    val totalPids = appended.centroids.get.select("pid").distinct().count()
+    assert(totalPids > params.numPartitions.toLong, "appends must add pid blocks")
+    val nSub = appended.meta.num_nodes / appended.meta.num_partitions
+    // worst-case probe: every routed pid
+    val probed = appended.centroids.get.select(lit(0L).as("qid"), col("pid")).distinct()
+    val naive = nSub * totalPids
+    val weighted = Hnsw.probedRebuildVolume(appended, probed, nSub, totalPids, totalPids)
+    assert(weighted === appended.nodes.count(),
+      "a full-union probe's weighted volume is exactly the node table")
+    assert(weighted < naive,
+      s"mean-size estimate $naive must overstate the appended index's $weighted")
+    // any search budget between the two flips the rebuild-dominated
+    // verdict: the naive model would fall back, the weighted one routes
+    val budget = (weighted + naive) / 2
+    assert(budget < naive && budget >= weighted)
+  }
+
   test("adaptive short-circuit: a search-dominated batch skips the eager probe decision") {
     // force fixtures before counting jobs
     routed.nodes.count(); queries.count()

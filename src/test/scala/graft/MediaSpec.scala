@@ -172,6 +172,44 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("y4m C420 odd dimensions round-trip: chroma planes are ceil-sized") {
+    import graft.multimodal.MediaOps
+    // 7×5 and 9×9: floor-sized chroma would desync the frame stream and
+    // truncate / corrupt every frame after the first
+    for ((w, h) <- Seq((7, 5), (9, 9), (8, 5), (7, 6))) {
+      val luma = (f: Int, x: Int, y: Int) => (f * 29 + x * 7 + y * 13) % 256
+      val bytes = MediaOps.encodeY4m(w, h, nFrames = 3, luma, mono = false)
+      val Some((dw, dh, frames)) = MediaOps.decodeY4m(bytes)
+      assert((dw, dh) === (w, h))
+      assert(frames.length === 3, s"${w}x$h: all frames must survive the chroma skip")
+      for (f <- 0 until 3; y <- 0 until h; x <- 0 until w)
+        assert((frames(f)(y * w + x) & 0xff) === luma(f, x, y))
+    }
+  }
+
+  test("golden parity e2e: q76 ranked report self-matches at rank 1; q77 identity table") {
+    import org.apache.spark.sql.functions.col
+    // q76: every query's rank-1 row is itself, distance exactly 0, marked
+    val rpt = SparkEntry.queries("q76_golden_image_report")(spark, "/root/testdata/sf0.001")
+      .localCheckpoint()
+    val r1 = rpt.filter(col("rank") === 1).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getAs[Long]("id") === r.getAs[Long]("qid"), "rank-1 must be the query image")
+      assert(r.getAs[Double]("dist") === 0.0)
+      assert(r.getAs[String]("marker") === "<- QUERY")
+    }
+    // ranks are a dense 1..5 per query
+    assert(rpt.groupBy("qid").count().filter(col("count") =!= 5).count() === 0L)
+    // q77: the whole table is the identity at distance 0 through real HNSW
+    val self = SparkEntry.queries("q77_golden_selfmatch")(spark, "/root/testdata/sf0.001").collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getAs[Long]("match_id") === r.getAs[Long]("qid"))
+      assert(r.getAs[Double]("dist") === 0.0)
+    }
+  }
+
   test("video -> frame vectors -> HNSW -> query end-to-end; stride skips frames") {
     import graft.multimodal.MediaOps
     import graft.hnsw.{Hnsw, HnswParams}
