@@ -588,6 +588,17 @@ object SparkEntry {
         tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", EmbDim, bits = 8, maxDist = 0.65, maxBlock = 1000)),
 
+    // ---- incremental semantic dedup: q48's ingest split in embedding
+    //      space — new embeddings statused against the corpus by blocked
+    //      cosine proximity (the paraphrase tier of the ingest ladder) ----
+    "q78_incremental_semdedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") % 10 >= 2).select(col("vec_id"), col("embedding"))
+      val newBatch = e.filter(col("vec_id") % 10 < 2).select(col("vec_id"), col("embedding"))
+      Dedup.incrementalSemanticDedup(newBatch, corpus, "vec_id", "embedding", EmbDim,
+        bits = 8, maxDist = 0.65, maxBlock = 1000)
+    }),
+
     // ---- IVF: cell assignment (map-side argmin vs broadcast centroids) ----
     "q18_ivf_assign" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1864,6 +1875,26 @@ object SparkEntry {
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $d AS dist
            |FROM kept a JOIN kept b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE $d < 0.65""".stripMargin
+      },
+
+      // q33's bucket CTE in cross-corpus (ingest) form: corpus-hot blocks
+      // pruned from both sides, per-new-id count + min(dist) — exact
+      "q78_incremental_semdedup" -> {
+        val d = cosineSql("nk.ne", "ck.ce", EmbDim)
+        s"""WITH bk AS (SELECT vec_id, embedding,
+           |  ${embeddingBucketSql("embedding", EmbDim, 8)} AS blk FROM embeddings),
+           |c AS (SELECT vec_id AS cid, embedding AS ce, blk FROM bk WHERE vec_id % 10 >= 2),
+           |n AS (SELECT vec_id AS id, embedding AS ne, blk FROM bk WHERE vec_id % 10 < 2),
+           |hot AS (SELECT blk FROM c GROUP BY blk HAVING count(*) > 1000),
+           |ck AS (SELECT * FROM c WHERE blk NOT IN (SELECT blk FROM hot)),
+           |nk AS (SELECT * FROM n WHERE blk NOT IN (SELECT blk FROM hot)),
+           |near AS (SELECT id, count(*) AS n_near, min(d) AS best_dist FROM (
+           |  SELECT nk.id, $d AS d FROM nk JOIN ck ON nk.blk = ck.blk
+           |  WHERE $d < 0.65) GROUP BY id)
+           |SELECT b.vec_id, coalesce(near.n_near, 0) AS n_near, near.best_dist,
+           |  CASE WHEN near.id IS NULL THEN 'new' ELSE 'semantic_dup' END AS status
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 < 2) b
+           |LEFT JOIN near ON b.vec_id = near.id""".stripMargin
       },
 
       // q33's pair CTE + q36's recursive component CTE + the verdict

@@ -821,6 +821,58 @@ object Dedup {
         (col(idCol) =!= col("comp")).as("is_dup"))
   }
 
+  /** Incremental SEMANTIC dedup — [[incrementalDedup]]'s embedding-space
+    * twin, and the [[semanticDedup]] verdict at INGEST time: each new
+    * embedding is statused against the existing corpus from embedding
+    * proximity alone (`semantic_dup` / `new`), the corpus never
+    * self-compared or re-clustered. This completes the streaming-ingest
+    * tier ladder: bloom/fingerprint (exact text) → shingle Jaccard (near
+    * text) → span scrub (substring) → THIS (paraphrase/re-encoding, which
+    * no shingle pass can see).
+    *
+    * Blocking: both sides take the same sign-LSH key
+    * ([[embeddingBucket]]); corpus blocks over `maxBlock` are dropped from
+    * BOTH sides (the [[embeddingNearDupPairs]] guard in cross-corpus form,
+    * partial-agg + anti-join — pruning only the corpus side would still
+    * emit |new ∩ block| × cap rows). Join volume is O(bucket-match rows)
+    * with the new batch assumed the (much) smaller side. Per-new-id
+    * aggregates are exact (count + min) → oracle-reproducible.
+    *
+    * `bits = -1` auto-sizes from the CORPUS count ([[autoBits]] — the
+    * corpus is the long-lived side whose block geometry should be stable
+    * across ingests). Output: every new row
+    * (idCol, n_near, best_dist, status); best_dist is null for `new`.
+    */
+  def incrementalSemanticDedup(newEmbs: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String, dim: Int,
+                               bits: Int = -1, maxDist: Double = 0.2,
+                               maxBlock: Int = Int.MaxValue): DataFrame = {
+    val b = if (bits == -1) autoBits(corpus.count(), maxBits = math.min(24, dim)) else bits
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      embeddingBucket(col(vecCol), dim, b).as("blk"))
+    val n = newEmbs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      embeddingBucket(col(vecCol), dim, b).as("blk"))
+    val (ck, nk) =
+      if (maxBlock == Int.MaxValue) (c, n)
+      else {
+        val hot = c.groupBy("blk").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBlock).select("blk")
+        (c.join(hot, Seq("blk"), "left_anti"), n.join(hot, Seq("blk"), "left_anti"))
+      }
+    val near = nk.join(ck, Seq("blk"))
+      .withColumn("dist",
+        Distances.cosine(Distances.toDouble(col("v")), Distances.toDouble(col("cv"))))
+      .filter(col("dist") < maxDist)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_near"), min(col("dist")).as("best_dist"))
+    newEmbs.select(col(idCol).as("id"))
+      .join(near, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("best_dist"),
+        when(col("n_near").isNotNull, lit("semantic_dup")).otherwise(lit("new")).as("status"))
+  }
+
   // -------------------------------------------------------------------------
   // Span-level exact substring dedup (the ExactSubstr discipline: find and
   // account for duplicated token RUNS, not just duplicated documents).

@@ -349,6 +349,40 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
 
+  /** Streaming SEMANTIC dedup against a static embedding corpus — the
+    * paraphrase tier of the ingest ladder as a continuous query
+    * ([[graft.operators.Dedup.incrementalSemanticDedup]] per micro-batch),
+    * completing the streaming tier set: bloom/fingerprint (exact) →
+    * shingle Jaccard (near text) → span scrub (substring) → THIS
+    * (embedding proximity, which no shingle pass can see). The corpus'
+    * sign-LSH block geometry is fixed once at stream start (`bits`
+    * resolved eagerly — [[graft.operators.Dedup.autoBits]] of the corpus
+    * count when -1) so every micro-batch blocks identically; the
+    * bucketed corpus is localCheckpointed ONCE and reused per batch —
+    * the corpus is never re-bucketed at streaming cadence. Verdicts land
+    * partition-per-batch (idempotent on replay, same as
+    * [[streamingIncrementalDedup]]).
+    */
+  def streamingSemanticDedup(embs: DataFrame, corpus: DataFrame,
+                             idCol: String, vecCol: String, dim: Int,
+                             outDir: String, bits: Int = -1,
+                             maxDist: Double = 0.2,
+                             maxBlock: Int = Int.MaxValue): DataStreamWriter[Row] = {
+    val b = if (bits == -1)
+      graft.operators.Dedup.autoBits(corpus.count(), maxBits = math.min(24, dim))
+    else bits
+    val corpusOnce = corpus.localCheckpoint()
+    embs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .incrementalSemanticDedup(batch.select(idCol, vecCol), corpusOnce,
+              idCol, vecCol, dim, b, maxDist, maxBlock)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Stateful gap-based sessionization — the streaming twin of
     * q29_sessionize, built on `flatMapGroupsWithState` with event-time
     * timeout: per-user state is one open session (start, last, count);

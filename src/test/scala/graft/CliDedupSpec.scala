@@ -65,6 +65,37 @@ class CliDedupSpec extends SparkSpec {
     assert(v.filter(col("is_dup")).count() === 1)
   }
 
+  test("incrementalSemanticDedup: exact/near corpus hits flag, fresh vectors pass, hot blocks drop") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val corpus = (0L until 30L).map(i => (i, vec(i))).toDF("id", "vector")
+    val batch = Seq(
+      (100L, vec(7)),                          // exact re-encoding of corpus 7
+      (101L, vec(3).map(x => x + 1e-4f)),      // near-dup of corpus 3
+      (102L, vec(999))                         // fresh
+    ).toDF("id", "vector")
+    val out = Dedup.incrementalSemanticDedup(batch, corpus, "id", "vector", dim = 16,
+      maxDist = 0.05).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("n_near"), Option(r.get(2)))).toMap
+    // identical vectors: 1 - dot/(||a||·||a||) rounds to ~2e-16, not 0.0
+    assert(out(100L)._1 === "semantic_dup" &&
+      out(100L)._3.exists(d => math.abs(d.asInstanceOf[Double]) < 1e-12))
+    assert(out(101L)._1 === "semantic_dup" && out(101L)._2 >= 1L)
+    assert(out(102L) === (("new", 0L, None)))
+    // a degenerate corpus block (identical vectors) over the cap drops
+    // from BOTH sides: the batch copy of it reports new, not cap×1 pairs
+    val hotCorpus = corpus.unionAll(
+      (1000L until 1020L).map(i => (i, vec(42))).toDF("id", "vector"))
+    val hotOut = Dedup.incrementalSemanticDedup(
+      Seq((200L, vec(42))).toDF("id", "vector"), hotCorpus, "id", "vector", dim = 16,
+      maxDist = 0.05, maxBlock = 10).collect()
+    assert(hotOut.length === 1 && hotOut.head.getAs[String]("status") === "new")
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))

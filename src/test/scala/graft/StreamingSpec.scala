@@ -295,6 +295,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) === "new")
   }
 
+  test("streaming semantic dedup: micro-batches statused by embedding proximity vs a static corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = (0L until 30L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
+    val outDir = Files.createTempDirectory("ssd-out").toString
+    val source = MemoryStream[(Long, Array[Float])]
+    val query = StreamingOps.streamingSemanticDedup(
+      source.toDF().toDF("id", "vector"), corpus, "id", "vector", dim = 16,
+      outDir, maxDist = 0.05)
+      .option("checkpointLocation", Files.createTempDirectory("ssd-ckpt").toString)
+      .start()
+    // 100: exact re-encoding of corpus id 7; 101: tiny perturbation of id 3;
+    // 102: fresh vector far from everything
+    val nearOf3 = randVec(3, 16).map(x => x + 1e-4f)
+    source.addData((100L, randVec(7, 16)), (101L, nearOf3))
+    query.processAllAvailable()
+    source.addData((102L, randVec(999L, 16)))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("status"), r.getAs[Long]("n_near"))).toMap
+    assert(out.keySet === Set(100L, 101L, 102L))
+    assert(out(100L)._1 === "semantic_dup" && out(100L)._2 >= 1L)
+    assert(out(101L)._1 === "semantic_dup")
+    assert(out(102L)._1 === "new" && out(102L)._2 === 0L)
+  }
+
   test("streaming bloom dedup: exact statuses via bloom probe + confirm, corpus scanned once") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = (0L until 30L).map(i => (i, s"corpus document body number $i"))
