@@ -67,9 +67,37 @@ object SemDedupScaleProof {
     System.err.println(f"[semdedup] verdicts: $dups flagged, $good/$nPlant plants with the " +
       f"exact base as canonical, $falseMerges false merges in $secs%.1f s")
 
+    // phase 2: INGEST — a 50k batch statused against the 5M corpus
+    // (incrementalSemanticDedup, the q78 path). Half the batch is exact
+    // re-encodings of corpus vectors, half is fresh; the verdicts must
+    // split exactly, and the corpus must never be self-compared (cost is
+    // one bucketed equi-join, not a corpus re-cluster). bits auto-sizes
+    // from the corpus count (autoBits → 17 at 5M).
+    val batchDup = input.filter(col("id") % 100 === 50).limit(25000)
+      .select((col("id") + lit(20000000L)).as("id"), col("vector"))
+    val batchNew = Datagen.hashVectors(spark, 25000, dim, seed = 777)
+      .select((col("id") + lit(30000000L)).as("id"), col("vector"))
+    val batch = batchDup.union(batchNew).localCheckpoint()
+    val nBatch = batch.count()
+    val (ingest, ingestSecs) = timed {
+      val v = Dedup.incrementalSemanticDedup(batch, input, "id", "vector", dim,
+        maxDist = 0.05, maxBlock = 10000).localCheckpoint()
+      (v.filter(col("status") === "semantic_dup" && col("id") < 30000000L).count(),
+        v.filter(col("status") === "new" && col("id") >= 30000000L).count())
+    }
+    val (dupHits, newHits) = ingest
+    require(dupHits >= 25000L * 95 / 100,
+      s"only $dupHits/25000 re-encoded batch rows flagged semantic_dup")
+    require(newHits >= 25000L * 95 / 100,
+      s"only $newHits/25000 fresh batch rows statused new")
+    System.err.println(f"[semdedup] ingest: $nBatch-row batch vs 5M corpus in $ingestSecs%.1f s " +
+      f"($dupHits/25000 dups flagged, $newHits/25000 fresh passed)")
+
     val line = s"""{"n":$n,"dim":$dim,"bits":16,"max_dist":0.05,""" +
       s""""semdedup_sec":$secs,"flagged":$dups,"planted_flagged":$good,""" +
-      s""""planted_total":$nPlant,"false_merges":$falseMerges}"""
+      s""""planted_total":$nPlant,"false_merges":$falseMerges,""" +
+      s""""ingest_batch":$nBatch,"ingest_sec":$ingestSecs,""" +
+      s""""ingest_dup_flagged":$dupHits,"ingest_new_passed":$newHits}"""
     println(line)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SEMDEDUP_OUT", "BENCH_SCALE_SEMDEDUP.json")), line + "\n")

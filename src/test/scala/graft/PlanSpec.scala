@@ -93,7 +93,7 @@ class PlanSpec extends SparkSpec {
     // the degenerate hot block the cap guards against is exactly the
     // partition a window count would land in one task
     for (q <- Seq("q17_embed_neardup", "q33_embed_neardup_lsh",
-        "q74_semantic_dedup", "q13_jaccard_pairs")) {
+        "q74_semantic_dedup", "q13_jaccard_pairs", "q78_incremental_semdedup")) {
       val s = formatted(q)
       assert(!s.contains("windowspecdefinition"), s"$q: cap must not run as a window")
     }
