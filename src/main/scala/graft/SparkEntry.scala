@@ -521,6 +521,14 @@ object SparkEntry {
     "q61_bpe_pairs" -> ((s, dir) =>
       graft.operators.TextStats.bpePairCounts(tbl(s, dir, "documents"), "text", topK = 20)),
 
+    // ---- BPE trainer merge loop: the first 5 learned merges over the
+    //      corpus-weighted word vocabulary (q61's pair stats iterated to
+    //      the actual tokenizer-training artifact; argmax ties break by
+    //      pair string, replacement is left-to-right non-overlapping in
+    //      both engines) ----
+    "q79_bpe_train" -> ((s, dir) =>
+      graft.operators.TextStats.bpeTrainMerges(tbl(s, dir, "documents"), "text", merges = 5)),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -1624,6 +1632,33 @@ object SparkEntry {
           |  FROM idx GROUP BY 1)
           |SELECT pair, n_pair FROM pr
           |ORDER BY n_pair DESC, pair LIMIT 20""".stripMargin,
+
+      // the trainer loop unrolled: per round, pair counts over the
+      // space-split symbol strings, a 1-row argmax CTE, and the same
+      // left-to-right replace the JVM applies
+      "q79_bpe_train" -> {
+        val k = 5
+        val steps = (1 to k).map { i =>
+          s"""p$i AS (
+             |  SELECT ss[i] || ' ' || ss[i+1] AS pair, CAST(sum(n_tok) AS BIGINT) AS n_pair FROM (
+             |    SELECT n_tok, ss, unnest(generate_series(1, len(ss) - 1)) AS i FROM (
+             |      SELECT n_tok, string_split(sym, '  ') AS ss FROM v${i - 1}))
+             |  GROUP BY 1),
+             |b$i AS (SELECT pair, n_pair FROM p$i ORDER BY n_pair DESC, pair LIMIT 1),
+             |v$i AS (SELECT n_tok,
+             |  trim(replace(' ' || sym || ' ', ' ' || replace(b.pair, ' ', '  ') || ' ', ' ' || replace(b.pair, ' ', '') || ' ')) AS sym
+             |  FROM v${i - 1}, b$i b)""".stripMargin
+        }.mkString(",\n")
+        val sel = (1 to k).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, n_pair FROM b$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1 HAVING len(tok) >= 2),
+           |v0 AS (SELECT n_tok, array_to_string(list_transform(generate_series(1, len(tok)),
+           |  j -> substr(tok, j, 1)), '  ') AS sym FROM vocab),
+           |$steps
+           |$sel""".stripMargin
+      },
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

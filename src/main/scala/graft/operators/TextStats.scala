@@ -178,6 +178,81 @@ object TextStats {
       .limit(topK)
   }
 
+  /** BPE TRAINER merge loop — the step [[bpePairCounts]] computes one round
+    * of, iterated to an actual merge table: the first `merges` byte-pair
+    * merges learned from the corpus, exactly the artifact a tokenizer
+    * training run produces. Classic BPE over the corpus-weighted word
+    * vocabulary: symbols start as characters; each round counts adjacent
+    * symbol pairs (weighted by word frequency), merges the argmax pair
+    * (ties: pair string ascending — fully deterministic), and rewrites the
+    * vocabulary by left-to-right non-overlapping replacement (both JVM
+    * `replace` and SQL `replace` share that contract, which keeps a DuckDB
+    * oracle byte-exact). Symbols are joined by TWO spaces: with a single
+    * separator, adjacent pair occurrences ("a b a b") share the middle
+    * space, so a non-overlapping replace would merge only every second
+    * occurrence — the doubled separator makes each occurrence's padding
+    * disjoint and one pass merges them all, true BPE.
+    *
+    * Scale shape: the heavy explode runs over the DISTINCT-WORD vocabulary
+    * (bounded by vocabulary size, not corpus size — the corpus is touched
+    * once for word counts); each round is one partial-agg groupBy + a
+    * sort-limit-1 argmax (TakeOrdered, one row to the driver — the same
+    * bounded per-iteration driver action as k-means). The vocabulary is
+    * localCheckpointed per round with the superseded round released
+    * ([[Checkpoints]]), so `merges` rounds pin O(1) frames.
+    *
+    * Output: (rank, pair, merged, n_pair) — one row per learned merge, in
+    * order. Stops early if the vocabulary runs out of pairs.
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab0 = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("n_tok"),
+        // double-space-joined symbol string: "hello" -> "h  e  l  l  o"
+        array_join(transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))), "  ").as("sym"))
+    var vocab = vocab0.localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= merges && !done) {
+      val best = vocab
+        .select(col("n_tok"), split(col("sym"), "  ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("n_tok"), explode(transform(sequence(lit(1), size(col("ss")) - lit(1)),
+          i => concat(element_at(col("ss"), i), lit(" "), element_at(col("ss"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum(col("n_tok")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (bp, bn) = (best(0).getString(0), best(0).getLong(1))
+        val merged = bp.replace(" ", "")
+        learned += ((r, bp, merged, bn))
+        // literal (non-regex) replace via lit() args — token content can
+        // never inject into the plan
+        // pattern re-doubles the pair's separator; the single-space pad on
+        // each side of pattern and replacement preserves the double-join
+        // invariant across adjacent matches
+        val next = vocab.select(col("n_tok"),
+          trim(call_function("replace",
+            concat(lit(" "), col("sym"), lit(" ")),
+            lit(" " + bp.replace(" ", "  ") + " "), lit(s" $merged "))).as("sym"))
+          .localCheckpoint()
+        graft.operators.Checkpoints.unpersist(vocab)
+        vocab = next
+        r += 1
+      }
+    }
+    graft.operators.Checkpoints.unpersist(vocab)
+    learned.toSeq.toDF("rank", "pair", "merged", "n_pair")
+      .select(col("rank").cast("int").as("rank"), col("pair"), col("merged"), col("n_pair"))
+  }
+
   /** Repetition statistics per document over word n-gram shingles — the
     * standard repetitive-document filter of LLM training pipelines (a doc
     * that is mostly repeated n-grams is boilerplate/spam, not prose; cf.

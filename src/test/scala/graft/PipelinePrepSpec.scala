@@ -396,4 +396,30 @@ class PipelinePrepSpec extends SparkSpec {
     assert(out(2L) === ((5L, 2L, 0.4)), s"mixed doc: got ${out(2L)}")
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
+
+  test("bpeTrainMerges: hand-checkable merge sequence, deterministic ties, early stop") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    // corpus: "abab" x3, "ab" x2 -> char pairs weighted by word count:
+    //   (a b): abab has 2 occurrences x3 + ab has 1 x2 = 8
+    //   (b a): abab 1 x3 = 3
+    // merge 1 = "a b" (8). After: abab -> "ab ab", ab -> "ab".
+    //   round 2 pairs: (ab ab) x3 -> merge 2 = "ab ab" (3) -> "abab".
+    //   round 3: no pairs left anywhere -> early stop.
+    val docs = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val m = TextStats.bpeTrainMerges(docs, "text", merges = 5).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq((1, "a b", "ab", 8L), (2, "ab ab", "abab", 3L)),
+      s"got ${m.toSeq}")
+    // deterministic tie-break: "xy" and "yx" both count 1; "x y" < "y x"
+    val tie = Seq((1L, "xy yx")).toDF("doc_id", "text")
+    val t = TextStats.bpeTrainMerges(tie, "text", merges = 1).collect()
+    assert(t.head.getString(1) === "x y", "ties must break by pair string ascending")
+    // left-to-right non-overlap: "aaa" has overlapping (a a); one merge
+    // rewrites to "aa a", not "a aa"
+    val tri = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val first = TextStats.bpeTrainMerges(tri, "text", merges = 2).collect()
+    assert(first.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a a"), (2, "aa a")), "greedy left-to-right rewrite order")
+  }
 }
