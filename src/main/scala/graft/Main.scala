@@ -237,6 +237,28 @@ object Main {
       println(f"[semdedup] ${verdicts.count()} rows, $dropped dropped as semantic dups " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
+    } else if (opts.contains("bpe-train")) {
+      // BPE trainer (TextStats.bpeTrainMerges): learn the first --merges
+      // byte-pair merges from the corpus; optionally apply them back and
+      // write per-doc symbol counts (--segment-out)
+      val in = opts("bpe-train")
+      val out = opts.getOrElse("out", sys.error("--bpe-train requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "doc_id")
+      val textCol = opts.getOrElse("text-col", "text")
+      val docs = spark.read.parquet(in)
+      val t0 = System.nanoTime()
+      val merges = graft.operators.TextStats.bpeTrainMerges(docs, textCol,
+        opts.getOrElse("merges", "50").toInt)
+      merges.write.mode("overwrite").parquet(out)
+      val learned = spark.read.parquet(out).collect().sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("pair"), r.getAs[String]("merged"))).toSeq
+      opts.get("segment-out").foreach { segOut =>
+        graft.operators.TextStats.bpeSegmentCounts(docs, idCol, textCol, learned)
+          .write.mode("overwrite").parquet(segOut)
+      }
+      println(f"[bpe-train] ${learned.size} merges in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out" +
+        opts.get("segment-out").map(s => s" (segment counts -> $s)").getOrElse(""))
+
     } else if (opts.contains("gen-queries")) {
       // synthetic (qid, vector) query file for --load --query-file runs
       val n = opts.getOrElse("n", "1000").toLong
@@ -261,7 +283,8 @@ object Main {
           |  --gen-queries OUT --n N --dim D [--seed 7]
           |  --dedup-spans PARQUET --out DIR [--id-col doc_id --text-col text --shingle-k 8 --min-run 2]
           |  --scrub PARQUET --corpus PARQUET --out DIR [--id-col doc_id --text-col text --shingle-k 8]
-          |  --semdedup PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]""".stripMargin)
+          |  --semdedup PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]
+          |  --bpe-train PARQUET --out DIR [--merges 50 --segment-out DIR --id-col doc_id --text-col text]""".stripMargin)
     }
   }
 }

@@ -529,6 +529,18 @@ object SparkEntry {
     "q79_bpe_train" -> ((s, dir) =>
       graft.operators.TextStats.bpeTrainMerges(tbl(s, dir, "documents"), "text", merges = 5)),
 
+    // ---- BPE segmenter: the learned merges applied back to the corpus —
+    //      per-doc symbol counts under the first 5 merges (train→apply
+    //      round-trip; the compression statistic a tokenizer-budget
+    //      planner reads) ----
+    "q80_bpe_segment" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val learned = graft.operators.TextStats.bpeTrainMerges(docs, "text", merges = 5)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.TextStats.bpeSegmentCounts(docs, "doc_id", "text", learned)
+    }),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -935,6 +947,30 @@ object SparkEntry {
     * the same parquet tables. Omitted for the hnsw_* graph queries (ANN is
     * not SQL-expressible; driver records a rows-only check).
     */
+  /** Shared CTE chain of the BPE-trainer oracle (q79/q80): corpus word
+    * vocabulary → double-space symbol strings → k rounds of (pair counts,
+    * 1-row argmax b_i, vocabulary rewrite v_i). Mirrors
+    * [[graft.operators.TextStats.bpeTrainMerges]] byte-for-byte.
+    */
+  private def bpeTrainCtes(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT ss[i] || ' ' || ss[i+1] AS pair, CAST(sum(n_tok) AS BIGINT) AS n_pair FROM (
+         |    SELECT n_tok, ss, unnest(generate_series(1, len(ss) - 1)) AS i FROM (
+         |      SELECT n_tok, string_split(sym, '  ') AS ss FROM v${i - 1}))
+         |  GROUP BY 1),
+         |b$i AS (SELECT pair, n_pair FROM p$i ORDER BY n_pair DESC, pair LIMIT 1),
+         |v$i AS (SELECT n_tok,
+         |  trim(replace(' ' || sym || ' ', ' ' || replace(b.pair, ' ', '  ') || ' ', ' ' || replace(b.pair, ' ', '') || ' ')) AS sym
+         |  FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1 HAVING len(tok) >= 2),
+       |v0 AS (SELECT n_tok, array_to_string(list_transform(generate_series(1, len(tok)),
+       |  j -> substr(tok, j, 1)), '  ') AS sym FROM vocab),
+       |$steps""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = {
     import OracleSql._
     val knnDist = l2Sql("e.embedding", "q.embedding", EmbDim)
@@ -1638,26 +1674,30 @@ object SparkEntry {
       // left-to-right replace the JVM applies
       "q79_bpe_train" -> {
         val k = 5
-        val steps = (1 to k).map { i =>
-          s"""p$i AS (
-             |  SELECT ss[i] || ' ' || ss[i+1] AS pair, CAST(sum(n_tok) AS BIGINT) AS n_pair FROM (
-             |    SELECT n_tok, ss, unnest(generate_series(1, len(ss) - 1)) AS i FROM (
-             |      SELECT n_tok, string_split(sym, '  ') AS ss FROM v${i - 1}))
-             |  GROUP BY 1),
-             |b$i AS (SELECT pair, n_pair FROM p$i ORDER BY n_pair DESC, pair LIMIT 1),
-             |v$i AS (SELECT n_tok,
-             |  trim(replace(' ' || sym || ' ', ' ' || replace(b.pair, ' ', '  ') || ' ', ' ' || replace(b.pair, ' ', '') || ' ')) AS sym
-             |  FROM v${i - 1}, b$i b)""".stripMargin
-        }.mkString(",\n")
         val sel = (1 to k).map(i =>
           s"SELECT CAST($i AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, n_pair FROM b$i")
           .mkString("\nUNION ALL\n")
-        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-           |vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1 HAVING len(tok) >= 2),
-           |v0 AS (SELECT n_tok, array_to_string(list_transform(generate_series(1, len(tok)),
-           |  j -> substr(tok, j, 1)), '  ') AS sym FROM vocab),
-           |$steps
+        s"""WITH ${bpeTrainCtes(k)}
            |$sel""".stripMargin
+      },
+
+      // the trainer CTEs reused, then the learned merges replayed over
+      // EVERY document token: pad once, fold the k replaces in rank
+      // order, count the double-space separators
+      "q80_bpe_segment" -> {
+        val k = 5
+        val applied = (1 to k).foldLeft("s0") { (acc, i) =>
+          s"replace($acc, ' ' || (SELECT replace(pair, ' ', '  ') FROM b$i) || ' ', ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')"
+        }
+        s"""WITH ${bpeTrainCtes(k)},
+           |dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |seg AS (SELECT doc_id,
+           |  ' ' || array_to_string(list_transform(generate_series(1, len(tok)),
+           |    j -> substr(tok, j, 1)), '  ') || ' ' AS s0
+           |  FROM dtoks WHERE len(tok) >= 1)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |  CAST(sum(len(string_split(trim($applied), '  '))) AS BIGINT) AS n_syms
+           |FROM seg GROUP BY doc_id""".stripMargin
       },
 
       "q53_bloom_dedup" ->

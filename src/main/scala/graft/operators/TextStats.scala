@@ -253,6 +253,40 @@ object TextStats {
       .select(col("rank").cast("int").as("rank"), col("pair"), col("merged"), col("n_pair"))
   }
 
+  /** Apply a learned merge table ([[bpeTrainMerges]] output, collected —
+    * merge tables are small by construction) to every document: the
+    * SEGMENTER half of the tokenizer, counting the BPE symbols each
+    * document tokenizes into under the first k merges. The per-token
+    * symbol string goes through the same padded left-to-right replace
+    * chain the trainer used (pad once, fold the k merges in rank order,
+    * count separators at the end), so train→apply round-trips exactly and
+    * a SQL oracle replays the chain byte-for-byte.
+    *
+    * Output per doc: (idCol, n_tokens, n_syms) — n_syms/n_tokens is the
+    * compression the merges bought, the statistic a tokenizer-budget
+    * planner actually reads. Scale shape: one token explode + one
+    * partial-agg groupBy; the merge chain is k nested string replaces
+    * inside codegen, no joins, no shuffle beyond the final groupBy.
+    */
+  def bpeSegmentCounts(docs: DataFrame, idCol: String, textCol: String,
+                       mergesTable: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val s0 = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1))), "  "),
+      lit(" "))
+    val chained = mergesTable.foldLeft(s0) { case (acc, (pair, merged)) =>
+      call_function("replace", acc,
+        lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
+    }
+    toks
+      .select(col(idCol), size(split(trim(chained), "  ")).cast("long").as("n_sym"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_syms"))
+  }
+
   /** Repetition statistics per document over word n-gram shingles — the
     * standard repetitive-document filter of LLM training pipelines (a doc
     * that is mostly repeated n-grams is boilerplate/spam, not prose; cf.

@@ -96,6 +96,21 @@ class CliDedupSpec extends SparkSpec {
     assert(hotOut.length === 1 && hotOut.head.getAs[String]("status") === "new")
   }
 
+  test("--bpe-train round-trip: merge table persists; --segment-out applies it") {
+    import spark.implicits._
+    val base = tmp("cli-bpe")
+    Seq((1L, "abab abab abab ab ab"), (2L, "ab cd"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("bpe-train" -> s"$base/docs", "out" -> s"$base/merges",
+      "merges" -> "2", "segment-out" -> s"$base/seg"))
+    val m = spark.read.parquet(s"$base/merges").orderBy("rank").collect()
+    assert(m.map(_.getAs[String]("pair")).toSeq === Seq("a b", "ab ab"))
+    val seg = spark.read.parquet(s"$base/seg").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_syms")).toMap
+    assert(seg(1L) === 5L, "five fully-merged words")
+    assert(seg(2L) === 3L, "ab merges to 1 symbol, cd stays 2 chars")
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))

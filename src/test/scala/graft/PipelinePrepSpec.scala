@@ -422,4 +422,24 @@ class PipelinePrepSpec extends SparkSpec {
     assert(first.map(r => (r.getInt(0), r.getString(1))).toSeq ===
       Seq((1, "a a"), (2, "aa a")), "greedy left-to-right rewrite order")
   }
+
+  test("bpeSegmentCounts: train->apply round-trips; merged words collapse, others keep char counts") {
+    import spark.implicits._
+    import graft.operators.TextStats
+    val docs = Seq(
+      (1L, "abab abab abab ab ab"),
+      (2L, "ab cd")).toDF("doc_id", "text")
+    val learned = TextStats.bpeTrainMerges(docs, "text", merges = 5).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    // merges learned on doc-1's mass: "a b" then "ab ab" (same as the
+    // single-doc trace; "c d" counts 1 and loses every argmax)... unless
+    // it wins round 3: assert dynamically instead
+    val seg = TextStats.bpeSegmentCounts(docs, "doc_id", "text", learned).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_syms"))).toMap
+    // doc 1: "abab"x3 -> 1 symbol each (both merges applied), "ab"x2 -> 1 each
+    assert(seg(1L) === ((5L, 5L)), s"doc1 fully merges: got ${seg(1L)}")
+    // doc 2: "ab" -> 1; "cd" -> 1 if (c d) got learned as a later merge, else 2
+    val cdMerged = learned.exists(_._1 == "c d")
+    assert(seg(2L) === ((2L, if (cdMerged) 2L else 3L)), s"doc2: got ${seg(2L)} learned=$learned")
+  }
 }
