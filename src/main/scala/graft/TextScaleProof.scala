@@ -208,6 +208,30 @@ object TextScaleProof {
     System.err.println(f"[textscale] span scrub: $scrubExact/$nPlant new docs " +
       f"lost exactly the 12-token boilerplate in $scrubSecs%.1f s")
 
+    // ---- phase 11: BPE trainer + segmenter at corpus scale. The heavy
+    // explode is bounded by the DISTINCT-WORD vocabulary (synthetic docs
+    // draw from a fixed word universe, exactly like natural language's
+    // Zipf head), so 50 merge rounds cost 50 vocab-sized aggregates no
+    // matter how many documents the corpus holds; the apply pass is one
+    // linear scan. Gates: 50 merges learned, every merge's n_pair
+    // positive and non-increasing never guaranteed (greedy BPE is not
+    // monotone) — instead require the segmenter to compress: total
+    // symbols strictly below total characters-per-token baseline. ----
+    val (bpe, bpeSecs) = timed {
+      val learned = graft.operators.TextStats.bpeTrainMerges(corpus, "text", merges = 50)
+        .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      val seg = graft.operators.TextStats
+        .bpeSegmentCounts(corpus, "doc_id", "text", learned)
+        .agg(sum(col("n_tokens")), sum(col("n_syms"))).head()
+      (learned.size, seg.getLong(0), seg.getLong(1))
+    }
+    val (nMerges, segTokens, segSyms) = bpe
+    require(nMerges == 50, s"expected 50 learned merges, got $nMerges")
+    require(segSyms < segTokens * 8,
+      s"segmenter did not compress: $segSyms symbols over $segTokens tokens")
+    System.err.println(f"[textscale] bpe: $nMerges merges trained + corpus segmented " +
+      f"($segSyms syms / $segTokens toks) in $bpeSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
@@ -217,7 +241,8 @@ object TextScaleProof {
       s""""bow_sec":$bowSecs,"bow_nnz":$bowNnz,"bow_planted_found":${queryIds.size},""" +
       s""""domain_score_sec":$dsSecs,"domain_scored":$dsRows,"domain_perfect":$dsPerfect,""" +
       s""""span_sec":$spanSecs,"span_full_covered":$fullCov,"span_near_covered":$nearCov,"span_count":$spanCount,""" +
-      s""""span_scrub_sec":$scrubSecs,"span_scrub_exact":$scrubExact}""")
+      s""""span_scrub_sec":$scrubSecs,"span_scrub_exact":$scrubExact,""" +
+      s""""bpe_sec":$bpeSecs,"bpe_merges":$nMerges,"bpe_tokens":$segTokens,"bpe_syms":$segSyms}""")
     spark.stop()
   }
 }
