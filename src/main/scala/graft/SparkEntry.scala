@@ -32,6 +32,12 @@ object SparkEntry {
 
   private val EmbDim = 64
 
+  /** Fixed term query for the BM25 / hybrid-retrieval oracle rows: one
+    * rare term (high idf) + two common ones, all present in the synthetic
+    * vocabulary at every SF.
+    */
+  private val Bm25Terms = Seq("dup", "spark", "window")
+
   /** events table with `ts` normalized to epoch microseconds (`tus`),
     * schema-dispatched: the driver has shipped `events.parquet` both as
     * parquet TIMESTAMP(NANOS) — which `spark.sql.legacy.parquet.nanosAsLong`
@@ -57,6 +63,18 @@ object SparkEntry {
   /** One HNSW build per data dir, shared by the hnsw_* queries (edges
     * cached — the graph is reused, not rebuilt, per downstream action).
     */
+  /** One BPE training run per data dir, shared by q79 (the merge table)
+    * and q80 (the segmenter) — same lifecycle as [[indexCache]]. The
+    * collected rows are tiny (merges=5).
+    */
+  private val bpeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+  private def trainedMerges(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeCache.getOrElseUpdate(dir,
+      graft.operators.TextStats.bpeTrainMerges(tbl(s, dir, "documents"), "text", merges = 5)
+        .collect().sortBy(_.getInt(0))
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, graft.hnsw.HnswIndex]
   private def builtIndex(s: SparkSession, dir: String): graft.hnsw.HnswIndex =
     indexCache.getOrElseUpdate(dir, {
@@ -526,20 +544,45 @@ object SparkEntry {
     //      the actual tokenizer-training artifact; argmax ties break by
     //      pair string, replacement is left-to-right non-overlapping in
     //      both engines) ----
-    "q79_bpe_train" -> ((s, dir) =>
-      graft.operators.TextStats.bpeTrainMerges(tbl(s, dir, "documents"), "text", merges = 5)),
+    "q79_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      trainedMerges(s, dir).toDF("rank", "pair", "merged", "n_pair")
+    }),
 
     // ---- BPE segmenter: the learned merges applied back to the corpus —
     //      per-doc symbol counts under the first 5 merges (train→apply
     //      round-trip; the compression statistic a tokenizer-budget
     //      planner reads) ----
-    "q80_bpe_segment" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
-      val learned = graft.operators.TextStats.bpeTrainMerges(docs, "text", merges = 5)
-        .collect().sortBy(_.getInt(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.operators.TextStats.bpeSegmentCounts(docs, "doc_id", "text", learned)
+    "q80_bpe_segment" -> ((s, dir) =>
+      graft.operators.TextStats.bpeSegmentCounts(tbl(s, dir, "documents"), "doc_id", "text",
+        trainedMerges(s, dir).map(t => (t._2, t._3)))),
+
+    // ---- BM25 lexical retrieval: fixed-point micro-nat idf per distinct
+    //      term, exact-integer tf/length normalization, fixed-order
+    //      per-term score chain — the term-statistics scorer that sits
+    //      next to the vector search path ----
+    "q81_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(tbl(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 10)),
+
+    // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
+    //      with the exact embedding-cosine ranking over the same id space
+    //      (the standard lexical+vector combiner, score = Σ 1/(60+rank)) ----
+    "q82_hybrid_rrf" -> ((s, dir) => {
+      val lex = graft.operators.Retrieval.bm25RankedTopK(
+        tbl(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = 20)
+      val e = emb(s, dir)
+      val q42 = e.filter(col("id") === 42L).select(col("id").as("qid"), col("vector"))
+      val vec = Knn.exactTopK(e, q42, 20, Distances.cosine)
+        .select(col("id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", k0 = 60, k = 10)
     }),
+
+    // ---- bigram-LM document scoring: per-doc total log-probability under
+    //      the corpus's own bigram LM in integer micro-nats (the model-free
+    //      perplexity-style quality filter; order-independent BIGINT sums) ----
+    "q83_lm_score" -> ((s, dir) =>
+      graft.operators.Retrieval.lmDocScores(tbl(s, dir, "documents"), "doc_id", "text")),
 
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
@@ -969,6 +1012,36 @@ object SparkEntry {
        |v0 AS (SELECT n_tok, array_to_string(list_transform(generate_series(1, len(tok)),
        |  j -> substr(tok, j, 1)), '  ') AS sym FROM vocab),
        |$steps""".stripMargin
+  }
+
+  /** Shared CTE chain of the BM25 oracle (q81/q82): token stream → doc
+    * lengths → corpus totals → query-term tf/df → fixed-point micro-nat
+    * idf → per-(doc,term) contribution → fixed-order per-term score
+    * chain. Mirrors [[graft.operators.Retrieval.bm25TopK]] bit-for-bit
+    * (integer arithmetic + fixed-association IEEE ops; `ln` rounded once
+    * per distinct term). Final CTE: `bmscore (doc_id, bm25)`.
+    */
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val caseCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN tok = '$t' THEN c END) AS c_$i"
+    }.mkString(", ")
+    val chain = terms.indices.map(i => s"COALESCE(c_$i, 0.0)").mkString(" + ")
+    s"""bmtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bmdl AS (SELECT doc_id, count(*) AS dl FROM bmtoks GROUP BY 1),
+       |bmstats AS (SELECT count(*) AS nd, sum(dl) AS lt FROM bmdl),
+       |bmtf AS (SELECT doc_id, tok, count(*) AS tf FROM bmtoks WHERE tok IN ($inList) GROUP BY 1, 2),
+       |bmdf AS (SELECT tok, count(*) AS df FROM bmtf GROUP BY 1),
+       |bmidf AS (SELECT tok,
+       |  CAST(floor(ln((2.0 * (nd + 1)) / (df * 2 + 1)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fp
+       |  FROM bmdf, bmstats),
+       |bmpairs AS (SELECT t.doc_id, t.tok,
+       |    (CAST(i.idf_fp AS DOUBLE) / 1000000.0) *
+       |    (CAST(t.tf * 22 * s.lt AS DOUBLE) /
+       |     CAST(t.tf * 10 * s.lt + 3 * s.lt + d.dl * 9 * s.nd AS DOUBLE)) AS c
+       |  FROM bmtf t JOIN bmdl d USING (doc_id) JOIN bmidf i USING (tok), bmstats s),
+       |bmg AS (SELECT doc_id, $caseCols FROM bmpairs GROUP BY 1),
+       |bmscore AS (SELECT doc_id, $chain AS bm25 FROM bmg)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = {
@@ -1699,6 +1772,38 @@ object SparkEntry {
            |  CAST(sum(len(string_split(trim($applied), '  '))) AS BIGINT) AS n_syms
            |FROM seg GROUP BY doc_id""".stripMargin
       },
+
+      "q81_bm25_topk" ->
+        s"""WITH ${bm25Ctes(Bm25Terms)}
+           |SELECT doc_id, bm25 FROM bmscore ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+      "q82_hybrid_rrf" ->
+        s"""WITH ${bm25Ctes(Bm25Terms)},
+           |bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS r FROM bmscore),
+           |lex AS (SELECT doc_id, r FROM bmr WHERE r <= 20),
+           |vsc AS (SELECT e.vec_id AS doc_id, ${cosineSql("e.embedding", "q.embedding", EmbDim)} AS dist
+           |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 42) q),
+           |vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS INT) AS r FROM vsc),
+           |vec AS (SELECT doc_id, r FROM vr WHERE r <= 20),
+           |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           |    COALESCE(1.0 / (60 + l.r), 0.0) + COALESCE(1.0 / (60 + v.r), 0.0) AS rrf
+           |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+           |SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+      "q83_lm_score" ->
+        s"""WITH ${shingleCteFrom(2, "documents", "bg")},
+           |docbg AS (SELECT doc_id, shingle AS bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+           |pc AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS n_pair FROM docbg GROUP BY 1),
+           |fc AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(n_pair) AS BIGINT) AS n_first FROM pc GROUP BY 1),
+           |lp AS (SELECT bigram,
+           |  CAST(floor(ln(CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+           |  FROM pc JOIN fc ON string_split(pc.bigram, ' ')[1] = fc.w1),
+           |g AS (SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(d.n * l.lp_fp) AS BIGINT) AS lp_total_fp
+           |  FROM docbg d JOIN lp l ON l.bigram = d.bigram GROUP BY 1)
+           |SELECT doc_id, n_bigrams, lp_total_fp,
+           |  (CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS avg_nats
+           |FROM g""".stripMargin,
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

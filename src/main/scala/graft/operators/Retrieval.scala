@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical (BM25) and hybrid (reciprocal-rank-fusion) retrieval — the
+  * search tier that sits NEXT TO the vector stack: the reference serves
+  * pure embedding search (`hsnw_trial.py:286-300` ranks by vector
+  * distance alone); a production corpus-search deployment pairs that
+  * with a term-statistics scorer and fuses the two rankings. Both
+  * operators here are single declarative plans with bit-exact oracle
+  * arithmetic.
+  *
+  * Oracle-exactness contract (see [[graft.OracleSql]]): the only
+  * transcendental is `ln` in the per-DISTINCT-term idf, immediately
+  * rounded to fixed-point micro-nats (`floor(x·1e6 + 0.5)` — the same
+  * accepted floor-boundary posture as level sampling); every other step
+  * is integer arithmetic or IEEE +,−,×,÷ in a fixed association order,
+  * and per-document scores are assembled as a FIXED-ORDER chain of
+  * per-term conditional sums (each summing at most one row), never an
+  * order-dependent float aggregation.
+  */
+object Retrieval {
+
+  /** BM25 (k1 = 1.2, b = 0.75) top-k document retrieval for a fixed
+    * term query.
+    *
+    * Per matched (doc, term):
+    * {{{
+    *   idf_fp = floor(ln(2(N+1) / (2·df+1)) · 1e6 + 0.5)        // micro-nats, BIGINT
+    *   score  = (idf_fp / 1e6) · (22·tf·L) / (10·tf·L + 3·L + 9·dl·N)
+    * }}}
+    * where N = corpus docs, L = corpus tokens, dl = doc tokens — the
+    * k1/b constants folded into exact integer coefficients by
+    * multiplying through by 10·L (k1+1 = 11/5, k1(1−b) = 3/10,
+    * k1·b = 9/10). The idf form ln((N−df+0.5)/(df+0.5) + 1) simplifies
+    * to ln(2(N+1)/(2df+1)) exactly. Doc score = Σ over the query's
+    * terms in the caller's order, as a left-associated chain of
+    * single-row conditional sums.
+    *
+    * Scale shape: ONE token-explode scan feeds both the doc-length
+    * partial agg and the tf partial agg — the `isin(queryTerms)` filter
+    * is pushed below the tf shuffle, so only query-term postings ever
+    * shuffle (O(matched docs × |query|) rows, not the corpus stream).
+    * df and corpus totals are one-row / |query|-row broadcasts; the
+    * final top-k is TakeOrderedAndProject. No windows, no driver
+    * collects — the 100 TB plan is the same plan.
+    *
+    * Output: (idCol, bm25) — top k by score descending, ties by id.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    scoreChain(bm25Grouped(docs, idCol, textCol, queryTerms), idCol, queryTerms)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** [[bm25TopK]] with a dense 1-based rank column — the form rank
+    * fusion consumes. Rank is assigned AFTER the global top-k limit
+    * (TakeOrdered), so the window sorts k rows in one tiny task; the
+    * ordering (score desc, id) is total, making rank-after-limit equal
+    * to global rank.
+    *
+    * Output: (idCol, rank, bm25).
+    */
+  def bm25RankedTopK(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: Seq[String], k: Int = 10): DataFrame =
+    bm25TopK(docs, idCol, textCol, queryTerms, k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col(idCol))).cast("int"))
+      .select(col(idCol), col("rank"), col("bm25"))
+
+  /** Reciprocal-rank fusion (Cormack et al.: score = Σ 1/(k₀+rank)) of
+    * two ranked lists over the same id space — the standard hybrid
+    * lexical+vector combiner. Ids present in one list only contribute
+    * that list's term; the two reciprocal terms are added in a fixed
+    * order, so scores are bit-exact.
+    *
+    * Scale shape: a k×k full-outer equi-join of two already-tiny top-k
+    * tables — negligible next to the retrievals that produced them.
+    *
+    * Output: (idCol, rrf) — top k by fused score descending, ties by id.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              k0: Int = 60, k: Int = 10): DataFrame = {
+    val left = a.select(col(idCol), col("rank").as("rank_a"))
+    val right = b.select(col(idCol), col("rank").as("rank_b"))
+    left.join(right, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(k0) + col("rank_a")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(k0) + col("rank_b")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document bigram language-model score under the corpus's own
+    * unsmoothed bigram LM (P(w₂|w₁) = n_pair/n_first — every document
+    * bigram is by construction in the corpus counts, so probabilities
+    * are always positive): the model-free perplexity-style quality
+    * signal a training-data pipeline filters on (documents whose token
+    * transitions are atypical for the corpus score low).
+    *
+    * Exactness: log-probabilities are fixed-pointed to micro-nats per
+    * DISTINCT bigram (`floor(ln(n_pair/n_first)·1e6 + 0.5)` — BIGINT),
+    * so the per-document total is an INTEGER sum — order-independent at
+    * any parallelism, no float aggregation anywhere. The reported
+    * per-bigram average is one fixed-association double division pair.
+    *
+    * Scale shape: the token stream collapses once to bigram counts
+    * (one partial-agg shuffle on bigram); first-word totals are a
+    * second partial agg over the already-vocabulary-sized pair table;
+    * scoring joins doc bigram counts to the pair table on bigram (plain
+    * equi-join — both sides shrink to distinct-bigram granularity
+    * before joining) and partial-aggs per doc.
+    *
+    * Output: (idCol, n_bigrams, lp_total_fp, avg_nats), one row per
+    * document with ≥1 bigram.
+    */
+  def lmDocScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBg = docs
+      .select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+    val pairCounts = docBg.groupBy("bigram").agg(sum(col("n")).as("n_pair"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
+    val lp = pairCounts.join(firstCounts, "w1")
+      .select(col("bigram"),
+        floor(log(col("n_pair").cast("double") / col("n_first").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("lp_fp"))
+    docBg.join(lp, "bigram")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("lp_fp")).as("lp_total_fp"))
+      .select(col(idCol), col("n_bigrams"), col("lp_total_fp"),
+        ((col("lp_total_fp").cast("double") / lit(1e6)) /
+          col("n_bigrams").cast("double")).as("avg_nats"))
+  }
+
+  /** The shared BM25 dataflow up to the per-doc grouped per-term sums:
+    * (idCol, c_0 … c_{n−1}) with cᵢ = the single (doc, termᵢ)
+    * contribution or null.
+    */
+  private def bm25Grouped(docs: DataFrame, idCol: String, textCol: String,
+                          queryTerms: Seq[String]): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("lt"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        floor(log((lit(2.0) * (col("nd") + 1)) / (col("df") * 2 + 1)) *
+          lit(1e6) + lit(0.5)).cast("long").as("idf_fp"))
+    val pairs = tf.join(dl, idCol)
+      .join(broadcast(idf), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("tok"),
+        ((col("idf_fp").cast("double") / lit(1e6)) *
+          ((col("tf") * 22 * col("lt")).cast("double") /
+           (col("tf") * 10 * col("lt") + lit(3) * col("lt") + col("dl") * 9 * col("nd"))
+             .cast("double"))).as("c"))
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("c"))).as(s"c_$i")
+    }
+    pairs.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
+  }
+
+  /** Left-associated coalesce chain over the per-term sums → `bm25`. */
+  private def scoreChain(grouped: DataFrame, idCol: String,
+                         queryTerms: Seq[String]): DataFrame = {
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"c_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    grouped.select(col(idCol), score.as("bm25"))
+  }
+}
