@@ -18,6 +18,7 @@ import graft.sources.Datagen
   *   --dedup-spans PARQUET --out DIR    span-level exact substring dedup report
   *   --scrub PARQUET --corpus PARQUET --out DIR    ingest-time span scrub
   *   --semdedup PARQUET --out DIR       semantic dedup verdicts (auto bits)
+  *   --bm25 PARQUET --terms t1,t2 --out DIR    lexical / hybrid-RRF search
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -259,6 +260,38 @@ object Main {
       println(f"[bpe-train] ${learned.size} merges in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out" +
         opts.get("segment-out").map(s => s" (segment counts -> $s)").getOrElse(""))
 
+    } else if (opts.contains("bm25")) {
+      // BM25 lexical search (Retrieval.bm25TopK) with optional hybrid
+      // fusion against an embedding table (--fuse-vectors): the RRF
+      // combiner over the lexical and exact-cosine rankings
+      val in = opts("bm25")
+      val out = opts.getOrElse("out", sys.error("--bm25 requires --out DIR"))
+      val terms = opts.getOrElse("terms", sys.error("--bm25 requires --terms t1,t2,..."))
+        .split(",").toSeq.filter(_.nonEmpty)
+      val idCol = opts.getOrElse("id-col", "doc_id")
+      val textCol = opts.getOrElse("text-col", "text")
+      val k = opts.getOrElse("k", "10").toInt
+      val docs = spark.read.parquet(in)
+      val t0 = System.nanoTime()
+      val result = opts.get("fuse-vectors") match {
+        case None =>
+          graft.operators.Retrieval.bm25TopK(docs, idCol, textCol, terms, k)
+        case Some(vecPath) =>
+          val qid = opts.getOrElse("query-id", sys.error("--fuse-vectors requires --query-id ID")).toLong
+          val vecCol = opts.getOrElse("vec-col", "vector")
+          val e = spark.read.parquet(vecPath)
+            .select(col(opts.getOrElse("vec-id-col", "id")).as("id"), col(vecCol).as("vector"))
+          val q = e.filter(col("id") === qid).select(col("id").as("qid"), col("vector"))
+          val lex = graft.operators.Retrieval.bm25RankedTopK(docs, idCol, textCol, terms, 2 * k)
+          val vec = graft.operators.Knn.exactTopK(e, q, 2 * k, graft.functions.Distances.cosine)
+            .select(col("id").as(idCol), col("rank"))
+          graft.operators.Retrieval.rrfFuse(lex, vec, idCol, k = k)
+      }
+      result.write.mode("overwrite").parquet(out)
+      val rows = spark.read.parquet(out).count()
+      println(f"[bm25] $rows results for ${terms.size} terms " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("gen-queries")) {
       // synthetic (qid, vector) query file for --load --query-file runs
       val n = opts.getOrElse("n", "1000").toLong
@@ -284,7 +317,9 @@ object Main {
           |  --dedup-spans PARQUET --out DIR [--id-col doc_id --text-col text --shingle-k 8 --min-run 2]
           |  --scrub PARQUET --corpus PARQUET --out DIR [--id-col doc_id --text-col text --shingle-k 8]
           |  --semdedup PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]
-          |  --bpe-train PARQUET --out DIR [--merges 50 --segment-out DIR --id-col doc_id --text-col text]""".stripMargin)
+          |  --bpe-train PARQUET --out DIR [--merges 50 --segment-out DIR --id-col doc_id --text-col text]
+          |  --bm25 PARQUET --terms t1,t2 --out DIR [--k 10 --id-col doc_id --text-col text]
+          |         [--fuse-vectors PARQUET --query-id ID --vec-id-col id --vec-col vector]""".stripMargin)
     }
   }
 }

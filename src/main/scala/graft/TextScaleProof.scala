@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Packing, TextStats}
+import graft.operators.{Dedup, Packing, Retrieval, TextStats}
 import graft.sources.Datagen
 
 /** Order-of-magnitude scale proof for the TEXT pipeline — the dedup/quality
@@ -15,7 +15,7 @@ import graft.sources.Datagen
   * at scale, not just wall time. Prints one JSON line, committed as
   * `BENCH_SCALE_TEXT.json`. Run:
   *
-  *   sbt "runMain graft.TextScaleProof [n]"
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.TextScaleProof [n]"
   *
   * Corpus: [[Datagen.syntheticDocs]] (word-soup in the test corpus's
   * shape) + 1% exact duplicates (ids n..n+n/100 copy id·100's text) + 1%
@@ -23,7 +23,8 @@ import graft.sources.Datagen
   * dedup, MinHash+LSH candidate pairs, incremental new-batch-vs-corpus
   * dedup, context-window chunking, bloom-pruned dedup, hashed BoW +
   * batch top-k, domain-affinity selection, span-level dedup coverage,
-  * ingest-time span scrub.
+  * ingest-time span scrub, BPE training + segmentation, BM25 retrieval,
+  * bigram-LM scoring.
   */
 object TextScaleProof {
   def main(args: Array[String]): Unit = {
@@ -232,6 +233,39 @@ object TextScaleProof {
     System.err.println(f"[textscale] bpe: $nMerges merges trained + corpus segmented " +
       f"($segSyms syms / $segTokens toks) in $bpeSecs%.1f s")
 
+    // ---- phase 12: retrieval at corpus scale. BM25 over the full token
+    // stream — 'zz' appears ONLY in the planted near-dup tail, so its
+    // high idf must surface exactly that id range in the top-k (the
+    // ubiquitous 'the' contributes ~zero idf and cannot displace it —
+    // note a uniformly-drawn wN would: at any n, each wN lands in ~n/1250
+    // docs, rarer than the n/100 zz plants); the postings shuffle carries
+    // only query-term rows. Then bigram-LM doc scoring, where integer
+    // micro-nat accumulation makes every planted EXACT duplicate score
+    // bit-identically to its source doc — a determinism property a float
+    // sum cannot promise at 32-way parallelism. ----
+    val (zzHits, bm25Secs) = timed {
+      val top = Retrieval.bm25TopK(corpus, "doc_id", "text",
+        Seq("zz", "the"), k = 100).collect()
+      require(top.length == 100, s"bm25 top-k returned ${top.length} rows")
+      top.count(_.getLong(0) >= n + nPlant).toLong
+    }
+    require(zzHits == 100, s"bm25: only $zzHits/100 top docs from the zz-planted range")
+    System.err.println(f"[textscale] bm25: top-100 all from the zz range in $bm25Secs%.1f s")
+
+    val (lmDupExact, lmSecs) = timed {
+      val scores = Retrieval.lmDocScores(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("lp_total_fp")).localCheckpoint()
+      val srcs = scores.select(col("doc_id").as("src_id"), col("lp_total_fp").as("src_fp"))
+      scores.filter(col("doc_id") >= n && col("doc_id") < n + nPlant)
+        .select(col("doc_id"), ((col("doc_id") - n) * 100).as("src_id"), col("lp_total_fp"))
+        .join(srcs, "src_id")
+        .filter(col("lp_total_fp") === col("src_fp")).count()
+    }
+    require(lmDupExact == nPlant,
+      s"lm scoring: $lmDupExact/$nPlant exact dups matched their source's integer total")
+    System.err.println(f"[textscale] lm scores: $lmDupExact/$nPlant planted exact dups " +
+      f"bit-identical to sources in $lmSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
@@ -242,7 +276,9 @@ object TextScaleProof {
       s""""domain_score_sec":$dsSecs,"domain_scored":$dsRows,"domain_perfect":$dsPerfect,""" +
       s""""span_sec":$spanSecs,"span_full_covered":$fullCov,"span_near_covered":$nearCov,"span_count":$spanCount,""" +
       s""""span_scrub_sec":$scrubSecs,"span_scrub_exact":$scrubExact,""" +
-      s""""bpe_sec":$bpeSecs,"bpe_merges":$nMerges,"bpe_tokens":$segTokens,"bpe_syms":$segSyms}""")
+      s""""bpe_sec":$bpeSecs,"bpe_merges":$nMerges,"bpe_tokens":$segTokens,"bpe_syms":$segSyms,""" +
+      s""""bm25_sec":$bm25Secs,"bm25_zz_hits":$zzHits,""" +
+      s""""lm_sec":$lmSecs,"lm_dup_exact":$lmDupExact}""")
     spark.stop()
   }
 }

@@ -453,4 +453,34 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+
+  /** Streaming term statistics — the incremental posting-list statistics
+    * the BM25 scorer reads (per-term document frequency, total
+    * occurrences, and token sum for average-doc-length), maintained live
+    * over the document ingest stream
+    * ([[graft.operators.Retrieval.bm25TopK]]'s corpus side as a
+    * continuous query).
+    *
+    * Structured Streaming allows ONE aggregation per query, so the
+    * doc-local work (per-doc tf for each distinct term) runs row-local
+    * through higher-order functions BEFORE the explode — no per-doc
+    * groupBy — and the single streaming groupBy is on term: state is one
+    * row per DISTINCT TERM (bounded by the vocabulary, never by stream
+    * length), partial aggregation applies within each micro-batch. A
+    * snapshot of this table equals the batch tf/df derivation over the
+    * same rows. Output: (tok, df, n_occ, dl_sum).
+    */
+  def streamingTermStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextFunctions.tokens(col(textCol))
+    val perDoc = docs.select(
+      explode(transform(array_distinct(w), t =>
+        struct(t.as("tok"),
+          size(filter(w, x => x === t)).cast("long").as("tf"),
+          size(w).cast("long").as("dl")))).as("e"))
+    perDoc
+      .groupBy(col("e.tok").as("tok"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("e.tf")).as("n_occ"),
+        sum(col("e.dl")).as("dl_sum"))
+  }
 }

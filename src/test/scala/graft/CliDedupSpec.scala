@@ -111,6 +111,39 @@ class CliDedupSpec extends SparkSpec {
     assert(seg(2L) === 3L, "ab merges to 1 symbol, cd stays 2 chars")
   }
 
+  test("--bm25 round-trip: lexical ranks land; --fuse-vectors adds the RRF combiner") {
+    import spark.implicits._
+    val base = tmp("cli-bm25")
+    Seq(
+      (0L, "rare spark table row"),
+      (1L, "spark spark table row value key"),
+      (2L, "table row value key merge sort"))
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("bm25" -> s"$base/docs", "terms" -> "rare,spark",
+      "out" -> s"$base/hits", "k" -> "3"))
+    val hits = spark.read.parquet(s"$base/hits").orderBy(col("bm25").desc).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L),
+      "both-term doc first, no-term doc absent")
+
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextGaussian().toFloat)
+    }
+    Seq((0L, vec(7)), (1L, vec(8)), (2L, vec(8)))
+      .toDF("id", "vector").write.parquet(s"$base/embs")
+    Main.run(spark, Map("bm25" -> s"$base/docs", "terms" -> "rare,spark",
+      "out" -> s"$base/fused", "k" -> "3",
+      "fuse-vectors" -> s"$base/embs", "query-id" -> "2"))
+    val fused = spark.read.parquet(s"$base/fused").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rrf")).toMap
+    // vector ranks: id1 and id2 both at dist 0 (identical vectors) — tie
+    // breaks by id, so id1 takes rank 1, id2 rank 2, id0 rank 3
+    assert(fused.keySet === Set(0L, 1L, 2L))
+    assert(fused(1L) === 1.0 / 62 + 1.0 / 61, "lex rank 2 + vec rank 1")
+    assert(fused(2L) === 1.0 / 62, "vector-only, rank 2 after the id tiebreak")
+    assert(fused(0L) === 1.0 / 61 + 1.0 / 63, "lex rank 1 + vec rank 3")
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))

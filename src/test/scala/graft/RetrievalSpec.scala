@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** BM25 lexical retrieval, reciprocal-rank fusion, and bigram-LM
+  * document scoring (q81–q83).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BM25 (k1=1.2, b=0.75) computed scalar-side with the SAME
+    * fixed-point idf contract as the operator.
+    */
+  private def refBm25(corpus: Seq[(Long, String)], terms: Seq[String]): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val nd = toks.size.toLong
+    val lt = toks.map(_._2.size.toLong).sum
+    val df = terms.map(t => t -> toks.count(_._2.contains(t)).toLong).toMap
+    toks.flatMap { case (id, ws) =>
+      val dl = ws.size.toLong
+      val score = terms.map { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0 || df(t) == 0) 0.0
+        else {
+          val idfFp = math.floor(math.log((2.0 * (nd + 1)) / (df(t) * 2 + 1)) * 1e6 + 0.5).toLong
+          (idfFp.toDouble / 1e6) *
+            ((tf * 22 * lt).toDouble / (tf * 10 * lt + 3 * lt + dl * 9 * nd).toDouble)
+        }
+      }.foldLeft(0.0)(_ + _)
+      if (score > 0.0) Some(id -> score) else None
+    }.toMap
+  }
+
+  test("bm25TopK matches the scalar reference bit-for-bit and ranks rare-term docs first") {
+    val corpus = Seq(
+      (0L, "spark scan join spark table"),
+      (1L, "rare spark table row value"),
+      (2L, "rare rare rare scan"),
+      (3L, "scan table row value key merge batch line sort window agg part"),
+      (4L, "spark spark spark spark spark spark spark spark spark spark"),
+      (5L, "key value row"))
+    val terms = Seq("rare", "spark")
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text", terms, k = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ref = refBm25(corpus, terms)
+    got.foreach { case (id, s) => assert(s === ref(id), s"doc $id") }
+    // descending, ties by id
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    // engine ranking equals the reference ranking (score desc, id asc)
+    assert(got.map(_._1).toSeq === ref.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    // doc 1 carries both terms — it must outrank docs with spark alone at similar length
+    val rankOf = got.map(_._1).zipWithIndex.toMap
+    assert(rankOf(1L) < rankOf(0L))
+    // absent-term docs never appear
+    assert(!got.map(_._1).contains(5L))
+  }
+
+  test("bm25TopK length normalization: same tf scores higher in a shorter doc") {
+    val corpus = Seq(
+      (0L, "hit miss"),
+      (1L, "hit miss miss miss miss miss miss miss"),
+      (2L, "miss miss"))
+    val got = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      Seq("hit"), k = 3).collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(0L) > got(1L))
+  }
+
+  test("bm25RankedTopK rank equals global rank; rrfFuse is exact and handles one-sided ids") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((12L, 1), (13L, 2)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, "id", k0 = 60, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fused(12L) === 1.0 / 63 + 1.0 / 61)
+    assert(fused(10L) === 1.0 / 61)     // only in a
+    assert(fused(13L) === 1.0 / 62)     // only in b
+    assert(fused(11L) === 1.0 / 62)
+    // both-lists doc wins over any single-list doc here
+    assert(fused.maxBy(_._2)._1 === 12L)
+
+    val ranked = Retrieval.bm25RankedTopK(
+      Seq((0L, "x y"), (1L, "x x y"), (2L, "y y")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("x"), k = 2).collect()
+    assert(ranked.map(_.getInt(1)).sorted.toSeq === Seq(1, 2))
+    // rank 1 is the best score
+    val byRank = ranked.sortBy(_.getInt(1))
+    assert(byRank.head.getLong(0) === 1L) // higher tf, slightly longer — tf wins at these lengths
+  }
+
+  test("lmDocScores: integer micro-nat totals, corpus-typical docs beat atypical ones") {
+    // 'a b' appears 3× as first-word-a transitions vs 'a c' once → P(b|a)=3/4, P(c|a)=1/4
+    val corpus = Seq(
+      (0L, "a b a b"),   // bigrams: (a b),(b a),(a b)
+      (1L, "a b a c"),   // bigrams: (a b),(b a),(a c)
+      (2L, "z z"))       // (z z) — its own universe, P=1
+    val got = Retrieval.lmDocScores(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // corpus counts: (a b)->3, (b a)->2, (a c)->1; first a->4, b->2, z->1
+    val lp = Map(
+      "a b" -> math.floor(math.log(3.0 / 4.0) * 1e6 + 0.5).toLong,
+      "b a" -> math.floor(math.log(2.0 / 2.0) * 1e6 + 0.5).toLong,
+      "a c" -> math.floor(math.log(1.0 / 4.0) * 1e6 + 0.5).toLong,
+      "z z" -> math.floor(math.log(1.0 / 1.0) * 1e6 + 0.5).toLong)
+    assert(got(0) === ((0L, 3L, 2 * lp("a b") + lp("b a"),
+      ((2 * lp("a b") + lp("b a")).toDouble / 1e6) / 3.0)))
+    assert(got(1) === ((1L, 3L, lp("a b") + lp("b a") + lp("a c"),
+      ((lp("a b") + lp("b a") + lp("a c")).toDouble / 1e6) / 3.0)))
+    // deterministic-transition doc scores exactly 0 (log 1)
+    assert(got(2)._3 === 0L)
+    // doc 0 (typical transitions) beats doc 1 (contains the rare a→c)
+    assert(got(0)._4 > got(1)._4)
+  }
+
+  test("bm25 plan: no window, no cartesian beyond the one-row stats broadcast") {
+    val docs = (0L until 100L).map(i => (i, s"w$i spark scan")).toDF("doc_id", "text")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "BM25 must not use a window")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+    // the only nested-loop joins are the broadcast one-row stats / idf sides
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian product")
+  }
+}

@@ -522,4 +522,37 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "click", 2L),
       ("2024-01-01 11:00:00", "view", 1L)))
   }
+
+  test("streaming term stats: live df/tf/dl totals equal the batch derivation") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val stats = StreamingOps.streamingTermStats(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val query = stats.writeStream.format("memory").queryName("term_out")
+      .outputMode("complete").start()
+    source.addData((0L, "spark scan spark"), (1L, "scan table"))
+    query.processAllAvailable()
+    source.addData((2L, "spark table table table"))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("term_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // df = docs containing the term; n_occ = total occurrences;
+    // dl_sum = Σ doc length over docs containing the term
+    assert(out("spark") === ((2L, 3L, 7L)), "docs 0+2; tf 2+1; dl 3+4")
+    assert(out("scan") === ((2L, 2L, 5L)), "docs 0+1; tf 1+1; dl 3+2")
+    assert(out("table") === ((2L, 4L, 6L)), "docs 1+2; tf 1+3; dl 2+4")
+    // cross-check against the batch derivation Retrieval.bm25TopK uses
+    val batch = Seq((0L, "spark scan spark"), (1L, "scan table"),
+      (2L, "spark table table table")).toDF("doc_id", "text")
+    val toks = batch.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val ref = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum("tf").as("n_occ"), sum("dl").as("dl_sum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ref === out)
+  }
 }
