@@ -38,6 +38,12 @@ object SparkEntry {
     */
   private val Bm25Terms = Seq("dup", "spark", "window")
 
+  /** Fixed (qid, term) batch for q84 — overlapping vocabularies so docs
+    * land in several queries' top-k with different scores.
+    */
+  private val Bm25BatchQueries = Seq(
+    (0, "dup"), (0, "spark"), (1, "window"), (1, "merge"), (2, "dup"))
+
   /** events table with `ts` normalized to epoch microseconds (`tus`),
     * schema-dispatched: the driver has shipped `events.parquet` both as
     * parquet TIMESTAMP(NANOS) — which `spark.sql.legacy.parquet.nanosAsLong`
@@ -583,6 +589,16 @@ object SparkEntry {
     //      perplexity-style quality filter; order-independent BIGINT sums) ----
     "q83_lm_score" -> ((s, dir) =>
       graft.operators.Retrieval.lmDocScores(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- batch BM25: a TABLE of term queries in one pass — contributions
+    //      fixed-pointed to micro-nats so per-(qid, doc) totals are integer
+    //      sums; per-qid top-k through the bounded-heap aggregate ----
+    "q84_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Bm25BatchQueries.toDF("qid", "term")
+      graft.operators.Retrieval.bm25TopKBatch(tbl(s, dir, "documents"), "doc_id", "text",
+        queries, k = 10)
+    }),
 
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
@@ -1804,6 +1820,32 @@ object SparkEntry {
            |SELECT doc_id, n_bigrams, lp_total_fp,
            |  (CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS avg_nats
            |FROM g""".stripMargin,
+
+      "q84_bm25_batch" -> {
+        val values = Bm25BatchQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+        s"""WITH qt AS (SELECT * FROM (VALUES $values) AS t(qid, tok)),
+           |bmtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |bmdl AS (SELECT doc_id, count(*) AS dl FROM bmtoks GROUP BY 1),
+           |bmstats AS (SELECT count(*) AS nd, sum(dl) AS lt FROM bmdl),
+           |wanted AS (SELECT DISTINCT tok FROM qt),
+           |bmtf AS (SELECT doc_id, tok, count(*) AS tf FROM bmtoks JOIN wanted USING (tok) GROUP BY 1, 2),
+           |bmdf AS (SELECT tok, count(*) AS df FROM bmtf GROUP BY 1),
+           |bmidf AS (SELECT tok,
+           |  CAST(floor(ln((2.0 * (nd + 1)) / (df * 2 + 1)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fp
+           |  FROM bmdf, bmstats),
+           |contrib AS (SELECT t.doc_id, t.tok,
+           |    CAST(floor(((CAST(i.idf_fp AS DOUBLE) / 1000000.0) *
+           |      (CAST(t.tf * 22 * s.lt AS DOUBLE) /
+           |       CAST(t.tf * 10 * s.lt + 3 * s.lt + d.dl * 9 * s.nd AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS c_fp
+           |  FROM bmtf t JOIN bmdl d USING (doc_id) JOIN bmidf i USING (tok), bmstats s),
+           |sc AS (SELECT q.qid, c.doc_id, CAST(sum(c.c_fp) AS BIGINT) AS score_fp
+           |  FROM contrib c JOIN qt q USING (tok) GROUP BY 1, 2),
+           |ranked AS (SELECT qid, doc_id, score_fp,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS INT) AS "rank"
+           |  FROM sc)
+           |SELECT qid, "rank", doc_id, CAST(score_fp AS DOUBLE) / 1000000.0 AS bm25
+           |FROM ranked WHERE "rank" <= 10""".stripMargin
+      },
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

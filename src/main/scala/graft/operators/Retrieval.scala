@@ -74,6 +74,66 @@ object Retrieval {
         row_number().over(Window.orderBy(col("bm25").desc, col(idCol))).cast("int"))
       .select(col(idCol), col("rank"), col("bm25"))
 
+  /** Batch BM25 — [[bm25TopK]] for a TABLE of queries at once, the
+    * production shape when thousands of term queries hit the corpus in
+    * one pass. `queries` is (qidCol, termCol): one row per query term.
+    *
+    * The single-query form keeps scores exactly in the float domain by
+    * unrolling a fixed-order per-term chain — impossible for a dynamic
+    * query table — so the batch form moves the per-(doc, term)
+    * contribution itself to fixed-point micro-nats
+    * (`floor(c·1e6 + 0.5)`, BIGINT): per-(qid, doc) totals become
+    * INTEGER sums, order-independent at any parallelism, and the
+    * reported score is one exact division back to double. Single- and
+    * batch-form scores therefore differ by < 1e-6·|query| — the
+    * documented price of arbitrary batch width.
+    *
+    * Scale shape: the token stream joins the (broadcast) query-term
+    * table once — only matching postings survive into the (doc, term)
+    * tf aggregate; df and corpus totals are broadcast; per-qid top-k
+    * runs through the bounded-heap TopKByDist aggregate (shuffle
+    * O(queries × k), the [[Knn.exactTopK]] machinery). Output:
+    * (qidCol, rank, idCol, bm25).
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, qidCol: String = "qid",
+                    termCol: String = "term", k: Int = 10): DataFrame = {
+    val qterms = queries.select(col(qidCol), col(termCol).as("tok")).distinct()
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("lt"))
+    // postings restricted to ANY query's terms before the tf shuffle
+    val wanted = qterms.select(col("tok")).distinct()
+    val tf = toks.join(broadcast(wanted), "tok")
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        floor(log((lit(2.0) * (col("nd") + 1)) / (col("df") * 2 + 1)) *
+          lit(1e6) + lit(0.5)).cast("long").as("idf_fp"))
+    val contrib = tf.join(dl, idCol)
+      .join(broadcast(idf), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("tok"),
+        floor(((col("idf_fp").cast("double") / lit(1e6)) *
+          ((col("tf") * 22 * col("lt")).cast("double") /
+           (col("tf") * 10 * col("lt") + lit(3) * col("lt") + col("dl") * 9 * col("nd"))
+             .cast("double"))) * lit(1e6) + lit(0.5)).cast("long").as("c_fp"))
+    val scored = contrib.join(broadcast(qterms), "tok")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("c_fp")).as("score_fp"))
+      .select(col(qidCol), col(idCol),
+        (lit(0.0) - col("score_fp").cast("double") / lit(1e6)).as("negscore"))
+    scored
+      .groupBy(col(qidCol))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(
+        col("negscore"), col(idCol), k).as("top"))
+      .select(col(qidCol), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as(idCol),
+        (lit(0.0) - col("entry.dist")).as("bm25"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al.: score = Σ 1/(k₀+rank)) of
     * two ranked lists over the same id space — the standard hybrid
     * lexical+vector combiner. Ids present in one list only contribute

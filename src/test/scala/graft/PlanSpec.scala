@@ -104,4 +104,21 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), "query-vector side must broadcast")
     assert(s.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered, not a global sort")
   }
+
+  test("q81 BM25: TakeOrdered top-k, no window, postings filter under the tf aggregate") {
+    val s = formatted("q81_bm25_topk")
+    assert(s.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+    assert(!s.contains("windowspecdefinition"), "score assembly must not use a window")
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("tok#") && s.contains(" IN (dup,spark,window)"),
+      "the query-term isin filter must appear below the tf aggregate")
+  }
+
+  test("q83 LM scoring: no window, bigram join is an equi-join, integer totals") {
+    val s = formatted("q83_lm_score")
+    assert(!s.contains("windowspecdefinition"), "doc totals are partial aggs, not windows")
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "the bigram log-prob join must stay an equi-join")
+  }
 }

@@ -113,6 +113,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0)._4 > got(1)._4)
   }
 
+  test("bm25TopKBatch: integer-sum scores track the single-query form within 1e-6 per term") {
+    val corpus = Seq(
+      (0L, "spark scan join spark table"),
+      (1L, "rare spark table row value"),
+      (2L, "rare rare rare scan"),
+      (3L, "scan table row value key merge batch line sort window agg part"),
+      (4L, "spark spark spark spark spark spark spark spark spark spark"))
+      .toDF("doc_id", "text")
+    val queries = Seq((7, "rare"), (7, "spark"), (8, "scan")).toDF("qid", "term")
+    val batch = Retrieval.bm25TopKBatch(corpus, "doc_id", "text", queries, k = 5)
+      .collect().map(r => ((r.getInt(0), r.getLong(2)), (r.getInt(1), r.getDouble(3)))).toMap
+    // query 7 vs the single form: same candidate set and ranking; scores
+    // within the documented fixed-point slack (1e-6 per matched term)
+    val single = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("rare", "spark"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batchQ7 = batch.collect { case ((7, id), (rank, s)) => (rank, id, s) }.toSeq.sortBy(_._1)
+    assert(batchQ7.map(_._2) === single.map(_._1).toSeq, "rankings agree")
+    single.zip(batchQ7).foreach { case ((id, sExact), (_, _, sFp)) =>
+      assert(math.abs(sExact - sFp) < 2e-6, s"doc $id: $sExact vs $sFp")
+    }
+    // query 8 sees only 'scan' docs
+    assert(batch.keys.collect { case (8, id) => id }.toSet === Set(0L, 2L, 3L))
+    // per-query rank sequences are dense from 1
+    Seq(7, 8).foreach { q =>
+      val ranks = batch.collect { case ((`q`, _), (rank, _)) => rank }.toSeq.sorted
+      assert(ranks === (1 to ranks.size).toSeq, s"query $q ranks dense")
+    }
+  }
+
   test("bm25 plan: no window, no cartesian beyond the one-row stats broadcast") {
     val docs = (0L until 100L).map(i => (i, s"w$i spark scan")).toDF("doc_id", "text")
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
