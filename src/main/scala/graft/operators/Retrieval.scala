@@ -170,8 +170,11 @@ object Retrieval {
     * any parallelism, no float aggregation anywhere. The reported
     * per-bigram average is one fixed-association double division pair.
     *
-    * Scale shape: the token stream collapses once to bigram counts
-    * (one partial-agg shuffle on bigram); first-word totals are a
+    * Scale shape: the token stream collapses once to per-doc bigram
+    * counts, `localCheckpoint`ed by default because that table feeds
+    * BOTH the LM estimation branch and the final scoring join — without
+    * materialization the corpus explode would run twice (one corpus
+    * scan, not two, is the 100 TB difference). First-word totals are a
     * second partial agg over the already-vocabulary-sized pair table;
     * scoring joins doc bigram counts to the pair table on bigram (plain
     * equi-join — both sides shrink to distinct-bigram granularity
@@ -180,11 +183,13 @@ object Retrieval {
     * Output: (idCol, n_bigrams, lp_total_fp, avg_nats), one row per
     * document with ≥1 bigram.
     */
-  def lmDocScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val docBg = docs
+  def lmDocScores(docs: DataFrame, idCol: String, textCol: String,
+                  materialize: Boolean = true): DataFrame = {
+    val docBgAll = docs
       .select(col(idCol),
         explode(TextFunctions.wordShingles(col(textCol), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+    val docBg = if (materialize) docBgAll.localCheckpoint() else docBgAll
     val pairCounts = docBg.groupBy("bigram").agg(sum(col("n")).as("n_pair"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
