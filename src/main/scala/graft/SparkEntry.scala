@@ -600,6 +600,25 @@ object SparkEntry {
         queries, k = 10)
     }),
 
+    // ---- tf-idf-weighted hashed BoW: per-bucket document frequency
+    //      down-weights collision-heavy buckets; weights are integer
+    //      micro-nat products (tf · idf_fp) — the feature tier's
+    //      importance-weighted form ----
+    "q85_tfidf_bow" -> ((s, dir) =>
+      graft.operators.Features.tfidfBow(tbl(s, dir, "documents"), "doc_id", "text", dim = 64)),
+
+    // ---- hybrid retrieval through the REAL ANN index: BM25 ranking fused
+    //      with the HNSW traversal's ranking (rows-only — ANN output is
+    //      not SQL-oracle-able; rrfFuse itself is oracle-checked in q82) ----
+    "hnsw_hybrid_rrf" -> ((s, dir) => {
+      val idx = builtIndex(s, dir)
+      val q42 = idx.nodes.filter(col("id") === 42L).select(col("id").as("qid"), col("vector"))
+      val vec = Hnsw.annQuery(idx, q42, k = 20).select(col("id").as("doc_id"), col("rank"))
+      val lex = graft.operators.Retrieval.bm25RankedTopK(
+        tbl(s, dir, "documents"), "doc_id", "text", Bm25Terms, k = 20)
+      graft.operators.Retrieval.rrfFuse(lex, vec, "doc_id", k0 = 60, k = 10)
+    }),
+
     // ---- training-mixture table: per-source token share + temperature-0.5
     //      relative sampling weight (sqrt share, exact-arithmetic form) ----
     "q49_mixture_weights" -> ((s, dir) =>
@@ -1846,6 +1865,18 @@ object SparkEntry {
            |SELECT qid, "rank", doc_id, CAST(score_fp AS DOUBLE) / 1000000.0 AS bm25
            |FROM ranked WHERE "rank" <= 10""".stripMargin
       },
+
+      "q85_tfidf_bow" ->
+        s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |bow AS (SELECT doc_id, ${md5PrefixValueSql("tok", 8)} % 64 AS bucket, count(*) AS tf
+           |  FROM toks GROUP BY 1, 2),
+           |dfb AS (SELECT bucket, count(*) AS df FROM bow GROUP BY 1),
+           |stats AS (SELECT count(*) AS nd FROM documents),
+           |idf AS (SELECT bucket,
+           |  CAST(floor(ln(CAST(nd + 1 AS DOUBLE) / (df + 1)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fp
+           |  FROM dfb, stats)
+           |SELECT b.doc_id, b.bucket, b.tf, i.idf_fp, b.tf * i.idf_fp AS w_fp
+           |FROM bow b JOIN idf i USING (bucket)""".stripMargin,
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

@@ -34,6 +34,33 @@ object Features {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  /** TF-IDF-weighted hashed BoW in sparse (id, bucket, tf, idf_fp, w_fp)
+    * form — [[hashedBow]] with each bucket down-weighted by how many
+    * documents hit it (the hashing-trick convention: document frequency
+    * is computed per BUCKET, so collisions share one idf). The smoothed
+    * idf `ln((N+1)/(df+1))` is fixed-pointed ONCE per distinct bucket to
+    * micro-nat BIGINTs (the engine's accepted `ln` posture), making the
+    * weight `w_fp = tf · idf_fp` and every downstream sum pure integer
+    * arithmetic — order-independent at any parallelism, bit-exact in the
+    * oracle.
+    *
+    * Scale shape: one extra vocabulary-sized partial agg (df per bucket,
+    * ≤ dim rows) broadcast back onto the sparse rows; corpus count is a
+    * 1-row broadcast. Nothing about the sparse-row discipline changes.
+    */
+  def tfidfBow(docs: DataFrame, idCol: String, textCol: String, dim: Int = 256): DataFrame = {
+    val bow = hashedBow(docs, idCol, textCol, dim)
+    val df_ = bow.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("nd"))
+    val idf = df_.crossJoin(broadcast(stats))
+      .select(col("bucket"),
+        floor(log((col("nd") + 1).cast("double") / (col("df") + 1)) *
+          lit(1e6) + lit(0.5)).cast("long").as("idf_fp"))
+    bow.join(broadcast(idf), "bucket")
+      .select(col(idCol), col("bucket"), col("tf"), col("idf_fp"),
+        (col("tf") * col("idf_fp")).as("w_fp"))
+  }
+
   /** Densify sparse BoW rows into `(id, vector: array<float>)` — the
     * [[graft.hnsw.Hnsw.build]] input contract, connecting the text feature
     * pipeline to the ANN stack (text → hashedBow → densify → HNSW index →

@@ -142,6 +142,52 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("tfidfBow: micro-nat weights match the scalar reference; quieter buckets weigh more") {
+    val corpus = Seq(
+      (0L, "common common rare"),
+      (1L, "common other"),
+      (2L, "common third"))
+    val got = graft.operators.Features.tfidfBow(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", dim = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // scalar reference with the same hashing and fp contract
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val tfs = docs.flatMap { case (id, ws) =>
+      ws.groupBy(bucket).map { case (b, g) => (id, b) -> g.size.toLong }
+    }.toMap
+    val dfs = tfs.keys.groupBy(_._2).map { case (b, g) => b -> g.size.toLong }
+    val nd = docs.size.toLong
+    tfs.foreach { case ((id, b), tf) =>
+      val idfFp = math.floor(math.log((nd + 1).toDouble / (dfs(b) + 1)) * 1e6 + 0.5).toLong
+      assert(got((id, b)) === ((tf, idfFp, tf * idfFp)), s"doc $id bucket $b")
+    }
+    assert(got.keySet === tfs.keySet)
+    // 'common' hits every doc → its bucket's idf is the minimum
+    val commonIdf = got((0L, bucket("common")))._2
+    assert(got.values.map(_._2).min === commonIdf)
+    assert(got((0L, bucket("rare")))._2 > commonIdf)
+  }
+
+  test("hybrid RRF through the real HNSW index: fused ids come from both rankings") {
+    val fused = SparkEntry.queries("hnsw_hybrid_rrf")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fused.length === 10)
+    // descending fused score, ties by id
+    assert(fused.map(_._2).toSeq === fused.map(_._2).sortBy(-_).toSeq)
+    // the ANN self-match (id 42 at distance 0, vector rank 1) must appear:
+    // 1/61 from the vector list alone beats any lexical-only tail rank
+    assert(fused.map(_._1).contains(42L), "vector self-match must survive fusion")
+    // every fused score is a sum of at most two reciprocal terms
+    fused.foreach { case (_, s) =>
+      assert(s > 0.0 && s <= 2.0 / 61, s"rrf score $s out of range")
+    }
+  }
+
   test("bm25 plan: no window, no cartesian beyond the one-row stats broadcast") {
     val docs = (0L until 100L).map(i => (i, s"w$i spark scan")).toDF("doc_id", "text")
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
