@@ -600,6 +600,27 @@ object SparkEntry {
         queries, k = 10)
     }),
 
+    // ---- retrieval evaluation: q84's batch ranking scored against the
+    //      "contains ALL query terms" ground truth — precision/recall@k
+    //      and reciprocal rank as exact rationals (no nDCG by design:
+    //      log2 discounts are not oracle-exact) ----
+    "q86_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val qt = Bm25BatchQueries.toDF("qid", "term")
+      val ranked = graft.operators.Retrieval.bm25TopKBatch(docs, "doc_id", "text", qt, k = 10)
+      val nTerms = qt.groupBy("qid").agg(countDistinct("term").as("n_terms"))
+      val toksD = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok")).distinct()
+      val truth = toksD
+        .join(broadcast(qt.withColumnRenamed("term", "tok")), "tok")
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_match"))
+        .join(broadcast(nTerms), "qid")
+        .filter(col("n_match") === col("n_terms"))
+        .select("qid", "doc_id")
+      graft.operators.Retrieval.rankedEval(ranked, truth, k = 10)
+    }),
+
     // ---- tf-idf-weighted hashed BoW: per-bucket document frequency
     //      down-weights collision-heavy buckets; weights are integer
     //      micro-nat products (tf · idf_fp) — the feature tier's
@@ -1077,6 +1098,37 @@ object SparkEntry {
        |  FROM bmtf t JOIN bmdl d USING (doc_id) JOIN bmidf i USING (tok), bmstats s),
        |bmg AS (SELECT doc_id, $caseCols FROM bmpairs GROUP BY 1),
        |bmscore AS (SELECT doc_id, $chain AS bm25 FROM bmg)""".stripMargin
+  }
+
+  /** Shared CTE chain of the batch-BM25 oracle (q84/q86): the q81 dataflow
+    * generalized to a VALUES query table, with per-(doc, term)
+    * contributions fixed-pointed to micro-nat BIGINTs so per-(qid, doc)
+    * totals are integer sums. Mirrors
+    * [[graft.operators.Retrieval.bm25TopKBatch]] bit-for-bit. Final CTE:
+    * `bmranked (qid, doc_id, score_fp, "rank")`.
+    */
+  private def bm25BatchCtes: String = {
+    val values = Bm25BatchQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""qt AS (SELECT * FROM (VALUES $values) AS t(qid, tok)),
+       |bmtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |bmdl AS (SELECT doc_id, count(*) AS dl FROM bmtoks GROUP BY 1),
+       |bmstats AS (SELECT count(*) AS nd, sum(dl) AS lt FROM bmdl),
+       |wanted AS (SELECT DISTINCT tok FROM qt),
+       |bmtf AS (SELECT doc_id, tok, count(*) AS tf FROM bmtoks JOIN wanted USING (tok) GROUP BY 1, 2),
+       |bmdf AS (SELECT tok, count(*) AS df FROM bmtf GROUP BY 1),
+       |bmidf AS (SELECT tok,
+       |  CAST(floor(ln((2.0 * (nd + 1)) / (df * 2 + 1)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fp
+       |  FROM bmdf, bmstats),
+       |contrib AS (SELECT t.doc_id, t.tok,
+       |    CAST(floor(((CAST(i.idf_fp AS DOUBLE) / 1000000.0) *
+       |      (CAST(t.tf * 22 * s.lt AS DOUBLE) /
+       |       CAST(t.tf * 10 * s.lt + 3 * s.lt + d.dl * 9 * s.nd AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS c_fp
+       |  FROM bmtf t JOIN bmdl d USING (doc_id) JOIN bmidf i USING (tok), bmstats s),
+       |bmsc AS (SELECT q.qid, c.doc_id, CAST(sum(c.c_fp) AS BIGINT) AS score_fp
+       |  FROM contrib c JOIN qt q USING (tok) GROUP BY 1, 2),
+       |bmranked AS (SELECT qid, doc_id, score_fp,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS INT) AS "rank"
+       |  FROM bmsc)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = {
@@ -1840,31 +1892,26 @@ object SparkEntry {
            |  (CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS avg_nats
            |FROM g""".stripMargin,
 
-      "q84_bm25_batch" -> {
-        val values = Bm25BatchQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-        s"""WITH qt AS (SELECT * FROM (VALUES $values) AS t(qid, tok)),
-           |bmtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-           |bmdl AS (SELECT doc_id, count(*) AS dl FROM bmtoks GROUP BY 1),
-           |bmstats AS (SELECT count(*) AS nd, sum(dl) AS lt FROM bmdl),
-           |wanted AS (SELECT DISTINCT tok FROM qt),
-           |bmtf AS (SELECT doc_id, tok, count(*) AS tf FROM bmtoks JOIN wanted USING (tok) GROUP BY 1, 2),
-           |bmdf AS (SELECT tok, count(*) AS df FROM bmtf GROUP BY 1),
-           |bmidf AS (SELECT tok,
-           |  CAST(floor(ln((2.0 * (nd + 1)) / (df * 2 + 1)) * 1000000.0 + 0.5) AS BIGINT) AS idf_fp
-           |  FROM bmdf, bmstats),
-           |contrib AS (SELECT t.doc_id, t.tok,
-           |    CAST(floor(((CAST(i.idf_fp AS DOUBLE) / 1000000.0) *
-           |      (CAST(t.tf * 22 * s.lt AS DOUBLE) /
-           |       CAST(t.tf * 10 * s.lt + 3 * s.lt + d.dl * 9 * s.nd AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS c_fp
-           |  FROM bmtf t JOIN bmdl d USING (doc_id) JOIN bmidf i USING (tok), bmstats s),
-           |sc AS (SELECT q.qid, c.doc_id, CAST(sum(c.c_fp) AS BIGINT) AS score_fp
-           |  FROM contrib c JOIN qt q USING (tok) GROUP BY 1, 2),
-           |ranked AS (SELECT qid, doc_id, score_fp,
-           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS INT) AS "rank"
-           |  FROM sc)
+      "q84_bm25_batch" ->
+        s"""WITH $bm25BatchCtes
            |SELECT qid, "rank", doc_id, CAST(score_fp AS DOUBLE) / 1000000.0 AS bm25
-           |FROM ranked WHERE "rank" <= 10""".stripMargin
-      },
+           |FROM bmranked WHERE "rank" <= 10""".stripMargin,
+
+      "q86_retrieval_eval" ->
+        s"""WITH $bm25BatchCtes,
+           |topk AS (SELECT qid, doc_id, "rank" FROM bmranked WHERE "rank" <= 10),
+           |dt AS (SELECT DISTINCT doc_id, tok FROM bmtoks),
+           |nt AS (SELECT qid, count(DISTINCT tok) AS n_terms FROM qt GROUP BY 1),
+           |mt AS (SELECT q.qid, d.doc_id, count(*) AS n_match FROM dt d JOIN qt q USING (tok) GROUP BY 1, 2),
+           |truth AS (SELECT mt.qid, mt.doc_id FROM mt JOIN nt USING (qid) WHERE mt.n_match = nt.n_terms),
+           |nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY 1),
+           |hits AS (SELECT r.qid, count(*) AS hits_at_k, min(r."rank") AS first_rel_rank
+           |  FROM topk r JOIN truth t ON t.qid = r.qid AND t.doc_id = r.doc_id GROUP BY 1)
+           |SELECT n.qid, n.n_rel, COALESCE(h.hits_at_k, 0) AS hits_at_k,
+           |  CAST(COALESCE(h.hits_at_k, 0) AS DOUBLE) / 10 AS prec_at_k,
+           |  CAST(COALESCE(h.hits_at_k, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall_at_k,
+           |  COALESCE(1.0 / h.first_rel_rank, 0.0) AS rr
+           |FROM nrel n LEFT JOIN hits h USING (qid)""".stripMargin,
 
       "q85_tfidf_bow" ->
         s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

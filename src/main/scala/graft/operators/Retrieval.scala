@@ -157,6 +157,38 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Ranked-retrieval evaluation — precision@k, recall@k and reciprocal
+    * rank per query against a ground-truth relevance table (the
+    * retrieval twin of the dedup tier's `pairMetrics` / the vector
+    * tier's recall evaluator). Deliberately NO nDCG: its log2 discount
+    * would be the only non-oracle-exact arithmetic in the metric set;
+    * precision/recall/RR are pure rationals (one fixed-association
+    * division each), bit-exact at any parallelism.
+    *
+    * `ranked`: (qidCol, rank, idCol) — dense 1-based ranks;
+    * `truth`: (qidCol, idCol) distinct relevant pairs.
+    * Queries with no relevant doc retrieved report 0 hits and rr = 0.
+    *
+    * Scale shape: one equi-join of the (already top-k-sized) ranking
+    * with the truth table + two partial aggs — O(queries × k) rows end
+    * to end.
+    */
+  def rankedEval(ranked: DataFrame, truth: DataFrame, qidCol: String = "qid",
+                 idCol: String = "doc_id", k: Int = 10): DataFrame = {
+    val nRel = truth.groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(truth, Seq(qidCol, idCol))
+      .groupBy(col(qidCol))
+      .agg(count(lit(1)).as("hits_at_k"), min(col("rank")).as("first_rel_rank"))
+    nRel.join(hits, Seq(qidCol), "left")
+      .select(col(qidCol), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        (coalesce(col("hits_at_k"), lit(0L)).cast("double") / lit(k)).as("prec_at_k"),
+        (coalesce(col("hits_at_k"), lit(0L)).cast("double") / col("n_rel").cast("double"))
+          .as("recall_at_k"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"))
+  }
+
   /** Per-document bigram language-model score under the corpus's own
     * unsmoothed bigram LM (P(w₂|w₁) = n_pair/n_first — every document
     * bigram is by construction in the corpus counts, so probabilities

@@ -188,6 +188,21 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("rankedEval: exact rational precision/recall/RR; no-hit queries report zeros") {
+    val ranked = Seq(
+      (0, 1, 10L), (0, 2, 11L), (0, 3, 12L),
+      (1, 1, 20L), (1, 2, 21L)).toDF("qid", "rank", "doc_id")
+    val truth = Seq(
+      (0, 11L), (0, 12L), (0, 99L),  // 2 of 3 relevant retrieved, first at rank 2
+      (1, 77L))                      // nothing relevant retrieved
+      .toDF("qid", "doc_id")
+    val got = Retrieval.rankedEval(ranked, truth, k = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got(0) === ((3L, 2L, 2.0 / 3, 2.0 / 3, 1.0 / 2)))
+    assert(got(1) === ((1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
   test("bm25 plan: no window, no cartesian beyond the one-row stats broadcast") {
     val docs = (0L until 100L).map(i => (i, s"w$i spark scan")).toDF("doc_id", "text")
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
