@@ -266,6 +266,31 @@ object TextScaleProof {
     System.err.println(f"[textscale] lm scores: $lmDupExact/$nPlant planted exact dups " +
       f"bit-identical to sources in $lmSecs%.1f s")
 
+    // ---- phase 13: BATCH BM25 — 10k term queries against the full corpus
+    // in ONE pass (the production shape: the token stream joins the
+    // broadcast term table once, only matching postings shuffle, per-query
+    // top-k through the bounded-heap aggregate so the final shuffle is
+    // O(queries × k) rows, never a queries × docs score matrix). At 1M+
+    // docs every REACHABLE vocabulary word has df ≫ k, so all 10k queries
+    // must return a full top-10. (Reachable: the datagen draws stop-vs-
+    // content from h mod 4 and the word id from h mod 100000 with the
+    // SAME hash, and 4 | 100000 — so word ids ≡ 0 (mod 4) can never
+    // occur; the term table below stays off those residues.) ----
+    val ((batchRows, batchQs), batchSecs) = timed {
+      val queries = spark.range(0, 10000)
+        .select(col("id").cast("int").as("qid"),
+          concat(lit("w"),
+            (col("id") * 4 + 1 + pmod(col("id"), lit(3L))).cast("string")).as("term"))
+      val agg = Retrieval.bm25TopKBatch(corpus, "doc_id", "text", queries, k = 10)
+        .agg(count(lit(1)).as("rows"), countDistinct(col("qid")).as("nq")).head()
+      (agg.getLong(0), agg.getLong(1))
+    }
+    require(batchQs == 10000L, s"batch bm25: only $batchQs/10000 queries returned")
+    if (n >= 500000L)
+      require(batchRows == 100000L, s"batch bm25: $batchRows rows, expected a full 10k×10")
+    System.err.println(f"[textscale] batch bm25: $batchQs queries -> $batchRows ranked rows " +
+      f"in one pass, $batchSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
@@ -278,7 +303,8 @@ object TextScaleProof {
       s""""span_scrub_sec":$scrubSecs,"span_scrub_exact":$scrubExact,""" +
       s""""bpe_sec":$bpeSecs,"bpe_merges":$nMerges,"bpe_tokens":$segTokens,"bpe_syms":$segSyms,""" +
       s""""bm25_sec":$bm25Secs,"bm25_zz_hits":$zzHits,""" +
-      s""""lm_sec":$lmSecs,"lm_dup_exact":$lmDupExact}""")
+      s""""lm_sec":$lmSecs,"lm_dup_exact":$lmDupExact,""" +
+      s""""bm25_batch_sec":$batchSecs,"bm25_batch_queries":$batchQs,"bm25_batch_rows":$batchRows}""")
     spark.stop()
   }
 }
