@@ -44,6 +44,11 @@ object SparkEntry {
   private val Bm25BatchQueries = Seq(
     (0, "dup"), (0, "spark"), (1, "window"), (1, "merge"), (2, "dup"))
 
+  /** Fixed phrase query for q87 — one near-unique bigram + two
+    * mid-frequency ones (exact contiguous matching).
+    */
+  private val Bm25Phrases = Seq("dup dup", "spark window", "key value")
+
   /** events table with `ts` normalized to epoch microseconds (`tus`),
     * schema-dispatched: the driver has shipped `events.parquet` both as
     * parquet TIMESTAMP(NANOS) — which `spark.sql.legacy.parquet.nanosAsLong`
@@ -621,6 +626,13 @@ object SparkEntry {
       graft.operators.Retrieval.rankedEval(ranked, truth, k = 10)
     }),
 
+    // ---- phrase BM25: the same scorer over 2-gram shingles — exact
+    //      contiguous phrase matching with tf = phrase occurrences,
+    //      dl = shingle count, df = docs containing the phrase ----
+    "q87_phrase_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25PhraseTopK(tbl(s, dir, "documents"), "doc_id", "text",
+        Bm25Phrases, n = 2, k = 10)),
+
     // ---- tf-idf-weighted hashed BoW: per-bucket document frequency
     //      down-weights collision-heavy buckets; weights are integer
     //      micro-nat products (tf · idf_fp) — the feature tier's
@@ -1077,13 +1089,15 @@ object SparkEntry {
     * (integer arithmetic + fixed-association IEEE ops; `ln` rounded once
     * per distinct term). Final CTE: `bmscore (doc_id, bm25)`.
     */
-  private def bm25Ctes(terms: Seq[String]): String = {
+  private def bm25Ctes(terms: Seq[String],
+      tokSql: String = "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents")
+      : String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val caseCols = terms.zipWithIndex.map { case (t, i) =>
       s"sum(CASE WHEN tok = '$t' THEN c END) AS c_$i"
     }.mkString(", ")
     val chain = terms.indices.map(i => s"COALESCE(c_$i, 0.0)").mkString(" + ")
-    s"""bmtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""bmtoks AS ($tokSql),
        |bmdl AS (SELECT doc_id, count(*) AS dl FROM bmtoks GROUP BY 1),
        |bmstats AS (SELECT count(*) AS nd, sum(dl) AS lt FROM bmdl),
        |bmtf AS (SELECT doc_id, tok, count(*) AS tf FROM bmtoks WHERE tok IN ($inList) GROUP BY 1, 2),
@@ -1863,6 +1877,15 @@ object SparkEntry {
       "q81_bm25_topk" ->
         s"""WITH ${bm25Ctes(Bm25Terms)}
            |SELECT doc_id, bm25 FROM bmscore ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+      "q87_phrase_bm25" -> {
+        val shingleTok =
+          """SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS tok FROM (
+            |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM (
+            |    SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
+        s"""WITH ${bm25Ctes(Bm25Phrases, shingleTok)}
+           |SELECT doc_id, bm25 FROM bmscore ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+      },
 
       "q82_hybrid_rrf" ->
         s"""WITH ${bm25Ctes(Bm25Terms)},

@@ -54,7 +54,26 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
-    scoreChain(bm25Grouped(docs, idCol, textCol, queryTerms), idCol, queryTerms)
+    scoreChain(bm25Grouped(docs, idCol, textCol, queryTerms, TextFunctions.tokens),
+        idCol, queryTerms)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Phrase BM25 — [[bm25TopK]] with word n-gram shingles as the unit:
+    * exact phrase matching ("spark window" must appear contiguously)
+    * with the same scoring math, tf = phrase occurrences, dl = the doc's
+    * shingle count, df = docs containing the phrase. Same oracle-exact
+    * arithmetic; the shingle explode is one linear scan exactly like the
+    * token explode (n−1 extra rows per doc, nothing quadratic).
+    */
+  def bm25PhraseTopK(docs: DataFrame, idCol: String, textCol: String,
+                     phrases: Seq[String], n: Int = 2, k: Int = 10): DataFrame = {
+    require(phrases.nonEmpty, "bm25PhraseTopK: empty query")
+    require(phrases.forall(_.split(" ").length == n),
+      s"bm25PhraseTopK: every phrase must have exactly $n words")
+    scoreChain(bm25Grouped(docs, idCol, textCol, phrases,
+        t => TextFunctions.wordShingles(t, n)), idCol, phrases)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
@@ -240,11 +259,15 @@ object Retrieval {
 
   /** The shared BM25 dataflow up to the per-doc grouped per-term sums:
     * (idCol, c_0 … c_{n−1}) with cᵢ = the single (doc, termᵢ)
-    * contribution or null.
+    * contribution or null. `termsOf` extracts the scoring unit from the
+    * text column — plain tokens for word BM25, n-gram shingles for
+    * phrase BM25.
     */
   private def bm25Grouped(docs: DataFrame, idCol: String, textCol: String,
-                          queryTerms: Seq[String]): DataFrame = {
-    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+                          queryTerms: Seq[String],
+                          termsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val toks = docs.select(col(idCol), explode(termsOf(col(textCol))).as("tok"))
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("lt"))
     val tf = toks.filter(col("tok").isin(queryTerms: _*))

@@ -188,6 +188,26 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25PhraseTopK: contiguity matters — scattered words don't match the phrase") {
+    val corpus = Seq(
+      (0L, "spark window join table"),        // has the phrase
+      (1L, "window spark join spark window"), // has it once (plus reversed)
+      (2L, "spark join window table spark"),  // words present, never adjacent
+      (3L, "key value store"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25PhraseTopK(corpus, "doc_id", "text",
+      Seq("spark window"), n = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet === Set(0L, 1L), "only contiguous occurrences score")
+    // doc 0 is shorter (3 shingles vs 4) with the same tf → higher score
+    val m = got.toMap
+    assert(m(0L) > m(1L))
+    // malformed phrase length rejected
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25PhraseTopK(corpus, "doc_id", "text", Seq("three word phrase"), n = 2)
+    }
+  }
+
   test("rankedEval: exact rational precision/recall/RR; no-hit queries report zeros") {
     val ranked = Seq(
       (0, 1, 10L), (0, 2, 11L), (0, 3, 12L),
