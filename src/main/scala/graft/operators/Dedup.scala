@@ -1001,7 +1001,8 @@ object Dedup {
     */
   def corpusShingleSet(corpus: DataFrame, textCol: String, k: Int = 8): DataFrame =
     corpus
-      .select(explode(TextFunctions.wordShingles(col(textCol), k)).as("shingle"))
+      .select(TextFunctions.tokens(col(textCol)).as("w"))
+      .select(explode(TextFunctions.wordShinglesFromTokens(col("w"), k)).as("shingle"))
       .distinct()
 
   /** [[scrubSpans]] against a pre-computed [[corpusShingleSet]]. */

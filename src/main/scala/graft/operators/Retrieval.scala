@@ -54,8 +54,8 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: empty query")
-    scoreChain(bm25Grouped(docs, idCol, textCol, queryTerms, TextFunctions.tokens),
-        idCol, queryTerms)
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    scoreChain(bm25Grouped(toks, idCol, queryTerms), idCol, queryTerms)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
@@ -65,15 +65,21 @@ object Retrieval {
     * with the same scoring math, tf = phrase occurrences, dl = the doc's
     * shingle count, df = docs containing the phrase. Same oracle-exact
     * arithmetic; the shingle explode is one linear scan exactly like the
-    * token explode (n−1 extra rows per doc, nothing quadratic).
+    * token explode (n−1 extra rows per doc, nothing quadratic) — the
+    * token array is materialized by a projection BEFORE the shingle
+    * lambda reads it (the [[TextFunctions.wordShinglesFromTokens]]
+    * contract: an inline split re-tokenizes the doc once per shingle).
     */
   def bm25PhraseTopK(docs: DataFrame, idCol: String, textCol: String,
                      phrases: Seq[String], n: Int = 2, k: Int = 10): DataFrame = {
     require(phrases.nonEmpty, "bm25PhraseTopK: empty query")
     require(phrases.forall(_.split(" ").length == n),
       s"bm25PhraseTopK: every phrase must have exactly $n words")
-    scoreChain(bm25Grouped(docs, idCol, textCol, phrases,
-        t => TextFunctions.wordShingles(t, n)), idCol, phrases)
+    val toks = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("tok"))
+    scoreChain(bm25Grouped(toks, idCol, phrases), idCol, phrases)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
@@ -237,8 +243,9 @@ object Retrieval {
   def lmDocScores(docs: DataFrame, idCol: String, textCol: String,
                   materialize: Boolean = true): DataFrame = {
     val docBgAll = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
       .select(col(idCol),
-        explode(TextFunctions.wordShingles(col(textCol), 2)).as("bigram"))
+        explode(TextFunctions.wordShinglesFromTokens(col("w"), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
     val docBg = if (materialize) docBgAll.localCheckpoint() else docBgAll
     val pairCounts = docBg.groupBy("bigram").agg(sum(col("n")).as("n_pair"))
@@ -259,15 +266,12 @@ object Retrieval {
 
   /** The shared BM25 dataflow up to the per-doc grouped per-term sums:
     * (idCol, c_0 … c_{n−1}) with cᵢ = the single (doc, termᵢ)
-    * contribution or null. `termsOf` extracts the scoring unit from the
-    * text column — plain tokens for word BM25, n-gram shingles for
-    * phrase BM25.
+    * contribution or null. `toks` is the exploded (idCol, tok) unit
+    * stream — plain tokens for word BM25, n-gram shingles for phrase
+    * BM25.
     */
-  private def bm25Grouped(docs: DataFrame, idCol: String, textCol: String,
-                          queryTerms: Seq[String],
-                          termsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
-      : DataFrame = {
-    val toks = docs.select(col(idCol), explode(termsOf(col(textCol))).as("tok"))
+  private def bm25Grouped(toks: DataFrame, idCol: String,
+                          queryTerms: Seq[String]): DataFrame = {
     val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("lt"))
     val tf = toks.filter(col("tok").isin(queryTerms: _*))

@@ -117,7 +117,9 @@ object TextStats {
     * ties on n_pair break by bigram text, so top-K is deterministic.
     */
   def bigramLm(docs: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
-    val bg = docs.select(explode(TextFunctions.wordShingles(col(textCol), 2)).as("bigram"))
+    val bg = docs
+      .select(TextFunctions.tokens(col(textCol)).as("w"))
+      .select(explode(TextFunctions.wordShinglesFromTokens(col("w"), 2)).as("bigram"))
     val pairCounts = bg.groupBy("bigram").agg(count(lit(1)).as("n_pair"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
