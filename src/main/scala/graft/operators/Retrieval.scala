@@ -295,6 +295,27 @@ object Retrieval {
     pairs.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
   }
 
+  /** Frozen corpus statistics for scoring AGAINST a corpus without
+    * recomputing it — (idf_fp per term, doc count, token count), the
+    * inputs [[graft.streaming.StreamingOps.standingQueryScores]] needs.
+    * Driver-side collect is ≤ |terms| + 1 rows (bounded meta, the
+    * centroid-geometry convention).
+    */
+  def bm25Stats(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): (Map[String, Long], Long, Long) = {
+    val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("lt")).head()
+    val (nd, lt) = (st.getLong(0), st.getLong(1))
+    val idf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("tok")).agg(countDistinct(col(idCol)).as("df"))
+      .select(col("tok"),
+        floor(log((lit(2.0) * (lit(nd) + 1)) / (col("df") * 2 + 1)) *
+          lit(1e6) + lit(0.5)).cast("long").as("idf_fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (idf, nd, lt)
+  }
+
   /** Left-associated coalesce chain over the per-term sums → `bm25`. */
   private def scoreChain(grouped: DataFrame, idCol: String,
                          queryTerms: Seq[String]): DataFrame = {

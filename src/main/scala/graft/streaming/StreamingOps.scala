@@ -470,6 +470,46 @@ object StreamingOps {
     * snapshot of this table equals the batch tf/df derivation over the
     * same rows. Output: (tok, df, n_occ, dl_sum).
     */
+  /** Standing-query streaming search — the alerting/routing read path: a
+    * fixed set of term queries is scored against every document AS IT
+    * ARRIVES, using frozen corpus statistics
+    * ([[graft.operators.Retrieval.bm25Stats]] of the reference corpus, or
+    * a [[streamingTermStats]] snapshot). Entirely STATELESS: per-doc tf
+    * and length come from row-local higher-order functions and the query
+    * set + idf table are literals baked into one projection — append
+    * mode, no watermark, no aggregation state, arbitrarily partitionable.
+    * The arithmetic is the BM25 core's (same integer coefficients, same
+    * fixed association), so a streamed doc's score equals the batch
+    * score computed over the same frozen corpus bit-for-bit.
+    *
+    * Output: (idCol, qid, bm25) — one row per (arriving doc, query) with
+    * a positive score.
+    */
+  def standingQueryScores(docs: DataFrame, idCol: String, textCol: String,
+                          queries: Seq[(Int, Seq[String])],
+                          idfFp: Map[String, Long],
+                          nDocs: Long, nTokens: Long): DataFrame = {
+    require(queries.nonEmpty, "standingQueryScores: empty query set")
+    val w = TextFunctions.tokens(col(textCol))
+    val matches = queries.map { case (qid, terms) =>
+      val score = terms.map { t =>
+        val idf = idfFp.getOrElse(t, 0L)
+        val tf = size(filter(w, x => x === t)).cast("long")
+        val dl = size(w).cast("long")
+        when(tf > 0,
+          (lit(idf).cast("double") / lit(1e6)) *
+            ((tf * 22 * nTokens).cast("double") /
+             (tf * 10 * nTokens + lit(3L) * nTokens + dl * 9 * nDocs).cast("double")))
+          .otherwise(lit(0.0))
+      }.reduceLeft(_ + _)
+      struct(lit(qid).as("qid"), score.as("bm25"))
+    }
+    docs
+      .select(col(idCol), explode(array(matches: _*)).as("m"))
+      .select(col(idCol), col("m.qid").as("qid"), col("m.bm25").as("bm25"))
+      .filter(col("bm25") > 0.0)
+  }
+
   def streamingTermStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = TextFunctions.tokens(col(textCol))
     val perDoc = docs.select(

@@ -523,6 +523,43 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "view", 1L)))
   }
 
+  test("standing queries: streamed BM25 scores equal the batch scores bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusRows = Seq(
+      (0L, "spark scan join spark table"),
+      (1L, "rare spark table row value"),
+      (2L, "rare rare rare scan"),
+      (3L, "key value store"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val terms = Seq("rare", "spark")
+    // stats must cover the union of ALL standing queries' terms — a term
+    // missing from the idf table scores 0 by contract
+    val (idf, nd, lt) = graft.operators.Retrieval.bm25Stats(corpus, "doc_id", "text",
+      terms :+ "key")
+    assert(nd === 4L && lt === 17L)
+
+    val source = MemoryStream[(Long, String)]
+    val scored = StreamingOps.standingQueryScores(
+      source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      queries = Seq(9 -> terms, 5 -> Seq("key")), idf, nd, lt)
+    val query = scored.writeStream.format("memory").queryName("standing_out")
+      .outputMode("append").start()
+    source.addData(corpusRows.take(2): _*)
+    query.processAllAvailable()
+    source.addData(corpusRows.drop(2): _*)
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("standing_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // query 9 equals the batch single-query form over the same corpus
+    val batch = graft.operators.Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(batch.keySet === out.keys.collect { case (id, 9) => id }.toSet)
+    batch.foreach { case (id, s) => assert(out((id, 9)) === s, s"doc $id") }
+    // 'key' appears only in doc 3 — query 5 fires exactly there
+    assert(out.keys.collect { case (id, 5) => id }.toSet === Set(3L))
+  }
+
   test("streaming term stats: live df/tf/dl totals equal the batch derivation") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(Long, String)]
