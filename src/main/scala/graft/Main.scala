@@ -274,6 +274,9 @@ object Main {
       val docs = spark.read.parquet(in)
       val t0 = System.nanoTime()
       val result = opts.get("fuse-vectors") match {
+        case None if opts.contains("phrase-n") =>
+          graft.operators.Retrieval.bm25PhraseTopK(docs, idCol, textCol, terms,
+            n = opts("phrase-n").toInt, k = k)
         case None =>
           graft.operators.Retrieval.bm25TopK(docs, idCol, textCol, terms, k)
         case Some(vecPath) =>
@@ -319,6 +322,7 @@ object Main {
           |  --semdedup PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]
           |  --bpe-train PARQUET --out DIR [--merges 50 --segment-out DIR --id-col doc_id --text-col text]
           |  --bm25 PARQUET --terms t1,t2 --out DIR [--k 10 --id-col doc_id --text-col text]
+          |         [--phrase-n N   (terms are N-word phrases, exact contiguous match)]
           |         [--fuse-vectors PARQUET --query-id ID --vec-id-col id --vec-col vector]""".stripMargin)
     }
   }

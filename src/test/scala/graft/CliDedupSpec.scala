@@ -144,6 +144,19 @@ class CliDedupSpec extends SparkSpec {
     assert(fused(0L) === 1.0 / 61 + 1.0 / 63, "lex rank 1 + vec rank 3")
   }
 
+  test("--bm25 --phrase-n: exact contiguous phrase search from the CLI") {
+    import spark.implicits._
+    val base = tmp("cli-phrase")
+    Seq(
+      (0L, "spark window join table"),
+      (1L, "spark join window table"))   // words present, never adjacent
+      .toDF("doc_id", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("bm25" -> s"$base/docs", "terms" -> "spark window",
+      "phrase-n" -> "2", "out" -> s"$base/hits", "k" -> "2"))
+    val hits = spark.read.parquet(s"$base/hits").collect().map(_.getAs[Long]("doc_id"))
+    assert(hits.toSeq === Seq(0L), "only the contiguous occurrence matches")
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))
