@@ -633,6 +633,57 @@ object SparkEntry {
       graft.operators.Retrieval.bm25PhraseTopK(tbl(s, dir, "documents"), "doc_id", "text",
         Bm25Phrases, n = 2, k = 10)),
 
+    // ---- multimodal dedup: perceptual hashes (aHash + dHash) from REAL
+    //      decoded pixels; integer-only resize/threshold arithmetic, hashes
+    //      carried as 32-bit halves so the oracle's SUM-of-powers
+    //      reconstruction stays BIGINT-exact ----
+    "q88_image_phash" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"))
+      graft.multimodal.MediaOps.imagePhash(graft.multimodal.MediaOps.syntheticPngs(ids))
+    }),
+
+    // ---- image near-dup detection: planted brightness-shifted variants
+    //      (top source row +60) against their originals; dHash is
+    //      gradient-sign based so rows 1-7 keep identical bits and the
+    //      banded Hamming join recovers every planted pair ----
+    "q89_phash_neardup" -> ((s, dir) => {
+      val m = graft.multimodal.MediaOps
+      val base = tbl(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id"))
+      val variants = tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"))
+      val media = m.syntheticPngs(base)
+        .unionAll(m.syntheticPngVariants(variants, delta = 60, idOffset = 100000L))
+      val hashes = m.imagePhash(media)
+      Dedup.hammingNearDupPairs(hashes, "id", "dhash_hi", "dhash_lo",
+        maxHamming = 8, maxBand = 1000)
+    }),
+
+    // ---- frame-level audio features: per-frame energy / zero-crossings /
+    //      peak from REAL decoded PCM (time-domain integers only — FFT is
+    //      not cross-engine-exact; these carry the curation signal) ----
+    "q90_audio_frames" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id"))
+      graft.multimodal.MediaOps.audioFrameFeatures(
+        graft.multimodal.MediaOps.syntheticWavs(ids), frameLen = 16)
+    }),
+
+    // ---- training-shard export: the deterministic per-epoch global
+    //      shuffle (md5-prefix hash of "epoch|id" -> shard + in-shard
+    //      position); 2 epochs to show the between-epoch reshuffle ----
+    "q91_shard_assign" -> ((s, dir) =>
+      graft.operators.Packing.shardAssign(
+        tbl(s, dir, "documents"), "doc_id", numShards = 8, epochs = 2)),
+
+    // ---- corpus datacard: the per-(source, lang) composition table a
+    //      dataset release publishes — volumes, duplication, exact length
+    //      quantiles ----
+    "q92_datacard" -> ((s, dir) =>
+      graft.operators.TextStats.datacard(
+        tbl(s, dir, "documents"), "source", "lang", "text")),
+
     // ---- tf-idf-weighted hashed BoW: per-bucket document frequency
     //      down-weights collision-heavy buckets; weights are integer
     //      micro-nat products (tf · idf_fp) — the feature tier's
@@ -745,6 +796,25 @@ object SparkEntry {
         .join(e.select("id", "vector"), "id")
       val queries = e.filter(col("id") % 100 === 0).select(col("id").as("qid"), col("vector"))
       Ivf.search(assigned, queries, centroids, k = 5, nprobe = 3, Distances.l2)
+    }),
+
+    // ---- exact k-means: Lloyd training in fixed-point integers, so the
+    //      TRAINED clustering (not just assignment) is oracle-exact;
+    //      2 iterations from the k-smallest-id seeds ----
+    "q93_kmeans_exact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Ivf.kmeansExact(e.select("id", "vector"), k = 8, iters = 2)
+    }),
+
+    // ---- cluster datacard: per-cluster membership and inertia from the
+    //      exact clustering — the composition table cluster-balanced
+    //      curation samples against ----
+    "q94_cluster_card" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Ivf.kmeansExact(e.select("id", "vector"), k = 8, iters = 2)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("inertia"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     }),
 
     // ---- SimHash signatures (relational, 16-bit) ----
@@ -1947,6 +2017,117 @@ object SparkEntry {
            |  FROM dfb, stats)
            |SELECT b.doc_id, b.bucket, b.tf, i.idf_fp, b.tf * i.idf_fp AS w_fp
            |FROM bow b JOIN idf i USING (bucket)""".stripMargin,
+
+      // perceptual hashes re-derived with no image in sight: resized
+      // pixels from the closed form (q67's trick), mean threshold kept
+      // in integers (v·64 > Σv), hashes reassembled as SUMs of powers of
+      // two over the two 32-bit halves
+      "q88_image_phash" -> {
+        def px(sx: String, sy: String) =
+          s"(bid * 31 + ($sx) * 7 + ($sy) * 13 + (CASE WHEN ($sy) = 0 THEN delta ELSE 0 END)) % 256"
+        s"""WITH imgs AS (SELECT doc_id AS id, doc_id AS bid, 0 AS delta,
+           |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |px8 AS (SELECT id, bid, delta, w, h, unnest(generate_series(0, 63)) AS p FROM imgs),
+           |r8 AS (SELECT id, p, ${px("((p % 8) * w) // 8", "((p // 8) * h) // 8")} AS v FROM px8),
+           |s8 AS (SELECT id, SUM(v) AS tot FROM r8 GROUP BY id),
+           |ah AS (SELECT r8.id,
+           |  CAST(SUM(CASE WHEN v * 64 > tot AND p >= 32 THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+           |  CAST(SUM(CASE WHEN v * 64 > tot AND p < 32 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash_lo
+           |  FROM r8 JOIN s8 USING (id) GROUP BY r8.id),
+           |px9 AS (SELECT id, bid, delta, w, h, unnest(generate_series(0, 71)) AS q FROM imgs),
+           |r9 AS (SELECT id, q % 9 AS x, q // 9 AS y,
+           |    ${px("((q % 9) * w) // 9", "((q // 9) * h) // 8")} AS v FROM px9),
+           |dh AS (SELECT a.id,
+           |  CAST(SUM(CASE WHEN b.v > a.v AND a.y * 8 + a.x >= 32 THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+           |  CAST(SUM(CASE WHEN b.v > a.v AND a.y * 8 + a.x < 32 THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END) AS BIGINT) AS dhash_lo
+           |  FROM r9 a JOIN r9 b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+           |  WHERE a.x < 8 GROUP BY a.id)
+           |SELECT id, ahash_hi, ahash_lo, dhash_hi, dhash_lo
+           |FROM ah JOIN dh USING (id)""".stripMargin
+      },
+
+      // the banded Hamming join over dHash, planted variants included —
+      // same closed-form pixel derivation, bands and bit_count in SQL
+      "q89_phash_neardup" -> {
+        def px(sx: String, sy: String) =
+          s"(bid * 31 + ($sx) * 7 + ($sy) * 13 + (CASE WHEN ($sy) = 0 THEN delta ELSE 0 END)) % 256"
+        s"""WITH imgs AS (
+           |  SELECT doc_id AS id, doc_id AS bid, 0 AS delta,
+           |      8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           |    FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS id, doc_id AS bid, 60 AS delta,
+           |      8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           |    FROM documents WHERE doc_id % 10 = 0),
+           |px9 AS (SELECT id, bid, delta, w, h, unnest(generate_series(0, 71)) AS q FROM imgs),
+           |r9 AS (SELECT id, q % 9 AS x, q // 9 AS y,
+           |    ${px("((q % 9) * w) // 9", "((q // 9) * h) // 8")} AS v FROM px9),
+           |dh AS (SELECT a.id,
+           |  CAST(SUM(CASE WHEN b.v > a.v AND a.y * 8 + a.x >= 32 THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x - 32)) ELSE 0 END) AS BIGINT) AS hi,
+           |  CAST(SUM(CASE WHEN b.v > a.v AND a.y * 8 + a.x < 32 THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END) AS BIGINT) AS lo
+           |  FROM r9 a JOIN r9 b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+           |  WHERE a.x < 8 GROUP BY a.id),
+           |bands AS (
+           |  SELECT id, hi, lo, 0 AS band, (hi // 65536) % 65536 AS band_val FROM dh
+           |  UNION ALL SELECT id, hi, lo, 1, hi % 65536 FROM dh
+           |  UNION ALL SELECT id, hi, lo, 2, (lo // 65536) % 65536 FROM dh
+           |  UNION ALL SELECT id, hi, lo, 3, lo % 65536 FROM dh),
+           |kept AS (SELECT id, hi, lo, band, band_val FROM (
+           |  SELECT id, hi, lo, band, band_val,
+           |    count(*) OVER (PARTITION BY band, band_val) AS bn FROM bands) WHERE bn <= 1000),
+           |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |    a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+           |  FROM kept a JOIN kept b
+           |  ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id)
+           |SELECT id_a, id_b,
+           |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+           |FROM cand
+           |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8""".stripMargin
+      },
+
+      // per-frame integer features from the sample closed form — lag
+      // window inside (id, frame) reproduces the in-frame sign changes
+      "q90_audio_frames" ->
+        """WITH wavs AS (SELECT doc_id AS id, 64 + doc_id % 33 AS n
+          |  FROM documents WHERE doc_id % 7 = 0),
+          |s AS (SELECT id, unnest(generate_series(0, n - 1)) AS i FROM wavs),
+          |v AS (SELECT id, i // 16 AS frame_idx, i,
+          |  (id * 37 + i * 101) % 4001 - 2000 AS samp FROM s),
+          |w2 AS (SELECT id, frame_idx, samp,
+          |  lag(samp) OVER (PARTITION BY id, frame_idx ORDER BY i) AS prev FROM v)
+          |SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
+          |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+          |  CAST(SUM(samp * samp) AS BIGINT) AS energy,
+          |  CAST(SUM(CASE WHEN prev IS NOT NULL AND
+          |    ((prev < 0 AND samp >= 0) OR (prev >= 0 AND samp < 0))
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+          |  CAST(MAX(ABS(samp)) AS BIGINT) AS peak
+          |FROM w2 GROUP BY id, frame_idx""".stripMargin,
+
+      // the deterministic per-epoch shuffle re-derived from the same
+      // md5-prefix hash (Horner chain over hex digits — exact integers)
+      "q91_shard_assign" -> {
+        val hv = md5PrefixValueSql("CAST(epoch AS VARCHAR) || '|' || CAST(id AS VARCHAR)", 15)
+        s"""WITH e AS (SELECT doc_id AS id, unnest(generate_series(0, 1)) AS epoch FROM documents),
+           |h AS (SELECT id, epoch, $hv AS hv FROM e)
+           |SELECT id, CAST(epoch AS BIGINT) AS epoch, CAST(hv % 8 AS BIGINT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY epoch, hv % 8 ORDER BY hv, id) - 1 AS BIGINT) AS shard_pos
+           |FROM h""".stripMargin
+      },
+
+      "q92_datacard" ->
+        s"""WITH d AS (SELECT source, lang, length(text) AS n_chars, md5(text) AS fp,
+           |    ${tokenCountSql("text")} AS n_toks FROM documents)
+           |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_texts,
+           |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS dup_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           |  CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           |  quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS median_chars,
+           |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+           |FROM d GROUP BY source, lang""".stripMargin,
 
       "q53_bloom_dedup" ->
         """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),

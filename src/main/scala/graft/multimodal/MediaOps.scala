@@ -199,6 +199,95 @@ object MediaOps {
       .toDF("id", "vector")
   }
 
+  /** [[syntheticPngs]] with a closed-form perturbation: gray(x, y) =
+    * (id·31 + x·7 + y·13 + (y = 0 ? delta : 0)) % 256 and the output id
+    * shifted by `idOffset` — a brightness-shifted top ROW of the source
+    * image, the planted ground truth for perceptual-hash near-dup
+    * detection (only resized row 0 samples source y = 0, so at most 8
+    * [[imagePhash]] dHash bits move while rows 1–7 stay bit-identical).
+    * Still fully closed-form, so the SQL oracle derives every variant
+    * pixel from (id, x, y, delta) alone. Output: (id, content).
+    */
+  def syntheticPngVariants(ids: DataFrame, delta: Int, idOffset: Long): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          (id + idOffset, encodeGrayPng(w, h,
+            (x, y) => ((id * 31 + x * 7 + y * 13 + (if (y == 0) delta else 0)) % 256).toInt))
+        }
+      }
+      .toDF("id", "content")
+  }
+
+  /** Perceptual hashes over an (id, content) image frame: REAL decode,
+    * integer-only arithmetic, so both hashes are oracle-exact.
+    *
+    *  - **aHash** (average hash): nearest-neighbor resize to 8×8 with the
+    *    same integer source indexing as [[imageVectors]]; bit p (row-major,
+    *    p = y·8+x) is set iff px·64 &gt; Σpx (the mean threshold kept in
+    *    integers — px·64 &gt; sum ⇔ px &gt; mean, no division anywhere).
+    *  - **dHash** (difference hash): resize to 9×8; bit p set iff
+    *    px(x+1, y) &gt; px(x, y) — horizontal gradient signs, invariant
+    *    under global brightness shifts, which is why it is the standard
+    *    image near-dup fingerprint.
+    *
+    * Each 64-bit hash is carried as TWO 32-bit halves (`*_hi`, `*_lo`)
+    * so every value stays positive and small enough for exact BIGINT
+    * arithmetic in any SQL engine (bit 63 of a single BIGINT would
+    * overflow the oracle's SUM-of-powers reconstruction). Undecodable
+    * payloads are dropped, as in [[imageStats]].
+    * Output: (id, ahash_hi, ahash_lo, dhash_hi, dhash_lo).
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeGray(bytes).map { case (w, h, px) =>
+            // 8×8 integer NN resize (imageVectors' indexing, pixels kept integral)
+            val r8 = new Array[Int](64)
+            var s = 0L
+            var p = 0
+            while (p < 64) {
+              val v = px((p / 8 * h / 8) * w + (p % 8 * w / 8))
+              r8(p) = v; s += v; p += 1
+            }
+            var aHi = 0L; var aLo = 0L
+            p = 0
+            while (p < 64) {
+              if (r8(p) * 64L > s) {
+                if (p < 32) aLo |= 1L << p else aHi |= 1L << (p - 32)
+              }
+              p += 1
+            }
+            // 9×8 resize for the horizontal-gradient hash
+            val r9 = new Array[Int](72)
+            p = 0
+            while (p < 72) {
+              r9(p) = px((p / 9 * h / 8) * w + (p % 9 * w / 9))
+              p += 1
+            }
+            var dHi = 0L; var dLo = 0L
+            p = 0
+            while (p < 64) {
+              val x = p % 8; val y = p / 8
+              if (r9(y * 9 + x + 1) > r9(y * 9 + x)) {
+                if (p < 32) dLo |= 1L << p else dHi |= 1L << (p - 32)
+              }
+              p += 1
+            }
+            (id, aHi, aLo, dHi, dLo)
+          }
+        }
+      }
+      .toDF("id", "ahash_hi", "ahash_lo", "dhash_hi", "dhash_lo")
+  }
+
   // ---- real audio codec path (javax.sound.sampled — public JVM API) ----
 
   /** Encode 16-bit signed PCM mono samples as a canonical WAV byte array
@@ -298,6 +387,54 @@ object MediaOps {
         }
       }
       .toDF("id", "sample_rate", "n_samples", "amp_sum", "abs_sum")
+  }
+
+  /** Frame-level audio features over an (id, content) frame: REAL PCM
+    * decode, then per non-overlapping frame of `frameLen` samples (the
+    * trailing frame may be short) the three classic integer-exact
+    * descriptors a corpus-curation pass filters on:
+    *
+    *  - `energy`   = Σ s² (silence / clipping detection; BIGINT-exact,
+    *    16-bit samples square to ≤ 2³⁰ so even 2³² samples cannot
+    *    overflow),
+    *  - `zero_cross` = count of sign changes between consecutive samples
+    *    WITHIN the frame (noisiness / voicedness proxy; sign = s &lt; 0),
+    *  - `peak`     = max |s|.
+    *
+    * Spectral (FFT) features are deliberately absent: transcendental trig
+    * is not bit-reproducible across engines, and these time-domain
+    * integers carry the same curation signal oracle-exactly. Scale shape:
+    * one `mapPartitions` pass emitting n/frameLen rows per asset — no
+    * shuffle, no state. Output: (id, frame_idx, n_samples, energy,
+    * zero_cross, peak).
+    */
+  def audioFrameFeatures(media: DataFrame, frameLen: Int = 16): DataFrame = {
+    require(frameLen > 0, s"audioFrameFeatures: frameLen must be positive, got $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodePcm(bytes).toSeq.flatMap { case (_, samples) =>
+            samples.indices.grouped(frameLen).zipWithIndex.map { case (idxs, f) =>
+              var energy = 0L
+              var zc = 0L
+              var peak = 0L
+              var prev = 0
+              var first = true
+              idxs.foreach { i =>
+                val v = samples(i).toInt
+                energy += v.toLong * v
+                if (!first && ((prev < 0) != (v < 0))) zc += 1
+                if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+                prev = v; first = false
+              }
+              (id, f.toLong, idxs.size.toLong, energy, zc, peak)
+            }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "n_samples", "energy", "zero_cross", "peak")
   }
 
   // ---- real video codec path (YUV4MPEG2 — the standard PUBLIC

@@ -628,6 +628,52 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Hamming near-duplicate pairs over 64-bit fingerprints carried as two
+    * 32-bit halves (`hiCol`, `loCol` — the [[graft.multimodal.MediaOps.imagePhash]]
+    * representation; works equally over [[simhashRelational]] output
+    * re-split): pairs whose Hamming distance ≤ `maxHamming`.
+    *
+    * Scale shape — banded, never all-pairs: each hash splits into four
+    * 16-bit bands and candidates come from a band equi-join, so two
+    * fingerprints meet only if at least one band matches exactly. By
+    * pigeonhole this finds EVERY pair with distance ≤ 3 and (like all
+    * banded LSH) a distance-proportional fraction above that; the verify
+    * step is exact (`bit_count` over XOR, codegen'd integer ops).
+    * `maxBand` drops degenerate hot bands (e.g. the all-black-images
+    * band) with a partial-agg count + anti-join — the
+    * [[embeddingNearDupPairs]] guard, never a window.
+    * Output: (id_a, id_b, hamming).
+    */
+  def hammingNearDupPairs(
+      hashes: DataFrame, idCol: String, hiCol: String, loCol: String,
+      maxHamming: Int, maxBand: Int = Int.MaxValue): DataFrame = {
+    val rows = hashes.select(
+        col(idCol).cast("long").as("id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      .select(col("id"), col("hi"), col("lo"),
+        posexplode(array(
+          expr("(hi div 65536) % 65536"), expr("hi % 65536"),
+          expr("(lo div 65536) % 65536"), expr("lo % 65536"))).as(Seq("band", "band_val")))
+    val guarded =
+      if (maxBand == Int.MaxValue) rows
+      else {
+        val hot = rows.groupBy("band", "band_val").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBand).select("band", "band_val")
+        rows.join(hot, Seq("band", "band_val"), "left_anti")
+      }
+    val a = guarded.select(col("band"), col("band_val"), col("id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = guarded.select(col("band"), col("band_val"), col("id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Detection-quality metrics for a pair predictor — the dedup stack's
     * twin of the ANN recall evaluator (reference D8): precision/recall of
     * a predicted pair set against a ground-truth pair set (planted

@@ -69,6 +69,71 @@ object Ivf {
     centroids
   }
 
+  /** Lloyd's k-means whose TRAINING is cross-engine-exact — the clustering
+    * twin of the repo's oracle-exact arithmetic posture. [[kmeansFit]] is
+    * the fast float path, but float means are order-dependent, so only its
+    * *assignment under given centroids* can be oracle-checked. Here every
+    * quantity is an integer:
+    *
+    *  - points quantize once to fixed-point `qv = floor((x + offset) · scale)`
+    *    (+offset keeps qv non-negative, so truncating and flooring integer
+    *    division agree across engines; ·2²⁰ is exact double scaling);
+    *  - distances are Σ(qv−cv)² in BIGINT (≤ 2⁵⁴ for dim-64 — no overflow);
+    *  - assignment ties break by (dist, cid) lexicographic struct-min;
+    *  - centroid updates are `sum DIV count` integer division; cells that
+    *    empty keep their previous centroid (the [[kmeansFit]] contract).
+    *
+    * Representation is RELATIONAL — points exploded to (id, d, qv) — so
+    * every step is a partial-agg groupBy/join Catalyst plans freely; the
+    * per-iteration k·dim centroid table is materialized via
+    * [[Checkpoints]] exactly like [[kmeansFit]] (durable under
+    * `spillPath`, superseded iterations freed). Join fan-out is
+    * points × k × dim rows — the standard relational k-means cost, fine
+    * for curation-scale k; for large k use [[kmeansFit]]'s broadcast
+    * form. Output: final assignment (id, cid, dist) with dist in
+    * fixed-point squared units.
+    */
+  def kmeansExact(
+      vectors: DataFrame,
+      k: Int,
+      iters: Int = 2,
+      offset: Double = 4.0,
+      scale: Long = 1L << 20,
+      spillPath: Option[String] = None): DataFrame = {
+    require(k > 0 && iters >= 0, s"kmeansExact: need k > 0, iters >= 0; got k=$k iters=$iters")
+    def sub(i: Int): Option[String] = spillPath.map(root => s"$root/qcentroids_$i")
+    val pts = vectors.select(col("id").cast("long").as("id"),
+        posexplode(graft.functions.Distances.toDouble(col("vector"))).as(Seq("d", "x")))
+      .select(col("id"), col("d"),
+        floor((col("x") + lit(offset)) * lit(scale.toDouble)).cast("long").as("qv"))
+    val w = Window.orderBy(col("id").asc)
+    val init = vectors.select(col("id").cast("long").as("id"))
+      .orderBy(col("id").asc).limit(k)
+      .select((row_number().over(w) - 1).cast("long").as("cid"), col("id"))
+    var cents = Checkpoints.materialize(
+      pts.join(init, "id").select(col("cid"), col("d"), col("qv").as("cv")), sub(0))
+    def assignQ(c: DataFrame): DataFrame =
+      pts.join(c, Seq("d"))
+        .groupBy("id", "cid")
+        .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("dist"))
+        .groupBy("id")
+        .agg(min(struct(col("dist"), col("cid"))).as("best"))
+        .select(col("id"), col("best.cid").as("cid"), col("best.dist").as("dist"))
+    for (i <- 1 to iters) {
+      val means = assignQ(cents).join(pts, "id")
+        .groupBy("cid", "d")
+        .agg(expr("sum(qv) DIV count(1)").as("nv"))
+      val superseded = cents
+      cents = Checkpoints.materialize(
+        cents.select(col("cid"), col("d"), col("cv").as("prev"))
+          .join(means, Seq("cid", "d"), "left")
+          .select(col("cid"), col("d"), coalesce(col("nv"), col("prev")).as("cv")),
+        sub(i))
+      Checkpoints.release(superseded, sub(i - 1))
+    }
+    assignQ(cents)
+  }
+
   /** Assign each vector to its nearest centroid.
     * In: vectors (id, vector), centroids (cid, cvector). Out: (id, cid, dist).
     */

@@ -68,6 +68,43 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
         min(col("id")).as("first_doc"), max(col("id")).as("last_doc"))
 
+  /** Deterministic training-shard export plan: the "global shuffle" every
+    * training run needs, as a pure function of (epoch, id) — no RNG, no
+    * driver state, so any executor (or a re-run after failure) derives the
+    * same placement. Each document is assigned, per epoch:
+    *
+    *  - `shard`     = md5-prefix hash of `"epoch|id"` mod `numShards`
+    *    (documents land in a DIFFERENT shard each epoch — the
+    *    between-epoch reshuffle),
+    *  - `shard_pos` = rank within the (epoch, shard) by (hash, id) —
+    *    the within-shard read order, also epoch-dependent.
+    *
+    * Scale shape: one explode (×epochs, a projection), one shuffle into
+    * (epoch, shard) groups, and a window PARTITIONED by (epoch, shard) —
+    * pick `numShards` so a shard is file-sized (the usual 100k–1M docs),
+    * which bounds the window task by construction; there is no global
+    * ordering anywhere. The md5-prefix hash (15 hex chars &lt; 2⁶⁰) is the
+    * repo's standard cross-engine-exact hash, so a SQL oracle reproduces
+    * every (shard, shard_pos) bit-exactly.
+    * Output: (id, epoch, shard, shard_pos).
+    */
+  def shardAssign(docs: DataFrame, idCol: String, numShards: Int, epochs: Int = 1): DataFrame = {
+    require(numShards > 0, s"shardAssign: numShards must be positive, got $numShards")
+    require(epochs > 0, s"shardAssign: epochs must be positive, got $epochs")
+    val hashed = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("h",
+        conv(substring(md5(concat(col("epoch").cast("string"), lit("|"),
+          col("id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("shard", pmod(col("h"), lit(numShards.toLong)))
+    hashed
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy("epoch", "shard").orderBy("h", "id"))
+          .cast("long") - 1L)
+      .select(col("id"), col("epoch").cast("long").as("epoch"), col("shard"), col("shard_pos"))
+  }
+
   /** Context-window chunking: split each document's token stream into
     * windows of `window` tokens advancing by `stride` — the
     * overlapping-window chunker run before tokenizer sharding when

@@ -152,6 +152,44 @@ object TextStats {
       approx_count_distinct(col("tok"), rsd).as("approx_vocab"))
   }
 
+  /** Corpus datacard: the per-(source, language) summary table published
+    * alongside a training dataset (composition, volume, duplication,
+    * length distribution). One partial-agg groupBy over the corpus —
+    * every statistic is either an integer sum/count or the exact median
+    * (Spark's exact `percentile`, which for BIGINT inputs interpolates
+    * two integers in double space — an exact IEEE operation any engine
+    * reproduces). Duplicate volume is measured as docs minus distinct
+    * md5(text) — the exact-dedup pass's own fingerprint, so the datacard
+    * agrees with what [[graft.operators.Dedup.exactDedup]] would remove.
+    *
+    * At 100 TB this is one scan + one shuffle of (sources × langs)
+    * partial aggregates; the median's per-group sorted buffer is bounded
+    * by group cardinality, and a corpus so skewed that one (source, lang)
+    * group dominates should fall back to approx_percentile — documented
+    * trade-off, not the default.
+    * Output: (source, lang, n_docs, distinct_texts, dup_docs,
+    * chars_total, tokens_total, min_chars, median_chars, max_chars).
+    */
+  def datacard(docs: DataFrame, sourceCol: String, langCol: String,
+               textCol: String): DataFrame = {
+    val len = length(col(textCol)).cast("long")
+    docs
+      .select(col(sourceCol).as("source"), col(langCol).as("lang"),
+        col(textCol), len.as("n_chars"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_toks"),
+        md5(col(textCol)).as("fp"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("distinct_texts"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("dup_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(col("n_toks")).as("tokens_total"),
+        min(col("n_chars")).as("min_chars"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
   /** BPE-trainer pair statistics: corpus-weighted counts of adjacent
     * character pairs — the quantity a byte-pair-encoding tokenizer trainer
     * maximizes at every merge step. Top-K table of (pair, n_pair) where

@@ -532,4 +532,38 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(pass(100L) === "x1 the quick brown fox x2")
   }
+
+  test("hammingNearDupPairs: pigeonhole recall within 3 bits, per-band misses beyond, hot bands capped") {
+    // hashes as (hi, lo) 32-bit halves; base hash spreads bits over all 4 bands
+    val base = (0xABCD1234L, 0x5678DEF0L)
+    def flip(h: (Long, Long), bits: Seq[Int]): (Long, Long) = bits.foldLeft(h) {
+      case ((hi, lo), b) => if (b < 32) (hi, lo ^ (1L << b)) else (hi ^ (1L << (b - 32)), lo)
+    }
+    val rows = Seq(
+      (1L, base),
+      (2L, flip(base, Seq(0, 17))),          // hamming 2, both flips in lo bands
+      (3L, flip(base, Seq(3, 19, 35, 52))),  // hamming 4, one flip PER band -> no shared band
+      (4L, flip(base, Seq(40))),             // hamming 1
+    ).map { case (id, (hi, lo)) => (id, hi, lo) }
+      .toDF("id", "hi", "lo")
+    val pairs = Dedup.hammingNearDupPairs(rows, "id", "hi", "lo", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ≤3 bit flips leave at least one of 4 bands intact (pigeonhole) — found
+    assert(pairs((1L, 2L)) === 2L)
+    assert(pairs((1L, 4L)) === 1L)
+    assert(pairs((2L, 4L)) === 3L)
+    // 4 flips hitting all 4 bands share no band with the base — the
+    // documented banded-LSH miss (would need more/narrower bands)
+    assert(!pairs.contains((1L, 3L)))
+    // hot-band cap: 50 identical hashes all land in the same 4 bands; cap
+    // 10 drops those bands entirely so no pair survives, and the join
+    // never materializes the 50x50 blowup
+    val hot = (0L until 50L).map(i => (100L + i, 0x11112222L, 0x33334444L))
+      .toDF("id", "hi", "lo")
+    assert(Dedup.hammingNearDupPairs(hot, "id", "hi", "lo",
+      maxHamming = 8, maxBand = 10).count() === 0L)
+    // and under the cap they all pair up: 50*49/2
+    assert(Dedup.hammingNearDupPairs(hot, "id", "hi", "lo",
+      maxHamming = 8, maxBand = 100).count() === 50L * 49 / 2)
+  }
 }

@@ -238,4 +238,58 @@ class MediaSpec extends SparkSpec {
     assert(rank1.nonEmpty)
     rank1.foreach(r => assert(r.getAs[Double]("dist") === 0.0, "self-frame at distance 0"))
   }
+
+  test("imagePhash: both hashes invariant under wrap-free global brightness; dHash moves only row-0 bits on a top-row shift") {
+    import graft.multimodal.MediaOps
+    import spark.implicits._
+    // pixels confined to 50..149 so +50 shifts never wrap mod 256
+    def png(shiftAll: Int, shiftRow0: Int) = MediaOps.encodeGrayPng(12, 10,
+      (x, y) => 50 + (x * 7 + y * 13) % 100 + shiftAll + (if (y == 0) shiftRow0 else 0))
+    val media = Seq(
+      (0L, png(0, 0)),    // base
+      (1L, png(50, 0)),   // global brightness +50
+      (2L, png(0, 50)),   // top source row +50 (the q89 perturbation, wrap-free)
+    ).toDF("id", "content")
+    val h = MediaOps.imagePhash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // global shift: mean threshold and gradient signs both unchanged
+    assert(h(1L) === h(0L), "aHash and dHash are brightness-shift invariant without wrap")
+    // top-row shift: dHash bits 8..63 (rows 1-7) must be identical —
+    // only resized row 0 samples source y=0
+    val (_, _, dHi0, dLo0) = h(0L)
+    val (_, _, dHi2, dLo2) = h(2L)
+    assert(dHi0 === dHi2, "dHash rows 4-7 untouched")
+    assert((dLo0 & ~255L) === (dLo2 & ~255L), "dHash rows 1-3 untouched")
+    // partition-layout independence
+    val again = MediaOps.imagePhash(media.repartition(3)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again === h)
+  }
+
+  test("audioFrameFeatures: frames tile the stream and match a straight-line recompute") {
+    import graft.multimodal.MediaOps
+    val ids = spark.range(0, 30).selectExpr("id * 7 AS id")
+    val feats = MediaOps.audioFrameFeatures(MediaOps.syntheticWavs(ids), frameLen = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (idx <- 0L until 30L) {
+      val id = idx * 7
+      val n = (64 + id % 33).toInt
+      val samples = Array.tabulate(n)(i => ((id * 37 + i * 101L) % 4001L - 2000L).toInt)
+      val frames = samples.indices.grouped(16).zipWithIndex.toSeq
+      assert(frames.forall { case (idxs, f) => feats.contains((id, f.toLong)) })
+      frames.foreach { case (idxs, f) =>
+        val vs = idxs.map(samples)
+        val energy = vs.map(v => v.toLong * v).sum
+        val zc = vs.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0); case _ => false }
+        val peak = vs.map(v => math.abs(v.toLong)).max
+        assert(feats((id, f.toLong)) === ((idxs.size.toLong, energy, zc.toLong, peak)),
+          s"frame features for id $id frame $f")
+      }
+    }
+    // frame partition: n_samples per id sums back to the stream length
+    val totals = feats.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._1).sum)
+    totals.foreach { case (id, tot) => assert(tot === 64 + id % 33) }
+  }
 }

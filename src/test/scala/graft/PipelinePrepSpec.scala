@@ -442,4 +442,46 @@ class PipelinePrepSpec extends SparkSpec {
     val cdMerged = learned.exists(_._1 == "c d")
     assert(seg(2L) === ((2L, if (cdMerged) 2L else 3L)), s"doc2: got ${seg(2L)} learned=$learned")
   }
+
+  test("shardAssign: deterministic + partition-independent; epochs reshuffle; positions dense per shard") {
+    val docs = spark.range(0, 400).toDF("doc_id")
+    val a = Packing.shardAssign(docs, "doc_id", numShards = 4, epochs = 2)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.size === 800, "every (doc, epoch) assigned exactly once")
+    // deterministic and partition-layout independent
+    val again = Packing.shardAssign(docs.repartition(7), "doc_id", numShards = 4, epochs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again === rows)
+    // positions are dense 0..count-1 within each (epoch, shard)
+    val byShard = rows.toSeq.groupBy { case ((_, e), (s, _)) => (e, s) }
+    byShard.foreach { case ((e, s), members) =>
+      val ps = members.map(_._2._2).sorted
+      assert(ps === (0L until ps.size.toLong), s"dense positions in epoch $e shard $s")
+    }
+    // the between-epoch reshuffle: most docs move shards between epochs
+    // (an md5-uniform 1/numShards = 25% would stay by chance)
+    val stayed = (0L until 400L).count(id => rows((id, 0L))._1 === rows((id, 1L))._1)
+    assert(stayed < 200, s"epoch reshuffle: only $stayed of 400 stayed put")
+    // md5-uniform balance: no shard more than 2x the ideal 100
+    byShard.values.foreach(m => assert(m.size < 200))
+  }
+
+  test("datacard: exact composition stats on a crafted corpus with planted dups") {
+    val docs = Seq(
+      (1L, "web", "en", "aa bb cc"),   // 3 toks, 8 chars
+      (2L, "web", "en", "aa bb cc"),   // exact dup of 1
+      (3L, "web", "en", "x"),          // 1 tok, 1 char
+      (4L, "web", "de", "yy zz"),      // own group
+      (5L, "books", "en", "p q r s"),  // own group
+    ).toDF("doc_id", "source", "lang", "text")
+    val card = TextStats.datacard(docs, "source", "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7), r.getDouble(8), r.getLong(9))).toMap
+    // (n_docs, distinct, dups, chars, toks, min, median, max)
+    assert(card(("web", "en")) === ((3L, 2L, 1L, 17L, 7L, 1L, 8.0, 8L)))
+    assert(card(("web", "de")) === ((1L, 1L, 0L, 5L, 2L, 5L, 5.0, 5L)))
+    assert(card(("books", "en")) === ((1L, 1L, 0L, 7L, 4L, 7L, 7.0, 7L)))
+    assert(card.size === 3)
+  }
 }
