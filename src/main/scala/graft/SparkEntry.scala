@@ -1133,6 +1133,41 @@ object SparkEntry {
     * 1-row argmax b_i, vocabulary rewrite v_i). Mirrors
     * [[graft.operators.TextStats.bpeTrainMerges]] byte-for-byte.
     */
+  /** Unrolled-CTE twin of [[graft.operators.Ivf.kmeansExact]]: `iters`
+    * Lloyd rounds in fixed-point integers (points quantized once, argmin
+    * by (dist, cid), means as floor division of non-negative sums, empty
+    * cells keep their previous centroid). Ends with CTEs `pts` and
+    * `cfinal` — the caller selects the final assignment from them.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val base =
+      s"""ex AS (SELECT vec_id AS id, embedding AS v, unnest(generate_series(0, ${dim - 1})) AS d FROM embeddings),
+         |pts AS (SELECT id, d, CAST(floor((CAST(v[d + 1] AS DOUBLE) + 4.0) * 1048576.0) AS BIGINT) AS qv FROM ex),
+         |init AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS cid
+         |  FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT $k)),
+         |c0 AS (SELECT i.cid, p.d, p.qv AS cv FROM init i JOIN pts p ON p.id = i.id)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""a${i}s AS (SELECT p.id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
+         |  FROM pts p JOIN c${i - 1} c ON c.d = p.d GROUP BY p.id, c.cid),
+         |a$i AS (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn FROM a${i}s) WHERE rn = 1),
+         |m$i AS (SELECT a.cid, p.d, CAST(SUM(p.qv) // COUNT(*) AS BIGINT) AS nv
+         |  FROM a$i a JOIN pts p ON p.id = a.id GROUP BY a.cid, p.d),
+         |c$i AS (SELECT c.cid, c.d, COALESCE(m.nv, c.cv) AS cv
+         |  FROM c${i - 1} c LEFT JOIN m$i m ON m.cid = c.cid AND m.d = c.d)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      s",\ncfinal AS (SELECT cid, d, cv FROM c$iters)"
+  }
+
+  /** Final (id, cid, dist) assignment select over [[kmeansCtes]] output. */
+  private def kmeansAssignSql: String =
+    s"""fs AS (SELECT p.id, c.cid, SUM((p.qv - c.cv) * (p.qv - c.cv)) AS dist
+       |  FROM pts p JOIN cfinal c ON c.d = p.d GROUP BY p.id, c.cid),
+       |fr AS (SELECT id, cid, CAST(dist AS BIGINT) AS dist FROM (
+       |  SELECT id, cid, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+       |  FROM fs) WHERE rn = 1)""".stripMargin
+
   private def bpeTrainCtes(k: Int): String = {
     val steps = (1 to k).map { i =>
       s"""p$i AS (
@@ -2325,6 +2360,19 @@ object SparkEntry {
            |r AS (SELECT id, cid, dist,
            |  row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn FROM scored)
            |SELECT id, cid, dist FROM r WHERE rn = 1""".stripMargin,
+
+      "q93_kmeans_exact" ->
+        s"""WITH ${kmeansCtes(k = 8, iters = 2, dim = EmbDim)},
+           |$kmeansAssignSql
+           |SELECT id, cid, dist FROM fr""".stripMargin,
+
+      "q94_cluster_card" ->
+        s"""WITH ${kmeansCtes(k = 8, iters = 2, dim = EmbDim)},
+           |$kmeansAssignSql
+           |SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  CAST(SUM(dist) AS BIGINT) AS inertia,
+           |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id
+           |FROM fr GROUP BY cid""".stripMargin,
 
       "q19_ivf_search" ->
         s"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 10),

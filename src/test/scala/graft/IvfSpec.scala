@@ -54,4 +54,35 @@ class IvfSpec extends SparkSpec {
     assert(small === large)
     assert(small.nonEmpty)
   }
+
+  test("kmeansExact: recovers separated blobs, partition-independent, zero iters = seed assignment") {
+    val rng = new scala.util.Random(47)
+    // 4 well-separated blobs of 25 points each in dim 8; ids interleaved
+    // across blobs so the 4 lowest ids land in 4 DIFFERENT blobs (seeding
+    // each blob) and two Lloyd rounds must pull every point home
+    val pts = (0 until 100).map { i =>
+      val blob = i % 4
+      val center = Array.tabulate(8)(d => if (d == blob * 2) 3.0f else 0.0f)
+      (i.toLong, center.map(c => c + (rng.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = pts.toDF("id", "vector")
+    val out = Ivf.kmeansExact(df, k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 100)
+    // every member of a blob shares its blob-mate's cluster, and the four
+    // blobs get four distinct clusters
+    val byBlob = (0 until 4).map(b => (0 until 100).filter(_ % 4 == b).map(i => out(i.toLong)._1).distinct)
+    byBlob.foreach(cids => assert(cids.size === 1, s"blob split across clusters: $byBlob"))
+    assert(byBlob.flatten.distinct.size === 4)
+    // ids 0..3 seeded cid 0..3 in id order
+    assert((0 until 4).map(i => out(i.toLong)._1) === (0L until 4L))
+    // bit-identical under a different partition layout (the oracle-exact claim)
+    val again = Ivf.kmeansExact(df.repartition(7), k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again === out)
+    // iters = 0: assignment against the raw seeds; each seed at distance 0
+    val seeds = Ivf.kmeansExact(df, k = 4, iters = 0)
+      .filter(col("id") < 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    seeds.foreach { case (id, cid, dist) => assert(cid === id && dist === 0L) }
+  }
 }
