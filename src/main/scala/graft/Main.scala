@@ -19,6 +19,10 @@ import graft.sources.Datagen
   *   --scrub PARQUET --corpus PARQUET --out DIR    ingest-time span scrub
   *   --semdedup PARQUET --out DIR       semantic dedup verdicts (auto bits)
   *   --bm25 PARQUET --terms t1,t2 --out DIR    lexical / hybrid-RRF search
+  *   --phash PARQUET --out DIR [--pairs-out DIR]    image perceptual hashes + near-dup pairs
+  *   --shards PARQUET --out DIR         deterministic per-epoch training-shard export
+  *   --datacard PARQUET --out DIR       per-(source, lang) corpus composition table
+  *   --kmeans PARQUET --out DIR         exact fixed-point k-means assignment
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -238,6 +242,74 @@ object Main {
       println(f"[semdedup] ${verdicts.count()} rows, $dropped dropped as semantic dups " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
+    } else if (opts.contains("phash")) {
+      // perceptual-hash pipeline (MediaOps.imagePhash): hash a binary
+      // image table; with --pairs-out also emit banded Hamming near-dup
+      // pairs over --hash (dhash default — brightness-shift invariant)
+      val in = opts("phash")
+      val out = opts.getOrElse("out", sys.error("--phash requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "id")
+      val contentCol = opts.getOrElse("content-col", "content")
+      val t0 = System.nanoTime()
+      val hashes = graft.multimodal.MediaOps.imagePhash(
+        spark.read.parquet(in).select(col(idCol).as("id"), col(contentCol).as("content")))
+      hashes.write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(f"[phash] $n images hashed in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+      opts.get("pairs-out").foreach { pairsOut =>
+        val prefix = if (opts.getOrElse("hash", "dhash") == "ahash") "ahash" else "dhash"
+        val t1 = System.nanoTime()
+        graft.operators.Dedup.hammingNearDupPairs(
+            spark.read.parquet(out), "id", s"${prefix}_hi", s"${prefix}_lo",
+            maxHamming = opts.getOrElse("max-hamming", "8").toInt,
+            maxBand = opts.getOrElse("max-band", Int.MaxValue.toString).toInt)
+          .write.mode("overwrite").parquet(pairsOut)
+        val np = spark.read.parquet(pairsOut).count()
+        println(f"[phash] $np near-dup pairs ($prefix) in ${(System.nanoTime() - t1) / 1e9}%.1f s -> $pairsOut")
+      }
+
+    } else if (opts.contains("shards")) {
+      // deterministic training-shard export (Packing.shardAssign)
+      val in = opts("shards")
+      val out = opts.getOrElse("out", sys.error("--shards requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.Packing.shardAssign(spark.read.parquet(in),
+          opts.getOrElse("id-col", "doc_id"),
+          numShards = opts.getOrElse("num-shards", "8").toInt,
+          epochs = opts.getOrElse("epochs", "1").toInt)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(f"[shards] $n (doc, epoch) assignments in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("datacard")) {
+      // corpus datacard (TextStats.datacard)
+      val in = opts("datacard")
+      val out = opts.getOrElse("out", sys.error("--datacard requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.TextStats.datacard(spark.read.parquet(in),
+          opts.getOrElse("source-col", "source"), opts.getOrElse("lang-col", "lang"),
+          opts.getOrElse("text-col", "text"))
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(f"[datacard] $n (source, lang) groups in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("kmeans")) {
+      // exact fixed-point k-means (Ivf.kmeansExact): cluster an embedding
+      // table; writes the (id, cid, dist) assignment
+      val in = opts("kmeans")
+      val out = opts.getOrElse("out", sys.error("--kmeans requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "id")
+      val vecCol = opts.getOrElse("vec-col", "vector")
+      val t0 = System.nanoTime()
+      graft.operators.Ivf.kmeansExact(
+          spark.read.parquet(in).select(col(idCol).as("id"), col(vecCol).as("vector")),
+          k = opts.getOrElse("k", "8").toInt,
+          iters = opts.getOrElse("iters", "2").toInt)
+        .write.mode("overwrite").parquet(out)
+      val card = spark.read.parquet(out).groupBy("cid").count().orderBy("cid").collect()
+      println(f"[kmeans] ${card.map(_.getLong(1)).sum} points -> ${card.length} clusters " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("bpe-train")) {
       // BPE trainer (TextStats.bpeTrainMerges): learn the first --merges
       // byte-pair merges from the corpus; optionally apply them back and
@@ -323,7 +395,12 @@ object Main {
           |  --bpe-train PARQUET --out DIR [--merges 50 --segment-out DIR --id-col doc_id --text-col text]
           |  --bm25 PARQUET --terms t1,t2 --out DIR [--k 10 --id-col doc_id --text-col text]
           |         [--phrase-n N   (terms are N-word phrases, exact contiguous match)]
-          |         [--fuse-vectors PARQUET --query-id ID --vec-id-col id --vec-col vector]""".stripMargin)
+          |         [--fuse-vectors PARQUET --query-id ID --vec-id-col id --vec-col vector]
+          |  --phash PARQUET --out DIR [--id-col id --content-col content]
+          |          [--pairs-out DIR --hash dhash|ahash --max-hamming 8 --max-band N]
+          |  --shards PARQUET --out DIR [--id-col doc_id --num-shards 8 --epochs 1]
+          |  --datacard PARQUET --out DIR [--source-col source --lang-col lang --text-col text]
+          |  --kmeans PARQUET --out DIR [--id-col id --vec-col vector --k 8 --iters 2]""".stripMargin)
     }
   }
 }

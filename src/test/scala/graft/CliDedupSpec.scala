@@ -157,6 +157,53 @@ class CliDedupSpec extends SparkSpec {
     assert(hits.toSeq === Seq(0L), "only the contiguous occurrence matches")
   }
 
+  test("--phash round-trip: hashes written; planted near-dup pair surfaces in --pairs-out") {
+    import spark.implicits._
+    val base = tmp("cli-phash")
+    val m = graft.multimodal.MediaOps
+    // two near-identical images (top row +50, wrap-free) and one unrelated
+    def png(rowShift: Int, scramble: Int) = m.encodeGrayPng(16, 12,
+      (x, y) => 50 + (x * 7 + y * 13 + scramble * (x * x + 3 * y)) % 100 +
+        (if (y == 0) rowShift else 0))
+    Seq((1L, png(0, 0)), (2L, png(50, 0)), (3L, png(0, 5)))
+      .toDF("id", "content").write.parquet(s"$base/imgs")
+    Main.run(spark, Map("phash" -> s"$base/imgs", "out" -> s"$base/hashes",
+      "pairs-out" -> s"$base/pairs", "max-hamming" -> "8"))
+    val hashes = spark.read.parquet(s"$base/hashes")
+    assert(hashes.count() === 3)
+    assert(hashes.columns.toSet ===
+      Set("id", "ahash_hi", "ahash_lo", "dhash_hi", "dhash_lo"))
+    val pairs = spark.read.parquet(s"$base/pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "brightness-shifted twin found")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "scrambled image stays unpaired")
+  }
+
+  test("--shards and --datacard and --kmeans round-trips") {
+    import spark.implicits._
+    val base = tmp("cli-tail")
+    (0L until 100L).map(i => (i, if (i % 2 == 0) "web" else "books", "en", s"doc $i text"))
+      .toDF("doc_id", "source", "lang", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("shards" -> s"$base/docs", "out" -> s"$base/shards",
+      "num-shards" -> "4", "epochs" -> "2"))
+    val sh = spark.read.parquet(s"$base/shards")
+    assert(sh.count() === 200)
+    assert(sh.select("shard").distinct().count() === 4)
+    Main.run(spark, Map("datacard" -> s"$base/docs", "out" -> s"$base/card"))
+    val card = spark.read.parquet(s"$base/card").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(card === Map("web" -> 50L, "books" -> 50L))
+    val r = new scala.util.Random(3)
+    (0 until 60).map(i => (i.toLong, Array.fill(8)(r.nextGaussian().toFloat)))
+      .toDF("id", "vector").write.parquet(s"$base/embs")
+    Main.run(spark, Map("kmeans" -> s"$base/embs", "out" -> s"$base/clusters",
+      "k" -> "4", "iters" -> "1"))
+    val cl = spark.read.parquet(s"$base/clusters")
+    assert(cl.count() === 60)
+    assert(cl.select("cid").distinct().count() <= 4)
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))
