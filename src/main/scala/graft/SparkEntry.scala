@@ -660,6 +660,24 @@ object SparkEntry {
         maxHamming = 8, maxBand = 1000)
     }),
 
+    // ---- image ingest dedup: an arriving batch (planted variants + fresh
+    //      images) statused against the corpus fingerprints — the
+    //      incremental-dedup contract on the image column; batch twin of
+    //      StreamingOps.streamingImageDedup ----
+    "q95_image_ingest_dedup" -> ((s, dir) => {
+      val m = graft.multimodal.MediaOps
+      val docs = tbl(s, dir, "documents")
+      val corpusH = m.imagePhash(m.syntheticPngs(
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("id"))))
+      val batch = m.syntheticPngVariants(
+          docs.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("id")),
+          delta = 60, idOffset = 100000L)
+        .unionAll(m.syntheticPngs(
+          docs.filter(col("doc_id") % 5 === 2).select(col("doc_id").as("id"))))
+      Dedup.hammingCorpusDedup(m.imagePhash(batch), corpusH,
+        "id", "dhash_hi", "dhash_lo", maxHamming = 8, maxBand = 1000)
+    }),
+
     // ---- frame-level audio features: per-frame energy / zero-crossings /
     //      peak from REAL decoded PCM (time-domain integers only — FFT is
     //      not cross-engine-exact; these carry the curation signal) ----
@@ -2119,6 +2137,58 @@ object SparkEntry {
            |  CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
            |FROM cand
            |WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 8""".stripMargin
+      },
+
+      // the ingest-shape banded Hamming join: corpus and batch dHashes both
+      // re-derived from the pixel closed form, corpus-side hot-band drop,
+      // per-batch-row (hamming, cid) argmin, sentinel -1 for fresh rows
+      "q95_image_ingest_dedup" -> {
+        def px(sx: String, sy: String) =
+          s"(bid * 31 + ($sx) * 7 + ($sy) * 13 + (CASE WHEN ($sy) = 0 THEN delta ELSE 0 END)) % 256"
+        s"""WITH imgs AS (
+           |  SELECT 'c' AS side, doc_id AS id, doc_id AS bid, 0 AS delta,
+           |      8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+           |    FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT 'b', doc_id + 100000, doc_id, 60, 8 + doc_id % 9, 8 + doc_id % 7
+           |    FROM documents WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT 'b', doc_id, doc_id, 0, 8 + doc_id % 9, 8 + doc_id % 7
+           |    FROM documents WHERE doc_id % 5 = 2),
+           |px9 AS (SELECT side, id, bid, delta, w, h, unnest(generate_series(0, 71)) AS q FROM imgs),
+           |r9 AS (SELECT side, id, q % 9 AS x, q // 9 AS y,
+           |    ${px("((q % 9) * w) // 9", "((q // 9) * h) // 8")} AS v FROM px9),
+           |dh AS (SELECT a.side, a.id,
+           |  CAST(SUM(CASE WHEN b.v > a.v AND a.y * 8 + a.x >= 32 THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x - 32)) ELSE 0 END) AS BIGINT) AS hi,
+           |  CAST(SUM(CASE WHEN b.v > a.v AND a.y * 8 + a.x < 32 THEN (CAST(1 AS BIGINT) << (a.y * 8 + a.x)) ELSE 0 END) AS BIGINT) AS lo
+           |  FROM r9 a JOIN r9 b ON b.side = a.side AND b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+           |  WHERE a.x < 8 GROUP BY a.side, a.id),
+           |cb AS (
+           |  SELECT id, hi, lo, 0 AS band, (hi // 65536) % 65536 AS band_val FROM dh WHERE side = 'c'
+           |  UNION ALL SELECT id, hi, lo, 1, hi % 65536 FROM dh WHERE side = 'c'
+           |  UNION ALL SELECT id, hi, lo, 2, (lo // 65536) % 65536 FROM dh WHERE side = 'c'
+           |  UNION ALL SELECT id, hi, lo, 3, lo % 65536 FROM dh WHERE side = 'c'),
+           |kept AS (SELECT id, hi, lo, band, band_val FROM (
+           |  SELECT id, hi, lo, band, band_val,
+           |    count(*) OVER (PARTITION BY band, band_val) AS bn FROM cb) WHERE bn <= 1000),
+           |bb AS (
+           |  SELECT id, hi, lo, 0 AS band, (hi // 65536) % 65536 AS band_val FROM dh WHERE side = 'b'
+           |  UNION ALL SELECT id, hi, lo, 1, hi % 65536 FROM dh WHERE side = 'b'
+           |  UNION ALL SELECT id, hi, lo, 2, (lo // 65536) % 65536 FROM dh WHERE side = 'b'
+           |  UNION ALL SELECT id, hi, lo, 3, lo % 65536 FROM dh WHERE side = 'b'),
+           |m AS (SELECT id, cid, hamming FROM (
+           |  SELECT b.id, c.id AS cid,
+           |    CAST(bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) AS BIGINT) AS hamming,
+           |    row_number() OVER (PARTITION BY b.id
+           |      ORDER BY bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)), c.id) AS rn
+           |  FROM (SELECT DISTINCT id, hi, lo, band, band_val FROM bb) b
+           |  JOIN kept c ON c.band = b.band AND c.band_val = b.band_val
+           |  WHERE bit_count(xor(b.hi, c.hi)) + bit_count(xor(b.lo, c.lo)) <= 8) WHERE rn = 1),
+           |batch_ids AS (SELECT DISTINCT id FROM dh WHERE side = 'b')
+           |SELECT i.id,
+           |  CASE WHEN m.cid IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+           |  COALESCE(m.cid, -1) AS dup_of, COALESCE(m.hamming, -1) AS hamming
+           |FROM batch_ids i LEFT JOIN m ON m.id = i.id""".stripMargin
       },
 
       // per-frame integer features from the sample closed form — lag

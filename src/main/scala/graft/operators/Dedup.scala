@@ -674,6 +674,52 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Batch-vs-corpus Hamming dedup — [[hammingNearDupPairs]] in the
+    * recurring-ingest shape ([[incrementalDedup]]'s contract for image
+    * fingerprints): each arriving fingerprint is statused against a fixed
+    * corpus, the corpus is never self-compared. Candidates come from the
+    * same four 16-bit bands; the per-row verdict is the minimum
+    * (hamming, corpus id) struct — deterministic ties. `maxBand` drops
+    * degenerate corpus bands (partial-agg count + anti-join; the batch
+    * side rides the same drop via the join). Output: (id, status ∈
+    * near_dup|new, dup_of, hamming) with (-1, -1) sentinels for fresh
+    * rows so every column stays non-null and oracle-comparable.
+    */
+  def hammingCorpusDedup(
+      batch: DataFrame, corpus: DataFrame, idCol: String, hiCol: String, loCol: String,
+      maxHamming: Int, maxBand: Int = Int.MaxValue): DataFrame = {
+    def bandsOf(df: DataFrame) = df.select(
+        col(idCol).cast("long").as("id"),
+        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      .select(col("id"), col("hi"), col("lo"),
+        posexplode(array(
+          expr("(hi div 65536) % 65536"), expr("hi % 65536"),
+          expr("(lo div 65536) % 65536"), expr("lo % 65536"))).as(Seq("band", "band_val")))
+    val cb = bandsOf(corpus)
+    val guardedC =
+      if (maxBand == Int.MaxValue) cb
+      else {
+        val hot = cb.groupBy("band", "band_val").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBand).select("band", "band_val")
+        cb.join(hot, Seq("band", "band_val"), "left_anti")
+      }
+    val matches = bandsOf(batch)
+      .join(guardedC.select(col("band"), col("band_val"), col("id").as("cid"),
+        col("hi").as("chi"), col("lo").as("clo")), Seq("band", "band_val"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(hi ^ chi) + bit_count(lo ^ clo) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id")
+      .agg(min(struct(col("hamming"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("dup_of"), col("best.hamming").as("hamming"))
+    batch.select(col(idCol).cast("long").as("id")).distinct()
+      .join(matches, Seq("id"), "left")
+      .select(col("id"),
+        when(col("dup_of").isNotNull, lit("near_dup")).otherwise(lit("new")).as("status"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"))
+  }
+
   /** Detection-quality metrics for a pair predictor — the dedup stack's
     * twin of the ANN recall evaluator (reference D8): precision/recall of
     * a predicted pair set against a ground-truth pair set (planted

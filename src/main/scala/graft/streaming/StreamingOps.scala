@@ -383,6 +383,34 @@ object StreamingOps {
       }
   }
 
+  /** Streaming IMAGE dedup against a static fingerprint corpus — the
+    * multimodal tier of the ingest ladder: arriving images are
+    * perceptually hashed statelessly
+    * ([[graft.multimodal.MediaOps.imagePhash]], a pure projection) and
+    * statused against frozen corpus hashes via the banded Hamming join
+    * ([[graft.operators.Dedup.hammingCorpusDedup]] per micro-batch).
+    * The corpus table is localCheckpointed ONCE at stream start — never
+    * re-hashed or re-banded at streaming cadence — and verdicts land
+    * partition-per-batch (idempotent on replay), the
+    * [[streamingSemanticDedup]] contract on the image column.
+    */
+  def streamingImageDedup(media: DataFrame, corpusHashes: DataFrame,
+                          outDir: String, hiCol: String = "dhash_hi",
+                          loCol: String = "dhash_lo", maxHamming: Int = 8,
+                          maxBand: Int = Int.MaxValue): DataStreamWriter[Row] = {
+    val corpusOnce = corpusHashes.localCheckpoint()
+    media.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .hammingCorpusDedup(
+              graft.multimodal.MediaOps.imagePhash(batch.select("id", "content")),
+              corpusOnce, "id", hiCol, loCol, maxHamming, maxBand)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Stateful gap-based sessionization — the streaming twin of
     * q29_sessionize, built on `flatMapGroupsWithState` with event-time
     * timeout: per-user state is one open session (start, last, count);

@@ -592,4 +592,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(ref === out)
   }
+
+  test("streaming image dedup: arriving images statused against frozen corpus fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = graft.multimodal.MediaOps
+    // corpus: two distinct images, pixels wrap-free in 50..149
+    def png(seed: Int, rowShift: Int) = m.encodeGrayPng(16, 12,
+      (x, y) => 50 + (x * 7 + y * 13 + seed * (x * x + 3 * y)) % 100 +
+        (if (y == 0) rowShift else 0))
+    val corpusHashes = m.imagePhash(
+      Seq((0L, png(0, 0)), (1L, png(9, 0))).toDF("id", "content"))
+    val outDir = Files.createTempDirectory("simg-out").toString
+    val source = MemoryStream[(Long, Array[Byte])]
+    val query = StreamingOps.streamingImageDedup(
+      source.toDF().toDF("id", "content"), corpusHashes, outDir, maxHamming = 8)
+      .option("checkpointLocation", Files.createTempDirectory("simg-ckpt").toString)
+      .start()
+    source.addData(
+      (10L, png(0, 50)),  // brightness-shifted twin of corpus 0
+      (11L, png(5, 0)))   // unrelated
+    query.processAllAvailable()
+    source.addData((12L, png(9, 0))) // byte-identical re-encode of corpus 1
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L))
+    assert(out(10L) === (("near_dup", 0L, out(10L)._3)) && out(10L)._3 <= 8L)
+    assert(out(11L)._1 === "new" && out(11L)._2 === -1L)
+    assert(out(12L) === (("near_dup", 1L, 0L)), "identical image at hamming 0")
+  }
 }
