@@ -595,6 +595,12 @@ object SparkEntry {
     "q83_lm_score" -> ((s, dir) =>
       graft.operators.Retrieval.lmDocScores(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- CCNet-style perplexity buckets: head/middle/tail thirds of the
+    //      corpus by bigram-LM fluency — percentile thresholds realized as
+    //      a value-bounded centi-nat histogram, so no global sort exists ----
+    "q96_perplexity_buckets" -> ((s, dir) =>
+      graft.operators.Retrieval.perplexityBuckets(tbl(s, dir, "documents"), "doc_id", "text")),
+
     // ---- batch BM25: a TABLE of term queries in one pass — contributions
     //      fixed-pointed to micro-nats so per-(qid, doc) totals are integer
     //      sums; per-qid top-k through the bounded-heap aggregate ----
@@ -2037,6 +2043,33 @@ object SparkEntry {
            |SELECT doc_id, n_bigrams, lp_total_fp,
            |  (CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS avg_nats
            |FROM g""".stripMargin,
+
+      // q83's score CTE + centi-nat histogram thresholds (whole bins
+      // share a bucket — the scale-sane percentile)
+      "q96_perplexity_buckets" ->
+        s"""WITH ${shingleCteFrom(2, "documents", "bg")},
+           |docbg AS (SELECT doc_id, shingle AS bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+           |pc AS (SELECT bigram, CAST(sum(n) AS BIGINT) AS n_pair FROM docbg GROUP BY 1),
+           |fc AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(n_pair) AS BIGINT) AS n_first FROM pc GROUP BY 1),
+           |lp AS (SELECT bigram,
+           |  CAST(floor(ln(CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+           |  FROM pc JOIN fc ON string_split(pc.bigram, ' ')[1] = fc.w1),
+           |g AS (SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(d.n * l.lp_fp) AS BIGINT) AS lp_total_fp
+           |  FROM docbg d JOIN lp l ON l.bigram = d.bigram GROUP BY 1),
+           |binned AS (SELECT doc_id,
+           |  (CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS avg_nats,
+           |  CAST(floor(((CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE)) * 100.0) AS BIGINT) AS bin
+           |  FROM g),
+           |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM bins),
+           |cum AS (SELECT a.bin, CAST(sum(b.n) AS BIGINT) AS c
+           |  FROM bins a JOIN bins b ON b.bin >= a.bin GROUP BY 1),
+           |lab AS (SELECT bin,
+           |  CASE WHEN c * 3 <= t THEN 'head' WHEN c * 3 <= t * 2 THEN 'middle' ELSE 'tail' END AS bucket
+           |  FROM cum, tot)
+           |SELECT binned.doc_id, binned.avg_nats, binned.bin, lab.bucket
+           |FROM binned JOIN lab USING (bin)""".stripMargin,
 
       "q84_bm25_batch" ->
         s"""WITH $bm25BatchCtes

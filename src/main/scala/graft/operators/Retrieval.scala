@@ -295,6 +295,55 @@ object Retrieval {
     pairs.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
   }
 
+  /** CCNet-style perplexity bucketing: every document assigned to
+    * `head` / `middle` / `tail` by its per-bigram log-probability under
+    * the corpus's OWN bigram LM ([[lmDocScores]]) — the standard
+    * LM-quality partition of a web corpus (head = most fluent third,
+    * tail = least). CCNet computes percentile thresholds over the score
+    * distribution; the scale-sane form of that is a HISTOGRAM: scores
+    * quantize to centi-nat bins (`floor(avg_nats · binsPerNat)`, exact
+    * IEEE multiply + floor), bin counts are one partial agg, and the
+    * two cut points come from cumulative counts over the bin table —
+    * whole bins share a bucket, which is exactly the resolution a
+    * percentile-on-a-sample gives. No global sort of documents exists
+    * anywhere.
+    *
+    * Bucket rule (integer arithmetic, deterministic): with c = docs in
+    * bins ≥ this bin (better-or-equal fluency) and t = total docs,
+    * `head` iff 3c ≤ t, `middle` iff 3c ≤ 2t, else `tail`.
+    *
+    * Scale shape: the binned score table is one row per doc
+    * (localCheckpointed — it feeds both the histogram and the final
+    * label join); the bin table is value-bounded (avg_nats spans at
+    * most ~ln(corpus bigrams) nats → a few thousand centi-nat bins), so
+    * the cumulative pass is a broadcast self-join over a tiny table and
+    * the label join back to docs is a broadcast hash join. One corpus
+    * scan end-to-end on top of [[lmDocScores]]'s own single-scan shape.
+    *
+    * Output: (idCol, avg_nats, bin, bucket), one row per document with
+    * ≥ 1 bigram.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        binsPerNat: Int = 100): DataFrame = {
+    val binned = lmDocScores(docs, idCol, textCol)
+      .select(col(idCol), col("avg_nats"),
+        floor(col("avg_nats") * lit(binsPerNat.toDouble)).cast("long").as("bin"))
+      .localCheckpoint()
+    val bins = binned.groupBy("bin").agg(count(lit(1)).as("n"))
+    val tot = bins.agg(sum(col("n")).as("t"))
+    val cum = bins.select(col("bin"))
+      .join(broadcast(bins.select(col("bin").as("bin2"), col("n").as("n2"))),
+        col("bin2") >= col("bin"))
+      .groupBy("bin").agg(sum(col("n2")).as("c"))
+    val lab = cum.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        when(col("c") * 3 <= col("t"), lit("head"))
+          .when(col("c") * 3 <= col("t") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+    binned.join(broadcast(lab), Seq("bin"))
+      .select(col(idCol), col("avg_nats"), col("bin"), col("bucket"))
+  }
+
   /** Frozen corpus statistics for scoring AGAINST a corpus without
     * recomputing it — (idf_fp per term, doc count, token count), the
     * inputs [[graft.streaming.StreamingOps.standingQueryScores]] needs.

@@ -113,6 +113,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0)._4 > got(1)._4)
   }
 
+  test("perplexityBuckets: histogram thirds follow the bin rule; duplicates share a bucket") {
+    // three fluency tiers, three docs each — identical docs score identically,
+    // so each tier is one centi-nat bin and the thirds split exactly
+    // all transitions leave the shared first word 'a', so rarity is real:
+    // a→b dominates the corpus, a→c is rarer, a→d rarest (a unique-chain
+    // doc would score P=1 — deterministic transitions are FLUENT to a
+    // corpus-trained LM, which is why the tail tier must share prefixes)
+    val corpus = (0L to 2L).map(i => (i, "a b a b a b a b")) ++      // typical
+      (3L to 5L).map(i => (i, "a b a c")) ++                         // mixed
+      (6L to 8L).map(i => (i, "a c a d"))                            // rare transitions
+    val df = corpus.toDF("doc_id", "text")
+    val got = Retrieval.perplexityBuckets(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+    assert(got.length === 9)
+    // reference: recompute the rule scalar-side from lmDocScores' own output
+    val scores = Retrieval.lmDocScores(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val bins = scores.map { case (id, s) => id -> math.floor(s * 100.0).toLong }
+    val hist = bins.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = bins.size.toLong
+    def bucketOf(b: Long): String = {
+      val c = hist.filter(_._1 >= b).values.sum
+      if (c * 3 <= t) "head" else if (c * 3 <= 2 * t) "middle" else "tail"
+    }
+    got.foreach { case (id, avg, bin, bucket) =>
+      assert(avg === scores(id), s"doc $id avg")
+      assert(bin === bins(id), s"doc $id bin")
+      assert(bucket === bucketOf(bin), s"doc $id bucket")
+    }
+    // the tiers land where CCNet intends: fluent → head, rare → tail
+    val byId = got.map(g => g._1 -> g._4).toMap
+    assert((0L to 2L).forall(byId(_) == "head"))
+    assert((3L to 5L).forall(byId(_) == "middle"))
+    assert((6L to 8L).forall(byId(_) == "tail"))
+  }
+
   test("bm25TopKBatch: integer-sum scores track the single-query form within 1e-6 per term") {
     val corpus = Seq(
       (0L, "spark scan join spark table"),
