@@ -601,6 +601,16 @@ object SparkEntry {
     "q96_perplexity_buckets" -> ((s, dir) =>
       graft.operators.Retrieval.perplexityBuckets(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- per-domain cap: top-25 docs per source by quality through the
+    //      bounded-heap aggregate — anti-domination without a window ----
+    "q97_domain_cap" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Sampling.perDomainCap(
+        docs.select(col("source"), col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality")),
+        "doc_id", "source", "quality", n = 25)
+    }),
+
     // ---- batch BM25: a TABLE of term queries in one pass — contributions
     //      fixed-pointed to micro-nats so per-(qid, doc) totals are integer
     //      sums; per-qid top-k through the bounded-heap aggregate ----
@@ -2070,6 +2080,14 @@ object SparkEntry {
            |  FROM cum, tot)
            |SELECT binned.doc_id, binned.avg_nats, binned.bin, lab.bucket
            |FROM binned JOIN lab USING (bin)""".stripMargin,
+
+      // the oracle may use the window the engine must not: a per-source
+      // row_number over q15's quality expression
+      "q97_domain_cap" ->
+        s"""WITH s AS (SELECT source, doc_id, $qualityExpr AS quality FROM documents),
+           |r AS (SELECT source, doc_id, quality,
+           |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM s)
+           |SELECT source, CAST(rn AS INT) AS "rank", doc_id, quality FROM r WHERE rn <= 25""".stripMargin,
 
       "q84_bm25_batch" ->
         s"""WITH $bm25BatchCtes

@@ -130,6 +130,37 @@ object Sampling {
             coalesce(col("n_buckets"), lit(1L)).cast("double")).as("domain_score"))
   }
 
+  /** Per-domain document cap: keep the top `n` documents of every domain
+    * by score (quality, LM fluency, …) — the standard anti-domination
+    * pass of web-corpus prep (one crawl-heavy host must not become the
+    * mixture; caps are per-DOMAIN, so the decision is local to each
+    * domain's own ranking, ties broken by lowest id).
+    *
+    * Scale shape: one `groupBy(domain)` into the bounded-heap
+    * [[org.apache.spark.sql.graft.TopKAggregate]] — every aggregation
+    * buffer holds ≤ n entries at every partial stage, so a
+    * million-document domain costs the same buffer as a ten-document one
+    * and the shuffle carries O(domains × n) rows, NOT a per-domain sort.
+    * The window form (`row_number() over (partition by domain)`) would
+    * put the hottest domain's full row set in one task — exactly the
+    * degenerate case the cap exists for; it stays the ORACLE's job only.
+    *
+    * Score negation is exact (0.0 − x, IEEE), so the reported score is
+    * bit-identical to the input. Output: (domainCol, rank, idCol,
+    * scoreCol), rank 1-based by (score desc, id asc).
+    */
+  def perDomainCap(scored: DataFrame, idCol: String, domainCol: String,
+                   scoreCol: String, n: Int): DataFrame =
+    scored.select(col(domainCol), col(idCol).cast("long").as("__id"),
+        col(scoreCol).cast("double").as("__score"))
+      .groupBy(col(domainCol))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(
+        lit(0.0) - col("__score"), col("__id"), n).as("top"))
+      .select(col(domainCol), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(domainCol), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as(idCol),
+        (lit(0.0) - col("entry.dist")).as(scoreCol))
+
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)
     val denom = mw.agg(

@@ -484,4 +484,28 @@ class PipelinePrepSpec extends SparkSpec {
     assert(card(("books", "en")) === ((1L, 1L, 0L, 7L, 4L, 7L, 7.0, 7L)))
     assert(card.size === 3)
   }
+
+  test("perDomainCap: per-domain top-n by (score desc, id asc), hot domains bounded, no window") {
+    import graft.operators.Sampling
+    // domain a: 6 docs, two tied at the top — the tie must break to the
+    // lower id; domain b: fewer docs than the cap (all kept)
+    val scored = Seq(
+      ("a", 10L, 0.9), ("a", 3L, 0.9), ("a", 7L, 0.5), ("a", 1L, 0.4),
+      ("a", 2L, 0.3), ("a", 4L, 0.1),
+      ("b", 20L, 0.8), ("b", 21L, 0.2)).toDF("source", "doc_id", "score")
+    val got = Sampling.perDomainCap(scored, "doc_id", "source", "score", n = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq === Seq(
+      ("a", 1, 3L, 0.9), ("a", 2, 10L, 0.9), ("a", 3, 7L, 0.5),
+      ("b", 1, 20L, 0.8), ("b", 2, 21L, 0.2)))
+    // the anti-domination plan must not materialize a per-domain sort
+    val plan = Sampling.perDomainCap(scored, "doc_id", "source", "score", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-domain cap must run as a bounded-heap aggregate")
+    // scores survive the double negation bit-exactly, including 0.0
+    val zero = Seq(("z", 1L, 0.0)).toDF("source", "doc_id", "score")
+    val z = Sampling.perDomainCap(zero, "doc_id", "source", "score", n = 1).collect()(0)
+    assert(z.getDouble(3) === 0.0)
+  }
 }
