@@ -815,6 +815,18 @@ object SparkEntry {
         bits = 8, maxDist = 0.65, maxBlock = 1000)
     }),
 
+    // ---- semantic decontamination: training embeddings statused against
+    //      a benchmark slice by blocked cosine proximity, the offending
+    //      eval item attributed — q39's contamination check for leakage
+    //      that entered the training set REWORDED ----
+    "q98_semantic_decontam" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") % 7 === 3).select(col("vec_id"), col("embedding"))
+      val train = e.filter(col("vec_id") % 7 =!= 3).select(col("vec_id"), col("embedding"))
+      Dedup.semanticDecontaminate(train, bench, "vec_id", "embedding", EmbDim,
+        bits = 8, maxDist = 0.65, maxBlock = 1000)
+    }),
+
     // ---- IVF: cell assignment (map-side argmin vs broadcast centroids) ----
     "q18_ivf_assign" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -2568,6 +2580,29 @@ object SparkEntry {
            |  CASE WHEN near.id IS NULL THEN 'new' ELSE 'semantic_dup' END AS status
            |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 < 2) b
            |LEFT JOIN near ON b.vec_id = near.id""".stripMargin
+      },
+
+      // q78's blocked-proximity CTE with the q95 argmin: per-train-row
+      // best (dist, bench id) under a row_number the engine's struct-min
+      // reproduces without a window
+      "q98_semantic_decontam" -> {
+        val d = cosineSql("tk.te", "bkk.be", EmbDim)
+        s"""WITH bk AS (SELECT vec_id, embedding,
+           |  ${embeddingBucketSql("embedding", EmbDim, 8)} AS blk FROM embeddings),
+           |b AS (SELECT vec_id AS bid, embedding AS be, blk FROM bk WHERE vec_id % 7 = 3),
+           |t AS (SELECT vec_id AS id, embedding AS te, blk FROM bk WHERE vec_id % 7 <> 3),
+           |hot AS (SELECT blk FROM b GROUP BY blk HAVING count(*) > 1000),
+           |bkk AS (SELECT * FROM b WHERE blk NOT IN (SELECT blk FROM hot)),
+           |tk AS (SELECT * FROM t WHERE blk NOT IN (SELECT blk FROM hot)),
+           |m AS (SELECT id, bid, d AS best_dist FROM (
+           |  SELECT tk.id, bkk.bid, $d AS d,
+           |    row_number() OVER (PARTITION BY tk.id ORDER BY $d, bkk.bid) AS rn
+           |  FROM tk JOIN bkk ON tk.blk = bkk.blk WHERE $d < 0.65) WHERE rn = 1)
+           |SELECT tt.vec_id,
+           |  CASE WHEN m.bid IS NOT NULL THEN 'contaminated' ELSE 'clean' END AS status,
+           |  COALESCE(m.bid, -1) AS bench_id, m.best_dist
+           |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 3) tt
+           |LEFT JOIN m ON m.id = tt.vec_id""".stripMargin
       },
 
       // q33's pair CTE + q36's recursive component CTE + the verdict

@@ -965,6 +965,59 @@ object Dedup {
         when(col("n_near").isNotNull, lit("semantic_dup")).otherwise(lit("new")).as("status"))
   }
 
+  /** Semantic DECONTAMINATION — [[incrementalSemanticDedup]]'s verdict
+    * pointed at a benchmark: every training item whose embedding sits
+    * within `maxDist` cosine of ANY benchmark/eval item is flagged
+    * `contaminated`, with the offending benchmark id attributed (the
+    * minimum (dist, bench id) struct — deterministic ties, the
+    * [[hammingCorpusDedup]] argmin in cosine space). This is the
+    * paraphrase tier of decontamination: q39's n-gram contamination
+    * catches verbatim leakage, THIS catches eval items that entered the
+    * training set re-worded or re-encoded, which no shingle overlap can
+    * see.
+    *
+    * Blocking: both sides take the same sign-LSH key; benchmark blocks
+    * over `maxBlock` drop from BOTH sides (partial-agg + anti-join).
+    * `bits = -1` auto-sizes from the TRAIN count — train is the large
+    * side, so block granularity must track ITS scale to keep the join
+    * volume ~|train| × (bench per block). The benchmark side is usually
+    * tiny; at 100 TB the join is one broadcast-to-blocks pass over the
+    * training embeddings, never train × bench.
+    *
+    * Output: every train row (idCol, status ∈ contaminated|clean,
+    * bench_id with −1 sentinel, best_dist null when clean).
+    */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String, dim: Int,
+                            bits: Int = -1, maxDist: Double = 0.2,
+                            maxBlock: Int = Int.MaxValue): DataFrame = {
+    val b = if (bits == -1) autoBits(train.count(), maxBits = math.min(24, dim)) else bits
+    val bb = bench.select(col(idCol).as("bid"), col(vecCol).as("bv"),
+      embeddingBucket(col(vecCol), dim, b).as("blk"))
+    val t = train.select(col(idCol).as("id"), col(vecCol).as("v"),
+      embeddingBucket(col(vecCol), dim, b).as("blk"))
+    val (bk, tk) =
+      if (maxBlock == Int.MaxValue) (bb, t)
+      else {
+        val hot = bb.groupBy("blk").agg(count(lit(1)).as("bn"))
+          .filter(col("bn") > maxBlock).select("blk")
+        (bb.join(hot, Seq("blk"), "left_anti"), t.join(hot, Seq("blk"), "left_anti"))
+      }
+    val matches = tk.join(bk, Seq("blk"))
+      .withColumn("dist",
+        Distances.cosine(Distances.toDouble(col("v")), Distances.toDouble(col("bv"))))
+      .filter(col("dist") < maxDist)
+      .groupBy("id")
+      .agg(min(struct(col("dist"), col("bid"))).as("best"))
+      .select(col("id"), col("best.bid").as("bench_id"), col("best.dist").as("best_dist"))
+    train.select(col(idCol).as("id")).distinct()
+      .join(matches, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("bench_id").isNotNull, lit("contaminated")).otherwise(lit("clean")).as("status"),
+        coalesce(col("bench_id"), lit(-1L)).as("bench_id"),
+        col("best_dist"))
+  }
+
   // -------------------------------------------------------------------------
   // Span-level exact substring dedup (the ExactSubstr discipline: find and
   // account for duplicated token RUNS, not just duplicated documents).

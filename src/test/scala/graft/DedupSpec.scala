@@ -476,6 +476,28 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 5, "a verdict row for every input row")
   }
 
+  test("semanticDecontaminate: nearest bench attributed, ties to lowest bid, clean rows sentinel") {
+    // exact dyadic fractions: every product and partial sum is exact in
+    // double, so train 2 — symmetric between the two bench vectors — is
+    // EXACTLY equidistant and the tie must attribute to the lower bench
+    // id; train 1 is nearer bench 100; train 3 points away (clean)
+    val bench = Seq(
+      (100L, Array(1.0f, 0.5f, 0.25f, 0.125f)),
+      (101L, Array(1.0f, 0.25f, 0.5f, 0.125f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(1.0f, 0.5f, 0.25f, 0.25f)),
+      (2L, Array(1.0f, 0.375f, 0.375f, 0.125f)),
+      (3L, Array(-1.0f, -0.5f, -0.25f, -0.125f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(train, bench, "vec_id", "embedding", dim = 4,
+      bits = 4, maxDist = 0.2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("contaminated", 100L)))
+    assert(out(2L)._1 === "contaminated")
+    assert(out(2L)._2 === 100L, "equidistant tie attributes to the lower bench id")
+    assert(out(3L) === (("clean", -1L)))
+    assert(out.size === 3, "a verdict row for every train row")
+  }
+
   test("dupSpans: shared runs, self-repetition, minRun filter; clean docs absent") {
     val d = Seq(
       (0L, "a b c d e f g h"), // shares the "a b c d e" run with doc 1
