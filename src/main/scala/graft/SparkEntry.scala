@@ -601,6 +601,13 @@ object SparkEntry {
     "q96_perplexity_buckets" -> ((s, dir) =>
       graft.operators.Retrieval.perplexityBuckets(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- KMV distinct sketch: per-source vocabulary cardinality from the
+    //      k smallest distinct token hashes — a dedup-on-insert bounded
+    //      heap, so NO distinct shuffle exists anywhere ----
+    "q99_kmv_vocab" -> ((s, dir) =>
+      graft.operators.TextStats.kmvVocabulary(tbl(s, dir, "documents"), "source", "text",
+        k = 128)),
+
     // ---- per-domain cap: top-25 docs per source by quality through the
     //      bounded-heap aggregate — anti-domination without a window ----
     "q97_domain_cap" -> ((s, dir) => {
@@ -2092,6 +2099,19 @@ object SparkEntry {
            |  FROM cum, tot)
            |SELECT binned.doc_id, binned.avg_nats, binned.bin, lab.bucket
            |FROM binned JOIN lab USING (bin)""".stripMargin,
+
+      // the k-th order statistic via a per-source window the engine's
+      // dedup heap never needs; 127·2^32 is an exact double product
+      "q99_kmv_vocab" ->
+        s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |h AS (SELECT DISTINCT source, ${md5PrefixValueSql("tok", 8)} AS h FROM toks),
+           |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+           |top AS (SELECT source, CAST(count(*) AS INT) AS n_sketch, max(h) AS kth_hash
+           |  FROM r WHERE rn <= 128 GROUP BY 1)
+           |SELECT source, n_sketch, kth_hash,
+           |  CASE WHEN n_sketch < 128 THEN CAST(n_sketch AS DOUBLE)
+           |       ELSE (127.0 * 4294967296.0) / CAST(kth_hash AS DOUBLE) END AS est_distinct
+           |FROM top""".stripMargin,
 
       // the oracle may use the window the engine must not: a per-source
       // row_number over q15's quality expression

@@ -497,4 +497,44 @@ object TextStats {
       .select(col("rank"), col("word"), col("cnt"),
         (col("cum_cnt").cast("double") / col("total").cast("double")).as("cum_share"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per group — the
+    * classic order-statistics cardinality estimator (Bar-Yossef et al.):
+    * hash every token to a uniform 32-bit value (md5 prefix, the
+    * [[Features.hashedBow]] hash), keep the k SMALLEST DISTINCT hashes
+    * per group, and estimate |distinct| = (k−1)·2³² / kth_min. Unlike
+    * HLL (whose register layout is engine-specific and not
+    * oracle-comparable), every piece here is deterministic: md5 is
+    * identical hex in both engines, the k-th order statistic is exact,
+    * and the estimate is one exact-rounded double division.
+    *
+    * Scale shape: NO distinct shuffle exists — the dedup-on-insert
+    * bounded heap ([[org.apache.spark.sql.graft.TopKAggregate]], dedup
+    * by id = by hash) holds ≤ k entries at every partial stage, so a
+    * billion-token group ships k values per map partition instead of
+    * its full token or distinct-token stream. That is the sketch's
+    * whole point at 100 TB: vocabulary cardinality per domain for the
+    * price of a map-side heap. Groups with fewer than k distinct hashes
+    * report their EXACT count (the sketch saw everything).
+    *
+    * Output: (groupCol, n_sketch, kth_hash, est_distinct) — kth_hash is
+    * the largest retained hash (the k-th smallest overall when the
+    * sketch is full).
+    */
+  def kmvVocabulary(docs: DataFrame, groupCol: String, textCol: String,
+                    k: Int = 128): DataFrame = {
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val toks = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(groupCol), h.as("h"))
+    toks.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(
+        col("h").cast("double"), col("h"), k).as("top"))
+      .select(col(groupCol), size(col("top")).as("n_sketch"),
+        element_at(col("top"), size(col("top"))).getField("id").as("kth_hash"))
+      .select(col(groupCol), col("n_sketch"), col("kth_hash"),
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+            col("kth_hash").cast("double")).as("est_distinct"))
+  }
 }

@@ -485,6 +485,34 @@ class PipelinePrepSpec extends SparkSpec {
     assert(card.size === 3)
   }
 
+  test("kmvVocabulary: exact under k, ~10% estimates at 10k distinct, partition-independent") {
+    // big: 10,000 distinct tokens spread over 100 docs, each token twice
+    // (duplicates must not move the sketch); small: 5 distinct tokens
+    val big = (0 until 100).map { d =>
+      val ws = (0 until 100).map(i => s"w${d * 100 + i}")
+      ("big", (ws ++ ws).mkString(" "))
+    }
+    val small = Seq(("small", "a b c a b"), ("small", "c d e"))
+    val docs = (big ++ small).toDF("source", "text")
+    val got = TextStats.kmvVocabulary(docs, "source", "text", k = 128)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (nS, _, estS) = got("small")
+    assert(nS === 5 && estS === 5.0, "under-k groups report exact distinct counts")
+    val (nB, kthB, estB) = got("big")
+    assert(nB === 128)
+    // deterministic fixture: this md5 draw lands at 11572.6 (1.8σ for
+    // k=128, σ ≈ 1/√k ≈ 8.8%) — the bound documents the error model,
+    // not a lucky hash
+    assert(math.abs(estB - 10000.0) / 10000.0 < 0.2,
+      s"KMV estimate $estB should sit within ~2/sqrt(k) of 10000")
+    // order statistics are set properties: reshuffling partitions must
+    // reproduce every byte (the dedup heap's merge is order-insensitive)
+    val re = TextStats.kmvVocabulary(docs.repartition(7), "source", "text", k = 128)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(re === got)
+    assert(re("big")._2 === kthB)
+  }
+
   test("perDomainCap: per-domain top-n by (score desc, id asc), hot domains bounded, no window") {
     import graft.operators.Sampling
     // domain a: 6 docs, two tied at the top — the tie must break to the
