@@ -601,6 +601,16 @@ object SparkEntry {
     "q96_perplexity_buckets" -> ((s, dir) =>
       graft.operators.Retrieval.perplexityBuckets(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- frozen-LM held-out scoring: the CCNet deployment shape — LM
+    //      trained on the even half, applied to the odd half; unseen
+    //      bigrams take the integer floor penalty ----
+    "q100_lm_frozen" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val lm = graft.operators.Retrieval.lmTable(docs.filter(col("doc_id") % 2 === 0), "text")
+      graft.operators.Retrieval.lmScoreAgainst(
+        docs.filter(col("doc_id") % 2 === 1), lm, "doc_id", "text")
+    }),
+
     // ---- KMV distinct sketch: per-source vocabulary cardinality from the
     //      k smallest distinct token hashes — a dedup-on-insert bounded
     //      heap, so NO distinct shuffle exists anywhere ----
@@ -2099,6 +2109,24 @@ object SparkEntry {
            |  FROM cum, tot)
            |SELECT binned.doc_id, binned.avg_nats, binned.bin, lab.bucket
            |FROM binned JOIN lab USING (bin)""".stripMargin,
+
+      // q83's CTE split train/apply: LM from even doc_ids, scores for odd
+      // ones, unmatched bigrams at the -20e6 micro-nat floor
+      "q100_lm_frozen" ->
+        s"""WITH ${shingleCteFrom(2, "(SELECT * FROM documents WHERE doc_id % 2 = 0)", "tbg")},
+           |pc AS (SELECT shingle AS bigram, CAST(count(*) AS BIGINT) AS n_pair FROM tbg GROUP BY 1),
+           |fc AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(n_pair) AS BIGINT) AS n_first FROM pc GROUP BY 1),
+           |lp AS (SELECT bigram,
+           |  CAST(floor(ln(CAST(n_pair AS DOUBLE) / CAST(n_first AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+           |  FROM pc JOIN fc ON string_split(pc.bigram, ' ')[1] = fc.w1),
+           |${shingleCteFrom(2, "(SELECT * FROM documents WHERE doc_id % 2 = 1)", "abg")},
+           |docbg AS (SELECT doc_id, shingle AS bigram, count(*) AS n FROM abg GROUP BY 1, 2),
+           |g AS (SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+           |    CAST(sum(d.n * COALESCE(l.lp_fp, -20000000)) AS BIGINT) AS lp_total_fp
+           |  FROM docbg d LEFT JOIN lp l ON l.bigram = d.bigram GROUP BY 1)
+           |SELECT doc_id, n_bigrams, lp_total_fp,
+           |  (CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS avg_nats
+           |FROM g""".stripMargin,
 
       // the k-th order statistic via a per-source window the engine's
       // dedup heap never needs; 127·2^32 is an exact double product

@@ -295,6 +295,60 @@ object Retrieval {
     pairs.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
   }
 
+  /** The bigram LM itself, as a reusable artifact: (bigram, lp_fp) with
+    * lp_fp = floor(ln(P(w₂|w₁))·1e6 + 0.5) micro-nats — the conditional
+    * table [[lmDocScores]] estimates internally, exposed so a TRAINED
+    * corpus LM can be frozen (written as parquet) and applied to OTHER
+    * text: held-out scoring, ingest-time filtering
+    * ([[graft.streaming.StreamingOps.streamingLmScore]]), drift checks.
+    * Two partial aggs over the corpus bigram stream; vocabulary-sized
+    * output.
+    */
+  def lmTable(corpus: DataFrame, textCol: String): DataFrame = {
+    val pairCounts = corpus
+      .select(TextFunctions.tokens(col(textCol)).as("w"))
+      .select(explode(TextFunctions.wordShinglesFromTokens(col("w"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
+    pairCounts.join(firstCounts, "w1")
+      .select(col("bigram"),
+        floor(log(col("n_pair").cast("double") / col("n_first").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("lp_fp"))
+  }
+
+  /** Score documents under a FROZEN LM ([[lmTable]] output) — the CCNet
+    * deployment shape: the LM is trained once on a reference corpus
+    * (Wikipedia, a curated slice) and applied to ARRIVING text, so the
+    * scored documents never influence the model. Bigrams the LM has
+    * never seen take the `unkLpFp` floor penalty (micro-nats; default
+    * −20 nats ≈ a 1-in-5×10⁸ transition) — unseen transitions are
+    * exactly what the filter must punish, and the constant keeps the
+    * arithmetic integer-exact.
+    *
+    * Scale shape: doc bigram counts partial-agg before the LM join (an
+    * equi-join at distinct-bigram granularity on both sides); per-doc
+    * totals are BIGINT sums — order-independent at any parallelism.
+    * Output mirrors [[lmDocScores]]: (idCol, n_bigrams, lp_total_fp,
+    * avg_nats), one row per doc with ≥ 1 bigram.
+    */
+  def lmScoreAgainst(docs: DataFrame, lm: DataFrame, idCol: String, textCol: String,
+                     unkLpFp: Long = -20000000L): DataFrame = {
+    val docBg = docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol),
+        explode(TextFunctions.wordShinglesFromTokens(col("w"), 2)).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
+    docBg.join(lm, Seq("bigram"), "left")
+      .select(col(idCol), col("n"), coalesce(col("lp_fp"), lit(unkLpFp)).as("lp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("lp")).as("lp_total_fp"))
+      .select(col(idCol), col("n_bigrams"), col("lp_total_fp"),
+        ((col("lp_total_fp").cast("double") / lit(1e6)) /
+          col("n_bigrams").cast("double")).as("avg_nats"))
+  }
+
   /** CCNet-style perplexity bucketing: every document assigned to
     * `head` / `middle` / `tail` by its per-bigram log-probability under
     * the corpus's OWN bigram LM ([[lmDocScores]]) — the standard

@@ -383,6 +383,31 @@ object StreamingOps {
       }
   }
 
+  /** Streaming frozen-LM quality scoring — CCNet's deployment shape as a
+    * continuous query: the bigram LM is trained ONCE on a reference
+    * corpus ([[graft.operators.Retrieval.lmTable]], localCheckpointed at
+    * stream start — never re-estimated at streaming cadence) and every
+    * arriving micro-batch is scored against it
+    * ([[graft.operators.Retrieval.lmScoreAgainst]]: partial-agg doc
+    * bigram counts → equi-join the frozen table → BIGINT totals, unseen
+    * bigrams at the integer floor penalty). Scores land partition-per-
+    * batch (idempotent on replay) and are bit-identical to the batch
+    * form — integer micro-nat sums carry no order dependence.
+    */
+  def streamingLmScore(docs: DataFrame, lm: DataFrame, idCol: String,
+                       textCol: String, outDir: String,
+                       unkLpFp: Long = -20000000L): DataStreamWriter[Row] = {
+    val lmOnce = lm.localCheckpoint()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Retrieval
+            .lmScoreAgainst(batch.select(idCol, textCol), lmOnce, idCol, textCol, unkLpFp)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Streaming IMAGE dedup against a static fingerprint corpus — the
     * multimodal tier of the ingest ladder: arriving images are
     * perceptually hashed statelessly

@@ -113,6 +113,26 @@ class RetrievalSpec extends SparkSpec {
     assert(got(0)._4 > got(1)._4)
   }
 
+  test("lmScoreAgainst: frozen LM scores held-out text; unseen bigrams take the floor penalty") {
+    // LM trained on a tiny corpus where P(b|a)=3/4, P(c|a)=1/4
+    val trainDocs = Seq((0L, "a b a b"), (1L, "a b a c")).toDF("doc_id", "text")
+    val lm = Retrieval.lmTable(trainDocs, "text")
+    val lpAb = math.floor(math.log(3.0 / 4.0) * 1e6 + 0.5).toLong
+    val lpBa = math.floor(math.log(2.0 / 2.0) * 1e6 + 0.5).toLong
+    val gotLm = lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotLm("a b") === lpAb && gotLm("b a") === lpBa)
+    // held-out: doc 10 all-known bigrams; doc 11 has one bigram ("a z")
+    // the LM never saw — it must take the -20e6 floor, not vanish
+    val apply = Seq((10L, "a b a b"), (11L, "a b a z")).toDF("doc_id", "text")
+    val got = Retrieval.lmScoreAgainst(apply, lm, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got(0) === ((10L, 3L, 2 * lpAb + lpBa)))
+    assert(got(1) === ((11L, 3L, lpAb + lpBa - 20000000L)))
+    // the frozen LM is NOT influenced by scored docs: "a z" stays unknown
+    // even after scoring it (lmTable came from trainDocs alone)
+    assert(!gotLm.contains("a z"))
+  }
+
   test("perplexityBuckets: histogram thirds follow the bin rule; duplicates share a bucket") {
     // three fluency tiers, three docs each — identical docs score identically,
     // so each tier is one centi-nat bin and the thirds split exactly

@@ -295,6 +295,38 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) === "new")
   }
 
+  test("streaming frozen-LM scoring: streamed scores bit-equal the batch form across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val trainDocs = (0L until 20L)
+      .map(i => (i, s"the quick fox ${if (i % 3 == 0) "jumps high" else "runs far"}"))
+      .toDF("doc_id", "text")
+    val lm = graft.operators.Retrieval.lmTable(trainDocs, "text")
+    val arrivals = Seq(
+      (100L, "the quick fox jumps high"),   // all-known transitions
+      (101L, "the quick fox swims deep"),   // two unseen bigrams
+      (102L, "completely novel text here")) // everything unseen
+    val outDir = Files.createTempDirectory("slm-out").toString
+    val source = MemoryStream[(Long, String)]
+    val query = StreamingOps.streamingLmScore(
+      source.toDF().toDF("doc_id", "text"), lm, "doc_id", "text", outDir)
+      .option("checkpointLocation", Files.createTempDirectory("slm-ckpt").toString)
+      .start()
+    source.addData(arrivals(0), arrivals(1))
+    query.processAllAvailable()
+    source.addData(arrivals(2))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("lp_total_fp"), r.getAs[Double]("avg_nats"))).toSet
+    val batch = graft.operators.Retrieval.lmScoreAgainst(
+        arrivals.toDF("doc_id", "text"), lm, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch, "micro-batching must not move a single bit")
+    // the all-unseen doc sits exactly at the floor: 3 bigrams x -20e6
+    assert(streamed.find(_._1 == 102L).get._3 === 3L * -20000000L)
+  }
+
   test("streaming semantic dedup: micro-batches statused by embedding proximity vs a static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = (0L until 30L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
