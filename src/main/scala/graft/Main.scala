@@ -23,6 +23,11 @@ import graft.sources.Datagen
   *   --shards PARQUET --out DIR         deterministic per-epoch training-shard export
   *   --datacard PARQUET --out DIR       per-(source, lang) corpus composition table
   *   --kmeans PARQUET --out DIR         exact fixed-point k-means assignment
+  *   --ppl-buckets PARQUET --out DIR    CCNet-style head/middle/tail perplexity thirds
+  *   --lm-train PARQUET --out DIR       frozen bigram-LM artifact (+ optional held-out --score)
+  *   --domain-cap PARQUET --out DIR     per-domain top-N quality cap (anti-domination)
+  *   --decontam PARQUET --bench PARQUET --out DIR   semantic decontamination verdicts
+  *   --kmv PARQUET --out DIR            KMV per-group distinct-vocabulary sketch
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -367,6 +372,97 @@ object Main {
       println(f"[bm25] $rows results for ${terms.size} terms " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
+    } else if (opts.contains("ppl-buckets")) {
+      // CCNet-style perplexity buckets (Retrieval.perplexityBuckets):
+      // head/middle/tail thirds by bigram-LM fluency, histogram thresholds
+      val in = opts("ppl-buckets")
+      val out = opts.getOrElse("out", sys.error("--ppl-buckets requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.Retrieval.perplexityBuckets(spark.read.parquet(in),
+          opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
+          binsPerNat = opts.getOrElse("bins-per-nat", "100").toInt)
+        .write.mode("overwrite").parquet(out)
+      val card = spark.read.parquet(out).groupBy("bucket").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(f"[ppl-buckets] $card in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("lm-train")) {
+      // frozen bigram LM (Retrieval.lmTable): train once, write the
+      // (bigram, lp_fp) artifact; --score applies it to a second table
+      val in = opts("lm-train")
+      val out = opts.getOrElse("out", sys.error("--lm-train requires --out DIR"))
+      val textCol = opts.getOrElse("text-col", "text")
+      val t0 = System.nanoTime()
+      graft.operators.Retrieval.lmTable(spark.read.parquet(in), textCol)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      opts.get("score").foreach { scoreIn =>
+        val scoreOut = opts.getOrElse("score-out", sys.error("--score requires --score-out DIR"))
+        graft.operators.Retrieval.lmScoreAgainst(
+            spark.read.parquet(scoreIn), spark.read.parquet(out),
+            opts.getOrElse("id-col", "doc_id"), textCol,
+            unkLpFp = opts.getOrElse("unk-lp-fp", "-20000000").toLong)
+          .write.mode("overwrite").parquet(scoreOut)
+      }
+      println(f"[lm-train] $n bigrams in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out" +
+        opts.get("score-out").map(s => s" (held-out scores -> $s)").getOrElse(""))
+
+    } else if (opts.contains("domain-cap")) {
+      // per-domain top-N quality cap (Sampling.perDomainCap): bounded-heap
+      // anti-domination over the quality score
+      val in = opts("domain-cap")
+      val out = opts.getOrElse("out", sys.error("--domain-cap requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "doc_id")
+      val domainCol = opts.getOrElse("domain-col", "source")
+      val textCol = opts.getOrElse("text-col", "text")
+      val t0 = System.nanoTime()
+      val docs = spark.read.parquet(in)
+      graft.operators.Sampling.perDomainCap(
+          docs.select(col(domainCol), col(idCol),
+            graft.functions.TextFunctions.qualityScore(col(textCol)).as("quality")),
+          idCol, domainCol, "quality", n = opts.getOrElse("n", "25").toInt)
+        .write.mode("overwrite").parquet(out)
+      val kept = spark.read.parquet(out).count()
+      println(f"[domain-cap] kept $kept of ${docs.count()} docs " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("decontam")) {
+      // semantic decontamination (Dedup.semanticDecontaminate): training
+      // embeddings vs a benchmark table, contaminated rows attributed
+      val in = opts("decontam")
+      val bench = opts.getOrElse("bench", sys.error("--decontam requires --bench PARQUET"))
+      val out = opts.getOrElse("out", sys.error("--decontam requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "id")
+      val vecCol = opts.getOrElse("vec-col", "vector")
+      val train = spark.read.parquet(in).select(col(idCol), col(vecCol))
+      val dim = opts.get("dim").map(_.toInt)
+        .getOrElse(train.select(size(col(vecCol))).head().getInt(0))
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.semanticDecontaminate(train,
+          spark.read.parquet(bench).select(col(idCol), col(vecCol)),
+          idCol, vecCol, dim,
+          bits = opts.getOrElse("bits", "-1").toInt,
+          maxDist = opts.getOrElse("max-dist", "0.2").toDouble,
+          maxBlock = opts.getOrElse("max-block", Int.MaxValue.toString).toInt)
+        .write.mode("overwrite").parquet(out)
+      val verdicts = spark.read.parquet(out)
+      val bad = verdicts.filter(col("status") === "contaminated").count()
+      println(f"[decontam] ${verdicts.count()} rows, $bad contaminated " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("kmv")) {
+      // KMV distinct sketch (TextStats.kmvVocabulary): per-group
+      // vocabulary cardinality estimates, no distinct shuffle
+      val in = opts("kmv")
+      val out = opts.getOrElse("out", sys.error("--kmv requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.TextStats.kmvVocabulary(spark.read.parquet(in),
+          opts.getOrElse("group-col", "source"), opts.getOrElse("text-col", "text"),
+          k = opts.getOrElse("k", "128").toInt)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(f"[kmv] $n groups sketched in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("gen-queries")) {
       // synthetic (qid, vector) query file for --load --query-file runs
       val n = opts.getOrElse("n", "1000").toLong
@@ -400,7 +496,12 @@ object Main {
           |          [--pairs-out DIR --hash dhash|ahash --max-hamming 8 --max-band N]
           |  --shards PARQUET --out DIR [--id-col doc_id --num-shards 8 --epochs 1]
           |  --datacard PARQUET --out DIR [--source-col source --lang-col lang --text-col text]
-          |  --kmeans PARQUET --out DIR [--id-col id --vec-col vector --k 8 --iters 2]""".stripMargin)
+          |  --kmeans PARQUET --out DIR [--id-col id --vec-col vector --k 8 --iters 2]
+          |  --ppl-buckets PARQUET --out DIR [--id-col doc_id --text-col text --bins-per-nat 100]
+          |  --lm-train PARQUET --out DIR [--text-col text] [--score PARQUET --score-out DIR --unk-lp-fp -20000000]
+          |  --domain-cap PARQUET --out DIR [--domain-col source --id-col doc_id --text-col text --n 25]
+          |  --decontam PARQUET --bench PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]
+          |  --kmv PARQUET --out DIR [--group-col source --text-col text --k 128]""".stripMargin)
     }
   }
 }

@@ -204,6 +204,47 @@ class CliDedupSpec extends SparkSpec {
     assert(cl.select("cid").distinct().count() <= 4)
   }
 
+  test("--ppl-buckets, --lm-train --score, --domain-cap, --kmv round-trips") {
+    import spark.implicits._
+    val base = tmp("cli-quality")
+    val docs = (0L until 30L).map { i =>
+      val body = if (i % 3 == 0) "a b a b a b" else if (i % 3 == 1) "a b a c" else "a c a d"
+      (i, if (i % 2 == 0) "web" else "books", body)
+    }
+    docs.toDF("doc_id", "source", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("ppl-buckets" -> s"$base/docs", "out" -> s"$base/ppl"))
+    val ppl = spark.read.parquet(s"$base/ppl")
+    assert(ppl.count() === 30)
+    assert(ppl.select("bucket").distinct().collect().map(_.getString(0)).toSet
+      === Set("head", "middle", "tail"))
+    Main.run(spark, Map("lm-train" -> s"$base/docs", "out" -> s"$base/lm",
+      "score" -> s"$base/docs", "score-out" -> s"$base/scores"))
+    val lm = spark.read.parquet(s"$base/lm")
+    assert(lm.columns.toSet === Set("bigram", "lp_fp"))
+    assert(spark.read.parquet(s"$base/scores").count() === 30)
+    Main.run(spark, Map("domain-cap" -> s"$base/docs", "out" -> s"$base/capped", "n" -> "5"))
+    val capped = spark.read.parquet(s"$base/capped")
+    assert(capped.count() === 10, "two domains x cap 5")
+    assert(capped.groupBy("source").count().collect().forall(_.getLong(1) === 5L))
+    Main.run(spark, Map("kmv" -> s"$base/docs", "out" -> s"$base/kmv", "k" -> "8"))
+    val kmv = spark.read.parquet(s"$base/kmv").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // 4 distinct tokens per source, under k: exact
+    assert(kmv === Map("web" -> 4.0, "books" -> 4.0))
+    // --decontam: the train row duplicating a bench vector is flagged
+    Seq((1L, Array(1.0f, 0.5f, 0.25f, 0.125f)),
+        (2L, Array(-1.0f, -0.5f, -0.25f, -0.125f)))
+      .toDF("id", "vector").write.parquet(s"$base/train")
+    Seq((100L, Array(1.0f, 0.5f, 0.25f, 0.125f)))
+      .toDF("id", "vector").write.parquet(s"$base/bench")
+    Main.run(spark, Map("decontam" -> s"$base/train", "bench" -> s"$base/bench",
+      "out" -> s"$base/verdicts", "bits" -> "4", "max-dist" -> "0.1"))
+    val verd = spark.read.parquet(s"$base/verdicts").collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[String]("status"), r.getAs[Long]("bench_id")))).toMap
+    assert(verd(1L) === (("contaminated", 100L)))
+    assert(verd(2L) === (("clean", -1L)))
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))
