@@ -26,13 +26,19 @@ object Dedup {
   /** Exact dedup decision per row: canonical id = min id sharing the same
     * normalized text (md5 keyed so wide text never shuffles), plus an
     * `is_dup` flag. Keeps every input row (stable row count for oracles).
+    *
+    * Shape: partial-agg `groupBy(fp).min(id)` (map-side combine — one row
+    * per distinct fingerprint reaches the shuffle) + equi-join back on fp.
+    * Deliberately NOT `min over (partition by fp)`: a hot fingerprint
+    * (boilerplate duplicated millions of times in a crawl) would sort and
+    * buffer in ONE window task, whereas the join streams the hot probe
+    * side against a single build row and AQE can split probe-side skew.
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy("fp")
-    docs
-      .select(col(idCol), fp.as("fp"))
-      .withColumn("canonical_id", min(col(idCol)).over(w))
+    val keyed = docs.select(col(idCol), fp.as("fp"))
+    val canon = keyed.groupBy("fp").agg(min(col(idCol)).as("canonical_id"))
+    keyed.join(canon, "fp")
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
       .select(col(idCol), col("canonical_id"), col("is_dup"))
   }

@@ -44,6 +44,15 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Join"), "capped q12 must not self-join the band table")
   }
 
+  test("q10 exact dedup is partial-agg + equi-join, never a window over fp") {
+    val s = formatted("q10_dedup_exact")
+    assert(!s.contains("Window"),
+      "hot fingerprints must not buffer in a single window task")
+    assert("HashAggregate".r.findAllIn(s).length >= 2,
+      "canonical-id must partial-aggregate map-side")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("q34 range table is broadcast back to the encode projection") {
     assert(formatted("q34_quantize").contains("BroadcastHashJoin"))
   }
