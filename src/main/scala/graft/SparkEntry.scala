@@ -49,6 +49,23 @@ object SparkEntry {
     */
   private val Bm25Phrases = Seq("dup dup", "spark window", "key value")
 
+  /** "Curated" seed sources for the Naive-Bayes quality filter (q101/q102)
+    * — the fixed stand-in for the WebText-like positive corpus in the
+    * GPT-3-style curated-vs-crawl classifier. Arbitrary but frozen:
+    * labels are configuration, not inference.
+    */
+  private val NbCurated = Seq("src0", "src3", "src7", "src11", "src15")
+
+  private def nbCuratedSql: String =
+    NbCurated.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Labeled NB seed: even doc_ids (the training half, as q100 does),
+    * cls = 1 for curated sources.
+    */
+  private def nbTrain(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      .withColumn("cls", col("source").isin(NbCurated: _*).cast("int"))
+
   /** events table with `ts` normalized to epoch microseconds (`tus`),
     * schema-dispatched: the driver has shipped `events.parquet` both as
     * parquet TIMESTAMP(NANOS) — which `spark.sql.legacy.parquet.nanosAsLong`
@@ -609,6 +626,25 @@ object SparkEntry {
       val lm = graft.operators.Retrieval.lmTable(docs.filter(col("doc_id") % 2 === 0), "text")
       graft.operators.Retrieval.lmScoreAgainst(
         docs.filter(col("doc_id") % 2 === 1), lm, "doc_id", "text")
+    }),
+
+    // ---- Naive-Bayes quality-filter training: the GPT-3-style
+    //      curated-vs-crawl classifier learned in-engine — integer token
+    //      counts per (token, class) with add-one smoothing, log-probs
+    //      fixed-pointed to micro-nats per distinct model row ----
+    "q101_nb_model" -> ((s, dir) =>
+      graft.operators.Classify.nbModel(nbTrain(s, dir), "cls", "text")),
+
+    // ---- Naive-Bayes held-out scoring: the frozen model applied to the
+    //      odd half — per-doc log-likelihood ratio as an integer sum,
+    //      pred_hq = curated class wins ----
+    "q102_nb_score" -> ((s, dir) => {
+      val train = nbTrain(s, dir)
+      graft.operators.Classify.nbScore(
+        tbl(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        graft.operators.Classify.nbModel(train, "cls", "text"),
+        graft.operators.Classify.nbPriors(train, "cls"),
+        "doc_id", "text")
     }),
 
     // ---- KMV distinct sketch: per-source vocabulary cardinality from the
@@ -2127,6 +2163,60 @@ object SparkEntry {
            |SELECT doc_id, n_bigrams, lp_total_fp,
            |  (CAST(lp_total_fp AS DOUBLE) / 1000000.0) / CAST(n_bigrams AS DOUBLE) AS avg_nats
            |FROM g""".stripMargin,
+
+      // multinomial NB with add-one smoothing: integer counts, per-row
+      // fixed-point ln — the zero-count class rows come from the vocab ×
+      // {0,1} grid, exactly as the engine builds them
+      "q101_nb_model" ->
+        s"""WITH train AS (SELECT CASE WHEN source IN $nbCuratedSql THEN 1 ELSE 0 END AS cls, text
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |toks AS (SELECT cls, unnest(string_split(text, ' ')) AS tok FROM train),
+           |wc AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+           |vocab AS (SELECT DISTINCT tok FROM wc),
+           |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+           |nc AS (SELECT cls, CAST(sum(n) AS BIGINT) AS n_c FROM wc GROUP BY 1),
+           |grid AS (SELECT tok, c.cls FROM vocab, (SELECT 0 AS cls UNION ALL SELECT 1) c),
+           |m AS (SELECT g.tok, g.cls, COALESCE(w.n, 0) AS n_wc
+           |  FROM grid g LEFT JOIN wc w ON w.tok = g.tok AND w.cls = g.cls)
+           |SELECT m.tok, m.cls, m.n_wc,
+           |  CAST(floor(ln(CAST(m.n_wc + 1 AS DOUBLE) / CAST(nc.n_c + v.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+           |FROM m JOIN nc ON nc.cls = m.cls, v""".stripMargin,
+
+      // q101's model applied to the odd half: per-doc integer llr sums;
+      // docs with no model-known token drop on both sides (inner join)
+      "q102_nb_score" ->
+        s"""WITH train AS (SELECT CASE WHEN source IN $nbCuratedSql THEN 1 ELSE 0 END AS cls, text
+           |  FROM documents WHERE doc_id % 2 = 0),
+           |toks AS (SELECT cls, unnest(string_split(text, ' ')) AS tok FROM train),
+           |wc AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+           |vocab AS (SELECT DISTINCT tok FROM wc),
+           |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+           |nc AS (SELECT cls, CAST(sum(n) AS BIGINT) AS n_c FROM wc GROUP BY 1),
+           |grid AS (SELECT tok, c.cls FROM vocab, (SELECT 0 AS cls UNION ALL SELECT 1) c),
+           |model AS (SELECT g.tok, g.cls,
+           |    CAST(floor(ln(CAST(COALESCE(w.n, 0) + 1 AS DOUBLE) / CAST(nc.n_c + v.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+           |  FROM grid g LEFT JOIN wc w ON w.tok = g.tok AND w.cls = g.cls
+           |  JOIN nc ON nc.cls = g.cls, v),
+           |ht AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents WHERE doc_id % 2 = 1),
+           |hc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM ht GROUP BY 1, 2),
+           |sc AS (SELECT h.doc_id,
+           |    CAST(sum(CASE WHEN m.cls = 1 THEN h.n ELSE 0 END) AS BIGINT) AS n_known,
+           |    CAST(sum(CASE WHEN m.cls = 1 THEN h.n * m.lp_fp ELSE 0 END) AS BIGINT) AS s1,
+           |    CAST(sum(CASE WHEN m.cls = 0 THEN h.n * m.lp_fp ELSE 0 END) AS BIGINT) AS s0
+           |  FROM hc h JOIN model m ON m.tok = h.tok GROUP BY 1),
+           |nd AS (SELECT CASE WHEN source IN $nbCuratedSql THEN 1 ELSE 0 END AS cls,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM nd),
+           |pr AS (SELECT cls, CAST(floor(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS prior_fp
+           |  FROM nd, tot),
+           |p1 AS (SELECT prior_fp AS p1 FROM pr WHERE cls = 1),
+           |p0 AS (SELECT prior_fp AS p0 FROM pr WHERE cls = 0)
+           |SELECT sc.doc_id, sc.n_known,
+           |  (sc.s1 + p1.p1) - (sc.s0 + p0.p0) AS llr_fp,
+           |  CAST(((sc.s1 + p1.p1) - (sc.s0 + p0.p0)) > 0 AS INT) AS pred_hq
+           |FROM sc, p1, p0""".stripMargin,
 
       // the k-th order statistic via a per-source window the engine's
       // dedup heap never needs; 127·2^32 is an exact double product

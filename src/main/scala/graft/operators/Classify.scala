@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** In-engine document classifier training + scoring: the multinomial
+  * Naive Bayes "curated vs crawl" quality filter (the GPT-3 / CCNet
+  * pipeline shape — a linear classifier trained on a labeled seed corpus,
+  * applied to the whole crawl to select high-quality documents).
+  *
+  * Reference scope note: the reference (hsnw_trial.py) has no classifier;
+  * this is part of the prompt-mandated training-data-pipeline surface,
+  * sitting next to the frozen-LM scorer ([[Retrieval.lmScoreAgainst]]).
+  *
+  * Cross-engine exactness (DuckDB oracle): every statistic is an integer
+  * count; log-probabilities are fixed-pointed per DISTINCT (token, class)
+  * — `floor(ln((n_wc+1)/(N_c+V))·1e6 + 0.5)` micro-nats, BIGINT — so
+  * document scores are order-independent integer sums. Scoring keeps only
+  * tokens the model knows (inner join): out-of-vocabulary tokens carry no
+  * class signal under add-one smoothing beyond a near-constant offset,
+  * and dropping them keeps the arithmetic exact. Held-out documents with
+  * ZERO known tokens are absent from the output by the same join.
+  *
+  * Scale shape (100 TB): token counts partial-aggregate map-side (the
+  * shuffle is one row per distinct (token, class)); the class-total and
+  * vocabulary-size tables are 2 rows / 1 row (broadcast); the model is
+  * O(2·V) rows joined to documents by an equi-join on token — never a
+  * window, never a cartesian bigger than the broadcast scalars.
+  */
+object Classify {
+
+  /** Train the multinomial NB token model.
+    *
+    * @param train  labeled seed corpus
+    * @param clsCol integer class column (1 = curated/target, 0 = raw)
+    * @return (tok, cls, n_wc, lp_fp): one row per (vocabulary token ×
+    *         class), including zero-count rows — add-one smoothing gives
+    *         them mass, and the scorer needs both classes per token.
+    */
+  def nbModel(train: DataFrame, clsCol: String, textCol: String): DataFrame = {
+    val toks = train.select(col(clsCol).cast("int").as("cls"),
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    val wc = toks.groupBy("tok", "cls").agg(count(lit(1)).as("n_wc"))
+    val vocab = wc.select("tok").distinct()
+    val v = vocab.agg(count(lit(1)).as("v"))
+    val nc = wc.groupBy("cls").agg(sum("n_wc").as("n_c"))
+    vocab.select(col("tok"), explode(array(lit(0), lit(1))).as("cls"))
+      .join(wc, Seq("tok", "cls"), "left")
+      .withColumn("n_wc", coalesce(col("n_wc"), lit(0L)))
+      .join(broadcast(nc), "cls")
+      .crossJoin(broadcast(v))
+      .select(col("tok"), col("cls"), col("n_wc"),
+        floor(log((col("n_wc") + lit(1)).cast("double") /
+          (col("n_c") + col("v")).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("lp_fp"))
+  }
+
+  /** Class priors from the seed's document counts: (cls, prior_fp) in
+    * micro-nats. Two rows — always broadcast at the use site.
+    */
+  def nbPriors(train: DataFrame, clsCol: String): DataFrame = {
+    val nd = train.groupBy(col(clsCol).cast("int").as("cls"))
+      .agg(count(lit(1)).as("n"))
+    nd.crossJoin(broadcast(nd.agg(sum("n").as("t"))))
+      .select(col("cls"),
+        floor(log(col("n").cast("double") / col("t").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("prior_fp"))
+  }
+
+  /** Score documents under a trained model: (idCol, n_known, llr_fp,
+    * pred_hq). `llr_fp` = (Σ n·lp₁ + prior₁) − (Σ n·lp₀ + prior₀) in
+    * micro-nats; `pred_hq` = 1 when the curated class wins. `n_known`
+    * counts model-known token occurrences (each occurrence once — the
+    * cls=1 leg of the join, which matches every known token exactly once).
+    */
+  def nbScore(docs: DataFrame, model: DataFrame, priors: DataFrame,
+              idCol: String, textCol: String): DataFrame = {
+    val hc = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
+    val sc = hc.join(model, "tok")
+      .groupBy(col(idCol)).agg(
+        sum(when(col("cls") === 1, col("n")).otherwise(lit(0L))).as("n_known"),
+        sum(when(col("cls") === 1, col("n") * col("lp_fp")).otherwise(lit(0L))).as("s1"),
+        sum(when(col("cls") === 0, col("n") * col("lp_fp")).otherwise(lit(0L))).as("s0"))
+    val p1 = priors.filter(col("cls") === 1).select(col("prior_fp").as("p1"))
+    val p0 = priors.filter(col("cls") === 0).select(col("prior_fp").as("p0"))
+    sc.crossJoin(broadcast(p1)).crossJoin(broadcast(p0))
+      .select(col(idCol), col("n_known"),
+        ((col("s1") + col("p1")) - (col("s0") + col("p0"))).as("llr_fp"))
+      .withColumn("pred_hq", (col("llr_fp") > 0).cast("int"))
+  }
+}
