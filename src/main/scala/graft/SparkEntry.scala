@@ -647,6 +647,13 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- per-source TF-IDF signature terms: the datacard's "distinctive
+    //      vocabulary" row — tf·idf across sources, topN per source via
+    //      the bounded heap (per-source sort stays the oracle's job) ----
+    "q103_source_signature" -> ((s, dir) =>
+      graft.operators.TextStats.sourceSignature(
+        tbl(s, dir, "documents"), "source", "text", topN = 5)),
+
     // ---- KMV distinct sketch: per-source vocabulary cardinality from the
     //      k smallest distinct token hashes — a dedup-on-insert bounded
     //      heap, so NO distinct shuffle exists anywhere ----
@@ -2217,6 +2224,23 @@ object SparkEntry {
            |  (sc.s1 + p1.p1) - (sc.s0 + p0.p0) AS llr_fp,
            |  CAST(((sc.s1 + p1.p1) - (sc.s0 + p0.p0)) > 0 AS INT) AS pred_hq
            |FROM sc, p1, p0""".stripMargin,
+
+      // the oracle uses the per-source window the engine's heap replaces;
+      // tie-break mirrors the heap's (score desc, 48-bit md5 prefix asc)
+      "q103_source_signature" ->
+        s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+           |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_grp FROM tf GROUP BY 1),
+           |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_grp FROM documents),
+           |sig AS (SELECT tf.source, tf.tok,
+           |    tf.tf * CAST(floor(ln(CAST(n_grp AS DOUBLE) / CAST(df_grp AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS score_fp,
+           |    ${md5PrefixValueSql("tf.tok", 12)} AS h
+           |  FROM tf JOIN dfs USING (tok), ns
+           |  WHERE floor(ln(CAST(n_grp AS DOUBLE) / CAST(df_grp AS DOUBLE)) * 1000000.0 + 0.5) > 0),
+           |r AS (SELECT source, tok, score_fp,
+           |    row_number() OVER (PARTITION BY source ORDER BY score_fp DESC, h) AS rn
+           |  FROM sig)
+           |SELECT source, CAST(rn AS INT) AS "rank", tok, score_fp FROM r WHERE rn <= 5""".stripMargin,
 
       // the k-th order statistic via a per-source window the engine's
       // dedup heap never needs; 127·2^32 is an exact double product

@@ -537,4 +537,53 @@ object TextStats {
           .otherwise(lit((k - 1).toDouble * 4294967296.0) /
             col("kth_hash").cast("double")).as("est_distinct"))
   }
+
+  /** Per-group TF-IDF signature terms: the topN tokens that characterize
+    * each source against the others — the "distinctive vocabulary" row of
+    * a corpus datacard (what a curation reviewer reads to understand what
+    * a domain actually contains).
+    *
+    * score_fp = tf(group, tok) · idf_fp, with idf_fp =
+    * `floor(ln(n_groups / n_groups_containing_tok)·1e6 + 0.5)` micro-nats
+    * (BIGINT). Tokens present in EVERY group have idf_fp = 0 and are
+    * dropped — they carry no signature signal by construction.
+    *
+    * Scale shape: tf partial-aggregates map-side to one row per distinct
+    * (group, token); group-df is a second partial-agg over THAT table
+    * (never the token stream); n_groups broadcasts as one row; the
+    * per-group topN rides the bounded heap
+    * ([[org.apache.spark.sql.graft.TopKAggregate]] on dist = −score,
+    * id = 48-bit md5 prefix of the token) so the hottest group costs the
+    * same buffer as the smallest — the per-group sort stays the ORACLE's
+    * job only. Token strings are recovered by an equi-join on
+    * (group, hash); 48 bits keeps in-group collisions out of reach at
+    * real vocabulary sizes, and the ordering (score desc, hash asc) is
+    * deterministic in both engines regardless.
+    *
+    * Output: (groupCol, rank, tok, score_fp), rank 1-based.
+    */
+  def sourceSignature(docs: DataFrame, groupCol: String, textCol: String,
+                      topN: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col(groupCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfGrp = tf.groupBy("tok").agg(count(lit(1)).as("df_grp"))
+    val nGrp = docs.select(col(groupCol)).distinct().agg(count(lit(1)).as("n_grp"))
+    val hashed = tf.join(dfGrp, "tok").crossJoin(broadcast(nGrp))
+      .withColumn("idf_fp",
+        floor(log(col("n_grp").cast("double") / col("df_grp").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("idf_fp") > 0)
+      .withColumn("score_fp", col("tf") * col("idf_fp"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
+    val top = hashed.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(
+        lit(0.0) - col("score_fp").cast("double"), col("h"), topN).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("h"))
+    top.join(hashed.select(col(groupCol), col("h"), col("tok"), col("score_fp")),
+        Seq(groupCol, "h"))
+      .select(col(groupCol), col("rank"), col("tok"), col("score_fp"))
+  }
 }

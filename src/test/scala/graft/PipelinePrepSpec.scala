@@ -536,4 +536,29 @@ class PipelinePrepSpec extends SparkSpec {
     val z = Sampling.perDomainCap(zero, "doc_id", "source", "score", n = 1).collect()(0)
     assert(z.getDouble(3) === 0.0)
   }
+
+  test("sourceSignature: distinctive terms rank, everywhere-tokens drop, heap not window") {
+    import graft.operators.TextStats
+    // "the" appears in every source (idf 0 -> dropped); "alpha" is unique
+    // to a and frequent; "beta" unique to b; "gamma" in a and b but not c
+    val docs = Seq(
+      (0L, "a", "alpha alpha alpha the gamma"),
+      (1L, "a", "alpha the"),
+      (2L, "b", "beta beta the gamma"),
+      (3L, "c", "the the")).toDF("doc_id", "source", "text")
+    val got = TextStats.sourceSignature(docs, "source", "text", topN = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val ln3 = math.floor(math.log(3.0) * 1e6 + 0.5).toLong        // unique to one source
+    val ln15 = math.floor(math.log(3.0 / 2.0) * 1e6 + 0.5).toLong // in two of three
+    assert(got.toSeq === Seq(
+      ("a", 1, "alpha", 4L * ln3), ("a", 2, "gamma", ln15),
+      ("b", 1, "beta", 2L * ln3), ("b", 2, "gamma", ln15)),
+      s"got ${got.toSeq}")
+    // source c speaks only everywhere-tokens: no signature rows at all
+    assert(!got.exists(_._1 == "c"))
+    val plan = TextStats.sourceSignature(docs, "source", "text", topN = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-source topN must be the bounded heap")
+  }
 }
