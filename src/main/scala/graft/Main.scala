@@ -28,6 +28,8 @@ import graft.sources.Datagen
   *   --domain-cap PARQUET --out DIR     per-domain top-N quality cap (anti-domination)
   *   --decontam PARQUET --bench PARQUET --out DIR   semantic decontamination verdicts
   *   --kmv PARQUET --out DIR            KMV per-group distinct-vocabulary sketch
+  *   --nb-train PARQUET --out DIR       Naive-Bayes quality filter (+ optional --score)
+  *   --signature PARQUET --out DIR      per-source TF-IDF signature terms
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -450,6 +452,44 @@ object Main {
       println(f"[decontam] ${verdicts.count()} rows, $bad contaminated " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
+    } else if (opts.contains("nb-train")) {
+      // Naive-Bayes quality filter (Classify): train the token model +
+      // priors on a labeled parquet; --score applies the frozen model
+      val in = opts("nb-train")
+      val out = opts.getOrElse("out", sys.error("--nb-train requires --out DIR"))
+      val clsCol = opts.getOrElse("cls-col", "cls")
+      val textCol = opts.getOrElse("text-col", "text")
+      val t0 = System.nanoTime()
+      val train = spark.read.parquet(in)
+      graft.operators.Classify.nbModel(train, clsCol, textCol)
+        .write.mode("overwrite").parquet(s"$out/model")
+      graft.operators.Classify.nbPriors(train, clsCol)
+        .write.mode("overwrite").parquet(s"$out/priors")
+      val n = spark.read.parquet(s"$out/model").count()
+      opts.get("score").foreach { scoreIn =>
+        val scoreOut = opts.getOrElse("score-out", sys.error("--score requires --score-out DIR"))
+        graft.operators.Classify.nbScore(
+            spark.read.parquet(scoreIn),
+            spark.read.parquet(s"$out/model"), spark.read.parquet(s"$out/priors"),
+            opts.getOrElse("id-col", "doc_id"), textCol)
+          .write.mode("overwrite").parquet(scoreOut)
+      }
+      println(f"[nb-train] $n model rows in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out" +
+        opts.get("score-out").map(s => s" (held-out verdicts -> $s)").getOrElse(""))
+
+    } else if (opts.contains("signature")) {
+      // per-source TF-IDF signature terms (TextStats.sourceSignature):
+      // the datacard's distinctive-vocabulary table
+      val in = opts("signature")
+      val out = opts.getOrElse("out", sys.error("--signature requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.TextStats.sourceSignature(spark.read.parquet(in),
+          opts.getOrElse("group-col", "source"), opts.getOrElse("text-col", "text"),
+          topN = opts.getOrElse("n", "5").toInt)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(f"[signature] $n signature rows in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("kmv")) {
       // KMV distinct sketch (TextStats.kmvVocabulary): per-group
       // vocabulary cardinality estimates, no distinct shuffle
@@ -501,7 +541,9 @@ object Main {
           |  --lm-train PARQUET --out DIR [--text-col text] [--score PARQUET --score-out DIR --unk-lp-fp -20000000]
           |  --domain-cap PARQUET --out DIR [--domain-col source --id-col doc_id --text-col text --n 25]
           |  --decontam PARQUET --bench PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]
-          |  --kmv PARQUET --out DIR [--group-col source --text-col text --k 128]""".stripMargin)
+          |  --kmv PARQUET --out DIR [--group-col source --text-col text --k 128]
+          |  --nb-train PARQUET --out DIR [--cls-col cls --text-col text] [--score PARQUET --score-out DIR --id-col doc_id]
+          |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]""".stripMargin)
     }
   }
 }

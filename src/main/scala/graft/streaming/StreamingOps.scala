@@ -408,6 +408,30 @@ object StreamingOps {
       }
   }
 
+  /** Streaming Naive-Bayes quality filtering — the GPT-3-style
+    * curated-vs-crawl classifier at ingest time: model and priors are
+    * trained ONCE on the labeled seed ([[graft.operators.Classify]],
+    * localCheckpointed at stream start) and every arriving micro-batch is
+    * scored statelessly against the frozen tables (partial-agg token
+    * counts → equi-join on token → integer llr sums). Batch/stream
+    * bit-equality is free: micro-nat BIGINT arithmetic has no order
+    * dependence. Output lands partition-per-batch (idempotent on replay).
+    */
+  def streamingNbScore(docs: DataFrame, model: DataFrame, priors: DataFrame,
+                       idCol: String, textCol: String,
+                       outDir: String): DataStreamWriter[Row] = {
+    val modelOnce = model.localCheckpoint()
+    val priorsOnce = priors.localCheckpoint()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Classify
+            .nbScore(batch.select(idCol, textCol), modelOnce, priorsOnce, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Streaming IMAGE dedup against a static fingerprint corpus — the
     * multimodal tier of the ingest ladder: arriving images are
     * perceptually hashed statelessly

@@ -245,6 +245,31 @@ class CliDedupSpec extends SparkSpec {
     assert(verd(2L) === (("clean", -1L)))
   }
 
+  test("--nb-train --score and --signature round-trips") {
+    import spark.implicits._
+    val base = tmp("cli-nb")
+    Seq((0L, 1, "good good the"), (1L, 1, "good the"),
+        (2L, 0, "bad the"), (3L, 0, "bad bad bad the"))
+      .toDF("doc_id", "cls", "text").write.parquet(s"$base/seed")
+    Seq((10L, "good good"), (11L, "bad"))
+      .toDF("doc_id", "text").write.parquet(s"$base/held")
+    Main.run(spark, Map("nb-train" -> s"$base/seed", "out" -> s"$base/nb",
+      "score" -> s"$base/held", "score-out" -> s"$base/verdicts"))
+    assert(spark.read.parquet(s"$base/nb/model").columns.toSet
+      === Set("tok", "cls", "n_wc", "lp_fp"))
+    assert(spark.read.parquet(s"$base/nb/priors").count() === 2)
+    val v = spark.read.parquet(s"$base/verdicts").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("pred_hq")).toMap
+    assert(v === Map(10L -> 1, 11L -> 0))
+    Seq((0L, "web", "alpha alpha the"), (1L, "books", "beta the"))
+      .toDF("doc_id", "source", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("signature" -> s"$base/docs", "out" -> s"$base/sig", "n" -> "2"))
+    val sig = spark.read.parquet(s"$base/sig").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("tok"))).toSet
+    assert(sig === Set(("web", "alpha"), ("books", "beta")),
+      "everywhere-token 'the' must not be a signature term")
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))

@@ -327,6 +327,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 102L).get._3 === 3L * -20000000L)
   }
 
+  test("streaming NB quality filter: streamed verdicts bit-equal the batch form; OOV-only docs absent") {
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(
+      (0L, 1, "good good the"), (1L, 1, "good the"),
+      (2L, 0, "bad the"), (3L, 0, "bad bad bad the")).toDF("doc_id", "cls", "text")
+    val model = graft.operators.Classify.nbModel(seed, "cls", "text")
+    val priors = graft.operators.Classify.nbPriors(seed, "cls")
+    val arrivals = Seq(
+      (100L, "good good zzz"),  // curated-speak + one OOV token
+      (101L, "bad bad"),        // raw-speak
+      (102L, "zzz qqq"))        // all OOV: must be absent from output
+    val outDir = Files.createTempDirectory("snb-out").toString
+    val source = MemoryStream[(Long, String)]
+    val query = StreamingOps.streamingNbScore(
+      source.toDF().toDF("doc_id", "text"), model, priors, "doc_id", "text", outDir)
+      .option("checkpointLocation", Files.createTempDirectory("snb-ckpt").toString)
+      .start()
+    source.addData(arrivals(0))
+    query.processAllAvailable()
+    source.addData(arrivals(1), arrivals(2))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_known"),
+        r.getAs[Long]("llr_fp"), r.getAs[Int]("pred_hq"))).toSet
+    val batch = graft.operators.Classify.nbScore(
+        arrivals.toDF("doc_id", "text"), model, priors, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(streamed === batch, "micro-batching must not move a single bit")
+    assert(streamed.map(_._1) === Set(100L, 101L))
+    assert(streamed.find(_._1 == 100L).get._4 === 1)
+    assert(streamed.find(_._1 == 101L).get._4 === 0)
+  }
+
   test("streaming semantic dedup: micro-batches statused by embedding proximity vs a static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = (0L until 30L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
