@@ -30,6 +30,7 @@ import graft.sources.Datagen
   *   --kmv PARQUET --out DIR            KMV per-group distinct-vocabulary sketch
   *   --nb-train PARQUET --out DIR       Naive-Bayes quality filter (+ optional --score)
   *   --signature PARQUET --out DIR      per-source TF-IDF signature terms
+  *   --token-budget PARQUET --out DIR   per-source best-quality quota fill
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -477,6 +478,24 @@ object Main {
       println(f"[nb-train] $n model rows in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out" +
         opts.get("score-out").map(s => s" (held-out verdicts -> $s)").getOrElse(""))
 
+    } else if (opts.contains("token-budget")) {
+      // token-budget quota fill (Sampling.tokenBudgetSelect): best-quality
+      // docs per source until the token quota, histogram-sized decision
+      val in = opts("token-budget")
+      val out = opts.getOrElse("out", sys.error("--token-budget requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.Sampling.tokenBudgetSelect(spark.read.parquet(in),
+          opts.getOrElse("id-col", "doc_id"), opts.getOrElse("source-col", "source"),
+          opts.getOrElse("text-col", "text"),
+          quota = opts.getOrElse("quota", "1000000").toLong,
+          bins = opts.getOrElse("bins", "1000").toInt)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      val kept = sel.filter(col("keep") === 1).agg(sum("n_tok")).head().getLong(0)
+      println(f"[token-budget] kept $kept tokens across " +
+        f"${sel.select("source").distinct().count()} sources " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("signature")) {
       // per-source TF-IDF signature terms (TextStats.sourceSignature):
       // the datacard's distinctive-vocabulary table
@@ -543,7 +562,8 @@ object Main {
           |  --decontam PARQUET --bench PARQUET --out DIR [--id-col id --vec-col vector --dim D --bits N(auto) --max-dist 0.2 --max-block N]
           |  --kmv PARQUET --out DIR [--group-col source --text-col text --k 128]
           |  --nb-train PARQUET --out DIR [--cls-col cls --text-col text] [--score PARQUET --score-out DIR --id-col doc_id]
-          |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]""".stripMargin)
+          |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]
+          |  --token-budget PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --quota 1000000 --bins 1000]""".stripMargin)
     }
   }
 }

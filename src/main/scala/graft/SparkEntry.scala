@@ -647,6 +647,14 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // ---- token-budget quota fill: keep best-quality docs per source
+    //      until 2000 training tokens are selected — whole quality bins
+    //      share a fate, so the decision is histogram-sized and the doc
+    //      stream is never sorted ----
+    "q104_token_budget" -> ((s, dir) =>
+      graft.operators.Sampling.tokenBudgetSelect(
+        tbl(s, dir, "documents"), "doc_id", "source", "text", quota = 2000L)),
+
     // ---- per-source TF-IDF signature terms: the datacard's "distinctive
     //      vocabulary" row — tf·idf across sources, topN per source via
     //      the bounded heap (per-source sort stays the oracle's job) ----
@@ -2224,6 +2232,22 @@ object SparkEntry {
            |  (sc.s1 + p1.p1) - (sc.s0 + p0.p0) AS llr_fp,
            |  CAST(((sc.s1 + p1.p1) - (sc.s0 + p0.p0)) > 0 AS INT) AS pred_hq
            |FROM sc, p1, p0""".stripMargin,
+
+      // histogram budget fill: the window runs over quality BINS
+      // (≤ 1001 rows per source), never the doc stream
+      "q104_token_budget" ->
+        s"""WITH s AS (SELECT source, doc_id,
+           |    CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
+           |    CAST(floor(($qualityExpr) * 1000) AS BIGINT) AS bin
+           |  FROM documents),
+           |bt AS (SELECT source, bin, CAST(sum(n_tok) AS BIGINT) AS bin_tok FROM s GROUP BY 1, 2),
+           |c AS (SELECT source, bin, bin_tok,
+           |    CAST(sum(bin_tok) OVER (PARTITION BY source ORDER BY bin DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+           |  FROM bt),
+           |k AS (SELECT source, bin, CAST(cum_tok - bin_tok < 2000 AS INT) AS keep FROM c)
+           |SELECT s.source, s.doc_id, s.n_tok, s.bin, k.keep
+           |FROM s JOIN k USING (source, bin)""".stripMargin,
 
       // the oracle uses the per-source window the engine's heap replaces;
       // tie-break mirrors the heap's (score desc, 48-bit md5 prefix asc)

@@ -291,6 +291,63 @@ object TextScaleProof {
     System.err.println(f"[textscale] batch bm25: $batchQs queries -> $batchRows ranked rows " +
       f"in one pass, $batchSecs%.1f s")
 
+    // ---- phase 14: Naive-Bayes quality filter at corpus scale. Train on
+    // the full corpus with planted class markers (curated docs carry
+    // "cq1 cq2", raw docs "rq1 rq2"; the word-soup base is label-neutral
+    // by construction — every wN lands in both classes at equal rates),
+    // score a FRESH held-out batch carrying one marker family each. The
+    // markers' llr contribution (~2·ln(n/2) micro-nats) dominates the
+    // neutral drift of ~80 word-soup tokens, so the gate is sharp: every
+    // held-out verdict must match its marker. Also gates the model shape:
+    // exactly 2 rows per distinct training token (the vocab × class grid).
+    val ((nbRight, nbHeld, nbModelRows, nbVocab), nbSecs) = timed {
+      import graft.operators.Classify
+      val marked = corpus.select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 2 === 0, lit(" cq1 cq2"))
+          .otherwise(lit(" rq1 rq2"))).as("text"),
+        (col("doc_id") % 2 === 0).cast("int").as("cls"))
+      val model = Classify.nbModel(marked, "cls", "text").localCheckpoint()
+      val priors = Classify.nbPriors(marked, "cls")
+      val held = Datagen.syntheticDocs(spark, nPlant, seed = 888L)
+        .select((col("doc_id") + n * 30).as("doc_id"),
+          concat(col("text"), when(col("doc_id") % 2 === 0, lit(" cq1 cq2"))
+            .otherwise(lit(" rq1 rq2"))).as("text"))
+      val verdicts = Classify.nbScore(held, model, priors, "doc_id", "text")
+        .localCheckpoint()
+      val right = verdicts.filter(
+        (col("doc_id") % 2 === 0 && col("pred_hq") === 1) ||
+        (col("doc_id") % 2 === 1 && col("pred_hq") === 0)).count()
+      val vocab = model.select("tok").distinct().count()
+      (right, verdicts.count(), model.count(), vocab)
+    }
+    require(nbHeld == nPlant, s"nb: scored $nbHeld of $nPlant held-out docs")
+    require(nbRight == nPlant, s"nb: only $nbRight/$nPlant held-out verdicts match the planted marker")
+    require(nbModelRows == 2 * nbVocab, s"nb model: $nbModelRows rows != 2 x $nbVocab vocab")
+    System.err.println(f"[textscale] nb filter: $nbRight/$nPlant held-out verdicts correct, " +
+      f"model ${nbModelRows} rows over $nbVocab tokens in $nbSecs%.1f s")
+
+    // ---- phase 15: per-source TF-IDF signature at corpus scale. Sources
+    // = doc_id mod 20, each with a planted marker token "sigK". At 1M
+    // docs every organic word reaches all 20 sources (idf 0 → dropped),
+    // so the surviving signature vocabulary is essentially the markers —
+    // and each source's rank-1 term MUST be its own marker (tf = n/20,
+    // idf = ln 20; no tail word's tf·idf comes within orders of it). ----
+    val ((sigRows, sigRank1Ok), sigSecs) = timed {
+      val sourced = corpus.select(
+        concat(lit("s"), pmod(col("doc_id"), lit(20L)).cast("string")).as("source"),
+        col("doc_id"),
+        concat(col("text"), lit(" sig"), pmod(col("doc_id"), lit(20L)).cast("string")).as("text"))
+      val sig = TextStats.sourceSignature(sourced, "source", "text", topN = 3)
+        .localCheckpoint()
+      val ok = sig.filter(col("rank") === 1 &&
+        col("tok") === concat(lit("sig"), expr("substring(source, 2)"))).count()
+      (sig.count(), ok)
+    }
+    require(sigRank1Ok == 20L,
+      s"signature: only $sigRank1Ok/20 sources rank their planted marker first")
+    System.err.println(f"[textscale] source signature: $sigRows rows, " +
+      f"$sigRank1Ok/20 rank-1 markers in $sigSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
@@ -304,7 +361,9 @@ object TextScaleProof {
       s""""bpe_sec":$bpeSecs,"bpe_merges":$nMerges,"bpe_tokens":$segTokens,"bpe_syms":$segSyms,""" +
       s""""bm25_sec":$bm25Secs,"bm25_zz_hits":$zzHits,""" +
       s""""lm_sec":$lmSecs,"lm_dup_exact":$lmDupExact,""" +
-      s""""bm25_batch_sec":$batchSecs,"bm25_batch_queries":$batchQs,"bm25_batch_rows":$batchRows}""")
+      s""""bm25_batch_sec":$batchSecs,"bm25_batch_queries":$batchQs,"bm25_batch_rows":$batchRows,""" +
+      s""""nb_sec":$nbSecs,"nb_correct":$nbRight,"nb_model_rows":$nbModelRows,""" +
+      s""""signature_sec":$sigSecs,"signature_rows":$sigRows,"signature_rank1_ok":$sigRank1Ok}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for data-mixing quotas — the step that turns a
@@ -160,6 +161,52 @@ object Sampling {
       .select(col(domainCol), (col("pos") + 1).cast("int").as("rank"),
         col("entry.id").as(idCol),
         (lit(0.0) - col("entry.dist")).as(scoreCol))
+
+  /** Token-budget quota fill: per source, keep best-quality documents
+    * until `quota` training tokens are selected — the mixture-execution
+    * step that turns per-source token budgets into an actual document
+    * selection.
+    *
+    * Scale shape — selection WITHOUT a per-source sort: a per-source
+    * quality sort (or `row_number` window over docs) would stream a
+    * billion-doc web source through one ordering. Instead quality is
+    * histogrammed into `bins` integer buckets (floor(q·bins) — one IEEE
+    * multiply on the exact quality score, deterministic in both engines):
+    *
+    *   1. per-(source, bin) token totals — a partial agg over ≤
+    *      sources × (bins+1) rows;
+    *   2. running totals over bins, best-first — a window PARTITIONED by
+    *      source over ≤ bins+1 rows per task (never the doc stream);
+    *   3. a bin is kept iff the strictly-better bins left quota room
+    *      (`cum − bin_tok < quota`), so overshoot is bounded by ONE
+    *      bin's tokens;
+    *   4. verdicts broadcast back to the doc stream by (source, bin)
+    *      equi-join.
+    *
+    * Same discipline as [[graft.operators.Retrieval.perplexityBuckets]]:
+    * whole bins share a fate, which is what makes the decision
+    * histogram-sized instead of corpus-sized.
+    *
+    * Output: (sourceCol, idCol, n_tok, bin, keep) — keep ∈ {0, 1}, every
+    * input row present.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, sourceCol: String,
+                        textCol: String, quota: Long,
+                        bins: Int = 1000): DataFrame = {
+    import graft.functions.TextFunctions
+    val scored = docs.select(col(sourceCol), col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      floor(TextFunctions.qualityScore(col(textCol)) * bins).cast("long").as("bin"))
+    val w = Window.partitionBy(sourceCol).orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val verdicts = scored.groupBy(col(sourceCol), col("bin"))
+      .agg(sum(col("n_tok")).as("bin_tok"))
+      .withColumn("cum_tok", sum(col("bin_tok")).over(w))
+      .withColumn("keep", (col("cum_tok") - col("bin_tok") < quota).cast("int"))
+      .select(col(sourceCol), col("bin"), col("keep"))
+    scored.join(broadcast(verdicts), Seq(sourceCol, "bin"))
+      .select(col(sourceCol), col(idCol), col("n_tok"), col("bin"), col("keep"))
+  }
 
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)

@@ -268,6 +268,14 @@ class CliDedupSpec extends SparkSpec {
       .map(r => (r.getAs[String]("source"), r.getAs[String]("tok"))).toSet
     assert(sig === Set(("web", "alpha"), ("books", "beta")),
       "everywhere-token 'the' must not be a signature term")
+    Main.run(spark, Map("token-budget" -> s"$base/docs", "out" -> s"$base/budget",
+      "quota" -> "2"))
+    val sel = spark.read.parquet(s"$base/budget")
+    assert(sel.count() === 2, "every doc present with a verdict")
+    assert(sel.columns.toSet === Set("source", "doc_id", "n_tok", "bin", "keep"))
+    // quota 2 < either doc's tokens: the single best bin per source keeps
+    // (one-bin overshoot), nothing else exists to drop in this corpus
+    assert(sel.filter(col("keep") === 1).count() === 2)
   }
 
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {

@@ -537,6 +537,49 @@ class PipelinePrepSpec extends SparkSpec {
     assert(z.getDouble(3) === 0.0)
   }
 
+  test("tokenBudgetSelect: best bins fill first, one-bin overshoot, all rows present, no doc-stream window") {
+    import graft.operators.Sampling
+    // vary stopword ratio to spread docs across quality bins; two sources
+    // with identical content so the per-source verdicts are independent
+    def doc(nStop: Int): String = {
+      val toks = Seq.fill(nStop)("the") ++ Seq.fill(25 - nStop)("walrus")
+      toks.mkString(" ")
+    }
+    val docs = (for {
+      src <- Seq("a", "b")
+      (ns, i) <- Seq(20, 15, 10, 5, 0).zipWithIndex
+      j <- 0 until 2
+    } yield (src, (i * 2 + j).toLong + (if (src == "b") 100L else 0L), doc(ns)))
+      .toDF("source", "doc_id", "text")
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "source", "text", quota = 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.length === 20, "every input row must be present with a verdict")
+    // reference: fold bins best-first per source, keep while better bins
+    // left quota room
+    for (src <- Seq("a", "b")) {
+      val rows = got.filter(_._1 == src)
+      val binTok = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+      val sortedBins = binTok.keys.toSeq.sorted.reverse
+      val expected = sortedBins.scanLeft(0L)((acc, b) => acc + binTok(b)).zip(sortedBins)
+        .map { case (before, b) => b -> (if (before < 60L) 1 else 0) }.toMap
+      rows.foreach { case (_, id, _, bin, keep) =>
+        assert(keep === expected(bin), s"doc $id bin $bin: keep=$keep, expected ${expected(bin)}")
+      }
+      // kept tokens overshoot the quota by at most one bin's total
+      val keptTok = rows.filter(_._5 == 1).map(_._3).sum
+      val lastKeptBin = rows.filter(_._5 == 1).map(_._4).min
+      assert(keptTok - binTok(lastKeptBin) < 60L)
+      assert(keptTok >= math.min(60L, rows.map(_._3).sum))
+    }
+    // the window in the plan runs over the BIN table, not the doc stream:
+    // the aggregate below it collapses to (source, bin) rows first
+    val plan = Sampling.tokenBudgetSelect(docs, "doc_id", "source", "text", quota = 60L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "bin running totals legitimately use a bounded window")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "bin totals must partial-aggregate below the window")
+  }
+
   test("sourceSignature: distinctive terms rank, everywhere-tokens drop, heap not window") {
     import graft.operators.TextStats
     // "the" appears in every source (idf 0 -> dropped); "alpha" is unique
