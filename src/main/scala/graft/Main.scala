@@ -31,6 +31,8 @@ import graft.sources.Datagen
   *   --nb-train PARQUET --out DIR       Naive-Bayes quality filter (+ optional --score)
   *   --signature PARQUET --out DIR      per-source TF-IDF signature terms
   *   --token-budget PARQUET --out DIR   per-source best-quality quota fill
+  *   --prepare PARQUET --out DIR        END-TO-END corpus prep: quality gate ->
+  *                                      dedup -> decontam -> budget -> curriculum shards
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -478,6 +480,32 @@ object Main {
       println(f"[nb-train] $n model rows in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out" +
         opts.get("score-out").map(s => s" (held-out verdicts -> $s)").getOrElse(""))
 
+    } else if (opts.contains("prepare")) {
+      // end-to-end corpus prep (operators.Pipeline): quality gate -> exact
+      // dedup -> optional decontam -> token budget -> curriculum shards
+      val in = opts("prepare")
+      val out = opts.getOrElse("out", sys.error("--prepare requires --out DIR"))
+      val idCol = opts.getOrElse("id-col", "doc_id")
+      val sourceCol = opts.getOrElse("source-col", "source")
+      val textCol = opts.getOrElse("text-col", "text")
+      val t0 = System.nanoTime()
+      val docs = spark.read.parquet(in)
+      val prepared = graft.operators.Pipeline.prepare(docs,
+        idCol, sourceCol, textCol,
+        minQuality = opts.getOrElse("min-quality", "0.3").toDouble,
+        bench = opts.get("bench").map(p => spark.read.parquet(p)),
+        quota = opts.getOrElse("quota", Long.MaxValue.toString).toLong,
+        bins = opts.getOrElse("bins", "1000").toInt,
+        numShards = opts.getOrElse("num-shards", "64").toInt,
+        bestLast = opts.getOrElse("best-last", "true").toBoolean)
+      val nFiles = graft.operators.Pipeline.writeCurriculum(prepared, out, idCol,
+        recordsPerFile = opts.getOrElse("records-per-file", "1000000").toInt)
+      val sel = spark.read.parquet(out)
+      val stats = sel.agg(count(lit(1)), sum("n_tok")).head()
+      println(f"[prepare] ${docs.count()} docs in -> ${stats.getLong(0)} kept " +
+        f"(${stats.getLong(1)} tokens) across $nFiles curriculum files " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("token-budget")) {
       // token-budget quota fill (Sampling.tokenBudgetSelect): best-quality
       // docs per source until the token quota, histogram-sized decision
@@ -563,7 +591,8 @@ object Main {
           |  --kmv PARQUET --out DIR [--group-col source --text-col text --k 128]
           |  --nb-train PARQUET --out DIR [--cls-col cls --text-col text] [--score PARQUET --score-out DIR --id-col doc_id]
           |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]
-          |  --token-budget PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --quota 1000000 --bins 1000]""".stripMargin)
+          |  --token-budget PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --quota 1000000 --bins 1000]
+          |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true]""".stripMargin)
     }
   }
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** End-to-end corpus preparation: the whole training-data pipeline as ONE
+  * composition of the individually oracle-checked operators — the command
+  * a user actually runs to turn a raw crawl into a training-ready,
+  * curriculum-ordered shard set.
+  *
+  * Stages (each optional pieces of the q41 five-stage composite, plus the
+  * final-mile selection and ordering):
+  *
+  *   1. quality gate — Gopher rules ([[TextStats.gopherRulesHof]], the
+  *      shuffle-free HOF form) AND the composite quality score threshold;
+  *   2. exact dedup — canonical doc per fingerprint
+  *      ([[Dedup.exactDedup]], partial-agg + equi-join);
+  *   3. decontamination (optional) — n-gram overlap vs a benchmark table
+  *      ([[Dedup.contamination]]): flagged docs drop;
+  *   4. token-budget selection — best-quality bins per source until the
+  *      quota ([[Sampling.tokenBudgetSelect]], histogram-sized decision);
+  *   5. curriculum key — quality tier × epoch-deterministic shard hash:
+  *      `ck = tier · numShards + shard`, tier ascending = training order
+  *      annealing TOWARD the best data (bestLast), shard hash
+  *      interleaving sources within a tier. The fine order inside a
+  *      bucket is (md5-prefix hash, id) — deterministic, no RNG.
+  *
+  * Every decision is a pure function of the input rows (md5 hashes,
+  * integer arithmetic, the oracle-exact quality score), so a re-run —
+  * or a different partitioning, or a recovering executor — derives the
+  * identical output set and order.
+  *
+  * Scale shape: stages 1–2 and 4 are projections/partial-aggs with
+  * equi-joins (no windows over doc streams); stage 3 shuffles only
+  * benchmark-matching shingle rows; stage 5 is a projection. The only
+  * window anywhere is [[Sampling.tokenBudgetSelect]]'s bin-table running
+  * total (≤ 1001 rows per source per task).
+  */
+object Pipeline {
+
+  /** Run stages 1–5; returns the selected docs with curriculum columns:
+    * (idCol, sourceCol, textCol, n_tok, bin, tier, shard, ck).
+    */
+  def prepare(docs: DataFrame,
+              idCol: String, sourceCol: String, textCol: String,
+              minQuality: Double = 0.3,
+              bench: Option[DataFrame] = None,
+              quota: Long = Long.MaxValue,
+              bins: Int = 1000,
+              numShards: Int = 64,
+              bestLast: Boolean = true): DataFrame = {
+    // stage 1: quality gate (Gopher keep AND composite score)
+    val gated = docs
+      .join(TextStats.gopherRulesHof(docs, idCol, textCol)
+        .filter(col("keep")).select(idCol), idCol)
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+
+    // stage 2: exact dedup — canonical rows only
+    val deduped = gated.join(
+      Dedup.exactDedup(gated, idCol, textCol)
+        .filter(!col("is_dup")).select(idCol), idCol)
+
+    // stage 3: decontamination (flagged docs drop via anti-join)
+    val clean = bench match {
+      case Some(b) =>
+        deduped.join(Dedup.contamination(deduped, b, idCol, textCol)
+          .select(idCol), Seq(idCol), "left_anti")
+      case None => deduped
+    }
+
+    // stage 4: per-source token budget (keep = 1 rows survive)
+    val selected = clean.join(
+      Sampling.tokenBudgetSelect(clean, idCol, sourceCol, textCol, quota, bins)
+        .filter(col("keep") === 1).select(col(idCol), col("n_tok"), col("bin")),
+      idCol)
+
+    // stage 5: curriculum key — tier ascends toward the training end
+    val tier = if (bestLast) col("bin") else lit(bins.toLong) - col("bin")
+    selected
+      .withColumn("tier", tier)
+      .withColumn("h", conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("shard", pmod(col("h"), lit(numShards.toLong)))
+      .withColumn("ck", col("tier") * numShards + col("shard"))
+      .select(col(idCol), col(sourceCol), col(textCol),
+        col("n_tok"), col("bin"), col("tier"), col("shard"), col("ck"), col("h"))
+  }
+
+  /** Write the prepared corpus as training-ready shards in curriculum
+    * order: range-partitioned by (ck, h, id) — coarse curriculum bucket,
+    * then the deterministic hash order — sorted within files, bounded by
+    * `recordsPerFile`. Returns the file count.
+    */
+  def writeCurriculum(prepared: DataFrame, outDir: String, idCol: String,
+                      recordsPerFile: Int): Int = {
+    require(recordsPerFile > 0, "recordsPerFile must be positive")
+    val n = prepared.count()
+    val parts = math.max(1, math.ceil(n.toDouble / recordsPerFile).toInt)
+    prepared
+      .repartitionByRange(parts, col("ck"), col("h"), col(idCol))
+      .sortWithinPartitions("ck", "h", idCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", recordsPerFile.toLong)
+      .parquet(outDir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), prepared.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.getPath.getName.endsWith(".parquet"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+
+/** End-to-end corpus prep: each stage's effect on a planted corpus, the
+  * curriculum key contract, and the ordered-shard export.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 36 tokens, mean length ~5, two stopwords -> passes Gopher + quality;
+  // token universes are disjoint across seeds so only planted overlaps
+  // (the dup and the contaminated doc) share shingles
+  private def goodDoc(seed: Int): String =
+    (0 until 34).map(i => s"tok${seed * 100 + i}").mkString(" ") + " the and"
+
+  // one giant 2500-char word, no stopwords -> fails Gopher (mean len,
+  // word len) AND scores quality 0.0
+  private val junk = "x" * 2500
+
+  private def corpus = Seq(
+    (0L, "web", goodDoc(0)),
+    (1L, "web", goodDoc(1)),
+    (2L, "web", goodDoc(0)),    // exact dup of doc 0 -> dropped (canonical 0 kept)
+    (3L, "books", goodDoc(3)),
+    (4L, "books", goodDoc(4)),
+    (5L, "books", junk),        // quality gate drops
+    (6L, "news", goodDoc(6)),
+    (7L, "news", goodDoc(1))    // contaminated: bench carries doc 1's text
+  ).toDF("doc_id", "source", "text")
+
+  // benchmark shares every shingle of goodDoc(1) -> docs 1 AND 7 flagged
+  private def bench = Seq((100L, goodDoc(1))).toDF("doc_id", "text")
+
+  test("prepare: quality gate, dedup, decontam and curriculum key land exactly") {
+    val out = Pipeline.prepare(corpus, "doc_id", "source", "text",
+      bench = Some(bench), numShards = 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // junk (5) gone; dup (2) gone; contaminated (1, 7) gone; rest kept
+    assert(out.keySet === Set(0L, 3L, 4L, 6L))
+    out.values.foreach { r =>
+      val (bin, tier, shard, ck) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(tier === bin, "bestLast: tier must equal the quality bin")
+      assert(shard >= 0 && shard < 4)
+      assert(ck === tier * 4 + shard)
+    }
+  }
+
+  test("prepare without bench keeps the would-be-contaminated docs") {
+    val ids = Pipeline.prepare(corpus, "doc_id", "source", "text", numShards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // dup of doc 1: ONE of (1, 7) survives dedup as canonical min id = 1
+    assert(ids === Set(0L, 1L, 3L, 4L, 6L))
+  }
+
+  test("prepare: a tiny quota keeps only the best bin per source") {
+    // quota 1 token: the strictly-better-bins-left-room rule admits
+    // exactly the best bin per source (one-bin overshoot)
+    val sel = Pipeline.prepare(corpus, "doc_id", "source", "text",
+      bench = Some(bench), quota = 1L, numShards = 4)
+      .select("source", "bin").collect().map(r => (r.getString(0), r.getLong(1)))
+    val bestBin = sel.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    sel.foreach { case (src, bin) =>
+      assert(bin === bestBin(src), s"quota 1 must keep only $src's best bin")
+    }
+  }
+
+  test("--prepare CLI round-trip: shards land with curriculum columns") {
+    val base = java.nio.file.Files.createTempDirectory("prep-cli").toString
+    corpus.write.parquet(s"$base/docs")
+    bench.write.parquet(s"$base/bench")
+    Main.run(spark, Map("prepare" -> s"$base/docs", "out" -> s"$base/ready",
+      "bench" -> s"$base/bench", "num-shards" -> "4", "records-per-file" -> "2"))
+    val ready = spark.read.parquet(s"$base/ready")
+    assert(ready.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 3L, 4L, 6L))
+    assert(ready.columns.toSet === Set("doc_id", "source", "text",
+      "n_tok", "bin", "tier", "shard", "ck", "h"))
+  }
+
+  test("writeCurriculum: files are curriculum-ordered and partition-ranged") {
+    val outDir = java.nio.file.Files.createTempDirectory("prep-out").toString
+    val prepared = Pipeline.prepare(corpus, "doc_id", "source", "text", numShards = 4)
+    val nFiles = Pipeline.writeCurriculum(prepared, outDir, "doc_id", recordsPerFile = 2)
+    assert(nFiles >= 2, "5 docs at 2/file must split")
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === prepared.count())
+    // within every file, rows are sorted by (ck, h, id); across files
+    // (sorted by their min key), key ranges must not overlap
+    val files = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val ranges = files.map { f =>
+      val rows = spark.read.parquet(f)
+        .select("ck", "h", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.sameElements(rows.sortBy(identity)), s"$f not internally sorted")
+      (rows.head, rows.last)
+    }
+    val ordered = ranges.sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(implicitly[Ordering[(Long, Long, Long)]].lt(aMax, bMin),
+          "file key ranges overlap")
+      case _ => ()
+    }
+  }
+}
