@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pipeline
+import graft.sources.Datagen
+
+/** Scale proof for the END-TO-END `--prepare` pipeline — the capstone
+  * composition ([[graft.operators.Pipeline]]) exercised at 1M+ docs with
+  * planted outcomes for every stage, gated sharply:
+  *
+  *   - junk docs (giant single words, no stopwords) → quality gate drops;
+  *   - planted exact duplicates (higher ids) → dedup drops the copies,
+  *     keeps the canonical bases;
+  *   - a benchmark built from 99 base docs → decontamination drops
+  *     exactly those bases (their shingle sets are organically unique at
+  *     a 100k-word vocabulary);
+  *   - a per-source token quota → per-source kept tokens land in
+  *     [Q, Q + largest-kept-bin) — the tokenBudgetSelect contract;
+  *   - the curriculum export writes internally-sorted, range-disjoint
+  *     files.
+  *
+  * Prints one JSON line, committed as `BENCH_SCALE_PREPARE.json`. Run:
+  *
+  *   SPARK_DRIVER_MEM=64g sbt "runMain graft.PrepareScaleProof [n]"
+  */
+object PrepareScaleProof {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-prepare-scale-proof")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nPlant = n / 100
+    val base = Datagen.syntheticDocs(spark, n)
+      .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20L)).cast("string")))
+      // ids ≡ 0 (mod 1000): junk — one 2500-char word, no stopwords
+      .withColumn("text",
+        when(col("doc_id") % 1000 === 0, concat(lit("j"), repeat(lit("x"), 2499)))
+          .otherwise(col("text")))
+    // exact duplicates: ids [n, n+nPlant) copy id·100's text (same shape
+    // as TextScaleProof) — copies are higher ids, so canonicals survive
+    val dups = base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") / 100 + n).cast("long").as("doc_id"),
+        col("source"), col("text"))
+    val corpus = base.unionAll(dups).localCheckpoint()
+    val total = corpus.count()
+    // benchmark: base ids 101..199 (none junk, none a dup base)
+    val bench = corpus.filter(col("doc_id") >= 101 && col("doc_id") <= 199 &&
+      col("doc_id") % 100 =!= 0).select("doc_id", "text").localCheckpoint()
+    val nBench = bench.count()
+    System.err.println(s"[prepscale] corpus $total docs, $nBench benchmark docs")
+
+    val quota = 1000000L // ~1M tokens/source of ~4M available
+    val t0 = System.nanoTime()
+    val prepared = Pipeline.prepare(corpus, "doc_id", "source", "text",
+      bench = Some(bench), quota = quota, numShards = 64).localCheckpoint()
+    val kept = prepared.count()
+    val prepSecs = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[prepscale] prepare: $kept of $total docs kept in $prepSecs%.1f s")
+
+    // ---- gate 1: planted exclusions are ALL absent ----
+    val junkKept = prepared.filter(col("doc_id") % 1000 === 0 && col("doc_id") < n).count()
+    val dupKept = prepared.filter(col("doc_id") >= n).count()
+    val benchKept = prepared.join(bench.select("doc_id"), "doc_id").count()
+    require(junkKept == 0, s"$junkKept junk docs survived the quality gate")
+    require(dupKept == 0, s"$dupKept planted dup copies survived dedup")
+    require(benchKept == 0, s"$benchKept benchmark docs survived decontamination")
+
+    // ---- gate 2: per-source kept tokens honor the quota contract:
+    // Q ≤ kept < Q + largest kept bin's tokens (boundary-bin overshoot) ----
+    val perSource = prepared.groupBy("source")
+      .agg(sum("n_tok").as("kept_tok"), count(lit(1)).as("n_docs")).collect()
+    require(perSource.length == 20, s"expected 20 sources, got ${perSource.length}")
+    val binTok = prepared.groupBy("source", "bin").agg(sum("n_tok").as("bt"))
+      .groupBy("source").agg(max("bt").as("max_bin_tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { r =>
+      val (src, keptTok) = (r.getString(0), r.getLong(1))
+      require(keptTok >= quota, s"$src kept $keptTok < quota $quota")
+      require(keptTok - quota < binTok(src),
+        s"$src overshoot ${keptTok - quota} exceeds its largest bin ${binTok(src)}")
+    }
+    System.err.println(f"[prepscale] quota: all 20 sources in [$quota, +largest-bin) tokens")
+
+    // ---- gate 3: curriculum export — internally sorted, range-disjoint ----
+    val outDir = java.nio.file.Files.createTempDirectory("prepscale-out").toString
+    val t1 = System.nanoTime()
+    val nFiles = Pipeline.writeCurriculum(prepared, outDir, "doc_id",
+      recordsPerFile = 100000)
+    val writeSecs = (System.nanoTime() - t1) / 1e9
+    val back = spark.read.parquet(outDir)
+    require(back.count() == kept, "export row count mismatch")
+    val files = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    // spot-check 3 files for internal sortedness
+    files.take(3).foreach { f =>
+      val rows = spark.read.parquet(f).select("ck", "h", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      require(rows.sameElements(rows.sortBy(identity)), s"$f not internally sorted")
+    }
+    System.err.println(f"[prepscale] export: $nFiles files in $writeSecs%.1f s")
+    // clean the throwaway export
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(outDir)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+
+    println(s"""{"n_docs":$total,"prepare_sec":$prepSecs,"kept":$kept,""" +
+      s""""junk_kept":$junkKept,"dup_kept":$dupKept,"bench_kept":$benchKept,""" +
+      s""""quota":$quota,"sources_ok":20,"write_sec":$writeSecs,"n_files":$nFiles}""")
+    spark.stop()
+  }
+}

@@ -446,6 +446,17 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- containment verification: |A∩B| / min(|A|,|B|) on the SAME LSH
+    //      candidates as q60 — the subset-duplication metric (a wire story
+    //      embedded in a longer page scores ~1.0 here, ~0.1 Jaccard) ----
+    "q105_containment" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+        .select("id_a", "id_b").distinct()
+      Dedup.containmentForPairs(pairs, docs, "doc_id", "text", n = 3, minContainment = 0.9)
+    }),
+
     // ---- batch BoW-cosine top-k: bounded-heap per-query aggregate over
     //      the sparse feature join (cosine DISTANCE, the vector convention) ----
     "q62_bow_topk_batch" -> ((s, dir) => {
@@ -1823,6 +1834,42 @@ object SparkEntry {
            |        ELSE CAST(COALESCE(it.n_inter, 0) AS DOUBLE) /
            |             CAST(COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(it.n_inter, 0) AS DOUBLE)
            |   END) >= 0.4 AS is_dup
+           |FROM prs p
+           |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
+           |LEFT JOIN sz sa ON sa.doc_id = p.id_a
+           |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      // q60's candidate CTEs, containment = n_inter / min(n_a, n_b)
+      "q105_containment" ->
+        s"""WITH ${shingleCte(3)},
+           |sig AS (SELECT doc_id, ${(0 until 4).map(i => s"${minhashSql(i)} AS mh$i").mkString(", ")}
+           |  FROM shingles GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id AS id, 0 AS band, concat_ws('|', mh0, mh1) AS band_val FROM sig
+           |  UNION ALL
+           |  SELECT doc_id AS id, 1 AS band, concat_ws('|', mh2, mh3) AS band_val FROM sig),
+           |kept AS (SELECT id, band, band_val FROM (
+           |  SELECT id, band, band_val, count(*) OVER (PARTITION BY band, band_val) AS bn
+           |  FROM banded) WHERE bn <= 1000),
+           |prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           |  FROM kept a JOIN kept b ON a.band = b.band AND a.band_val = b.band_val AND a.id < b.id),
+           |sd AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+           |sz AS (SELECT doc_id, count(*) AS n_sh FROM sd GROUP BY 1),
+           |it AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+           |  FROM prs p
+           |  JOIN sd a ON a.doc_id = p.id_a
+           |  JOIN sd b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+           |  GROUP BY 1, 2)
+           |SELECT p.id_a, p.id_b, COALESCE(it.n_inter, 0) AS n_inter,
+           |  COALESCE(sa.n_sh, 0) AS n_a, COALESCE(sb.n_sh, 0) AS n_b,
+           |  CASE WHEN least(COALESCE(sa.n_sh, 0), COALESCE(sb.n_sh, 0)) = 0 THEN 0.0
+           |       ELSE CAST(COALESCE(it.n_inter, 0) AS DOUBLE) /
+           |            CAST(least(COALESCE(sa.n_sh, 0), COALESCE(sb.n_sh, 0)) AS DOUBLE)
+           |  END AS containment,
+           |  CAST((CASE WHEN least(COALESCE(sa.n_sh, 0), COALESCE(sb.n_sh, 0)) = 0 THEN 0.0
+           |        ELSE CAST(COALESCE(it.n_inter, 0) AS DOUBLE) /
+           |             CAST(least(COALESCE(sa.n_sh, 0), COALESCE(sb.n_sh, 0)) AS DOUBLE)
+           |   END) >= 0.9 AS INT) AS is_contained
            |FROM prs p
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a

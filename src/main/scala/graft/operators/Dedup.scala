@@ -171,9 +171,14 @@ object Dedup {
     */
   def contamination(train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, minOverlap: Int = 5): DataFrame = {
-    val ts = explodedShingles(train, idCol, textCol, n).distinct()
     val bs = explodedShingles(bench, idCol, textCol, n).select(col("shingle")).distinct()
-    ts.join(bs, "shingle")
+    // join BEFORE distinct: the bench set filters the train shingle stream
+    // (usually a broadcast), so the per-(doc, shingle) dedup shuffles only
+    // benchmark-MATCHING rows — not the full corpus shingle stream.
+    // join-then-distinct ≡ distinct-then-join for an equi-join on shingle.
+    explodedShingles(train, idCol, textCol, n)
+      .join(bs, "shingle")
+      .distinct()
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minOverlap)
@@ -323,6 +328,49 @@ object Dedup {
           .otherwise(coalesce(col("n_inter"), lit(0L)).cast("double") / unionSize.cast("double"))
           .as("jaccard"))
       .withColumn("is_dup", col("jaccard") >= lit(minJaccard))
+  }
+
+  /** Containment coefficient for candidate pairs: |A∩B| / min(|A|, |B|)
+    * over distinct n-gram shingles — the SUBSET-duplication detector
+    * Jaccard misses. A news-wire story embedded verbatim in a 10×-longer
+    * page scores Jaccard ≈ 0.1 (union-dominated) but containment 1.0;
+    * pipelines scrubbing syndicated content key on this metric
+    * (Broder's containment, the original resemblance/containment pair).
+    *
+    * Same scale shape as [[jaccardForPairs]]: member semi-join prune, one
+    * distinct shingle table feeding the size aggregate and both
+    * intersection sides, pair-keyed equi-joins — O(pairs × shingles/doc),
+    * never corpus-wide. Output: (id_a, id_b, n_inter, n_a, n_b,
+    * containment, is_contained), 0.0 (never null) for empty sets.
+    */
+  def containmentForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                          textCol: String, n: Int = 3,
+                          minContainment: Double = 0.9,
+                          materialize: Boolean = true): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val members = p.select(col("id_a").as(idCol)).union(p.select(col("id_b").as(idCol))).distinct()
+    val shAll = explodedShingles(docs.join(members, Seq(idCol), "left_semi"), idCol, textCol, n)
+      .select(col(idCol).as("id"), col("shingle"))
+      .distinct()
+    val sh = if (materialize) shAll.localCheckpoint() else shAll
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = p
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    val minSize = least(coalesce(col("n_a"), lit(0L)), coalesce(col("n_b"), lit(0L)))
+    p
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"), "left")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(minSize === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_inter"), lit(0L)).cast("double") / minSize.cast("double"))
+          .as("containment"))
+      .withColumn("is_contained", (col("containment") >= lit(minContainment)).cast("int"))
   }
 
   /** Incremental dedup of a NEW document batch against an EXISTING corpus —

@@ -343,6 +343,31 @@ class DedupSpec extends SparkSpec {
     assert(allPairs((0L, 2L)) === out((0L, 2L))._2)
   }
 
+  test("containmentForPairs: embedded subset scores 1.0 where Jaccard stays low; disjoint 0.0") {
+    // doc 1 = doc 0's text embedded in a 3x-longer page: containment 1.0,
+    // Jaccard union-dominated (< 0.5)
+    val short = "the quick brown fox jumps over the lazy dog"
+    val page = short + " " + (0 until 20).map(i => s"filler$i").mkString(" ")
+    val vdocs = Seq(
+      (0L, short), (1L, page),
+      (2L, "totally unrelated content sits in this document here")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.containmentForPairs(pairs, vdocs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getInt(6))).toMap
+    val (nInter, nA, nB, cont, flag) = out((0L, 1L))
+    assert(nA === 7L, "9 tokens -> 7 distinct 3-shingles")
+    assert(nInter === nA, "every short-doc shingle appears in the page")
+    assert(cont === 1.0 && flag === 1, "embedded subset must score containment 1.0")
+    assert(nB > nA)
+    val jacc = Dedup.jaccardForPairs(pairs, vdocs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(jacc((0L, 1L)) < 0.5, "the same pair is Jaccard-invisible — containment's whole point")
+    assert(out((0L, 2L))._4 === 0.0 && out((0L, 2L))._5 === 0)
+  }
+
   test("minhashEstimate: identical docs estimate 1.0; estimates live in {0, 1/h, ..., 1}") {
     val vdocs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
