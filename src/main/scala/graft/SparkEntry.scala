@@ -446,6 +446,13 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- winnowing fingerprints: the MOSS document sketch — window-min
+    //      shingle hashes (rightmost tie), guarantee: shared runs of
+    //      w+k-1 tokens share a fingerprint, density ~2/(w+1) ----
+    "q106_winnowing" -> ((s, dir) =>
+      Dedup.winnowFingerprints(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4)),
+
     // ---- containment verification: |A∩B| / min(|A|,|B|) on the SAME LSH
     //      candidates as q60 — the subset-duplication metric (a wire story
     //      embedded in a longer page scores ~1.0 here, ~0.1 Jaccard) ----
@@ -1838,6 +1845,27 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      // winnowing: the packed h*2^20 + (2^20 - pos) trick makes the
+      // window min the rightmost-minimum rule as one integer compare
+      "q106_winnowing" ->
+        s"""WITH ${posShingleCteFrom(5, "documents", "psh")},
+           |hashed AS (SELECT doc_id, pos,
+           |    ${md5PrefixValueSql("shingle", 10)} AS h
+           |  FROM psh),
+           |packed AS (SELECT doc_id, pos, h,
+           |    h * 1048576 + (1048576 - pos) AS c
+           |  FROM hashed),
+           |winmin AS (SELECT doc_id, pos,
+           |    min(c) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin,
+           |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nw
+           |  FROM packed)
+           |SELECT DISTINCT doc_id,
+           |  1048576 - (cmin % 1048576) AS pos,
+           |  cmin // 1048576 AS h
+           |FROM winmin WHERE nw = 4""".stripMargin,
 
       // q60's candidate CTEs, containment = n_inter / min(n_a, n_b)
       "q105_containment" ->

@@ -1103,6 +1103,49 @@ object Dedup {
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("shingle"))
 
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * sketch): hash every positioned k-token shingle, slide a window of
+    * `w` consecutive hashes, and select each window's minimum — RIGHTMOST
+    * on ties (robust winnowing). Guarantee: any two documents sharing a
+    * token run of ≥ w + k − 1 tokens share at least one fingerprint, with
+    * expected density 2/(w+1) — the bounded-size document sketch
+    * plagiarism/overlap detectors join on instead of full shingle sets.
+    *
+    * Determinism without an argmin aggregate: each row packs
+    * `c = h·2²⁰ + (2²⁰ − pos)` (40-bit md5-prefix hash, documents capped
+    * at 2²⁰ tokens), so the window `min(c)` IS (min h, then max pos) —
+    * the rightmost-minimum rule as one integer comparison, bit-identical
+    * in any engine. Window starts needing a full w rows ride the same
+    * frame's `count`.
+    *
+    * Scale shape: a projection + posexplode, then ONE window partitioned
+    * by document (bounded by document length — the dupSpans/islands
+    * discipline, never a global or corpus-keyed sort), then distinct
+    * over the ~2L/(w+1) selected rows. Documents with fewer than
+    * k + w − 1 tokens have no full window and are absent, as in MOSS.
+    *
+    * Output: (idCol, pos, h) — the selected fingerprints.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1, s"winnowFingerprints: k must be >= 1, got $k")
+    require(w >= 1, s"winnowFingerprints: w must be >= 1, got $w")
+    val M = 1048576L // 2^20 position cap
+    val ps = positionedShingles(docs, idCol, textCol, k)
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 10), 16, 10).cast("long"))
+      .withColumn("c", col("h") * lit(M) + (lit(M) - col("pos")))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    ps
+      .withColumn("cmin", min(col("c")).over(win))
+      .withColumn("nw", count(lit(1)).over(win))
+      .filter(col("nw") === w)
+      .select(col(idCol),
+        (lit(M) - pmod(col("cmin"), lit(M))).as("pos"),
+        expr(s"cmin div $M").as("h"))
+      .distinct()
+  }
+
   /** Shingle-start positions that are duplicated: the (idCol, pos) rows
     * whose k-shingle occurs ≥ 2 times corpus-wide (across documents OR
     * repeated within one — any second occurrence is a duplicate, matching

@@ -343,6 +343,41 @@ class DedupSpec extends SparkSpec {
     assert(allPairs((0L, 2L)) === out((0L, 2L))._2)
   }
 
+  test("winnowFingerprints: equals a direct reference; shared 8-token run shares a print; short docs absent") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "x y z a b c d e f g h q"), // shares the run "a b c d e f g h" (w+k-1 = 8 tokens)
+      (2L, "p q r s t u v w"),          // 8 tokens: 4 shingles -> exactly one window
+      (3L, "too few toks")              // < k tokens: absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    // independent reference: same md5-prefix hash, window-min, rightmost tie
+    def md5p(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(10), 16)
+    }
+    def winnow(text: String): Set[(Long, Long)] = {
+      val hs = text.split(" ").sliding(5).map(w => md5p(w.mkString(" "))).toArray
+      (0 to hs.length - 4).map { s =>
+        val (h, negPos) = (s until s + 4).map(i => (hs(i), -(i + 1L))).min
+        (-negPos, h)
+      }.toSet
+    }
+    assert(got.keySet === Set(0L, 1L, 2L), "doc 3 has no 5-shingle and must be absent")
+    Seq(0L, 1L, 2L).foreach { id =>
+      val text = Seq("a b c d e f g h i j k l", "x y z a b c d e f g h q", "p q r s t u v w")(id.toInt)
+      assert(got(id) === winnow(text), s"doc $id winnowing mismatch")
+    }
+    // the winnowing guarantee: a shared run of w+k-1 tokens -> shared print
+    assert(got(0L).map(_._2).intersect(got(1L).map(_._2)).nonEmpty,
+      "docs sharing an 8-token run must share at least one fingerprint hash")
+    assert(got(2L).size === 1, "one window -> exactly one fingerprint")
+  }
+
   test("containmentForPairs: embedded subset scores 1.0 where Jaccard stays low; disjoint 0.0") {
     // doc 1 = doc 0's text embedded in a 3x-longer page: containment 1.0,
     // Jaccard union-dominated (< 0.5)
