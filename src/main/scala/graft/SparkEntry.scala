@@ -453,6 +453,13 @@ object SparkEntry {
       Dedup.winnowFingerprints(tbl(s, dir, "documents"), "doc_id", "text",
         k = 5, w = 4)),
 
+    // ---- winnow-sketch candidate pairs: the MOSS discovery join — the
+    //      self-join runs on the ~2L/(w+1)-row sketches, never the
+    //      shingle sets; ubiquitous prints droppable via maxDf ----
+    "q107_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowCandidatePairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 5, w = 4, minShared = 2)),
+
     // ---- containment verification: |A∩B| / min(|A|,|B|) on the SAME LSH
     //      candidates as q60 — the subset-duplication metric (a wire story
     //      embedded in a longer page scores ~1.0 here, ~0.1 Jaccard) ----
@@ -1866,6 +1873,27 @@ object SparkEntry {
            |  1048576 - (cmin % 1048576) AS pos,
            |  cmin // 1048576 AS h
            |FROM winmin WHERE nw = 4""".stripMargin,
+
+      // q106's sketch CTEs + distinct-hash self-join
+      "q107_winnow_pairs" ->
+        s"""WITH ${posShingleCteFrom(5, "documents", "psh")},
+           |hashed AS (SELECT doc_id, pos,
+           |    ${md5PrefixValueSql("shingle", 10)} AS h
+           |  FROM psh),
+           |packed AS (SELECT doc_id, pos, h,
+           |    h * 1048576 + (1048576 - pos) AS c
+           |  FROM hashed),
+           |winmin AS (SELECT doc_id, pos,
+           |    min(c) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmin,
+           |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nw
+           |  FROM packed),
+           |fp AS (SELECT DISTINCT doc_id, cmin // 1048576 AS h
+           |  FROM winmin WHERE nw = 4)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+           |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
       // q60's candidate CTEs, containment = n_inter / min(n_a, n_b)
       "q105_containment" ->

@@ -1146,6 +1146,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Overlap-candidate pairs from winnowed sketches — the MOSS discovery
+    * join: documents sharing ≥ `minShared` winnow fingerprint HASHES are
+    * candidates for substring-level overlap (each shared print witnesses
+    * a shared k-gram; `minShared` = 2 filters single-collision noise).
+    *
+    * Scale shape: the join runs on the SKETCHES (≈ 2L/(w+1) rows per
+    * doc, distinct by hash), never the shingle sets — that is the entire
+    * point of winnowing at 100 TB. `maxDf` drops ubiquitous fingerprints
+    * (boilerplate k-grams every crawl carries) with the standard
+    * partial-agg df + anti-join guard before the self-join, bounding the
+    * hot-key pair blowup exactly like [[ngramJaccardPairs]]'s cap.
+    * Verification composes: feed the pairs to [[jaccardForPairs]] or
+    * [[containmentForPairs]].
+    *
+    * Output: (id_a, id_b, n_shared), id_a &lt; id_b.
+    */
+  def winnowCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, w: Int = 4, minShared: Int = 2,
+                           maxDf: Int = Int.MaxValue): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("h")).distinct()
+    val guarded =
+      if (maxDf == Int.MaxValue) fp
+      else {
+        val hot = fp.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("h")
+        fp.join(hot, Seq("h"), "left_anti")
+      }
+    guarded.select(col("h"), col("id").as("id_a"))
+      .join(guarded.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Shingle-start positions that are duplicated: the (idCol, pos) rows
     * whose k-shingle occurs ≥ 2 times corpus-wide (across documents OR
     * repeated within one — any second occurrence is a duplicate, matching

@@ -378,6 +378,22 @@ class DedupSpec extends SparkSpec {
     assert(got(2L).size === 1, "one window -> exactly one fingerprint")
   }
 
+  test("winnowCandidatePairs: overlapping docs pair, disjoint don't, maxDf drops boilerplate prints") {
+    val run = "a b c d e f g h i j k l"  // shared 12-token run
+    val docs = Seq(
+      (0L, run + " m n o p"),
+      (1L, "z y " + run),
+      (2L, "totally different words fill this entire document body here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidatePairs(docs, "doc_id", "text", k = 5, w = 4, minShared = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.keySet === Set((0L, 1L)), "only the overlapping pair is a candidate")
+    assert(pairs((0L, 1L)) >= 2L)
+    // maxDf = 1 drops every print shared by both docs -> no pairs at all
+    assert(Dedup.winnowCandidatePairs(docs, "doc_id", "text", k = 5, w = 4,
+      minShared = 2, maxDf = 1).count() === 0L)
+  }
+
   test("containmentForPairs: embedded subset scores 1.0 where Jaccard stays low; disjoint 0.0") {
     // doc 1 = doc 0's text embedded in a 3x-longer page: containment 1.0,
     // Jaccard union-dominated (< 0.5)
