@@ -497,7 +497,8 @@ object Main {
         quota = opts.getOrElse("quota", Long.MaxValue.toString).toLong,
         bins = opts.getOrElse("bins", "1000").toInt,
         numShards = opts.getOrElse("num-shards", "64").toInt,
-        bestLast = opts.getOrElse("best-last", "true").toBoolean)
+        bestLast = opts.getOrElse("best-last", "true").toBoolean,
+        nearDedup = opts.get("near-dedup").map(_.toDouble))
       val nFiles = graft.operators.Pipeline.writeCurriculum(prepared, out, idCol,
         recordsPerFile = opts.getOrElse("records-per-file", "1000000").toInt)
       val sel = spark.read.parquet(out)
@@ -592,7 +593,7 @@ object Main {
           |  --nb-train PARQUET --out DIR [--cls-col cls --text-col text] [--score PARQUET --score-out DIR --id-col doc_id]
           |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]
           |  --token-budget PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --quota 1000000 --bins 1000]
-          |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true]""".stripMargin)
+          |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true --near-dedup 0.8]""".stripMargin)
     }
   }
 }

@@ -16,7 +16,10 @@ import graft.functions.TextFunctions
   *   1. quality gate — Gopher rules ([[TextStats.gopherRulesHof]], the
   *      shuffle-free HOF form) AND the composite quality score threshold;
   *   2. exact dedup — canonical doc per fingerprint
-  *      ([[Dedup.exactDedup]], partial-agg + equi-join);
+  *      ([[Dedup.exactDedup]], partial-agg + equi-join); optionally
+  *      followed by NEAR dedup (`nearDedup = Some(minJaccard)`):
+  *      MinHash+LSH propose → exact Jaccard verify → connected
+  *      components → min-id canonical per cluster;
   *   3. decontamination (optional) — n-gram overlap vs a benchmark table
   *      ([[Dedup.contamination]]): flagged docs drop;
   *   4. token-budget selection — best-quality bins per source until the
@@ -50,7 +53,8 @@ object Pipeline {
               quota: Long = Long.MaxValue,
               bins: Int = 1000,
               numShards: Int = 64,
-              bestLast: Boolean = true): DataFrame = {
+              bestLast: Boolean = true,
+              nearDedup: Option[Double] = None): DataFrame = {
     // stage 1: quality gate (Gopher keep AND composite score)
     val gated = docs
       .join(TextStats.gopherRulesHof(docs, idCol, textCol)
@@ -62,12 +66,30 @@ object Pipeline {
       Dedup.exactDedup(gated, idCol, textCol)
         .filter(!col("is_dup")).select(idCol), idCol)
 
+    // stage 2.5 (optional): NEAR dedup — MinHash+LSH propose, exact
+    // Jaccard verify at `minJaccard`, connected components, keep the
+    // min-id canonical per cluster (non-canonical members anti-join out)
+    val nearDeduped = nearDedup match {
+      case Some(minJaccard) =>
+        val sigs = Dedup.minhashSignatures(deduped, idCol, textCol, n = 3, h = 4)
+        val cand = Dedup.lshCandidatePairs(sigs, idCol, h = 4, rows = 2,
+          maxBandSize = 1000).select("id_a", "id_b").distinct()
+        val dupPairs = Dedup.jaccardForPairs(cand, deduped, idCol, textCol,
+          n = 3, minJaccard = minJaccard).filter(col("is_dup"))
+          .select("id_a", "id_b")
+        val drop = Dedup.dupClusters(deduped, dupPairs, idCol)
+          .filter(col(idCol) =!= col("comp")) // comp = min id = the canonical
+          .select(idCol)
+        deduped.join(drop, Seq(idCol), "left_anti")
+      case None => deduped
+    }
+
     // stage 3: decontamination (flagged docs drop via anti-join)
     val clean = bench match {
       case Some(b) =>
-        deduped.join(Dedup.contamination(deduped, b, idCol, textCol)
+        nearDeduped.join(Dedup.contamination(nearDeduped, b, idCol, textCol)
           .select(idCol), Seq(idCol), "left_anti")
-      case None => deduped
+      case None => nearDeduped
     }
 
     // stage 4: per-source token budget (keep = 1 rows survive)

@@ -67,6 +67,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("prepare with nearDedup: near-identical docs collapse to the min-id canonical") {
+    // doc 10 = doc 0 with one token swapped: survives EXACT dedup but is
+    // a near dup (high 3-gram Jaccard); chain 10-11 must collapse too
+    val near1 = goodDoc(0).replace("tok1 ", "swap ")
+    val near2 = goodDoc(0).replace("tok2 ", "swap2 ")
+    val docs = corpus.unionAll(Seq(
+      (10L, "web", near1), (11L, "web", near2)).toDF("doc_id", "source", "text"))
+    val without = Pipeline.prepare(docs, "doc_id", "source", "text", numShards = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(without.contains(10L) && without.contains(11L),
+      "exact dedup alone must NOT drop the near dups")
+    val ids = Pipeline.prepare(docs, "doc_id", "source", "text", numShards = 4,
+      nearDedup = Some(0.6)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(10L) && !ids.contains(11L),
+      "near dups must collapse to the canonical")
+    assert(ids.contains(0L), "the min-id canonical survives")
+    assert(ids.contains(3L) && ids.contains(4L) && ids.contains(6L),
+      "unrelated docs are untouched")
+  }
+
   test("--prepare CLI round-trip: shards land with curriculum columns") {
     val base = java.nio.file.Files.createTempDirectory("prep-cli").toString
     corpus.write.parquet(s"$base/docs")
