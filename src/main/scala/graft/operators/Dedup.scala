@@ -1181,6 +1181,55 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Reusable winnow sketch: distinct (idCol, h) fingerprint hashes per
+    * document — the table a recurring-ingest overlap check joins against
+    * (compute once for a corpus, reuse per batch).
+    */
+  def winnowSketch(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 4): DataFrame =
+    winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("h")).distinct()
+
+  /** Batch-vs-corpus winnow overlap — [[winnowCandidatePairs]] in the
+    * recurring-ingest shape ([[incrementalDedup]]'s contract): each new
+    * document is statused against a FIXED corpus sketch, the corpus is
+    * never self-compared. Verdict per new doc: `overlap` with the
+    * best-matching corpus id (most shared prints, ties to lowest id) or
+    * `new`; (-1, 0) sentinels keep every column non-null.
+    *
+    * `maxDf` drops corpus-ubiquitous prints from BOTH sides (partial-agg
+    * df + anti-join). The join runs sketch-vs-sketch — bounded rows per
+    * doc, never shingle sets.
+    * Output: (idCol, status ∈ overlap|new, overlap_of, n_shared).
+    */
+  def winnowOverlapAgainst(batch: DataFrame, corpusSketch: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 5, w: Int = 4, minShared: Int = 2,
+                           maxDf: Int = Int.MaxValue): DataFrame = {
+    val cs0 = corpusSketch.select(col(idCol).cast("long").as("cid"), col("h"))
+    val (cs, hot) =
+      if (maxDf == Int.MaxValue) (cs0, None)
+      else {
+        val h = cs0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("h")
+        (cs0.join(h, Seq("h"), "left_anti"), Some(h))
+      }
+    val bf0 = winnowSketch(batch, idCol, textCol, k, w)
+    val bf = hot.map(h => bf0.join(h, Seq("h"), "left_anti")).getOrElse(bf0)
+    val best = bf.join(cs, "h")
+      .groupBy(col(idCol), col("cid")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("n_shared"), (lit(0L) - col("cid")).as("negcid"))).as("b"))
+      .select(col(idCol), col("b.n_shared").as("ns"), (lit(0L) - col("b.negcid")).as("oid"))
+    batch.select(col(idCol)).distinct()
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("ns").isNotNull, lit("overlap")).otherwise(lit("new")).as("status"),
+        coalesce(col("oid"), lit(-1L)).as("overlap_of"),
+        coalesce(col("ns"), lit(0L)).as("n_shared"))
+  }
+
   /** Shingle-start positions that are duplicated: the (idCol, pos) rows
     * whose k-shingle occurs ≥ 2 times corpus-wide (across documents OR
     * repeated within one — any second occurrence is a duplicate, matching

@@ -432,6 +432,34 @@ object StreamingOps {
       }
   }
 
+  /** Streaming WINNOW-overlap alerting against a static corpus — the
+    * substring-overlap tier of the ingest ladder as a continuous query
+    * (exact fingerprint → shingle Jaccard → span scrub → semantic →
+    * THIS: bounded-sketch overlap): the corpus winnow sketch is computed
+    * ONCE at stream start ([[graft.operators.Dedup.winnowSketch]],
+    * localCheckpointed) and every arriving micro-batch is statused
+    * against it ([[graft.operators.Dedup.winnowOverlapAgainst]]:
+    * sketch-vs-sketch equi-join on hash, best match by most shared
+    * prints with ties to lowest corpus id). Idempotent per-batch
+    * overwrite, as all the tiers.
+    */
+  def streamingWinnowOverlap(docs: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String, outDir: String,
+                             k: Int = 5, w: Int = 4, minShared: Int = 2,
+                             maxDf: Int = Int.MaxValue): DataStreamWriter[Row] = {
+    val sketchOnce = graft.operators.Dedup
+      .winnowSketch(corpus, idCol, textCol, k, w).localCheckpoint()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .winnowOverlapAgainst(batch.select(idCol, textCol), sketchOnce,
+              idCol, textCol, k, w, minShared, maxDf)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Streaming IMAGE dedup against a static fingerprint corpus — the
     * multimodal tier of the ingest ladder: arriving images are
     * perceptually hashed statelessly

@@ -361,6 +361,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 101L).get._4 === 0)
   }
 
+  test("streaming winnow overlap: arriving docs statused against frozen corpus sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    val run = "a b c d e f g h i j k l"
+    val corpus = Seq(
+      (0L, run + " m n o p"),
+      (1L, "u v w x y z q r s t aa bb")).toDF("doc_id", "text")
+    val arrivals = Seq(
+      (100L, "z y " + run),                                       // shares doc 0's run
+      (101L, "fresh words entirely unrelated to anything stored here today"))
+    val outDir = Files.createTempDirectory("swo-out").toString
+    val source = MemoryStream[(Long, String)]
+    val query = StreamingOps.streamingWinnowOverlap(
+      source.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text", outDir)
+      .option("checkpointLocation", Files.createTempDirectory("swo-ckpt").toString)
+      .start()
+    source.addData(arrivals(0))
+    query.processAllAvailable()
+    source.addData(arrivals(1))
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"), r.getAs[Long]("overlap_of"), r.getAs[Long]("n_shared"))).toMap
+    assert(got(100L)._1 === "overlap" && got(100L)._2 === 0L && got(100L)._3 >= 2L)
+    assert(got(101L) === (("new", -1L, 0L)))
+    // streamed verdicts bit-equal the batch form
+    val batch = graft.operators.Dedup.winnowOverlapAgainst(
+        arrivals.toDF("doc_id", "text"),
+        graft.operators.Dedup.winnowSketch(corpus, "doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === batch)
+  }
+
   test("streaming semantic dedup: micro-batches statused by embedding proximity vs a static corpus") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = (0L until 30L).map(i => (i, randVec(i, 16))).toDF("id", "vector")
