@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"))
   }
 
+  test("q106/q107 winnowing: only per-document windows; pair join is an equi-join") {
+    val s6 = formatted("q106_winnowing")
+    // the window must be partitioned by doc_id — a global window would
+    // print 'Window [...]' with an empty partition spec; assert the
+    // partition key is present in every Window node detail
+    val winNodes = "Arguments: .*windowspecdefinition\\(doc_id".r
+    assert("Window".r.findAllIn(s6).nonEmpty, "winnowing runs on window functions")
+    assert(winNodes.findFirstIn(s6).isDefined,
+      "winnowing windows must be partitioned by doc_id")
+    assert(!s6.contains("CartesianProduct"))
+    val s7 = formatted("q107_winnow_pairs")
+    assert(!s7.contains("CartesianProduct"))
+    assert(!s7.contains("BroadcastNestedLoopJoin"),
+      "sketch pairing must be an equi-join on the print hash")
+    assert("HashAggregate".r.findAllIn(s7).length >= 2,
+      "shared-print counts must partial-aggregate")
+  }
+
   test("q34 range table is broadcast back to the encode projection") {
     assert(formatted("q34_quantize").contains("BroadcastHashJoin"))
   }
