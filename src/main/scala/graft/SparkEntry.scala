@@ -446,6 +446,34 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- WARC ingestion (the Common Crawl distribution format): REAL
+    //      Content-Length-honoring record parser over closed-form
+    //      streams — record 0's payload embeds the literal "WARC/1.0"
+    //      to pin the no-delimiter-splitting contract; the oracle
+    //      re-derives every field from the arithmetic alone ----
+    "q108_warc_records" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id"))
+      graft.sources.Warc.records(graft.sources.Warc.syntheticWarc(ids))
+        .select(col("id"), col("rec"), col("host"), col("content_length"),
+          TextFunctions.tokenCount(col("payload")).cast("long").as("n_tok"))
+    }),
+
+    // ---- URL-level first-wins dedup — the FIRST dedup any crawl runs:
+    //      canonical fetch per URL = min (stream id, record idx), packed
+    //      as id·8+rec (rec < 8) so the argmin is one integer min ----
+    "q109_url_dedup" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id"))
+      val recs = graft.sources.Warc.records(graft.sources.Warc.syntheticWarc(ids))
+        .select(col("id"), col("rec"), col("url"),
+          (col("id") * 8 + col("rec")).as("pk"))
+      val canon = recs.groupBy("url").agg(min(col("pk")).as("pk_min"))
+      recs.join(canon, "url")
+        .select(col("id"), col("rec"), col("url"),
+          (col("pk") =!= col("pk_min")).cast("int").as("is_dup"))
+    }),
+
     // ---- winnowing fingerprints: the MOSS document sketch — window-min
     //      shingle hashes (rightmost tie), guarantee: shared runs of
     //      w+k-1 tokens share a fingerprint, density ~2/(w+1) ----
@@ -1852,6 +1880,39 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      // closed-form WARC re-derivation: the payload string is rebuilt
+      // from the arithmetic (list_transform lambda), so content_length
+      // and token counts — including record 0's embedded "WARC/1.0"
+      // trap token — come from SQL alone
+      "q108_warc_records" ->
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0),
+           |recs AS (SELECT id, unnest(generate_series(0, CAST(id % 3 AS INT))) AS rec FROM ids),
+           |base AS (SELECT id, CAST(rec AS BIGINT) AS rec,
+           |    CAST(20 + (id + rec) % 10 AS BIGINT) AS n FROM recs),
+           |pl AS (SELECT id, rec, n,
+           |    array_to_string(list_transform(generate_series(0, CAST(n - 1 AS INT)),
+           |      j -> 'w' || CAST((id * 13 + rec * 3 + j) % 50 AS VARCHAR)), ' ')
+           |    || CASE WHEN rec = 0 THEN ' WARC/1.0' ELSE '' END AS payload
+           |  FROM base)
+           |SELECT id, rec,
+           |  'h' || CAST((id * 7 + rec) % 5 AS VARCHAR) || '.example' AS host,
+           |  CAST(length(payload) AS BIGINT) AS content_length,
+           |  n + CASE WHEN rec = 0 THEN 1 ELSE 0 END AS n_tok
+           |FROM pl""".stripMargin,
+
+      // URL canonical = min packed (id*8 + rec) per closed-form URL
+      "q109_url_dedup" ->
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0),
+           |recs0 AS (SELECT id, unnest(generate_series(0, CAST(id % 3 AS INT))) AS rec FROM ids),
+           |recs AS (SELECT id, CAST(rec AS BIGINT) AS rec,
+           |    'http://h' || CAST((id * 7 + rec) % 5 AS VARCHAR) ||
+           |    '.example/p' || CAST((id * 13 + rec) % 7 AS VARCHAR) AS url,
+           |    id * 8 + rec AS pk
+           |  FROM recs0),
+           |c AS (SELECT url, min(pk) AS pk_min FROM recs GROUP BY 1)
+           |SELECT r.id, r.rec, r.url, CAST(r.pk <> c.pk_min AS INT) AS is_dup
+           |FROM recs r JOIN c USING (url)""".stripMargin,
 
       // winnowing: the packed h*2^20 + (2^20 - pos) trick makes the
       // window min the rightmost-minimum rule as one integer compare
