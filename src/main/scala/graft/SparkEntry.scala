@@ -446,6 +446,21 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- HTML boilerplate strip: the extraction step between a crawl
+    //      fetch and every text operator — script/style blocks drop
+    //      whole, tags drop, entities decode, whitespace collapses;
+    //      the HTML is synthesized around the documents text so the
+    //      oracle wraps and strips the same bytes ----
+    "q110_html_strip" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t&amp;x</title><script type=\"x\">var a = '<p>junk</p>';</script></head><body><p>"),
+        col("text"),
+        lit("</p><div class=\"foot\">&lt;footer&gt;&nbsp;text</div></body></html>"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.stripHtml(html).as("clean_text"))
+        .withColumn("n_tok", TextFunctions.tokenCount(col("clean_text")).cast("long"))
+    }),
+
     // ---- WARC ingestion (the Common Crawl distribution format): REAL
     //      Content-Length-honoring record parser over closed-form
     //      streams — record 0's payload embeds the literal "WARC/1.0"
@@ -1880,6 +1895,21 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      // same wrap + same regex chain (Java/RE2-common subset), DuckDB
+      // needs the 'g' flag Spark applies by default
+      "q110_html_strip" ->
+        s"""WITH h AS (SELECT doc_id,
+           |  '<html><head><title>t&amp;x</title><script type="x">var a = ''<p>junk</p>'';</script></head><body><p>'
+           |  || text ||
+           |  '</p><div class="foot">&lt;footer&gt;&nbsp;text</div></body></html>' AS html
+           |  FROM documents),
+           |s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
+           |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
+           |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+           |  '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g') AS t FROM s2),
+           |c AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM s3)
+           |SELECT doc_id, clean_text, CAST(${tokenCountSql("clean_text")} AS BIGINT) AS n_tok FROM c""".stripMargin,
 
       // closed-form WARC re-derivation: the payload string is rebuilt
       // from the arithmetic (list_transform lambda), so content_length

@@ -113,6 +113,23 @@ object TextFunctions {
   /** Document fingerprint: md5 of the lowercased text — identical hex in
     * Spark and DuckDB, so exact-dedup and oracle checks can share it.
     */
+  /** HTML boilerplate strip — the extraction step between a crawl fetch
+    * and every text operator in this engine (the trafilatura-lite core):
+    * script/style blocks drop whole, remaining tags drop, the four
+    * universal entities decode, whitespace collapses. Every regex stays
+    * in the Java-regex/RE2-identical subset (the [[graft.operators.Pii]]
+    * contract), so a DuckDB oracle reproduces the output byte-for-byte.
+    * Pure codegen'd projection — no UDF, no shuffle.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def fingerprint(text: Column): Column = md5(lower(text))
 
   /** Rolling polynomial hash (Karp–Rabin) over the token stream,

@@ -537,6 +537,26 @@ class PipelinePrepSpec extends SparkSpec {
     assert(z.getDouble(3) === 0.0)
   }
 
+  test("stripHtml: blocks drop whole, tags drop, entities decode, whitespace collapses") {
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      // script content — including embedded tags — drops WHOLE
+      ("<p>keep</p><script>var a = '<p>junk</p>';</script><p>this</p>", "keep this"),
+      // style blocks too; attributes on the opening tag are fine
+      ("<style type=\"text/css\">p { color: red }</style>ok", "ok"),
+      // entities decode; &nbsp; becomes a collapsible space
+      ("a&amp;b &lt;tag&gt; c&nbsp;&nbsp;d", "a&b <tag> c d"),
+      // multi-line block (the (?s) flag) and nested whitespace
+      ("<script>\nline1\nline2\n</script> x \n\t y", "x y"),
+      // plain text untouched
+      ("no markup at all", "no markup at all"))
+    cases.foreach { case (html, want) =>
+      val got = Seq(Tuple1(html)).toDF("h")
+        .select(TextFunctions.stripHtml(col("h"))).head().getString(0)
+      assert(got === want, s"stripHtml($html)")
+    }
+  }
+
   test("tokenBudgetSelect: best bins fill first, one-bin overshoot, all rows present, no doc-stream window") {
     import graft.operators.Sampling
     // vary stopword ratio to spread docs across quality bins; two sources
