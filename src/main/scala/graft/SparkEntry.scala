@@ -446,6 +446,14 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- deterministic in-batch negatives: contrastive-training pairs —
+    //      hash-batched, different-label, ranked by the md5 pair hash
+    //      through the bounded heap (pairs O(n·batch), never n²) ----
+    "q111_inbatch_negatives" -> ((s, dir) =>
+      graft.operators.Sampling.inBatchNegatives(
+        tbl(s, dir, "embeddings").select(col("vec_id"), col("label")),
+        "vec_id", "label", numBatches = 256, k = 3)),
+
     // ---- HTML boilerplate strip: the extraction step between a crawl
     //      fetch and every text operator — script/style blocks drop
     //      whole, tags drop, entities decode, whitespace collapses;
@@ -1895,6 +1903,19 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      // the oracle uses the per-anchor window the engine's heap replaces;
+      // order (pair hash, cand) mirrors the heap's (dist asc, id asc)
+      "q111_inbatch_negatives" ->
+        s"""WITH items AS (SELECT vec_id AS id, label,
+           |    ${md5PrefixValueSql("CAST(vec_id AS VARCHAR)", 15)} % 256 AS batch
+           |  FROM embeddings),
+           |p AS (SELECT a.id AS anchor, b.id AS cand,
+           |    ${md5PrefixValueSql("CAST(a.id AS VARCHAR) || '|' || CAST(b.id AS VARCHAR)", 12)} AS h
+           |  FROM items a JOIN items b
+           |    ON a.batch = b.batch AND a.id <> b.id AND a.label <> b.label),
+           |r AS (SELECT anchor, cand, row_number() OVER (PARTITION BY anchor ORDER BY h, cand) AS rn FROM p)
+           |SELECT anchor, CAST(rn AS INT) AS "rank", cand AS neg_id FROM r WHERE rn <= 3""".stripMargin,
 
       // same wrap + same regex chain (Java/RE2-common subset), DuckDB
       // needs the 'g' flag Spark applies by default

@@ -208,6 +208,44 @@ object Sampling {
       .select(col(sourceCol), col(idCol), col("n_tok"), col("bin"), col("keep"))
   }
 
+  /** Deterministic in-batch negative sampling — the contrastive-training
+    * data op: items hash into fixed batches, and each anchor draws up to
+    * `k` DIFFERENT-label negatives from its OWN batch, ranked by a pair
+    * hash (md5 of "anchor|candidate") so the draw is pseudo-random yet a
+    * pure function of the ids — reproducible across retries, engines and
+    * partitionings, like every sampling decision in this module.
+    *
+    * Scale shape: the candidate join is WITHIN-batch only (the in-batch
+    * negative convention — pairs are O(n · batch), never n²); per-anchor
+    * selection rides the bounded heap
+    * ([[org.apache.spark.sql.graft.TopKAggregate]] on the 48-bit pair
+    * hash — exact in the heap's double domain), so no per-anchor sort
+    * exists. Anchors whose batch offers fewer than k cross-label
+    * candidates emit fewer rows; all-same-label batches emit none.
+    *
+    * Output: (anchor, rank, neg_id), rank 1-based in pair-hash order.
+    */
+  def inBatchNegatives(items: DataFrame, idCol: String, labelCol: String,
+                       numBatches: Int = 256, k: Int = 3): DataFrame = {
+    require(numBatches > 0 && k > 0, "inBatchNegatives: positive numBatches and k")
+    val hashed = items.select(col(idCol).cast("long").as("id"), col(labelCol).as("label"))
+      .withColumn("batch", pmod(
+        conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(numBatches.toLong)))
+    val a = hashed.select(col("batch"), col("id").as("anchor"), col("label").as("albl"))
+    val b = hashed.select(col("batch"), col("id").as("cand"), col("label").as("clbl"))
+    a.join(b, "batch")
+      .filter(col("anchor") =!= col("cand") && col("albl") =!= col("clbl"))
+      .withColumn("h", conv(substring(md5(concat(col("anchor").cast("string"),
+        lit("|"), col("cand").cast("string"))), 1, 12), 16, 10).cast("long"))
+      .groupBy(col("anchor"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(
+        col("h").cast("double"), col("cand"), k).as("top"))
+      .select(col("anchor"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("anchor"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("neg_id"))
+  }
+
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)
     val denom = mw.agg(

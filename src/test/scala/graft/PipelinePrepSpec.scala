@@ -537,6 +537,34 @@ class PipelinePrepSpec extends SparkSpec {
     assert(z.getDouble(3) === 0.0)
   }
 
+  test("inBatchNegatives: different-label within-batch only, deterministic rank, heap not window") {
+    import graft.operators.Sampling
+    // one batch (numBatches = 1): labels 0/0/1/1 — each anchor's negatives
+    // are exactly the other-label items, ranked by the pair hash
+    val items = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1)).toDF("id", "label")
+    val got = Sampling.inBatchNegatives(items, "id", "label", numBatches = 1, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byAnchor = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byAnchor.keySet === Set(1L, 2L, 3L, 4L))
+    assert(byAnchor(1L).toSet === Set(3L, 4L), "anchor 1's negatives are the label-1 items")
+    assert(byAnchor(3L).toSet === Set(1L, 2L))
+    // determinism: rank order = md5("a|c") 48-bit prefix ascending
+    def h(a: Long, c: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$a|$c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(12), 16)
+    }
+    assert(byAnchor(1L) === Seq(3L, 4L).sortBy(c => (h(1L, c), c)))
+    // k caps the draw; same-label-only batches emit nothing
+    assert(Sampling.inBatchNegatives(items, "id", "label", numBatches = 1, k = 1)
+      .groupBy("anchor").count().collect().forall(_.getLong(1) === 1L))
+    val same = Seq((1L, 0), (2L, 0)).toDF("id", "label")
+    assert(Sampling.inBatchNegatives(same, "id", "label", numBatches = 1, k = 2).count() === 0L)
+    val plan = Sampling.inBatchNegatives(items, "id", "label", numBatches = 1, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "per-anchor selection must be the bounded heap")
+  }
+
   test("stripHtml: blocks drop whole, tags drop, entities decode, whitespace collapses") {
     import graft.functions.TextFunctions
     val cases = Seq(
