@@ -331,6 +331,12 @@ object SparkEntry {
     "q47_gopher_rules" -> ((s, dir) =>
       graft.operators.TextStats.gopherRules(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- quality-rule attribution: per rule, total failures and
+    //      EXCLUSIVE failures (docs only that rule rejects — what
+    //      relaxing it would rescue); the threshold-tuning table ----
+    "q112_rule_attribution" -> ((s, dir) =>
+      graft.operators.TextStats.ruleAttribution(tbl(s, dir, "documents"), "doc_id", "text")),
+
     // ---- incremental crawl dedup: a new batch (docs with id%10<2, plus
     //      "re-crawled" verbatim copies of corpus docs under new ids) is
     //      statused against the existing corpus — exact fingerprint probe +
@@ -1683,6 +1689,45 @@ object SparkEntry {
            |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
            |    AND n_stop >= 2 AND dup_word_ratio <= 0.55 AND max_word_len <= 15 AS keep
            |FROM b""".stripMargin
+      },
+
+      // q47's per-doc rule booleans, pivoted long and aggregated — the
+      // exclusive count keys on exactly one failed rule per doc
+      "q112_rule_attribution" -> {
+        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |a AS (SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(len(tok)) AS BIGINT) AS sum_len,
+           |  CAST(max(len(tok)) AS BIGINT) AS max_word_len,
+           |  count(DISTINCT tok) AS n_distinct,
+           |  CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM w GROUP BY 1),
+           |b AS (SELECT doc_id, n_words, n_stop, max_word_len,
+           |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+           |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_ratio
+           |  FROM a),
+           |oks AS (SELECT doc_id,
+           |  n_words >= 30 AND n_words <= 100000 AS word_count_ok,
+           |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mean_len_ok,
+           |  n_stop >= 2 AS stop_ok,
+           |  dup_word_ratio <= 0.55 AS dup_ok,
+           |  max_word_len <= 15 AS word_len_ok
+           |  FROM b),
+           |nf AS (SELECT doc_id, word_count_ok, mean_len_ok, stop_ok, dup_ok, word_len_ok,
+           |  (CASE WHEN word_count_ok THEN 0 ELSE 1 END) + (CASE WHEN mean_len_ok THEN 0 ELSE 1 END)
+           |  + (CASE WHEN stop_ok THEN 0 ELSE 1 END) + (CASE WHEN dup_ok THEN 0 ELSE 1 END)
+           |  + (CASE WHEN word_len_ok THEN 0 ELSE 1 END) AS n_failed
+           |  FROM oks),
+           |longf AS (
+           |  SELECT 'word_count_ok' AS rule, word_count_ok AS ok, n_failed FROM nf
+           |  UNION ALL SELECT 'mean_len_ok', mean_len_ok, n_failed FROM nf
+           |  UNION ALL SELECT 'stop_ok', stop_ok, n_failed FROM nf
+           |  UNION ALL SELECT 'dup_ok', dup_ok, n_failed FROM nf
+           |  UNION ALL SELECT 'word_len_ok', word_len_ok, n_failed FROM nf)
+           |SELECT rule,
+           |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           |  CAST(sum(CASE WHEN NOT ok AND n_failed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive
+           |FROM longf GROUP BY 1""".stripMargin
       },
 
       "q48_incremental_dedup" ->

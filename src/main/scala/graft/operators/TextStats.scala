@@ -426,6 +426,34 @@ object TextStats {
         col("mean_len_ok"), col("stop_ok"), col("dup_ok"), col("word_len_ok"), col("keep"))
   }
 
+  /** Quality-rule attribution — the rule-TUNING table: for each Gopher
+    * rule, how many documents fail it at all (`n_fail`) and how many fail
+    * ONLY it (`n_exclusive` — exactly the docs that relaxing that one
+    * rule would rescue). A pipeline operator reads this before touching
+    * thresholds: a rule with high exclusive failures is the binding
+    * constraint; one whose failures all co-occur with others is free to
+    * tighten.
+    *
+    * Scale shape: [[gopherRules]]'s per-doc booleans (one explode + one
+    * partial-agg groupBy) → a 5-way per-doc struct explode (pure
+    * projection) → one partial-agg groupBy over 5 rule keys. Output is
+    * 5 rows.
+    */
+  def ruleAttribution(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val rules = Seq("word_count_ok", "mean_len_ok", "stop_ok", "dup_ok", "word_len_ok")
+    val g = gopherRules(docs, idCol, textCol)
+      .withColumn("n_failed_rules",
+        rules.map(r => when(!col(r), 1).otherwise(0)).reduce(_ + _))
+    g.select(col("n_failed_rules"),
+        explode(array(rules.map(r =>
+          struct(lit(r).as("rule"), col(r).as("ok"))): _*)).as("x"))
+      .select(col("n_failed_rules"), col("x.rule").as("rule"), col("x.ok").as("ok"))
+      .groupBy("rule").agg(
+        sum(when(!col("ok"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(!col("ok") && col("n_failed_rules") === 1, 1L).otherwise(0L))
+          .as("n_exclusive"))
+  }
+
   /** Shuffle-free twin of [[gopherRules]]: every statistic is per-document,
     * so the whole rule set is a pure projection over higher-order functions
     * (size / aggregate / array_distinct / filter on the token array) — NO

@@ -537,6 +537,27 @@ class PipelinePrepSpec extends SparkSpec {
     assert(z.getDouble(3) === 0.0)
   }
 
+  test("ruleAttribution: exclusive failures isolate the binding rule; co-failures don't") {
+    import graft.operators.TextStats
+    val good = (0 until 34).map(i => s"wrd$i").mkString(" ") + " the and"
+    val docs = Seq(
+      (0L, good),                                      // passes everything
+      (1L, good.replace("the and", "qqqq rrrr")),      // fails ONLY stop_ok
+      (2L, "the and " + (0 until 28).map(_ => "waylongtokenxxxx").mkString(" ")),
+      // doc 2: 30 words, max_word_len 16 > 15 AND mean len > 10 AND dup
+      // ratio 27/30 > 0.55 -> three co-failures, no exclusives
+      (3L, "worda wordb the and")                      // fails ONLY word count
+    ).toDF("doc_id", "text")
+    val got = TextStats.ruleAttribution(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === Set("word_count_ok", "mean_len_ok", "stop_ok", "dup_ok", "word_len_ok"))
+    assert(got("stop_ok") === ((1L, 1L)), "doc 1 fails stop_ok alone")
+    assert(got("word_count_ok") === ((1L, 1L)), "doc 3 fails word count alone")
+    assert(got("word_len_ok")._1 === 1L && got("word_len_ok")._2 === 0L,
+      "doc 2's word-len failure co-occurs -> not exclusive")
+    assert(got("dup_ok")._2 === 0L && got("mean_len_ok")._2 === 0L)
+  }
+
   test("inBatchNegatives: different-label within-batch only, deterministic rank, heap not window") {
     import graft.operators.Sampling
     // one batch (numBatches = 1): labels 0/0/1/1 — each anchor's negatives
