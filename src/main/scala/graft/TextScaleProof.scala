@@ -348,6 +348,29 @@ object TextScaleProof {
     System.err.println(f"[textscale] source signature: $sigRows rows, " +
       f"$sigRank1Ok/20 rank-1 markers in $sigSecs%.1f s")
 
+    // ---- phase 16: winnowing at corpus scale. Sketches are ~2L/(w+1)
+    // prints per doc; discovery self-joins the SKETCHES under a df cap
+    // (ubiquitous prints — window-mins of stop-word runs — drop, pair-
+    // private prints have df 2 and always survive). Gate: every planted
+    // exact duplicate (identical text → identical sketch) must surface
+    // as a candidate pair with its base. ----
+    val ((winRows, winPairsFound), winSecs) = timed {
+      val sketch = Dedup.winnowFingerprints(corpus, "doc_id", "text", k = 5, w = 4)
+        .localCheckpoint()
+      val nSketch = sketch.count()
+      val pairs = Dedup.winnowCandidatePairs(corpus, "doc_id", "text",
+        k = 5, w = 4, minShared = 2, maxDf = 100).localCheckpoint()
+      val planted = spark.range(n, n + nPlant)
+        .select((col("id") - n).cast("long").as("base100"), col("id").as("copy_id"))
+        .select((col("base100") * 100).as("id_a"), col("copy_id").as("id_b"))
+      val found = pairs.join(planted, Seq("id_a", "id_b"), "left_semi").count()
+      (nSketch, found)
+    }
+    require(winPairsFound == nPlant,
+      s"winnowing: only $winPairsFound/$nPlant planted exact pairs discovered")
+    System.err.println(f"[textscale] winnowing: $winRows sketch rows, " +
+      f"$winPairsFound/$nPlant planted pairs discovered in $winSecs%.1f s")
+
     println(s"""{"n_docs":$total,"gopher_sec":$gopherSecs,"gopher_hof_sec":$gopherHofSecs,"gopher_kept":$keepCount,""" +
       s""""exact_dedup_sec":$exactSecs,"exact_dups_found":$exactFound,""" +
       s""""lsh_sec":$lshSecs,"lsh_pairs":$lshPairs,""" +
@@ -363,7 +386,8 @@ object TextScaleProof {
       s""""lm_sec":$lmSecs,"lm_dup_exact":$lmDupExact,""" +
       s""""bm25_batch_sec":$batchSecs,"bm25_batch_queries":$batchQs,"bm25_batch_rows":$batchRows,""" +
       s""""nb_sec":$nbSecs,"nb_correct":$nbRight,"nb_model_rows":$nbModelRows,""" +
-      s""""signature_sec":$sigSecs,"signature_rows":$sigRows,"signature_rank1_ok":$sigRank1Ok}""")
+      s""""signature_sec":$sigSecs,"signature_rows":$sigRows,"signature_rank1_ok":$sigRank1Ok,""" +
+      s""""winnow_sec":$winSecs,"winnow_sketch_rows":$winRows,"winnow_planted_found":$winPairsFound}""")
     spark.stop()
   }
 }
