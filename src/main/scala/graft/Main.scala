@@ -498,11 +498,14 @@ object Main {
         bins = opts.getOrElse("bins", "1000").toInt,
         numShards = opts.getOrElse("num-shards", "64").toInt,
         bestLast = opts.getOrElse("best-last", "true").toBoolean,
-        nearDedup = opts.get("near-dedup").map(_.toDouble))
+        nearDedup = opts.get("near-dedup").map(_.toDouble),
+        nearMaxBand = opts.getOrElse("near-max-band", "1000").toInt,
+        decontamN = opts.getOrElse("decontam-n", "3").toInt,
+        decontamMinOverlap = opts.getOrElse("decontam-min-overlap", "5").toInt)
       val nFiles = graft.operators.Pipeline.writeCurriculum(prepared, out, idCol,
         recordsPerFile = opts.getOrElse("records-per-file", "1000000").toInt)
       val sel = spark.read.parquet(out)
-      val stats = sel.agg(count(lit(1)), sum("n_tok")).head()
+      val stats = sel.agg(count(lit(1)), coalesce(sum("n_tok"), lit(0L))).head()
       println(f"[prepare] ${docs.count()} docs in -> ${stats.getLong(0)} kept " +
         f"(${stats.getLong(1)} tokens) across $nFiles curriculum files " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
@@ -520,7 +523,8 @@ object Main {
           bins = opts.getOrElse("bins", "1000").toInt)
         .write.mode("overwrite").parquet(out)
       val sel = spark.read.parquet(out)
-      val kept = sel.filter(col("keep") === 1).agg(sum("n_tok")).head().getLong(0)
+      val kept = sel.filter(col("keep") === 1)
+        .agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)
       println(f"[token-budget] kept $kept tokens across " +
         f"${sel.select("source").distinct().count()} sources " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
@@ -593,7 +597,7 @@ object Main {
           |  --nb-train PARQUET --out DIR [--cls-col cls --text-col text] [--score PARQUET --score-out DIR --id-col doc_id]
           |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]
           |  --token-budget PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --quota 1000000 --bins 1000]
-          |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true --near-dedup 0.8]""".stripMargin)
+          |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true --near-dedup 0.8 --near-max-band 1000 --decontam-n 3 --decontam-min-overlap 5]""".stripMargin)
     }
   }
 }

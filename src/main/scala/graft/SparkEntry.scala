@@ -1973,7 +1973,7 @@ object SparkEntry {
            |s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t FROM h),
            |s2 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s1),
            |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-           |  '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g') AS t FROM s2),
+           |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s2),
            |c AS (SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS clean_text FROM s3)
            |SELECT doc_id, clean_text, CAST(${tokenCountSql("clean_text")} AS BIGINT) AS n_tok FROM c""".stripMargin,
 

@@ -125,7 +125,10 @@ object TextFunctions {
     val noBlocks = regexp_replace(html,
       "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ")
+    // &amp; decodes LAST (standard entity order): author-escaped markup
+    // like "&amp;lt;" must become the displayed "&lt;", not double-decode
+    // to a literal "<"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, v)) => regexp_replace(c, e, v) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }

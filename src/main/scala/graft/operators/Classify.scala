@@ -77,19 +77,23 @@ object Classify {
     */
   def nbScore(docs: DataFrame, model: DataFrame, priors: DataFrame,
               idCol: String, textCol: String): DataFrame = {
+    // the priors table is ≤ 2 rows by construction; materializing it here
+    // lets a one-class training set FAIL FAST instead of annihilating
+    // every scored row through an empty cross join
+    val pm = priors.select(col("cls"), col("prior_fp")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(pm.contains(0) && pm.contains(1),
+      s"nbScore: training data must contain both classes, got priors for ${pm.keys.toSeq.sorted.mkString("{", ",", "}")}")
     val hc = docs
       .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("n"))
-    val sc = hc.join(model, "tok")
+    hc.join(model, "tok")
       .groupBy(col(idCol)).agg(
         sum(when(col("cls") === 1, col("n")).otherwise(lit(0L))).as("n_known"),
         sum(when(col("cls") === 1, col("n") * col("lp_fp")).otherwise(lit(0L))).as("s1"),
         sum(when(col("cls") === 0, col("n") * col("lp_fp")).otherwise(lit(0L))).as("s0"))
-    val p1 = priors.filter(col("cls") === 1).select(col("prior_fp").as("p1"))
-    val p0 = priors.filter(col("cls") === 0).select(col("prior_fp").as("p0"))
-    sc.crossJoin(broadcast(p1)).crossJoin(broadcast(p0))
       .select(col(idCol), col("n_known"),
-        ((col("s1") + col("p1")) - (col("s0") + col("p0"))).as("llr_fp"))
+        ((col("s1") + lit(pm(1))) - (col("s0") + lit(pm(0)))).as("llr_fp"))
       .withColumn("pred_hq", (col("llr_fp") > 0).cast("int"))
   }
 }

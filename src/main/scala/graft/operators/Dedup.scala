@@ -38,7 +38,12 @@ object Dedup {
     val fp = TextFunctions.fingerprint(col(textCol))
     val keyed = docs.select(col(idCol), fp.as("fp"))
     val canon = keyed.groupBy("fp").agg(min(col(idCol)).as("canonical_id"))
-    keyed.join(canon, "fp")
+      .withColumnRenamed("fp", "cfp")
+    // null-SAFE join key: NULL-text rows (fp = NULL) form their own dedup
+    // group — groupBy keeps the NULL group, and <=> matches it back, so
+    // the keeps-every-input-row contract holds for them too (a plain
+    // equi-join would silently drop them)
+    keyed.join(canon, keyed("fp") <=> canon("cfp"))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
       .select(col(idCol), col("canonical_id"), col("is_dup"))
   }
@@ -1131,7 +1136,12 @@ object Dedup {
     require(k >= 1, s"winnowFingerprints: k must be >= 1, got $k")
     require(w >= 1, s"winnowFingerprints: w must be >= 1, got $w")
     val M = 1048576L // 2^20 position cap
+    // positions beyond the cap are truncated (deterministically — the
+    // sketch covers the first 2^20 tokens of a pathological document);
+    // without the guard the packed value would borrow into the hash field
+    // and emit corrupted fingerprints
     val ps = positionedShingles(docs, idCol, textCol, k)
+      .filter(col("pos") <= lit(M))
       .withColumn("h", conv(substring(md5(col("shingle")), 1, 10), 16, 10).cast("long"))
       .withColumn("c", col("h") * lit(M) + (lit(M) - col("pos")))
     val win = Window.partitionBy(idCol).orderBy("pos")
@@ -1206,6 +1216,15 @@ object Dedup {
                            idCol: String, textCol: String,
                            k: Int = 5, w: Int = 4, minShared: Int = 2,
                            maxDf: Int = Int.MaxValue): DataFrame = {
+    // the deterministic tie-break (negated id in a struct max) needs a
+    // numeric id; a silent cast of string ids would NULL every cid and
+    // merge all corpus matches into one bogus group
+    {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = corpusSketch.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"winnowOverlapAgainst: corpus id column '$idCol' must be integral, got $dt")
+    }
     val cs0 = corpusSketch.select(col(idCol).cast("long").as("cid"), col("h"))
     val (cs, hot) =
       if (maxDf == Int.MaxValue) (cs0, None)

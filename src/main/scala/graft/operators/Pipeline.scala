@@ -54,7 +54,10 @@ object Pipeline {
               bins: Int = 1000,
               numShards: Int = 64,
               bestLast: Boolean = true,
-              nearDedup: Option[Double] = None): DataFrame = {
+              nearDedup: Option[Double] = None,
+              nearMaxBand: Int = 1000,
+              decontamN: Int = 3,
+              decontamMinOverlap: Int = 5): DataFrame = {
     // stage 1: quality gate (Gopher keep AND composite score)
     val gated = docs
       .join(TextStats.gopherRulesHof(docs, idCol, textCol)
@@ -73,7 +76,7 @@ object Pipeline {
       case Some(minJaccard) =>
         val sigs = Dedup.minhashSignatures(deduped, idCol, textCol, n = 3, h = 4)
         val cand = Dedup.lshCandidatePairs(sigs, idCol, h = 4, rows = 2,
-          maxBandSize = 1000).select("id_a", "id_b").distinct()
+          maxBandSize = nearMaxBand).select("id_a", "id_b").distinct()
         val dupPairs = Dedup.jaccardForPairs(cand, deduped, idCol, textCol,
           n = 3, minJaccard = minJaccard).filter(col("is_dup"))
           .select("id_a", "id_b")
@@ -87,7 +90,8 @@ object Pipeline {
     // stage 3: decontamination (flagged docs drop via anti-join)
     val clean = bench match {
       case Some(b) =>
-        nearDeduped.join(Dedup.contamination(nearDeduped, b, idCol, textCol)
+        nearDeduped.join(Dedup.contamination(nearDeduped, b, idCol, textCol,
+          n = decontamN, minOverlap = decontamMinOverlap)
           .select(idCol), Seq(idCol), "left_anti")
       case None => nearDeduped
     }
@@ -118,14 +122,20 @@ object Pipeline {
   def writeCurriculum(prepared: DataFrame, outDir: String, idCol: String,
                       recordsPerFile: Int): Int = {
     require(recordsPerFile > 0, "recordsPerFile must be positive")
-    val n = prepared.count()
+    // materialize ONCE: the incoming plan is the whole multi-stage
+    // prepare DAG, and the count + write below would otherwise execute
+    // it twice — at the pipeline's own design scale that doubles the
+    // most expensive job in the system
+    val p = prepared.localCheckpoint()
+    val n = p.count()
     val parts = math.max(1, math.ceil(n.toDouble / recordsPerFile).toInt)
-    prepared
+    p
       .repartitionByRange(parts, col("ck"), col("h"), col(idCol))
       .sortWithinPartitions("ck", "h", idCol)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", recordsPerFile.toLong)
       .parquet(outDir)
+    Checkpoints.unpersist(p)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), prepared.sparkSession.sparkContext.hadoopConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(outDir))

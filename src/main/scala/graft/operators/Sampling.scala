@@ -204,7 +204,10 @@ object Sampling {
       .withColumn("cum_tok", sum(col("bin_tok")).over(w))
       .withColumn("keep", (col("cum_tok") - col("bin_tok") < quota).cast("int"))
       .select(col(sourceCol), col("bin"), col("keep"))
-    scored.join(broadcast(verdicts), Seq(sourceCol, "bin"))
+    // no broadcast HINT: verdicts is sources × (bins+1) rows — small for
+    // curated source lists, but a per-DOMAIN source column in a crawl has
+    // millions of keys; AQE's size-based choice handles both
+    scored.join(verdicts, Seq(sourceCol, "bin"))
       .select(col(sourceCol), col(idCol), col("n_tok"), col("bin"), col("keep"))
   }
 

@@ -588,6 +588,12 @@ object TextStats {
     * real vocabulary sizes, and the ordering (score desc, hash asc) is
     * deterministic in both engines regardless.
     *
+    * Exactness bound: the heap compares score_fp through its double
+    * domain, exact while tf·idf_fp &lt; 2⁵³ (tf up to ~10⁹ at full idf) —
+    * beyond that, near-tied scores may order by hash where exact BIGINT
+    * arithmetic would separate them; rankings stay deterministic either
+    * way.
+    *
     * Output: (groupCol, rank, tok, score_fp), rank 1-based.
     */
   def sourceSignature(docs: DataFrame, groupCol: String, textCol: String,

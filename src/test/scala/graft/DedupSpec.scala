@@ -23,6 +23,16 @@ class DedupSpec extends SparkSpec {
     assert(res(3L) === (3L, false))
   }
 
+  test("exact dedup keeps NULL-text rows: they form their own group (null-safe join)") {
+    val withNulls = Seq((0L, "same text"), (1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    val res = Dedup.exactDedup(withNulls, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res.size === 3, "every input row must survive, NULL text included")
+    assert(res(1L) === (1L, false))
+    assert(res(2L) === (1L, true), "NULL-text rows dedup against each other")
+  }
+
   test("minhash signatures are identical for identical docs and differ otherwise") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (1 to 4).map(i => r.getString(i))).toMap

@@ -595,6 +595,8 @@ class PipelinePrepSpec extends SparkSpec {
       ("<style type=\"text/css\">p { color: red }</style>ok", "ok"),
       // entities decode; &nbsp; becomes a collapsible space
       ("a&amp;b &lt;tag&gt; c&nbsp;&nbsp;d", "a&b <tag> c d"),
+      // &amp; decodes LAST: author-escaped markup displays, not re-decodes
+      ("&amp;lt;code&amp;gt;", "&lt;code&gt;"),
       // multi-line block (the (?s) flag) and nested whitespace
       ("<script>\nline1\nline2\n</script> x \n\t y", "x y"),
       // plain text untouched
