@@ -452,6 +452,21 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- corpus snapshot diff: crawl N vs crawl N+1 churn — snapshot B
+    //      is derived deterministically (docs id%17==0 removed, id%13==0
+    //      re-crawled with a changed prefix, ids shifted in by +20000 for
+    //      id%19==0); the slim (id, fp) projections full-outer join ----
+    "q113_snapshot_diff" -> ((s, dir) => {
+      val a = tbl(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(lit("recrawl "), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(a.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      Dedup.snapshotDiff(a, b, "doc_id", "text")
+    }),
+
     // ---- deterministic in-batch negatives: contrastive-training pairs —
     //      hash-batched, different-label, ranked by the md5 pair hash
     //      through the bounded heap (pairs O(n·batch), never n²) ----
@@ -1948,6 +1963,23 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      // same derived snapshot B, md5-fingerprint comparison, full-outer
+      "q113_snapshot_diff" ->
+        s"""WITH a AS (SELECT doc_id, md5(lower(text)) AS fp_a FROM documents),
+           |b0 AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 13 = 0 THEN 'recrawl ' || text ELSE text END AS text
+           |  FROM documents WHERE doc_id % 17 <> 0
+           |  UNION ALL SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0),
+           |b AS (SELECT doc_id, md5(lower(text)) AS fp_b FROM b0)
+           |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           |  CASE WHEN a.fp_a IS NULL THEN 'added'
+           |       WHEN b.fp_b IS NULL THEN 'removed'
+           |       WHEN a.fp_a = b.fp_b THEN 'unchanged'
+           |       ELSE 'changed' END AS status,
+           |  CAST(a.fp_a IS NOT NULL AS INT) AS in_a,
+           |  CAST(b.fp_b IS NOT NULL AS INT) AS in_b
+           |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin,
 
       // the oracle uses the per-anchor window the engine's heap replaces;
       // order (pair hash, cand) mirrors the heap's (dist asc, id asc)

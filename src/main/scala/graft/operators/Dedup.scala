@@ -1191,6 +1191,30 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus snapshot diff — the crawl-over-crawl churn table an ops
+    * review reads before re-training: every doc id present in either
+    * snapshot, statused `added` (B only), `removed` (A only), `changed`
+    * (both, different content fingerprint) or `unchanged`. Content
+    * equality is the md5 fingerprint (never the text bytes), so the
+    * full-outer join shuffles two slim (id, fp) projections — wide text
+    * never moves.
+    *
+    * Output: (idCol, status, in_a, in_b) with in_a/in_b ∈ {0, 1}.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val fa = a.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp_a"))
+    val fb = b.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp_b"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_a").isNotNull.cast("int").as("in_a"),
+        col("fp_b").isNotNull.cast("int").as("in_b"))
+  }
+
   /** Reusable winnow sketch: distinct (idCol, h) fingerprint hashes per
     * document — the table a recurring-ingest overlap check joins against
     * (compute once for a corpus, reuse per batch).

@@ -353,6 +353,23 @@ class DedupSpec extends SparkSpec {
     assert(allPairs((0L, 2L)) === out((0L, 2L))._2)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged on a planted churn; fp join, not text") {
+    val a = Seq((0L, "same text"), (1L, "will change"), (2L, "will vanish"))
+      .toDF("doc_id", "text")
+    val b = Seq((0L, "same text"), (1L, "has changed"), (3L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(a, b, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got === Map(
+      0L -> (("unchanged", 1, 1)), 1L -> (("changed", 1, 1)),
+      2L -> (("removed", 1, 0)), 3L -> (("added", 0, 1))))
+    // the join moves fingerprints, not documents: no text column survives
+    // below the join
+    val plan = Dedup.snapshotDiff(a, b, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("winnowFingerprints: equals a direct reference; shared 8-token run shares a print; short docs absent") {
     val docs = Seq(
       (0L, "a b c d e f g h i j k l"),
