@@ -452,6 +452,21 @@ object SparkEntry {
       Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4)
     }),
 
+    // ---- tokenizer fertility by language: BPE pieces per whitespace
+    //      word per predicted language — the multilingual-tokenizer
+    //      fairness table (a language whose fertility is 2x pays 2x the
+    //      context budget per word); integer sums, one exact division ----
+    "q114_tokenizer_fertility" -> ((s, dir) =>
+      graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("pred_lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+          TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("words"), sum("n_bpe").as("bpe"))
+        .withColumn("fertility",
+          col("bpe").cast("double") / col("words").cast("double"))),
+
     // ---- corpus snapshot diff: crawl N vs crawl N+1 churn — snapshot B
     //      is derived deterministically (docs id%17==0 removed, id%13==0
     //      re-crawled with a changed prefix, ids shifted in by +20000 for
@@ -1963,6 +1978,17 @@ object SparkEntry {
            |LEFT JOIN it ON it.id_a = p.id_a AND it.id_b = p.id_b
            |LEFT JOIN sz sa ON sa.doc_id = p.id_a
            |LEFT JOIN sz sb ON sb.doc_id = p.id_b""".stripMargin,
+
+      // q14's language expression + q28's BPE count, aggregated
+      "q114_tokenizer_fertility" ->
+        s"""WITH d AS (SELECT doc_id, ${langCase("text")} AS pred_lang,
+           |    CAST(${tokenCountSql("text")} AS BIGINT) AS n_words,
+           |    CAST(len(regexp_extract_all(lower(text), '${TextFunctions.BpePattern}')) AS BIGINT) AS n_bpe
+           |  FROM documents)
+           |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_words) AS BIGINT) AS words, CAST(sum(n_bpe) AS BIGINT) AS bpe,
+           |  CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility
+           |FROM d GROUP BY 1""".stripMargin,
 
       // same derived snapshot B, md5-fingerprint comparison, full-outer
       "q113_snapshot_diff" ->
