@@ -518,6 +518,18 @@ object SparkEntry {
           TextFunctions.tokenCount(col("payload")).cast("long").as("n_tok"))
     }),
 
+    // ---- per-host crawl audit: pages, payload bytes and token totals
+    //      per host — the fetch-budget/politeness review table ----
+    "q115_host_stats" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id"))
+      graft.sources.Warc.records(graft.sources.Warc.syntheticWarc(ids))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("content_length")).as("payload_bytes"),
+          sum(TextFunctions.tokenCount(col("payload")).cast("long")).as("tokens"))
+    }),
+
     // ---- URL-level first-wins dedup — the FIRST dedup any crawl runs:
     //      canonical fetch per URL = min (stream id, record idx), packed
     //      as id·8+rec (rec < 8) so the argmin is one integer min ----
@@ -2054,6 +2066,23 @@ object SparkEntry {
            |  CAST(length(payload) AS BIGINT) AS content_length,
            |  n + CASE WHEN rec = 0 THEN 1 ELSE 0 END AS n_tok
            |FROM pl""".stripMargin,
+
+      // q108's closed-form payload CTEs, rolled up by host
+      "q115_host_stats" ->
+        s"""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id % 7 = 0),
+           |recs AS (SELECT id, unnest(generate_series(0, CAST(id % 3 AS INT))) AS rec FROM ids),
+           |base AS (SELECT id, CAST(rec AS BIGINT) AS rec,
+           |    CAST(20 + (id + rec) % 10 AS BIGINT) AS n FROM recs),
+           |pl AS (SELECT id, rec, n,
+           |    array_to_string(list_transform(generate_series(0, CAST(n - 1 AS INT)),
+           |      j -> 'w' || CAST((id * 13 + rec * 3 + j) % 50 AS VARCHAR)), ' ')
+           |    || CASE WHEN rec = 0 THEN ' WARC/1.0' ELSE '' END AS payload
+           |  FROM base)
+           |SELECT 'h' || CAST((id * 7 + rec) % 5 AS VARCHAR) || '.example' AS host,
+           |  CAST(count(*) AS BIGINT) AS n_pages,
+           |  CAST(sum(length(payload)) AS BIGINT) AS payload_bytes,
+           |  CAST(sum(n + CASE WHEN rec = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tokens
+           |FROM pl GROUP BY 1""".stripMargin,
 
       // URL canonical = min packed (id*8 + rec) per closed-form URL
       "q109_url_dedup" ->
