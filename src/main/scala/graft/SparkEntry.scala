@@ -459,7 +459,7 @@ object SparkEntry {
     "q114_tokenizer_fertility" -> ((s, dir) =>
       graft.operators.TextStats.textStats(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("pred_lang"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_words"),
+          col("n_tokens").cast("long").as("n_words"),
           TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
         .groupBy("pred_lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -469,8 +469,9 @@ object SparkEntry {
 
     // ---- corpus snapshot diff: crawl N vs crawl N+1 churn — snapshot B
     //      is derived deterministically (docs id%17==0 removed, id%13==0
-    //      re-crawled with a changed prefix, ids shifted in by +20000 for
-    //      id%19==0); the slim (id, fp) projections full-outer join ----
+    //      re-crawled with a changed prefix, fresh ids minted NEGATIVE —
+    //      -(id+1) — for id%19==0, so they can never collide with real
+    //      non-negative doc ids at ANY scale factor) ----
     "q113_snapshot_diff" -> ((s, dir) => {
       val a = tbl(s, dir, "documents")
       val b = a.filter(col("doc_id") % 17 =!= 0)
@@ -478,7 +479,7 @@ object SparkEntry {
           when(col("doc_id") % 13 === 0, concat(lit("recrawl "), col("text")))
             .otherwise(col("text")).as("text"))
         .unionAll(a.filter(col("doc_id") % 19 === 0)
-          .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .select((lit(0L) - col("doc_id") - 1).as("doc_id"), col("text")))
       Dedup.snapshotDiff(a, b, "doc_id", "text")
     }),
 
@@ -2008,7 +2009,7 @@ object SparkEntry {
            |b0 AS (SELECT doc_id,
            |    CASE WHEN doc_id % 13 = 0 THEN 'recrawl ' || text ELSE text END AS text
            |  FROM documents WHERE doc_id % 17 <> 0
-           |  UNION ALL SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0),
+           |  UNION ALL SELECT 0 - doc_id - 1 AS doc_id, text FROM documents WHERE doc_id % 19 = 0),
            |b AS (SELECT doc_id, md5(lower(text)) AS fp_b FROM b0)
            |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
            |  CASE WHEN a.fp_a IS NULL THEN 'added'

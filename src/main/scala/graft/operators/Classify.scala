@@ -80,8 +80,8 @@ object Classify {
     // the priors table is ≤ 2 rows by construction; materializing it here
     // lets a one-class training set FAIL FAST instead of annihilating
     // every scored row through an empty cross join
-    val pm = priors.select(col("cls"), col("prior_fp")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pm = priors.select(col("cls").cast("int"), col("prior_fp").cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(pm.contains(0) && pm.contains(1),
       s"nbScore: training data must contain both classes, got priors for ${pm.keys.toSeq.sorted.mkString("{", ",", "}")}")
     val hc = docs

@@ -1203,16 +1203,22 @@ object Dedup {
     */
   def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val fa = a.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp_a"))
-    val fb = b.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp_b"))
+    // presence rides EXPLICIT flags, not fingerprint nullness — a
+    // NULL-text doc has fp = NULL but is still PRESENT, and must status
+    // by the null-safe fp comparison (NULL <=> NULL = unchanged), not
+    // masquerade as added/removed
+    val fa = a.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp_a"),
+      lit(1).as("pa"))
+    val fb = b.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp_b"),
+      lit(1).as("pb"))
     fa.join(fb, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("fp_a").isNull, lit("added"))
-          .when(col("fp_b").isNull, lit("removed"))
-          .when(col("fp_a") === col("fp_b"), lit("unchanged"))
+        when(col("pa").isNull, lit("added"))
+          .when(col("pb").isNull, lit("removed"))
+          .when(col("fp_a") <=> col("fp_b"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
-        col("fp_a").isNotNull.cast("int").as("in_a"),
-        col("fp_b").isNotNull.cast("int").as("in_b"))
+        col("pa").isNotNull.cast("int").as("in_a"),
+        col("pb").isNotNull.cast("int").as("in_b"))
   }
 
   /** Reusable winnow sketch: distinct (idCol, h) fingerprint hashes per

@@ -124,9 +124,12 @@ object Pipeline {
     require(recordsPerFile > 0, "recordsPerFile must be positive")
     // materialize ONCE: the incoming plan is the whole multi-stage
     // prepare DAG, and the count + write below would otherwise execute
-    // it twice — at the pipeline's own design scale that doubles the
-    // most expensive job in the system
-    val p = prepared.localCheckpoint()
+    // it twice. persist (NOT localCheckpoint): lineage survives, so a
+    // lost executor during the write recomputes its partitions instead
+    // of failing the run. Skip when the caller already materialized.
+    val alreadyMaterialized = Checkpoints.rddId(prepared).isDefined
+    val p = if (alreadyMaterialized) prepared
+      else prepared.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = p.count()
     val parts = math.max(1, math.ceil(n.toDouble / recordsPerFile).toInt)
     p
@@ -135,7 +138,7 @@ object Pipeline {
       .write.mode("overwrite")
       .option("maxRecordsPerFile", recordsPerFile.toLong)
       .parquet(outDir)
-    Checkpoints.unpersist(p)
+    if (!alreadyMaterialized) p.unpersist(blocking = false)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), prepared.sparkSession.sparkContext.hadoopConfiguration)
     fs.listStatus(new org.apache.hadoop.fs.Path(outDir))

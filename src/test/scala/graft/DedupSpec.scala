@@ -368,6 +368,15 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.snapshotDiff(a, b, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
+    // NULL-text docs are PRESENT — presence rides explicit flags, so a
+    // NULL doc in both snapshots is unchanged, one removed from B is
+    // removed (not 'added' via fingerprint-null confusion)
+    val an = Seq((0L, null: String), (1L, null: String)).toDF("doc_id", "text")
+    val bn = Seq((0L, null: String), (2L, "real")).toDF("doc_id", "text")
+    val gotN = Dedup.snapshotDiff(an, bn, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(gotN === Map(
+      0L -> (("unchanged", 1, 1)), 1L -> (("removed", 1, 0)), 2L -> (("added", 0, 1))))
   }
 
   test("winnowFingerprints: equals a direct reference; shared 8-token run shares a print; short docs absent") {
