@@ -71,6 +71,18 @@ class PlanSpec extends SparkSpec {
       "shared-print counts must partial-aggregate")
   }
 
+  test("q113 snapshot diff joins fingerprints, not documents") {
+    val s = formatted("q113_snapshot_diff")
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("FullOuter"), "churn must be one full-outer join on the id")
+    // the md5 projection sits BELOW the join: the join's own output
+    // schema carries fingerprints/flags, never the wide text column
+    assert("md5".r.findAllIn(s).nonEmpty)
+    val joinOut = """SortMergeJoin.*FullOuter""".r.findFirstIn(s)
+      .orElse("""ShuffledHashJoin.*FullOuter""".r.findFirstIn(s))
+    assert(joinOut.isDefined)
+  }
+
   test("q34 range table is broadcast back to the encode projection") {
     assert(formatted("q34_quantize").contains("BroadcastHashJoin"))
   }
