@@ -31,6 +31,22 @@ import graft.functions.TextFunctions
   */
 object Classify {
 
+  /** Fail fast on a malformed label column: training is a binary
+    * curated-vs-crawl problem, and the model grid below is hardcoded to
+    * classes {0, 1} — a stray class value would silently drop its
+    * (token, class) counts while its tokens still inflated the smoothing
+    * vocabulary V, skewing every log-prob. The distinct scan is a
+    * partial-agg over ≤ |classes| rows (same fail-fast discipline as
+    * [[Dedup.winnowOverlapAgainst]]'s id-type guard and [[nbScore]]'s
+    * priors check).
+    */
+  private def requireBinaryClasses(train: DataFrame, clsCol: String, who: String): Unit = {
+    val classes = train.select(col(clsCol).cast("int").as("cls")).distinct()
+      .collect().map(r => if (r.isNullAt(0)) "NULL" else r.getInt(0).toString).sorted
+    require(classes.forall(c => c == "0" || c == "1"),
+      s"$who: class column '$clsCol' must only contain {0, 1}, got {${classes.mkString(",")}}")
+  }
+
   /** Train the multinomial NB token model.
     *
     * @param train  labeled seed corpus
@@ -40,6 +56,7 @@ object Classify {
     *         them mass, and the scorer needs both classes per token.
     */
   def nbModel(train: DataFrame, clsCol: String, textCol: String): DataFrame = {
+    requireBinaryClasses(train, clsCol, "nbModel")
     val toks = train.select(col(clsCol).cast("int").as("cls"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
     val wc = toks.groupBy("tok", "cls").agg(count(lit(1)).as("n_wc"))
@@ -61,6 +78,7 @@ object Classify {
     * micro-nats. Two rows — always broadcast at the use site.
     */
   def nbPriors(train: DataFrame, clsCol: String): DataFrame = {
+    requireBinaryClasses(train, clsCol, "nbPriors")
     val nd = train.groupBy(col(clsCol).cast("int").as("cls"))
       .agg(count(lit(1)).as("n"))
     nd.crossJoin(broadcast(nd.agg(sum("n").as("t"))))

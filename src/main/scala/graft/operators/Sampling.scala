@@ -187,8 +187,11 @@ object Sampling {
     * whole bins share a fate, which is what makes the decision
     * histogram-sized instead of corpus-sized.
     *
-    * Output: (sourceCol, idCol, n_tok, bin, keep) — keep ∈ {0, 1}, every
-    * input row present.
+    * Output: (sourceCol, idCol, n_tok, bin, keep) — keep ∈ {0, 1}. Every
+    * input row with a non-NULL source and text is present; NULL-text or
+    * NULL-source rows are excluded (a NULL quality has no bin, and the
+    * (source, bin) equi-join is deliberately null-rejecting — the same
+    * verdict a SQL oracle's inner join produces).
     */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, sourceCol: String,
                         textCol: String, quota: Long,

@@ -153,6 +153,21 @@ class PlanSpec extends SparkSpec {
       "the query-term isin filter must appear below the tf aggregate")
   }
 
+  test("dedup compositions shingle the corpus once: final plan re-reads documents <= 1x") {
+    // q55/q56/q64/q65/q66/q105 materialize the signature subtree
+    // (localCheckpoint) before fan-out, so the executed plan reads the
+    // checkpointed signatures — at most ONE residual parquet scan of
+    // documents remains (the quality/truth leg); a regression that
+    // re-derives signatures per consumer would surface as extra scans
+    for (q <- Seq("q55_canonical_docs", "q56_leakage_split", "q64_dedup_metrics",
+        "q65_minhash_estimate", "q66_triage_dedup", "q105_containment")) {
+      val s = formatted(q)
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(s).length <= 1,
+        s"$q: signature subtree must be materialized — at most one corpus scan in the final plan")
+      assert(!s.contains("CartesianProduct"), s"$q: no cartesian")
+    }
+  }
+
   test("q83 LM scoring: no window, bigram join is an equi-join, integer totals") {
     val s = formatted("q83_lm_score")
     assert(!s.contains("windowspecdefinition"), "doc totals are partial aggs, not windows")
