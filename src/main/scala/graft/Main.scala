@@ -33,6 +33,10 @@ import graft.sources.Datagen
   *   --token-budget PARQUET --out DIR   per-source best-quality quota fill
   *   --prepare PARQUET --out DIR        END-TO-END corpus prep: quality gate ->
   *                                      dedup -> decontam -> budget -> curriculum shards
+  *   --prepare --input-warc GLOB --out DIR   crawl-native prep: raw .warc(.gz) ->
+  *                                      record parse -> HTML strip -> URL first-wins
+  *                                      dedup -> the same prepare stage chain
+  *   --gen-warc OUT --n N --files F     synthetic crawl fixture (real WARC files)
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -46,6 +50,12 @@ object Main {
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
       case f :: tail if flags.contains(f) => go(tail, acc + (f.drop(2) -> "true"))
+      // a flag directly followed by another flag (or trailing) is boolean:
+      // `--prepare --input-warc GLOB` marks prepare mode without a
+      // positional input
+      case k :: v :: tail if k.startsWith("--") && v.startsWith("--") =>
+        go(v :: tail, acc + (k.drop(2) -> "true"))
+      case k :: Nil if k.startsWith("--") => acc + (k.drop(2) -> "true")
       case k :: v :: tail if k.startsWith("--") => go(tail, acc + (k.drop(2) -> v))
       case other :: _ => throw new IllegalArgumentException(s"unexpected argument '$other'")
     }
@@ -482,33 +492,65 @@ object Main {
 
     } else if (opts.contains("prepare")) {
       // end-to-end corpus prep (operators.Pipeline): quality gate -> exact
-      // dedup -> optional decontam -> token budget -> curriculum shards
-      val in = opts("prepare")
+      // dedup -> optional decontam -> token budget -> curriculum shards.
+      // Two front doors: a parquet documents table (`--prepare PARQUET`),
+      // or the crawl-native path (`--prepare --input-warc GLOB`) — raw
+      // .warc/.warc.gz files through record parse -> HTML strip -> URL
+      // first-wins dedup, then the same stage chain
       val out = opts.getOrElse("out", sys.error("--prepare requires --out DIR"))
-      val idCol = opts.getOrElse("id-col", "doc_id")
-      val sourceCol = opts.getOrElse("source-col", "source")
-      val textCol = opts.getOrElse("text-col", "text")
+      val minQuality = opts.getOrElse("min-quality", "0.3").toDouble
+      val bench = opts.get("bench").map(p => spark.read.parquet(p))
+      val quota = opts.getOrElse("quota", Long.MaxValue.toString).toLong
+      val bins = opts.getOrElse("bins", "1000").toInt
+      val numShards = opts.getOrElse("num-shards", "64").toInt
+      val bestLast = opts.getOrElse("best-last", "true").toBoolean
+      val nearDedup = opts.get("near-dedup").map(_.toDouble)
+      val nearMaxBand = opts.getOrElse("near-max-band", "1000").toInt
+      val decontamN = opts.getOrElse("decontam-n", "3").toInt
+      val decontamMinOverlap = opts.getOrElse("decontam-min-overlap", "5").toInt
       val t0 = System.nanoTime()
-      val docs = spark.read.parquet(in)
-      val prepared = graft.operators.Pipeline.prepare(docs,
-        idCol, sourceCol, textCol,
-        minQuality = opts.getOrElse("min-quality", "0.3").toDouble,
-        bench = opts.get("bench").map(p => spark.read.parquet(p)),
-        quota = opts.getOrElse("quota", Long.MaxValue.toString).toLong,
-        bins = opts.getOrElse("bins", "1000").toInt,
-        numShards = opts.getOrElse("num-shards", "64").toInt,
-        bestLast = opts.getOrElse("best-last", "true").toBoolean,
-        nearDedup = opts.get("near-dedup").map(_.toDouble),
-        nearMaxBand = opts.getOrElse("near-max-band", "1000").toInt,
-        decontamN = opts.getOrElse("decontam-n", "3").toInt,
-        decontamMinOverlap = opts.getOrElse("decontam-min-overlap", "5").toInt)
+      val (prepared, idCol, nIn) = opts.get("input-warc") match {
+        case Some(glob) =>
+          val recs = graft.sources.Warc.recordsFromFiles(
+            graft.sources.Warc.readFiles(spark, glob))
+          val p = graft.operators.Pipeline.prepareFromWarc(recs,
+            minQuality = minQuality, bench = bench, quota = quota, bins = bins,
+            numShards = numShards, bestLast = bestLast, nearDedup = nearDedup,
+            nearMaxBand = nearMaxBand, decontamN = decontamN,
+            decontamMinOverlap = decontamMinOverlap)
+          (p, "doc_id", recs.count())
+        case None =>
+          val in = opts("prepare")
+          require(in != "true",
+            "--prepare requires a PARQUET input (or --input-warc GLOB)")
+          val idCol = opts.getOrElse("id-col", "doc_id")
+          val docs = spark.read.parquet(in)
+          val p = graft.operators.Pipeline.prepare(docs,
+            idCol, opts.getOrElse("source-col", "source"),
+            opts.getOrElse("text-col", "text"),
+            minQuality = minQuality, bench = bench, quota = quota, bins = bins,
+            numShards = numShards, bestLast = bestLast, nearDedup = nearDedup,
+            nearMaxBand = nearMaxBand, decontamN = decontamN,
+            decontamMinOverlap = decontamMinOverlap)
+          (p, idCol, docs.count())
+      }
       val nFiles = graft.operators.Pipeline.writeCurriculum(prepared, out, idCol,
         recordsPerFile = opts.getOrElse("records-per-file", "1000000").toInt)
       val sel = spark.read.parquet(out)
       val stats = sel.agg(count(lit(1)), coalesce(sum("n_tok"), lit(0L))).head()
-      println(f"[prepare] ${docs.count()} docs in -> ${stats.getLong(0)} kept " +
+      val inLabel = if (opts.contains("input-warc")) "WARC records" else "docs"
+      println(f"[prepare] $nIn $inLabel in -> ${stats.getLong(0)} kept " +
         f"(${stats.getLong(1)} tokens) across $nFiles curriculum files " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("gen-warc")) {
+      // synthetic crawl fixture: real .warc/.warc.gz files with planted
+      // junk / URL re-fetch / exact-dup outcomes (Warc.writeSyntheticCrawl)
+      val out = opts("gen-warc")
+      val n = opts.getOrElse("n", "10000").toLong
+      val files = opts.getOrElse("files", "8").toInt
+      graft.sources.Warc.writeSyntheticCrawl(spark, out, n, files)
+      println(s"[gen-warc] wrote $n records across $files WARC files -> $out")
 
     } else if (opts.contains("token-budget")) {
       // token-budget quota fill (Sampling.tokenBudgetSelect): best-quality
@@ -597,7 +639,9 @@ object Main {
           |  --nb-train PARQUET --out DIR [--cls-col cls --text-col text] [--score PARQUET --score-out DIR --id-col doc_id]
           |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]
           |  --token-budget PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --quota 1000000 --bins 1000]
-          |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true --near-dedup 0.8 --near-max-band 1000 --decontam-n 3 --decontam-min-overlap 5]""".stripMargin)
+          |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true --near-dedup 0.8 --near-max-band 1000 --decontam-n 3 --decontam-min-overlap 5]
+          |  --prepare --input-warc GLOB --out DIR [same knobs]   (crawl-native: .warc/.warc.gz -> parse -> HTML strip -> URL dedup -> prepare)
+          |  --gen-warc OUT [--n 10000 --files 8]   (synthetic crawl fixture, half gzipped)""".stripMargin)
     }
   }
 }

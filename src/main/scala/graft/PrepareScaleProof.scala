@@ -111,9 +111,43 @@ object PrepareScaleProof {
     java.nio.file.Files.walk(java.nio.file.Paths.get(outDir)).iterator().asScala
       .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
 
+    // ---- WARC variant: the crawl-native front door at 1M records ----
+    // real .warc/.warc.gz files (half gzipped) through parse -> HTML
+    // strip -> URL first-wins dedup -> the same prepare chain. Planted
+    // outcomes (Warc.writeSyntheticCrawl): per million records, 100k URL
+    // re-fetches (URL dedup's prey), 2k junk bodies (gate), 99k exact-text
+    // pairs (fingerprint dedup) -> kept = 0.799 * n exactly.
+    val wn = n
+    require(wn % 1000 == 0, "warc variant closed-form accounting needs n % 1000 == 0")
+    val warcDir = java.nio.file.Files.createTempDirectory("prepscale-warc").toString
+    val tGen = System.nanoTime()
+    graft.sources.Warc.writeSyntheticCrawl(spark, warcDir, wn, nFiles = 64)
+    val genSecs = (System.nanoTime() - tGen) / 1e9
+    System.err.println(f"[prepscale] warc gen: $wn records, 64 files in $genSecs%.1f s")
+    val t2 = System.nanoTime()
+    val warcPrepared = Pipeline.prepareFromWarc(
+      graft.sources.Warc.recordsFromFiles(
+        graft.sources.Warc.readFiles(spark, s"$warcDir/*"))).localCheckpoint()
+    val warcKept = warcPrepared.count()
+    val warcSecs = (System.nanoTime() - t2) / 1e9
+    val expectWarc = wn / 10 * 9 - 2 * (wn / 1000) - (wn / 10 - wn / 1000)
+    require(warcKept == expectWarc,
+      s"warc prepare kept $warcKept, expected $expectWarc")
+    val refetchKept = warcPrepared.filter(col("text").startsWith("refetch")).count()
+    require(refetchKept == 0, s"$refetchKept re-fetched URL bodies survived URL dedup")
+    val dupTexts = warcKept - warcPrepared.select("text").distinct().count()
+    require(dupTexts == 0, s"$dupTexts duplicate texts survived fingerprint dedup")
+    System.err.println(f"[prepscale] warc: $warcKept of $wn records kept in $warcSecs%.1f s " +
+      "(URL dedup, gate, fingerprint dedup all landed)")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(warcDir)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+
     println(s"""{"n_docs":$total,"prepare_sec":$prepSecs,"kept":$kept,""" +
       s""""junk_kept":$junkKept,"dup_kept":$dupKept,"bench_kept":$benchKept,""" +
-      s""""quota":$quota,"sources_ok":20,"write_sec":$writeSecs,"n_files":$nFiles}""")
+      s""""quota":$quota,"sources_ok":20,"write_sec":$writeSecs,"n_files":$nFiles,""" +
+      s""""warc_records":$wn,"warc_prepare_sec":$warcSecs,"warc_kept":$warcKept,""" +
+      s""""warc_refetch_kept":$refetchKept,"warc_dup_texts":$dupTexts}""")
     spark.stop()
   }
 }

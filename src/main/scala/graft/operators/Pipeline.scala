@@ -114,6 +114,64 @@ object Pipeline {
         col("n_tok"), col("bin"), col("tier"), col("shard"), col("ck"), col("h"))
   }
 
+  /** The crawl-native document table from parsed WARC records
+    * ([[graft.sources.Warc.recordsFromFiles]] output): response records →
+    * HTML boilerplate strip → URL-level FIRST-WINS dedup — the dedup every
+    * crawl runs before any content fingerprinting, because the same URL
+    * re-fetched across crawl segments is the dominant duplicate class and
+    * collapsing it by key costs one partial-agg shuffle instead of a
+    * content comparison.
+    *
+    * First-wins order is (path, rec) — lexicographic file path (archives
+    * name files by timestamp, so path order ≈ crawl order), then record
+    * index. The argmin rides a single `min(struct(...))` partial
+    * aggregate: one shuffle on `url`, no window, no self-join.
+    *
+    * `doc_id` = xxhash64(url) — a stable 64-bit key so every downstream
+    * operator (capped LSH banding, curriculum shard hash) gets the
+    * long-typed id its bounded-buffer path wants; the `url` column rides
+    * along for traceability.
+    *
+    * Output: (url, doc_id, source = host, text).
+    */
+  def docsFromWarc(records: DataFrame): DataFrame =
+    records
+      .filter(col("warc_type") === "response" && col("url").isNotNull &&
+        length(col("url")) > 0)
+      .select(col("url"), col("host"), col("path"), col("rec"),
+        TextFunctions.stripHtml(col("payload")).as("text"))
+      .groupBy("url")
+      .agg(min(struct(col("path"), col("rec"), col("host"), col("text"))).as("w"))
+      .select(col("url"), xxhash64(col("url")).as("doc_id"),
+        col("w.host").as("source"), col("w.text").as("text"))
+
+  /** END-TO-END crawl-to-shards: parsed WARC records through
+    * [[docsFromWarc]] (strip + URL dedup) and then the full [[prepare]]
+    * stage chain — the one composition a user points at a crawl. The
+    * canonical-fetch table is materialized once (executor-local blocks):
+    * every prepare stage re-reads it instead of re-parsing the WARC bytes
+    * per stage. Output = [[prepare]]'s columns + `url`.
+    */
+  def prepareFromWarc(records: DataFrame,
+                      minQuality: Double = 0.3,
+                      bench: Option[DataFrame] = None,
+                      quota: Long = Long.MaxValue,
+                      bins: Int = 1000,
+                      numShards: Int = 64,
+                      bestLast: Boolean = true,
+                      nearDedup: Option[Double] = None,
+                      nearMaxBand: Int = 1000,
+                      decontamN: Int = 3,
+                      decontamMinOverlap: Int = 5): DataFrame = {
+    val docs = docsFromWarc(records).localCheckpoint()
+    prepare(docs.select("doc_id", "source", "text"), "doc_id", "source", "text",
+      minQuality = minQuality, bench = bench, quota = quota, bins = bins,
+      numShards = numShards, bestLast = bestLast, nearDedup = nearDedup,
+      nearMaxBand = nearMaxBand, decontamN = decontamN,
+      decontamMinOverlap = decontamMinOverlap)
+      .join(docs.select("doc_id", "url"), "doc_id")
+  }
+
   /** Write the prepared corpus as training-ready shards in curriculum
     * order: range-partitioned by (ck, h, id) — coarse curriculum bucket,
     * then the deterministic hash order — sorted within files, bounded by

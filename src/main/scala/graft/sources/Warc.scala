@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC (Web ARChive, ISO 28500) ingestion — the distribution format of
@@ -81,6 +81,127 @@ object Warc {
           (id, rec.toLong, wtype, url, host, len, payload)
       }}
       .toDF("id", "rec", "warc_type", "url", "host", "content_length", "payload")
+  }
+
+  /** Read raw `.warc` / `.warc.gz` files from a glob into `(path, content)`
+    * rows — the crawl-native front door. Built on Spark's `binaryFile`
+    * source (one task per file — WARC's Content-Length framing is not
+    * splittable without an index, the standard Common Crawl trade-off;
+    * crawls ship thousands of ~1 GB files, so file-level parallelism
+    * saturates any cluster). Gzip members are inflated per file
+    * (multi-member aware — `gzip -c a b > c` concatenations decode whole).
+    */
+  def readFiles(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .map { case (path, bytes) => (path, gunzipIfNeeded(bytes)) }
+      .toDF("path", "content")
+  }
+
+  /** Parse `(path, content)` file rows to one row per record:
+    * (path, rec, warc_type, url, host, content_length, payload) — the
+    * file-keyed twin of [[records]]; `(path, rec)` is the fetch's stable
+    * identity (lexicographic path order ≈ crawl order for the
+    * timestamp-named files every archive writes).
+    */
+  def recordsFromFiles(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) => parseRecords(bytes).zipWithIndex.map {
+        case ((wtype, url, len, payload), rec) =>
+          (path, rec.toLong, wtype, url, hostOf(url), len, payload)
+      }}
+      .toDF("path", "rec", "warc_type", "url", "host", "content_length", "payload")
+  }
+
+  private[graft] def hostOf(url: String): String =
+    url.stripPrefix("http://").stripPrefix("https://")
+      .takeWhile(c => c != '/' && c != ':')
+
+  /** Inflate gzip bytes (magic 0x1f 0x8b) — multi-member aware; plain
+    * bytes pass through untouched.
+    */
+  private[graft] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b) bytes
+    else {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 65536)
+      try in.readAllBytes() finally in.close()
+    }
+
+  // --------------------------------------------------------------------
+  // Synthetic crawl fixture — a deterministic, crawl-shaped WARC corpus
+  // written as REAL .warc / .warc.gz files, with planted outcomes for
+  // every --prepare stage. Record r in [0, n):
+  //   - URL: r % 10 == 9 re-fetches record (r−9)'s URL with CHANGED
+  //     content (prefix "refetch") — only URL first-wins dedup drops it;
+  //   - body: r % 10 == 8 copies record (r−8)'s body under a fresh URL —
+  //     only fingerprint dedup drops one of the pair;
+  //   - base % 1000 == 0 → junk body (one giant word) — quality-gate prey;
+  //   - otherwise 34 globally-unique tokens + 2 stopwords, HTML-wrapped
+  //     with a <script> carrying the literal "WARC/1.0" (the framing trap).
+  // --------------------------------------------------------------------
+
+  /** The fetch URL of crawl record r (re-fetch collapses to the original). */
+  private[graft] def crawlUrl(r: Long): String = {
+    val base = if (r % 10 == 9) r - 9 else r
+    s"http://h${base % 97}.example/p$base"
+  }
+
+  /** The EXPECTED post-stripHtml text of crawl record r — shared with the
+    * specs/proof so planted outcomes are derivable without re-parsing.
+    */
+  private[graft] def crawlText(r: Long): String = {
+    val base = if (r % 10 == 8) r - 8 else r
+    if (base % 1000 == 0) "j" + "x" * 2499
+    else {
+      val pre = if (r % 10 == 9) "refetch " else ""
+      pre + (0 until 34).map(i => s"t${100000000L + base * 50 + i}").mkString(" ") +
+        " the and"
+    }
+  }
+
+  private[graft] def crawlHtml(r: Long): String =
+    "<html><head><title></title><script type=\"x\">var t = \"WARC/1.0\";" +
+      "</script></head><body><p>" + crawlText(r) + "</p></body></html>"
+
+  private[graft] def crawlRecordBytes(r: Long): Array[Byte] = {
+    val payload = crawlHtml(r)
+    ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Target-URI: ${crawlUrl(r)}\r\n" +
+      s"Content-Length: ${payload.length}\r\n" +
+      "\r\n" + payload + "\r\n\r\n").getBytes("US-ASCII")
+  }
+
+  /** Write the synthetic crawl as `nFiles` real WARC files under `outDir`
+    * (LOCAL filesystem — a test/proof fixture, not a production sink).
+    * Records are contiguous per file and files are zero-padded-name
+    * ordered, so lexicographic path order IS crawl order (the first-wins
+    * contract the prepare front door asserts on). Odd-indexed files are
+    * gzipped to exercise the inflate path.
+    */
+  def writeSyntheticCrawl(spark: SparkSession, outDir: String, n: Long,
+                          nFiles: Int): Unit = {
+    require(n > 0 && nFiles > 0, "writeSyntheticCrawl: positive n and nFiles")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val per = (n + nFiles - 1) / nFiles
+    import spark.implicits._
+    spark.range(0, nFiles, 1, math.min(nFiles, 32)).as[Long].foreach { f =>
+      val lo = f * per
+      val hi = math.min(n, lo + per)
+      val gz = f % 2 == 1
+      val name = f"part-$f%05d.warc" + (if (gz) ".gz" else "")
+      val fos = new java.io.FileOutputStream(s"$outDir/$name")
+      val os: java.io.OutputStream =
+        if (gz) new java.util.zip.GZIPOutputStream(fos, 65536) else fos
+      try {
+        var r = lo
+        while (r < hi) { os.write(crawlRecordBytes(r)); r += 1 }
+      } finally os.close()
+    }
   }
 
   /** Content-Length-honoring record parser over one byte stream. */

@@ -100,6 +100,51 @@ class PipelineSpec extends SparkSpec {
       "n_tok", "bin", "tier", "shard", "ck", "h"))
   }
 
+  test("prepareFromWarc: URL first-wins dedup runs BEFORE fingerprint dedup") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("warc-prep").toString
+    // 40 records / 4 files; planted per Warc.writeSyntheticCrawl:
+    //   r%10==9 re-fetches r-9's URL with CHANGED text ("refetch " prefix)
+    //   r%10==8 copies r-8's text under a fresh URL
+    //   base%1000==0 (r=0, and its copy r=8) is junk
+    Warc.writeSyntheticCrawl(spark, dir, n = 40L, nFiles = 4)
+    val out = graft.operators.Pipeline.prepareFromWarc(
+      Warc.recordsFromFiles(Warc.readFiles(spark, s"$dir/*")))
+      .select("url", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    // URL dedup: 4 re-fetches collapse; gate: r=0 junk + r=8 junk copy;
+    // fingerprint dedup: pairs (10,18) (20,28) (30,38) each lose one
+    assert(out.length === 31, s"expected 31 kept docs, got ${out.length}")
+    // the re-fetch text is DIFFERENT from the original, so only URL-level
+    // dedup can drop it — fingerprint dedup would have kept it. Its
+    // absence proves URL dedup ran, and ran before content fingerprinting
+    assert(out.forall(!_._2.startsWith("refetch")),
+      "re-fetched URL content must be dropped by URL first-wins dedup")
+    // first-wins: the re-fetched URL keeps its FIRST fetch's content
+    val u10 = out.toMap.get(Warc.crawlUrl(10L))
+    assert(u10.contains(Warc.crawlText(10L)),
+      "the canonical fetch for a re-crawled URL is the first one")
+    // junk gone, one survivor per exact-dup pair
+    assert(out.forall(_._2.length < 2000), "junk docs must fail the gate")
+    assert(out.map(_._2).distinct.length === out.length,
+      "exactly one of each exact-text pair survives")
+  }
+
+  test("--prepare --input-warc CLI round-trip: crawl files to curriculum shards") {
+    val base = java.nio.file.Files.createTempDirectory("warc-cli").toString
+    Main.run(spark, Map("gen-warc" -> s"$base/crawl", "n" -> "60", "files" -> "6"))
+    Main.run(spark, Map("prepare" -> "true", "input-warc" -> s"$base/crawl/*",
+      "out" -> s"$base/ready", "num-shards" -> "4", "records-per-file" -> "16"))
+    val ready = spark.read.parquet(s"$base/ready")
+    assert(ready.columns.toSet === Set("doc_id", "source", "text",
+      "n_tok", "bin", "tier", "shard", "ck", "h", "url"))
+    // 60 records: 6 re-fetches dropped, junk r=0 + copy r=8 gated, one of
+    // each surviving text-dup pair (18/28/38/48/58 bases alive) dropped
+    assert(ready.count() === 47, s"expected 47 kept docs")
+    assert(ready.filter(col("text").startsWith("refetch")).count() === 0)
+    assert(ready.filter(col("source").startsWith("h")).count() === 47,
+      "source must be the crawl host")
+  }
+
   test("writeCurriculum: files are curriculum-ordered and partition-ranged") {
     val outDir = java.nio.file.Files.createTempDirectory("prep-out").toString
     val prepared = Pipeline.prepare(corpus, "doc_id", "source", "text", numShards = 4)

@@ -59,4 +59,40 @@ class WarcSpec extends SparkSpec {
       .select("host").head().getString(0)
     assert(host === "secure.example")
   }
+
+  test("readFiles + recordsFromFiles: real .warc and .warc.gz files round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-files").toString
+    Warc.writeSyntheticCrawl(spark, dir, n = 40L, nFiles = 4)
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(names.toSeq === Seq("part-00000.warc", "part-00001.warc.gz",
+      "part-00002.warc", "part-00003.warc.gz"),
+      "odd-indexed files must be gzipped; names zero-padded for path order")
+    val recs = Warc.recordsFromFiles(Warc.readFiles(spark, s"$dir/*"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getString(6)))
+    assert(recs.length === 40, "every record parses, gzipped files included")
+    // file f holds records [10f, 10f+10); rec index resets per file
+    val byFile = recs.groupBy(_._1).toSeq.sortBy(_._1)
+    byFile.zipWithIndex.foreach { case ((path, rows), f) =>
+      assert(rows.map(_._2).sorted.toSeq === (0L until 10L),
+        s"$path: rec indices must be 0..9")
+      rows.foreach { case (_, rec, url, payload) =>
+        val r = f * 10L + rec
+        assert(url === Warc.crawlUrl(r))
+        assert(payload === Warc.crawlHtml(r), s"record $r payload mismatch")
+      }
+    }
+  }
+
+  test("gunzipIfNeeded: multi-member gzip inflates whole; plain bytes pass through") {
+    val a = "first member ".getBytes("US-ASCII")
+    val b = "second member".getBytes("US-ASCII")
+    def gz(x: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(x); g.close(); bos.toByteArray
+    }
+    val multi = gz(a) ++ gz(b)
+    assert(new String(Warc.gunzipIfNeeded(multi), "US-ASCII") === "first member second member")
+    assert(Warc.gunzipIfNeeded(a).sameElements(a), "plain bytes untouched")
+  }
 }
