@@ -799,6 +799,19 @@ object SparkEntry {
       graft.operators.Sampling.tokenBudgetSelect(
         tbl(s, dir, "documents"), "doc_id", "source", "text", quota = 2000L)),
 
+    // ---- the FULL --prepare composition as ONE oracle row: Gopher gate ∧
+    //      quality threshold → exact-dedup canonical → benchmark
+    //      decontamination → per-source token budget → curriculum key —
+    //      the exact DataFrame the CLI writes, hash-matched end-to-end
+    //      (q41/q47/q10/q39/q104 pin the stages; this pins the composite) ----
+    "q116_prepare" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0).select("doc_id", "text")
+      graft.operators.Pipeline.prepare(train, "doc_id", "source", "text",
+        minQuality = 0.3, bench = Some(bench), quota = 2000L, numShards = 8)
+    }),
+
     // ---- per-source TF-IDF signature terms: the datacard's "distinctive
     //      vocabulary" row — tf·idf across sources, topN per source via
     //      the bounded heap (per-source sort stays the oracle's job) ----
@@ -2599,6 +2612,59 @@ object SparkEntry {
            |  (sc.s1 + p1.p1) - (sc.s0 + p0.p0) AS llr_fp,
            |  CAST(((sc.s1 + p1.p1) - (sc.s0 + p0.p0)) > 0 AS INT) AS pred_hq
            |FROM sc, p1, p0""".stripMargin,
+
+      // the CLI composite end-to-end: every stage CTE is the pinned
+      // oracle form of its stage query (q47 gate, q10 canonical, q39
+      // decontam, q104 budget), composed over the train split and
+      // finished with the curriculum-key arithmetic
+      "q116_prepare" -> {
+        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH train AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0),
+           |benchd AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+           |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM train),
+           |a AS (SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(len(tok)) AS BIGINT) AS sum_len,
+           |  CAST(max(len(tok)) AS BIGINT) AS max_word_len,
+           |  count(DISTINCT tok) AS n_distinct,
+           |  CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM w GROUP BY 1),
+           |keepg AS (SELECT doc_id FROM a
+           |  WHERE n_words >= 30 AND n_words <= 100000
+           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+           |    AND n_stop >= 2
+           |    AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.55
+           |    AND max_word_len <= 15),
+           |gated AS (SELECT t.doc_id, t.source, t.text FROM train t
+           |  JOIN keepg USING (doc_id) WHERE $qualityExpr >= 0.3),
+           |canon AS (SELECT doc_id, source, text FROM (SELECT doc_id, source, text,
+           |  min(doc_id) OVER (PARTITION BY md5(lower(text))) AS cid FROM gated)
+           |  WHERE doc_id = cid),
+           |${shingleCteFrom(3, "benchd", "bsh")},
+           |${shingleCteFrom(3, "canon", "csh")},
+           |bs AS (SELECT DISTINCT shingle FROM bsh),
+           |contaminated AS (SELECT tsd.doc_id FROM (SELECT DISTINCT doc_id, shingle FROM csh) tsd
+           |  JOIN bs ON tsd.shingle = bs.shingle GROUP BY 1 HAVING count(*) >= 5),
+           |clean AS (SELECT c.doc_id, c.source, c.text FROM canon c
+           |  LEFT JOIN contaminated x ON c.doc_id = x.doc_id WHERE x.doc_id IS NULL),
+           |s AS (SELECT source, doc_id, text,
+           |    CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
+           |    CAST(floor(($qualityExpr) * 1000) AS BIGINT) AS bin
+           |  FROM clean),
+           |bt AS (SELECT source, bin, CAST(sum(n_tok) AS BIGINT) AS bin_tok FROM s GROUP BY 1, 2),
+           |c AS (SELECT source, bin, bin_tok,
+           |    CAST(sum(bin_tok) OVER (PARTITION BY source ORDER BY bin DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+           |  FROM bt),
+           |k AS (SELECT source, bin FROM c WHERE cum_tok - bin_tok < 2000),
+           |sel AS (SELECT s.doc_id, s.source, s.text, s.n_tok, s.bin
+           |  FROM s JOIN k USING (source, bin)),
+           |clean2 AS (SELECT sel.*, ${md5PrefixValueSql("CAST(sel.doc_id AS VARCHAR)", 15)} AS h
+           |  FROM sel)
+           |SELECT doc_id, source, text, n_tok, bin, bin AS tier,
+           |  h % 8 AS shard, bin * 8 + (h % 8) AS ck, h
+           |FROM clean2""".stripMargin
+      },
 
       // histogram budget fill: the window runs over quality BINS
       // (≤ 1001 rows per source), never the doc stream
