@@ -847,9 +847,10 @@ object SparkEntry {
     }),
 
     // ---- retrieval evaluation: q84's batch ranking scored against the
-    //      "contains ALL query terms" ground truth — precision/recall@k
-    //      and reciprocal rank as exact rationals (no nDCG by design:
-    //      log2 discounts are not oracle-exact) ----
+    //      "contains ALL query terms" ground truth — precision/recall@k,
+    //      reciprocal rank AND nDCG@k; the log2 discounts are driver-side
+    //      fixed-point LITERALS (Retrieval.ndcgWeightsFp) inlined into
+    //      both engines, so even nDCG is integer-summed and oracle-exact ----
     "q86_retrieval_eval" -> ((s, dir) => {
       import s.implicits._
       val docs = tbl(s, dir, "documents")
@@ -2725,7 +2726,11 @@ object SparkEntry {
            |SELECT qid, "rank", doc_id, CAST(score_fp AS DOUBLE) / 1000000.0 AS bm25
            |FROM bmranked WHERE "rank" <= 10""".stripMargin,
 
-      "q86_retrieval_eval" ->
+      "q86_retrieval_eval" -> {
+        // the SAME fixed-point discount literals the Spark plan inlines —
+        // neither engine evaluates a log2 at runtime
+        val w = graft.operators.Retrieval.ndcgWeightsFp(10).mkString(", ")
+        val c = graft.operators.Retrieval.ndcgIdealFp(10).mkString(", ")
         s"""WITH $bm25BatchCtes,
            |topk AS (SELECT qid, doc_id, "rank" FROM bmranked WHERE "rank" <= 10),
            |dt AS (SELECT DISTINCT doc_id, tok FROM bmtoks),
@@ -2733,13 +2738,19 @@ object SparkEntry {
            |mt AS (SELECT q.qid, d.doc_id, count(*) AS n_match FROM dt d JOIN qt q USING (tok) GROUP BY 1, 2),
            |truth AS (SELECT mt.qid, mt.doc_id FROM mt JOIN nt USING (qid) WHERE mt.n_match = nt.n_terms),
            |nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY 1),
-           |hits AS (SELECT r.qid, count(*) AS hits_at_k, min(r."rank") AS first_rel_rank
+           |hits AS (SELECT r.qid, count(*) AS hits_at_k, min(r."rank") AS first_rel_rank,
+           |  CAST(sum(([$w])[CAST(r."rank" AS INT)]) AS BIGINT) AS dcg_fp
            |  FROM topk r JOIN truth t ON t.qid = r.qid AND t.doc_id = r.doc_id GROUP BY 1)
            |SELECT n.qid, n.n_rel, COALESCE(h.hits_at_k, 0) AS hits_at_k,
            |  CAST(COALESCE(h.hits_at_k, 0) AS DOUBLE) / 10 AS prec_at_k,
            |  CAST(COALESCE(h.hits_at_k, 0) AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS recall_at_k,
-           |  COALESCE(1.0 / h.first_rel_rank, 0.0) AS rr
-           |FROM nrel n LEFT JOIN hits h USING (qid)""".stripMargin,
+           |  COALESCE(1.0 / h.first_rel_rank, 0.0) AS rr,
+           |  CAST(COALESCE(h.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+           |  CAST(([$c])[CAST(least(n.n_rel, 10) AS INT)] AS BIGINT) AS idcg_fp,
+           |  CAST(COALESCE(h.dcg_fp, 0) AS DOUBLE)
+           |    / CAST(([$c])[CAST(least(n.n_rel, 10) AS INT)] AS DOUBLE) AS ndcg
+           |FROM nrel n LEFT JOIN hits h USING (qid)""".stripMargin
+      },
 
       "q85_tfidf_bow" ->
         s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -182,36 +182,63 @@ object Retrieval {
       .limit(k)
   }
 
-  /** Ranked-retrieval evaluation — precision@k, recall@k and reciprocal
-    * rank per query against a ground-truth relevance table (the
-    * retrieval twin of the dedup tier's `pairMetrics` / the vector
-    * tier's recall evaluator). Deliberately NO nDCG: its log2 discount
-    * would be the only non-oracle-exact arithmetic in the metric set;
-    * precision/recall/RR are pure rationals (one fixed-association
-    * division each), bit-exact at any parallelism.
+  /** Fixed-point DCG discounts: floor(10⁶ / log2(r+1) + 0.5) for ranks
+    * r = 1..k — computed ONCE driver-side and inlined as integer LITERALS
+    * into both engines (the Spark plan and the SQL oracle read the same
+    * constants), so no runtime transcendental exists anywhere and the
+    * binary-relevance DCG is an order-independent BIGINT sum.
+    */
+  def ndcgWeightsFp(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 100, s"ndcgWeightsFp: k in [1, 100], got $k")
+    (1 to k).map(r => math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+  }
+
+  /** Prefix sums of [[ndcgWeightsFp]] — ideal-DCG@m for m = 1..k. */
+  def ndcgIdealFp(k: Int): Seq[Long] = ndcgWeightsFp(k).scanLeft(0L)(_ + _).tail
+
+  /** Ranked-retrieval evaluation — precision@k, recall@k, reciprocal rank
+    * and binary-relevance nDCG@k per query against a ground-truth
+    * relevance table (the retrieval twin of the dedup tier's
+    * `pairMetrics` / the vector tier's recall evaluator).
+    *
+    * Exactness: precision/recall/RR are pure rationals (one
+    * fixed-association division each); the nDCG log2 discounts are the
+    * [[ndcgWeightsFp]] fixed-point LITERALS, so `dcg_fp`/`idcg_fp` are
+    * integer sums and `ndcg` is one exact double division — bit-exact at
+    * any parallelism, no libm call in either engine.
     *
     * `ranked`: (qidCol, rank, idCol) — dense 1-based ranks;
     * `truth`: (qidCol, idCol) distinct relevant pairs.
-    * Queries with no relevant doc retrieved report 0 hits and rr = 0.
+    * Queries with no relevant doc retrieved report 0 hits, rr = 0 and
+    * ndcg = 0; `idcg_fp` truncates the ideal ranking at k (standard
+    * nDCG@k — a query with more relevant docs than k normalizes by the
+    * best achievable top-k page).
     *
     * Scale shape: one equi-join of the (already top-k-sized) ranking
     * with the truth table + two partial aggs — O(queries × k) rows end
-    * to end.
+    * to end; the discount lookup is a literal-array `element_at`
+    * projection, not a join.
     */
   def rankedEval(ranked: DataFrame, truth: DataFrame, qidCol: String = "qid",
                  idCol: String = "doc_id", k: Int = 10): DataFrame = {
+    val warr = array(ndcgWeightsFp(k).map(lit): _*)
+    val carr = array(ndcgIdealFp(k).map(lit): _*)
     val nRel = truth.groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
     val hits = ranked.filter(col("rank") <= k)
       .join(truth, Seq(qidCol, idCol))
       .groupBy(col(qidCol))
-      .agg(count(lit(1)).as("hits_at_k"), min(col("rank")).as("first_rel_rank"))
+      .agg(count(lit(1)).as("hits_at_k"), min(col("rank")).as("first_rel_rank"),
+        sum(element_at(warr, col("rank").cast("int"))).as("dcg_fp"))
     nRel.join(hits, Seq(qidCol), "left")
       .select(col(qidCol), col("n_rel"),
         coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
         (coalesce(col("hits_at_k"), lit(0L)).cast("double") / lit(k)).as("prec_at_k"),
         (coalesce(col("hits_at_k"), lit(0L)).cast("double") / col("n_rel").cast("double"))
           .as("recall_at_k"),
-        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"))
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"),
+        coalesce(col("dcg_fp"), lit(0L)).as("dcg_fp"),
+        element_at(carr, least(col("n_rel"), lit(k.toLong)).cast("int")).as("idcg_fp"))
+      .withColumn("ndcg", col("dcg_fp").cast("double") / col("idcg_fp").cast("double"))
   }
 
   /** Per-document bigram language-model score under the corpus's own

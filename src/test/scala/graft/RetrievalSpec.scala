@@ -279,6 +279,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1) === ((1L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("rankedEval nDCG: fixed-point literal discounts, hand-computed") {
+    // weight table at k=3: floor(1e6/log2(r+1) + 0.5)
+    //   r=1 -> 1000000; r=2 -> 1e6/1.58496... = 630929.75 -> 630930;
+    //   r=3 -> 1e6/2 = 500000; ideal prefix sums: 1000000, 1630930, 2130930
+    assert(Retrieval.ndcgWeightsFp(3) === Seq(1000000L, 630930L, 500000L))
+    assert(Retrieval.ndcgIdealFp(3) === Seq(1000000L, 1630930L, 2130930L))
+    val ranked = Seq(
+      (0, 1, 10L), (0, 2, 11L), (0, 3, 12L),  // hits at ranks 2 and 3
+      (1, 1, 20L), (1, 2, 21L),               // no hits
+      (2, 1, 30L), (2, 2, 31L))               // perfect: sole relevant at rank 1
+      .toDF("qid", "rank", "doc_id")
+    val truth = Seq(
+      (0, 11L), (0, 12L), (0, 99L), (0, 98L), // 4 relevant > k: idcg truncates at k
+      (1, 77L),
+      (2, 30L)).toDF("qid", "doc_id")
+    val got = Retrieval.rankedEval(ranked, truth, k = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(6), r.getLong(7), r.getDouble(8)))).toMap
+    // q0: dcg = w(2) + w(3) = 1130930; idcg = ideal(min(4, 3)) = 2130930
+    assert(got(0) === ((1130930L, 2130930L, 1130930.0 / 2130930.0)))
+    // q1: no hits -> dcg 0, ndcg 0 (idcg = ideal(1))
+    assert(got(1) === ((0L, 1000000L, 0.0)))
+    // q2: the one relevant doc at rank 1 -> ndcg exactly 1.0
+    assert(got(2) === ((1000000L, 1000000L, 1.0)))
+  }
+
   test("bm25 plan: no window, no cartesian beyond the one-row stats broadcast") {
     val docs = (0L until 100L).map(i => (i, s"w$i spark scan")).toDF("doc_id", "text")
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
