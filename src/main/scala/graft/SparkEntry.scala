@@ -676,6 +676,19 @@ object SparkEntry {
       graft.multimodal.MediaOps.imageStats(graft.multimodal.MediaOps.syntheticPngs(ids))
     }),
 
+    // ---- multimodal: REAL compressed-video decode (MJPEG-in-AVI,
+    //      javax.imageio per frame). Synthetic frames are 8×8-BLOCK-
+    //      constant grayscale at quality 1.0 — the lossless corner of the
+    //      lossy codec (DC-only blocks, all-ones quant table), so the
+    //      oracle re-derives the decoded sums from the closed form
+    //      block(f,bx,by) = (id·31 + f·29 + bx·7 + by·13) % 256 without
+    //      touching a byte (q67's trick made safe for JPEG) ----
+    "q117_mjpeg_decode" -> ((s, dir) => {
+      val ids = tbl(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id").as("id"))
+      graft.multimodal.MediaOps.mjpegStats(graft.multimodal.MediaOps.syntheticMjpegAvis(ids))
+    }),
+
     "q66_triage_dedup" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       // sigs feeds the banding AND the estimate tier (see q65)
@@ -2274,6 +2287,27 @@ object SparkEntry {
       // decoded-luma sums re-derived from the luma formula alone; flat
       // index q over frames x pixels: f = q // (w*h), x = (q % (w*h)) % w,
       // y = (q % (w*h)) // w (q67's trick with one more dimension)
+      // every pixel of an 8×8 block carries the block value, so sums are
+      // 64 × the block closed form — no JPEG byte is ever touched
+      "q117_mjpeg_decode" ->
+        """WITH vids AS (
+          |  SELECT doc_id AS id, 1 + doc_id % 2 AS nbx, 1 + doc_id % 3 AS nby,
+          |         2 + doc_id % 4 AS nf
+          |  FROM documents WHERE doc_id % 9 = 0),
+          |bx AS (
+          |  SELECT id, nbx, nby, nf, unnest(generate_series(0, nf * nbx * nby - 1)) AS q
+          |  FROM vids),
+          |v AS (
+          |  SELECT id, nbx, nby, nf, q // (nbx * nby) AS f,
+          |    (id * 31 + (q // (nbx * nby)) * 29 + ((q % (nbx * nby)) % nbx) * 7
+          |       + ((q % (nbx * nby)) // nbx) * 13) % 256 AS bv
+          |  FROM bx)
+          |SELECT id, CAST(nbx * 8 AS BIGINT) AS width, CAST(nby * 8 AS BIGINT) AS height,
+          |  CAST(nf AS BIGINT) AS n_frames,
+          |  CAST(64 * SUM(bv) AS BIGINT) AS luma_sum,
+          |  CAST(64 * SUM((f + 1) * bv) AS BIGINT) AS frame_weighted_sum
+          |FROM v GROUP BY id, nbx, nby, nf""".stripMargin,
+
       "q75_video_decode" ->
         """WITH vids AS (
           |  SELECT doc_id AS id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,

@@ -35,9 +35,14 @@ case class MediaFrame(id: Long, frame_idx: Int, frame: Array[Byte])
   * fixture encoder. The VIDEO path is real for YUV4MPEG2 (the standard
   * public uncompressed interchange format): [[decodeY4m]]/[[videoStats]],
   * with [[encodeY4m]] as the lossless fixture encoder. COMPRESSED video
-  * (H.264 etc.) has no bare-JVM decoder and keeps the deterministic
-  * byte-hash stand-in ([[fakeDecode]]) — the signature (bytes →
-  * fixed-dim float features) is the contract a real codec slots into.
+  * is real for MJPEG-in-AVI — every frame a complete baseline JPEG,
+  * decoded per-frame by `javax.imageio` ([[decodeMjpegAvi]]/
+  * [[mjpegStats]]/[[mjpegVectors]], with [[encodeMjpegAvi]] as the
+  * fixture encoder whose block-constant frames sit in JPEG's lossless
+  * corner). INTER-FRAME codecs (H.264 etc.) have no bare-JVM decoder and
+  * keep the deterministic byte-hash stand-in ([[fakeDecode]]) — the
+  * signature (bytes → fixed-dim float features) is the contract a real
+  * codec slots into.
   * Everything runs in `mapPartitions` so a real codec amortizes
   * per-partition initialization, the same shape a Pandas-UDF
   * `mapInPandas` would have in PySpark.
@@ -606,24 +611,274 @@ object MediaOps {
           decodeY4m(bytes).toSeq.flatMap { case (w, h, frames) =>
             frames.iterator.zipWithIndex.collect {
               case (plane, f) if f % stride == 0 =>
-                val v = new Array[Float](side * side)
-                var y = 0
-                while (y < side) {
-                  val sy = y * h / side
-                  var x = 0
-                  while (x < side) {
-                    val sx = x * w / side
-                    v(y * side + x) = (plane(sy * w + sx) & 0xff) / 255.0f
-                    x += 1
-                  }
-                  y += 1
-                }
-                (id, f, v)
+                (id, f, resizeNormalize(plane, w, h, side))
             }
           }
         }
       }
       .toDF("id", "frame_idx", "vector")
+  }
+
+  // ---- MJPEG-in-AVI (the COMPRESSED-video front door): Motion JPEG —
+  //      every frame a complete baseline JPEG — inside the RIFF/AVI
+  //      container, decodable per-frame by javax.imageio on a bare JVM.
+  //      This retires the compressed-video byte-hash stand-in
+  //      ([[fakeDecode]] remains the documented slot for inter-frame
+  //      codecs like H.264, which still have no JVM decoder).
+  //
+  //      Oracle exactness despite a LOSSY codec: the synthetic frames are
+  //      8×8-BLOCK-CONSTANT grayscale at compression quality 1.0 — each
+  //      block is DC-only after the DCT, the quality-1.0 quantization
+  //      table is all ones, and DC differencing/Huffman are integer-
+  //      lossless, so the decoded pixels equal the closed form EXACTLY
+  //      (verified bit-for-bit by MediaSpec). The q67 trick, made safe
+  //      for a lossy format by synthesizing inputs in its lossless corner.
+
+  /** Encode one grayscale baseline JPEG whose 8×8 block (bx, by) is the
+    * CONSTANT `block(bx, by)` (0..255), at compression quality 1.0.
+    * Dimensions must be multiples of 8 (block-aligned — the lossless
+    * corner; see the section comment).
+    */
+  def encodeGrayJpeg(width: Int, height: Int, block: (Int, Int) => Int): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0,
+      s"encodeGrayJpeg: dims must be multiples of 8, got ${width}x$height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, block(x / 8, y / 8)); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def leInt(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+  }
+  private def leShort(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+  private def fourcc(out: java.io.ByteArrayOutputStream, s: String): Unit =
+    out.write(s.getBytes("US-ASCII"))
+
+  /** Encode an MJPEG AVI: RIFF('AVI ') with the standard hdrl (avih +
+    * strl/strh/strf) and a movi LIST of one '00dc' JPEG chunk per frame
+    * (frame f's 8×8 block (bx, by) = `block(f, bx, by)`). Chunks are
+    * even-padded per RIFF. The classic `ffmpeg -c:v mjpeg out.avi`
+    * layout, written from first principles.
+    */
+  def encodeMjpegAvi(width: Int, height: Int, nFrames: Int,
+                     block: (Int, Int, Int) => Int, fps: Int = 25): Array[Byte] = {
+    val jpegs = (0 until nFrames).map(f => encodeGrayJpeg(width, height, block(f, _, _)))
+    val maxJpeg = if (jpegs.isEmpty) 0 else jpegs.map(_.length).max
+    def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(8 + body.length + 1)
+      fourcc(out, fcc); leInt(out, body.length); out.write(body)
+      if (body.length % 2 == 1) out.write(0) // RIFF even padding
+      out.toByteArray
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(12 + body.length)
+      fourcc(out, "LIST"); leInt(out, 4 + body.length); fourcc(out, listType)
+      out.write(body)
+      out.toByteArray
+    }
+    val avih = { // MainAVIHeader (56 bytes)
+      val o = new java.io.ByteArrayOutputStream(56)
+      leInt(o, 1000000 / fps); leInt(o, 0); leInt(o, 0); leInt(o, 0)
+      leInt(o, nFrames); leInt(o, 0); leInt(o, 1); leInt(o, maxJpeg)
+      leInt(o, width); leInt(o, height)
+      (0 until 4).foreach(_ => leInt(o, 0))
+      o.toByteArray
+    }
+    val strh = { // AVIStreamHeader (56 bytes): 'vids'/'MJPG', rate/scale = fps/1
+      val o = new java.io.ByteArrayOutputStream(56)
+      fourcc(o, "vids"); fourcc(o, "MJPG"); leInt(o, 0)
+      leShort(o, 0); leShort(o, 0) // priority, language
+      leInt(o, 0); leInt(o, 1); leInt(o, fps) // initialFrames, scale, rate
+      leInt(o, 0); leInt(o, nFrames); leInt(o, maxJpeg)
+      leInt(o, -1); leInt(o, 0) // quality (default), sampleSize
+      leShort(o, 0); leShort(o, 0); leShort(o, width); leShort(o, height)
+      o.toByteArray
+    }
+    val strf = { // BITMAPINFOHEADER (40 bytes), biCompression = 'MJPG'
+      val o = new java.io.ByteArrayOutputStream(40)
+      leInt(o, 40); leInt(o, width); leInt(o, height)
+      leShort(o, 1); leShort(o, 24); fourcc(o, "MJPG")
+      leInt(o, width * height * 3); leInt(o, 0); leInt(o, 0); leInt(o, 0); leInt(o, 0)
+      o.toByteArray
+    }
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.flatMap(j => chunk("00dc", j)).toArray)
+    val out = new java.io.ByteArrayOutputStream(12 + hdrl.length + movi.length)
+    fourcc(out, "RIFF"); leInt(out, 4 + hdrl.length + movi.length); fourcc(out, "AVI ")
+    out.write(hdrl); out.write(movi)
+    out.toByteArray
+  }
+
+  /** Decode MJPEG-AVI bytes to (width, height, one gray plane per frame):
+    * walk the RIFF chunk tree to the movi LIST, decode every '00dc'/
+    * '00db' chunk with `javax.imageio` (a REAL JPEG decode per frame).
+    * Non-AVI bytes, truncated chunks, undecodable frames or mixed frame
+    * sizes return None (corrupt rows must not kill a 100 TB scan),
+    * mirroring [[decodeY4m]].
+    */
+  def decodeMjpegAvi(content: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    def le(at: Int): Int =
+      (content(at) & 0xff) | ((content(at + 1) & 0xff) << 8) |
+        ((content(at + 2) & 0xff) << 16) | ((content(at + 3) & 0xff) << 24)
+    def fcc(at: Int): String = new String(content, at, 4, "US-ASCII")
+    if (content.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var w = -1
+    var h = -1
+    // (start, end) scan ranges; LISTs we care about are pushed back on
+    var stack = List((12, math.min(content.length, 8 + le(4))))
+    while (stack.nonEmpty) {
+      val (pos, end) = stack.head
+      stack = stack.tail
+      if (pos + 8 <= end) {
+        val id = fcc(pos)
+        val size = le(pos + 4)
+        if (size < 0 || pos + 8 + size > end) return None // truncated chunk
+        val next = pos + 8 + size + (size & 1)
+        if (id == "LIST" && size >= 4) {
+          // descend into the list body (movi holds the frames; hdrl and
+          // unknown lists scan cheaply), then resume the current level
+          stack = (pos + 12, pos + 8 + size) :: (next, end) :: stack
+        } else {
+          if (id == "00dc" || id == "00db") {
+            val img =
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(content, pos + 8, size))
+              catch { case _: Exception => null }
+            if (img == null) return None
+            if (w < 0) { w = img.getWidth; h = img.getHeight }
+            else if (img.getWidth != w || img.getHeight != h) return None
+            val plane = new Array[Byte](w * h)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { plane(y * w + x) = raster.getSample(x, y, 0).toByte; x += 1 }
+              y += 1
+            }
+            frames += plane
+          }
+          stack = (next, end) :: stack
+        }
+      }
+    }
+    val fs = frames.result()
+    if (w <= 0 || fs.isEmpty) None else Some((w, h, fs))
+  }
+
+  /** Deterministic synthetic MJPEG-AVI table over an id column:
+    * w = 8·(1 + id%2), h = 8·(1 + id%3), 2 + id%4 frames, block
+    * (f, bx, by) = (id·31 + f·29 + bx·7 + by·13) % 256 — every pixel of a
+    * block carries the block value, so a SQL oracle re-derives every
+    * decoded statistic from (id, f, bx, by) alone ([[syntheticY4ms]]'s
+    * closed form at block granularity). Output: (id, content).
+    */
+  def syntheticMjpegAvis(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long").as("id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 * (1 + id % 2)).toInt
+          val h = (8 * (1 + id % 3)).toInt
+          val nf = (2 + id % 4).toInt
+          (id, encodeMjpegAvi(w, h, nf,
+            (f, bx, by) => ((id * 31 + f * 29 + bx * 7 + by * 13) % 256).toInt))
+        }
+      }
+      .toDF("id", "content")
+  }
+
+  /** Decoded-MJPEG statistics — [[videoStats]]'s schema over the REAL
+    * per-frame JPEG decode: (id, width, height, n_frames, luma_sum,
+    * frame_weighted_sum); undecodable payloads drop.
+    */
+  def mjpegStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeMjpegAvi(bytes).map { case (w, h, frames) =>
+            var sum = 0L
+            var weighted = 0L
+            var f = 0
+            while (f < frames.length) {
+              val plane = frames(f)
+              var i = 0
+              var fs = 0L
+              while (i < plane.length) { fs += plane(i) & 0xff; i += 1 }
+              sum += fs
+              weighted += (f + 1) * fs
+              f += 1
+            }
+            (id, w.toLong, h.toLong, frames.length.toLong, sum, weighted)
+          }
+        }
+      }
+      .toDF("id", "width", "height", "n_frames", "luma_sum", "frame_weighted_sum")
+  }
+
+  /** [[videoVectors]] over MJPEG-AVI payloads: real JPEG decode →
+    * nearest-neighbor resize to side×side → flatten → /255 normalize,
+    * one indexable embedding per sampled frame.
+    */
+  def mjpegVectors(media: DataFrame, side: Int = 8, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"mjpegVectors: stride must be >= 1, got $stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeMjpegAvi(bytes).toSeq.flatMap { case (w, h, frames) =>
+            frames.iterator.zipWithIndex.collect {
+              case (plane, f) if f % stride == 0 =>
+                (id, f, resizeNormalize(plane, w, h, side))
+            }
+          }
+        }
+      }
+      .toDF("id", "frame_idx", "vector")
+  }
+
+  /** Nearest-neighbor resize + /255 normalize of one gray plane — the
+    * shared last mile of [[videoVectors]]/[[mjpegVectors]].
+    */
+  private def resizeNormalize(plane: Array[Byte], w: Int, h: Int, side: Int): Array[Float] = {
+    val v = new Array[Float](side * side)
+    var y = 0
+    while (y < side) {
+      val sy = y * h / side
+      var x = 0
+      while (x < side) {
+        val sx = x * w / side
+        v(y * side + x) = (plane(sy * w + sx) & 0xff) / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    v
   }
 
   /** Feature extraction over a media Dataset: per-partition batch loop

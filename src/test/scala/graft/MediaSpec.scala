@@ -239,6 +239,61 @@ class MediaSpec extends SparkSpec {
     rank1.foreach(r => assert(r.getAs[Double]("dist") === 0.0, "self-frame at distance 0"))
   }
 
+  test("REAL MJPEG decode: block-constant JPEG at q=1.0 round-trips EXACT pixels through the AVI container") {
+    import graft.multimodal.MediaOps
+    // the lossless corner of a lossy codec: 8x8-block-constant grayscale
+    // frames are DC-only, quantized by 1 -> bit-exact decode
+    for (id <- Seq(0L, 7L, 26L)) {
+      val w = (8 * (1 + id % 2)).toInt
+      val h = (8 * (1 + id % 3)).toInt
+      val nf = (2 + id % 4).toInt
+      val avi = MediaOps.encodeMjpegAvi(w, h, nf,
+        (f, bx, by) => ((id * 31 + f * 29 + bx * 7 + by * 13) % 256).toInt)
+      val Some((gw, gh, frames)) = MediaOps.decodeMjpegAvi(avi)
+      assert((gw, gh, frames.length) === ((w, h, nf)))
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+        val want = ((id * 31 + f * 29 + (x / 8) * 7 + (y / 8) * 13) % 256).toInt
+        assert((frames(f)(y * w + x) & 0xff) === want,
+          s"id=$id f=$f ($x,$y): decoded JPEG pixel must equal the closed form")
+      }
+    }
+    // corrupt / non-AVI bytes drop, not crash
+    assert(MediaOps.decodeMjpegAvi("not an avi at all".getBytes).isEmpty)
+    val good = MediaOps.encodeMjpegAvi(8, 8, 2, (_, _, _) => 100)
+    assert(MediaOps.decodeMjpegAvi(good.take(good.length - 9)).isEmpty,
+      "truncated chunk must return None")
+    val garbled = good.clone()
+    // zero the first JPEG's SOI marker (first two bytes after the 00dc
+    // chunk header) — no longer a JPEG at all
+    val dcIdx = good.indexOfSlice("00dc".getBytes("US-ASCII"))
+    garbled(dcIdx + 8) = 0x00
+    garbled(dcIdx + 9) = 0x00
+    assert(MediaOps.decodeMjpegAvi(garbled).isEmpty, "undecodable frame -> None")
+  }
+
+  test("mjpeg -> frame vectors -> HNSW -> query end-to-end (compressed-video flow)") {
+    import graft.multimodal.MediaOps
+    import graft.hnsw.{Hnsw, HnswParams}
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+    val ids = spark.range(0, 20).selectExpr("id * 9 AS id")
+    val avis = MediaOps.syntheticMjpegAvis(ids)
+    val vecs = MediaOps.mjpegVectors(avis, side = 8)
+    val expectFrames = (0L until 20L).map(i => 2 + (i * 9) % 4).sum
+    assert(vecs.count() === expectFrames)
+    assert(vecs.head().getSeq[Float](2).forall(v => v >= 0.0f && v <= 1.0f))
+    val strided = MediaOps.mjpegVectors(avis, side = 8, stride = 2)
+    assert(strided.filter(col("frame_idx") % 2 =!= 0).count() === 0L)
+    val rows = vecs.select(monotonically_increasing_id().as("rid"), col("vector"))
+      .localCheckpoint()
+    val index = Hnsw.build(rows.select(col("rid").as("id"), col("vector")),
+      HnswParams(dim = 64, m = 4, efConstruction = 32, numPartitions = 2))
+    val queries = rows.filter(col("rid") % 7 === 0)
+      .select(col("rid").as("qid"), col("vector"))
+    val rank1 = Hnsw.annQuery(index, queries, k = 3).filter(col("rank") === 1).collect()
+    assert(rank1.nonEmpty)
+    rank1.foreach(r => assert(r.getAs[Double]("dist") === 0.0, "self-frame at distance 0"))
+  }
+
   test("imagePhash: both hashes invariant under wrap-free global brightness; dHash moves only row-0 bits on a top-row shift") {
     import graft.multimodal.MediaOps
     import spark.implicits._
