@@ -172,6 +172,77 @@ object Pipeline {
       .join(docs.select("doc_id", "url"), "doc_id")
   }
 
+  /** Per-document prepare VERDICTS against a static corpus — the ingest
+    * form of [[prepare]]'s stage ladder, one row per input doc:
+    *
+    *   - `rejected_quality` — fails the Gopher gate OR the quality
+    *     threshold (cheapest check first: rejected docs never reach the
+    *     dedup joins);
+    *   - `exact_dup` / `near_dup` — [[Dedup.incrementalDedup]]'s verdict
+    *     against the existing corpus (fingerprint semi-join, then
+    *     df-capped cross-corpus n-gram Jaccard);
+    *   - `new` — admit.
+    *
+    * Every row carries (n_tok, bin) so the quota decision stays
+    * derivable downstream ([[budgetFromVerdicts]]) without re-reading
+    * text. Each doc's verdict is a pure function of (doc, corpus) —
+    * independent of the other input docs — which is exactly what makes
+    * the micro-batched streaming twin
+    * ([[graft.streaming.StreamingOps.streamingPrepare]]) bit-equal to
+    * one big batch.
+    *
+    * Output: (idCol, sourceCol, status, n_tok, bin, n_near_matches,
+    * best_jaccard).
+    */
+  def prepareVerdicts(newDocs: DataFrame, corpus: DataFrame,
+                      idCol: String, sourceCol: String, textCol: String,
+                      minQuality: Double = 0.3, n: Int = 3,
+                      minJaccard: Double = 0.5,
+                      maxDf: Int = Int.MaxValue): DataFrame = {
+    val scored = newDocs.select(col(idCol), col(sourceCol), col(textCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      floor(TextFunctions.qualityScore(col(textCol)) * 1000).cast("long").as("bin"))
+    val gateOk = TextStats.gopherRulesHof(newDocs, idCol, textCol)
+      .filter(col("keep")).select(idCol)
+    val gated = scored.join(gateOk, Seq(idCol), "left_semi")
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+    val dedup = Dedup.incrementalDedup(gated.select(col(idCol), col(textCol)),
+      corpus, idCol, textCol, n, minJaccard, maxDf)
+    scored.join(dedup, Seq(idCol), "left")
+      .select(col(idCol), col(sourceCol),
+        coalesce(col("status"), lit("rejected_quality")).as("status"),
+        col("n_tok"), col("bin"),
+        coalesce(col("n_near_matches"), lit(0L)).as("n_near_matches"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+  }
+
+  /** The token-budget decision over ACCUMULATED verdicts — admitted
+    * (`status = 'new'`) docs fill per-source quality bins best-first
+    * until `quota`, [[Sampling.tokenBudgetSelect]]'s exact rule applied
+    * to the (n_tok, bin) columns [[prepareVerdicts]] already carries (no
+    * text re-read). A pure, order-free function of the accumulated
+    * verdict SET: recomputing it after every micro-batch gives the same
+    * answer as one batch over the union — the streaming quota dashboard
+    * with batch semantics.
+    *
+    * Output: admitted rows + keep ∈ {0, 1}.
+    */
+  def budgetFromVerdicts(verdicts: DataFrame, idCol: String, sourceCol: String,
+                         quota: Long): DataFrame = {
+    val admitted = verdicts.filter(col("status") === "new")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val keep = admitted.groupBy(col(sourceCol), col("bin"))
+      .agg(sum(col("n_tok")).as("bin_tok"))
+      .withColumn("cum_tok", sum(col("bin_tok")).over(w))
+      .withColumn("keep", (col("cum_tok") - col("bin_tok") < quota).cast("int"))
+      .select(col(sourceCol), col("bin"), col("keep"))
+    admitted.join(keep, Seq(sourceCol, "bin"))
+      .select(col(idCol), col(sourceCol), col("n_tok"), col("bin"), col("keep"))
+  }
+
   /** Write the prepared corpus as training-ready shards in curriculum
     * order: range-partitioned by (ck, h, id) — coarse curriculum bucket,
     * then the deterministic hash order — sorted within files, bounded by

@@ -332,6 +332,45 @@ object StreamingOps {
       }
   }
 
+  /** Streaming END-TO-END prepare — the `--prepare` ingest ladder as one
+    * continuous query: every micro-batch of arriving documents runs
+    * [[graft.operators.Pipeline.prepareVerdicts]] against the STATIC
+    * existing corpus (Gopher gate ∧ quality threshold → incremental
+    * exact/near dedup → per-doc status + (n_tok, bin) budget columns),
+    * verdicts land as idempotent per-batch partitions. In-stream repeats
+    * within the watermark are dropped FIRST by [[streamingDedup]]'s
+    * fingerprint state.
+    *
+    * Because each doc's verdict is a pure function of (doc, corpus), the
+    * accumulated output is BIT-EQUAL to one batch run over the union of
+    * all micro-batches (StreamingSpec pins this), and the quota decision
+    * over everything ingested so far is
+    * `Pipeline.budgetFromVerdicts(spark.read.parquet(outDir), ...)` —
+    * order-free, so the streaming dashboard inherits batch semantics.
+    *
+    * Input columns: (idCol: long, tsCol: timestamp, sourceCol, textCol).
+    * Output rows (outDir): (idCol, sourceCol, status, n_tok, bin,
+    * n_near_matches, best_jaccard) + a `batch_id` partition column.
+    */
+  def streamingPrepare(docs: DataFrame, corpus: DataFrame,
+                       idCol: String, tsCol: String, sourceCol: String,
+                       textCol: String, outDir: String,
+                       minQuality: Double = 0.3, n: Int = 3,
+                       minJaccard: Double = 0.5, maxDf: Int = Int.MaxValue,
+                       watermark: String = "1 hour"): DataStreamWriter[Row] =
+    streamingDedup(docs, tsCol, textCol, watermark)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // per-batch overwrite partition → idempotent replay (see
+        // streamingIncrementalDedup)
+        if (!batch.isEmpty)
+          graft.operators.Pipeline
+            .prepareVerdicts(batch.select(idCol, sourceCol, textCol), corpus,
+              idCol, sourceCol, textCol, minQuality, n, minJaccard, maxDf)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+
   /** Live training-mixture accounting: running per-source document and
     * token totals over the ingest stream — the quota dashboard a
     * continuous ingestion runs against ("stop crawling source X when its

@@ -295,6 +295,61 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) === "new")
   }
 
+  test("streaming end-to-end prepare: streamed verdicts bit-equal one batch; budget is order-free") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pipeline
+    // 36-token docs with disjoint token universes (the PipelineSpec
+    // goodDoc idiom): gate-passing unless junk
+    def good(seed: Int) = (0 until 34).map(i => s"tok${seed * 100 + i}").mkString(" ") + " the and"
+    val corpus = Seq((0L, good(900)), (1L, good(901))).toDF("doc_id", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("sprep-out").toString
+    val source = MemoryStream[(Long, Timestamp, String, String)]
+    val query = StreamingOps.streamingPrepare(
+      source.toDF().toDF("doc_id", "ts", "source", "text"), corpus,
+      "doc_id", "ts", "source", "text", outDir, minJaccard = 0.2)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sprep-ckpt").toString)
+      .start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val batch1 = Seq(
+      (10L, t0, "web", good(10)),                          // new
+      (11L, t0, "web", "x" * 2500),                        // junk -> rejected_quality
+      (12L, t0, "web", good(900)))                         // exact vs corpus
+    val batch2 = Seq(
+      (13L, t0, "news", good(901).replace("tok90101", "swapped")), // near vs corpus
+      (14L, t0, "news", good(14)),                         // new
+      (15L, t0, "news", good(10)))                         // in-stream repeat of 10's TEXT -> dropped
+    source.addData(batch1: _*)
+    query.processAllAvailable()
+    source.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.read.parquet(outDir).drop("batch_id")
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    // batch reference: the SAME ladder over the union minus the in-stream
+    // text repeat (the fingerprint state drops 15 before verdicts run)
+    val union = (batch1 ++ batch2).filter(_._1 != 15L)
+      .map(t => (t._1, t._3, t._4)).toDF("doc_id", "source", "text")
+    val ref = Pipeline.prepareVerdicts(union, corpus, "doc_id", "source", "text",
+      minJaccard = 0.2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSet
+    assert(got === ref, "streamed verdicts must bit-equal one batch over the union")
+    assert(got.map(t => t._1 -> t._3).toMap === Map(
+      10L -> "new", 11L -> "rejected_quality", 12L -> "exact_dup",
+      13L -> "near_dup", 14L -> "new"))
+    // budget over the ACCUMULATED verdict table: order-free, equals the
+    // batch rule over the union (quota 1 token -> only each source's best
+    // bin survives; both 'new' docs here are their source's best bin)
+    val budget = Pipeline.budgetFromVerdicts(streamed, "doc_id", "source", quota = 1L)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(budget.keySet === Set(10L, 14L), "only admitted docs reach the budget")
+    assert(budget.values.forall(_ == 1))
+  }
+
   test("streaming frozen-LM scoring: streamed scores bit-equal the batch form across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val trainDocs = (0L until 20L)
