@@ -76,9 +76,7 @@ object Warc {
     files.select(col("id").cast("long"), col("content")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) => parseRecords(bytes).zipWithIndex.map {
         case ((wtype, url, len, payload), rec) =>
-          val host = url.stripPrefix("http://").stripPrefix("https://")
-            .takeWhile(c => c != '/' && c != ':')
-          (id, rec.toLong, wtype, url, host, len, payload)
+          (id, rec.toLong, wtype, url, hostOf(url), len, payload)
       }}
       .toDF("id", "rec", "warc_type", "url", "host", "content_length", "payload")
   }
