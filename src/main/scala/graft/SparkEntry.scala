@@ -558,6 +558,21 @@ object SparkEntry {
           (col("pk") =!= col("pk_min")).cast("int").as("is_dup"))
     }),
 
+    // ---- the crawl FRONT DOOR as one oracle row: real WARC bytes (half
+    //      the synthetic files gzipped) → inflate → Content-Length record
+    //      parse → HTML strip → URL first-wins dedup — docsFromWarc's
+    //      canonical-fetch table hash-matched against pure SQL arithmetic
+    //      (the fixture's closed form; no byte is touched in the oracle).
+    //      doc_id (xxhash64) is projected out — not SQL-derivable ----
+    "q118_crawl_docs" -> ((s, dir) => {
+      val nFiles = tbl(s, dir, "documents").filter(col("doc_id") % 7 === 0).count()
+      val files = graft.sources.Warc.inflateFiles(
+        graft.sources.Warc.syntheticCrawlFileRows(s, nFiles, perFile = 13))
+      graft.operators.Pipeline.docsFromWarc(graft.sources.Warc.recordsFromFiles(files))
+        .select(col("url"), col("source"), col("text"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    }),
+
     // ---- winnowing fingerprints: the MOSS document sketch — window-min
     //      shingle hashes (rightmost tie), guarantee: shared runs of
     //      w+k-1 tokens share a fingerprint, density ~2/(w+1) ----
@@ -2287,6 +2302,34 @@ object SparkEntry {
       // decoded-luma sums re-derived from the luma formula alone; flat
       // index q over frames x pixels: f = q // (w*h), x = (q % (w*h)) % w,
       // y = (q % (w*h)) // w (q67's trick with one more dimension)
+      // the crawl fixture's closed form re-derived without bytes: record
+      // r's URL collapses re-fetches (r%10=9 → r−9), the canonical fetch
+      // per URL is min r (path order = crawl order), and the canonical
+      // text is the base form (tbase = r−8 for text-dup records; junk at
+      // tbase%1000=0) — canonical rows never carry the refetch prefix
+      // because the original always precedes its re-fetch
+      "q118_crawl_docs" ->
+        s"""WITH nf AS (SELECT count(*) AS n FROM documents WHERE doc_id % 7 = 0),
+           |recs AS (SELECT unnest(generate_series(0, (SELECT n FROM nf) * 13 - 1)) AS r),
+           |u AS (SELECT r,
+           |  CASE WHEN r % 10 = 9 THEN r - 9 ELSE r END AS ubase
+           |  FROM recs),
+           |canon AS (SELECT 'http://h' || CAST(ubase % 97 AS VARCHAR) || '.example/p' ||
+           |    CAST(ubase AS VARCHAR) AS url,
+           |  'h' || CAST(ubase % 97 AS VARCHAR) || '.example' AS source,
+           |  min(r) AS rmin FROM u GROUP BY 1, 2),
+           |t AS (SELECT url, source,
+           |  CASE WHEN rmin % 10 = 8 THEN rmin - 8 ELSE rmin END AS tbase FROM canon),
+           |txt AS (SELECT url, source,
+           |  CASE WHEN tbase % 1000 = 0 THEN 'j' || repeat('x', 2499)
+           |       ELSE array_to_string(list_transform(generate_series(0, 33),
+           |         i -> 't' || CAST(100000000 + tbase * 50 + i AS VARCHAR)), ' ')
+           |         || ' the and' END AS text
+           |  FROM t)
+           |SELECT url, source, text,
+           |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok
+           |FROM txt""".stripMargin,
+
       // every pixel of an 8×8 block carries the block value, so sums are
       // 64 × the block closed form — no JPEG byte is ever touched
       "q117_mjpeg_decode" ->

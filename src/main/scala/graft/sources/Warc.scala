@@ -89,10 +89,17 @@ object Warc {
     * saturates any cluster). Gzip members are inflated per file
     * (multi-member aware — `gzip -c a b > c` concatenations decode whole).
     */
-  def readFiles(spark: SparkSession, glob: String): DataFrame = {
+  def readFiles(spark: SparkSession, glob: String): DataFrame =
+    inflateFiles(spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content")))
+
+  /** The per-file gzip-inflate step of [[readFiles]], reusable over any
+    * `(path, content)` table (e.g. the in-memory crawl fixture).
+    */
+  def inflateFiles(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(glob)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    files.select(col("path"), col("content")).as[(String, Array[Byte])]
       .map { case (path, bytes) => (path, gunzipIfNeeded(bytes)) }
       .toDF("path", "content")
   }
@@ -172,6 +179,31 @@ object Warc {
       s"WARC-Target-URI: ${crawlUrl(r)}\r\n" +
       s"Content-Length: ${payload.length}\r\n" +
       "\r\n" + payload + "\r\n\r\n").getBytes("US-ASCII")
+  }
+
+  /** The synthetic crawl as an in-memory RAW `(path, content)` table —
+    * the [[readFiles]] pre-inflate shape without disk, for oracle rows:
+    * file f holds records [f·perFile, (f+1)·perFile), odd-indexed files
+    * are GZIPPED (pipe through [[inflateFiles]], so the inflate path
+    * rides inside the oracle check), and zero-padded names keep
+    * lexicographic path order = crawl order.
+    */
+  def syntheticCrawlFileRows(spark: SparkSession, nFiles: Long,
+                             perFile: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(0, nFiles, 1, math.max(1L, math.min(nFiles, 32L)).toInt).as[Long].map { f =>
+      val raw = new java.io.ByteArrayOutputStream()
+      var r = f * perFile
+      while (r < (f + 1) * perFile) { raw.write(crawlRecordBytes(r)); r += 1 }
+      val bytes =
+        if (f % 2 == 1) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(raw.toByteArray); gz.close()
+          bos.toByteArray
+        } else raw.toByteArray
+      (f"part-$f%05d.warc" + (if (f % 2 == 1) ".gz" else ""), bytes)
+    }.toDF("path", "content")
   }
 
   /** Write the synthetic crawl as `nFiles` real WARC files under `outDir`
