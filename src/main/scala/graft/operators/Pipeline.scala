@@ -45,6 +45,16 @@ object Pipeline {
 
   /** Run stages 1–5; returns the selected docs with curriculum columns:
     * (idCol, sourceCol, textCol, n_tok, bin, tier, shard, ck).
+    *
+    * `materialize` (default true) localCheckpoints each stage boundary
+    * (gated, deduped, clean): every stage's operator consumes its input
+    * MORE THAN ONCE (exactDedup's groupBy + join-back, the decontam
+    * anti-join, tokenBudgetSelect's verdict join all read their input
+    * twice), so an unmaterialized composition re-derives the whole
+    * upstream chain per consumer — multiplicatively. At 100 TB each
+    * re-derivation is a full corpus re-read; materialized, the corpus is
+    * scanned once per stage. Pass false for a fully-lazy plan (EXPLAIN
+    * without jobs).
     */
   def prepare(docs: DataFrame,
               idCol: String, sourceCol: String, textCol: String,
@@ -57,17 +67,19 @@ object Pipeline {
               nearDedup: Option[Double] = None,
               nearMaxBand: Int = 1000,
               decontamN: Int = 3,
-              decontamMinOverlap: Int = 5): DataFrame = {
+              decontamMinOverlap: Int = 5,
+              materialize: Boolean = true): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
     // stage 1: quality gate (Gopher keep AND composite score)
-    val gated = docs
+    val gated = ckpt(docs
       .join(TextStats.gopherRulesHof(docs, idCol, textCol)
         .filter(col("keep")).select(idCol), idCol)
-      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
+      .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality))
 
     // stage 2: exact dedup — canonical rows only
-    val deduped = gated.join(
+    val deduped = ckpt(gated.join(
       Dedup.exactDedup(gated, idCol, textCol)
-        .filter(!col("is_dup")).select(idCol), idCol)
+        .filter(!col("is_dup")).select(idCol), idCol))
 
     // stage 2.5 (optional): NEAR dedup — MinHash+LSH propose, exact
     // Jaccard verify at `minJaccard`, connected components, keep the
@@ -83,17 +95,17 @@ object Pipeline {
         val drop = Dedup.dupClusters(deduped, dupPairs, idCol)
           .filter(col(idCol) =!= col("comp")) // comp = min id = the canonical
           .select(idCol)
-        deduped.join(drop, Seq(idCol), "left_anti")
-      case None => deduped
+        ckpt(deduped.join(drop, Seq(idCol), "left_anti"))
+      case None => deduped // already a stage boundary
     }
 
     // stage 3: decontamination (flagged docs drop via anti-join)
     val clean = bench match {
       case Some(b) =>
-        nearDeduped.join(Dedup.contamination(nearDeduped, b, idCol, textCol,
+        ckpt(nearDeduped.join(Dedup.contamination(nearDeduped, b, idCol, textCol,
           n = decontamN, minOverlap = decontamMinOverlap)
-          .select(idCol), Seq(idCol), "left_anti")
-      case None => nearDeduped
+          .select(idCol), Seq(idCol), "left_anti"))
+      case None => nearDeduped // already a stage boundary
     }
 
     // stage 4: per-source token budget (keep = 1 rows survive)
