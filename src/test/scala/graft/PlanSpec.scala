@@ -168,6 +168,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q116 prepare: stage boundaries materialized — final plan reads no parquet") {
+    // every prepare stage consumes its input twice; the boundaries are
+    // localCheckpointed, so the executed plan reads checkpointed blocks
+    // and the corpus is scanned once per stage, never multiplicatively
+    val s = formatted("q116_prepare")
+    assert(!"""\(\d+\) Scan parquet""".r.findFirstIn(s).isDefined,
+      "q116 final plan must read stage checkpoints, not re-derive parquet subtrees")
+    assert(!s.contains("CartesianProduct"))
+  }
+
   test("q83 LM scoring: no window, bigram join is an equi-join, integer totals") {
     val s = formatted("q83_lm_score")
     assert(!s.contains("windowspecdefinition"), "doc totals are partial aggs, not windows")
