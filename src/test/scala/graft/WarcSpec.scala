@@ -83,6 +83,19 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("syntheticCrawlFileRows: in-memory fixture is byte-identical to the disk files") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-par").toString
+    Warc.writeSyntheticCrawl(spark, dir, n = 40L, nFiles = 4) // per = 10
+    val disk = Warc.readFiles(spark, s"$dir/*").collect()
+      .map(r => (r.getString(0).split('/').last, r.getAs[Array[Byte]](1).toSeq)).toMap
+    val mem = Warc.inflateFiles(Warc.syntheticCrawlFileRows(spark, nFiles = 4, perFile = 10))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(disk.keySet === mem.keySet)
+    disk.foreach { case (name, bytes) =>
+      assert(bytes === mem(name), s"$name: fixture bytes must match after inflate")
+    }
+  }
+
   test("gunzipIfNeeded: multi-member gzip inflates whole; plain bytes pass through") {
     val a = "first member ".getBytes("US-ASCII")
     val b = "second member".getBytes("US-ASCII")
