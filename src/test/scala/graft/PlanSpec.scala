@@ -168,6 +168,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q118 crawl docs: URL first-wins is one partial-agg min, no window, no cartesian") {
+    val s = formatted("q118_crawl_docs")
+    assert(!s.contains("CartesianProduct"))
+    assert(!s.contains("windowspecdefinition"),
+      "the canonical-fetch argmin must be a min(struct) aggregate, not a window")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r.findFirstIn(s).isDefined,
+      "URL dedup rides an aggregate")
+  }
+
   test("q116 prepare: stage boundaries materialized — final plan reads no parquet") {
     // every prepare stage consumes its input twice; the boundaries are
     // localCheckpointed, so the executed plan reads checkpointed blocks
