@@ -558,6 +558,23 @@ object SparkEntry {
           (col("pk") =!= col("pk_min")).cast("int").as("is_dup"))
     }),
 
+    // ---- the STREAMING ingest ladder's batch kernel as one oracle row:
+    //      Pipeline.prepareVerdicts over q48's planted ingest split —
+    //      gate (Gopher ∧ quality) → incremental exact/near dedup vs the
+    //      corpus → per-doc status + (n_tok, bin) budget columns. The
+    //      StreamingSpec pins streamed ≡ this batch bit-for-bit, so the
+    //      streaming path is transitively oracle-checked ----
+    "q119_prepare_verdicts" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text")
+      val recrawled = docs.filter(col("doc_id") % 10 >= 2 && col("doc_id") % 50 === 7)
+        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("source"), col("text"))
+      val newBatch = docs.filter(col("doc_id") % 10 < 2)
+        .select("doc_id", "source", "text").unionAll(recrawled)
+      graft.operators.Pipeline.prepareVerdicts(newBatch, corpus, "doc_id", "source", "text",
+        minQuality = 0.3, n = 3, minJaccard = 0.2, maxDf = 5)
+    }),
+
     // ---- the crawl FRONT DOOR as one oracle row: real WARC bytes (half
     //      the synthetic files gzipped) → inflate → Content-Length record
     //      parse → HTML strip → URL first-wins dedup — docsFromWarc's
@@ -2302,6 +2319,65 @@ object SparkEntry {
       // decoded-luma sums re-derived from the luma formula alone; flat
       // index q over frames x pixels: f = q // (w*h), x = (q % (w*h)) % w,
       // y = (q % (w*h)) // w (q67's trick with one more dimension)
+      // q48's dedup CTEs gated first (q116's gate CTEs over the ingest
+      // batch): rejected docs never reach the dedup joins, every row
+      // keeps its (n_tok, bin) budget columns
+      "q119_prepare_verdicts" -> {
+        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+           |newd AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 < 2
+           |  UNION ALL SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+           |    WHERE doc_id % 10 >= 2 AND doc_id % 50 = 7),
+           |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM newd),
+           |a AS (SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(len(tok)) AS BIGINT) AS sum_len,
+           |  CAST(max(len(tok)) AS BIGINT) AS max_word_len,
+           |  count(DISTINCT tok) AS n_distinct,
+           |  CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM w GROUP BY 1),
+           |keepg AS (SELECT doc_id FROM a
+           |  WHERE n_words >= 30 AND n_words <= 100000
+           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+           |    AND n_stop >= 2
+           |    AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.55
+           |    AND max_word_len <= 15),
+           |gated AS (SELECT n.doc_id, n.text FROM newd n
+           |  JOIN keepg USING (doc_id) WHERE $qualityExpr >= 0.3),
+           |${shingleCteFrom(3, "corp", "csh_raw")},
+           |${shingleCteFrom(3, "gated", "nsh_raw")},
+           |csd AS (SELECT DISTINCT doc_id, shingle FROM csh_raw),
+           |cdf AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM csd),
+           |csh AS (SELECT doc_id, shingle FROM cdf WHERE df <= 5),
+           |hot AS (SELECT DISTINCT shingle FROM cdf WHERE df > 5),
+           |nsd AS (SELECT DISTINCT doc_id, shingle FROM nsh_raw),
+           |nsh AS (SELECT doc_id, shingle FROM nsd WHERE shingle NOT IN (SELECT shingle FROM hot)),
+           |na AS (SELECT doc_id, count(*) AS n_a FROM nsh GROUP BY 1),
+           |nb AS (SELECT doc_id, count(*) AS n_b FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_corp, count(*) AS n_inter
+           |  FROM nsh a JOIN csh b ON a.shingle = b.shingle GROUP BY 1, 2),
+           |jac AS (SELECT id_new,
+           |    CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS j
+           |  FROM inter JOIN na ON na.doc_id = inter.id_new JOIN nb ON nb.doc_id = inter.id_corp),
+           |near AS (SELECT id_new, count(*) AS n_near, max(j) AS bj
+           |  FROM jac WHERE j >= 0.2 GROUP BY 1),
+           |ex AS (SELECT DISTINCT g.doc_id FROM gated g
+           |  JOIN corp c ON md5(lower(g.text)) = md5(lower(c.text)))
+           |SELECT nd.doc_id, nd.source,
+           |  CASE WHEN g.doc_id IS NULL THEN 'rejected_quality'
+           |       WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           |       WHEN near.id_new IS NOT NULL THEN 'near_dup'
+           |       ELSE 'new' END AS status,
+           |  CAST(${tokenCountSql("nd.text")} AS BIGINT) AS n_tok,
+           |  CAST(floor((${qualityExpr.replace("text", "nd.text")}) * 1000) AS BIGINT) AS bin,
+           |  COALESCE(near.n_near, 0) AS n_near_matches,
+           |  COALESCE(near.bj, 0.0) AS best_jaccard
+           |FROM newd nd
+           |  LEFT JOIN gated g ON g.doc_id = nd.doc_id
+           |  LEFT JOIN ex ON ex.doc_id = nd.doc_id
+           |  LEFT JOIN near ON near.id_new = nd.doc_id""".stripMargin
+      },
+
       // the crawl fixture's closed form re-derived without bytes: record
       // r's URL collapses re-fetches (r%10=9 → r−9), the canonical fetch
       // per URL is min r (path order = crawl order), and the canonical
