@@ -66,6 +66,28 @@ object SparkEntry {
     tbl(s, dir, "documents").filter(col("doc_id") % 2 === 0)
       .withColumn("cls", col("source").isin(NbCurated: _*).cast("int"))
 
+  /** q119's planted ingest split, shared by q119 (the verdicts) and q120
+    * (the token-budget decision over them): corpus = 80% of documents,
+    * new batch = the 20% held out plus a re-crawled (near-dup) slice.
+    */
+  private def q119Verdicts(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text")
+    val recrawled = docs.filter(col("doc_id") % 10 >= 2 && col("doc_id") % 50 === 7)
+      .select((col("doc_id") + lit(10000L)).as("doc_id"), col("source"), col("text"))
+    val newBatch = docs.filter(col("doc_id") % 10 < 2)
+      .select("doc_id", "source", "text").unionAll(recrawled)
+    graft.operators.Pipeline.prepareVerdicts(newBatch, corpus, "doc_id", "source", "text",
+      minQuality = 0.3, n = 3, minJaccard = 0.2, maxDf = 5)
+  }
+
+  /** q120's per-source token quota — sized so that at sf0.01 some sources
+    * overflow it (keep = 0 rows exist) while every source keeps its best
+    * bin (keep = 1 rows exist): the decision boundary is exercised in both
+    * directions.
+    */
+  private val Q120Quota = 150L
+
   /** events table with `ts` normalized to epoch microseconds (`tus`),
     * schema-dispatched: the driver has shipped `events.parquet` both as
     * parquet TIMESTAMP(NANOS) — which `spark.sql.legacy.parquet.nanosAsLong`
@@ -564,16 +586,18 @@ object SparkEntry {
     //      corpus → per-doc status + (n_tok, bin) budget columns. The
     //      StreamingSpec pins streamed ≡ this batch bit-for-bit, so the
     //      streaming path is transitively oracle-checked ----
-    "q119_prepare_verdicts" -> ((s, dir) => {
-      val docs = tbl(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") % 10 >= 2).select("doc_id", "text")
-      val recrawled = docs.filter(col("doc_id") % 10 >= 2 && col("doc_id") % 50 === 7)
-        .select((col("doc_id") + lit(10000L)).as("doc_id"), col("source"), col("text"))
-      val newBatch = docs.filter(col("doc_id") % 10 < 2)
-        .select("doc_id", "source", "text").unionAll(recrawled)
-      graft.operators.Pipeline.prepareVerdicts(newBatch, corpus, "doc_id", "source", "text",
-        minQuality = 0.3, n = 3, minJaccard = 0.2, maxDf = 5)
-    }),
+    "q119_prepare_verdicts" -> ((s, dir) => q119Verdicts(s, dir)),
+
+    // ---- the streaming quota dashboard's batch kernel: the token-budget
+    //      decision over the ACCUMULATED q119 verdicts —
+    //      Pipeline.budgetFromVerdicts fills per-source quality bins
+    //      best-first until the quota, from the (n_tok, bin) columns alone
+    //      (no text re-read). Pure function of the verdict SET, so the
+    //      streamed quota table (StreamingSpec) is transitively
+    //      oracle-checked through this row ----
+    "q120_budget_from_verdicts" -> ((s, dir) =>
+      graft.operators.Pipeline.budgetFromVerdicts(
+        q119Verdicts(s, dir), "doc_id", "source", quota = Q120Quota)),
 
     // ---- the crawl FRONT DOOR as one oracle row: real WARC bytes (half
     //      the synthetic files gzipped) → inflate → Content-Length record
@@ -1591,6 +1615,65 @@ object SparkEntry {
       val wordOk = s"CASE WHEN $meanLen >= 3.0 AND $meanLen <= 12.0 THEN 1.0 ELSE 0.0 END"
       s"($nStop / $nTok) * 0.4 + $lenOk * 0.3 + $wordOk * 0.3"
     }
+  /** q119's oracle SQL — the full verdict CTE chain, shared verbatim by
+    * the q119 row and (as a nested-WITH CTE) the q120 budget row.
+    */
+    def q119Sql: String = {
+      val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
+           |newd AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 < 2
+           |  UNION ALL SELECT doc_id + 10000 AS doc_id, source, text FROM documents
+           |    WHERE doc_id % 10 >= 2 AND doc_id % 50 = 7),
+           |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM newd),
+           |a AS (SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(len(tok)) AS BIGINT) AS sum_len,
+           |  CAST(max(len(tok)) AS BIGINT) AS max_word_len,
+           |  count(DISTINCT tok) AS n_distinct,
+           |  CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |  FROM w GROUP BY 1),
+           |keepg AS (SELECT doc_id FROM a
+           |  WHERE n_words >= 30 AND n_words <= 100000
+           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+           |    AND n_stop >= 2
+           |    AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.55
+           |    AND max_word_len <= 15),
+           |gated AS (SELECT n.doc_id, n.text FROM newd n
+           |  JOIN keepg USING (doc_id) WHERE $qualityExpr >= 0.3),
+           |${shingleCteFrom(3, "corp", "csh_raw")},
+           |${shingleCteFrom(3, "gated", "nsh_raw")},
+           |csd AS (SELECT DISTINCT doc_id, shingle FROM csh_raw),
+           |cdf AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM csd),
+           |csh AS (SELECT doc_id, shingle FROM cdf WHERE df <= 5),
+           |hot AS (SELECT DISTINCT shingle FROM cdf WHERE df > 5),
+           |nsd AS (SELECT DISTINCT doc_id, shingle FROM nsh_raw),
+           |nsh AS (SELECT doc_id, shingle FROM nsd WHERE shingle NOT IN (SELECT shingle FROM hot)),
+           |na AS (SELECT doc_id, count(*) AS n_a FROM nsh GROUP BY 1),
+           |nb AS (SELECT doc_id, count(*) AS n_b FROM csh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_corp, count(*) AS n_inter
+           |  FROM nsh a JOIN csh b ON a.shingle = b.shingle GROUP BY 1, 2),
+           |jac AS (SELECT id_new,
+           |    CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS j
+           |  FROM inter JOIN na ON na.doc_id = inter.id_new JOIN nb ON nb.doc_id = inter.id_corp),
+           |near AS (SELECT id_new, count(*) AS n_near, max(j) AS bj
+           |  FROM jac WHERE j >= 0.2 GROUP BY 1),
+           |ex AS (SELECT DISTINCT g.doc_id FROM gated g
+           |  JOIN corp c ON md5(lower(g.text)) = md5(lower(c.text)))
+           |SELECT nd.doc_id, nd.source,
+           |  CASE WHEN g.doc_id IS NULL THEN 'rejected_quality'
+           |       WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+           |       WHEN near.id_new IS NOT NULL THEN 'near_dup'
+           |       ELSE 'new' END AS status,
+           |  CAST(${tokenCountSql("nd.text")} AS BIGINT) AS n_tok,
+           |  CAST(floor((${qualityExpr.replace("text", "nd.text")}) * 1000) AS BIGINT) AS bin,
+           |  COALESCE(near.n_near, 0) AS n_near_matches,
+           |  COALESCE(near.bj, 0.0) AS best_jaccard
+           |FROM newd nd
+           |  LEFT JOIN gated g ON g.doc_id = nd.doc_id
+           |  LEFT JOIN ex ON ex.doc_id = nd.doc_id
+           |  LEFT JOIN near ON near.id_new = nd.doc_id""".stripMargin
+  }
+
     Map(
       "q01_l2_project" -> {
         val terms = Seq(
@@ -2322,61 +2405,28 @@ object SparkEntry {
       // q48's dedup CTEs gated first (q116's gate CTEs over the ingest
       // batch): rejected docs never reach the dedup joins, every row
       // keeps its (n_tok, bin) budget columns
-      "q119_prepare_verdicts" -> {
-        val stopList = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
-        s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 2),
-           |newd AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 < 2
-           |  UNION ALL SELECT doc_id + 10000 AS doc_id, source, text FROM documents
-           |    WHERE doc_id % 10 >= 2 AND doc_id % 50 = 7),
-           |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM newd),
-           |a AS (SELECT doc_id, count(*) AS n_words,
-           |  CAST(sum(len(tok)) AS BIGINT) AS sum_len,
-           |  CAST(max(len(tok)) AS BIGINT) AS max_word_len,
-           |  count(DISTINCT tok) AS n_distinct,
-           |  CAST(sum(CASE WHEN tok IN ($stopList) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-           |  FROM w GROUP BY 1),
-           |keepg AS (SELECT doc_id FROM a
-           |  WHERE n_words >= 30 AND n_words <= 100000
-           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
-           |    AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
-           |    AND n_stop >= 2
-           |    AND 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) <= 0.55
-           |    AND max_word_len <= 15),
-           |gated AS (SELECT n.doc_id, n.text FROM newd n
-           |  JOIN keepg USING (doc_id) WHERE $qualityExpr >= 0.3),
-           |${shingleCteFrom(3, "corp", "csh_raw")},
-           |${shingleCteFrom(3, "gated", "nsh_raw")},
-           |csd AS (SELECT DISTINCT doc_id, shingle FROM csh_raw),
-           |cdf AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM csd),
-           |csh AS (SELECT doc_id, shingle FROM cdf WHERE df <= 5),
-           |hot AS (SELECT DISTINCT shingle FROM cdf WHERE df > 5),
-           |nsd AS (SELECT DISTINCT doc_id, shingle FROM nsh_raw),
-           |nsh AS (SELECT doc_id, shingle FROM nsd WHERE shingle NOT IN (SELECT shingle FROM hot)),
-           |na AS (SELECT doc_id, count(*) AS n_a FROM nsh GROUP BY 1),
-           |nb AS (SELECT doc_id, count(*) AS n_b FROM csh GROUP BY 1),
-           |inter AS (SELECT a.doc_id AS id_new, b.doc_id AS id_corp, count(*) AS n_inter
-           |  FROM nsh a JOIN csh b ON a.shingle = b.shingle GROUP BY 1, 2),
-           |jac AS (SELECT id_new,
-           |    CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS j
-           |  FROM inter JOIN na ON na.doc_id = inter.id_new JOIN nb ON nb.doc_id = inter.id_corp),
-           |near AS (SELECT id_new, count(*) AS n_near, max(j) AS bj
-           |  FROM jac WHERE j >= 0.2 GROUP BY 1),
-           |ex AS (SELECT DISTINCT g.doc_id FROM gated g
-           |  JOIN corp c ON md5(lower(g.text)) = md5(lower(c.text)))
-           |SELECT nd.doc_id, nd.source,
-           |  CASE WHEN g.doc_id IS NULL THEN 'rejected_quality'
-           |       WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
-           |       WHEN near.id_new IS NOT NULL THEN 'near_dup'
-           |       ELSE 'new' END AS status,
-           |  CAST(${tokenCountSql("nd.text")} AS BIGINT) AS n_tok,
-           |  CAST(floor((${qualityExpr.replace("text", "nd.text")}) * 1000) AS BIGINT) AS bin,
-           |  COALESCE(near.n_near, 0) AS n_near_matches,
-           |  COALESCE(near.bj, 0.0) AS best_jaccard
-           |FROM newd nd
-           |  LEFT JOIN gated g ON g.doc_id = nd.doc_id
-           |  LEFT JOIN ex ON ex.doc_id = nd.doc_id
-           |  LEFT JOIN near ON near.id_new = nd.doc_id""".stripMargin
-      },
+      "q119_prepare_verdicts" -> q119Sql,
+
+      // q119's verdict query as a CTE, then the quota arithmetic: admitted
+      // docs grouped to (source, bin) token masses, a bin-descending
+      // running sum per source, keep = the bin STARTS under quota
+      // (cum − bin_tok < quota) — bit-identical to budgetFromVerdicts'
+      // window. Internal sums never surface (DuckDB SUM(BIGINT) widens to
+      // HUGEINT; only compared, never projected).
+      "q120_budget_from_verdicts" ->
+        s"""WITH verd AS ($q119Sql),
+           |admitted AS (SELECT * FROM verd WHERE status = 'new'),
+           |bins AS (SELECT source, bin, SUM(n_tok) AS bin_tok
+           |  FROM admitted GROUP BY 1, 2),
+           |cum AS (SELECT source, bin, bin_tok,
+           |  SUM(bin_tok) OVER (PARTITION BY source ORDER BY bin DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+           |  FROM bins),
+           |keepb AS (SELECT source, bin,
+           |  CASE WHEN cum_tok - bin_tok < $Q120Quota THEN 1 ELSE 0 END AS keep
+           |  FROM cum)
+           |SELECT a.doc_id, a.source, a.n_tok, a.bin, CAST(k.keep AS INT) AS keep
+           |FROM admitted a JOIN keepb k ON a.source = k.source AND a.bin = k.bin""".stripMargin,
 
       // the crawl fixture's closed form re-derived without bytes: record
       // r's URL collapses re-fetches (r%10=9 → r−9), the canonical fetch

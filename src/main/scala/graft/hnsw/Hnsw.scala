@@ -588,6 +588,102 @@ object Hnsw {
     unionSearch(pruned, q.join(probedPids, "qid").select("pid", "qid", "vector"), k, ef)
   }
 
+  /** Exact-rescore refinement of [[annQueryRouted]] — the
+    * [[graft.operators.Pq.ivfPqTopKRefined]] pattern applied to the routed
+    * graph path. The HNSW distances are already exact (true vectors live in
+    * the graph), so unlike PQ the win is not decompression error: it is
+    * CANDIDATE-SET widening past the traversal's ef ceiling. Three stages:
+    *
+    *   1. coarse: routed traversal returns top-`refine` (R ≥ k) per query —
+    *      one routed search with a wider k, same cost shape as
+    *      [[annQueryRouted]];
+    *   2. expand: each coarse candidate pulls in its layer-0 graph
+    *      neighbours (`expandHops` rounds) — true neighbours the sweep
+    *      missed are very often adjacent to ones it found, so one hop
+    *      recovers most of the recall a larger ef would buy, at
+    *      O(q·R·degree) candidate rows instead of a deeper traversal. The
+    *      edge scan is pruned to the probed shards (candidates and their
+    *      adjacency live in the same shard by construction) and the
+    *      candidate set is broadcast — no edge-table shuffle;
+    *   3. rescore: exact metric distance against the true vectors
+    *      (broadcast candidate + query tables streamed over the
+    *      shard-pruned node scan — no node-table shuffle), then the usual
+    *      bounded-heap top-k merge (spill-ghost duplicates deduped).
+    *
+    * Contract: query batches are bounded (broadcast q·R·degree^hops
+    * candidate rows — the [[annQuery]] small-batch contract); hops ≥ 2
+    * multiplies the broadcast by another degree factor. Measured at
+    * 1M × dim-512 (BENCH_SCALE_REFINE512.json): one hop at ef=200 beats
+    * the ef=1600 traversal on recall at a fraction of its cost.
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryRoutedRefined(index: HnswIndex, queries: DataFrame, k: Int,
+                            probeCells: Int = -1, ef: Int = -1,
+                            refine: Int = -1, expandHops: Int = 1): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val r = if (refine > 0) math.max(refine, k) else math.max(4 * k, 64)
+    val probed = probedPidsFor(index, q, probeCells)
+    val activePids = probed.select("pid").distinct()
+    val coarse = routedSearch(index, q, probed, r, ef).select(col("qid"), col("id"))
+    val e0 = index.edges.filter(col("layer") === 0)
+      .join(broadcast(activePids), Seq("pid"), "left_semi")
+      .select(col("src").cast("long").as("id"), col("dst").cast("long").as("nbr"))
+    val cand = (1 to math.max(0, expandHops)).foldLeft(coarse) { (c, _) =>
+      c.union(e0.join(broadcast(c), Seq("id")).select(col("qid"), col("nbr").as("id")))
+        .distinct()
+    }
+    rescoreTopK(index, q, cand, activePids, k)
+  }
+
+  /** Exact search within the probed shards — the IVF-Flat twin of
+    * [[annQueryRouted]] on the SAME locality-sharded index: route with the
+    * centroid table exactly as the graph path does, then brute-force the
+    * probed shards instead of traversing their sub-graphs. Recall equals
+    * ROUTING recall (the fraction of true neighbours whose home cell was
+    * probed) — graph quality drops out entirely, so at `probeCells = C`
+    * this is the exact top-k (recall 1.0, spec-asserted). The recall/cost
+    * dial is purely nprobe.
+    *
+    * Cost: Σ_q n_probed(q) distance rows streamed into the bounded-heap
+    * partial aggregate — map-side combined, shuffle O(q·k). The
+    * (qid, pid, q_vector) probe table is broadcast (bounded query batches,
+    * the [[annQuery]] contract); the node table never shuffles.
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryRoutedExact(index: HnswIndex, queries: DataFrame, k: Int,
+                          probeCells: Int = -1): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val probed = probedPidsFor(index, q, probeCells)
+    val distFn = Distances.metric(index.meta.metric)
+    val route = probed.join(q.select(col("qid"), col("vector").as("q_vector")), "qid")
+    val scored = index.nodes.filter(!col("tombstone"))
+      .select(col("pid").cast("int").as("pid"), col("id").cast("long").as("id"),
+        col("vector").cast("array<float>").as("i_vector"))
+      .join(broadcast(route), Seq("pid"))
+      .select(col("qid"), col("id"), distFn(col("i_vector"), col("q_vector")).as("dist"))
+    rankTopK(scored, k)
+  }
+
+  /** Stage 3 of [[annQueryRoutedRefined]]: exact metric distance for every
+    * (qid, candidate id) pair against the true vectors, bounded-heap top-k.
+    * Tombstoned nodes drop out here (so the refined path honours deletes
+    * and [[withAllowed]] filters); spill-ghost duplicates produce identical
+    * (dist, id) entries which the dedup merge collapses.
+    */
+  private def rescoreTopK(index: HnswIndex, q: DataFrame, cand: DataFrame,
+                          activePids: DataFrame, k: Int): DataFrame = {
+    val distFn = Distances.metric(index.meta.metric)
+    val scored = index.nodes.filter(!col("tombstone"))
+      .join(broadcast(activePids), Seq("pid"), "left_semi")
+      .select(col("id").cast("long").as("id"), col("vector").cast("array<float>").as("i_vector"))
+      .join(broadcast(cand), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("vector").as("q_vector"))), Seq("qid"))
+      .select(col("qid"), col("id"), distFn(col("i_vector"), col("q_vector")).as("dist"))
+    rankTopK(scored, k)
+  }
+
   /** Regime-aware batch ANN: routed when routing actually prunes, all-shard
     * when it would not. Routing has TWO independent savings, and the
     * chooser must weigh both (each measured, BENCH_ROUTED.json /

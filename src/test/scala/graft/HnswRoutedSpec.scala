@@ -79,6 +79,63 @@ class HnswRoutedSpec extends SparkSpec {
     idx01.nodes.unpersist()
   }
 
+  test("annQueryRoutedExact at probeCells=C is the exact top-k; fewer cells only lose routing recall") {
+    // full probe brute-forces every shard — must equal the exact oracle
+    // bit-for-bit (same metric column, same (dist, id) tiebreak)
+    val uniq = routed.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val exact = Knn.exactTopK(uniq, queries, 10, Distances.metric(routed.meta.metric))
+      .collect().map(_.toSeq).toSet
+    val full = Hnsw.annQueryRoutedExact(routed, queries, k = 10, probeCells = 16)
+      .collect().map(_.toSeq).toSet
+    assert(full === exact, "probeCells=C exact-probed search must BE the exact top-k")
+    // a partial probe still finds each query's own vector at rank 1 /
+    // dist 0 (the home cell is by assignment among the nearest cells, so
+    // it is always probed) — brute force within probed shards cannot miss
+    val part = Hnsw.annQueryRoutedExact(routed, queries, k = 10, probeCells = 4)
+      .filter(col("rank") === 1).collect()
+    assert(part.nonEmpty)
+    part.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) && r.getDouble(3) === 0.0,
+        s"rank-1 of qid ${r.getLong(0)} is ${r.getLong(2)} at ${r.getDouble(3)}")
+    }
+  }
+
+  test("annQueryRoutedRefined: expansion+rescore never loses recall vs the routed traversal") {
+    val in01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    // a deliberately DEGRADED graph (m=2, efc=4): the traversal must miss
+    // neighbours, leaving headroom only the refine stage can claw back —
+    // on a healthy sf0.01 graph even ef=12 is already at recall 1.0
+    val degraded = HnswParams(dim = 64, m = 2, efConstruction = 4, numPartitions = 4)
+    val idx01 = Hnsw.buildRouted(in01, degraded, cellsPerShard = 4)
+    val q01 = in01.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val uniq = idx01.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val exact = Knn.exactTopK(uniq, q01, 10, Distances.metric(idx01.meta.metric))
+      .localCheckpoint()
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    val base = recallOf(Hnsw.annQueryRouted(idx01, q01, k = 10, probeCells = 16, ef = 10))
+    val refined = recallOf(Hnsw.annQueryRoutedRefined(idx01, q01, k = 10, probeCells = 16,
+      ef = 10, refine = 30, expandHops = 1))
+    assert(refined >= base,
+      s"refined recall $refined fell below the coarse traversal's $base")
+    assert(base < 1.0, s"degraded graph still at recall $base — no headroom to test")
+    assert(refined > base,
+      s"refine stage added nothing at ef=10 (both $base) — expansion is not wired")
+    // hops=0, refine=k degenerates to the routed traversal's candidate set:
+    // the per-query id sets must agree (distances are recomputed exactly,
+    // so compare membership, not float bits)
+    val coarseIds = Hnsw.annQueryRouted(idx01, q01, k = 10, probeCells = 16, ef = 64)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val degenIds = Hnsw.annQueryRoutedRefined(idx01, q01, k = 10, probeCells = 16, ef = 64,
+      refine = 10, expandHops = 0)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(degenIds === coarseIds, "hops=0/refine=k must return the traversal's own ids")
+    idx01.nodes.unpersist()
+  }
+
   test("annQueryAdaptive: both regimes bit-equal their plan; chooser picks one of the two") {
     // FORCED fallback: fallbackFraction=0 makes the union condition always
     // true and a 1-query batch is always rebuild-dominated (q·ef ≪ nSub) —

@@ -348,6 +348,16 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
     assert(budget.keySet === Set(10L, 14L), "only admitted docs reach the budget")
     assert(budget.values.forall(_ == 1))
+    // and the streamed quota table bit-equals the batch one — the same
+    // budgetFromVerdicts kernel the q120 oracle row hash-pins, so the
+    // streaming quota dashboard is transitively oracle-checked
+    val refDf = Pipeline.prepareVerdicts(union, corpus, "doc_id", "source", "text",
+      minJaccard = 0.2)
+    val bStreamed = Pipeline.budgetFromVerdicts(streamed, "doc_id", "source", quota = 40L)
+      .collect().map(_.toSeq).toSet
+    val bBatch = Pipeline.budgetFromVerdicts(refDf, "doc_id", "source", quota = 40L)
+      .collect().map(_.toSeq).toSet
+    assert(bStreamed === bBatch, "streamed quota table must bit-equal the batch kernel's")
   }
 
   test("streaming frozen-LM scoring: streamed scores bit-equal the batch form across micro-batches") {
