@@ -46,16 +46,23 @@ object Main {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val flags = Set("--build", "--serve", "--large", "--routed", "--adaptive") // boolean flags
+    // the ONLY value-taking flag that may legitimately appear without a
+    // value (`--prepare --input-warc GLOB` marks prepare mode with the
+    // input coming from the WARC glob). Every other flag followed by a
+    // flag — or trailing — is a forgotten value and must error LOUDLY
+    // here, not downstream as spark.read.parquet("true").
+    val valuelessOk = Set("--prepare")
     @annotation.tailrec
     def go(rest: List[String], acc: Map[String, String]): Map[String, String] = rest match {
       case Nil => acc
       case f :: tail if flags.contains(f) => go(tail, acc + (f.drop(2) -> "true"))
-      // a flag directly followed by another flag (or trailing) is boolean:
-      // `--prepare --input-warc GLOB` marks prepare mode without a
-      // positional input
-      case k :: v :: tail if k.startsWith("--") && v.startsWith("--") =>
+      case k :: v :: tail if valuelessOk.contains(k) && v.startsWith("--") =>
         go(v :: tail, acc + (k.drop(2) -> "true"))
-      case k :: Nil if k.startsWith("--") => acc + (k.drop(2) -> "true")
+      case k :: Nil if valuelessOk.contains(k) => acc + (k.drop(2) -> "true")
+      case k :: v :: tail if k.startsWith("--") && v.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag '$k' requires a value (got '$v')")
+      case k :: Nil if k.startsWith("--") =>
+        throw new IllegalArgumentException(s"flag '$k' requires a value")
       case k :: v :: tail if k.startsWith("--") => go(tail, acc + (k.drop(2) -> v))
       case other :: _ => throw new IllegalArgumentException(s"unexpected argument '$other'")
     }
@@ -511,8 +518,14 @@ object Main {
       val t0 = System.nanoTime()
       val (prepared, idCol, nIn) = opts.get("input-warc") match {
         case Some(glob) =>
+          // persist the parsed records BEFORE anything consumes them: the
+          // record count for the summary line and prepareFromWarc's doc
+          // derivation share one gunzip+parse pass instead of decoding
+          // every WARC byte twice (lineage kept — a lost executor
+          // recomputes, it doesn't fail the crawl-scale run)
           val recs = graft.sources.Warc.recordsFromFiles(
             graft.sources.Warc.readFiles(spark, glob))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val p = graft.operators.Pipeline.prepareFromWarc(recs,
             minQuality = minQuality, bench = bench, quota = quota, bins = bins,
             numShards = numShards, bestLast = bestLast, nearDedup = nearDedup,

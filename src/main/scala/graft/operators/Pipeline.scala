@@ -46,7 +46,7 @@ object Pipeline {
   /** Run stages 1–5; returns the selected docs with curriculum columns:
     * (idCol, sourceCol, textCol, n_tok, bin, tier, shard, ck).
     *
-    * `materialize` (default true) localCheckpoints each stage boundary
+    * `materialize` (default true) materializes each stage boundary
     * (gated, deduped, clean): every stage's operator consumes its input
     * MORE THAN ONCE (exactDedup's groupBy + join-back, the decontam
     * anti-join, tokenBudgetSelect's verdict join all read their input
@@ -55,6 +55,17 @@ object Pipeline {
     * re-derivation is a full corpus re-read; materialized, the corpus is
     * scanned once per stage. Pass false for a fully-lazy plan (EXPLAIN
     * without jobs).
+    *
+    * `stageStorage` picks HOW boundaries materialize:
+    *   - `"persist"` (default): `persist(MEMORY_AND_DISK)` — lineage is
+    *     KEPT, so on a real cluster a lost executor mid-prepare recomputes
+    *     its blocks instead of failing the whole long-running job, and
+    *     plan construction stays lazy (no jobs until an action);
+    *   - `"local-checkpoint"`: eager `localCheckpoint()` — truncates
+    *     lineage (flat plans for the iterative single-node proofs) at the
+    *     cost of unrecoverable blocks on executor loss.
+    * Blocks are cached for the result plan's lifetime; release them with
+    * `Checkpoints.unpersist` tree-walks when the result is consumed.
     */
   def prepare(docs: DataFrame,
               idCol: String, sourceCol: String, textCol: String,
@@ -68,8 +79,14 @@ object Pipeline {
               nearMaxBand: Int = 1000,
               decontamN: Int = 3,
               decontamMinOverlap: Int = 5,
-              materialize: Boolean = true): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+              materialize: Boolean = true,
+              stageStorage: String = "persist"): DataFrame = {
+    require(stageStorage == "persist" || stageStorage == "local-checkpoint",
+      s"stageStorage must be 'persist' or 'local-checkpoint', got '$stageStorage'")
+    def ckpt(df: DataFrame): DataFrame =
+      if (!materialize) df
+      else if (stageStorage == "local-checkpoint") df.localCheckpoint()
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 1: quality gate (Gopher keep AND composite score)
     val gated = ckpt(docs
       .join(TextStats.gopherRulesHof(docs, idCol, textCol)
@@ -160,9 +177,19 @@ object Pipeline {
   /** END-TO-END crawl-to-shards: parsed WARC records through
     * [[docsFromWarc]] (strip + URL dedup) and then the full [[prepare]]
     * stage chain — the one composition a user points at a crawl. The
-    * canonical-fetch table is materialized once (executor-local blocks):
-    * every prepare stage re-reads it instead of re-parsing the WARC bytes
-    * per stage. Output = [[prepare]]'s columns + `url`.
+    * canonical-fetch table is materialized once (`stageStorage`, see
+    * [[prepare]]): every prepare stage re-reads it instead of re-parsing
+    * the WARC bytes per stage. Output = [[prepare]]'s columns + `url`.
+    *
+    * `verifyIds` (default true) guards the xxhash64(url) → doc_id key: at
+    * real crawl scale (billions of URLs) a 64-bit collision is no longer
+    * negligible, and an undetected one silently MERGES two distinct
+    * documents through every downstream groupBy and fans out duplicate
+    * rows at the url join-back. The check is one partial-agg count over
+    * the already-materialized doc table (groupBy doc_id, any url-distinct
+    * group > 1 → loud IllegalStateException naming a colliding pair) —
+    * cheap next to the decode it rides behind. Pass false to keep plan
+    * construction fully job-free (EXPLAIN).
     */
   def prepareFromWarc(records: DataFrame,
                       minQuality: Double = 0.3,
@@ -174,13 +201,30 @@ object Pipeline {
                       nearDedup: Option[Double] = None,
                       nearMaxBand: Int = 1000,
                       decontamN: Int = 3,
-                      decontamMinOverlap: Int = 5): DataFrame = {
-    val docs = docsFromWarc(records).localCheckpoint()
+                      decontamMinOverlap: Int = 5,
+                      stageStorage: String = "persist",
+                      verifyIds: Boolean = true): DataFrame = {
+    val raw = docsFromWarc(records)
+    val docs =
+      if (stageStorage == "local-checkpoint") raw.localCheckpoint()
+      else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (verifyIds) {
+      val clash = docs.groupBy(col("doc_id"))
+        .agg(countDistinct(col("url")).as("n_urls"), min(col("url")).as("u1"),
+          max(col("url")).as("u2"))
+        .filter(col("n_urls") > 1).limit(1).collect()
+      clash.headOption.foreach { r =>
+        throw new IllegalStateException(
+          s"doc_id collision: xxhash64 maps '${r.getAs[String]("u1")}' and " +
+            s"'${r.getAs[String]("u2")}' to ${r.getLong(0)} — disambiguate the key " +
+            "(e.g. partition the crawl) before preparing")
+      }
+    }
     prepare(docs.select("doc_id", "source", "text"), "doc_id", "source", "text",
       minQuality = minQuality, bench = bench, quota = quota, bins = bins,
       numShards = numShards, bestLast = bestLast, nearDedup = nearDedup,
       nearMaxBand = nearMaxBand, decontamN = decontamN,
-      decontamMinOverlap = decontamMinOverlap)
+      decontamMinOverlap = decontamMinOverlap, stageStorage = stageStorage)
       .join(docs.select("doc_id", "url"), "doc_id")
   }
 

@@ -179,12 +179,24 @@ class PlanSpec extends SparkSpec {
 
   test("q116 prepare: stage boundaries materialized — final plan reads no parquet") {
     // every prepare stage consumes its input twice; the boundaries are
-    // localCheckpointed, so the executed plan reads checkpointed blocks
-    // and the corpus is scanned once per stage, never multiplicatively
-    val s = formatted("q116_prepare")
-    assert(!"""\(\d+\) Scan parquet""".r.findFirstIn(s).isDefined,
-      "q116 final plan must read stage checkpoints, not re-derive parquet subtrees")
-    assert(!s.contains("CartesianProduct"))
+    // persist(MEMORY_AND_DISK) (lineage-keeping — a lost executor
+    // recomputes instead of failing the run), so the OPTIMIZED plan's own
+    // tree must read InMemoryRelations, with parquet scans living only
+    // inside the cached subtrees (computed once at cache fill, never
+    // multiplicatively). Formatted text can't distinguish inside/outside a
+    // cached subtree, so this guard walks the logical plan objects.
+    val lp = SparkEntry.queries("q116_prepare")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val raw = lp.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(raw.isEmpty,
+      "q116 final plan must read stage-boundary caches, not re-derive parquet subtrees")
+    val cached = lp.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(cached.nonEmpty, "stage boundaries must appear as InMemoryRelations")
+    assert(!formatted("q116_prepare").contains("CartesianProduct"))
   }
 
   test("q83 LM scoring: no window, bigram join is an equi-join, integer totals") {
