@@ -599,6 +599,27 @@ object SparkEntry {
       graft.operators.Pipeline.budgetFromVerdicts(
         q119Verdicts(s, dir), "doc_id", "source", quota = Q120Quota)),
 
+    // ---- the cleaning tier in its SQL SPELLING: strip_html →
+    //      token_count / lang_id / quality_score through the
+    //      GraftExtensions function registry (registerInto — the same
+    //      builders spark.sql.extensions injects), over a synthesized
+    //      HTML wrapper so the strip does real work (tags, a script
+    //      block, an author-escaped entity). Pure-SQL users reach the
+    //      pipeline layer; this row hash-pins that spelling ----
+    "q121_sql_cleaning" -> ((s, dir) => {
+      GraftExtensions.registerInto(s)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("<html><body><p class=\"x\">"), col("text"),
+            lit("</p><script>var n=1;</script> &amp;fin</body></html>")).as("html"))
+        .createOrReplaceTempView("g_crawl")
+      s.sql("""SELECT doc_id, strip_html(html) AS text,
+              |  CAST(token_count(strip_html(html)) AS BIGINT) AS n_tok,
+              |  lang_id(strip_html(html)) AS lang,
+              |  quality_score(strip_html(html)) AS q
+              |FROM g_crawl""".stripMargin)
+    }),
+
     // ---- the crawl FRONT DOOR as one oracle row: real WARC bytes (half
     //      the synthetic files gzipped) → inflate → Content-Length record
     //      parse → HTML strip → URL first-wins dedup — docsFromWarc's
@@ -2427,6 +2448,28 @@ object SparkEntry {
            |  FROM cum)
            |SELECT a.doc_id, a.source, a.n_tok, a.bin, CAST(k.keep AS INT) AS keep
            |FROM admitted a JOIN keepb k ON a.source = k.source AND a.bin = k.bin""".stripMargin,
+
+      // strip_html's regex chain replayed literally (the Java-regex/RE2
+      // shared subset, global flag explicit in DuckDB), then the cleaning
+      // functions over the stripped text — same expressions q14/q15 pin
+      "q121_sql_cleaning" -> {
+        val noBlocks =
+          "regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')"
+        val noTags = s"regexp_replace($noBlocks, '<[^>]*>', ' ', 'g')"
+        val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ", "&amp;" -> "&")
+          .foldLeft(noTags) { case (c, (e, v)) => s"regexp_replace($c, '$e', '$v', 'g')" }
+        val stripped = s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+        s"""WITH h AS (SELECT doc_id,
+           |  '<html><body><p class="x">' || text ||
+           |  '</p><script>var n=1;</script> &amp;fin</body></html>' AS html
+           |  FROM documents),
+           |s AS (SELECT doc_id, $stripped AS text FROM h)
+           |SELECT doc_id, text,
+           |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
+           |  ${langCase("text")} AS lang,
+           |  $qualityExpr AS q
+           |FROM s""".stripMargin
+      },
 
       // the crawl fixture's closed form re-derived without bytes: record
       // r's URL collapses re-fetches (r%10=9 → r−9), the canonical fetch

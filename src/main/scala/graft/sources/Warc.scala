@@ -254,7 +254,10 @@ object Warc {
           val len = headers.get("content-length").flatMap(v => v.toLongOption)
           val payloadStart = headerEnd + 4
           len match {
-            case Some(l) if payloadStart + l <= s.length =>
+            // l >= 0: a negative Content-Length (hostile or corrupt header)
+            // would pass the bounds check below and throw in substring —
+            // fuzz-pinned in PropertySpec (parse never throws)
+            case Some(l) if l >= 0 && payloadStart + l <= s.length =>
               out += ((headers.getOrElse("warc-type", ""),
                 headers.getOrElse("warc-target-uri", ""), l,
                 s.substring(payloadStart, payloadStart + l.toInt)))

@@ -100,6 +100,22 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(graft.operators.Dedup.embeddingBucket(col("v"), 4, 2).as("b")).head().getLong(0)
     assert(bucket === bucketCol)
 
+    // strip_html: tags/script drop, entity decode order (author-escaped
+    // &amp;lt; must display as "&lt;", not double-decode), collapse
+    val htmlDf = Seq(
+      (1L, """<html><body><p class="a">Hi <b>there</b></p><script>var x = "<p>";</script> ok</body></html>"""),
+      (2L, "no markup at all"),
+      (3L, "a &amp;lt; b &nbsp; c &gt; d")).toDF("id", "html")
+    htmlDf.createOrReplaceTempView("sql_html")
+    val stripSql = spark.sql(
+      "SELECT id, strip_html(html) AS t FROM sql_html ORDER BY id").collect()
+    val stripCol = htmlDf.select(col("id"), TextFunctions.stripHtml(col("html")).as("t"))
+      .orderBy("id").collect()
+    assert(stripSql.map(_.toSeq).toSeq === stripCol.map(_.toSeq).toSeq)
+    assert(stripSql(0).getString(1) === "Hi there ok")
+    assert(stripSql(1).getString(1) === "no markup at all")
+    assert(stripSql(2).getString(1) === "a &lt; b c > d")
+
     val zSql = spark.sql("SELECT z_value(5, 3) AS z").head().getLong(0)
     val zCol = spark.range(1).select(
       graft.sources.Bucketing.zValue(

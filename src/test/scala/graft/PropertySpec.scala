@@ -104,4 +104,73 @@ class PropertySpec extends AnyFunSuite {
       idx.search(vecs(qi), 10, 50, dead.contains).forall(r => !dead.contains(r._1))
     })
   }
+
+  // ---- WARC parser fuzz (SURVEY §8.2 crawl front door; Warc.parseRecords
+  //      is Content-Length-honoring with NO resync past a malformed
+  //      record — these properties pin never-throws + prefix-stability
+  //      under the hostile inputs a real crawl serves) ----
+
+  /** Payloads that deliberately contain the parser's own sentinels: a
+    * planted record magic, header terminators, lone CR/LF — the
+    * magic-in-payload trap class.
+    */
+  private val warcPayloadGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.const("WARC/1.0\r\n"),
+    Gen.const("\r\n\r\n"),
+    Gen.const("Content-Length: 3"),
+    Gen.const("\rX\n"))).map(_.mkString(" "))
+
+  private def warcRecord(i: Int, payload: String): String =
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://h$i.example/p$i\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload"
+
+  private def parse(s: String) =
+    graft.sources.Warc.parseRecords(s.getBytes("US-ASCII"))
+
+  test("warc fuzz: random truncation never throws; parsed prefix is stable") {
+    check(Prop.forAll(Gen.listOfN(4, warcPayloadGen), Gen.chooseNum(0.0, 1.0)) {
+      (payloads, frac) =>
+        val stream = payloads.zipWithIndex.map { case (p, i) => warcRecord(i, p) }.mkString
+        val full = parse(stream)
+        val cut = (stream.length * frac).toInt
+        val trunc = parse(stream.take(cut))
+        // a valid stream parses completely; any truncation parses a PREFIX
+        // of the full result (no resync into a cut record's payload, no
+        // invented records) — and never throws
+        full.size == payloads.size && trunc == full.take(trunc.size) &&
+          trunc.forall(r => full.contains(r))
+    })
+  }
+
+  test("warc fuzz: corrupted Content-Length never throws; prior records unaffected") {
+    val lenGen: Gen[String] = Gen.oneOf(
+      Gen.const("banana"), Gen.const("-7"), Gen.const("999999999"),
+      Gen.const("18446744073709551617"), Gen.chooseNum(0, 40).map(_.toString))
+    check(Prop.forAll(Gen.listOfN(4, warcPayloadGen), Gen.chooseNum(0, 3), lenGen) {
+      (payloads, j, badLen) =>
+        val recs = payloads.zipWithIndex.map { case (p, i) => warcRecord(i, p) }
+        val full = parse(recs.mkString)
+        val corrupted = recs.updated(j,
+          recs(j).replaceFirst("Content-Length: \\d+", s"Content-Length: $badLen"))
+        val got = parse(corrupted.mkString)
+        // records BEFORE the corrupted one parse bit-identically; from the
+        // corrupted record on, anything goes except an exception
+        got.take(j) == full.take(j)
+    })
+  }
+
+  test("warc fuzz: LF-only (non-CRLF) records are skipped, neighbours parse intact") {
+    check(Prop.forAll(Gen.listOfN(5, warcPayloadGen),
+        Gen.someOf(0, 1, 2, 3, 4)) { (payloads, mutate) =>
+      val recs = payloads.zipWithIndex.map { case (p, i) => warcRecord(i, p) }
+      val stream = recs.zipWithIndex.map { case (r, i) =>
+        if (mutate.contains(i)) r.replace("\r\n", "\n") else r
+      }.mkString
+      val got = parse(stream)
+      val expected = recs.zipWithIndex.filterNot { case (_, i) => mutate.contains(i) }
+        .map { case (r, _) => parse(r).head }
+      got == expected
+    })
+  }
 }
