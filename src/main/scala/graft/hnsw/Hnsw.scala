@@ -613,9 +613,15 @@ object Hnsw {
     * Contract: query batches are bounded (broadcast q·R·degree^hops
     * candidate rows — the [[annQuery]] small-batch contract); hops ≥ 2
     * multiplies the broadcast by another degree factor. Measured at
-    * 1M × dim-512 (BENCH_SCALE_REFINE512.json): one hop at ef=200 beats
-    * the ef=1600 traversal on recall at a fraction of its cost.
-    * Output: (qid, rank, id, dist).
+    * 1M × dim-512 uniform vectors (BENCH_SCALE_REFINE512.json): one hop
+    * adds little there (+0.001 at R=100 — under distance concentration a
+    * found candidate's graph neighbours are rarely the missing true
+    * neighbours; two hops claw back +0.067 at 2× the cost), while the
+    * same R spent as a wider coarse top-R tracks the equivalent-ef
+    * traversal. On clusterable real embeddings the expansion term is the
+    * useful one; for small query batches at high dim prefer
+    * [[annQueryRoutedExact]], which dominated every refine point in that
+    * proof. Output: (qid, rank, id, dist).
     */
   def annQueryRoutedRefined(index: HnswIndex, queries: DataFrame, k: Int,
                             probeCells: Int = -1, ef: Int = -1,
