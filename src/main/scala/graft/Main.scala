@@ -147,7 +147,17 @@ object Main {
       // distributed; the index is scanned once however big the file is) —
       // for query files too large to stream through the driver in chunks
       val res =
-        if (opts.contains("routed")) Hnsw.annQueryRouted(index, queries, k,
+        // --exact-probe: brute force within probed shards (recall = routing
+        // recall; exact at full probe) — the small-batch/high-dim engine
+        if (opts.contains("exact-probe")) Hnsw.annQueryRoutedExact(index, queries, k,
+          probeCells = opts.getOrElse("probe-cells", "-1").toInt)
+        // --refine R: routed traversal top-R -> layer-0 expansion -> exact
+        // rescore (see annQueryRoutedRefined scaladoc for when this wins)
+        else if (opts.contains("refine")) Hnsw.annQueryRoutedRefined(index, queries, k,
+          probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef,
+          refine = opts("refine").toInt,
+          expandHops = opts.getOrElse("hops", "1").toInt)
+        else if (opts.contains("routed")) Hnsw.annQueryRouted(index, queries, k,
           probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef)
         // --adaptive: routed when the probed-shard union actually prunes,
         // all-shard when a dispersed batch would probe most shards anyway

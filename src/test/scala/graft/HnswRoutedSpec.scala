@@ -316,6 +316,16 @@ class HnswRoutedSpec extends SparkSpec {
     assert(meta2.num_cells === meta.num_cells, "compact must keep the routing geometry")
     assert(meta2.num_nodes === meta.num_nodes)
     graft.Main.run(spark, Map("load" -> out2, "routed" -> "true", "k" -> "3"))
+    // --exact-probe and --refine through the CLI: self-query must hit
+    // itself at rank 1 / dist 0 on both paths (full probe; R > k)
+    for (extra <- Seq(Map("exact-probe" -> "true"), Map("refine" -> "9", "hops" -> "1"))) {
+      val d = java.nio.file.Files.createTempDirectory("cli-routed-x").toString + "/res"
+      graft.Main.run(spark, Map("load" -> out, "k" -> "3", "probe-cells" -> "8",
+        "out" -> d) ++ extra)
+      val r = spark.read.parquet(d).filter(col("rank") === 1).head()
+      assert(r.getAs[Long]("id") === r.getAs[Long]("qid"))
+      assert(r.getAs[Double]("dist") === 0.0)
+    }
   }
 
   test("filtered ANN composes with the routed path: filter respected, recall held, pruning intact") {
