@@ -1436,6 +1436,19 @@ object SparkEntry {
       Hnsw.annQueryRouted(idx, queries, k = 10)
     }),
 
+    // ---- the exact-probed (IVF-Flat twin) path at FULL probe is the
+    //      exact top-k by construction — the one ANN-family operator that
+    //      is SQL-expressible, so unlike its hnsw_* siblings it gets a
+    //      full hash oracle (q03's brute-force SQL): routing join, shard
+    //      pruning, ghost dedup and the bounded-heap merge all must
+    //      reproduce the oracle bit-for-bit ----
+    "q122_routed_exact_full_probe" -> ((s, dir) => {
+      val idx = routedIndex(s, dir)
+      val queries = emb(s, dir).filter(col("id") % 100 === 0)
+        .select(col("id").as("qid"), col("vector"))
+      Hnsw.annQueryRoutedExact(idx, queries, k = 10, probeCells = idx.meta.num_cells)
+    }),
+
     // ---- golden parity: the reference's committed experience end-to-end
     //      (CIFAR notebook cell-4 / README top-5 table) from real decoded
     //      image bytes — synthetic closed-form PNGs → javax.imageio decode
@@ -1711,6 +1724,15 @@ object SparkEntry {
            |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q""".stripMargin,
 
       "q03_knn_topk" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist FROM embeddings e, q),
+           |ranked AS (SELECT qid, id, dist,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS "rank" FROM scored)
+           |SELECT qid, "rank", id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,
+
+      // full-probe exact-probed search IS brute force: q03's oracle, with
+      // the routed machinery (probe join, pruning, ghost dedup) under test
+      "q122_routed_exact_full_probe" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
            |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist FROM embeddings e, q),
            |ranked AS (SELECT qid, id, dist,
