@@ -417,6 +417,13 @@ object Hnsw {
     * the ~nSub/200 line these numbers sit on is the budget used here).
     * Clamped to [ef_search, 4096] and never below k. Indexes loaded
     * without a num_nodes field (-1) keep the plain ef_search default.
+    *
+    * DIM-BLIND by design: the nSub/200 line was fit at dim 64. Under
+    * distance concentration (uniform dim-512, BENCH_SCALE_REFINE512.json)
+    * the same sub-graph needs far more: recall@10 at 1M×512 was 0.665 at
+    * ef=200 vs 0.952 at ef=800. High-dim corpora should pass an explicit
+    * ef from a recall sweep — or use [[annQueryRoutedExact]], whose
+    * recall is routing-bound and ef-free, for bounded query batches.
     */
   private[graft] def efBudget(m: IndexMeta, k: Int, ef: Int): Int = {
     val base: Long =
@@ -654,7 +661,10 @@ object Hnsw {
     * Cost: Σ_q n_probed(q) distance rows streamed into the bounded-heap
     * partial aggregate — map-side combined, shuffle O(q·k). The
     * (qid, pid, q_vector) probe table is broadcast (bounded query batches,
-    * the [[annQuery]] contract); the node table never shuffles.
+    * the [[annQuery]] contract); the node table never shuffles. For
+    * UNBOUNDED query sets the equi-join IVF form is the same computation
+    * without the broadcast — [[graft.operators.Ivf.searchLarge]] over
+    * the cell assignment.
     * Output: (qid, rank, id, dist).
     */
   def annQueryRoutedExact(index: HnswIndex, queries: DataFrame, k: Int,
