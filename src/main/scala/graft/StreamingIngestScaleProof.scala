@@ -104,9 +104,14 @@ object StreamingIngestScaleProof {
     // ---- compaction: fold appended shards to home pids, rebuild ----
     val (compacted0, compactSec) = timed {
       val c = Hnsw.compactRouted(pre, params)
-      val cc = c.copy(nodes = c.nodes.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // persist BOTH tables: the compacted edges are a lazy plan over the
+      // whole per-shard rebuild — unpersisted, every later query would
+      // silently re-run the compaction and time it as query cost
+      val cc = c.copy(
+        nodes = c.nodes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        edges = c.edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       cc.edges.count()
+      cc.nodes.count()
       cc
     }
     val postShards = compacted0.nodes.select("pid").distinct().count()
