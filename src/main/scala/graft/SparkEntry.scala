@@ -599,6 +599,17 @@ object SparkEntry {
       graft.operators.Pipeline.budgetFromVerdicts(
         q119Verdicts(s, dir), "doc_id", "source", quota = Q120Quota)),
 
+    // ---- mixture EXECUTION by epoch upsampling: every source fills a
+    //      2,600-token target — whole epochs by exact integer DIV capped
+    //      at 2 (the repetition guard), the remainder as a hash-bin
+    //      prefix (tokenBudgetSelect's bounded-window discipline keyed
+    //      on the id hash). At this SF six sources cap at 2 whole epochs
+    //      (rem 0) and the rest get 1 whole + a fractional epoch — both
+    //      regimes land in the hash ----
+    "q123_epoch_upsample" -> ((s, dir) =>
+      graft.operators.Sampling.epochUpsample(tbl(s, dir, "documents"),
+        "doc_id", "source", "text", targetTokens = 2600L, maxEpochs = 2)),
+
     // ---- the cleaning tier in its SQL SPELLING: strip_html →
     //      token_count / lang_id / quality_score through the
     //      GraftExtensions function registry (registerInto — the same
@@ -2470,6 +2481,39 @@ object SparkEntry {
            |  FROM cum)
            |SELECT a.doc_id, a.source, a.n_tok, a.bin, CAST(k.keep AS INT) AS keep
            |FROM admitted a JOIN keepb k ON a.source = k.source AND a.bin = k.bin""".stripMargin,
+
+      // epoch upsampling: whole epochs = least(cap, target DIV t) exact
+      // integer division, fractional remainder filled by the id-hash bin
+      // prefix (cum − bin_tok < rem). generate_series(1, 0) is empty, so
+      // the whole-epoch branch self-guards; the HUGEINT window sum is
+      // compared, never projected.
+      "q123_epoch_upsample" -> {
+        val hv = md5PrefixValueSql("CAST(doc_id AS VARCHAR)", 8)
+        s"""WITH toks AS (SELECT doc_id, source,
+           |  CAST(${tokenCountSql("text")} AS BIGINT) AS n_tok,
+           |  ($hv % 1000) AS bin FROM documents),
+           |quotas AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t
+           |  FROM toks GROUP BY 1 HAVING sum(n_tok) > 0),
+           |q2 AS (SELECT source, t,
+           |  least(CAST(2 AS BIGINT), CAST(2600 AS BIGINT) // t) AS efull FROM quotas),
+           |q3 AS (SELECT source, t, efull,
+           |  CASE WHEN efull < 2 THEN CAST(2600 AS BIGINT) - efull * t
+           |       ELSE CAST(0 AS BIGINT) END AS rem FROM q2),
+           |fb AS (SELECT source, bin, CAST(sum(n_tok) AS BIGINT) AS bin_tok,
+           |  SUM(sum(n_tok)) OVER (PARTITION BY source ORDER BY bin ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+           |  FROM toks GROUP BY 1, 2),
+           |whole AS (SELECT tk.doc_id, tk.source, tk.n_tok,
+           |  unnest(generate_series(CAST(1 AS BIGINT), q.efull)) AS epoch
+           |  FROM toks tk JOIN q3 q USING (source) WHERE q.efull >= 1),
+           |frac AS (SELECT tk.doc_id, tk.source, tk.n_tok,
+           |  CAST(q.efull + 1 AS BIGINT) AS epoch
+           |  FROM toks tk JOIN q3 q USING (source)
+           |  JOIN fb ON fb.source = tk.source AND fb.bin = tk.bin
+           |  WHERE q.rem > 0 AND fb.cum_tok - fb.bin_tok < q.rem)
+           |SELECT doc_id, source, n_tok, epoch FROM whole
+           |UNION ALL SELECT doc_id, source, n_tok, epoch FROM frac""".stripMargin
+      },
 
       // strip_html's regex chain replayed literally (the Java-regex/RE2
       // shared subset, global flag explicit in DuckDB), then the cleaning

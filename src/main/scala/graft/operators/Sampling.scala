@@ -252,6 +252,66 @@ object Sampling {
         col("entry.id").as("neg_id"))
   }
 
+  /** Mixture EXECUTION by epoch upsampling — materialize the training
+    * mixture a weights table only describes: every source contributes
+    * `targetTokens` training tokens by repeating its documents
+    * ⌊target / T_s⌋ whole epochs (T_s = the source's token total, the
+    * division exact integer DIV), capped at `maxEpochs` (the standard
+    * repetition guard — tokens repeated past a few epochs degrade
+    * models faster than they help), plus ONE fractional epoch holding a
+    * hash-selected subset that fills the remainder. Sources larger than
+    * the target get `full = 0` and only the fractional epoch — the same
+    * rule downsamples giants and upsamples minnows.
+    *
+    * The fractional subset uses the [[tokenBudgetSelect]] bin
+    * discipline, keyed on the id-hash instead of quality: docs land in
+    * `bins` hash buckets, per-(source, bin) token totals cum-sum over a
+    * window of ≤ `bins` rows per source (never the doc stream), and a
+    * bin is in iff the bins before it left room (`cum − bin_tok <
+    * rem`) — overshoot bounded by one bin's tokens, selection a pure
+    * function of ids (reproducible on any cluster/partitioning/engine,
+    * like every decision in this module; rem < T_s by construction, so
+    * the fractional epoch is always a proper prefix).
+    *
+    * Scale shape: one partial-agg groupBy for totals (joined back
+    * size-based by AQE — source cardinality may be crawl-sized), one
+    * bounded window, one `explode(sequence(1, full))` whose fan-out is
+    * capped at `maxEpochs` × corpus by construction. Zero-token sources
+    * contribute nothing. Output: (idCol, sourceCol, n_tok, epoch) —
+    * epoch ∈ 1..full for whole epochs, full+1 for the fractional one.
+    */
+  def epochUpsample(docs: DataFrame, idCol: String, sourceCol: String,
+                    textCol: String, targetTokens: Long, maxEpochs: Int,
+                    bins: Int = 1000): DataFrame = {
+    require(targetTokens > 0 && maxEpochs > 0 && bins > 0,
+      "epochUpsample: positive targetTokens, maxEpochs, bins")
+    import graft.functions.TextFunctions
+    val toks = docs.select(col(idCol), col(sourceCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"),
+      pmod(idHash(col(idCol)), lit(bins.toLong)).as("bin"))
+    val quotas = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tok")).as("t"))
+      .filter(col("t") > 0)
+      .withColumn("full", least(lit(maxEpochs.toLong), expr(s"$targetTokens DIV t")))
+      .withColumn("rem", when(col("full") < maxEpochs,
+        lit(targetTokens) - col("full") * col("t")).otherwise(lit(0L)))
+    val w = Window.partitionBy(sourceCol).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fracBins = toks.groupBy(col(sourceCol), col("bin"))
+      .agg(sum(col("n_tok")).as("bin_tok"))
+      .withColumn("cum_tok", sum(col("bin_tok")).over(w))
+      .select(col(sourceCol), col("bin"), (col("cum_tok") - col("bin_tok")).as("before_tok"))
+    val joined = toks.join(quotas, Seq(sourceCol))
+    val wholeEpochs = joined.filter(col("full") >= 1)
+      .select(col(idCol), col(sourceCol), col("n_tok"),
+        explode(sequence(lit(1L), col("full"))).as("epoch"))
+    val fractional = joined.filter(col("rem") > 0)
+      .join(fracBins, Seq(sourceCol, "bin"))
+      .filter(col("before_tok") < col("rem"))
+      .select(col(idCol), col(sourceCol), col("n_tok"), (col("full") + 1).as("epoch"))
+    wholeEpochs.unionAll(fractional)
+  }
+
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)
     val denom = mw.agg(

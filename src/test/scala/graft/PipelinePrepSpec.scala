@@ -651,6 +651,64 @@ class PipelinePrepSpec extends SparkSpec {
       "bin totals must partial-aggregate below the window")
   }
 
+  test("epochUpsample: exact whole epochs, capped rem=0, downsample full=0, one-bin overshoot, null sources drop") {
+    import graft.operators.Sampling
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // minnow: t=40 -> full=cap=3, rem=0 (no fractional)
+    // mid:    t=200 -> full=1, rem=100 (whole + fractional)
+    // giant:  t=600 -> full=0, rem=300 (fractional-only downsample)
+    // ghost:  null text only -> no tokens -> contributes nothing
+    val docs = (
+      (0 until 4).map(i => ("minnow", i.toLong, doc(10))) ++
+      (0 until 10).map(i => ("mid", 100L + i, doc(20))) ++
+      (0 until 20).map(i => ("giant", 200L + i, doc(30))) ++
+      Seq(("ghost", 900L, null: String))
+    ).toDF("source", "doc_id", "text")
+    val target = 300L
+    val got = Sampling.epochUpsample(docs, "doc_id", "source", "text",
+      targetTokens = target, maxEpochs = 3, bins = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!got.exists(_._2 == "ghost"), "null-text source must contribute nothing")
+    // reference: replicate full/rem and the bin-prefix rule in plain Scala
+    val bins = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        pmod(Sampling.idHash(col("doc_id")), lit(4L)).as("bin"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for (src <- Seq("minnow", "mid", "giant")) {
+      val rows = bins.filter(_._2 == src)
+      val t = rows.map(_._3).sum
+      val full = math.min(3L, target / t)
+      val rem = if (full < 3) target - full * t else 0L
+      val binTok = rows.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+      val keptBins = binTok.keys.toSeq.sorted
+        .scanLeft(0L -> -1L) { case ((acc, _), b) => (acc + binTok(b), b) }.tail
+        .collect { case (cum, b) if cum - binTok(b) < rem => b }.toSet
+      rows.foreach { case (id, _, _, bin) =>
+        val epochs = got.filter(_._1 == id).map(_._4).sorted
+        val want = (1L to full) ++ (if (keptBins(bin)) Seq(full + 1) else Nil)
+        assert(epochs.toSeq === want.toSeq, s"doc $id ($src, bin $bin)")
+      }
+      // fractional tokens fill rem with at most one bin's overshoot
+      val fracTok = rows.filter(r => keptBins(r._4)).map(_._3).sum
+      if (rem > 0) {
+        assert(fracTok >= math.min(rem, t))
+        val lastBin = keptBins.max
+        assert(fracTok - binTok(lastBin) < rem, "overshoot must be bounded by one bin")
+      } else assert(fracTok === 0L, "capped source must have no fractional epoch")
+    }
+    // determinism under repartitioning; window over the BIN table only
+    val re = Sampling.epochUpsample(docs.repartition(7, col("doc_id")), "doc_id",
+      "source", "text", targetTokens = target, maxEpochs = 3, bins = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(re.sorted.toSeq === got.sorted.toSeq, "pure function of ids: partitioning-invariant")
+    val plan = Sampling.epochUpsample(docs, "doc_id", "source", "text",
+      targetTokens = target, maxEpochs = 3, bins = 4)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      "bin totals must partial-aggregate below the window")
+  }
+
   test("sourceSignature: distinctive terms rank, everywhere-tokens drop, heap not window") {
     import graft.operators.TextStats
     // "the" appears in every source (idf 0 -> dropped); "alpha" is unique
