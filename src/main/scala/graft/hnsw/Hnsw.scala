@@ -152,28 +152,41 @@ object Hnsw {
   }
 
   /** Cell assignment with SPILL — shared by [[buildRouted]] and the
-    * streaming routed append. Top-2 cells per vector, carrying the vector
-    * through the bounded-heap aggregate so the assignment costs ONE
-    * O(n)-row shuffle (no join back to the input). A border vector —
-    * whose 2nd-nearest centroid is within (1+spill)× its nearest — is
-    * stored in BOTH cells' shards: this is what keeps routed recall near
-    * the all-shard level on boundary-heavy (e.g. isotropic) data, because
-    * a neighbor just across one cell boundary is still found from the
-    * probed side. Duplicates are merged away at query time (rankTopK
-    * dedup), collapsed by [[rebuild]], and excluded from num_nodes.
-    * spill = 0 disables (exactly one copy each).
+    * streaming routed append. Top-2 cells per vector over the broadcast
+    * centroid set, aggregated over SLIM (id, cid, dist) rows only; the
+    * vector is re-attached by one O(n) equi-join afterwards. Carrying
+    * the vector through the aggregate (the previous shape) looked like
+    * it saved that join, but [[org.apache.spark.sql.graft.TopKAggregate]]
+    * is a TypedImperativeAggregate, so ObjectHashAggregateExec falls
+    * back to SORT-based aggregation past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (128)
+    * distinct keys — i.e. always, on real data — and the fallback
+    * sorter then spills the ENTIRE n×C crossjoin stream with a ~2 KB
+    * vector payload per row: ~100s of GB of sorter traffic at
+    * 2M × dim 512 × C=256, the measured ENOSPC at scale. Slim rows cut
+    * the sorted payload ~90× and the join ships the vectors exactly
+    * once.
+    *
+    * A border vector — whose 2nd-nearest centroid is within
+    * (1+spill)× its nearest — is stored in BOTH cells' shards: this is
+    * what keeps routed recall near the all-shard level on
+    * boundary-heavy (e.g. isotropic) data, because a neighbor just
+    * across one cell boundary is still found from the probed side.
+    * Duplicates are merged away at query time (rankTopK dedup),
+    * collapsed by [[rebuild]], and excluded from num_nodes. spill = 0
+    * disables (exactly one copy each).
     * In: (id, vector), centroids (cid, cvector). Out: (id, vector, cid).
     */
   private[graft] def assignToCells(base: DataFrame, cents: DataFrame,
                                    distFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
                                    spill: Double): DataFrame = {
     val top2 = base.crossJoin(broadcast(cents.select("cid", "cvector")))
-      .select(col("id"), col("vector"), col("cid"),
+      .select(col("id"), col("cid"),
         distFn(col("vector"), col("cvector")).as("dist"))
       .groupBy("id")
       .agg(org.apache.spark.sql.graft.TopKAggregate
-        .topKByDist(col("dist"), col("cid"), 2).as("top2"),
-        first(col("vector")).as("vector"))
+        .topKByDist(col("dist"), col("cid"), 2).as("top2"))
+      .join(base, Seq("id"))
     val primary = top2.select(col("id"), col("vector"), col("top2")(0)("id").as("cid"))
     val spilled = top2
       .filter(size(col("top2")) === 2 &&
