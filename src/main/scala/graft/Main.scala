@@ -75,6 +75,10 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .appName("graft-hnsw")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // bounded-heap TopK aggregations (TypedImperative) stay in the HASH
+      // aggregation path instead of sort-falling-back at 128 keys; each
+      // buffer holds <= k entries, so 1M keys is a few hundred MB worst case
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

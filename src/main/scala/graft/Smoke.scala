@@ -10,6 +10,10 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // bounded-heap TopK aggregations (TypedImperative) stay in the HASH
+      // aggregation path instead of sort-falling-back at 128 keys; each
+      // buffer holds <= k entries, so 1M keys is a few hundred MB worst case
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

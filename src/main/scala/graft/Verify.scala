@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-heap TopK aggregations (TypedImperative) stay in the HASH
+      // aggregation path instead of sort-falling-back at 128 keys; each
+      // buffer holds <= k entries, so 1M keys is a few hundred MB worst case
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet has shipped as TIMESTAMP(NANOS) (no Spark type —

@@ -14,6 +14,10 @@ object SparkSpec {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // bounded-heap TopK aggregations (TypedImperative) stay in the HASH
+    // aggregation path instead of sort-falling-back at 128 keys; each
+    // buffer holds <= k entries, so 1M keys is a few hundred MB worst case
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
