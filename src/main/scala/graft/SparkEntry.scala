@@ -610,6 +610,16 @@ object SparkEntry {
       graft.operators.Sampling.epochUpsample(tbl(s, dir, "documents"),
         "doc_id", "source", "text", targetTokens = 2600L, maxEpochs = 2)),
 
+    // ---- embedding-space outlier scrub: exact fixed-point distance to
+    //      the integer corpus centroid (per-dim sums partial-agg to dim
+    //      keys, centroid one broadcast row, distance a map-side HOF) —
+    //      threshold at the empirical ~97th percentile so the flag
+    //      exercises both verdicts at this SF ----
+    "q124_embedding_outliers" -> ((s, dir) =>
+      graft.operators.Features.embeddingOutliers(
+        tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 1020000000000L)),
+
     // ---- the cleaning tier in its SQL SPELLING: strip_html →
     //      token_count / lang_id / quality_score through the
     //      GraftExtensions function registry (registerInto — the same
@@ -2514,6 +2524,22 @@ object SparkEntry {
            |SELECT doc_id, source, n_tok, epoch FROM whole
            |UNION ALL SELECT doc_id, source, n_tok, epoch FROM frac""".stripMargin
       },
+
+      // fixed-point centroid distance: floor((x+1)·10⁶) per component
+      // (nonnegative, so DuckDB's floor-// and Spark's trunc-DIV agree),
+      // integer mean per dimension, integer sum of squared diffs
+      "q124_embedding_outliers" ->
+        """WITH fp AS (SELECT vec_id, list_transform(embedding,
+          |  x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 1000000) AS BIGINT)) AS f
+          |  FROM embeddings),
+          |ex AS (SELECT vec_id, unnest(f) AS v, generate_subscripts(f, 1) AS pos FROM fp),
+          |m AS (SELECT pos, CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+          |  FROM ex GROUP BY 1),
+          |d AS (SELECT e.vec_id, CAST(sum((e.v - m.m) * (e.v - m.m)) AS BIGINT) AS d2_fp
+          |  FROM ex e JOIN m USING (pos) GROUP BY 1)
+          |SELECT vec_id, d2_fp,
+          |  CAST(CASE WHEN d2_fp > 1020000000000 THEN 1 ELSE 0 END AS INT) AS is_outlier
+          |FROM d""".stripMargin,
 
       // strip_html's regex chain replayed literally (the Java-regex/RE2
       // shared subset, global flag explicit in DuckDB), then the cleaning

@@ -151,4 +151,43 @@ object Features {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** Embedding-space outlier detection — the scrub pass that runs BEFORE
+    * semantic dedup / diversity sampling: vectors far from the corpus
+    * centroid are encoder failures, empty-input artifacts, or
+    * off-distribution junk, and they poison both the dedup blocking and
+    * any cluster-balanced sample. Flags rows whose squared distance to
+    * the global centroid exceeds `threshold`.
+    *
+    * Everything is EXACT fixed-point integer arithmetic, so the decision
+    * is reproducible at any parallelism and in a SQL oracle: each
+    * component maps to `floor((x + offset) · 10⁶)` (one IEEE multiply on
+    * the exactly-widened float, one floor — identical in any engine;
+    * `offset` keeps values nonnegative so integer division below floors
+    * identically everywhere), the centroid is the per-dimension integer
+    * mean `Σfp DIV n` (offsets cancel in the differences), and d2_fp is
+    * an integer sum of squared integer differences — order-free.
+    *
+    * Scale shape: the per-dimension sums partial-aggregate to `dim`
+    * distinct keys per task before the shuffle (a `dim`-row exchange, not
+    * n×dim); the centroid collapses to ONE broadcast array row; the
+    * distance pass is a pure map-side `zip_with`/`aggregate` projection.
+    * No corpus-sized shuffle anywhere. Out: (idCol, d2_fp, is_outlier).
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Long, offset: Double = 1.0): DataFrame = {
+    val fpVec = transform(col(vecCol),
+      x => floor((x.cast("double") + lit(offset)) * lit(1e6)).cast("long"))
+    val base = emb.select(col(idCol), fpVec.as("fp"))
+    val means = base.select(posexplode(col("fp")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("s DIV n").as("m"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(transform(col("pm"), x => x("m")).as("means"))
+    base.crossJoin(broadcast(means))
+      .select(col(idCol),
+        aggregate(zip_with(col("fp"), col("means"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2_fp"))
+      .withColumn("is_outlier", (col("d2_fp") > threshold).cast("int"))
+  }
 }

@@ -651,6 +651,40 @@ class PipelinePrepSpec extends SparkSpec {
       "bin totals must partial-aggregate below the window")
   }
 
+  test("embeddingOutliers: planted far vector flags, exact fold reference, partitioning-invariant, dim-keyed shuffle only") {
+    import graft.operators.Features
+    // 60 inliers near the origin + one planted far vector
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => ((i + d) % 5).toFloat / 100f))
+    } :+ (99L, Array.fill(8)(0.9f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Features.embeddingOutliers(df, "vec_id", "embedding", threshold = 100000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    // reference: the same fixed-point arithmetic folded in plain Scala
+    val fp = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor((x.toDouble + 1.0) * 1e6).toLong)
+    }
+    val n = fp.length
+    val mean = Array.tabulate(8)(d => fp.map(_._2(d)).sum / n)
+    val want = fp.map { case (id, v) =>
+      val d2 = v.zip(mean).map { case (a, b) => (a - b) * (a - b) }.sum
+      (id, d2, if (d2 > 100000000000L) 1 else 0)
+    }.sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.count(_._3 == 1) === 1 && got.find(_._3 == 1).get._1 === 99L,
+      "exactly the planted vector is flagged")
+    val re = Features.embeddingOutliers(df.repartition(7, col("vec_id")),
+      "vec_id", "embedding", threshold = 100000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(re.toSeq === got.toSeq, "exact integers: partitioning-invariant")
+    // the centroid subtree broadcasts one row; the distance pass carries
+    // no corpus-sized shuffle (dim-keyed exchange only)
+    val plan = Features.embeddingOutliers(df, "vec_id", "embedding", 100000000000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "centroid must broadcast")
+  }
+
   test("epochUpsample: exact whole epochs, capped rem=0, downsample full=0, one-bin overshoot, null sources drop") {
     import graft.operators.Sampling
     def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
