@@ -620,6 +620,15 @@ object SparkEntry {
         tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", threshold = 1020000000000L)),
 
+    // ---- diversity-capped sampling: ≤3 vectors per sign-LSH cell drawn
+    //      in id-hash order (bounded heap, never a per-bucket sort) —
+    //      dense embedding-space blobs trim, sparse regions survive
+    //      whole (34 buckets trim at this SF; 146 pass untouched) ----
+    "q125_diversity_sample" -> ((s, dir) =>
+      graft.operators.Sampling.diversitySample(
+        tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = EmbDim, capPerBucket = 3)),
+
     // ---- the cleaning tier in its SQL SPELLING: strip_html →
     //      token_count / lang_id / quality_score through the
     //      GraftExtensions function registry (registerInto — the same
@@ -2540,6 +2549,18 @@ object SparkEntry {
           |SELECT vec_id, d2_fp,
           |  CAST(CASE WHEN d2_fp > 1020000000000 THEN 1 ELSE 0 END AS INT) AS is_outlier
           |FROM d""".stripMargin,
+
+      // the heap's (hash, id) order as a window — fine HERE because the
+      // oracle runs at spec SF; the Spark side never sorts a bucket
+      "q125_diversity_sample" -> {
+        val hv = md5PrefixValueSql("CAST(vec_id AS VARCHAR)", 8)
+        s"""WITH bk AS (SELECT vec_id, $hv AS hv,
+           |  CAST(${embeddingBucketSql("embedding", EmbDim, 8)} AS BIGINT) AS bucket
+           |  FROM embeddings),
+           |r AS (SELECT bucket, vec_id, CAST(row_number() OVER (
+           |  PARTITION BY bucket ORDER BY hv ASC, vec_id ASC) AS INT) AS "rank" FROM bk)
+           |SELECT bucket, "rank", vec_id FROM r WHERE "rank" <= 3""".stripMargin
+      },
 
       // strip_html's regex chain replayed literally (the Java-regex/RE2
       // shared subset, global flag explicit in DuckDB), then the cleaning

@@ -312,6 +312,39 @@ object Sampling {
     wholeEpochs.unionAll(fractional)
   }
 
+  /** Diversity-capped (cluster-balanced) sampling over an embedding
+    * column — the coreset step of embedding-aware curation: cap every
+    * region of embedding space at `capPerBucket` vectors so dense blobs
+    * (templated boilerplate, one crawl's house style) cannot dominate
+    * the sample, while sparse regions survive whole. Regions are
+    * [[Dedup.embeddingBucket]]'s deterministic sign-LSH cells (no
+    * trained model, any engine reproduces them); within a bucket the
+    * survivors are drawn in id-hash order (pseudo-random yet a pure
+    * function of the ids, like every decision in this module).
+    *
+    * Scale shape: one `groupBy(bucket)` into the bounded-heap
+    * [[org.apache.spark.sql.graft.TopKAggregate]] — per-buffer state is
+    * ≤ cap entries at every partial stage, the shuffle carries
+    * O(buckets × cap) rows, and no per-bucket sort or window ever sees
+    * the full vector stream (the window form stays the ORACLE's job).
+    * The 32-bit id hash is exact in the heap's double domain; ties
+    * break by lowest id. Output: (bucket, rank, idCol), rank 1-based
+    * in hash order.
+    */
+  def diversitySample(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      capPerBucket: Int, bits: Int = 8): DataFrame = {
+    require(capPerBucket > 0, "diversitySample: positive capPerBucket")
+    emb.select(col(idCol).cast("long").as("__id"),
+        Dedup.embeddingBucket(col(vecCol), dim, bits).as("bucket"),
+        idHash(col(idCol)).cast("double").as("__h"))
+      .groupBy(col("bucket"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDist(
+        col("__h"), col("__id"), capPerBucket).as("top"))
+      .select(col("bucket"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("bucket"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as(idCol))
+  }
+
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)
     val denom = mw.agg(

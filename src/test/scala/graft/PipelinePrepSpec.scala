@@ -651,6 +651,34 @@ class PipelinePrepSpec extends SparkSpec {
       "bin totals must partial-aggregate below the window")
   }
 
+  test("diversitySample: dense cells trim to cap in hash order, sparse survive whole, heap not window") {
+    import graft.operators.Sampling
+    // all-positive vectors land in one bucket (dense blob); a few
+    // all-negative ones in another (sparse region)
+    val vecs = (0L until 20L).map(i => (i, Array.fill(8)(0.5f))) ++
+      (100L until 102L).map(i => (i, Array.fill(8)(-0.5f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Sampling.diversitySample(df, "vec_id", "embedding", dim = 8, capPerBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byBucket = got.groupBy(_._1)
+    assert(byBucket.size === 2)
+    val (dense, sparse) = (byBucket.maxBy(_._2.length), byBucket.minBy(_._2.length))
+    assert(dense._2.length === 3, "dense cell trims to the cap")
+    assert(sparse._2.length === 2, "sparse cell survives whole")
+    assert(sparse._2.map(_._3).toSet === Set(100L, 101L))
+    // hash-order reference for the dense bucket survivors
+    val hashes = df.filter(col("vec_id") < 100)
+      .select(col("vec_id"), Sampling.idHash(col("vec_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantDense = hashes.sortBy(t => (t._2, t._1)).take(3).map(_._1)
+    assert(dense._2.sortBy(_._2).map(_._3).toSeq === wantDense.toSeq,
+      "survivors drawn in (hash, id) order with 1-based ranks")
+    val plan = Sampling.diversitySample(df, "vec_id", "embedding", 8, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      "bounded heap, never a per-bucket sort/window")
+  }
+
   test("embeddingOutliers: planted far vector flags, exact fold reference, partitioning-invariant, dim-keyed shuffle only") {
     import graft.operators.Features
     // 60 inliers near the origin + one planted far vector
