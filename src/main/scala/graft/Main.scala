@@ -31,6 +31,10 @@ import graft.sources.Datagen
   *   --nb-train PARQUET --out DIR       Naive-Bayes quality filter (+ optional --score)
   *   --signature PARQUET --out DIR      per-source TF-IDF signature terms
   *   --token-budget PARQUET --out DIR   per-source best-quality quota fill
+  *   --epoch-upsample PARQUET --out DIR materialize the training mixture (capped
+  *                                      whole epochs + hash-bin fractional epoch)
+  *   --embedding-outliers PARQUET --out DIR   fixed-point centroid-distance scrub
+  *   --diversity-sample PARQUET --out DIR     per-sign-LSH-cell cap (coreset)
   *   --prepare PARQUET --out DIR        END-TO-END corpus prep: quality gate ->
   *                                      dedup -> decontam -> budget -> curriculum shards
   *   --prepare --input-warc GLOB --out DIR   crawl-native prep: raw .warc(.gz) ->
@@ -598,6 +602,61 @@ object Main {
         f"${sel.select("source").distinct().count()} sources " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
+    } else if (opts.contains("epoch-upsample")) {
+      // mixture execution (Sampling.epochUpsample): capped whole epochs
+      // + one hash-bin fractional epoch per source
+      val in = opts("epoch-upsample")
+      val out = opts.getOrElse("out", sys.error("--epoch-upsample requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.Sampling.epochUpsample(spark.read.parquet(in),
+          opts.getOrElse("id-col", "doc_id"), opts.getOrElse("source-col", "source"),
+          opts.getOrElse("text-col", "text"),
+          targetTokens = opts.getOrElse("target-tokens", "1000000").toLong,
+          maxEpochs = opts.getOrElse("max-epochs", "4").toInt,
+          bins = opts.getOrElse("bins", "1000").toInt)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      println(f"[epoch-upsample] ${sel.count()} doc-epoch rows " +
+        f"(${sel.agg(coalesce(sum("n_tok"), lit(0L))).head().getLong(0)} tokens) across " +
+        f"${sel.select("source").distinct().count()} sources " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("embedding-outliers")) {
+      // embedding-space outlier scrub (Features.embeddingOutliers):
+      // exact fixed-point distance to the integer corpus centroid
+      val in = opts("embedding-outliers")
+      val out = opts.getOrElse("out", sys.error("--embedding-outliers requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.Features.embeddingOutliers(spark.read.parquet(in),
+          opts.getOrElse("id-col", "vec_id"), opts.getOrElse("vec-col", "embedding"),
+          threshold = opts.getOrElse("threshold", "1000000000000").toLong,
+          offset = opts.getOrElse("offset", "1.0").toDouble)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      println(f"[embedding-outliers] flagged " +
+        f"${sel.filter(col("is_outlier") === 1).count()} of ${sel.count()} vectors " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("diversity-sample")) {
+      // diversity-capped sampling (Sampling.diversitySample): <= cap
+      // vectors per sign-LSH cell in id-hash order
+      val in = opts("diversity-sample")
+      val out = opts.getOrElse("out", sys.error("--diversity-sample requires --out DIR"))
+      val t0 = System.nanoTime()
+      val emb = spark.read.parquet(in)
+      val vecCol = opts.getOrElse("vec-col", "embedding")
+      val dim = opts.get("dim").map(_.toInt).getOrElse(
+        emb.select(size(col(vecCol))).head().getInt(0))
+      graft.operators.Sampling.diversitySample(emb,
+          opts.getOrElse("id-col", "vec_id"), vecCol, dim = dim,
+          capPerBucket = opts.getOrElse("cap", "100").toInt,
+          bits = opts.getOrElse("bits", "8").toInt)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      println(f"[diversity-sample] kept ${sel.count()} vectors across " +
+        f"${sel.select("bucket").distinct().count()} cells " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("signature")) {
       // per-source TF-IDF signature terms (TextStats.sourceSignature):
       // the datacard's distinctive-vocabulary table
@@ -666,6 +725,9 @@ object Main {
           |  --nb-train PARQUET --out DIR [--cls-col cls --text-col text] [--score PARQUET --score-out DIR --id-col doc_id]
           |  --signature PARQUET --out DIR [--group-col source --text-col text --n 5]
           |  --token-budget PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --quota 1000000 --bins 1000]
+          |  --epoch-upsample PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --target-tokens 1000000 --max-epochs 4 --bins 1000]
+          |  --embedding-outliers PARQUET --out DIR [--id-col vec_id --vec-col embedding --threshold 1000000000000 --offset 1.0]
+          |  --diversity-sample PARQUET --out DIR [--id-col vec_id --vec-col embedding --dim auto --cap 100 --bits 8]
           |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true --near-dedup 0.8 --near-max-band 1000 --decontam-n 3 --decontam-min-overlap 5]
           |  --prepare --input-warc GLOB --out DIR [same knobs]   (crawl-native: .warc/.warc.gz -> parse -> HTML strip -> URL dedup -> prepare)
           |  --gen-warc OUT [--n 10000 --files 8]   (synthetic crawl fixture, half gzipped)""".stripMargin)

@@ -278,6 +278,41 @@ class CliDedupSpec extends SparkSpec {
     assert(sel.filter(col("keep") === 1).count() === 2)
   }
 
+  test("--epoch-upsample / --embedding-outliers / --diversity-sample round trips") {
+    import spark.implicits._
+    val base = tmp("cli-mix")
+    // small source (8 tok) upsamples; big source (40 tok) caps/fractions
+    (Seq((0L, "a", Seq.fill(8)("w").mkString(" "))) ++
+      Seq.tabulate(5)(i => (10L + i.toLong, "b", Seq.fill(8)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("epoch-upsample" -> s"$base/docs", "out" -> s"$base/mix",
+      "target-tokens" -> "16", "max-epochs" -> "3"))
+    val mix = spark.read.parquet(s"$base/mix")
+    assert(mix.columns.toSet === Set("doc_id", "source", "n_tok", "epoch"))
+    // source a: t=8, full=2, rem=0 -> exactly 2 epochs; source b: t=40,
+    // full=0, rem=16 -> hash-bin prefix of ~2 docs in epoch 1
+    assert(mix.filter(col("source") === "a").count() === 2)
+    val bTok = mix.filter(col("source") === "b").agg(sum("n_tok")).head().getLong(0)
+    assert(bTok >= 16L && bTok < 16L + 8L, "fractional fill with one-bin overshoot")
+
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(0.25f))) :+
+      (99L, Array.fill(8)(5.0f))
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$base/embs")
+    Main.run(spark, Map("embedding-outliers" -> s"$base/embs", "out" -> s"$base/outl",
+      "threshold" -> "1000000000000"))
+    val outl = spark.read.parquet(s"$base/outl")
+    assert(outl.filter(col("is_outlier") === 1).select("vec_id").collect()
+      .map(_.getLong(0)).toSeq === Seq(99L), "only the planted far vector flags")
+
+    Main.run(spark, Map("diversity-sample" -> s"$base/embs", "out" -> s"$base/core",
+      "cap" -> "5"))
+    val core = spark.read.parquet(s"$base/core")
+    assert(core.columns.toSet === Set("bucket", "rank", "vec_id"))
+    core.groupBy("bucket").count().collect().foreach(r =>
+      assert(r.getLong(1) <= 5L, "every cell capped"))
+    assert(core.count() < 31, "the dense cell trimmed")
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))
