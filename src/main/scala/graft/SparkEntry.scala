@@ -629,6 +629,16 @@ object SparkEntry {
         tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", dim = EmbDim, capPerBucket = 3)),
 
+    // ---- corpus drift monitor: top total-variation contributors
+    //      between two snapshot halves, exact cross-multiplied integers
+    //      (|c_a·N_b − c_b·N_a| — no division, no float accumulation) ----
+    "q126_vocab_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.TextStats.vocabDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", topN = 20)
+    }),
+
     // ---- the cleaning tier in its SQL SPELLING: strip_html →
     //      token_count / lang_id / quality_score through the
     //      GraftExtensions function registry (registerInto — the same
@@ -2561,6 +2571,27 @@ object SparkEntry {
            |  PARTITION BY bucket ORDER BY hv ASC, vec_id ASC) AS INT) AS "rank" FROM bk)
            |SELECT bucket, "rank", vec_id FROM r WHERE "rank" <= 3""".stripMargin
       },
+
+      // cross-multiplied TV contributions: integer counts and products
+      // only; BIGINT casts pin DuckDB's sum()-HUGEINT widening back
+      "q126_vocab_drift" ->
+        """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS tok
+          |  FROM documents WHERE doc_id % 2 = 0),
+          |tb AS (SELECT unnest(string_split(text, ' ')) AS tok
+          |  FROM documents WHERE doc_id % 2 = 1),
+          |ca AS (SELECT tok, count(*) AS c_a FROM ta GROUP BY 1),
+          |cb AS (SELECT tok, count(*) AS c_b FROM tb GROUP BY 1),
+          |na AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a FROM ca),
+          |nb AS (SELECT CAST(sum(c_b) AS BIGINT) AS n_b FROM cb),
+          |j AS (SELECT coalesce(ca.tok, cb.tok) AS tok,
+          |  coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+          |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+          |d AS (SELECT tok, c_a, c_b,
+          |  CAST(abs(c_a * n_b - c_b * n_a) AS BIGINT) AS drift_num
+          |  FROM j, na, nb),
+          |top AS (SELECT * FROM d ORDER BY drift_num DESC, tok ASC LIMIT 20)
+          |SELECT row_number() OVER (ORDER BY drift_num DESC, tok ASC) AS "rank",
+          |  tok, c_a, c_b, drift_num FROM top""".stripMargin,
 
       // strip_html's regex chain replayed literally (the Java-regex/RE2
       // shared subset, global flag explicit in DuckDB), then the cleaning

@@ -381,6 +381,48 @@ object TextStats {
       .select("rank", "shingle", "df", "cf")
   }
 
+  /** Vocabulary drift between two corpus snapshots — the monitor that
+    * catches a crawl pipeline silently changing under you (new spam
+    * campaign, a boilerplate source appearing, an extractor regression):
+    * the top contributors to total-variation distance between the two
+    * token distributions, in EXACT cross-multiplied integers.
+    *
+    * A token's TV contribution is |p_a − p_b| = |c_a/N_a − c_b/N_b|;
+    * cross-multiplying by N_a·N_b gives the integer
+    * `drift_num = |c_a·N_b − c_b·N_a|` — same ranking, no division, no
+    * float accumulation, reproducible in any engine at any parallelism.
+    * (Domain bound: exact while counts × corpus tokens stay under 2⁶³ —
+    * at larger scales feed per-mille bucket counts instead of raw ones.)
+    *
+    * Scale shape: one partial-agg token count per side (shuffle
+    * O(vocab)), a vocab-sized full-outer equi-join, totals as single-row
+    * broadcasts, and the global top-N through `TakeOrderedAndProject`
+    * (per-partition bounded heaps — never a full sort); the rank window
+    * runs over the N survivors only. Output: (rank, tok, c_a, c_b,
+    * drift_num), rank 1-based by (drift_num desc, tok asc).
+    */
+  def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 topN: Int = 20): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(as))
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val na = ca.agg(sum(col("c_a")).as("n_a"))
+    val nb = cb.agg(sum(col("c_b")).as("n_b"))
+    val joined = ca.join(cb, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("tok"), col("c_a"), col("c_b"),
+        abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("drift_num"))
+    val order = Seq(col("drift_num").desc, col("tok").asc)
+    joined.orderBy(order: _*).limit(topN)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("rank", "tok", "c_a", "c_b", "drift_num")
+  }
+
   /** Gopher-style per-document quality rule flags — the published
     * repetition/length/stopword heuristics of large-corpus cleaning
     * recipes (word-count band, mean-word-length band, minimum stopword

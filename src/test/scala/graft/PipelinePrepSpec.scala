@@ -651,6 +651,28 @@ class PipelinePrepSpec extends SparkSpec {
       "bin totals must partial-aggregate below the window")
   }
 
+  test("vocabDrift: identical halves zero out, planted drift token ranks first, heap-limit not full sort") {
+    import graft.operators.TextStats
+    val common = (0L until 20L).map(i => (i, "alpha beta gamma delta"))
+    val same = common.toDF("doc_id", "text")
+    val zero = TextStats.vocabDrift(same, same, "text", topN = 5)
+      .collect().map(r => r.getLong(4))
+    assert(zero.forall(_ === 0L), "identical snapshots have zero drift everywhere")
+    // snapshot b: the same corpus plus a burst of a new token
+    val b = (common ++ Seq((100L, "spamword spamword spamword spamword"))).toDF("doc_id", "text")
+    val got = TextStats.vocabDrift(same, b, "text", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.head._2 === "spamword" && got.head._1 === 1L)
+    // exact reference: c_a=0, c_b=4, n_a=80, n_b=84 -> |0*84 - 4*80| = 320
+    assert(got.head._5 === 320L)
+    // shared tokens drift by the total shift only: |20*84 - 20*80| = 80
+    assert(got.tail.forall(_._5 === 80L))
+    val plan = TextStats.vocabDrift(same, b, "text", topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-N must ride per-partition heaps, not a full sort")
+  }
+
   test("diversitySample: dense cells trim to cap in hash order, sparse survive whole, heap not window") {
     import graft.operators.Sampling
     // all-positive vectors land in one bucket (dense blob); a few
