@@ -402,12 +402,21 @@ object TextStats {
     * drift_num), rank 1-based by (drift_num desc, tok asc).
     */
   def vocabDrift(a: DataFrame, b: DataFrame, textCol: String,
-                 topN: Int = 20): DataFrame = {
-    def counts(df: DataFrame, as: String) = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as(as))
-    val ca = counts(a, "c_a")
-    val cb = counts(b, "c_b")
+                 topN: Int = 20): DataFrame =
+    vocabDriftFromCounts(vocabCounts(a, textCol, "c_a"),
+      vocabCounts(b, textCol, "c_b"), topN)
+
+  /** Per-token corpus counts — [[vocabDrift]]'s input shape, exposed so
+    * the streaming twin can freeze one side and accumulate the other.
+    */
+  def vocabCounts(docs: DataFrame, textCol: String, as: String): DataFrame = docs
+    .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    .groupBy("tok").agg(count(lit(1)).as(as))
+
+  /** [[vocabDrift]] over already-aggregated (tok, c_a) / (tok, c_b)
+    * count tables (columns named exactly so).
+    */
+  def vocabDriftFromCounts(ca: DataFrame, cb: DataFrame, topN: Int): DataFrame = {
     val na = ca.agg(sum(col("c_a")).as("n_a"))
     val nb = cb.agg(sum(col("c_b")).as("n_b"))
     val joined = ca.join(cb, Seq("tok"), "full_outer")

@@ -388,6 +388,40 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
 
+  /** Streaming corpus-drift dashboard — [[graft.operators.TextStats
+    * .vocabDrift]] as a continuous query: the REFERENCE token
+    * distribution is counted once at stream start (localCheckpointed —
+    * never re-counted at streaming cadence), each arriving micro-batch's
+    * counts land partition-per-batch under `outDir/counts`, and the
+    * drift table at batch N is recomputed from the accumulated per-batch
+    * counts — so the snapshot after batch N is a pure function of the
+    * batch SET (idempotent on replay: a re-run batch overwrites its own
+    * partition and the re-aggregation gives the same answer, the
+    * [[streamingPrepare]] discipline). State is O(vocab) parquet, not
+    * executor memory; the per-batch recompute reads O(batches × vocab)
+    * counted rows — dashboard-cadence cheap, and exactly equal to the
+    * batch [[graft.operators.TextStats.vocabDrift]] over the union
+    * (StreamingSpec pins the bit-equality). Output:
+    * `outDir/drift/batch_id=N` top-`topN` drift tables.
+    */
+  def streamingVocabDrift(docs: DataFrame, reference: DataFrame, textCol: String,
+                          outDir: String, topN: Int = 20): DataStreamWriter[Row] = {
+    val refCounts = graft.operators.TextStats
+      .vocabCounts(reference, textCol, "c_a").localCheckpoint()
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextStats.vocabCounts(batch, textCol, "c_b")
+            .write.mode("overwrite").parquet(s"$outDir/counts/batch_id=$batchId")
+          val acc = batch.sparkSession.read.parquet(s"$outDir/counts")
+            .groupBy("tok").agg(sum(col("c_b")).as("c_b"))
+          graft.operators.TextStats.vocabDriftFromCounts(refCounts, acc, topN)
+            .write.mode("overwrite").parquet(s"$outDir/drift/batch_id=$batchId")
+        }
+      }
+  }
+
   /** Streaming SEMANTIC dedup against a static embedding corpus — the
     * paraphrase tier of the ingest ladder as a continuous query
     * ([[graft.operators.Dedup.incrementalSemanticDedup]] per micro-batch),

@@ -787,4 +787,40 @@ class StreamingSpec extends SparkSpec {
     assert(out(11L)._1 === "new" && out(11L)._2 === -1L)
     assert(out(12L) === (("near_dup", 1L, 0L)), "identical image at hamming 0")
   }
+
+  test("streaming vocab drift: accumulated drift table bit-equal to batch vocabDrift over the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextStats
+    val reference = Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val outDir = Files.createTempDirectory("svd-out").toString
+    val source = MemoryStream[(Long, String)]
+    val query = StreamingOps.streamingVocabDrift(
+      source.toDF().toDF("doc_id", "text"), reference, "text", outDir, topN = 10)
+      .option("checkpointLocation", Files.createTempDirectory("svd-ckpt").toString)
+      .start()
+    val b1 = Seq((10L, "alpha beta gamma delta"), (11L, "spamword spamword eta"))
+    val b2 = Seq((12L, "spamword theta iota"), (13L, "alpha beta kappa lambda"))
+    source.addData(b1: _*)
+    query.processAllAvailable()
+    source.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val batchIds = new java.io.File(s"$outDir/drift").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).map(_.drop(9).toInt).sorted
+    val last = spark.read.parquet(s"$outDir/drift/batch_id=${batchIds.last}")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val want = TextStats.vocabDrift(reference, (b1 ++ b2).toDF("doc_id", "text"), "text", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(last.sorted.toSeq === want.sorted.toSeq,
+      "snapshot after the last batch must equal the one-batch derivation bit-for-bit")
+    assert(last.exists(t => t._2 == "spamword" && t._1 == 1L),
+      "the planted burst leads the drift table")
+    // the mid-stream snapshot reflects only batch 1
+    val first = spark.read.parquet(s"$outDir/drift/batch_id=${batchIds.head}")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val wantFirst = TextStats.vocabDrift(reference, b1.toDF("doc_id", "text"), "text", topN = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(first.sorted.toSeq === wantFirst.sorted.toSeq)
+  }
 }
