@@ -35,6 +35,7 @@ import graft.sources.Datagen
   *                                      whole epochs + hash-bin fractional epoch)
   *   --embedding-outliers PARQUET --out DIR   fixed-point centroid-distance scrub
   *   --diversity-sample PARQUET --out DIR     per-sign-LSH-cell cap (coreset)
+  *   --vocab-drift PARQUET --ref PARQUET --out DIR   snapshot drift monitor
   *   --prepare PARQUET --out DIR        END-TO-END corpus prep: quality gate ->
   *                                      dedup -> decontam -> budget -> curriculum shards
   *   --prepare --input-warc GLOB --out DIR   crawl-native prep: raw .warc(.gz) ->
@@ -637,6 +638,23 @@ object Main {
         f"${sel.filter(col("is_outlier") === 1).count()} of ${sel.count()} vectors " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
+    } else if (opts.contains("vocab-drift")) {
+      // corpus drift monitor (TextStats.vocabDrift): top TV contributors
+      // between a snapshot and a reference, exact cross-multiplied ints
+      val in = opts("vocab-drift")
+      val ref = opts.getOrElse("ref", sys.error("--vocab-drift requires --ref PARQUET"))
+      val out = opts.getOrElse("out", sys.error("--vocab-drift requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.TextStats.vocabDrift(
+          spark.read.parquet(ref), spark.read.parquet(in),
+          opts.getOrElse("text-col", "text"),
+          topN = opts.getOrElse("top", "20").toInt)
+        .write.mode("overwrite").parquet(out)
+      val top = spark.read.parquet(out).orderBy(col("rank")).limit(3).collect()
+        .map(r => s"${r.getString(1)}(${r.getLong(4)})").mkString(", ")
+      println(f"[vocab-drift] top contributors: $top " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
     } else if (opts.contains("diversity-sample")) {
       // diversity-capped sampling (Sampling.diversitySample): <= cap
       // vectors per sign-LSH cell in id-hash order
@@ -728,6 +746,7 @@ object Main {
           |  --epoch-upsample PARQUET --out DIR [--id-col doc_id --source-col source --text-col text --target-tokens 1000000 --max-epochs 4 --bins 1000]
           |  --embedding-outliers PARQUET --out DIR [--id-col vec_id --vec-col embedding --threshold 1000000000000 --offset 1.0]
           |  --diversity-sample PARQUET --out DIR [--id-col vec_id --vec-col embedding --dim auto --cap 100 --bits 8]
+          |  --vocab-drift PARQUET --ref PARQUET --out DIR [--text-col text --top 20]
           |  --prepare PARQUET --out DIR [--bench PARQUET --min-quality 0.3 --quota N --num-shards 64 --records-per-file 1000000 --best-last true --near-dedup 0.8 --near-max-band 1000 --decontam-n 3 --decontam-min-overlap 5]
           |  --prepare --input-warc GLOB --out DIR [same knobs]   (crawl-native: .warc/.warc.gz -> parse -> HTML strip -> URL dedup -> prepare)
           |  --gen-warc OUT [--n 10000 --files 8]   (synthetic crawl fixture, half gzipped)""".stripMargin)

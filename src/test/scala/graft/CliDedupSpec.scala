@@ -311,6 +311,13 @@ class CliDedupSpec extends SparkSpec {
     core.groupBy("bucket").count().collect().foreach(r =>
       assert(r.getLong(1) <= 5L, "every cell capped"))
     assert(core.count() < 31, "the dense cell trimmed")
+
+    Seq((50L, "spamword spamword spamword")).toDF("doc_id", "text")
+      .write.parquet(s"$base/snap")
+    Main.run(spark, Map("vocab-drift" -> s"$base/snap", "ref" -> s"$base/docs",
+      "out" -> s"$base/drift", "top" -> "5"))
+    val drift = spark.read.parquet(s"$base/drift").orderBy(col("rank")).collect()
+    assert(drift.head.getString(1) === "spamword", "the burst token leads the drift table")
   }
 
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
