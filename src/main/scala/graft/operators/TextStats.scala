@@ -417,8 +417,8 @@ object TextStats {
     * count tables (columns named exactly so).
     */
   def vocabDriftFromCounts(ca: DataFrame, cb: DataFrame, topN: Int): DataFrame = {
-    val na = ca.agg(sum(col("c_a")).as("n_a"))
-    val nb = cb.agg(sum(col("c_b")).as("n_b"))
+    val na = ca.agg(coalesce(sum(col("c_a")), lit(0L)).as("n_a"))
+    val nb = cb.agg(coalesce(sum(col("c_b")), lit(0L)).as("n_b"))
     val joined = ca.join(cb, Seq("tok"), "full_outer")
       .select(col("tok"),
         coalesce(col("c_a"), lit(0L)).as("c_a"),
