@@ -37,6 +37,10 @@ object TextScaleProof {
       // aggregation path instead of sort-falling-back at 128 keys; each
       // buffer holds <= k entries, so 1M keys is a few hundred MB worst case
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      // local mode frees shuffle files only when the ContextCleaner GCs
+      // dereferenced RDDs; a 96g heap never GCs naturally, so multi-phase
+      // proofs accumulate every stage's shuffle spill until ENOSPC
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
