@@ -36,6 +36,8 @@ import graft.sources.Datagen
   *   --embedding-outliers PARQUET --out DIR   fixed-point centroid-distance scrub
   *   --diversity-sample PARQUET --out DIR     per-sign-LSH-cell cap (coreset)
   *   --vocab-drift PARQUET --ref PARQUET --out DIR   snapshot drift monitor
+  *   --scrub-boilerplate PARQUET --out DIR    host-template line removal
+  *                                      (--host-col, --min-docs, --min-frac)
   *   --prepare PARQUET --out DIR        END-TO-END corpus prep: quality gate ->
   *                                      dedup -> decontam -> budget -> curriculum shards
   *   --prepare --input-warc GLOB --out DIR   crawl-native prep: raw .warc(.gz) ->
@@ -636,6 +638,25 @@ object Main {
       val sel = spark.read.parquet(out)
       println(f"[embedding-outliers] flagged " +
         f"${sel.filter(col("is_outlier") === 1).count()} of ${sel.count()} vectors " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("scrub-boilerplate")) {
+      // host-template line removal (Dedup.scrubBoilerplate): the
+      // CCNet/RefinedWeb cleaning step between extraction and gating
+      val in = opts("scrub-boilerplate")
+      val out = opts.getOrElse("out", sys.error("--scrub-boilerplate requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.scrubBoilerplate(spark.read.parquet(in),
+          opts.getOrElse("id-col", "doc_id"), opts.getOrElse("host-col", "source"),
+          opts.getOrElse("text-col", "text"),
+          minDocs = opts.getOrElse("min-docs", "2").toInt,
+          minFrac = opts.getOrElse("min-frac", "0.5").toDouble)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      println(f"[scrub-boilerplate] removed " +
+        f"${sel.agg(coalesce(sum("n_removed"), lit(0L))).head().getLong(0)} of " +
+        f"${sel.agg(coalesce(sum("n_lines"), lit(0L))).head().getLong(0)} lines " +
+        f"across ${sel.count()} docs " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
     } else if (opts.contains("vocab-drift")) {

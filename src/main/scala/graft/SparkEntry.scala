@@ -639,6 +639,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "text", topN = 20)
     }),
 
+    // ---- host-boilerplate line removal (the CCNet/RefinedWeb template
+    //      scrub): a per-source footer planted on EVERY doc (df = 100%
+    //      ≥ 50% → removed) plus a promo line on every 5th doc (df = 20%
+    //      < 50% → survives, exercising the keep verdict); surviving
+    //      lines keep their bytes and order, so text_clean re-derives
+    //      the original text on footer-only docs ----
+    "q127_boilerplate_scrub" -> ((s, dir) =>
+      graft.operators.Dedup.scrubBoilerplate(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+          concat(col("text"), lit("\nsubscribe to "), col("source"),
+            lit(" newsletter"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit("\npromo "), col("source"))).otherwise(lit("")))
+            .as("text")),
+        "doc_id", "source", "text", minDocs = 2, minFrac = 0.5)),
+
     // ---- the cleaning tier in its SQL SPELLING: strip_html →
     //      token_count / lang_id / quality_score through the
     //      GraftExtensions function registry (registerInto — the same
@@ -2592,6 +2608,38 @@ object SparkEntry {
           |top AS (SELECT * FROM d ORDER BY drift_num DESC, tok ASC LIMIT 20)
           |SELECT row_number() OVER (ORDER BY drift_num DESC, tok ASC) AS "rank",
           |  tok, c_a, c_b, drift_num FROM top""".stripMargin,
+
+      // line explode via unnest + generate_subscripts (the q124 pattern);
+      // document frequency per (source, trimmed line); reassembly is
+      // string_agg ORDER BY pos — the same order Spark's array_sort of
+      // (pos, line) structs pins
+      "q127_boilerplate_scrub" ->
+        """WITH d AS (SELECT doc_id, source,
+          |  text || chr(10) || 'subscribe to ' || source || ' newsletter' ||
+          |  CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'promo ' || source
+          |       ELSE '' END AS text FROM documents),
+          |ls AS (SELECT doc_id, source,
+          |  unnest(string_split(text, chr(10))) AS line,
+          |  CAST(generate_subscripts(string_split(text, chr(10)), 1) AS BIGINT) AS pos
+          |  FROM d),
+          |lk AS (SELECT doc_id, source, pos, line, trim(line) AS key FROM ls),
+          |hd AS (SELECT source, CAST(count(*) AS BIGINT) AS host_docs
+          |  FROM d GROUP BY 1),
+          |df AS (SELECT source, key,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM lk GROUP BY 1, 2),
+          |bp AS (SELECT df.source, df.key FROM df JOIN hd USING (source)
+          |  WHERE n_docs >= 2
+          |    AND CAST(n_docs AS DOUBLE) >= 0.5 * CAST(host_docs AS DOUBLE)),
+          |kept AS (SELECT lk.* FROM lk WHERE NOT EXISTS (
+          |  SELECT 1 FROM bp WHERE bp.source = lk.source AND bp.key = lk.key)),
+          |re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          |  CAST(count(*) AS BIGINT) AS kept_lines FROM kept GROUP BY 1),
+          |tot AS (SELECT doc_id, source,
+          |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM d)
+          |SELECT t.doc_id, t.source, t.n_lines,
+          |  CAST(t.n_lines - coalesce(re.kept_lines, 0) AS BIGINT) AS n_removed,
+          |  coalesce(re.text_clean, '') AS text_clean
+          |FROM tot t LEFT JOIN re USING (doc_id)""".stripMargin,
 
       // strip_html's regex chain replayed literally (the Java-regex/RE2
       // shared subset, global flag explicit in DuckDB), then the cleaning

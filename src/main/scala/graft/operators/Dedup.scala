@@ -1414,4 +1414,87 @@ object Dedup {
         col("n_tokens"),
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
   }
+
+  /** Per-doc lines keyed for host-boilerplate analysis: one row per line
+    * with its 1-based position and trimmed match key. `split(_, "\n", -1)`
+    * keeps empty segments, so blank lines are positions too and the
+    * reassembled text round-trips byte-for-byte when nothing is removed.
+    */
+  private def hostLines(docs: DataFrame, idCol: String, hostCol: String,
+                        textCol: String): DataFrame = docs
+    .select(col(idCol), col(hostCol),
+      posexplode(split(col(textCol), "\n", -1)))
+    .select(col(idCol), col(hostCol), (col("pos") + 1).cast("long").as("pos"),
+      col("col").as("line"), trim(col("col")).as("key"))
+
+  /** Host-level boilerplate line discovery — the CCNet/RefinedWeb cleaning
+    * step the crawl front door needs between HTML extraction and quality
+    * gating: lines that repeat across a large fraction of one host's pages
+    * (nav bars, cookie banners, footers) are template, not content. A line
+    * (trimmed) is boilerplate for a host when it appears in at least
+    * `minDocs` of the host's docs AND at least `minFrac` of them.
+    *
+    * Returns one row per distinct (host, line key): `(hostCol, key,
+    * n_docs, host_docs, is_boilerplate)`.
+    *
+    * Scale shape: document frequency is `distinct` on (host, key, doc) then
+    * a count partial-agg — shuffle O(distinct host lines), never a window;
+    * host sizes are one count row per host. Nothing is ever collected, and
+    * no per-host structure exceeds its line-key cardinality. The verdict
+    * compare is one IEEE multiply per row (`n_docs >= minFrac·host_docs`),
+    * bit-identical on any engine — no accumulation.
+    */
+  def boilerplateLines(docs: DataFrame, idCol: String, hostCol: String,
+                       textCol: String, minDocs: Int = 2,
+                       minFrac: Double = 0.5): DataFrame = {
+    require(minDocs >= 1, s"boilerplateLines: minDocs must be >= 1, got $minDocs")
+    require(minFrac >= 0.0 && minFrac <= 1.0,
+      s"boilerplateLines: minFrac must be in [0,1], got $minFrac")
+    val hostDocs = docs.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("host_docs"))
+    hostLines(docs, idCol, hostCol, textCol)
+      .select(col(hostCol), col("key"), col(idCol)).distinct()
+      .groupBy(col(hostCol), col("key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(hostDocs, Seq(hostCol))
+      .select(col(hostCol), col("key"), col("n_docs"), col("host_docs"),
+        (col("n_docs") >= lit(minDocs.toLong) &&
+          col("n_docs").cast("double") >= lit(minFrac) *
+            col("host_docs").cast("double")).cast("int").as("is_boilerplate"))
+  }
+
+  /** Remove host-boilerplate lines ([[boilerplateLines]] verdicts) from
+    * every document, preserving the order and bytes of the surviving lines.
+    * Returns `(idCol, hostCol, n_lines, n_removed, text_clean)`; a doc
+    * whose every line is template keeps its row with empty `text_clean`.
+    *
+    * Scale shape: the scrub is a left-anti equi-join of the line stream
+    * against the (host, key) verdict table — shuffle on the line key pair,
+    * broadcast when the template table is small (the common case);
+    * reassembly is one groupBy(doc) whose payload is the doc itself, the
+    * same cost class as any per-doc map. No window ever sees the corpus.
+    */
+  def scrubBoilerplate(docs: DataFrame, idCol: String, hostCol: String,
+                       textCol: String, minDocs: Int = 2,
+                       minFrac: Double = 0.5): DataFrame = {
+    val template = boilerplateLines(docs, idCol, hostCol, textCol, minDocs, minFrac)
+      .filter(col("is_boilerplate") === 1)
+      .select(col(hostCol), col("key"))
+    val kept = hostLines(docs, idCol, hostCol, textCol)
+      .join(template, Seq(hostCol, "key"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s("line")),
+          "\n").as("text_clean"),
+        count(lit(1)).as("kept_lines"))
+    docs
+      .select(col(idCol), col(hostCol),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col(hostCol), col("n_lines"),
+        (col("n_lines") - coalesce(col("kept_lines"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

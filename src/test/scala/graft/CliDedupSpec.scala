@@ -320,6 +320,22 @@ class CliDedupSpec extends SparkSpec {
     assert(drift.head.getString(1) === "spamword", "the burst token leads the drift table")
   }
 
+  test("--scrub-boilerplate round trip: host footer removed, content byte-stable") {
+    import spark.implicits._
+    val base = tmp("cli-bp")
+    (0L until 6L).map(i => (i, "h", s"body $i\nfooter text"))
+      .toDF("doc_id", "source", "text").write.parquet(s"$base/docs")
+    Main.run(spark, Map("scrub-boilerplate" -> s"$base/docs", "out" -> s"$base/clean"))
+    val clean = spark.read.parquet(s"$base/clean")
+    assert(clean.columns.toSet ===
+      Set("doc_id", "source", "n_lines", "n_removed", "text_clean"))
+    assert(clean.count() === 6)
+    assert(clean.filter(col("n_removed") === 1).count() === 6,
+      "the shared footer leaves every doc")
+    assert(clean.filter(col("doc_id") === 3L).head().getAs[String]("text_clean")
+      === "body 3", "content survives byte-for-byte")
+  }
+
   test("autoBits: corpus-size-derived, >=16 bits at 5M scale, capped, q74-compatible") {
     assert(Dedup.autoBits(5_000_000L) >= 16, "5M vectors must auto-pick fine blocking")
     assert(Dedup.autoBits(5_000_000L) === 17) // ceil(log2(5e6/64))

@@ -817,4 +817,59 @@ class PipelinePrepSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "per-source topN must be the bounded heap")
   }
+
+  test("boilerplateLines/scrubBoilerplate: host-scoped template removal, byte-stable survivors, threshold regimes, no window") {
+    import graft.operators.Dedup
+    // host A: 10 docs, every one carries the footer; docs 0-1 also carry a
+    // promo line (df 20% — above minDocs, below minFrac). host B: 2 docs
+    // sharing host A's footer TEXT — host-scoped, so on B it needs 2/2.
+    val footer = "  subscribe now  " // trimmed key must match untrimmed bytes
+    val a = (0L until 10L).map { i =>
+      val promo = if (i < 2) "\npromo line" else ""
+      (i, "A", s"content $i\n$footer$promo")
+    }
+    val b = Seq((100L, "B", s"only b\n$footer"), (101L, "B", "other b"))
+    val docs = (a ++ b).toDF("doc_id", "host", "text")
+
+    val flags = Dedup.boilerplateLines(docs, "doc_id", "host", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(flags(("A", "subscribe now")) === ((10L, 10L, 1)),
+      "footer is boilerplate on A: 10/10 docs")
+    assert(flags(("A", "promo line")) === ((2L, 10L, 0)),
+      "promo meets minDocs but not minFrac: kept")
+    assert(flags(("B", "subscribe now")) === ((1L, 2L, 0)),
+      "host-scoped: the same text on B is 1/2 docs — kept there")
+
+    val got = Dedup.scrubBoilerplate(docs, "doc_id", "host", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(5L) === ((2L, 1L, "content 5")), "footer-only doc keeps content")
+    assert(got(0L) === ((3L, 1L, "content 0\npromo line")),
+      "surviving lines keep order and bytes")
+    assert(got(100L) === ((2L, 0L, s"only b\n$footer")),
+      "B keeps the footer BYTES untrimmed — nothing removed on B")
+    // lower minFrac: promo now template too; a doc of nothing but template
+    // keeps its row with empty text
+    val low = Dedup.scrubBoilerplate(docs, "doc_id", "host", "text",
+      minDocs = 2, minFrac = 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(low(0L) === ((2L, "content 0")), "promo removed at minFrac 0.1")
+    val allTpl = (docs.select(col("doc_id"), col("host"), col("text")) union
+      Seq((200L, "A", footer)).toDF("doc_id", "host", "text"))
+    val scrubAll = Dedup.scrubBoilerplate(allTpl, "doc_id", "host", "text")
+      .filter(col("doc_id") === 200L).collect()
+    assert(scrubAll.length === 1 && scrubAll(0).getString(4) === "" &&
+      scrubAll(0).getLong(3) === 1L, "all-template doc keeps an empty row")
+    // exact counts: partitioning-invariant
+    val re = Dedup.scrubBoilerplate(docs.repartition(7, col("doc_id")),
+      "doc_id", "host", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(re === got)
+    val plan = Dedup.scrubBoilerplate(docs, "doc_id", "host", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "df counts and reassembly are aggregates, never a corpus window")
+  }
 }
