@@ -103,6 +103,7 @@ object GraftExtensions {
     fn1("quality_score", "quality_score(text) - [0,1] length/stopword/word-length heuristic")(TextFunctions.qualityScore),
     fn1("strip_html", "strip_html(html) - script/style blocks and tags dropped, entities decoded, whitespace collapsed")(TextFunctions.stripHtml),
     fn1("doc_fingerprint", "doc_fingerprint(text) - md5 of lowercased text")(TextFunctions.fingerprint),
+    fn1("canonicalize_url", "canonicalize_url(url) - lowercase scheme/host, default ports/fragments/tracking params dropped, params sorted")(TextFunctions.canonicalizeUrl),
     fn1("rolling_hash", "rolling_hash(text) - Karp-Rabin rolling hash mod 2^31-1")(TextFunctions.rollingHash),
     fn1("pii_redact", "pii_redact(text) - emails/phones/IPv4 replaced by placeholders")(Pii.redact),
     fn1("pii_email_count", "pii_email_count(text) - email-shaped span count")(Pii.emailCount),

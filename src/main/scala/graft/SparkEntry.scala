@@ -655,6 +655,28 @@ object SparkEntry {
             .as("text")),
         "doc_id", "source", "text", minDocs = 2, minFrac = 0.5)),
 
+    // ---- URL canonicalization (the normalize step BEFORE the crawl's
+    //      first-wins URL dedup): planted URLs mix case, default vs real
+    //      ports, tracking params in shuffled positions, trailing
+    //      slashes, and fragments — every rule branch lands at this SF.
+    //      Path case survives (case-significant), host case does not ----
+    "q128_url_canonical" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+          lit("Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+          when(col("doc_id") % 11 === 0, lit(":8080"))
+            .when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+          lit("/Page"), (col("doc_id") % 13).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=x&b=2&a=1"))
+            .when(col("doc_id") % 4 === 1, lit("?fbclid=z"))
+            .when(col("doc_id") % 4 === 3, lit("?z=1&gclid=g&a=2"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit(""))).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.functions.TextFunctions.canonicalizeUrl(col("url")).as("url_canon"))),
+
     // ---- the cleaning tier in its SQL SPELLING: strip_html →
     //      token_count / lang_id / quality_score through the
     //      GraftExtensions function registry (registerInto — the same
@@ -2640,6 +2662,47 @@ object SparkEntry {
           |  CAST(t.n_lines - coalesce(re.kept_lines, 0) AS BIGINT) AS n_removed,
           |  coalesce(re.text_clean, '') AS text_clean
           |FROM tot t LEFT JOIN re USING (doc_id)""".stripMargin,
+
+      // the canonicalization chain replayed rule-by-rule: every regex is
+      // anchored (single-match), so DuckDB's replace-first ≡ Spark's
+      // replace-all; list_sort/list_filter mirror array_sort/filter on
+      // binary-collated ASCII
+      "q128_url_canonical" ->
+        """WITH u AS (SELECT doc_id,
+          |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+          |  'Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM' ||
+          |  (CASE WHEN doc_id % 11 = 0 THEN ':8080'
+          |        WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+          |  '/Page' || CAST(doc_id % 13 AS VARCHAR) ||
+          |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+          |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&b=2&a=1'
+          |        WHEN doc_id % 4 = 1 THEN '?fbclid=z'
+          |        WHEN doc_id % 4 = 3 THEN '?z=1&gclid=g&a=2' ELSE '' END) ||
+          |  (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+          |  FROM documents),
+          |c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+          |c2 AS (SELECT *, lower(regexp_extract(nofrag,
+          |    '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |  regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c1),
+          |c3 AS (SELECT *, lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+          |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
+          |c4 AS (SELECT *,
+          |  CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+          |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+          |       ELSE hostport END AS host,
+          |  regexp_replace(pathq, '\?.*$', '') AS rawpath,
+          |  CASE WHEN instr(pathq, '?') > 0
+          |       THEN regexp_replace(pathq, '^[^?]*\?', '') ELSE '' END AS qs FROM c3),
+          |c5 AS (SELECT *, array_to_string(list_sort(list_filter(
+          |    string_split(qs, '&'),
+          |    p -> NOT (p = '' OR regexp_matches(p, '^(utm_[^=]*|gclid|fbclid)(=|$)')))),
+          |    '&') AS canonq,
+          |  CASE WHEN rawpath = '' THEN '/'
+          |       ELSE regexp_replace(rawpath, '(.)/$', '\1') END AS path FROM c4)
+          |SELECT doc_id, url,
+          |  scheme || '://' || host || path ||
+          |  CASE WHEN len(canonq) > 0 THEN '?' || canonq ELSE '' END AS url_canon
+          |FROM c5""".stripMargin,
 
       // strip_html's regex chain replayed literally (the Java-regex/RE2
       // shared subset, global flag explicit in DuckDB), then the cleaning

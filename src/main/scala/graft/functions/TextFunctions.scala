@@ -135,6 +135,46 @@ object TextFunctions {
 
   def fingerprint(text: Column): Column = md5(lower(text))
 
+  /** Crawl URL canonicalization — the normalize step BEFORE first-wins
+    * URL dedup ([[graft.operators.Pipeline.docsFromWarc]]): the same page
+    * fetched as `HTTP://Site.COM:80/a?utm_source=x&b=1#frag` and
+    * `http://site.com/a?b=1` must collide, or the crawl keeps both.
+    * Rules (each a deliberate, documented choice):
+    *   - fragment drops (never sent to the server);
+    *   - scheme and host[:port] lowercase; the PATH keeps its case
+    *     (case-significant on most origins);
+    *   - default ports drop (`:80` for http, `:443` for https); real
+    *     ports survive;
+    *   - tracking params drop (`utm_*`, `gclid`, `fbclid`), remaining
+    *     params sort byte-order for order-insensitive equality;
+    *   - empty path becomes `/`; ONE trailing slash strips from a
+    *     non-root path.
+    * Every regex is anchored (single-match), staying in the
+    * Java-regex/RE2-identical subset with DuckDB-equal replace
+    * semantics, so an oracle reproduces the output byte-for-byte.
+    * Pure codegen'd projection — no UDF, no shuffle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === lit("http"), regexp_replace(hostport, ":80$", ""))
+      .when(scheme === lit("https"), regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val rawPath = regexp_replace(pathq, "\\?.*$", "")
+    val query = when(instr(pathq, "?") > 0,
+      regexp_replace(pathq, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !(p === lit("") || p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)")))
+    val canonQ = array_join(array_sort(params), "&")
+    val path = when(rawPath === lit(""), lit("/"))
+      .otherwise(regexp_replace(rawPath, "(.)/$", "$1"))
+    concat(scheme, lit("://"), host, path,
+      when(length(canonQ) > 0, concat(lit("?"), canonQ)).otherwise(lit("")))
+  }
+
   /** Rolling polynomial hash (Karp–Rabin) over the token stream,
     * acc' = (acc·31 + h(tok)) mod (2³¹−1) with h = the integer value of the
     * first 5 md5 hex chars (20 bits). All intermediate products stay below

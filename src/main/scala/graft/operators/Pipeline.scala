@@ -161,13 +161,23 @@ object Pipeline {
     * long-typed id its bounded-buffer path wants; the `url` column rides
     * along for traceability.
     *
+    * `canonicalizeUrls = true` runs [[TextFunctions.canonicalizeUrl]]
+    * BEFORE the dedup key forms, so `HTTP://Site.COM:80/a?utm_source=x`
+    * and `http://site.com/a` collapse to one fetch (first wins across
+    * the canonical group). Off by default: the key then matches the raw
+    * crawl manifest byte-for-byte.
+    *
     * Output: (url, doc_id, source = host, text).
     */
-  def docsFromWarc(records: DataFrame): DataFrame =
+  def docsFromWarc(records: DataFrame,
+                   canonicalizeUrls: Boolean = false): DataFrame =
     records
       .filter(col("warc_type") === "response" && col("url").isNotNull &&
         length(col("url")) > 0)
-      .select(col("url"), col("host"), col("path"), col("rec"),
+      .select(
+        (if (canonicalizeUrls) TextFunctions.canonicalizeUrl(col("url"))
+         else col("url")).as("url"),
+        col("host"), col("path"), col("rec"),
         TextFunctions.stripHtml(col("payload")).as("text"))
       .groupBy("url")
       .agg(min(struct(col("path"), col("rec"), col("host"), col("text"))).as("w"))

@@ -116,6 +116,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(stripSql(1).getString(1) === "no markup at all")
     assert(stripSql(2).getString(1) === "a &lt; b c > d")
 
+    // canonicalize_url: every rule branch on one literal apiece
+    val urls = Seq(
+      (1L, "HTTP://Ex.COM:80/A/b?utm_source=s&b=2&a=1#f"),
+      (2L, "https://ex.com:443/"),
+      (3L, "https://ex.com:8443/Keep/?fbclid=x"),
+      (4L, "http://ex.com"),
+      (5L, "http://ex.com/p?gclid=g")).toDF("id", "url")
+    urls.createOrReplaceTempView("sql_urls")
+    val canonSql = spark.sql(
+      "SELECT id, canonicalize_url(url) AS u FROM sql_urls ORDER BY id").collect()
+    val canonCol = urls.select(col("id"),
+      TextFunctions.canonicalizeUrl(col("url")).as("u")).orderBy("id").collect()
+    assert(canonSql.map(_.toSeq).toSeq === canonCol.map(_.toSeq).toSeq)
+    assert(canonSql(0).getString(1) === "http://ex.com/A/b?a=1&b=2",
+      "host lowers, path case survives, :80 drops, utm drops, params sort")
+    assert(canonSql(1).getString(1) === "https://ex.com/", ":443 drops, root slash stays")
+    assert(canonSql(2).getString(1) === "https://ex.com:8443/Keep",
+      "real port survives; one trailing slash strips")
+    assert(canonSql(3).getString(1) === "http://ex.com/", "empty path becomes /")
+    assert(canonSql(4).getString(1) === "http://ex.com/p", "all-tracking query drops whole")
+
     val zSql = spark.sql("SELECT z_value(5, 3) AS z").head().getLong(0)
     val zCol = spark.range(1).select(
       graft.sources.Bucketing.zValue(

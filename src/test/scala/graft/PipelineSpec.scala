@@ -129,6 +129,24 @@ class PipelineSpec extends SparkSpec {
       "exactly one of each exact-text pair survives")
   }
 
+  test("docsFromWarc canonicalizeUrls: case/port/tracking URL variants collapse to one first-wins fetch") {
+    import spark.implicits._
+    val recs = Seq(
+      ("response", "HTTP://Site.COM:80/a?utm_source=x", "Site.COM", "f1", 1L, "<p>first</p>"),
+      ("response", "http://site.com/a", "site.com", "f1", 2L, "<p>second</p>"),
+      ("response", "http://site.com/b", "site.com", "f1", 3L, "<p>other</p>"),
+      ("request", "http://site.com/a", "site.com", "f1", 4L, "ignored"))
+      .toDF("warc_type", "url", "host", "path", "rec", "payload")
+    val off = graft.operators.Pipeline.docsFromWarc(recs)
+    assert(off.count() === 3, "raw keys keep both variants of /a")
+    val on = graft.operators.Pipeline.docsFromWarc(recs, canonicalizeUrls = true)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(on.size === 2, "canonical keys collapse the variant pair")
+    assert(on("http://site.com/a") === "first",
+      "the FIRST fetch wins across the canonical group")
+    assert(on("http://site.com/b") === "other")
+  }
+
   test("--prepare --input-warc CLI round-trip: crawl files to curriculum shards") {
     val base = java.nio.file.Files.createTempDirectory("warc-cli").toString
     Main.run(spark, Map("gen-warc" -> s"$base/crawl", "n" -> "60", "files" -> "6"))
