@@ -44,6 +44,7 @@ import graft.sources.Datagen
   *                                      record parse -> HTML strip -> URL first-wins
   *                                      dedup -> the same prepare stage chain
   *   --gen-warc OUT --n N --files F     synthetic crawl fixture (real WARC files)
+  *   (--canonical-urls on the WARC path normalizes URLs before first-wins dedup)
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
   * construction, no query serving); batch query over a file replaces it
@@ -52,7 +53,8 @@ import graft.sources.Datagen
 object Main {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
-    val flags = Set("--build", "--serve", "--large", "--routed", "--adaptive") // boolean flags
+    val flags = Set("--build", "--serve", "--large", "--routed", "--adaptive",
+      "--canonical-urls") // boolean flags
     // the ONLY value-taking flag that may legitimately appear without a
     // value (`--prepare --input-warc GLOB` marks prepare mode with the
     // input coming from the WARC glob). Every other flag followed by a
@@ -551,7 +553,8 @@ object Main {
             minQuality = minQuality, bench = bench, quota = quota, bins = bins,
             numShards = numShards, bestLast = bestLast, nearDedup = nearDedup,
             nearMaxBand = nearMaxBand, decontamN = decontamN,
-            decontamMinOverlap = decontamMinOverlap)
+            decontamMinOverlap = decontamMinOverlap,
+            canonicalizeUrls = opts.get("canonical-urls").contains("true"))
           (p, "doc_id", recs.count())
         case None =>
           val in = opts("prepare")

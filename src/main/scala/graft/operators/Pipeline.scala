@@ -213,8 +213,9 @@ object Pipeline {
                       decontamN: Int = 3,
                       decontamMinOverlap: Int = 5,
                       stageStorage: String = "persist",
-                      verifyIds: Boolean = true): DataFrame = {
-    val raw = docsFromWarc(records)
+                      verifyIds: Boolean = true,
+                      canonicalizeUrls: Boolean = false): DataFrame = {
+    val raw = docsFromWarc(records, canonicalizeUrls = canonicalizeUrls)
     val docs =
       if (stageStorage == "local-checkpoint") raw.localCheckpoint()
       else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

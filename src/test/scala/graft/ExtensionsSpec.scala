@@ -136,6 +136,11 @@ class ExtensionsSpec extends AnyFunSuite {
       "real port survives; one trailing slash strips")
     assert(canonSql(3).getString(1) === "http://ex.com/", "empty path becomes /")
     assert(canonSql(4).getString(1) === "http://ex.com/p", "all-tracking query drops whole")
+    // idempotent: a canonical URL is its own fixed point
+    val twice = urls.select(col("id"), TextFunctions.canonicalizeUrl(
+      TextFunctions.canonicalizeUrl(col("url"))).as("u")).orderBy("id").collect()
+    assert(twice.map(_.toSeq).toSeq === canonCol.map(_.toSeq).toSeq,
+      "canonicalize_url must be idempotent")
 
     val zSql = spark.sql("SELECT z_value(5, 3) AS z").head().getLong(0)
     val zCol = spark.range(1).select(

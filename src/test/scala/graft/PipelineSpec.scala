@@ -161,6 +161,16 @@ class PipelineSpec extends SparkSpec {
     assert(ready.filter(col("text").startsWith("refetch")).count() === 0)
     assert(ready.filter(col("source").startsWith("h")).count() === 47,
       "source must be the crawl host")
+    // --canonical-urls plumbs through; synthetic crawl URLs are already
+    // canonical, so the flag must be a byte-exact no-op on them
+    Main.run(spark, Map("prepare" -> "true", "input-warc" -> s"$base/crawl/*",
+      "out" -> s"$base/ready2", "num-shards" -> "4", "records-per-file" -> "16",
+      "canonical-urls" -> "true"))
+    val ready2 = spark.read.parquet(s"$base/ready2")
+    assert(ready2.count() === 47)
+    assert(ready2.select("url").collect().map(_.getString(0)).sorted.toSeq
+      === ready.select("url").collect().map(_.getString(0)).sorted.toSeq,
+      "already-canonical URLs survive the normalize unchanged")
   }
 
   test("writeCurriculum: files are curriculum-ordered and partition-ranged") {
