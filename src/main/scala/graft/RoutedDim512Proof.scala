@@ -39,6 +39,13 @@ object RoutedDim512Proof {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
     val dim = args.lift(1).map(_.toInt).getOrElse(512)
+    // arg 3: index save dir ("" disables); arg 4: "load" resumes the
+    // query/recall phases from a previously-saved build at that dir —
+    // the 5M x 512 lesson: the build (~80 min) completed twice while the
+    // probe-256 recall stage hit disk limits, so the expensive phase
+    // must be restartable without rebuilding
+    val saveDir = args.lift(2).getOrElse("")
+    val resume = args.lift(3).contains("load")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-routed-512-proof")
@@ -62,7 +69,7 @@ object RoutedDim512Proof {
       metric = "cosine", numPartitions = p)
     val input = graft.sources.Datagen.hashVectors(spark, n, dim)
     val t0 = System.nanoTime()
-    val idx0 = Hnsw.buildRouted(input, params)
+    val idx0 = if (resume) Hnsw.load(spark, saveDir) else Hnsw.buildRouted(input, params)
     val index = idx0.copy(nodes = idx0.nodes.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       edges = idx0.edges.persist(
@@ -70,6 +77,10 @@ object RoutedDim512Proof {
     val built = index.meta.num_nodes
     index.edges.count()
     val buildSecs = (System.nanoTime() - t0) / 1e9
+    if (!resume && saveDir.nonEmpty) {
+      Hnsw.save(index, saveDir)
+      System.err.println(s"[routed512] index saved to $saveDir")
+    }
     val c = index.meta.num_cells
     require(built == n, s"routed build indexed $built of $n distinct vectors")
     System.err.println(f"[routed512] build $n x $dim, P=$p, C=$c " +
@@ -93,7 +104,8 @@ object RoutedDim512Proof {
     // ---- recall gate: routed probe vs exact on sampled queries ----
     val uniq = index.nodes.filter(!col("tombstone"))
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
-    val sample = uniq.filter(col("id") % (n / 100) === 0)
+    val nRecallQ = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "100").toLong
+    val sample = uniq.filter(col("id") % (n / nRecallQ) === 0)
       .select(col("id").as("qid"), col("vector")).localCheckpoint()
     val nQ = sample.count()
     val dist = graft.functions.Distances.metric(index.meta.metric)
@@ -127,8 +139,10 @@ object RoutedDim512Proof {
 
     val sweepJson = sweep.map { case (pc, r, sec) =>
       s"""{"probe_cells":$pc,"recall10":$r,"sec":$sec}""" }.mkString("[", ",", "]")
+    // on resume, buildSecs is the index LOAD time, not a build — flag it
     println(s"""{"n":$n,"dim":$dim,"num_partitions":$p,"num_cells":$c,""" +
-      s""""routed_build_sec":$buildSecs,"build_vec_per_sec":${n / buildSecs},""" +
+      (if (resume) s""""resumed_from":"$saveDir","index_load_sec":$buildSecs,"""
+       else s""""routed_build_sec":$buildSecs,"build_vec_per_sec":${n / buildSecs},""") +
       s""""clustered_routed_sec":$routedSec,"clustered_allshard_sec":$allSec,""" +
       s""""clustered_adaptive_sec":$adaptSec,"recall_sweep_ef200":$sweepJson,""" +
       s""""recall10_allshard_ef200":$recallAll,""" +
