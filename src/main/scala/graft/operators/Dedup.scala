@@ -1476,10 +1476,23 @@ object Dedup {
     */
   def scrubBoilerplate(docs: DataFrame, idCol: String, hostCol: String,
                        textCol: String, minDocs: Int = 2,
-                       minFrac: Double = 0.5): DataFrame = {
-    val template = boilerplateLines(docs, idCol, hostCol, textCol, minDocs, minFrac)
-      .filter(col("is_boilerplate") === 1)
-      .select(col(hostCol), col("key"))
+                       minFrac: Double = 0.5): DataFrame =
+    scrubBoilerplateWithTemplate(docs,
+      boilerplateLines(docs, idCol, hostCol, textCol, minDocs, minFrac)
+        .filter(col("is_boilerplate") === 1)
+        .select(col(hostCol), col("key")),
+      idCol, hostCol, textCol)
+
+  /** The scrub side of [[scrubBoilerplate]] against an EXTERNAL template
+    * table (`(hostCol, key)` rows — [[boilerplateLines]] verdicts).
+    * Materialize the template once per ingest lifetime — like the corpus
+    * shingle set — and feed it to recurring ingests so a new batch never
+    * re-derives host history it doesn't have. Hosts with no template rows
+    * pass through untouched.
+    */
+  def scrubBoilerplateWithTemplate(docs: DataFrame, template: DataFrame,
+                                   idCol: String, hostCol: String,
+                                   textCol: String): DataFrame = {
     val kept = hostLines(docs, idCol, hostCol, textCol)
       .join(template, Seq(hostCol, "key"), "left_anti")
       .groupBy(col(idCol))

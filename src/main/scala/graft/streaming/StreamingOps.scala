@@ -332,6 +332,45 @@ object StreamingOps {
       }
   }
 
+  /** Streaming host-boilerplate scrub — ingest-time template removal as a
+    * continuous query: the template table ([[graft.operators.Dedup
+    * .boilerplateLines]] verdicts over the STATIC corpus) is frozen once
+    * per query lifetime; every arriving micro-batch's docs scrub against
+    * it with [[graft.operators.Dedup.scrubBoilerplateWithTemplate]] — a
+    * per-doc pure function of (doc, template), so the accumulated output
+    * is bit-equal to one batch scrub over the union (StreamingSpec pins
+    * this) and replay is idempotent (per-batch overwrite partitions).
+    * Hosts the corpus has never seen pass through untouched — template
+    * DISCOVERY needs host history, which is exactly what the frozen
+    * corpus is.
+    *
+    * Stateless per batch (no watermark needed — nothing accumulates).
+    * Input columns: (idCol: long, hostCol, textCol).
+    * Output rows (outDir): (idCol, hostCol, n_lines, n_removed,
+    * text_clean) + a `batch_id` partition column.
+    */
+  def streamingBoilerplateScrub(docs: DataFrame, corpus: DataFrame,
+                                idCol: String, hostCol: String,
+                                textCol: String,
+                                outDir: String, minDocs: Int = 2,
+                                minFrac: Double = 0.5): DataStreamWriter[Row] = {
+    val template = graft.operators.Dedup
+      .boilerplateLines(corpus, idCol, hostCol, textCol, minDocs, minFrac)
+      .filter(col("is_boilerplate") === 1)
+      .select(col(hostCol), col("key")).localCheckpoint()
+    docs
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Dedup
+            .scrubBoilerplateWithTemplate(
+              batch.select(idCol, hostCol, textCol), template,
+              idCol, hostCol, textCol)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+  }
+
   /** Streaming END-TO-END prepare — the `--prepare` ingest ladder as one
     * continuous query: every micro-batch of arriving documents runs
     * [[graft.operators.Pipeline.prepareVerdicts]] against the STATIC

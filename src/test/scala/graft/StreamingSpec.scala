@@ -549,6 +549,44 @@ class StreamingSpec extends SparkSpec {
     assert(out(102L) === (("", 0L)), "fully-duplicated doc survives as empty row")
   }
 
+  test("streaming boilerplate scrub: frozen corpus template, streamed ≡ batch bit-for-bit, new hosts untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    // corpus: host A's 4 docs all share a footer line → template on A
+    val corpus = (0L until 4L).map(i => (i, "A", s"old $i\nad footer"))
+      .toDF("doc_id", "host", "text")
+    val outDir = java.nio.file.Files.createTempDirectory("sbp-out").toString
+    val source = MemoryStream[(Long, String, String)]
+    val query = StreamingOps.streamingBoilerplateScrub(
+      source.toDF().toDF("doc_id", "host", "text"), corpus,
+      "doc_id", "host", "text", outDir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sbp-ckpt").toString)
+      .start()
+    source.addData(
+      (100L, "A", "fresh a\nad footer"),   // template removed
+      (101L, "B", "fresh b\nad footer"))   // host B has no corpus history
+    query.processAllAvailable()
+    source.addData((102L, "A", "ad footer"))  // all-template doc, batch 2
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(100L) === ((2L, 1L, "fresh a")), "corpus template leaves the stream doc")
+    assert(out(101L) === ((2L, 0L, "fresh b\nad footer")),
+      "a host the corpus never saw passes through untouched")
+    assert(out(102L) === ((1L, 1L, "")), "all-template doc keeps an empty row")
+    // streamed accumulation ≡ one batch scrub with the same frozen template
+    val template = Dedup.boilerplateLines(corpus, "doc_id", "host", "text")
+      .filter(col("is_boilerplate") === 1).select(col("host"), col("key"))
+    val batchRef = Dedup.scrubBoilerplateWithTemplate(
+      Seq((100L, "A", "fresh a\nad footer"), (101L, "B", "fresh b\nad footer"),
+        (102L, "A", "ad footer")).toDF("doc_id", "host", "text"),
+      template, "doc_id", "host", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out === batchRef, "streamed ≡ batch bit-for-bit")
+  }
+
   test("streaming mixture counts: per-source totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val source = MemoryStream[(String, String)]
