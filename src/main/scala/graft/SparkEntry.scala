@@ -677,6 +677,39 @@ object SparkEntry {
         .select(col("doc_id"), col("url"),
           graft.functions.TextFunctions.canonicalizeUrl(col("url")).as("url_canon"))),
 
+    // ---- DSIR importance weights (Xie et al. 2023): log(p_target/p_raw)
+    //      per document under hashed-bigram unigram models — the English
+    //      half as the target distribution, the whole corpus as raw.
+    //      Bucket weights fixed-pointed once per distinct bucket
+    //      (micro-nats), doc scores are order-independent integer sums ----
+    "q129_dsir_weights" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Sampling.dsirWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+        n = 2, buckets = 65536)
+    }),
+
+    // ---- DSIR resampling (deterministic variant): count-quota selection
+    //      of the highest-importance docs WITHOUT a global sort — integer
+    //      score bins, whole bins share a fate, overshoot ≤ one bin ----
+    "q130_dsir_select" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Sampling.quotaSelectByScore(
+        graft.operators.Sampling.dsirWeights(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          n = 2, buckets = 65536),
+        "doc_id", "dsir_fp", quota = 100L, bins = 50)
+    }),
+
+    // ---- delta-encoded posting lists: the inverted-index layout sink —
+    //      df band [50, 400] drops one too-rare and one stopword-class
+    //      term at this SF (both bounds exercised), every surviving
+    //      window partition is maxDf-bounded, first gap from a −1
+    //      list-start sentinel ----
+    "q131_posting_lists" -> ((s, dir) =>
+      graft.operators.Retrieval.postingLists(
+        tbl(s, dir, "documents"), "doc_id", "text", minDf = 50L, maxDf = 400L)),
+
     // ---- the cleaning tier in its SQL SPELLING: strip_html →
     //      token_count / lang_id / quality_score through the
     //      GraftExtensions function registry (registerInto — the same
@@ -2703,6 +2736,86 @@ object SparkEntry {
           |  scheme || '://' || host || path ||
           |  CASE WHEN len(canonq) > 0 THEN '?' || canonq ELSE '' END AS url_canon
           |FROM c5""".stripMargin,
+
+      // DSIR: hashed-bigram profiles as integer counts, per-bucket weight
+      // ln(p̂_t/p̂_r) fixed-pointed once per distinct bucket (both products
+      // integer-exact in the double domain, one correctly-rounded
+      // division), doc scores order-independent integer sums
+      "q129_dsir_weights" -> {
+        val b = md5PrefixValueSql("shingle", 8)
+        s"""WITH ${shingleCteFrom(2, "documents", "rg")},
+           |${shingleCteFrom(2, "(SELECT * FROM documents WHERE lang = 'en')", "tg")},
+           |rb AS (SELECT doc_id, ($b) % 65536 AS b FROM rg),
+           |tb AS (SELECT ($b) % 65536 AS b FROM tg),
+           |rp AS (SELECT b, count(*) AS cnt_r FROM rb GROUP BY 1),
+           |tp AS (SELECT b, count(*) AS cnt_t FROM tb GROUP BY 1),
+           |tot AS (SELECT CAST((SELECT sum(cnt_r) FROM rp) AS BIGINT) AS rtot,
+           |               CAST((SELECT sum(cnt_t) FROM tp) AS BIGINT) AS ttot),
+           |w AS (SELECT rp.b,
+           |  CAST(floor(ln(
+           |    CAST((coalesce(tp.cnt_t, 0) + 1) * (tot.rtot + 65536) AS DOUBLE) /
+           |    CAST((rp.cnt_r + 1) * (tot.ttot + 65536) AS DOUBLE)) * 1000000 + 0.5)
+           |    AS BIGINT) AS w_fp
+           |  FROM rp LEFT JOIN tp USING (b), tot),
+           |dc AS (SELECT doc_id, b, count(*) AS n_b FROM rb GROUP BY 1, 2),
+           |sc AS (SELECT doc_id, CAST(sum(n_b) AS BIGINT) AS n_grams,
+           |         CAST(sum(n_b * w_fp) AS BIGINT) AS dsir_fp
+           |       FROM dc JOIN w USING (b) GROUP BY 1)
+           |SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+           |  coalesce(sc.dsir_fp, 0) AS dsir_fp
+           |FROM (SELECT DISTINCT doc_id FROM documents) d
+           |LEFT JOIN sc USING (doc_id)""".stripMargin
+      },
+
+      // the deterministic resampling half: integer score grid (explicit
+      // floor — DuckDB's double→int cast rounds, Spark's truncates),
+      // running count over the ≤ bins-row bin table, whole bins share a
+      // fate, verdicts joined back by bin
+      "q130_dsir_select" -> {
+        val b = md5PrefixValueSql("shingle", 8)
+        s"""WITH ${shingleCteFrom(2, "documents", "rg")},
+           |${shingleCteFrom(2, "(SELECT * FROM documents WHERE lang = 'en')", "tg")},
+           |rb AS (SELECT doc_id, ($b) % 65536 AS b FROM rg),
+           |tb AS (SELECT ($b) % 65536 AS b FROM tg),
+           |rp AS (SELECT b, count(*) AS cnt_r FROM rb GROUP BY 1),
+           |tp AS (SELECT b, count(*) AS cnt_t FROM tb GROUP BY 1),
+           |tot AS (SELECT CAST((SELECT sum(cnt_r) FROM rp) AS BIGINT) AS rtot,
+           |               CAST((SELECT sum(cnt_t) FROM tp) AS BIGINT) AS ttot),
+           |w AS (SELECT rp.b,
+           |  CAST(floor(ln(
+           |    CAST((coalesce(tp.cnt_t, 0) + 1) * (tot.rtot + 65536) AS DOUBLE) /
+           |    CAST((rp.cnt_r + 1) * (tot.ttot + 65536) AS DOUBLE)) * 1000000 + 0.5)
+           |    AS BIGINT) AS w_fp
+           |  FROM rp LEFT JOIN tp USING (b), tot),
+           |dc AS (SELECT doc_id, b, count(*) AS n_b FROM rb GROUP BY 1, 2),
+           |sc0 AS (SELECT doc_id, CAST(sum(n_b * w_fp) AS BIGINT) AS dsir_fp
+           |        FROM dc JOIN w USING (b) GROUP BY 1),
+           |sc AS (SELECT d.doc_id, coalesce(sc0.dsir_fp, 0) AS dsir_fp
+           |       FROM (SELECT DISTINCT doc_id FROM documents) d
+           |       LEFT JOIN sc0 USING (doc_id)),
+           |rng AS (SELECT min(dsir_fp) AS lo, max(dsir_fp) AS hi FROM sc),
+           |binned AS (SELECT doc_id, dsir_fp,
+           |  CAST(floor(CAST((dsir_fp - rng.lo) * 50 AS DOUBLE) /
+           |    CAST(rng.hi - rng.lo + 1 AS DOUBLE)) AS BIGINT) AS bin
+           |  FROM sc, rng),
+           |pb AS (SELECT bin, count(*) AS n_bin FROM binned GROUP BY 1),
+           |v AS (SELECT bin,
+           |  CAST((CAST(sum(n_bin) OVER (ORDER BY bin DESC) AS BIGINT) - n_bin) < 100
+           |    AS INT) AS keep FROM pb)
+           |SELECT binned.doc_id, binned.dsir_fp, binned.bin, v.keep
+           |FROM binned JOIN v USING (bin)""".stripMargin
+      },
+
+      // posting lists: distinct (tok, doc) pairs, df band filter, then the
+      // per-term lag window — DuckDB's lag default mirrors the −1 sentinel
+      "q131_posting_lists" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |p AS (SELECT DISTINCT tok, doc_id FROM t),
+          |d AS (SELECT tok, count(*) AS df FROM p GROUP BY 1
+          |      HAVING count(*) BETWEEN 50 AND 400)
+          |SELECT p.tok, d.df, p.doc_id,
+          |  p.doc_id - lag(p.doc_id, 1, -1) OVER (PARTITION BY p.tok ORDER BY p.doc_id) AS gap
+          |FROM p JOIN d USING (tok)""".stripMargin,
 
       // strip_html's regex chain replayed literally (the Java-regex/RE2
       // shared subset, global flag explicit in DuckDB), then the cleaning

@@ -446,6 +446,40 @@ object Retrieval {
     (idf, nd, lt)
   }
 
+  /** Delta-encoded posting lists — the inverted-index LAYOUT step: for
+    * every surviving vocabulary term, its postings as (tok, df, doc_id,
+    * gap) rows where `gap` is the id delta to the previous posting in
+    * doc-id order (the delta encoding every production inverted index
+    * applies before compressing postings; emitting it relationally makes
+    * the table a direct sink for an external index builder, and the gap
+    * distribution is itself a corpus statistic — small gaps = clustered
+    * terms).
+    *
+    * Scale shape: the (tok, doc_id) distinct and the df partial-agg are
+    * map-side-combining aggregations; the ONLY window partitions by tok,
+    * AFTER the df band filter — `maxDf` caps every window partition
+    * (stopword-class terms with corpus-sized posting lists are exactly
+    * what the band excludes, the same hot-key discipline as the LSH df
+    * caps), so no task ever sorts more than `maxDf` rows per term.
+    * First posting of each list carries gap = doc_id − (−1) (list-start
+    * sentinel, keeps gap non-null and the first gap distinguishable).
+    */
+  def postingLists(docs: DataFrame, idCol: String, textCol: String,
+                   minDf: Long = 1L, maxDf: Long = 1000L): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf, "postingLists: 1 <= minDf <= maxDf")
+    val posting = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct()
+    val dfs = posting.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("doc_id"))
+    posting.join(dfs, "tok") // df band: bounds every window partition below
+      .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1, -1L).over(w))
+      .select(col("tok"), col("df"), col("doc_id"), col("gap"))
+  }
+
   /** Left-associated coalesce chain over the per-term sums → `bm25`. */
   private def scoreChain(grouped: DataFrame, idCol: String,
                          queryTerms: Seq[String]): DataFrame = {

@@ -345,6 +345,113 @@ object Sampling {
         col("entry.id").as(idCol))
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public): per-document
+    * log importance weight log(p_target(doc)/p_raw(doc)) under hashed
+    * n-gram unigram models of a small TARGET corpus (the distribution you
+    * want more of) and the RAW corpus being selected from. Where
+    * [[domainScore]] measures bucket-set containment (what fraction of a
+    * doc's shingles the target has seen at all), this is the canonical
+    * importance-sampling estimate: buckets the target uses MORE often
+    * than the raw corpus pull a document up, buckets it uses less push it
+    * down, occurrence counts weighted, not just presence.
+    *
+    * Cross-engine exactness: profiles are integer occurrence counts; the
+    * per-bucket weight `ln(p̂_t(b)/p̂_r(b))` with add-one smoothing over
+    * the B-bucket vocabulary is fixed-pointed ONCE per distinct bucket —
+    * `floor(ln((cnt_t+1)·(rtot+B) / ((cnt_r+1)·(ttot+B)))·1e6 + 0.5)`
+    * micro-nats, BIGINT (both products are integer-exact in the double
+    * domain below 2^53; one correctly-rounded division; the engine's
+    * accepted ln posture) — so document scores are order-independent
+    * integer sums at any parallelism.
+    *
+    * Scale shape (100 TB): both profiles partial-aggregate to ≤ B rows
+    * (map-side combine; B = 2^16 default), totals are 1-row broadcasts,
+    * the weight table is ≤ B rows broadcast onto the doc-bucket stream —
+    * the raw corpus is read once, nothing corpus-sized shuffles except
+    * the per-(doc, bucket) counts that scoring inherently needs. Buckets
+    * the raw corpus never emits cannot appear in any scored document, so
+    * the weight table only carries raw-profile buckets (target-only
+    * buckets would matter to a perplexity bound, not to scoring).
+    *
+    * Output: (idCol, n_grams, dsir_fp) — one row per distinct raw doc id;
+    * docs too short for any n-gram score (0, 0).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+                  n: Int = 2, buckets: Int = 1 << 16): DataFrame = {
+    import graft.functions.TextFunctions
+    val b = buckets.toLong
+    def grams(df: DataFrame, keep: Column*): DataFrame = df
+      .select(keep :+ TextFunctions.tokens(col(textCol)).as("w"): _*)
+      .select(keep :+ explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("sh"): _*)
+      .select(keep :+ pmod(conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"), lit(b))
+        .as("b"): _*)
+    val rawGrams = grams(raw, col(idCol))
+    val rawProfile = rawGrams.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
+    val targetProfile = grams(target).groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+    val totals = rawProfile.agg(sum("cnt_r").as("rtot"))
+      .crossJoin(targetProfile.agg(sum("cnt_t").as("ttot")))
+    val weights = rawProfile.join(targetProfile, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(log(
+          ((coalesce(col("cnt_t"), lit(0L)) + lit(1L)) * (col("rtot") + lit(b))).cast("double") /
+            ((col("cnt_r") + lit(1L)) * (col("ttot") + lit(b))).cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("w_fp"))
+    val perDoc = rawGrams.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n_b"))
+      .join(broadcast(weights), "b")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_b")).as("n_grams"), sum(col("n_b") * col("w_fp")).as("dsir_fp"))
+    raw.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dsir_fp"), lit(0L)).as("dsir_fp"))
+  }
+
+  /** Count-quota selection over an integer score — the resampling half of
+    * DSIR (deterministic variant: highest-weight documents first instead
+    * of Gumbel noise, so the selection is a pure function of the corpus),
+    * reusable over any fixed-point score column.
+    *
+    * Scale shape — selection WITHOUT a global sort (the
+    * [[tokenBudgetSelect]] discipline, globalized): scores are binned by
+    * exact integer arithmetic onto a [min, max] grid (2-row broadcast for
+    * the range; `step = max(⌈range/bins⌉, 1)`), per-bin doc counts
+    * partial-aggregate to ≤ bins+1 rows, a running count best-bin-first
+    * over that bounded table decides which WHOLE bins fit the quota
+    * (`cum − n_bin < quota` — overshoot bounded by one bin's population),
+    * and verdicts broadcast back by bin equi-join. The doc stream is
+    * never sorted and never windowed.
+    *
+    * Output: (idCol, scoreCol, bin, keep) — keep ∈ {0, 1}, every input
+    * row present. NULL scores are excluded (no bin).
+    */
+  def quotaSelectByScore(scored: DataFrame, idCol: String, scoreCol: String,
+                         quota: Long, bins: Int = 1000): DataFrame = {
+    require(quota >= 0, "quotaSelectByScore: non-negative quota")
+    require(bins > 0, "quotaSelectByScore: positive bins")
+    val s = scored.select(col(idCol), col(scoreCol).cast("long").as("__s"))
+      .filter(col("__s").isNotNull)
+    val range = s.agg(min("__s").as("lo"), max("__s").as("hi"))
+    // exact integer grid: (s−lo)·bins < 2^53 at any realistic fixed-point
+    // range, so the one double division is correctly rounded and the
+    // explicit floor (NOT a bare long cast — DuckDB's double→int cast
+    // ROUNDS, Spark's truncates) is bit-identical in both engines
+    val binned = s.crossJoin(broadcast(range))
+      .select(col(idCol), col("__s"),
+        floor(((col("__s") - col("lo")) * lit(bins.toLong)).cast("double") /
+          (col("hi") - col("lo") + lit(1L)).cast("double")).cast("long").as("bin"))
+    val perBin = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc) // bounded: ≤ bins rows ever reach this window
+    val verdicts = perBin
+      .withColumn("cum", sum(col("n_bin")).over(w))
+      .select(col("bin"), ((col("cum") - col("n_bin")) < quota).cast("int").as("keep"))
+    binned.join(broadcast(verdicts), "bin")
+      .select(col(idCol), col("__s").as(scoreCol), col("bin"), col("keep"))
+  }
+
   def mixtureWeightsNormalized(docs: DataFrame, sourceCol: String, textCol: String): DataFrame = {
     val mw = mixtureWeights(docs, sourceCol, textCol)
     val denom = mw.agg(

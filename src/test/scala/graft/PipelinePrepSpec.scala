@@ -872,4 +872,45 @@ class PipelinePrepSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "df counts and reassembly are aggregates, never a corpus window")
   }
+
+  test("dsirWeights: target-like docs outrank crawl-like; short docs score (0,0); partition-independent") {
+    import graft.operators.Sampling
+    val target = Seq((100L, "spark scan join table spark scan join table")).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "spark scan join table spark scan"), // pure target vocabulary
+      (1L, "viagra casino pills viagra casino"), // vocabulary target never emits
+      (2L, "spark scan viagra casino"), // mixed
+      (3L, "spark")) // too short for a bigram -> (0, 0)
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(raw, target, "doc_id", "text", n = 2, buckets = 4096)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L), "one row per raw doc id")
+    assert(out(3L) === ((0L, 0L)), "no-bigram doc scores (0, 0)")
+    assert(out(0L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2,
+      s"importance must order pure-target > mixed > pure-crawl, got $out")
+    assert(out(0L)._2 > 0 && out(1L)._2 < 0,
+      "target-heavier-than-raw buckets pull up, target-absent buckets push down")
+    // partition-independence: integer sums commute with any layout
+    val rep = Sampling.dsirWeights(raw.repartition(7), target.repartition(3),
+      "doc_id", "text", n = 2, buckets = 4096)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep === out)
+  }
+
+  test("quotaSelectByScore: whole bins share a fate, kept floor dominates dropped ceiling, overshoot <= one bin") {
+    import graft.operators.Sampling
+    val scored = (0L until 100L).map(i => (i, i * 1000L)).toDF("doc_id", "s_fp")
+    def kept(quota: Long) = Sampling.quotaSelectByScore(scored, "doc_id", "s_fp",
+        quota = quota, bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val k10 = kept(10L)
+    assert(k10.count(_._4 == 1) === 10, "uniform scores, aligned bins: exactly the top bin keeps")
+    assert(k10.filter(_._4 == 1).map(_._2).min === 90000L)
+    val k15 = kept(15L)
+    val (keep15, drop15) = k15.partition(_._4 == 1)
+    assert(keep15.size === 20, "quota 15 spills into the second bin: whole bin kept (overshoot <= one bin)")
+    assert(keep15.map(_._2).min > drop15.map(_._2).max,
+      "every kept score must dominate every dropped score across bin boundaries")
+    assert(kept(0L).forall(_._4 == 0) && kept(1000L).forall(_._4 == 1))
+  }
 }

@@ -305,6 +305,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2) === ((1000000L, 1000000L, 1.0)))
   }
 
+  test("postingLists: gaps prefix-sum back to doc ids; df band drops both tails") {
+    // "hot" in every doc (df 5 > maxDf 4), "rare" in one (df 1 < minDf 2)
+    val docs = Seq(
+      (3L, "hot alpha beta"),
+      (7L, "hot alpha"),
+      (11L, "hot beta rare"),
+      (20L, "hot alpha beta beta"), // repeat within doc: postings still distinct
+      (21L, "hot gamma")).toDF("doc_id", "text")
+    val out = Retrieval.postingLists(docs, "doc_id", "text", minDf = 2L, maxDf = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byTok = out.groupBy(_._1)
+    assert(byTok.keySet === Set("alpha", "beta"), "df band must drop hot (df 5) and rare/gamma (df 1)")
+    assert(byTok("alpha").forall(_._2 === 3L) && byTok("beta").forall(_._2 === 3L))
+    for ((_, rows) <- byTok) {
+      val sorted = rows.sortBy(_._3)
+      // delta decode: doc_id = −1 + running sum of gaps, in posting order
+      val decoded = sorted.map(_._4).scanLeft(-1L)(_ + _).tail
+      assert(decoded.toSeq === sorted.map(_._3).toSeq, s"gap decode mismatch: $sorted")
+    }
+    assert(byTok("beta").map(_._3).sorted.toSeq === Seq(3L, 11L, 20L))
+  }
+
   test("bm25 plan: no window, no cartesian beyond the one-row stats broadcast") {
     val docs = (0L until 100L).map(i => (i, s"w$i spark scan")).toDF("doc_id", "text")
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
