@@ -701,6 +701,23 @@ object SparkEntry {
         "doc_id", "dsir_fp", quota = 100L, bins = 50)
     }),
 
+    // ---- classifier calibration: the precision/recall operating-point
+    //      table over the NB-scored held-out half — per score bin, the
+    //      confusion counts of "keep this bin or higher"; counts integer,
+    //      prec/rec one exact division each, window over ≤ bins rows ----
+    "q132_pr_sweep" -> ((s, dir) => {
+      val train = nbTrain(s, dir)
+      val held = tbl(s, dir, "documents").filter(col("doc_id") % 2 === 1)
+      val scored = graft.operators.Classify.nbScore(
+        held,
+        graft.operators.Classify.nbModel(train, "cls", "text"),
+        graft.operators.Classify.nbPriors(train, "cls"),
+        "doc_id", "text")
+        .join(held.select(col("doc_id"),
+          col("source").isin(NbCurated: _*).cast("int").as("label")), "doc_id")
+      graft.operators.Classify.thresholdSweep(scored, "llr_fp", "label", bins = 20)
+    }),
+
     // ---- delta-encoded posting lists: the inverted-index layout sink —
     //      df band [50, 400] drops one too-rare and one stopword-class
     //      term at this SF (both bounds exercised), every surviving
@@ -1738,6 +1755,37 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     import OracleSql._
+    // q101's NB model + q102's held-out scoring as a reusable CTE chain
+    // (shared by q102 and the q132 calibration sweep built on its scores)
+    val nbScoreCtes =
+      s"""train AS (SELECT CASE WHEN source IN $nbCuratedSql THEN 1 ELSE 0 END AS cls, text
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |toks AS (SELECT cls, unnest(string_split(text, ' ')) AS tok FROM train),
+         |wc AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT DISTINCT tok FROM wc),
+         |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |nc AS (SELECT cls, CAST(sum(n) AS BIGINT) AS n_c FROM wc GROUP BY 1),
+         |grid AS (SELECT tok, c.cls FROM vocab, (SELECT 0 AS cls UNION ALL SELECT 1) c),
+         |model AS (SELECT g.tok, g.cls,
+         |    CAST(floor(ln(CAST(COALESCE(w.n, 0) + 1 AS DOUBLE) / CAST(nc.n_c + v.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
+         |  FROM grid g LEFT JOIN wc w ON w.tok = g.tok AND w.cls = g.cls
+         |  JOIN nc ON nc.cls = g.cls, v),
+         |ht AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |hc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM ht GROUP BY 1, 2),
+         |sc AS (SELECT h.doc_id,
+         |    CAST(sum(CASE WHEN m.cls = 1 THEN h.n ELSE 0 END) AS BIGINT) AS n_known,
+         |    CAST(sum(CASE WHEN m.cls = 1 THEN h.n * m.lp_fp ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN m.cls = 0 THEN h.n * m.lp_fp ELSE 0 END) AS BIGINT) AS s0
+         |  FROM hc h JOIN model m ON m.tok = h.tok GROUP BY 1),
+         |nd AS (SELECT CASE WHEN source IN $nbCuratedSql THEN 1 ELSE 0 END AS cls,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM nd),
+         |pr AS (SELECT cls, CAST(floor(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS prior_fp
+         |  FROM nd, tot),
+         |p1 AS (SELECT prior_fp AS p1 FROM pr WHERE cls = 1),
+         |p0 AS (SELECT prior_fp AS p0 FROM pr WHERE cls = 0)""".stripMargin
     val knnDist = l2Sql("e.embedding", "q.embedding", EmbDim)
     // language-ID CASE over a given text expression (shared by q14/q27)
     def langCase(textExpr: String): String = {
@@ -3195,38 +3243,40 @@ object SparkEntry {
       // q101's model applied to the odd half: per-doc integer llr sums;
       // docs with no model-known token drop on both sides (inner join)
       "q102_nb_score" ->
-        s"""WITH train AS (SELECT CASE WHEN source IN $nbCuratedSql THEN 1 ELSE 0 END AS cls, text
-           |  FROM documents WHERE doc_id % 2 = 0),
-           |toks AS (SELECT cls, unnest(string_split(text, ' ')) AS tok FROM train),
-           |wc AS (SELECT tok, cls, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2),
-           |vocab AS (SELECT DISTINCT tok FROM wc),
-           |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-           |nc AS (SELECT cls, CAST(sum(n) AS BIGINT) AS n_c FROM wc GROUP BY 1),
-           |grid AS (SELECT tok, c.cls FROM vocab, (SELECT 0 AS cls UNION ALL SELECT 1) c),
-           |model AS (SELECT g.tok, g.cls,
-           |    CAST(floor(ln(CAST(COALESCE(w.n, 0) + 1 AS DOUBLE) / CAST(nc.n_c + v.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_fp
-           |  FROM grid g LEFT JOIN wc w ON w.tok = g.tok AND w.cls = g.cls
-           |  JOIN nc ON nc.cls = g.cls, v),
-           |ht AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-           |  FROM documents WHERE doc_id % 2 = 1),
-           |hc AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM ht GROUP BY 1, 2),
-           |sc AS (SELECT h.doc_id,
-           |    CAST(sum(CASE WHEN m.cls = 1 THEN h.n ELSE 0 END) AS BIGINT) AS n_known,
-           |    CAST(sum(CASE WHEN m.cls = 1 THEN h.n * m.lp_fp ELSE 0 END) AS BIGINT) AS s1,
-           |    CAST(sum(CASE WHEN m.cls = 0 THEN h.n * m.lp_fp ELSE 0 END) AS BIGINT) AS s0
-           |  FROM hc h JOIN model m ON m.tok = h.tok GROUP BY 1),
-           |nd AS (SELECT CASE WHEN source IN $nbCuratedSql THEN 1 ELSE 0 END AS cls,
-           |    CAST(count(*) AS BIGINT) AS n
-           |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
-           |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM nd),
-           |pr AS (SELECT cls, CAST(floor(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS prior_fp
-           |  FROM nd, tot),
-           |p1 AS (SELECT prior_fp AS p1 FROM pr WHERE cls = 1),
-           |p0 AS (SELECT prior_fp AS p0 FROM pr WHERE cls = 0)
+        s"""WITH $nbScoreCtes
            |SELECT sc.doc_id, sc.n_known,
            |  (sc.s1 + p1.p1) - (sc.s0 + p0.p0) AS llr_fp,
            |  CAST(((sc.s1 + p1.p1) - (sc.s0 + p0.p0)) > 0 AS INT) AS pred_hq
            |FROM sc, p1, p0""".stripMargin,
+
+      // the calibration sweep over q102's scores: integer bin grid
+      // (explicit floor), confusion counts as cumulative integer sums
+      // over the ≤ bins-row bin table, prec/rec one exact division each
+      "q132_pr_sweep" ->
+        s"""WITH $nbScoreCtes,
+           |scored AS (SELECT sc.doc_id,
+           |    (sc.s1 + p1.p1) - (sc.s0 + p0.p0) AS llr_fp FROM sc, p1, p0),
+           |lab AS (SELECT s.doc_id, s.llr_fp,
+           |    CASE WHEN d.source IN $nbCuratedSql THEN 1 ELSE 0 END AS label
+           |  FROM scored s JOIN documents d USING (doc_id)),
+           |rng AS (SELECT min(llr_fp) AS lo, max(llr_fp) AS hi FROM lab),
+           |binned AS (SELECT doc_id, llr_fp, label,
+           |  CAST(floor(CAST((llr_fp - rng.lo) * 20 AS DOUBLE) /
+           |    CAST(rng.hi - rng.lo + 1 AS DOUBLE)) AS BIGINT) AS bin
+           |  FROM lab, rng),
+           |pb AS (SELECT bin, CAST(min(llr_fp) AS BIGINT) AS thr_fp,
+           |    CAST(count(*) AS BIGINT) AS n, CAST(sum(label) AS BIGINT) AS n_pos
+           |  FROM binned GROUP BY 1),
+           |tpos AS (SELECT CAST(sum(label) AS BIGINT) AS total_pos FROM lab),
+           |cum AS (SELECT bin, thr_fp, n, n_pos,
+           |    CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS tp,
+           |    CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_n
+           |  FROM pb)
+           |SELECT bin, thr_fp, n, n_pos, tp, cum_n - tp AS fp,
+           |  total_pos - tp AS fn,
+           |  CAST(tp AS DOUBLE) / CAST(cum_n AS DOUBLE) AS prec,
+           |  CAST(tp AS DOUBLE) / CAST(total_pos AS DOUBLE) AS rec
+           |FROM cum, tpos""".stripMargin,
 
       // the CLI composite end-to-end: every stage CTE is the pinned
       // oracle form of its stage query (q47 gate, q10 canonical, q39

@@ -114,4 +114,52 @@ object Classify {
         ((col("s1") + lit(pm(1))) - (col("s0") + lit(pm(0)))).as("llr_fp"))
       .withColumn("pred_hq", (col("llr_fp") > 0).cast("int"))
   }
+
+  /** Classifier calibration: the precision/recall operating-point table
+    * over a labeled, scored corpus — for every score bin, the confusion
+    * counts of the policy "keep every document scoring in this bin or
+    * higher". This is how a quality-filter threshold is actually chosen
+    * (trade kept-volume against curated purity); emitting the whole curve
+    * as one bounded table beats point-querying thresholds one at a time.
+    *
+    * Cross-engine exactness: scores land on an exact integer grid (the
+    * [[graft.operators.Sampling.quotaSelectByScore]] bin arithmetic —
+    * explicit floor, one correctly-rounded double division on
+    * integer-exact operands); all confusion counts are integer sums;
+    * precision/recall are ONE exact division each at the very end.
+    *
+    * Scale shape (100 TB): per-bin counts partial-aggregate to ≤ bins+1
+    * rows; the cumulative window orders that bounded table, never the
+    * doc stream; the range and total-positive tables are 1-row
+    * broadcasts. Output: (bin, thr_fp, n, n_pos, tp, fp, fn, prec, rec),
+    * one row per non-empty bin; `thr_fp` = the bin's lowest score (the
+    * exact threshold realizing that row's trade-off). NULL scores or
+    * labels are excluded.
+    */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, labelCol: String,
+                     bins: Int = 20): DataFrame = {
+    require(bins > 0, "thresholdSweep: positive bins")
+    val s = scored.select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__l"))
+      .filter(col("__s").isNotNull && col("__l").isNotNull)
+    val range = s.agg(min("__s").as("lo"), max("__s").as("hi"))
+    val binned = s.crossJoin(broadcast(range))
+      .select(col("__s"), col("__l"),
+        floor(((col("__s") - col("lo")) * lit(bins.toLong)).cast("double") /
+          (col("hi") - col("lo") + lit(1L)).cast("double")).cast("long").as("bin"))
+    val perBin = binned.groupBy(col("bin")).agg(
+      min("__s").as("thr_fp"), count(lit(1)).as("n"), sum("__l").as("n_pos"))
+    val totals = s.agg(sum("__l").as("total_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc) // bounded: ≤ bins+1 rows ever reach this window
+    perBin
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("thr_fp"), col("n"), col("n_pos"), col("tp"),
+        (col("cum_n") - col("tp")).as("fp"),
+        (col("total_pos") - col("tp")).as("fn"),
+        (col("tp").cast("double") / col("cum_n").cast("double")).as("prec"),
+        (col("tp").cast("double") / col("total_pos").cast("double")).as("rec"))
+  }
 }

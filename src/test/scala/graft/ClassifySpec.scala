@@ -77,4 +77,24 @@ class ClassifySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(s).length >= 2,
       "token counts must partial-aggregate map-side")
   }
+
+  test("thresholdSweep: hand-checked confusion table; prec monotone-ish, rec monotone; ends at full recall") {
+    // scores 0..9 (bins align 1:1 at bins=10), positives at 5..9 plus a
+    // planted false-negative-maker: one positive at score 0
+    val scored = ((0L until 10L).map(i => (i, i * 100L, if (i >= 5) 1 else 0)) :+
+      ((10L, 0L, 1))).toDF("doc_id", "llr_fp", "label")
+    val out = Classify.thresholdSweep(scored, "llr_fp", "label", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getDouble(7), r.getDouble(8)))).toMap
+    // bin 9 (score 900): keep-above sees the single top positive
+    assert(out(9L) === ((900L, 1L, 1L, 0L, 5L, 1.0, 1.0 / 6.0)))
+    // bin 5 (scores >= 500): tp 5, fp 0, fn 1 (the planted score-0 positive)
+    assert(out(5L) === ((500L, 1L, 5L, 0L, 1L, 1.0, 5.0 / 6.0)))
+    // bin 0 (everything kept): tp = all 6 positives, fp = the 5 negatives
+    assert(out(0L)._3 === 6L && out(0L)._4 === 5L && out(0L)._5 === 0L)
+    assert(out(0L)._7 === 1.0, "keeping everything realizes full recall")
+    val recs = out.toSeq.sortBy(-_._1).map(_._2._7)
+    assert(recs === recs.sorted, "recall is monotone as the threshold lowers")
+  }
 }
