@@ -701,6 +701,21 @@ object SparkEntry {
         "doc_id", "dsir_fp", quota = 100L, bins = 50)
     }),
 
+    // ---- Count-Min sketch audit: depth-4 × width-64 sketch of the token
+    //      stream next to exact counts — the bounded-memory frequency
+    //      answer; width 64 forces visible collisions at this SF, so the
+    //      est ≥ true overestimate guarantee does real work ----
+    "q133_cms_sketch" -> ((s, dir) =>
+      graft.operators.TextStats.cmsEstimates(
+        tbl(s, dir, "documents"), "text", depth = 4, width = 64)),
+
+    // ---- dyadic-temperature mixture: T = 3/4 via the IEEE-exact sqrt
+    //      chain x^(3/4) = √x · √√x — any dyadic T stays oracle-exact
+    //      where a pow()-based form could not be ----
+    "q134_tempered_mixture" -> ((s, dir) =>
+      graft.operators.TextStats.mixtureWeightsTempered(
+        tbl(s, dir, "documents"), "source", "text", num = 3, log2den = 2)),
+
     // ---- classifier calibration: the precision/recall operating-point
     //      table over the NB-scored held-out half — per score bin, the
     //      confusion counts of "keep this bin or higher"; counts integer,
@@ -3611,6 +3626,37 @@ object SparkEntry {
            |SELECT source, n_docs, n_tokens,
            |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
            |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
+           |FROM per, tot""".stripMargin,
+
+      // CMS: per-seed bucket counts, probe every distinct token, min over
+      // depth rows; md5 seeded 's<i>|' exactly as the Spark side
+      "q133_cms_sketch" -> {
+        val bkt = md5PrefixValueSql("concat('s', CAST(seed AS VARCHAR), '|', tok)", 8)
+        s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+           |seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+           |tr AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM t GROUP BY 1),
+           |sb AS (SELECT seed, ($bkt) % 64 AS bucket FROM t, seeds),
+           |sk AS (SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+           |       FROM sb GROUP BY 1, 2),
+           |pr AS (SELECT tok, seed, ($bkt) % 64 AS bucket
+           |       FROM (SELECT DISTINCT tok FROM t), seeds),
+           |est AS (SELECT pr.tok, min(sk.cnt) AS n_est
+           |        FROM pr JOIN sk USING (seed, bucket) GROUP BY 1)
+           |SELECT tr.tok, tr.n_true, est.n_est FROM tr JOIN est USING (tok)""".stripMargin
+      },
+
+      // T = 3/4 mixture: x^(3/4) = sqrt(x) * sqrt(sqrt(x)) — sqrt and
+      // multiply are single correctly-rounded IEEE ops in both engines
+      "q134_tempered_mixture" ->
+        s"""WITH per AS (SELECT source, count(*) AS n_docs,
+           |    CAST(sum(${tokenCountSql("text")}) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  max(n_tokens) AS max_tokens FROM per)
+           |SELECT source, n_docs, n_tokens,
+           |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+           |  sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE)) *
+           |    sqrt(sqrt(CAST(n_tokens AS DOUBLE) / CAST(max_tokens AS DOUBLE))) AS rel_weight
            |FROM per, tot""".stripMargin,
 
       "q52_source_overlap" ->

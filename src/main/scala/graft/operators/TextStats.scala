@@ -671,4 +671,99 @@ object TextStats {
         Seq(groupCol, "h"))
       .select(col(groupCol), col("rank"), col("tok"), col("score_fp"))
   }
+
+  /** Count-Min sketch of the token frequency distribution (Cormode &
+    * Muthukrishnan 2005 — public): `depth` independent md5-seeded hash
+    * rows × `width` counters. The sketch is the bounded-memory answer to
+    * "how often does any token occur" when the vocabulary itself no
+    * longer fits anywhere — depth·width integers summarize an unbounded
+    * token stream, estimates only ever OVER-count (est ≥ true, with
+    * ε ≈ e/width overflow mass at probability 1 − e^−depth), and two
+    * sketches merge by cell-wise addition (the streaming/shard-combine
+    * property; [[kmvVocabulary]] is the distinct-count sibling).
+    *
+    * Scale shape: ONE partial-agg groupBy over (seed, bucket) — the
+    * explode-by-depth fans each token to `depth` rows map-side, combines
+    * map-side, and shuffles ≤ depth·width rows total regardless of
+    * corpus size. All counts integer.
+    */
+  def cmsSketch(docs: DataFrame, textCol: String,
+                depth: Int = 4, width: Int = 1 << 16): DataFrame = {
+    require(depth >= 1 && width >= 1, "cmsSketch: positive depth and width")
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(explode(array((0 until depth).map { i =>
+        struct(lit(i).as("seed"),
+          pmod(conv(substring(md5(concat(lit(s"s$i|"), col("tok"))), 1, 8), 16, 10)
+            .cast("long"), lit(width.toLong)).as("bucket"))
+      }: _*)).as("sb"))
+      .select(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+      .groupBy(col("seed"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for every distinct token of a probe set,
+    * next to the exact count — the overestimate audit (est ≥ true always;
+    * equality exactly when no heavier token collides in every row). The
+    * probe set is whatever vocabulary you can afford to enumerate; the
+    * sketch answered for tokens you never stored.
+    *
+    * Scale shape: probes explode to depth rows, equi-join the ≤
+    * depth·width-row sketch (broadcastable), min over depth per token.
+    */
+  def cmsEstimates(docs: DataFrame, textCol: String,
+                   depth: Int = 4, width: Int = 1 << 16): DataFrame = {
+    val sketch = cmsSketch(docs, textCol, depth, width)
+    val truth = docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
+    val probes = truth.select(col("tok"))
+      .select(col("tok"), explode(array((0 until depth).map { i =>
+        struct(lit(i).as("seed"),
+          pmod(conv(substring(md5(concat(lit(s"s$i|"), col("tok"))), 1, 8), 16, 10)
+            .cast("long"), lit(width.toLong)).as("bucket"))
+      }: _*)).as("sb"))
+      .select(col("tok"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    probes.join(broadcast(sketch), Seq("seed", "bucket"))
+      .groupBy(col("tok")).agg(min(col("cnt")).as("n_est"))
+      .join(truth, "tok")
+      .select(col("tok"), col("n_true"), col("n_est"))
+  }
+
+  /** `x^(num/2^log2den)` for 0 < num < 2^log2den as an IEEE-EXACT sqrt
+    * chain: the binary expansion of the dyadic exponent turns the power
+    * into a product of repeated square roots (bit i set → `sqrt^i(x)`),
+    * and sqrt and multiply are both correctly-rounded single IEEE ops —
+    * so ANY dyadic temperature is bit-identical across engines, with no
+    * `pow`/`exp`/`ln` in sight (q49's √ = the num=1, log2den=1 case).
+    * Association is fixed left-to-right over ascending bit positions.
+    */
+  def dyadicPow(x: Column, num: Int, log2den: Int): Column = {
+    require(log2den >= 1 && num > 0 && num < (1 << log2den),
+      "dyadicPow: exponent must be a dyadic rational in (0, 1)")
+    val terms = (1 to log2den).collect {
+      case i if ((num >> (log2den - i)) & 1) == 1 =>
+        (1 to i).foldLeft(x)((c, _) => sqrt(c))
+    }
+    terms.reduceLeft(_ * _)
+  }
+
+  /** [[graft.operators.Sampling.mixtureWeights]] at an arbitrary dyadic
+    * temperature T = num/2^log2den: rel_weight = (n_tokens/max_tokens)^T
+    * via [[dyadicPow]] — exact-arithmetic all the way (integer aggregates,
+    * one division, sqrt-chain products), so unlike a `pow`-based form it
+    * stays oracle-checkable. T→0 flattens the mixture toward uniform,
+    * T=1 is proportional; the standard √ is num=1, log2den=1.
+    */
+  def mixtureWeightsTempered(docs: DataFrame, sourceCol: String, textCol: String,
+                             num: Int, log2den: Int): DataFrame = {
+    val per = docs.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("token_share"),
+        dyadicPow(col("n_tokens").cast("double") / col("max_tokens").cast("double"),
+          num, log2den).as("rel_weight"))
+  }
 }

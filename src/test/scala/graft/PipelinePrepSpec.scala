@@ -873,6 +873,47 @@ class PipelinePrepSpec extends SparkSpec {
       "df counts and reassembly are aggregates, never a corpus window")
   }
 
+  test("cmsSketch: est >= true for every token; tiny width overestimates; halves merge cell-wise") {
+    val docs = (0L until 60L).map(i => (i, s"w${i % 7} w${i % 13} common")).toDF("doc_id", "text")
+    val audit = TextStats.cmsEstimates(docs, "text", depth = 3, width = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(audit.nonEmpty && audit.forall { case (_, t, e) => e >= t },
+      "count-min may only over-count")
+    assert(audit.exists { case (_, t, e) => e > t },
+      "21 tokens into width 8 must collide somewhere")
+    val wide = TextStats.cmsEstimates(docs, "text", depth = 3, width = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.forall { case (_, t, e) => e === t },
+      "collision-free width: estimates exact")
+    // shard-combine: sketch(A) + sketch(B) cell-wise == sketch(A ∪ B)
+    val (a, b) = (docs.filter(col("doc_id") < 30), docs.filter(col("doc_id") >= 30))
+    val merged = TextStats.cmsSketch(a, "text", 3, 8)
+      .unionAll(TextStats.cmsSketch(b, "text", 3, 8))
+      .groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = TextStats.cmsSketch(docs, "text", 3, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
+  test("dyadicPow: exact dyadic cases, matches pow within ulps, mixture T=3/4 sits between T=1/2 and T=1") {
+    val one = Seq((1.0, 0.25, 0.0625)).toDF("one", "quarter", "sixteenth")
+    val r = one.select(
+      TextStats.dyadicPow(col("one"), 3, 2),
+      TextStats.dyadicPow(col("quarter"), 1, 1), // sqrt(1/4) = 1/2 exactly
+      TextStats.dyadicPow(col("sixteenth"), 3, 2), // (1/16)^(3/4) = 1/8 exactly
+      TextStats.dyadicPow(col("quarter"), 5, 3)).head()
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.5 && r.getDouble(2) === 0.125)
+    assert(math.abs(r.getDouble(3) - math.pow(0.25, 0.625)) < 1e-12,
+      "sqrt-chain tracks pow to rounding")
+    val docs = Seq((0L, "s0", "a b c d e f g h"), (1L, "s1", "a b")).toDF("doc_id", "source", "text")
+    def rw(num: Int, den: Int) = TextStats.mixtureWeightsTempered(docs, "source", "text", num, den)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap.apply("s1")
+    val (t12, t34) = (rw(1, 1), rw(3, 2))
+    assert(t34 < t12 && t34 > 0.25, // share 2/8: T=1 gives 0.25, T=1/2 gives 0.5
+      s"T=3/4 must sit strictly between proportional and sqrt, got $t34 vs sqrt $t12")
+  }
+
   test("dsirWeights: target-like docs outrank crawl-like; short docs score (0,0); partition-independent") {
     import graft.operators.Sampling
     val target = Seq((100L, "spark scan join table spark scan join table")).toDF("doc_id", "text")
