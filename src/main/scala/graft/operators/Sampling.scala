@@ -431,8 +431,13 @@ object Sampling {
                          quota: Long, bins: Int = 1000): DataFrame = {
     require(quota >= 0, "quotaSelectByScore: non-negative quota")
     require(bins > 0, "quotaSelectByScore: positive bins")
+    // the slim projection feeds BOTH the range scan and the binned stream:
+    // materialize it once so an expensive upstream (a DSIR chain, an LM
+    // scorer) is not re-derived per consumer — the shared-subtree policy
+    // of Dedup.scala (checkpoint iff ≥ 2 consumers)
     val s = scored.select(col(idCol), col(scoreCol).cast("long").as("__s"))
       .filter(col("__s").isNotNull)
+      .localCheckpoint()
     val range = s.agg(min("__s").as("lo"), max("__s").as("hi"))
     // exact integer grid: (s−lo)·bins < 2^53 at any realistic fixed-point
     // range, so the one double division is correctly rounded and the
