@@ -427,6 +427,35 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFunctions.tokenCount(col(textCol))).as("n_tokens"))
 
+  /** Streaming Count-Min sketch — [[graft.operators.TextStats.cmsSketch]]
+    * as a continuous query. CMS is the sketch BUILT for this: two
+    * sketches of disjoint streams merge by cell-wise addition, so the
+    * accumulated sketch after batch N is exactly the batch sketch of the
+    * concatenated stream (StreamingSpec pins the bit-equality — no
+    * approximation drift from streaming, unlike order-sensitive sketches).
+    * Per-batch cell tables land partition-per-batch under `outDir/cells`
+    * (idempotent on replay — a re-run batch overwrites its own partition),
+    * and the merged snapshot at batch N re-aggregates the accumulated
+    * cells: O(batches × depth·width) integer rows, dashboard-cadence
+    * cheap, state never in executor memory. Output:
+    * `outDir/sketch/batch_id=N` merged (seed, bucket, cnt) tables;
+    * point-estimates come from [[graft.operators.TextStats.cmsEstimates]]'
+    * probe arithmetic over the latest snapshot.
+    */
+  def streamingCmsSketch(docs: DataFrame, textCol: String, outDir: String,
+                         depth: Int = 4, width: Int = 1 << 16): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextStats.cmsSketch(batch, textCol, depth, width)
+            .write.mode("overwrite").parquet(s"$outDir/cells/batch_id=$batchId")
+          batch.sparkSession.read.parquet(s"$outDir/cells")
+            .groupBy(col("seed"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+            .write.mode("overwrite").parquet(s"$outDir/sketch/batch_id=$batchId")
+        }
+      }
+
   /** Streaming corpus-drift dashboard — [[graft.operators.TextStats
     * .vocabDrift]] as a continuous query: the REFERENCE token
     * distribution is counted once at stream start (localCheckpointed —

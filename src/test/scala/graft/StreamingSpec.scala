@@ -826,6 +826,38 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) === (("near_dup", 1L, 0L)), "identical image at hamming 0")
   }
 
+  test("streaming CMS sketch: cell-wise accumulation bit-equal to the batch sketch of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextStats
+    val outDir = Files.createTempDirectory("cms-out").toString
+    val source = MemoryStream[(Long, String)]
+    val query = StreamingOps.streamingCmsSketch(
+      source.toDF().toDF("doc_id", "text"), "text", outDir, depth = 3, width = 16)
+      .option("checkpointLocation", Files.createTempDirectory("cms-ckpt").toString)
+      .start()
+    val b1 = Seq((0L, "alpha beta alpha"), (1L, "gamma beta"))
+    val b2 = Seq((2L, "alpha delta delta epsilon"), (3L, "beta"))
+    source.addData(b1: _*)
+    query.processAllAvailable()
+    source.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val batchIds = new java.io.File(s"$outDir/sketch").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).map(_.drop(9).toInt).sorted
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val last = cells(spark.read.parquet(s"$outDir/sketch/batch_id=${batchIds.last}")
+      .select(col("seed").cast("int"), col("bucket"), col("cnt")))
+    val want = cells(TextStats.cmsSketch((b1 ++ b2).toDF("doc_id", "text"), "text",
+      depth = 3, width = 16))
+    assert(last === want,
+      "streamed cell-wise merge must equal the one-shot sketch of the concatenation")
+    // the mid-stream snapshot is the sketch of batch 1 alone
+    val first = cells(spark.read.parquet(s"$outDir/sketch/batch_id=${batchIds.head}")
+      .select(col("seed").cast("int"), col("bucket"), col("cnt")))
+    assert(first === cells(TextStats.cmsSketch(b1.toDF("doc_id", "text"), "text", 3, 16)))
+  }
+
   test("streaming vocab drift: accumulated drift table bit-equal to batch vocabDrift over the union") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextStats
