@@ -36,6 +36,10 @@ import graft.sources.Datagen
   *   --embedding-outliers PARQUET --out DIR   fixed-point centroid-distance scrub
   *   --diversity-sample PARQUET --out DIR     per-sign-LSH-cell cap (coreset)
   *   --vocab-drift PARQUET --ref PARQUET --out DIR   snapshot drift monitor
+  *   --dsir-select PARQUET --target PARQUET --out DIR   DSIR importance
+  *                                      selection (--quota, --buckets, --ngram)
+  *   --posting-lists PARQUET --out DIR  delta-encoded inverted-index postings
+  *                                      (--min-df, --max-df)
   *   --scrub-boilerplate PARQUET --out DIR    host-template line removal
   *                                      (--host-col, --min-docs, --min-frac)
   *   --prepare PARQUET --out DIR        END-TO-END corpus prep: quality gate ->
@@ -697,6 +701,45 @@ object Main {
       val sel = spark.read.parquet(out)
       println(f"[diversity-sample] kept ${sel.count()} vectors across " +
         f"${sel.select("bucket").distinct().count()} cells " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("dsir-select")) {
+      // DSIR data selection (Sampling.dsirWeights + quotaSelectByScore):
+      // importance-weight the raw corpus against a target distribution,
+      // then keep the highest-importance quota without a global sort
+      val in = opts("dsir-select")
+      val target = opts.getOrElse("target", sys.error("--dsir-select requires --target PARQUET"))
+      val out = opts.getOrElse("out", sys.error("--dsir-select requires --out DIR"))
+      val t0 = System.nanoTime()
+      val weights = graft.operators.Sampling.dsirWeights(
+        spark.read.parquet(in), spark.read.parquet(target),
+        opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
+        n = opts.getOrElse("ngram", "2").toInt,
+        buckets = opts.getOrElse("buckets", "65536").toInt)
+      graft.operators.Sampling.quotaSelectByScore(weights,
+          opts.getOrElse("id-col", "doc_id"), "dsir_fp",
+          quota = opts.getOrElse("quota", "1000000").toLong,
+          bins = opts.getOrElse("bins", "1000").toInt)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      println(f"[dsir-select] kept ${sel.filter(col("keep") === 1).count()} of " +
+        f"${sel.count()} docs " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("posting-lists")) {
+      // inverted-index layout sink (Retrieval.postingLists):
+      // delta-encoded postings with a df band
+      val in = opts("posting-lists")
+      val out = opts.getOrElse("out", sys.error("--posting-lists requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.Retrieval.postingLists(spark.read.parquet(in),
+          opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
+          minDf = opts.getOrElse("min-df", "1").toLong,
+          maxDf = opts.getOrElse("max-df", "1000").toLong)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      println(f"[posting-lists] ${sel.count()} postings over " +
+        f"${sel.select("tok").distinct().count()} terms " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
     } else if (opts.contains("signature")) {

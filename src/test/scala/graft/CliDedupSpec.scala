@@ -320,6 +320,34 @@ class CliDedupSpec extends SparkSpec {
     assert(drift.head.getString(1) === "spamword", "the burst token leads the drift table")
   }
 
+  test("--dsir-select and --posting-lists round trips") {
+    import spark.implicits._
+    val base = tmp("cli-dsir")
+    // raw: half target-vocabulary docs, half junk; target: the wanted style
+    (Seq.tabulate(6)(i => (i.toLong, "spark scan join table spark scan")) ++
+      Seq.tabulate(6)(i => (10L + i, "junk spam junk spam junk spam")))
+      .toDF("doc_id", "text").write.parquet(s"$base/raw")
+    Seq((100L, "spark scan join table spark scan join"))
+      .toDF("doc_id", "text").write.parquet(s"$base/target")
+    Main.run(spark, Map("dsir-select" -> s"$base/raw", "target" -> s"$base/target",
+      "out" -> s"$base/sel", "quota" -> "6", "bins" -> "4", "buckets" -> "4096"))
+    val sel = spark.read.parquet(s"$base/sel")
+    assert(sel.columns.toSet === Set("doc_id", "dsir_fp", "bin", "keep"))
+    val keptIds = sel.filter(col("keep") === 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(keptIds === (0L until 6L).toSet,
+      s"quota must select exactly the target-style docs, got $keptIds")
+
+    Main.run(spark, Map("posting-lists" -> s"$base/raw", "out" -> s"$base/post",
+      "min-df" -> "2", "max-df" -> "12"))
+    val post = spark.read.parquet(s"$base/post")
+    assert(post.columns.toSet === Set("tok", "df", "doc_id", "gap"))
+    // 'spark' posts in docs 0..5: first gap = 0 − (−1) = 1, then five 1s
+    val sparkGaps = post.filter(col("tok") === "spark").orderBy("doc_id")
+      .select("gap").collect().map(_.getLong(0)).toSeq
+    assert(sparkGaps === Seq(1L, 1L, 1L, 1L, 1L, 1L))
+  }
+
   test("--scrub-boilerplate round trip: host footer removed, content byte-stable") {
     import spark.implicits._
     val base = tmp("cli-bp")
