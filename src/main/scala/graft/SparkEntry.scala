@@ -701,6 +701,25 @@ object SparkEntry {
         "doc_id", "dsir_fp", quota = 100L, bins = 50)
     }),
 
+    // ---- mojibake detection (the ftfy tier of crawl cleaning): planted
+    //      ISO-8859-1 mojibake (Ã© pairs), cp1252 mojibake (â€ trigrams,
+    //      Â© symbols), and a CLEAN doc carrying a real "café" that must
+    //      NOT fire — literal-alternation regex, identical in both
+    //      engines; the guarded repair is PropertySpec territory ----
+    "q135_mojibake" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" cafÃ© touchÃ©"))
+            .when(col("doc_id") % 3 === 1, lit(" donâ€™t â€” Â© 2024"))
+            .otherwise(lit(" clean café"))).as("text"))
+      planted.select(col("doc_id"),
+        graft.functions.TextFunctions.mojibakeHits(col("text")).cast("long").as("n_moji"),
+        graft.functions.TextFunctions.fixMojibake(col("text")).as("text_fixed"))
+        .withColumn("is_moji", (col("n_moji") > 0).cast("int"))
+        .withColumn("n_after",
+          graft.functions.TextFunctions.mojibakeHits(col("text_fixed")).cast("long"))
+    }),
+
     // ---- Count-Min sketch audit: depth-4 × width-64 sketch of the token
     //      stream next to exact counts — the bounded-memory frequency
     //      answer; width 64 forces visible collisions at this SF, so the
@@ -3627,6 +3646,24 @@ object SparkEntry {
            |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
            |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
            |FROM per, tot""".stripMargin,
+
+      // mojibake signatures: pure literal alternation (no classes, no
+      // metachars) — Java regex and DuckDB RE2 count identically
+      "q135_mojibake" -> {
+        val pat = graft.functions.TextFunctions.MojibakePattern
+        val chain = graft.functions.TextFunctions.MojibakePairs
+          .foldLeft("text") { case (e, (bad, good)) => s"replace($e, '$bad', '$good')" }
+        s"""WITH m AS (SELECT doc_id, text ||
+           |  CASE WHEN doc_id % 3 = 0 THEN ' cafÃ© touchÃ©'
+           |       WHEN doc_id % 3 = 1 THEN ' donâ€™t â€” Â© 2024'
+           |       ELSE ' clean café' END AS text FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_moji,
+           |  $chain AS text_fixed,
+           |  CAST(len(regexp_extract_all(text, '$pat')) > 0 AS INT) AS is_moji,
+           |  CAST(len(regexp_extract_all($chain, '$pat')) AS BIGINT) AS n_after
+           |FROM m""".stripMargin
+      },
 
       // CMS: per-seed bucket counts, probe every distinct token, min over
       // depth rows; md5 seeded 's<i>|' exactly as the Spark side

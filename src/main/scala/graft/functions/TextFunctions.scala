@@ -189,4 +189,48 @@ object TextFunctions {
       transform(tokens(text), t => conv(substring(md5(t), 1, 5), 16, 10).cast("long")),
       lit(0L),
       (acc, h) => (acc * lit(RollingHashMul) + h) % lit(RollingHashMod))
+
+  /** Mojibake signature table: UTF-8 text decoded as Latin-1/cp1252 (the
+    * classic crawl corruption: "café" → "cafÃ©", a curly apostrophe →
+    * "donâ€™t") mapped back to the intended character. Covers the common
+    * Western-European two-byte family (lead Ã = 0xC3 accents, Â = 0xC2
+    * symbols) and the cp1252 â€ trigram family (0xE2 0x80 xx — curly
+    * quotes, dashes, ellipsis). A TABLE, not a codec round-trip, for two
+    * reasons: Spark 4's `encode` THROWS on any unmappable character
+    * (MALFORMED_CHARACTER_CODING) so charset-based repair is unsafe as a
+    * column expression, and a literal table is exactly reproducible in
+    * any engine (the ftfy approach, minus its iteration). Single-pass:
+    * doubly-encoded mojibake ("ÃƒÂ©") repairs one layer per application.
+    */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã±" -> "ñ", "Ã¤" -> "ä", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã§" -> "ç",
+    "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–",
+    "â€”" -> "—", "â€¦" -> "…",
+    "Â·" -> "·", "Â°" -> "°", "Â©" -> "©", "Â»" -> "»", "Â«" -> "«")
+
+  /** Literal alternation over [[MojibakePairs]] keys — no classes, no
+    * metacharacters, so Java regex and RE2/DuckDB count identically.
+    */
+  val MojibakePattern: String = MojibakePairs.map(_._1).mkString("|")
+
+  /** Count of mojibake signature hits — the detection half (oracle-exact:
+    * literal alternation, non-overlapping match count in both engines).
+    */
+  def mojibakeHits(text: Column): Column =
+    size(regexp_extract_all(text, lit(MojibakePattern), lit(0)))
+
+  /** Mojibake repair: the [[MojibakePairs]] replace chain, left to right.
+    * Safe by construction — replace is a no-op without a match, repaired
+    * characters (é, ', —, …) never begin another signature, and no key is
+    * a substring of another — so application order cannot cascade on
+    * singly-encoded text. Codegen'd builtins, never throws, and the SAME
+    * chain spells in DuckDB — the repaired text itself is oracle-checked
+    * (q135). DistancesSpec fuzzes fix(corrupt(s)) == s over the covered
+    * alphabet.
+    */
+  def fixMojibake(text: Column): Column =
+    MojibakePairs.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
 }

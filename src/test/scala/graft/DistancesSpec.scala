@@ -142,4 +142,35 @@ class DistancesSpec extends SparkSpec {
       graft.operators.Dedup.simhashFromTokens(TextFunctions.tokens($"text"), 16)).head()
     assert(pair.getLong(0) === pair.getLong(1))
   }
+
+  test("mojibake: fix(corrupt(s)) == s over seeded cp1252 fuzz; clean text untouched; detector counts exact") {
+    import org.apache.spark.sql.functions._
+    // corrupt the way crawls actually do: UTF-8 bytes re-read as cp1252
+    // (which renders the Ã/Â accent pairs AND the â€ trigram family)
+    def corrupt(s: String) = new String(s.getBytes("UTF-8"), "windows-1252")
+    val rnd = new scala.util.Random(42)
+    val alphabet = ("abcdefghijklmnopqrstuvwxyz ABC 0123456789 .,!?" +
+      "éèáóúñäöüç’“–—…·°©»«").toCharArray
+    val strs = (0 until 500).map { i =>
+      val s = Seq.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      (s, corrupt(s))
+    }.toDF("orig", "bad")
+    val fixed = strs.select(col("orig"),
+      TextFunctions.fixMojibake(col("bad")).as("fixed")).collect()
+    fixed.foreach(r => assert(r.getString(1) === r.getString(0),
+      s"roundtrip failed for '${r.getString(0)}'"))
+    // clean ASCII and a REAL café pass through byte-stable, zero hits
+    val clean = Seq((0L, "plain ascii text."), (1L, "real café, no mojibake"))
+      .toDF("id", "s")
+      .select(col("s"), TextFunctions.fixMojibake(col("s")).as("f"),
+        TextFunctions.mojibakeHits(col("s")).as("h")).collect()
+    clean.foreach { r =>
+      assert(r.getString(1) === r.getString(0)); assert(r.getInt(2) === 0)
+    }
+    // detector counts non-overlapping signature hits exactly
+    val counted = Seq((0L, corrupt("don’t — café"))).toDF("id", "s")
+      .select(TextFunctions.mojibakeHits(col("s")),
+        TextFunctions.fixMojibake(col("s"))).head()
+    assert(counted.getInt(0) === 3 && counted.getString(1) === "don’t — café")
+  }
 }
