@@ -142,6 +142,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(twice.map(_.toSeq).toSeq === canonCol.map(_.toSeq).toSeq,
       "canonicalize_url must be idempotent")
 
+    // mojibake pair: SQL spelling ≡ Column forms, detect + repair
+    val moji = Seq((1L, "cafÃ© donâ€™t"), (2L, "clean café")).toDF("id", "s")
+    moji.createOrReplaceTempView("sql_moji")
+    val mojiSql = spark.sql(
+      "SELECT id, mojibake_hits(s) AS h, fix_mojibake(s) AS f FROM sql_moji ORDER BY id").collect()
+    val mojiCol = moji.select(col("id"), TextFunctions.mojibakeHits(col("s")).as("h"),
+      TextFunctions.fixMojibake(col("s")).as("f")).orderBy("id").collect()
+    assert(mojiSql.map(_.toSeq).toSeq === mojiCol.map(_.toSeq).toSeq)
+    assert(mojiSql(0).getInt(1) === 2 && mojiSql(0).getString(2) === "café don’t")
+    assert(mojiSql(1).getInt(1) === 0 && mojiSql(1).getString(2) === "clean café")
+
     val zSql = spark.sql("SELECT z_value(5, 3) AS z").head().getLong(0)
     val zCol = spark.range(1).select(
       graft.sources.Bucketing.zValue(
