@@ -701,6 +701,13 @@ object SparkEntry {
         "doc_id", "dsir_fp", quota = 100L, bins = 50)
     }),
 
+    // ---- per-source token-length quantiles by exact histogram
+    //      inversion: p50/p90/p99 as true order statistics (integer
+    //      cross-multiply, no division), the doc stream never sorted ----
+    "q136_length_quantiles" -> ((s, dir) =>
+      graft.operators.TextStats.lengthQuantiles(
+        tbl(s, dir, "documents"), "source", "text", maxLen = 4096)),
+
     // ---- mojibake detection (the ftfy tier of crawl cleaning): planted
     //      ISO-8859-1 mojibake (Ã© pairs), cp1252 mojibake (â€ trigrams,
     //      Â© symbols), and a CLEAN doc carrying a real "café" that must
@@ -3646,6 +3653,23 @@ object SparkEntry {
            |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
            |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
            |FROM per, tot""".stripMargin,
+
+      // length quantiles: the same histogram inversion in SQL — smallest
+      // length whose cumulative count covers q% (integer cross-multiply)
+      "q136_length_quantiles" ->
+        s"""WITH lens AS (SELECT source,
+           |    least(${tokenCountSql("text")}, 4096) AS len FROM documents),
+           |hist AS (SELECT source, CAST(len AS BIGINT) AS len,
+           |    CAST(count(*) AS BIGINT) AS n FROM lens GROUP BY 1, 2),
+           |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM hist GROUP BY 1),
+           |cum AS (SELECT source, len, n,
+           |    CAST(sum(n) OVER (PARTITION BY source ORDER BY len) AS BIGINT) AS cum
+           |  FROM hist)
+           |SELECT cum.source, max(tot.t) AS n_docs,
+           |  min(CASE WHEN cum.cum * 100 >= tot.t * 50 THEN cum.len END) AS p50,
+           |  min(CASE WHEN cum.cum * 100 >= tot.t * 90 THEN cum.len END) AS p90,
+           |  min(CASE WHEN cum.cum * 100 >= tot.t * 99 THEN cum.len END) AS p99
+           |FROM cum JOIN tot USING (source) GROUP BY 1""".stripMargin,
 
       // mojibake signatures: pure literal alternation (no classes, no
       // metachars) — Java regex and DuckDB RE2 count identically

@@ -728,6 +728,40 @@ object TextStats {
       .select(col("tok"), col("n_true"), col("n_est"))
   }
 
+  /** Per-source token-length quantiles by EXACT histogram inversion —
+    * the datacard / context-budget table (what sequence length covers
+    * 50/90/99% of each source's documents) computed without ever
+    * sorting the document stream: lengths clamp onto a [0, maxLen]
+    * integer grid, the per-(source, len) histogram partial-aggregates
+    * (≤ maxLen+1 rows per source reach the cumulative window — never a
+    * document), and quantile q is the smallest length whose cumulative
+    * count covers q% — an integer cross-multiply (`cum·100 ≥ q·total`),
+    * no division, no percentile approximation. The returned quantile is
+    * the exact order statistic wherever lengths < maxLen (the clamp only
+    * coarsens the tail ABOVE maxLen, reported as-is at the cap).
+    *
+    * Output: (sourceCol, n_docs, p50, p90, p99) — one row per source.
+    */
+  def lengthQuantiles(docs: DataFrame, sourceCol: String, textCol: String,
+                      maxLen: Int = 4096): DataFrame = {
+    require(maxLen >= 1, "lengthQuantiles: positive maxLen")
+    val hist = docs
+      .select(col(sourceCol),
+        least(TextFunctions.tokenCount(col(textCol)).cast("long"), lit(maxLen.toLong))
+          .as("len"))
+      .groupBy(col(sourceCol), col("len")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("len"))
+    val tot = hist.groupBy(col(sourceCol)).agg(sum(col("n")).as("t"))
+    hist
+      .withColumn("cum", sum(col("n")).over(w)) // bounded: ≤ maxLen+1 rows/source
+      .join(broadcast(tot), sourceCol)
+      .groupBy(col(sourceCol))
+      .agg(max(col("t")).as("n_docs"),
+        min(when(col("cum") * 100 >= col("t") * 50, col("len"))).as("p50"),
+        min(when(col("cum") * 100 >= col("t") * 90, col("len"))).as("p90"),
+        min(when(col("cum") * 100 >= col("t") * 99, col("len"))).as("p99"))
+  }
+
   /** `x^(num/2^log2den)` for 0 < num < 2^log2den as an IEEE-EXACT sqrt
     * chain: the binary expansion of the dyadic exponent turns the power
     * into a product of repeated square roots (bit i set → `sqrt^i(x)`),

@@ -873,6 +873,26 @@ class PipelinePrepSpec extends SparkSpec {
       "df counts and reassembly are aggregates, never a corpus window")
   }
 
+  test("lengthQuantiles: exact order statistics on a uniform ladder; clamp coarsens only the tail") {
+    // source a: one doc of every length 1..100 -> pN is exactly N
+    val a = (1 to 100).map(n => ("a", Seq.fill(n)("w").mkString(" ")))
+    // source b: 97 short + 3 huge (beyond maxLen) -> p99 reports the cap
+    val b = Seq.fill(97)(("b", "w w w")) ++
+      Seq.fill(3)(("b", Seq.fill(50)("w").mkString(" ")))
+    val out = TextStats.lengthQuantiles((a ++ b).toDF("source", "text"),
+        "source", "text", maxLen = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // with maxLen=10 the ladder clamps at 10: p50 of 1..100 = 10 (cap)
+    assert(out("a") === ((100L, 10L, 10L, 10L)))
+    assert(out("b") === ((100L, 3L, 3L, 10L)),
+      "97% at len 3 pins p50/p90; the 3 huge docs put p99 at the cap")
+    val wide = TextStats.lengthQuantiles(a.toDF("source", "text"),
+        "source", "text", maxLen = 4096)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).head
+    assert(wide === ((50L, 90L, 99L)), "uncapped: pN is the exact order statistic")
+  }
+
   test("cmsSketch: est >= true for every token; tiny width overestimates; halves merge cell-wise") {
     val docs = (0L until 60L).map(i => (i, s"w${i % 7} w${i % 13} common")).toDF("doc_id", "text")
     val audit = TextStats.cmsEstimates(docs, "text", depth = 3, width = 8)
