@@ -701,6 +701,25 @@ object SparkEntry {
         "doc_id", "dsir_fp", quota = 100L, bins = 50)
     }),
 
+    // ---- host-level link graph (the web-graph quality prior): planted
+    //      anchors exercise lowercase/port/relative handling — uppercase
+    //      HTTPS host with a port normalizes, the relative link drops,
+    //      and h*.example targets appear as never-crawled frontier rows ----
+    "q137_link_graph" -> ((s, dir) => {
+      val crawl = tbl(s, dir, "documents").select(col("doc_id"),
+        col("source").as("host"),
+        concat(
+          lit("<html><body><a href=\"http://h"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string"), lit("\">x</a>"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<a href=\"HTTPS://H"), (col("doc_id") % 5).cast("string"),
+              lit(".EXAMPLE:8080/y\">u</a>"))).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("<a href=\"/local\">rel</a>"))
+            .otherwise(lit("")),
+          col("text"), lit("</body></html>")).as("html"))
+      graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
+    }),
+
     // ---- per-source token-length quantiles by exact histogram
     //      inversion: p50/p90/p99 as true order statistics (integer
     //      cross-multiply, no division), the doc stream never sorted ----
@@ -3653,6 +3672,37 @@ object SparkEntry {
            |  CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
            |  sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(max_tokens AS DOUBLE)) AS rel_weight
            |FROM per, tot""".stripMargin,
+
+      // link graph: identical anchor regex (group 1), host lowercase +
+      // port strip, union-seeded host set, degree aggregates
+      "q137_link_graph" ->
+        s"""WITH crawl AS (SELECT doc_id, source AS host,
+           |  '<html><body><a href="http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+           |  '.example/p' || CAST(doc_id AS VARCHAR) || '">x</a>' ||
+           |  (CASE WHEN doc_id % 4 = 0 THEN '<a href="HTTPS://H' ||
+           |     CAST(doc_id % 5 AS VARCHAR) || '.EXAMPLE:8080/y">u</a>' ELSE '' END) ||
+           |  (CASE WHEN doc_id % 6 = 0 THEN '<a href="/local">rel</a>' ELSE '' END) ||
+           |  text || '</body></html>' AS html FROM documents),
+           |hrefs AS (SELECT host AS src,
+           |    unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+           |  FROM crawl),
+           |tgt AS (SELECT src,
+           |    lower(regexp_extract(href, '^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]*)', 1)) AS dst
+           |  FROM hrefs),
+           |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           |  FROM tgt WHERE dst <> '' GROUP BY 1, 2),
+           |outd AS (SELECT src AS host, CAST(sum(n) AS BIGINT) AS out_links,
+           |    CAST(count(*) AS BIGINT) AS out_hosts FROM edges GROUP BY 1),
+           |ind AS (SELECT dst AS host, CAST(sum(n) AS BIGINT) AS in_links,
+           |    CAST(count(*) AS BIGINT) AS in_hosts FROM edges GROUP BY 1),
+           |hosts AS (SELECT DISTINCT host FROM (
+           |  SELECT host FROM crawl UNION ALL SELECT src FROM edges
+           |  UNION ALL SELECT dst FROM edges))
+           |SELECT h.host, coalesce(o.out_links, 0) AS out_links,
+           |  coalesce(o.out_hosts, 0) AS out_hosts,
+           |  coalesce(i.in_links, 0) AS in_links,
+           |  coalesce(i.in_hosts, 0) AS in_hosts
+           |FROM hosts h LEFT JOIN outd o USING (host) LEFT JOIN ind i USING (host)""".stripMargin,
 
       // length quantiles: the same histogram inversion in SQL — smallest
       // length whose cumulative count covers q% (integer cross-multiply)

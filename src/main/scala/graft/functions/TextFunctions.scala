@@ -190,6 +190,23 @@ object TextFunctions {
       lit(0L),
       (acc, h) => (acc * lit(RollingHashMul) + h) % lit(RollingHashMod))
 
+  /** All `<a href="...">` target URLs of an HTML column, document order.
+    * One anchored group regex — the Java-regex/RE2 shared subset (literal
+    * prefix, negated-class body, no backtracking), so the DuckDB oracle
+    * extracts the identical list. Single-quoted/unquoted href variants
+    * are deliberately out of scope (the synthetic crawl and any sane
+    * generator double-quote); the crawl's own strip runs AFTER link
+    * extraction, so this reads the raw payload.
+    */
+  def extractHrefs(html: Column): Column =
+    regexp_extract_all(html, lit("<a href=\"([^\"]*)\""), lit(1))
+
+  /** Host of an absolute http(s) URL, lowercased, port stripped — the
+    * link-graph node key ("" for relative/other schemes; callers filter).
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]*)", 1))
+
   /** Mojibake signature table: UTF-8 text decoded as Latin-1/cp1252 (the
     * classic crawl corruption: "café" → "cafÃ©", a curly apostrophe →
     * "donâ€™t") mapped back to the intended character. Covers the common

@@ -340,4 +340,49 @@ object Pipeline {
     fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(s => s.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Host-level link graph from raw crawl payloads — the web-graph
+    * quality prior (a host linked by many OTHER hosts is likelier
+    * reference material than one nobody links): extract `<a href>`
+    * targets, keep absolute http(s) links, collapse to (src_host,
+    * dst_host, n_links) edges, and join the out- and in-degree views.
+    * Runs on the raw payload BEFORE the HTML strip (the strip deletes
+    * exactly the markup this reads).
+    *
+    * Scale shape: one explode over per-doc href lists, two partial-agg
+    * groupBys (edges, then each degree view over the ≤ |hosts|²-bounded
+    * but in practice sparse edge table), one host join seeded from the
+    * distinct crawl hosts UNION the edge endpoints — zero-link crawl
+    * hosts and never-crawled link targets both keep a row (the latter
+    * are the frontier a crawler would schedule next). No window, no
+    * driver collect; "" (relative/non-http) targets drop before the
+    * edge agg.
+    *
+    * Output: (host, out_links, out_hosts, in_links, in_hosts) — links
+    * count every anchor, hosts count distinct endpoints; self-links
+    * count in both directions of the same host row.
+    */
+  def hostLinkGraph(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame = {
+    val edges = docs
+      .select(col(hostCol).as("src"),
+        explode(TextFunctions.extractHrefs(col(htmlCol))).as("href"))
+      .select(col("src"), TextFunctions.urlHost(col("href")).as("dst"))
+      .filter(col("dst") =!= "")
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val out = edges.groupBy(col("src").as("host"))
+      .agg(sum(col("n")).as("out_links"), count(lit(1)).as("out_hosts"))
+    val in = edges.groupBy(col("dst").as("host"))
+      .agg(sum(col("n")).as("in_links"), count(lit(1)).as("in_hosts"))
+    docs.select(col(hostCol).as("host"))
+      .unionByName(edges.select(col("src").as("host")))
+      .unionByName(edges.select(col("dst").as("host")))
+      .distinct()
+      .join(out, Seq("host"), "left")
+      .join(in, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("out_links"), lit(0L)).as("out_links"),
+        coalesce(col("out_hosts"), lit(0L)).as("out_hosts"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"),
+        coalesce(col("in_hosts"), lit(0L)).as("in_hosts"))
+  }
 }

@@ -173,6 +173,29 @@ class PipelineSpec extends SparkSpec {
       "already-canonical URLs survive the normalize unchanged")
   }
 
+  test("hostLinkGraph: degrees conserve, frontier hosts surface, relative links and case/ports normalize") {
+    val crawl = Seq(
+      ("a.com", """x <a href="http://b.com/1">l</a> <a href="HTTPS://B.COM:8443/2">l</a> y"""),
+      ("a.com", """<a href="/relative">skip</a> <a href="http://c.org/p">l</a>"""),
+      ("b.com", """<a href="http://a.com/back">l</a> <a href="http://b.com/self">s</a>"""),
+      ("lonely.net", "no links at all")).toDF("host", "html")
+    val g = Pipeline.hostLinkGraph(crawl, "host", "html")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a.com: out = b.com x2 (case+port collapse) + c.org; in = 1 from b.com
+    assert(g("a.com") === ((3L, 2L, 1L, 1L)))
+    // b.com: out = a.com + self; in = 2 from a.com + 1 self
+    assert(g("b.com") === ((2L, 2L, 3L, 2L)))
+    // c.org was never crawled -> frontier row, in-degree only
+    assert(g("c.org") === ((0L, 0L, 1L, 1L)))
+    assert(g("lonely.net") === ((0L, 0L, 0L, 0L)))
+    // conservation: every emitted link lands somewhere
+    assert(g.values.map(_._1).sum === g.values.map(_._3).sum)
+    val plan = Pipeline.hostLinkGraph(crawl, "host", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
+
   test("writeCurriculum: files are curriculum-ordered and partition-ranged") {
     val outDir = java.nio.file.Files.createTempDirectory("prep-out").toString
     val prepared = Pipeline.prepare(corpus, "doc_id", "source", "text", numShards = 4)
