@@ -720,6 +720,23 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- PageRank-lite centrality over the same planted host graph:
+    //      two fixed-point iterations, integer mass flow (rank·n DIV
+    //      out_w), damping as one integer multiply-divide — the oracle
+    //      unrolls the identical two rounds ----
+    "q138_host_rank" -> ((s, dir) => {
+      val crawl = tbl(s, dir, "documents").select(col("doc_id"),
+        col("source").as("host"),
+        concat(
+          lit("<html><body><a href=\"http://h"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p"), col("doc_id").cast("string"), lit("\">x</a>"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<a href=\"HTTPS://H"), (col("doc_id") % 5).cast("string"),
+              lit(".EXAMPLE:8080/y\">u</a>"))).otherwise(lit("")),
+          col("text"), lit("</body></html>")).as("html"))
+      graft.operators.Pipeline.hostRank(crawl, "host", "html", iterations = 2)
+    }),
+
     // ---- per-source token-length quantiles by exact histogram
     //      inversion: p50/p90/p99 as true order statistics (integer
     //      cross-multiply, no division), the doc stream never sorted ----
@@ -3703,6 +3720,43 @@ object SparkEntry {
            |  coalesce(i.in_links, 0) AS in_links,
            |  coalesce(i.in_hosts, 0) AS in_hosts
            |FROM hosts h LEFT JOIN outd o USING (host) LEFT JOIN ind i USING (host)""".stripMargin,
+
+      // PageRank-lite: the SAME two iterations unrolled; every division
+      // mirrors Spark's long/long shape (double divide, floor, BIGINT)
+      "q138_host_rank" -> {
+        def step(rin: String, rout: String) =
+          s"""c_$rout AS (SELECT e.dst AS host,
+             |    CAST(sum(CAST(floor(CAST($rin.rank_fp * e.n AS DOUBLE) /
+             |      CAST(ow.out_w AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inbound
+             |  FROM edges e JOIN $rin ON $rin.host = e.src
+             |  JOIN outw ow ON ow.src = e.src GROUP BY 1),
+             |$rout AS (SELECT h.host,
+             |    CAST(150000 + floor(CAST(coalesce(c.inbound, 0) * 85 AS DOUBLE) /
+             |      CAST(100 AS DOUBLE)) AS BIGINT) AS rank_fp
+             |  FROM hosts h LEFT JOIN c_$rout c USING (host))""".stripMargin
+        s"""WITH crawl AS (SELECT doc_id, source AS host,
+           |  '<html><body><a href="http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+           |  '.example/p' || CAST(doc_id AS VARCHAR) || '">x</a>' ||
+           |  (CASE WHEN doc_id % 4 = 0 THEN '<a href="HTTPS://H' ||
+           |     CAST(doc_id % 5 AS VARCHAR) || '.EXAMPLE:8080/y">u</a>' ELSE '' END) ||
+           |  text || '</body></html>' AS html FROM documents),
+           |hrefs AS (SELECT host AS src,
+           |    unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+           |  FROM crawl),
+           |tgt AS (SELECT src,
+           |    lower(regexp_extract(href, '^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]*)', 1)) AS dst
+           |  FROM hrefs),
+           |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+           |  FROM tgt WHERE dst <> '' GROUP BY 1, 2),
+           |outw AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_w FROM edges GROUP BY 1),
+           |hosts AS (SELECT DISTINCT host FROM (
+           |  SELECT host FROM crawl UNION ALL SELECT src FROM edges
+           |  UNION ALL SELECT dst FROM edges)),
+           |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank_fp FROM hosts),
+           |${step("r0", "r1")},
+           |${step("r1", "r2")}
+           |SELECT host, rank_fp FROM r2""".stripMargin
+      },
 
       // length quantiles: the same histogram inversion in SQL — smallest
       // length whose cumulative count covers q% (integer cross-multiply)

@@ -362,13 +362,19 @@ object Pipeline {
     * count every anchor, hosts count distinct endpoints; self-links
     * count in both directions of the same host row.
     */
-  def hostLinkGraph(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame = {
-    val edges = docs
+  /** (src, dst, n) host-link edges of a raw crawl — shared by
+    * [[hostLinkGraph]] and [[hostRank]].
+    */
+  private def linkEdges(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame =
+    docs
       .select(col(hostCol).as("src"),
         explode(TextFunctions.extractHrefs(col(htmlCol))).as("href"))
       .select(col("src"), TextFunctions.urlHost(col("href")).as("dst"))
       .filter(col("dst") =!= "")
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+
+  def hostLinkGraph(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame = {
+    val edges = linkEdges(docs, hostCol, htmlCol)
     val out = edges.groupBy(col("src").as("host"))
       .agg(sum(col("n")).as("out_links"), count(lit(1)).as("out_hosts"))
     val in = edges.groupBy(col("dst").as("host"))
@@ -384,5 +390,54 @@ object Pipeline {
         coalesce(col("out_hosts"), lit(0L)).as("out_hosts"),
         coalesce(col("in_links"), lit(0L)).as("in_links"),
         coalesce(col("in_hosts"), lit(0L)).as("in_hosts"))
+  }
+
+  /** PageRank-lite over the host link graph — the centrality prior
+    * Common-Crawl-style curation ranks hosts by — in EXACT fixed-point
+    * integer arithmetic so the score is bit-reproducible in any engine
+    * at any parallelism: ranks start at 10⁶ micro-units, each iteration
+    * sends `rank·n DIV out_links` along every (src, dst, n) edge
+    * (integer division — deterministic, no float accumulation), and
+    * re-bases as `(1−d)·10⁶ + (d·Σ inbound) DIV den` with the damping
+    * d = dampNum/dampDen applied as one integer multiply-divide.
+    * Deliberate simplifications, documented: dangling-host mass is
+    * dropped (not redistributed) and the iteration count is FIXED — the
+    * oracle unrolls the same count; this is a curation signal, not a
+    * numerically-converged eigenvector.
+    *
+    * Scale shape: per iteration one edge-rank equi-join, one partial-agg
+    * sum by dst, one left join back to the host set — all key-partitioned,
+    * no window, no driver collect; the rank table is localCheckpointed
+    * every round so lineage stays O(1) in iterations (the [[graft
+    * .operators.Dedup.dupClusters]] discipline). Output: (host, rank_fp)
+    * in micro-units.
+    */
+  def hostRank(docs: DataFrame, hostCol: String, htmlCol: String,
+               iterations: Int = 2, dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 1, "hostRank: at least one iteration")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen, "hostRank: 0 <= damp <= 1")
+    val edges = linkEdges(docs, hostCol, htmlCol).localCheckpoint()
+    val hosts = docs.select(col(hostCol).as("host"))
+      .unionByName(edges.select(col("src").as("host")))
+      .unionByName(edges.select(col("dst").as("host")))
+      .distinct().localCheckpoint()
+    val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("out_w"))
+    val base = lit(((dampDen - dampNum).toLong * 1000000L) / dampDen)
+    var rank = hosts.select(col("host"), lit(1000000L).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(rank.withColumnRenamed("host", "src"), "src")
+        .join(outw, "src")
+        .select(col("dst").as("host"),
+          ((col("rank_fp") * col("n")) / col("out_w")).cast("long").as("c"))
+        .groupBy(col("host")).agg(sum(col("c")).as("inbound"))
+      rank = hosts
+        .join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (base + (coalesce(col("inbound"), lit(0L)) * dampNum) / dampDen)
+            .cast("long").as("rank_fp"))
+        .localCheckpoint()
+    }
+    rank
   }
 }

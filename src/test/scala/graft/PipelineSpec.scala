@@ -196,6 +196,20 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
 
+  test("hostRank: hand-computed two-iteration fixed point; sinks collect mass, sources keep the base") {
+    // a -> b, a -> c, b -> c: c is the sink everyone reaches
+    val crawl = Seq(
+      ("a", """<a href="http://b/x">l</a> <a href="http://c/y">l</a>"""),
+      ("b", """<a href="http://c/z">l</a>"""),
+      ("c", "no links")).toDF("host", "html")
+    val r = Pipeline.hostRank(crawl, "host", "html", iterations = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // iter1: b gets 500000, c gets 1500000 -> (150000, 575000, 1425000)
+    // iter2: b gets 75000,  c gets 650000  -> (150000, 213750, 702500)
+    assert(r === Map("a" -> 150000L, "b" -> 213750L, "c" -> 702500L))
+    assert(r("c") > r("b") && r("b") > r("a"), "centrality orders sink > relay > source")
+  }
+
   test("writeCurriculum: files are curriculum-ordered and partition-ranged") {
     val outDir = java.nio.file.Files.createTempDirectory("prep-out").toString
     val prepared = Pipeline.prepare(corpus, "doc_id", "source", "text", numShards = 4)
