@@ -47,7 +47,10 @@ import graft.sources.Datagen
   *   --prepare --input-warc GLOB --out DIR   crawl-native prep: raw .warc(.gz) ->
   *                                      record parse -> HTML strip -> URL first-wins
   *                                      dedup -> the same prepare stage chain
-  *   --gen-warc OUT --n N --files F     synthetic crawl fixture (real WARC files)
+  *   --gen-warc OUT --n N --files F     synthetic crawl fixture (real WARC files;
+  *                                      --links plants outbound anchors)
+  *   --link-graph --input-warc GLOB --out DIR   host degree views + fixed-point
+  *                                      PageRank-lite off raw crawl payloads
   *   (--canonical-urls on the WARC path normalizes URLs before first-wins dedup)
   *
   * `--serve` is intentionally absent (BASELINE.json scope: batch index
@@ -58,7 +61,7 @@ object Main {
 
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val flags = Set("--build", "--serve", "--large", "--routed", "--adaptive",
-      "--canonical-urls") // boolean flags
+      "--canonical-urls", "--links") // boolean flags
     // the ONLY value-taking flag that may legitimately appear without a
     // value (`--prepare --input-warc GLOB` marks prepare mode with the
     // input coming from the WARC glob). Every other flag followed by a
@@ -590,8 +593,34 @@ object Main {
       val out = opts("gen-warc")
       val n = opts.getOrElse("n", "10000").toLong
       val files = opts.getOrElse("files", "8").toInt
-      graft.sources.Warc.writeSyntheticCrawl(spark, out, n, files)
-      println(s"[gen-warc] wrote $n records across $files WARC files -> $out")
+      val links = opts.contains("links")
+      graft.sources.Warc.writeSyntheticCrawl(spark, out, n, files, links)
+      println(s"[gen-warc] wrote $n records across $files WARC files" +
+        (if (links) " with outbound anchors" else "") + s" -> $out")
+
+    } else if (opts.contains("link-graph")) {
+      // crawl-native link analysis: host degree views + fixed-point
+      // PageRank-lite centrality straight off raw WARC payloads
+      val glob = opts.getOrElse("input-warc",
+        sys.error("--link-graph requires --input-warc GLOB"))
+      val out = opts.getOrElse("out", sys.error("--link-graph requires --out DIR"))
+      val t0 = System.nanoTime()
+      val docs = graft.sources.Warc
+        .recordsFromFiles(graft.sources.Warc.readFiles(spark, glob))
+        .filter(col("warc_type") === "response")
+        .select(col("host"), col("payload"))
+        .localCheckpoint() // both views read it; decode gzip+parse once
+      graft.operators.Pipeline.hostLinkGraph(docs, "host", "payload")
+        .write.mode("overwrite").parquet(s"$out/degrees")
+      graft.operators.Pipeline.hostRank(docs, "host", "payload",
+          iterations = opts.getOrElse("iters", "2").toInt)
+        .write.mode("overwrite").parquet(s"$out/rank")
+      val deg = spark.read.parquet(s"$out/degrees")
+      val top = spark.read.parquet(s"$out/rank").orderBy(col("rank_fp").desc)
+        .limit(3).collect().map(r => s"${r.getString(0)}(${r.getLong(1)})").mkString(", ")
+      println(f"[link-graph] ${deg.count()} hosts, " +
+        f"${deg.agg(coalesce(sum("out_links"), lit(0L))).head().getLong(0)} links, " +
+        f"top rank: $top in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
     } else if (opts.contains("token-budget")) {
       // token-budget quota fill (Sampling.tokenBudgetSelect): best-quality

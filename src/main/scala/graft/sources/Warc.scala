@@ -168,12 +168,20 @@ object Warc {
     }
   }
 
-  private[graft] def crawlHtml(r: Long): String =
+  private[graft] def crawlHtml(r: Long, links: Boolean = false): String = {
+    // opt-in (--gen-warc --links): two deterministic outbound anchors —
+    // default OFF because the anchor text survives the HTML strip and
+    // would shift every planted prepare/strip expectation
+    val anchors =
+      if (!links) ""
+      else s"""<a href="${crawlUrl(r * 31 + 7)}">n</a>""" +
+        (if (r % 3 == 0) s"""<a href="${crawlUrl(r * 17 + 1)}">m</a>""" else "")
     "<html><head><title></title><script type=\"x\">var t = \"WARC/1.0\";" +
-      "</script></head><body><p>" + crawlText(r) + "</p></body></html>"
+      "</script></head><body><p>" + crawlText(r) + "</p>" + anchors + "</body></html>"
+  }
 
-  private[graft] def crawlRecordBytes(r: Long): Array[Byte] = {
-    val payload = crawlHtml(r)
+  private[graft] def crawlRecordBytes(r: Long, links: Boolean = false): Array[Byte] = {
+    val payload = crawlHtml(r, links)
     ("WARC/1.0\r\n" +
       "WARC-Type: response\r\n" +
       s"WARC-Target-URI: ${crawlUrl(r)}\r\n" +
@@ -214,7 +222,7 @@ object Warc {
     * gzipped to exercise the inflate path.
     */
   def writeSyntheticCrawl(spark: SparkSession, outDir: String, n: Long,
-                          nFiles: Int): Unit = {
+                          nFiles: Int, links: Boolean = false): Unit = {
     require(n > 0 && nFiles > 0, "writeSyntheticCrawl: positive n and nFiles")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val per = (n + nFiles - 1) / nFiles
@@ -229,7 +237,7 @@ object Warc {
         if (gz) new java.util.zip.GZIPOutputStream(fos, 65536) else fos
       try {
         var r = lo
-        while (r < hi) { os.write(crawlRecordBytes(r)); r += 1 }
+        while (r < hi) { os.write(crawlRecordBytes(r, links)); r += 1 }
       } finally os.close()
     }
   }

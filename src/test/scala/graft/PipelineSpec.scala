@@ -196,6 +196,30 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
 
+  test("--gen-warc --links + --link-graph round trip: crawl files to degree and rank tables") {
+    val base = java.nio.file.Files.createTempDirectory("lg").toString
+    Main.run(spark, Map("gen-warc" -> s"$base/crawl", "n" -> "300", "files" -> "4",
+      "links" -> "true"))
+    Main.run(spark, Map("link-graph" -> "true", "input-warc" -> s"$base/crawl/*",
+      "out" -> s"$base/graph"))
+    val deg = spark.read.parquet(s"$base/graph/degrees")
+    val rank = spark.read.parquet(s"$base/graph/rank")
+    assert(deg.count() === rank.count(), "one row per host in both views")
+    // every record links once, every third twice: totals are exact
+    val links = deg.agg(sum("out_links")).head().getLong(0)
+    assert(links === 300L + 100L, s"300 primary + 100 secondary anchors, got $links")
+    assert(deg.filter(col("in_links") > 0).count() > 0)
+    // centrality mass: linked-to hosts beat the 150000 base floor
+    assert(rank.agg(max("rank_fp")).head().getLong(0) > 150000L)
+    assert(rank.agg(min("rank_fp")).head().getLong(0) >= 150000L)
+    // the default fixture stays anchor-free (planted strip expectations)
+    Main.run(spark, Map("gen-warc" -> s"$base/plain", "n" -> "50", "files" -> "2"))
+    Main.run(spark, Map("link-graph" -> "true", "input-warc" -> s"$base/plain/*",
+      "out" -> s"$base/plaingraph"))
+    assert(spark.read.parquet(s"$base/plaingraph/degrees")
+      .agg(coalesce(sum("out_links"), lit(0L))).head().getLong(0) === 0L)
+  }
+
   test("hostRank: hand-computed two-iteration fixed point; sinks collect mass, sources keep the base") {
     // a -> b, a -> c, b -> c: c is the sink everyone reaches
     val crawl = Seq(
