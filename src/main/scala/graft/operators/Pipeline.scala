@@ -373,13 +373,22 @@ object Pipeline {
       .filter(col("dst") =!= "")
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
 
-  def hostLinkGraph(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame = {
-    val edges = linkEdges(docs, hostCol, htmlCol)
+  def hostLinkGraph(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame =
+    hostLinkGraphFromEdges(docs.select(col(hostCol).as("host")),
+      linkEdges(docs, hostCol, htmlCol))
+
+  /** The degree-view join of [[hostLinkGraph]] over an ALREADY-built
+    * (src, dst, n) edge table — shared with the streaming twin, whose
+    * accumulated edges merge across micro-batches by plain addition
+    * (edge counts are additive, so streamed ≡ one-shot exactly).
+    * `crawlHosts` seeds the zero-link rows; endpoint hosts union in.
+    */
+  def hostLinkGraphFromEdges(crawlHosts: DataFrame, edges: DataFrame): DataFrame = {
     val out = edges.groupBy(col("src").as("host"))
       .agg(sum(col("n")).as("out_links"), count(lit(1)).as("out_hosts"))
     val in = edges.groupBy(col("dst").as("host"))
       .agg(sum(col("n")).as("in_links"), count(lit(1)).as("in_hosts"))
-    docs.select(col(hostCol).as("host"))
+    crawlHosts.select(col("host"))
       .unionByName(edges.select(col("src").as("host")))
       .unionByName(edges.select(col("dst").as("host")))
       .distinct()
@@ -391,6 +400,10 @@ object Pipeline {
         coalesce(col("in_links"), lit(0L)).as("in_links"),
         coalesce(col("in_hosts"), lit(0L)).as("in_hosts"))
   }
+
+  /** [[linkEdges]] with a public face for the streaming twin. */
+  def linkEdgesOf(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame =
+    linkEdges(docs, hostCol, htmlCol)
 
   /** PageRank-lite over the host link graph — the centrality prior
     * Common-Crawl-style curation ranks hosts by — in EXACT fixed-point

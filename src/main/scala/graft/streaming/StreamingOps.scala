@@ -456,6 +456,38 @@ object StreamingOps {
         }
       }
 
+  /** Streaming crawl link graph — [[graft.operators.Pipeline
+    * .hostLinkGraph]] as a continuous query over arriving raw pages.
+    * Edge counts are ADDITIVE (like the CMS cells), so the merged edge
+    * table after batch N is exactly the one-shot edge table of the
+    * concatenated crawl, and the degree snapshot equals the batch
+    * derivation bit-for-bit (StreamingSpec pins it). Per-batch edge and
+    * host tables land partition-per-batch (replay-idempotent); the
+    * snapshot at batch N re-aggregates accumulated edges — O(batches ×
+    * distinct edges) integer rows, frontier discovery included (a host
+    * linked in batch 1 and crawled in batch 5 flips from frontier row
+    * to out-degreed row as its pages arrive). Output:
+    * `outDir/degrees/batch_id=N` snapshots.
+    */
+  def streamingLinkGraph(docs: DataFrame, hostCol: String, htmlCol: String,
+                         outDir: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Pipeline.linkEdgesOf(batch, hostCol, htmlCol)
+            .write.mode("overwrite").parquet(s"$outDir/edges/batch_id=$batchId")
+          batch.select(col(hostCol).as("host")).distinct()
+            .write.mode("overwrite").parquet(s"$outDir/hosts/batch_id=$batchId")
+          val spark2 = batch.sparkSession
+          val edges = spark2.read.parquet(s"$outDir/edges")
+            .groupBy(col("src"), col("dst")).agg(sum(col("n")).as("n"))
+          graft.operators.Pipeline.hostLinkGraphFromEdges(
+              spark2.read.parquet(s"$outDir/hosts").select("host"), edges)
+            .write.mode("overwrite").parquet(s"$outDir/degrees/batch_id=$batchId")
+        }
+      }
+
   /** Streaming corpus-drift dashboard — [[graft.operators.TextStats
     * .vocabDrift]] as a continuous query: the REFERENCE token
     * distribution is counted once at stream start (localCheckpointed —

@@ -826,6 +826,39 @@ class StreamingSpec extends SparkSpec {
     assert(out(12L) === (("near_dup", 1L, 0L)), "identical image at hamming 0")
   }
 
+  test("streaming link graph: accumulated degrees bit-equal to the batch graph of the union; frontier flips") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pipeline
+    val outDir = Files.createTempDirectory("slg-out").toString
+    val source = MemoryStream[(String, String)]
+    val query = StreamingOps.streamingLinkGraph(
+      source.toDF().toDF("host", "html"), "host", "html", outDir)
+      .option("checkpointLocation", Files.createTempDirectory("slg-ckpt").toString)
+      .start()
+    // batch 1 links to c.org before it is ever crawled (frontier row);
+    // batch 2 crawls c.org, which then links back
+    val b1 = Seq(("a.com", """<a href="http://b.com/1">l</a> <a href="http://c.org/2">l</a>"""))
+    val b2 = Seq(("c.org", """<a href="http://a.com/3">l</a>"""))
+    source.addData(b1: _*)
+    query.processAllAvailable()
+    source.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val ids = new java.io.File(s"$outDir/degrees").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).map(_.drop(9).toInt).sorted
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val last = rows(spark.read.parquet(s"$outDir/degrees/batch_id=${ids.last}"))
+    val want = rows(Pipeline.hostLinkGraph((b1 ++ b2).toDF("host", "html"), "host", "html"))
+    assert(last === want, "streamed degree snapshot must equal the one-shot graph")
+    val first = rows(spark.read.parquet(s"$outDir/degrees/batch_id=${ids.head}"))
+    assert(first.exists(r => r._1 == "c.org" && r._2 == 0 && r._4 == 1),
+      "mid-stream: c.org is a frontier row (linked, never crawled)")
+    assert(last.exists(r => r._1 == "c.org" && r._2 == 1),
+      "after its pages arrive the frontier host carries out-degree")
+  }
+
   test("streaming CMS sketch: cell-wise accumulation bit-equal to the batch sketch of the union") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextStats
