@@ -720,6 +720,25 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- anchor-text term table (how the web DESCRIBES each target):
+    //      planted anchors carry doc-derived terms; markup-bearing and
+    //      relative anchors drop by the documented [^<] / absolute-http
+    //      bounds ----
+    "q139_anchor_texts" -> ((s, dir) => {
+      val crawl = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><body><a href=\"http://h"), (col("doc_id") % 7).cast("string"),
+          lit(".example/p\">guide t"), (col("doc_id") % 11).cast("string"),
+          lit("</a>"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("<a href=\"HTTPS://H"), (col("doc_id") % 5).cast("string"),
+              lit(".EXAMPLE:8080/y\">ref <b>bold</b></a>"))).otherwise(lit("")),
+          when(col("doc_id") % 6 === 0, lit("<a href=\"/rel\">local</a>"))
+            .otherwise(lit("")),
+          col("text"), lit("</body></html>")).as("html"))
+      graft.operators.Pipeline.anchorTexts(crawl, "html")
+    }),
+
     // ---- PageRank-lite centrality over the same planted host graph:
     //      two fixed-point iterations, integer mass flow (rank·n DIV
     //      out_w), damping as one integer multiply-divide — the oracle
@@ -3720,6 +3739,31 @@ object SparkEntry {
            |  coalesce(i.in_links, 0) AS in_links,
            |  coalesce(i.in_hosts, 0) AS in_hosts
            |FROM hosts h LEFT JOIN outd o USING (host) LEFT JOIN ind i USING (host)""".stripMargin,
+
+      // anchor texts: the same two-group pattern extracted twice and
+      // positionally zipped (list_zip ≡ arrays_zip), markup-bearing
+      // anchors dropped by the shared [^<] bound
+      "q139_anchor_texts" ->
+        s"""WITH crawl AS (SELECT doc_id,
+           |  '<html><body><a href="http://h' || CAST(doc_id % 7 AS VARCHAR) ||
+           |  '.example/p">guide t' || CAST(doc_id % 11 AS VARCHAR) || '</a>' ||
+           |  (CASE WHEN doc_id % 4 = 0 THEN '<a href="HTTPS://H' ||
+           |     CAST(doc_id % 5 AS VARCHAR) || '.EXAMPLE:8080/y">ref <b>bold</b></a>'
+           |   ELSE '' END) ||
+           |  (CASE WHEN doc_id % 6 = 0 THEN '<a href="/rel">local</a>' ELSE '' END) ||
+           |  text || '</body></html>' AS html FROM documents),
+           |z AS (SELECT unnest(list_zip(
+           |    regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>', 1),
+           |    regexp_extract_all(html, '<a href="([^"]*)">([^<]*)</a>', 2))) AS p
+           |  FROM crawl),
+           |pairs AS (SELECT
+           |    lower(regexp_extract(struct_extract(p, 1),
+           |      '^[Hh][Tt][Tt][Pp][Ss]?://([^/:?#]*)', 1)) AS dst,
+           |    struct_extract(p, 2) AS anchor FROM z),
+           |toks AS (SELECT dst, unnest(string_split(anchor, ' ')) AS tok
+           |  FROM pairs WHERE dst <> '' AND anchor <> '')
+           |SELECT dst, tok, CAST(count(*) AS BIGINT) AS n
+           |FROM toks WHERE tok <> '' GROUP BY 1, 2""".stripMargin,
 
       // PageRank-lite: the SAME two iterations unrolled; every division
       // mirrors Spark's long/long shape (double divide, floor, BIGINT)

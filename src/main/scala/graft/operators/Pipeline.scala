@@ -405,6 +405,33 @@ object Pipeline {
   def linkEdgesOf(docs: DataFrame, hostCol: String, htmlCol: String): DataFrame =
     linkEdges(docs, hostCol, htmlCol)
 
+  /** Anchor-text term table: (dst_host, tok, n) — how the web DESCRIBES
+    * each target host, the classic off-page retrieval signal (anchor
+    * terms often name a page better than its own body; a BM25 over this
+    * table is "what is this host known for"). One two-group regex pulls
+    * (href, inner text) pairs positionally zipped — both engines extract
+    * the group lists from the SAME pattern, so the zip aligns; anchors
+    * with markup inside ([^<]* misses them) or relative/non-http targets
+    * drop, both documented. Tokens share the engine's whitespace
+    * tokenizer; empty anchor texts contribute nothing.
+    *
+    * Scale shape: two `regexp_extract_all` passes over the payload (one
+    * codegen'd projection), an explode per anchor, an explode per anchor
+    * token, one partial-agg groupBy — no window, no join at all.
+    */
+  def anchorTexts(docs: DataFrame, htmlCol: String): DataFrame = {
+    val pat = "<a href=\"([^\"]*)\">([^<]*)</a>"
+    docs
+      .select(explode(arrays_zip(
+        regexp_extract_all(col(htmlCol), lit(pat), lit(1)),
+        regexp_extract_all(col(htmlCol), lit(pat), lit(2)))).as("z"))
+      .select(TextFunctions.urlHost(col("z.0")).as("dst"), col("z.1").as("anchor"))
+      .filter(col("dst") =!= "" && col("anchor") =!= "")
+      .select(col("dst"), explode(TextFunctions.tokens(col("anchor"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("dst"), col("tok")).agg(count(lit(1)).as("n"))
+  }
+
   /** PageRank-lite over the host link graph — the centrality prior
     * Common-Crawl-style curation ranks hosts by — in EXACT fixed-point
     * integer arithmetic so the score is bit-reproducible in any engine

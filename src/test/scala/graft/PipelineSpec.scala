@@ -220,6 +220,20 @@ class PipelineSpec extends SparkSpec {
       .agg(coalesce(sum("out_links"), lit(0L))).head().getLong(0) === 0L)
   }
 
+  test("anchorTexts: terms credit the TARGET host; markup-bearing and relative anchors drop") {
+    val crawl = Seq(
+      ("p1", """<a href="http://wiki.org/x">great reference site</a>"""),
+      ("p2", """<a href="http://wiki.org/y">reference</a> body words ignored"""),
+      ("p3", """<a href="http://shop.io/z">buy <b>now</b></a>"""), // markup inside -> drops
+      ("p4", """<a href="/local">relative</a> <a href="http://shop.io/w"></a>""")) // empty anchor drops
+      .toDF("page", "html")
+    val out = Pipeline.anchorTexts(crawl, "html")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("wiki.org", "great") -> 1L, ("wiki.org", "reference") -> 2L,
+      ("wiki.org", "site") -> 1L))
+  }
+
   test("hostRank: hand-computed two-iteration fixed point; sinks collect mass, sources keep the base") {
     // a -> b, a -> c, b -> c: c is the sink everyone reaches
     val crawl = Seq(
