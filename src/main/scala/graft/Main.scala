@@ -40,6 +40,8 @@ import graft.sources.Datagen
   *                                      selection (--quota, --buckets, --ngram)
   *   --posting-lists PARQUET --out DIR  delta-encoded inverted-index postings
   *                                      (--min-df, --max-df)
+  *   --length-quantiles PARQUET --out DIR   exact per-source p50/p90/p99
+  *   --cms-audit PARQUET --out DIR      Count-Min sketch vs exact counts
   *   --scrub-boilerplate PARQUET --out DIR    host-template line removal
   *                                      (--host-col, --min-docs, --min-frac)
   *   --prepare PARQUET --out DIR        END-TO-END corpus prep: quality gate ->
@@ -769,6 +771,36 @@ object Main {
       val sel = spark.read.parquet(out)
       println(f"[posting-lists] ${sel.count()} postings over " +
         f"${sel.select("tok").distinct().count()} terms " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("length-quantiles")) {
+      // per-source length quantiles (TextStats.lengthQuantiles): exact
+      // order statistics by histogram inversion, no doc-stream sort
+      val in = opts("length-quantiles")
+      val out = opts.getOrElse("out", sys.error("--length-quantiles requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.TextStats.lengthQuantiles(spark.read.parquet(in),
+          opts.getOrElse("source-col", "source"), opts.getOrElse("text-col", "text"),
+          maxLen = opts.getOrElse("max-len", "4096").toInt)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      println(f"[length-quantiles] ${sel.count()} sources " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
+
+    } else if (opts.contains("cms-audit")) {
+      // Count-Min sketch audit (TextStats.cmsEstimates): bounded-memory
+      // token frequencies next to exact counts
+      val in = opts("cms-audit")
+      val out = opts.getOrElse("out", sys.error("--cms-audit requires --out DIR"))
+      val t0 = System.nanoTime()
+      graft.operators.TextStats.cmsEstimates(spark.read.parquet(in),
+          opts.getOrElse("text-col", "text"),
+          depth = opts.getOrElse("depth", "4").toInt,
+          width = opts.getOrElse("width", "65536").toInt)
+        .write.mode("overwrite").parquet(out)
+      val sel = spark.read.parquet(out)
+      val over = sel.filter(col("n_est") > col("n_true")).count()
+      println(f"[cms-audit] ${sel.count()} terms, $over overestimated " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $out")
 
     } else if (opts.contains("signature")) {

@@ -346,6 +346,17 @@ class CliDedupSpec extends SparkSpec {
     val sparkGaps = post.filter(col("tok") === "spark").orderBy("doc_id")
       .select("gap").collect().map(_.getLong(0)).toSeq
     assert(sparkGaps === Seq(1L, 1L, 1L, 1L, 1L, 1L))
+
+    spark.read.parquet(s"$base/raw").withColumn("source", lit("s"))
+      .write.parquet(s"$base/src")
+    Main.run(spark, Map("length-quantiles" -> s"$base/src", "out" -> s"$base/lq"))
+    val lq = spark.read.parquet(s"$base/lq").head()
+    assert(lq.getLong(2) === 6L && lq.getLong(4) === 6L,
+      "every doc is 6 tokens: p50 = p99 = 6")
+    Main.run(spark, Map("cms-audit" -> s"$base/src", "out" -> s"$base/cms",
+      "width" -> "4096"))
+    val cms = spark.read.parquet(s"$base/cms")
+    assert(cms.filter(col("n_est") < col("n_true")).count() === 0L)
   }
 
   test("--scrub-boilerplate round trip: host footer removed, content byte-stable") {
