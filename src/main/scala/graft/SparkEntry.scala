@@ -720,6 +720,13 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- packing boundary table (the data-loader contract): per doc its
+    //      sequence, within-sequence offset, and the overrun flag marking
+    //      the ≤1 doc per sequence whose tail crosses the budget ----
+    "q140_pack_boundaries" -> ((s, dir) =>
+      graft.operators.Packing.packBoundaries(
+        tbl(s, dir, "documents"), "doc_id", "text", targetTokens = 2048)),
+
     // ---- anchor-text term table (how the web DESCRIBES each target):
     //      planted anchors carry doc-derived terms; markup-bearing and
     //      relative anchors drop by the documented [^<] / absolute-http
@@ -2137,6 +2144,15 @@ object SparkEntry {
            |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
            |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
            |FROM c GROUP BY 1""".stripMargin,
+
+      "q140_pack_boundaries" ->
+        s"""WITH t AS (SELECT doc_id, ${tokenCountSql("text")} AS n_tok FROM documents),
+           |c AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           |  CAST(sum(n_tok) OVER (ORDER BY doc_id) - n_tok AS BIGINT) AS strt FROM t)
+           |SELECT doc_id AS id, CAST(strt // 2048 AS BIGINT) AS seq_id,
+           |  CAST(strt - (strt // 2048) * 2048 AS BIGINT) AS seq_off, n_tok,
+           |  CAST((strt - (strt // 2048) * 2048) + n_tok > 2048 AS INT) AS overrun
+           |FROM c""".stripMargin,
 
       "q45_vocab_coverage" ->
         s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),

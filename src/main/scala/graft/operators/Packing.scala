@@ -56,6 +56,40 @@ object Packing {
       .select("id", "n_tok", "seq_id")
   }
 
+  /** The data-loader boundary table for [[packSequences]]' assignment:
+    * per document, its sequence and its WITHIN-SEQUENCE token offset —
+    * (id, seq_id, seq_off, n_tok, overrun). This is the contract an
+    * attention-mask/loss-mask builder consumes: tokens [seq_off,
+    * seq_off+n_tok) of sequence seq_id belong to doc id, cross-doc
+    * attention masks at the boundaries, and `overrun = 1` marks the at
+    * most one document per sequence whose tail crosses the budget (the
+    * greedy-by-offset contract — never split, so the loader either pads
+    * the next sequence or truncates the tail; the flag tells it which
+    * docs need the decision). Same blocked prefix sum, same exact
+    * integer arithmetic — one extra projection, no new shuffle.
+    */
+  def packBoundaries(docs: DataFrame, idCol: String, textCol: String,
+                     targetTokens: Int, blockSize: Long = 1L << 20): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val blocked = toks.withColumn("blk", expr(s"id div $blockSize"))
+    val inBlk = blocked.withColumn("run",
+      sum(col("n_tok")).over(Window.partitionBy("blk").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = inBlk.groupBy("blk").agg(sum(col("n_tok")).as("blk_tot"))
+      .withColumn("blk_off", coalesce(
+        sum(col("blk_tot")).over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_off")
+    inBlk.join(broadcast(offsets), "blk")
+      .withColumn("start", col("blk_off") + col("run") - col("n_tok"))
+      .withColumn("seq_id", expr(s"start div $targetTokens"))
+      .withColumn("seq_off", col("start") - col("seq_id") * targetTokens)
+      .withColumn("overrun",
+        (col("seq_off") + col("n_tok") > targetTokens).cast("int"))
+      .select("id", "seq_id", "seq_off", "n_tok", "overrun")
+  }
+
   /** Per-sequence fill report: (seq_id, n_docs, seq_tokens, first_doc,
     * last_doc). `seq_tokens` may overshoot the budget by up to one
     * document (a doc is never split — the standard greedy-by-offset

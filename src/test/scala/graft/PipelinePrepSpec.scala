@@ -873,6 +873,27 @@ class PipelinePrepSpec extends SparkSpec {
       "df counts and reassembly are aggregates, never a corpus window")
   }
 
+  test("packBoundaries: offsets tile each sequence; <=1 overrun per sequence; consistent with packSequences") {
+    // token counts 5,7,3,9,... against a budget of 10
+    val docs = Seq((0L, 5), (1L, 7), (2L, 3), (3L, 9), (4L, 2), (5L, 6))
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val b = Packing.packBoundaries(docs, "doc_id", "text", targetTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    // starts: 0,5,12,15,24,26 -> seqs 0,0,1,1,2,2; offsets 0,5,2,5,4,6
+    assert(b.toSeq === Seq(
+      (0L, 0L, 0L, 5L, 0), (1L, 0L, 5L, 7L, 1), (2L, 1L, 2L, 3L, 0),
+      (3L, 1L, 5L, 9L, 1), (4L, 2L, 4L, 2L, 0), (5L, 2L, 6L, 6L, 1)))
+    b.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.count(_._5 == 1) <= 1, "at most one budget-crossing doc per sequence")
+    }
+    // same assignment as packSequences on the same inputs
+    val seqs = Packing.packSequences(docs, "doc_id", "text", targetTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b.forall { case (id, seq, _, _, _) => seqs(id) == seq })
+  }
+
   test("lengthQuantiles: exact order statistics on a uniform ladder; clamp coarsens only the tail") {
     // source a: one doc of every length 1..100 -> pN is exactly N
     val a = (1 to 100).map(n => ("a", Seq.fill(n)("w").mkString(" ")))
