@@ -206,4 +206,26 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"),
       "the bigram log-prob join must stay an equi-join")
   }
+
+  test("score selectors materialize their upstream once: q130/q132 final plans read checkpoints, no parquet") {
+    // quotaSelectByScore / thresholdSweep localCheckpoint the slim score
+    // projection (range + binned stream + totals all consume it); a
+    // regression re-derives the whole DSIR chain / NB scorer per consumer
+    // and surfaces as parquet scans in the final plan
+    for (q <- Seq("q130_dsir_select", "q132_pr_sweep")) {
+      val s = formatted(q)
+      assert(!"""\(\d+\) Scan parquet""".r.findFirstIn(s).isDefined,
+        s"$q: the selector must read the checkpointed scores, not re-derive the corpus")
+      assert(!s.contains("CartesianProduct"), s"$q: no cartesian")
+    }
+  }
+
+  test("link tier: no window, no cartesian, degree joins stay equi-joins") {
+    for (q <- Seq("q137_link_graph", "q138_host_rank", "q139_anchor_texts")) {
+      val s = formatted(q)
+      assert(!s.contains("windowspecdefinition"), s"$q: no window anywhere")
+      assert(!s.contains("CartesianProduct"), s"$q: no cartesian")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q: joins stay equi-joins")
+    }
+  }
 }
