@@ -720,6 +720,14 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- KMV-sketch source containment (the GB-KMV pattern): pairwise
+    //      directional containment from k-minimum-value sketches — the
+    //      estimate itself is integer counts + one division, replayed
+    //      exactly by the oracle ----
+    "q141_kmv_containment" -> ((s, dir) =>
+      graft.operators.TextStats.kmvContainmentPairs(
+        tbl(s, dir, "documents"), "source", "text", n = 3, k = 64)),
+
     // ---- packing boundary table (the data-loader contract): per doc its
     //      sequence, within-sequence offset, and the overrun flag marking
     //      the ≤1 doc per sequence whose tail crosses the budget ----
@@ -2144,6 +2152,36 @@ object SparkEntry {
            |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
            |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
            |FROM c GROUP BY 1""".stripMargin,
+
+      // KMV containment: identical k-smallest-distinct sketches (md5
+      // prefix hashes), the union-k window per pair over <= 2k rows,
+      // integer counts, one exact division
+      "q141_kmv_containment" -> {
+        val b = md5PrefixValueSql("shingle", 8)
+        s"""WITH ${shingleCteFrom(3, "documents", "ks")},
+           |dh AS (SELECT DISTINCT d.source AS g, ($b) % 4294967296 AS h
+           |  FROM ks JOIN documents d USING (doc_id)),
+           |rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS r
+           |  FROM dh),
+           |sk AS (SELECT g, CAST(h AS BIGINT) AS h FROM rk WHERE r <= 64),
+           |srcs AS (SELECT DISTINCT g FROM sk),
+           |pairs AS (SELECT s1.g AS a, s2.g AS b FROM srcs s1, srcs s2
+           |  WHERE s1.g <> s2.g),
+           |u AS (
+           |  SELECT p.a, p.b, s.h, max(CASE WHEN s.g = p.a THEN 1 ELSE 0 END) AS in_a,
+           |    max(CASE WHEN s.g = p.b THEN 1 ELSE 0 END) AS in_b
+           |  FROM pairs p JOIN sk s ON s.g = p.a OR s.g = p.b
+           |  GROUP BY 1, 2, 3),
+           |topu AS (SELECT a, b, in_a, in_b,
+           |    row_number() OVER (PARTITION BY a, b ORDER BY h) AS r FROM u),
+           |agg AS (SELECT a, b, CAST(sum(in_a) AS BIGINT) AS x_a,
+           |    CAST(sum(in_a * in_b) AS BIGINT) AS x_ab
+           |  FROM topu WHERE r <= 64 GROUP BY 1, 2)
+           |SELECT a, b, x_a, x_ab,
+           |  CASE WHEN x_a = 0 THEN 0.0
+           |       ELSE CAST(x_ab AS DOUBLE) / CAST(x_a AS DOUBLE) END AS containment
+           |FROM agg""".stripMargin
+      },
 
       "q140_pack_boundaries" ->
         s"""WITH t AS (SELECT doc_id, ${tokenCountSql("text")} AS n_tok FROM documents),

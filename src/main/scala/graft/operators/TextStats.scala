@@ -617,6 +617,63 @@ object TextStats {
             col("kth_hash").cast("double")).as("est_distinct"))
   }
 
+  /** Pairwise source CONTAINMENT from KMV sketches — the GB-KMV idea
+    * (Yang et al., ICDE 2019, retrieved corpus) in its set form: instead
+    * of intersecting full shingle sets per source pair (quadratic in
+    * corpus at 100 TB), keep each source's k smallest distinct shingle
+    * hashes and estimate directional containment A⊆B on the UNION
+    * sketch: X = k smallest of K_A ∪ K_B, est = |X∩K_A∩K_B| / |X∩K_A| —
+    * the standard KMV merge argument (X is a uniform sample of A∪B).
+    * Everything after the sketches is integer counts plus ONE exact
+    * division, so the ESTIMATE itself is oracle-exact (the oracle
+    * replays the same sketches).
+    *
+    * Scale shape: sketches via the dedup-on-insert bounded heap (≤ k per
+    * group at every partial stage — the [[kmvVocabulary]] discipline),
+    * materialized once (both pair legs read them); the pair table is
+    * |groups|² at the SOURCE level (dozens–thousands, broadcast), and
+    * every union window partitions by pair over ≤ 2k rows. Nothing
+    * corpus-sized crosses anything. Output: (a, b, x_a, x_ab,
+    * containment) for every ordered pair a ≠ b.
+    */
+  def kmvContainmentPairs(docs: DataFrame, groupCol: String, textCol: String,
+                          n: Int = 3, k: Int = 64): DataFrame = {
+    require(n >= 1 && k >= 1, "kmvContainmentPairs: positive n and k")
+    val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    val sketch = docs
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .select(col("g"), h.as("h"))
+      .groupBy(col("g"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(
+        col("h").cast("double"), col("h"), k).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.id").as("h"))
+      .localCheckpoint() // both pair legs read the sketches
+    val srcs = sketch.select(col("g")).distinct()
+    val pairs = srcs.select(col("g").as("a"))
+      .crossJoin(broadcast(srcs.select(col("g").as("b"))))
+      .filter(col("a") =!= col("b"))
+    val aRows = pairs.join(sketch.withColumnRenamed("g", "a"), "a")
+      .select(col("a"), col("b"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val bRows = pairs.join(sketch.withColumnRenamed("g", "b"), "b")
+      .select(col("a"), col("b"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val union = aRows.unionByName(bRows)
+      .groupBy(col("a"), col("b"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("a"), col("b")).orderBy(col("h")) // ≤ 2k rows
+    union
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("in_a")).as("x_a"),
+        sum(col("in_a") * col("in_b")).as("x_ab"))
+      .select(col("a"), col("b"), col("x_a"), col("x_ab"),
+        when(col("x_a") === 0, lit(0.0))
+          .otherwise(col("x_ab").cast("double") / col("x_a").cast("double"))
+          .as("containment"))
+  }
+
   /** Per-group TF-IDF signature terms: the topN tokens that characterize
     * each source against the others — the "distinctive vocabulary" row of
     * a corpus datacard (what a curation reviewer reads to understand what

@@ -873,6 +873,25 @@ class PipelinePrepSpec extends SparkSpec {
       "df counts and reassembly are aggregates, never a corpus window")
   }
 
+  test("kmvContainmentPairs: true subsets estimate exactly 1.0, disjoint 0.0, overlap lands between") {
+    def doc(g: String, id: Long, words: Seq[String]) = (id, g, words.mkString(" "))
+    val wA = (0 until 200).map(i => s"a$i")
+    val wC = (0 until 200).map(i => s"c$i")
+    val corpus = Seq(
+      doc("small", 0L, wA.take(80)), // small ⊂ big (true subset)
+      doc("big", 1L, wA), // superset of small
+      doc("other", 2L, wC), // disjoint from both
+      doc("mix", 3L, wA.take(100) ++ wC.take(100))) // half A, half C
+      .toDF("doc_id", "g", "text")
+    val out = TextStats.kmvContainmentPairs(corpus, "g", "text", n = 3, k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(out(("small", "big")) === 1.0, "a true subset estimates containment exactly 1.0")
+    assert(out(("small", "other")) === 0.0 && out(("other", "big")) === 0.0)
+    val mixInBig = out(("mix", "big")) // ~half of mix's shingles are A-run shingles
+    assert(mixInBig > 0.2 && mixInBig < 0.8, s"partial overlap must land between, got $mixInBig")
+    assert(out(("big", "small")) < 1.0, "containment is directional: the superset is not contained")
+  }
+
   test("packBoundaries: offsets tile each sequence; <=1 overrun per sequence; consistent with packSequences") {
     // token counts 5,7,3,9,... against a budget of 10
     val docs = Seq((0L, 5), (1L, 7), (2L, 3), (3L, 9), (4L, 2), (5L, 6))
