@@ -720,6 +720,14 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- blocklist-hit context snippets (the review-queue extractor):
+    //      ±3-token windows around each watched-term occurrence; edge
+    //      hits clamp at the document boundaries ----
+    "q142_blocklist_context" -> ((s, dir) =>
+      graft.operators.TextStats.blocklistContexts(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("slow", "merge"), window = 3)),
+
     // ---- KMV-sketch source containment (the GB-KMV pattern): pairwise
     //      directional containment from k-minimum-value sketches — the
     //      estimate itself is integer counts + one division, replayed
@@ -2152,6 +2160,17 @@ object SparkEntry {
            |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
            |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
            |FROM c GROUP BY 1""".stripMargin,
+
+      // blocklist contexts: positions via generate_series, snippet via
+      // inclusive list slicing clamped at both boundaries
+      "q142_blocklist_context" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |p AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos FROM t),
+          |h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, w[pos] AS term, w
+          |  FROM p WHERE w[pos] IN ('slow', 'merge'))
+          |SELECT doc_id, pos, term,
+          |  array_to_string(w[greatest(pos - 3, 1):least(pos + 3, len(w))], ' ') AS snippet
+          |FROM h""".stripMargin,
 
       // KMV containment: identical k-smallest-distinct sketches (md5
       // prefix hashes), the union-k window per pair over <= 2k rows,

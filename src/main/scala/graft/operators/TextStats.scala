@@ -617,6 +617,38 @@ object TextStats {
             col("kth_hash").cast("double")).as("est_distinct"))
   }
 
+  /** Blocklist-hit context snippets — the human-review-queue extractor:
+    * for every occurrence of a watched term, the ± `window` surrounding
+    * tokens as one snippet row (doc_id, pos, term, snippet). Policy
+    * terms are judged IN CONTEXT ("breast cancer screening" survives a
+    * bare-term filter's false positive), so the reviewable unit is the
+    * snippet, not the document.
+    *
+    * Scale shape: the token stream posexplodes once and the term filter
+    * prunes it immediately (hits are SPARSE by assumption — a blocklist
+    * that matches most tokens is a different problem); the snippet
+    * slice re-reads the doc's token array by equi-joining hits back to
+    * the doc table — O(hits) join rows, never a second corpus explode.
+    * All positions integer, 1-based in the output (both engines' array
+    * convention).
+    */
+  def blocklistContexts(docs: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String], window: Int = 3): DataFrame = {
+    require(terms.nonEmpty && window >= 0, "blocklistContexts: terms and window >= 0")
+    val hits = docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("pos0", "term")))
+      .filter(col("term").isin(terms: _*))
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("term"))
+    val toks = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+    hits.join(toks, idCol :: Nil)
+      .select(col(idCol), col("pos"), col("term"),
+        concat_ws(" ", slice(col("w"),
+          greatest(col("pos") - window, lit(1)),
+          least(col("pos") + window, size(col("w"))) -
+            greatest(col("pos") - window, lit(1)) + 1)).as("snippet"))
+  }
+
   /** Pairwise source CONTAINMENT from KMV sketches — the GB-KMV idea
     * (Yang et al., ICDE 2019, retrieved corpus) in its set form: instead
     * of intersecting full shingle sets per source pair (quadratic in

@@ -873,6 +873,21 @@ class PipelinePrepSpec extends SparkSpec {
       "df counts and reassembly are aggregates, never a corpus window")
   }
 
+  test("blocklistContexts: one row per occurrence, windows clamp at boundaries, clean docs absent") {
+    val docs = Seq(
+      (0L, "a b bad c d e bad f"), // two hits, one clamped left
+      (1L, "clean text only here"),
+      (2L, "bad")) // single-token doc: snippet is the token itself
+      .toDF("doc_id", "text")
+    val out = TextStats.blocklistContexts(docs, "doc_id", "text", Seq("bad"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      (0L, 3L, "bad", "a b bad c d"),
+      (0L, 7L, "bad", "d e bad f"),
+      (2L, 1L, "bad", "bad")))
+  }
+
   test("kmvContainmentPairs: true subsets estimate exactly 1.0, disjoint 0.0, overlap lands between") {
     def doc(g: String, id: Long, words: Seq[String]) = (id, g, words.mkString(" "))
     val wA = (0 until 200).map(i => s"a$i")
