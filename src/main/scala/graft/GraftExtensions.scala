@@ -107,6 +107,8 @@ object GraftExtensions {
     fn1("rolling_hash", "rolling_hash(text) - Karp-Rabin rolling hash mod 2^31-1")(TextFunctions.rollingHash),
     fn1("mojibake_hits", "mojibake_hits(text) - count of UTF-8-as-Latin-1/cp1252 signature hits")(TextFunctions.mojibakeHits),
     fn1("fix_mojibake", "fix_mojibake(text) - signature-table mojibake repair (single pass)")(TextFunctions.fixMojibake),
+    fn1("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition (UAX #15)")(TextFunctions.nfcNormalize),
+    fn1("nfkc_normalize", "nfkc_normalize(text) - Unicode NFKC compatibility composition (UAX #15)")(TextFunctions.nfkcNormalize),
     fn1("pii_redact", "pii_redact(text) - emails/phones/IPv4 replaced by placeholders")(Pii.redact),
     fn1("pii_email_count", "pii_email_count(text) - email-shaped span count")(Pii.emailCount),
     fn1("pii_phone_count", "pii_phone_count(text) - phone-shaped span count")(Pii.phoneCount),

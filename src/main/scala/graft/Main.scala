@@ -61,9 +61,9 @@ import graft.sources.Datagen
   */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val flags = Set("--build", "--serve", "--large", "--routed", "--adaptive",
-      "--canonical-urls", "--links") // boolean flags
+      "--exact-probe", "--link-graph", "--canonical-urls", "--links") // boolean flags
     // the ONLY value-taking flag that may legitimately appear without a
     // value (`--prepare --input-warc GLOB` marks prepare mode with the
     // input coming from the WARC glob). Every other flag followed by a
@@ -93,10 +93,6 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .appName("graft-hnsw")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      // bounded-heap TopK aggregations (TypedImperative) stay in the HASH
-      // aggregation path instead of sort-falling-back at 128 keys; each
-      // buffer holds <= k entries, so 1M keys is a few hundred MB worst case
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -105,7 +101,41 @@ object Main {
     finally spark.stop()
   }
 
-  def run(spark: SparkSession, opts: Map[String, String]): Unit = {
+  /** Vector/ANN modes whose plans aggregate through BOUNDED TopK heaps
+    * (TypedImperative, ≤ k entries per key): these get the raised
+    * ObjectHashAggregate sort-fallback threshold so 1M-key top-k merges
+    * stay in the hash path (the r10 spill root-cause). Document-pipeline
+    * modes are deliberately NOT listed — their TypedImperative buffers
+    * (collect_list of whole documents in the boilerplate-scrub reassembly,
+    * KMV sketches over raw lines) are unbounded per key, and a raised
+    * threshold there would hold up to 1M unspillable full-document buffers
+    * per task before sort fallback: those modes run at Spark's default.
+    */
+  private val topKHeapModes =
+    Set("build", "load", "eval-recall", "compact", "kmeans",
+      "embedding-outliers", "semdedup", "gen-queries")
+
+  /** Raise the ObjectHashAggregate sort-fallback threshold for `body`,
+    * restoring the previous session value after — the threshold applies at
+    * job execution, and every CLI mode executes its jobs inside its own
+    * branch, so branch scope is execution scope.
+    */
+  private def withTopKHashAgg[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "1048576")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  def run(spark: SparkSession, opts: Map[String, String]): Unit =
+    if (topKHeapModes.exists(opts.contains)) withTopKHashAgg(spark)(runMode(spark, opts))
+    else runMode(spark, opts)
+
+  private def runMode(spark: SparkSession, opts: Map[String, String]): Unit = {
     if (opts.contains("build")) {
       val n = opts.getOrElse("n", "1000").toLong
       val dim = opts.getOrElse("dim", "64").toInt

@@ -720,6 +720,33 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- posting-list byte encoding (q131's missing half): per term the
+    //      LEB128 varint spelling of its gap stream, as hex — the oracle
+    //      re-derives the EXACT BYTES with integer shifts; same df band,
+    //      so the per-term reassembly buffer stays maxDf-bounded ----
+    "q144_posting_bytes" -> ((s, dir) =>
+      graft.operators.Retrieval.postingBytes(
+        tbl(s, dir, "documents"), "doc_id", "text", minDf = 50L, maxDf = 400L)),
+
+    // ---- Unicode NFC normalization (the cleaning step between mojibake
+    //      repair and tokenization): planted decomposed sequences
+    //      (e+U+0301, i+U+0308, A+U+030A) and the canonical singleton
+    //      U+212B ANGSTROM SIGN all collapse to their precomposed forms —
+    //      both engines implement UAX #15, so the normalized TEXT
+    //      hash-matches, and the codepoint lengths pin that composition
+    //      actually happened ----
+    "q143_nfc_normalize" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        // explicit escapes: the source must carry the DECOMPOSED
+        // sequences (an editor could silently precompose literal chars)
+        lit(" Cafe\u0301 nai\u0308ve \u212B A\u030A"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.nfcNormalize(planted).as("text_nfc"),
+        length(planted).cast("long").as("len_raw"),
+        length(graft.functions.TextFunctions.nfcNormalize(planted))
+          .cast("long").as("len_nfc"))
+    }),
+
     // ---- blocklist-hit context snippets (the review-queue extractor):
     //      ±3-token windows around each watched-term occurrence; edge
     //      hits clamp at the document boundaries ----
@@ -2161,6 +2188,42 @@ object SparkEntry {
            |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
            |FROM c GROUP BY 1""".stripMargin,
 
+      // the LEB128 bytes re-derived with integer shifts (range/list_
+      // transform/list_filter mirror sequence/transform/filter), hex via
+      // to_hex (uppercase in both engines), stream order = doc_id order
+      "q144_posting_bytes" ->
+        """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+          |p AS (SELECT DISTINCT tok, doc_id FROM t),
+          |d AS (SELECT tok, count(*) AS df FROM p GROUP BY 1
+          |      HAVING count(*) BETWEEN 50 AND 400),
+          |g AS (SELECT p.tok, d.df, p.doc_id,
+          |  p.doc_id - lag(p.doc_id, 1, -1) OVER (PARTITION BY p.tok ORDER BY p.doc_id) AS gap
+          |  FROM p JOIN d USING (tok)),
+          |vb AS (SELECT tok, df, doc_id,
+          |  list_filter(list_transform(range(0, 10), i ->
+          |    CASE WHEN i = 0 OR (gap >> (7*i)) > 0
+          |         THEN CAST(((gap >> (7*i)) & 127)
+          |              + (CASE WHEN (gap >> (7*(i+1))) > 0 THEN 128 ELSE 0 END) AS INT)
+          |         ELSE -1 END), b -> b >= 0) AS v
+          |  FROM g)
+          |SELECT tok, CAST(df AS BIGINT) AS df,
+          |  CAST(sum(len(v)) AS BIGINT) AS n_bytes,
+          |  string_agg(list_aggregate(list_transform(v,
+          |    b -> lpad(to_hex(b), 2, '0')), 'string_agg', ''), '' ORDER BY doc_id)
+          |    AS postings_hex
+          |FROM vb GROUP BY 1, 2""".stripMargin,
+
+      // UAX #15 NFC in both engines (JDK Normalizer vs utf8proc);
+      // chr() builds the decomposed plant (DuckDB chr is full-Unicode;
+      // the Spark side uses \u escapes — Spark's chr is byte-valued)
+      "q143_nfc_normalize" ->
+        """WITH p AS (SELECT doc_id,
+          |  text || ' Cafe' || chr(769) || ' nai' || chr(776) || 've ' ||
+          |  chr(8491) || ' A' || chr(778) AS praw FROM documents)
+          |SELECT doc_id, nfc_normalize(praw) AS text_nfc,
+          |  CAST(length(praw) AS BIGINT) AS len_raw,
+          |  CAST(length(nfc_normalize(praw)) AS BIGINT) AS len_nfc FROM p""".stripMargin,
+
       // blocklist contexts: positions via generate_series, snippet via
       // inclusive list slicing clamped at both boundaries
       "q142_blocklist_context" ->
@@ -2900,7 +2963,7 @@ object SparkEntry {
           |df AS (SELECT source, key,
           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM lk GROUP BY 1, 2),
           |bp AS (SELECT df.source, df.key FROM df JOIN hd USING (source)
-          |  WHERE n_docs >= 2
+          |  WHERE df.key <> '' AND n_docs >= 2
           |    AND CAST(n_docs AS DOUBLE) >= 0.5 * CAST(host_docs AS DOUBLE)),
           |kept AS (SELECT lk.* FROM lk WHERE NOT EXISTS (
           |  SELECT 1 FROM bp WHERE bp.source = lk.source AND bp.key = lk.key)),
@@ -3841,15 +3904,15 @@ object SparkEntry {
       // PageRank-lite: the SAME two iterations unrolled; every division
       // mirrors Spark's long/long shape (double divide, floor, BIGINT)
       "q138_host_rank" -> {
+        // integer floor-division (//) mirrors Spark's DIV exactly on the
+        // non-negative BIGINT ranks — no double intermediate, no 2^53 bound
         def step(rin: String, rout: String) =
           s"""c_$rout AS (SELECT e.dst AS host,
-             |    CAST(sum(CAST(floor(CAST($rin.rank_fp * e.n AS DOUBLE) /
-             |      CAST(ow.out_w AS DOUBLE)) AS BIGINT)) AS BIGINT) AS inbound
+             |    CAST(sum(($rin.rank_fp * e.n) // ow.out_w) AS BIGINT) AS inbound
              |  FROM edges e JOIN $rin ON $rin.host = e.src
              |  JOIN outw ow ON ow.src = e.src GROUP BY 1),
              |$rout AS (SELECT h.host,
-             |    CAST(150000 + floor(CAST(coalesce(c.inbound, 0) * 85 AS DOUBLE) /
-             |      CAST(100 AS DOUBLE)) AS BIGINT) AS rank_fp
+             |    CAST(150000 + (coalesce(c.inbound, 0) * 85) // 100 AS BIGINT) AS rank_fp
              |  FROM hosts h LEFT JOIN c_$rout c USING (host))""".stripMargin
         s"""WITH crawl AS (SELECT doc_id, source AS host,
            |  '<html><body><a href="http://h' || CAST(doc_id % 7 AS VARCHAR) ||

@@ -250,4 +250,28 @@ object TextFunctions {
     MojibakePairs.foldLeft(text) { case (c, (bad, good)) =>
       replace(c, lit(bad), lit(good))
     }
+
+  /** Unicode NFC normalization — canonical composition, the cleaning-tier
+    * step that runs AFTER [[fixMojibake]] (repair first: mojibake
+    * signatures are byte patterns normalization must not disturb) and
+    * BEFORE [[tokens]]/[[wordShingles]]/[[fingerprint]] (decomposed
+    * `e + U+0301` and precomposed `é` must be ONE spelling before any
+    * dedup key or vocabulary statistic sees the text). Native codegen'd
+    * expression; oracle-exact vs DuckDB's `nfc_normalize` (both implement
+    * UAX #15). Already-normalized text (all ASCII) returns untouched.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.UnicodeNormalize.column(text, "NFC")
+
+  /** Unicode NFKC normalization — compatibility composition ([[nfcNormalize]]
+    * plus compatibility folding: ﬁ → fi, ² → 2, full-width → ASCII), the
+    * aggressive variant for search/dedup keys where visually-equivalent
+    * spellings must collide. Same composition point as [[nfcNormalize]].
+    */
+  def nfkcNormalize(text: Column): Column =
+    org.apache.spark.sql.graft.UnicodeNormalize.column(text, "NFKC")
+
+  /** Any UAX #15 form (NFC/NFD/NFKC/NFKD). */
+  def unicodeNormalize(text: Column, form: String): Column =
+    org.apache.spark.sql.graft.UnicodeNormalize.column(text, form)
 }

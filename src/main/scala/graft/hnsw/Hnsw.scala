@@ -75,6 +75,11 @@ case class AnnUnionRow(pid: Int, kind: Int, id: Long, vector: Array[Float],
   */
 object Hnsw {
 
+  /** Count of [[annQuery]] calls auto-dispatched to the driver-free
+    * [[annQueryLarge]] plan (observability + the dispatch-fired spec).
+    */
+  private[graft] val largeDispatches = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Deterministic partition assignment: id % P (round-robin for dense ids,
     * so every partition sees a representative sample of the data).
     */
@@ -448,12 +453,46 @@ object Hnsw {
     math.max(base, k.toLong).toInt
   }
 
+  /** Dimensionality at or above which graph traversal enters the
+    * distance-concentration regime where its recall decays with sub-graph
+    * size — the measured boundary between the dim-64 proofs (traversal
+    * recall ≥ 0.92 at every committed n) and the dim-512 ones.
+    */
+  private[graft] val HighDimTraversal = 256
+
+  /** Sub-graph-nodes-per-ef ratio above which high-dim traversal recall
+    * decays. Calibrated by the committed dim-512 sweeps
+    * (BENCH_SCALE_REFINE512.json / BENCH_SCALE_ROUTED512.json): at
+    * nSub/ef ≈ 20 (1M×512, ef=800) traversal holds 0.952 recall@10, at
+    * nSub/ef ≈ 98 (5M×512, ef=800) it collapses to 0.626, while the
+    * exact-probed path stays 0.944–0.950 flat in n. The threshold sits
+    * between the two measured regimes.
+    */
+  private[graft] val DecayNodesPerEf = 40L
+
+  /** Predicts whether graph traversal loses to exact-probed search at this
+    * index's operating point — the high-dim × large-sub-graph regime where
+    * the ef dial stops buying recall (distances concentrate, so a fixed
+    * exploration width captures a shrinking share of the true top-k) but
+    * routing recall is unaffected. Pure function of the meta (job-free, so
+    * the SQL rewrite can consult it during analysis). True ⇒ prefer
+    * [[annQueryRoutedExact]]/[[annQueryRoutedExactLarge]] over traversal.
+    */
+  private[graft] def traversalDecays(m: IndexMeta, k: Int, ef: Int): Boolean = {
+    val nSub =
+      if (m.num_nodes > 0 && m.num_partitions > 0) m.num_nodes / m.num_partitions else -1L
+    m.dim >= HighDimTraversal && nSub > 0 &&
+      nSub >= DecayNodesPerEf * efBudget(m, k, ef).toLong
+  }
+
   /** Batch ANN: search every partition's sub-graph for every query, then a
     * global per-query top-k merge. The query set is broadcast in bounded
-    * chunks of `queryBatchSize` — driver memory never holds more than one
-    * chunk, so an unboundedly large `--query-file` cannot OOM the driver
-    * (each extra chunk re-scans the index: the documented trade-off; batch
-    * query sets are small by contract — SURVEY.md §3.1). The node and edge
+    * chunks of `queryBatchSize` — and a set that does not fit in ONE chunk
+    * auto-dispatches to the driver-free [[annQueryLarge]] plan
+    * (bit-identical, the index scanned once however large the file),
+    * unless the caller passed `spillPath` to explicitly keep the chunked
+    * durable-parquet form. Driver memory never holds more than one chunk
+    * either way (SURVEY.md §3.1). The node and edge
     * tables are cogrouped by pid so each task rebuilds exactly one
     * sub-graph. Tombstones are skipped during traversal (not by widening
     * ef) — search cost is independent of the total delete count.
@@ -474,6 +513,17 @@ object Hnsw {
     val grouped = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
       .as[(Long, Array[Float])].toLocalIterator().asScala.grouped(queryBatchSize)
     val first = if (grouped.hasNext) grouped.next().toArray else Array.empty[(Long, Array[Float])]
+    // size-aware dispatch: a query set past one chunk means the caller is
+    // pointing a LARGE file at the small-batch path — serialized chunk
+    // round-trips through the driver, each one re-scanning the index. The
+    // driver-free single-shuffle plan ([[annQueryLarge]], bit-identical —
+    // spec-asserted) is strictly better there, so it is selected
+    // automatically; only an explicit spillPath keeps the chunked form
+    // (the caller asked for durable per-chunk parquet on a shared FS).
+    if (grouped.hasNext && spillPath.isEmpty) {
+      largeDispatches.incrementAndGet()
+      return annQueryLarge(index, queries, k, ef)
+    }
     val perPart =
       if (!grouped.hasNext) spillPath match {
         // spill applies to the single-chunk case too (uniform contract:
@@ -681,16 +731,35 @@ object Hnsw {
     * Output: (qid, rank, id, dist).
     */
   def annQueryRoutedExact(index: HnswIndex, queries: DataFrame, k: Int,
-                          probeCells: Int = -1): DataFrame = {
+                          probeCells: Int = -1): DataFrame =
+    exactProbedSearch(index, queries, k, probeCells, broadcastRoute = true)
+
+  /** Unbounded-query-set twin of [[annQueryRoutedExact]]: the identical
+    * probe → score → bounded-heap-top-k computation with the
+    * (qid, pid, q_vector) route table EQUI-JOINED to the node scan instead
+    * of broadcast, so a query set of any size never has to fit in one
+    * executor. The node table shuffles once by pid (the route side is
+    * O(q·probe) rows); within each pid the join streams — AQE's skew-join
+    * split covers a query batch piling onto one hot shard. Bit-identical
+    * to [[annQueryRoutedExact]] on the same inputs (spec-asserted).
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryRoutedExactLarge(index: HnswIndex, queries: DataFrame, k: Int,
+                               probeCells: Int = -1): DataFrame =
+    exactProbedSearch(index, queries, k, probeCells, broadcastRoute = false)
+
+  private def exactProbedSearch(index: HnswIndex, queries: DataFrame, k: Int,
+                                probeCells: Int, broadcastRoute: Boolean): DataFrame = {
     val q = queries.select(col("qid").cast("long").as("qid"),
       col("vector").cast("array<float>").as("vector"))
     val probed = probedPidsFor(index, q, probeCells)
     val distFn = Distances.metric(index.meta.metric)
     val route = probed.join(q.select(col("qid"), col("vector").as("q_vector")), "qid")
+    val routeSide = if (broadcastRoute) broadcast(route) else route
     val scored = index.nodes.filter(!col("tombstone"))
       .select(col("pid").cast("int").as("pid"), col("id").cast("long").as("id"),
         col("vector").cast("array<float>").as("i_vector"))
-      .join(broadcast(route), Seq("pid"))
+      .join(routeSide, Seq("pid"))
       .select(col("qid"), col("id"), distFn(col("i_vector"), col("q_vector")).as("dist"))
     rankTopK(scored, k)
   }
@@ -729,7 +798,15 @@ object Hnsw {
     *     64/64 yet always-routed still wins 96s vs 165s, because per-task
     *     search work (q·s_q·ef) dwarfs the one-off sub-graph rebuilds.
     *
-    * Decision, two tiers. First a search-dominated SHORT-CIRCUIT from
+    * Decision, three tiers. Tier 0 is RECALL PHYSICS, meta-only
+    * ([[traversalDecays]]): at dim ≥ 256 with sub-graphs past the ef
+    * budget's reach, traversal recall decays in a way no cost trade can
+    * buy back (5M×512 measured: ef=800 → 0.626 recall@10 while
+    * exact-probed holds 0.950 flat in n — BENCH_SCALE_REFINE512.json),
+    * so such batches take the exact-probed path unconditionally
+    * (broadcast route table when it fits, [[annQueryRoutedExactLarge]]
+    * beyond). The remaining tiers trade cost on the traversal paths.
+    * First a search-dominated SHORT-CIRCUIT from
     * counts alone (no probe jobs): if `q·efBudget ≥ num_nodes` — total
     * search node-visits at or above the worst-case (union = every pid)
     * rebuild volume — then rebuild-dominated is false for every possible
@@ -767,6 +844,26 @@ object Hnsw {
     val q = queries.select(col("qid").cast("long").as("qid"),
       col("vector").cast("array<float>").as("vector"))
     val m = index.meta
+    // high-dim decay tier (checked FIRST — it is about recall physics, not
+    // cost): when the meta predicts traversal decay ([[traversalDecays]] —
+    // dim ≥ 256 and a sub-graph too large for the ef budget), the graph
+    // lever silently loses (measured 0.626 recall@10 at 5M×512 ef=800 vs
+    // exact-probed 0.950 flat in n), so the chooser takes the exact-probed
+    // path: broadcast route for batches whose (qid, pid, q_vector) table is
+    // broadcast-sized, the equi-join twin beyond that
+    if (traversalDecays(m, k, ef)) {
+      val pcEff =
+        if (probeCells > 0) probeCells.toLong
+        else if (m.num_cells > 0) math.max(1L, m.num_cells / 4L)
+        else Long.MaxValue
+      val routeRowBytes = m.dim.toLong * 4L + 24L
+      val maxBroadcastRows = (64L << 20) / routeRowBytes
+      // divide instead of multiply: pcEff can be MaxValue (unknown cell
+      // count) and q·pcEff would overflow — unknown geometry goes large
+      return if (pcEff != Long.MaxValue && q.count() <= maxBroadcastRows / math.max(1L, pcEff))
+        annQueryRoutedExact(index, queries, k, probeCells)
+      else annQueryRoutedExactLarge(index, queries, k, probeCells)
+    }
     val totalPids = index.centroids.get.select("pid").distinct().count()
     val nSub = if (m.num_nodes > 0 && m.num_partitions > 0) m.num_nodes / m.num_partitions else -1L
     // search-dominated short-circuit: if total search node-visits exceed

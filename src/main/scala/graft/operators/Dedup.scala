@@ -1434,6 +1434,12 @@ object Dedup {
     * (trimmed) is boilerplate for a host when it appears in at least
     * `minDocs` of the host's docs AND at least `minFrac` of them.
     *
+    * The EMPTY trimmed key (blank lines) is never boilerplate: blank lines
+    * occur in ≥ minFrac of nearly every host's docs, so counting them
+    * would scrub every blank line and silently collapse paragraph
+    * structure — a signal downstream quality heuristics read. Blank lines
+    * therefore always survive [[scrubBoilerplate]].
+    *
     * Returns one row per distinct (host, line key): `(hostCol, key,
     * n_docs, host_docs, is_boilerplate)`.
     *
@@ -1458,7 +1464,8 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .join(hostDocs, Seq(hostCol))
       .select(col(hostCol), col("key"), col("n_docs"), col("host_docs"),
-        (col("n_docs") >= lit(minDocs.toLong) &&
+        (col("key") =!= "" &&
+          col("n_docs") >= lit(minDocs.toLong) &&
           col("n_docs").cast("double") >= lit(minFrac) *
             col("host_docs").cast("double")).cast("int").as("is_boilerplate"))
   }

@@ -462,20 +462,23 @@ object Pipeline {
       .unionByName(edges.select(col("dst").as("host")))
       .distinct().localCheckpoint()
     val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("out_w"))
-    val base = lit(((dampDen - dampNum).toLong * 1000000L) / dampDen)
+    val base = ((dampDen - dampNum).toLong * 1000000L) / dampDen
     var rank = hosts.select(col("host"), lit(1000000L).as("rank_fp"))
     for (_ <- 1 to iterations) {
+      // integer DIV end-to-end (the fixed-point discipline of the rest of
+      // the pipeline): exact at any magnitude — a double-divide-then-floor
+      // would silently break past 2^53 for hub hosts on large crawls
       val contrib = edges
         .join(rank.withColumnRenamed("host", "src"), "src")
         .join(outw, "src")
         .select(col("dst").as("host"),
-          ((col("rank_fp") * col("n")) / col("out_w")).cast("long").as("c"))
+          expr("(rank_fp * n) DIV out_w").as("c"))
         .groupBy(col("host")).agg(sum(col("c")).as("inbound"))
       rank = hosts
         .join(contrib, Seq("host"), "left")
         .select(col("host"),
-          (base + (coalesce(col("inbound"), lit(0L)) * dampNum) / dampDen)
-            .cast("long").as("rank_fp"))
+          expr(s"${base}L + (coalesce(inbound, 0L) * $dampNum) DIV $dampDen")
+            .as("rank_fp"))
         .localCheckpoint()
     }
     rank

@@ -480,6 +480,74 @@ object Retrieval {
       .select(col("tok"), col("df"), col("doc_id"), col("gap"))
   }
 
+  /** LEB128 varint bytes of one non-negative long gap, as `array<int>` —
+    * 7 payload bits per byte, continuation bit 0x80 while higher bits
+    * remain; ≤ 10 bytes covers the full 63-bit gap range. Pure codegen'd
+    * builtins (sequence/transform/filter + shifts), and the identical
+    * integer arithmetic spells in DuckDB — which is what makes the
+    * ENCODED BYTES oracle-able, not just the gap values.
+    */
+  private def leb128(gapCol: String): org.apache.spark.sql.Column =
+    expr(s"""filter(transform(sequence(0, 9), i ->
+            |  IF(i = 0 OR shiftright($gapCol, 7 * i) > 0,
+            |     CAST((shiftright($gapCol, 7 * i) & 127)
+            |          + IF(shiftright($gapCol, 7 * (i + 1)) > 0, 128, 0) AS INT),
+            |     -1)), b -> b >= 0)""".stripMargin)
+
+  /** The byte-compressed half of [[postingLists]]: per surviving term ONE
+    * row `(tok, df, n_bytes, postings_hex)` where `postings_hex` is the
+    * hex spelling of the term's gap stream varint-encoded (LEB128 — the
+    * byte layout real index formats ship). Hex instead of `binary` so the
+    * value is engine-portable text; [[decodePostingHex]] restores the
+    * doc-id list (round-trip spec-pinned).
+    *
+    * Scale shape: identical to [[postingLists]] — the df band runs BEFORE
+    * the per-term window AND before the per-term reassembly, so both the
+    * window partition and the collect_list buffer are ≤ maxDf rows; the
+    * per-gap encoding is a codegen'd array expression, no UDF. Fan-out is
+    * one row per term, ≤ ~5·maxDf bytes each.
+    */
+  def postingBytes(docs: DataFrame, idCol: String, textCol: String,
+                   minDf: Long = 1L, maxDf: Long = 1000L): DataFrame =
+    postingLists(docs, idCol, textCol, minDf, maxDf)
+      .withColumn("vb", leb128("gap"))
+      .withColumn("hexpart",
+        array_join(transform(col("vb"), b => lpad(hex(b), 2, "0")), ""))
+      .groupBy(col("tok"), col("df"))
+      .agg(
+        sum(size(col("vb"))).cast("long").as("n_bytes"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("hexpart")))),
+            s => s("hexpart")),
+          "").as("postings_hex"))
+
+  /** Driver-side decode of [[postingBytes]]' hex stream back to the doc-id
+    * list: LEB128 gaps, first gap measured from the −1 list-start sentinel
+    * ([[postingLists]]' convention), then a prefix sum.
+    */
+  def decodePostingHex(hex: String): Seq[Long] = {
+    require(hex.length % 2 == 0, s"decodePostingHex: odd hex length ${hex.length}")
+    val bytes = hex.grouped(2).map(Integer.parseInt(_, 16)).toArray
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var doc = -1L
+    var i = 0
+    while (i < bytes.length) {
+      var gap = 0L
+      var shift = 0
+      var cont = true
+      while (cont) {
+        require(i < bytes.length, "decodePostingHex: truncated varint")
+        val b = bytes(i); i += 1
+        gap |= (b & 0x7fL) << shift
+        shift += 7
+        cont = (b & 0x80) != 0
+      }
+      doc += gap
+      ids += doc
+    }
+    ids.toSeq
+  }
+
   /** Left-associated coalesce chain over the per-term sums → `bm25`. */
   private def scoreChain(grouped: DataFrame, idCol: String,
                          queryTerms: Seq[String]): DataFrame = {

@@ -151,10 +151,16 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
         case None => entry.index
       }
       // a locality-sharded index gets the centroid-routed plan: the one
-      // query probes its nearest cells and only those shards ship
+      // query probes its nearest cells and only those shards ship. In the
+      // high-dim traversal-decay regime (Hnsw.traversalDecays — meta-only,
+      // so still job-free under EXPLAIN) the routed plan is the
+      // exact-probed one: brute force within the probed shards, the lever
+      // whose recall is flat in n where the ef dial collapses
       val ann = (if (idx.centroids.isDefined) {
         import session.implicits._
-        Hnsw.annQueryRouted(idx, Seq((0L, qVec)).toDF("qid", "vector"), k)
+        val q1 = Seq((0L, qVec)).toDF("qid", "vector")
+        if (Hnsw.traversalDecays(idx.meta, k, -1)) Hnsw.annQueryRoutedExact(idx, q1, k)
+        else Hnsw.annQueryRouted(idx, q1, k)
       } else {
         Hnsw.annQueryBatch(idx, Array((0L, qVec)), k)
       }).queryExecution.analyzed
@@ -267,10 +273,17 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // count the shard union, and this rule fires during analysis, where
       // running jobs would make EXPLAIN execute cluster work. Dispersed SQL
       // batches that would probe most shards can query the raw tables with
-      // annQueryAdaptive directly.
+      // annQueryAdaptive directly. The high-dim decay tier IS applied here
+      // (Hnsw.traversalDecays reads only the meta — job-free): those
+      // batches get the exact-probed equi-join plan, whose recall is flat
+      // in n where traversal's ef dial collapses, and which broadcasts
+      // nothing (the SQL query table's size is unknown at analysis).
       val ann =
-        if (entry.index.centroids.isDefined) Hnsw.annQueryRouted(entry.index, queries, topk.k)
-        else Hnsw.annQueryLarge(entry.index, queries, topk.k)
+        if (entry.index.centroids.isDefined) {
+          if (Hnsw.traversalDecays(entry.index.meta, topk.k, -1))
+            Hnsw.annQueryRoutedExactLarge(entry.index, queries, topk.k)
+          else Hnsw.annQueryRouted(entry.index, queries, topk.k)
+        } else Hnsw.annQueryLarge(entry.index, queries, topk.k)
       val regrouped = ann.groupBy(col("qid"))
         .agg(TopKAggregate.topKByDist(col("dist"), col("id"), topk.k).as("top"))
       val plan2 = regrouped.queryExecution.analyzed

@@ -384,4 +384,29 @@ class CliDedupSpec extends SparkSpec {
     // explicit override unchanged (q74 passes bits = 8)
     assert(Dedup.autoBits(500L, targetBlock = 64) === 3)
   }
+
+  test("parseArgs: real argv spellings of every boolean mode; forgotten values error loudly") {
+    // the two modes the strict parser used to reject in their documented
+    // argv spelling (boolean flags followed by another flag)
+    val lg = Main.parseArgs(Array("--link-graph", "--input-warc", "/g/*.warc", "--out", "/o"))
+    assert(lg === Map("link-graph" -> "true", "input-warc" -> "/g/*.warc", "out" -> "/o"))
+    val ep = Main.parseArgs(Array("--load", "/idx", "--query-file", "/q",
+      "--exact-probe", "--probe-cells", "8"))
+    assert(ep("exact-probe") === "true" && ep("probe-cells") === "8" && ep("load") === "/idx")
+    // every boolean flag parses in flag-then-flag and trailing positions
+    for (f <- Seq("--build", "--serve", "--large", "--routed", "--adaptive",
+      "--exact-probe", "--link-graph", "--canonical-urls", "--links")) {
+      assert(Main.parseArgs(Array(f, "--out", "/o"))(f.drop(2)) === "true", s"$f before a flag")
+      assert(Main.parseArgs(Array("--out", "/o", f))(f.drop(2)) === "true", s"$f trailing")
+    }
+    // --prepare may appear valueless before another flag (WARC mode) and
+    // still takes a value in the parquet spelling
+    assert(Main.parseArgs(Array("--prepare", "--input-warc", "/g", "--out", "/o"))
+      .get("prepare").contains("true"))
+    assert(Main.parseArgs(Array("--prepare", "/docs", "--out", "/o"))("prepare") === "/docs")
+    // a forgotten value errors at parse, not as spark.read.parquet("true")
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--query-file", "--out", "/o")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("--out")))
+    intercept[IllegalArgumentException](Main.parseArgs(Array("stray")))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.TextFunctions
@@ -395,5 +395,87 @@ class ExtensionsSpec extends AnyFunSuite {
       .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === expected)
     assert(got.head._1 === 11L)
+  }
+
+  test("nfc_normalize/nfkc_normalize: SQL spelling ≡ Column form; UAX #15 composition") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    // decomposed é (e+U+0301), decomposed Å (A+U+030A), the U+212B
+    // canonical singleton, an NFKC-only compatibility char (U+FB01 ﬁ),
+    // and plain ASCII (the isNormalized fast path)
+    val rows = Seq(
+      (1L, "Cafe\u0301 A\u030A \u212B"),
+      (2L, "\uFB01ne o\u0308"),
+      (3L, "plain ascii")).toDF("id", "s")
+    rows.createOrReplaceTempView("sql_nfc")
+    val sqlRes = spark.sql(
+      "SELECT id, nfc_normalize(s) AS c, nfkc_normalize(s) AS k FROM sql_nfc ORDER BY id")
+      .collect()
+    val colRes = rows.select(col("id"), TextFunctions.nfcNormalize(col("s")).as("c"),
+      TextFunctions.nfkcNormalize(col("s")).as("k")).orderBy("id").collect()
+    assert(sqlRes.map(_.toSeq).toSeq === colRes.map(_.toSeq).toSeq,
+      "SQL and Column forms must be identical expression trees")
+    assert(sqlRes(0).getString(1) === "Caf\u00E9 \u00C5 \u00C5",
+      "NFC composes combining sequences AND folds the angstrom singleton")
+    assert(sqlRes(1).getString(1) === "\uFB01ne \u00F6",
+      "NFC composes but keeps compatibility chars")
+    assert(sqlRes(1).getString(2) === "fine \u00F6",
+      "NFKC additionally folds the fi ligature")
+    assert(sqlRes(2).getString(1) === "plain ascii" && sqlRes(2).getString(2) === "plain ascii")
+    // idempotence (UAX #15) and the generic-form entry point
+    val twice = rows.select(TextFunctions.nfcNormalize(
+      TextFunctions.nfcNormalize(col("s"))).as("c")).orderBy("c").collect()
+    assert(twice.map(_.getString(0)).sorted.toSeq ===
+      colRes.map(_.getString(1)).sorted.toSeq)
+    val nfd = rows.filter(col("id") === 1L)
+      .select(TextFunctions.unicodeNormalize(lit("\u00E9"), "NFD").as("d")).head().getString(0)
+    assert(nfd === "e\u0301", "NFD decomposes the precomposed form")
+    intercept[IllegalArgumentException](TextFunctions.unicodeNormalize(col("s"), "NFX"))
+  }
+
+  test("ANN rewrite in the traversal-decay regime takes the exact-probed plan (both shapes)") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+    // a REAL routed index at dim 300, with meta.num_nodes doctored to the
+    // decayed operating point (nSub 100k ≥ 40·efBudget) — the decision
+    // reads only the meta, so this pins it without a 5M build
+    val input = graft.sources.Datagen.hashVectors(spark, 400L, 300)
+    val small = Hnsw.buildRouted(input,
+      HnswParams(dim = 300, m = 4, efConstruction = 16, metric = "cosine",
+        numPartitions = 4), cellsPerShard = 4)
+    val index = small.copy(meta = small.meta.copy(num_nodes = 400_000L))
+    assert(Hnsw.traversalDecays(index.meta, k = 5, ef = -1))
+    input.createOrReplaceTempView("emb_decay")
+    IndexRegistry.register("emb_decay", index)
+    val q = input.filter(col("id") === 7L).head().getSeq[Float](1).toArray
+    val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val before = IndexRegistry.rewriteCount
+    val df = spark.sql(
+      s"SELECT id, vector_cosine_distance(vector, $qSql) AS dist FROM emb_decay ORDER BY dist LIMIT 5")
+    assert(IndexRegistry.rewriteCount === before + 1, "decay-regime rewrite did not fire")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("MapGroups") && !plan.contains("CoGroup"),
+      "decay regime must not rebuild sub-graphs in the SQL plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.head._1 === 7L && math.abs(got.head._2) < 1e-12,
+      "exact within probed shards (cosine self-distance: ≤1-ulp residual)")
+    // batch shape: the broadcast-free exact-probed twin, same verdicts
+    input.filter(col("id") % 100 === 7).select(col("id").as("qid"), col("vector"))
+      .createOrReplaceTempView("decay_q")
+    val before2 = IndexRegistry.rewriteCount
+    val batch = spark.sql(
+      """SELECT q.qid, topk_by_dist(vector_cosine_distance(e.vector, q.vector), e.id, 5) AS top
+        |FROM emb_decay e CROSS JOIN decay_q q
+        |GROUP BY q.qid""".stripMargin)
+    assert(IndexRegistry.rewriteCount === before2 + 1, "batch decay rewrite did not fire")
+    val bplan = batch.queryExecution.executedPlan.toString
+    assert(!bplan.contains("MapGroups") && !bplan.contains("CoGroup"))
+    batch.collect().foreach { r =>
+      val top = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(top.head.getLong(1) === r.getLong(0) && math.abs(top.head.getDouble(0)) < 1e-12)
+    }
+    IndexRegistry.unregister("emb_decay")
+    small.nodes.unpersist()
   }
 }

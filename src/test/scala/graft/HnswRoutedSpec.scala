@@ -370,4 +370,91 @@ class HnswRoutedSpec extends SparkSpec {
     // unknown num_nodes (old meta.json) -> plain ef_search
     assert(Hnsw.efBudget(meta(-1, 16), k = 10, ef = -1) === 50)
   }
+
+  test("traversalDecays: the measured dim-512 regimes pin the chooser (meta-only, job-free)") {
+    def meta(dim: Int, n: Long, p: Int) = IndexMeta(dim, 12, 24, 100, 50, 0.4,
+      "cosine", 0L, 3, p, n, 4 * p)
+    // 5M×512, P=64 (nSub 78k): ef=800 measured recall@10 0.626 — decayed
+    assert(Hnsw.traversalDecays(meta(512, 5_000_000L, 64), k = 10, ef = 800))
+    // 1M×512 (nSub 15.6k): ef=800 measured 0.952 — traversal healthy
+    assert(!Hnsw.traversalDecays(meta(512, 1_000_000L, 64), k = 10, ef = 800))
+    // the NO-FLAG operating points: default ef budget decays at both 1M
+    // and 5M ×512 (budget 78/390 — exact-probed measured 0.945/0.950
+    // there vs a traversal that would need ef≥800 it is not given)
+    assert(Hnsw.traversalDecays(meta(512, 5_000_000L, 64), k = 10, ef = -1))
+    assert(Hnsw.traversalDecays(meta(512, 1_000_000L, 64), k = 10, ef = -1))
+    // low dim never decays, at any size (dim-64 proofs: recall ≥ 0.92)
+    assert(!Hnsw.traversalDecays(meta(64, 100_000_000L, 64), k = 10, ef = 200))
+    // unknown node count: no decay claim (conservative)
+    assert(!Hnsw.traversalDecays(meta(512, -1L, 64), k = 10, ef = 200))
+  }
+
+  test("annQueryAdaptive decay tier: auto path IS exact-probed at the decayed point, traversal otherwise") {
+    // dim 300 ≥ the high-dim bound; nSub = 400/4 = 100. ef=2 (budget 2,
+    // k=1): 100 ≥ 40·2 → decayed. ef=50: 100 < 2000 → traversal tiers.
+    val in300 = graft.sources.Datagen.hashVectors(spark, 400L, 300)
+    val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
+      metric = "cosine", numPartitions = 4)
+    val idx = Hnsw.buildRouted(in300, p300, cellsPerShard = 4)
+    val q = in300.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
+    assert(Hnsw.traversalDecays(idx.meta, k = 1, ef = 2))
+    assert(!Hnsw.traversalDecays(idx.meta, k = 1, ef = 50))
+    val dec = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 2)
+    val decPlan = dec.queryExecution.executedPlan.toString
+    assert(!decPlan.contains("MapGroups") && !decPlan.contains("CoGroup"),
+      "decay regime must not rebuild sub-graphs — brute force within probed shards")
+    assert(dec.collect().map(_.toSeq).toSet ===
+      Hnsw.annQueryRoutedExact(idx, q, k = 1).collect().map(_.toSeq).toSet,
+      "decay-regime adaptive must BE the exact-probed result")
+    // exactness within probed shards: every query self-matches at rank 1
+    // (cosine self-distance is 1 − dot/(‖·‖·‖·‖) — a ≤1-ulp residual, not
+    // the exact 0.0 of the L2 metric's self-match)
+    dec.collect().foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) && math.abs(r.getDouble(3)) < 1e-12)
+    }
+    // healthy ef at the same call site: the traversal plan (sub-graph
+    // rebuild operator present), same decision inputs otherwise
+    val trav = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 50)
+    val travPlan = trav.queryExecution.executedPlan.toString
+    assert(travPlan.contains("MapGroups") || travPlan.contains("CoGroup"),
+      "non-decayed regime must keep the graph traversal")
+    idx.nodes.unpersist()
+  }
+
+  test("annQueryRoutedExactLarge is bit-equal to the broadcast exact-probed form") {
+    val b = Hnsw.annQueryRoutedExact(routed, queries, k = 10, probeCells = 4)
+      .collect().map(_.toSeq).toSet
+    val l = Hnsw.annQueryRoutedExactLarge(routed, queries, k = 10, probeCells = 4)
+      .collect().map(_.toSeq).toSet
+    assert(l === b)
+    val full = Hnsw.annQueryRoutedExactLarge(routed, queries, k = 10, probeCells = 16)
+      .collect().map(_.toSeq).toSet
+    val exact = Knn.exactTopK(
+      routed.nodes.filter(!col("tombstone"))
+        .groupBy(col("id")).agg(first(col("vector")).as("vector")),
+      queries, 10, Distances.metric(routed.meta.metric))
+      .collect().map(_.toSeq).toSet
+    assert(full === exact, "full-probe large form must BE the exact top-k")
+  }
+
+  test("annQuery auto-dispatches multi-chunk query sets to the driver-free plan") {
+    val expected = Hnsw.annQueryLarge(routed, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val before = Hnsw.largeDispatches.get()
+    // 10 queries at batch size 3 → more than one chunk → dispatch
+    val got = Hnsw.annQuery(routed, queries, k = 10, queryBatchSize = 3)
+      .collect().map(_.toSeq).toSet
+    assert(Hnsw.largeDispatches.get() === before + 1, "the dispatch must fire")
+    assert(got === expected, "dispatched result must be bit-equal")
+    // a single-chunk set stays on the small-batch path
+    val single = Hnsw.largeDispatches.get()
+    assert(Hnsw.annQuery(routed, queries, k = 10).collect().map(_.toSeq).toSet === expected)
+    assert(Hnsw.largeDispatches.get() === single, "one chunk must not dispatch")
+    // an explicit spillPath keeps the chunked durable form (caller owns it)
+    val tmp = Files.createTempDirectory("annq-spill").toString
+    val sp = Hnsw.annQuery(routed, queries, k = 10, queryBatchSize = 3,
+      spillPath = Some(s"$tmp/chunks")).collect().map(_.toSeq).toSet
+    assert(sp === expected)
+    assert(Hnsw.largeDispatches.get() === single, "spillPath call must not dispatch")
+  }
 }

@@ -871,6 +871,19 @@ class PipelinePrepSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       "df counts and reassembly are aggregates, never a corpus window")
+    // blank lines are NEVER template: they reach minFrac on nearly every
+    // host, and scrubbing them would collapse paragraph structure
+    val blanky = Seq((0L, "A", "para one\n\npara two"),
+      (1L, "A", "other one\n\nother two")).toDF("doc_id", "host", "text")
+    val bflags = Dedup.boilerplateLines(blanky, "doc_id", "host", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(bflags(("A", "")) === ((2L, 2L, 0)),
+      "empty key hits every doc but is excluded from the verdict")
+    val bkeep = Dedup.scrubBoilerplate(blanky, "doc_id", "host", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    assert(bkeep(0L) === ((0L, "para one\n\npara two")),
+      "paragraph breaks survive the scrub byte-for-byte")
   }
 
   test("blocklistContexts: one row per occurrence, windows clamp at boundaries, clean docs absent") {

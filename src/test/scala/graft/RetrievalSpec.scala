@@ -327,6 +327,31 @@ class RetrievalSpec extends SparkSpec {
     assert(byTok("beta").map(_._3).sorted.toSeq === Seq(3L, 11L, 20L))
   }
 
+  test("postingBytes: LEB128 bytes hand-checked; decode round-trips to postingLists' ids") {
+    // beta posts at docs 3, 11, 20 → gaps 4, 8, 9 (first from the −1
+    // sentinel) → one varint byte each: 04 08 09. A wide-gap term pins the
+    // multi-byte path: docs 0 and 300 → gaps 1, 300 → 01 AC02
+    val docs = Seq(
+      (0L, "wide alpha"),
+      (3L, "beta alpha"),
+      (11L, "beta"),
+      (20L, "beta alpha"),
+      (300L, "wide")).toDF("doc_id", "text")
+    val out = Retrieval.postingBytes(docs, "doc_id", "text", minDf = 2L, maxDf = 4L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet === Set("wide", "alpha", "beta"))
+    assert(out("beta") === ((3L, 3L, "040809")), "single-byte varints, doc-id order")
+    assert(out("wide") === ((2L, 3L, "01AC02")), "gap 300 = AC 02 (LEB128, hex uppercase)")
+    // decode round-trip against the relational posting table, every term
+    val lists = Retrieval.postingLists(docs, "doc_id", "text", minDf = 2L, maxDf = 4L)
+      .collect().groupBy(_.getString(0))
+      .map { case (tok, rows) => tok -> rows.map(_.getLong(2)).sorted.toSeq }
+    for ((tok, (_, nBytes, hex)) <- out) {
+      assert(Retrieval.decodePostingHex(hex) === lists(tok), s"round-trip failed for $tok")
+      assert(nBytes === hex.length / 2L)
+    }
+  }
+
   test("bm25 plan: no window, no cartesian beyond the one-row stats broadcast") {
     val docs = (0L until 100L).map(i => (i, s"w$i spark scan")).toDF("doc_id", "text")
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("spark"), k = 5)
