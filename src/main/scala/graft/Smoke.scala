@@ -12,7 +12,11 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "4")
       // bounded-heap TopK aggregations (TypedImperative) stay in the HASH
       // aggregation path instead of sort-falling-back at 128 keys; each
-      // buffer holds <= k entries, so 1M keys is a few hundred MB worst case
+      // buffer holds <= k entries, so 1M keys is a few hundred MB worst
+      // case. Session-wide HERE is safe because this main's inputs are the
+      // bounded test-SF tables; the user-facing CLI scopes the raise to
+      // the vector modes (Main.topKHeapModes) so crawl-scale document
+      // buffers (collect_list reassembly) keep Spark's spill-safe default
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

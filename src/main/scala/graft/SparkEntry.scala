@@ -1723,6 +1723,17 @@ object SparkEntry {
       Hnsw.annQueryRoutedExact(idx, queries, k = 10, probeCells = idx.meta.num_cells)
     }),
 
+    // ---- the broadcast-free exact-probed twin (annQueryRoutedExactLarge,
+    //      the unbounded-query-set form the decay tier selects for big
+    //      batches): same full-probe identity, same q03 oracle — the
+    //      equi-join route must reproduce the brute force bit-for-bit ----
+    "q145_routed_exact_large" -> ((s, dir) => {
+      val idx = routedIndex(s, dir)
+      val queries = emb(s, dir).filter(col("id") % 100 === 0)
+        .select(col("id").as("qid"), col("vector"))
+      Hnsw.annQueryRoutedExactLarge(idx, queries, k = 10, probeCells = idx.meta.num_cells)
+    }),
+
     // ---- golden parity: the reference's committed experience end-to-end
     //      (CIFAR notebook cell-4 / README top-5 table) from real decoded
     //      image bytes — synthetic closed-form PNGs → javax.imageio decode
@@ -2038,6 +2049,14 @@ object SparkEntry {
       // full-probe exact-probed search IS brute force: q03's oracle, with
       // the routed machinery (probe join, pruning, ghost dedup) under test
       "q122_routed_exact_full_probe" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist FROM embeddings e, q),
+           |ranked AS (SELECT qid, id, dist,
+           |  CAST(row_number() OVER (PARTITION BY qid ORDER BY dist ASC, id ASC) AS INT) AS "rank" FROM scored)
+           |SELECT qid, "rank", id, dist FROM ranked WHERE "rank" <= 10""".stripMargin,
+
+      // the equi-join twin must hit the identical hash
+      "q145_routed_exact_large" ->
         s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id % 100 = 0),
            |scored AS (SELECT q.qid, e.vec_id AS id, $knnDist AS dist FROM embeddings e, q),
            |ranked AS (SELECT qid, id, dist,
