@@ -216,6 +216,12 @@ object Main {
         else if (opts.contains("adaptive")) Hnsw.annQueryAdaptive(index, queries, k,
           probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef)
         else if (opts.contains("large")) Hnsw.annQueryLarge(index, queries, k, ef)
+        // no path flag: a routed index gets the regime-aware chooser (the
+        // decay tier picks exact-probed where the ef dial measurably loses
+        // — 5M×512; the cost tiers pick routed vs all-shard below that);
+        // a plain index gets the batch path, which itself auto-dispatches
+        // multi-chunk query files to the driver-free plan
+        else if (index.centroids.isDefined) Hnsw.annQueryAdaptive(index, queries, k, ef = ef)
         else Hnsw.annQuery(index, queries, k, ef)
       opts.get("out") match {
         case Some(out) =>
@@ -877,7 +883,8 @@ object Main {
           |  --build [--input PARQUET | --input-idx IDX3-UBYTE(.gz) | --input-cifar CIFAR10-BIN(.gz) [--labels-out DIR] | --n N --dim D]
           |          --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
           |          [--routed [--cells-per-shard 4 --spill 0.15]]
-          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --adaptive] [--out DIR]
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --adaptive] [--out DIR]
+          |            (no path flag: routed indexes use the regime-aware chooser automatically)
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
           |  --gen-queries OUT --n N --dim D [--seed 7]

@@ -326,6 +326,13 @@ class HnswRoutedSpec extends SparkSpec {
       assert(r.getAs[Long]("id") === r.getAs[Long]("qid"))
       assert(r.getAs[Double]("dist") === 0.0)
     }
+    // NO path flag on a routed index: the regime-aware chooser runs (low
+    // dim here → a traversal plan, self-match intact)
+    val dAuto = java.nio.file.Files.createTempDirectory("cli-routed-auto").toString + "/res"
+    graft.Main.run(spark, Map("load" -> out, "k" -> "3", "out" -> dAuto))
+    val rAuto = spark.read.parquet(dAuto).filter(col("rank") === 1).head()
+    assert(rAuto.getAs[Long]("id") === rAuto.getAs[Long]("qid"))
+    assert(rAuto.getAs[Double]("dist") === 0.0)
   }
 
   test("filtered ANN composes with the routed path: filter respected, recall held, pruning intact") {
