@@ -720,6 +720,23 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- the NFC → fingerprint dedup composition (WHY normalization
+    //      sits before every dedup key): planted pairs spell the same
+    //      accented text decomposed (e+U+0301) on even ids, precomposed
+    //      (U+00E9) on odd — byte-distinct, so WITHOUT normalization no
+    //      pair merges; through nfcNormalize ∘ exactDedup every odd id
+    //      deduplicates onto its even twin ----
+    "q146_nfc_dedup" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("group "), expr("doc_id DIV 2").cast("string"),
+          when(col("doc_id") % 2 === 0, lit(" caf\u00E9"))
+            .otherwise(lit(" cafe\u0301"))).as("text"))
+      graft.operators.Dedup.exactDedup(
+        planted.select(col("doc_id"),
+          graft.functions.TextFunctions.nfcNormalize(col("text")).as("text")),
+        "doc_id", "text")
+    }),
+
     // ---- posting-list byte encoding (q131's missing half): per term the
     //      LEB128 varint spelling of its gap stream, as hex — the oracle
     //      re-derives the EXACT BYTES with integer shifts; same df band,
@@ -2206,6 +2223,19 @@ object SparkEntry {
            |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
            |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
            |FROM c GROUP BY 1""".stripMargin,
+
+      // q10's dedup oracle over nfc_normalize'd planted text: the
+      // decomposed/precomposed pair merge IS the normalization proof
+      "q146_nfc_dedup" ->
+        """WITH p AS (SELECT doc_id,
+          |  'group ' || CAST(doc_id // 2 AS VARCHAR) ||
+          |  (CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+          |        ELSE ' cafe' || chr(769) END) AS text FROM documents),
+          |n AS (SELECT doc_id, nfc_normalize(text) AS text FROM p)
+          |SELECT doc_id,
+          |  min(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id,
+          |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
+          |FROM n""".stripMargin,
 
       // the LEB128 bytes re-derived with integer shifts (range/list_
       // transform/list_filter mirror sequence/transform/filter), hex via

@@ -1010,9 +1010,19 @@ object Hnsw {
   def annQueryFiltered(index: HnswIndex, queries: DataFrame, k: Int,
                        allowedIds: DataFrame, ef: Int = -1,
                        large: Boolean = false, routed: Boolean = false,
-                       probeCells: Int = -1): DataFrame = {
+                       probeCells: Int = -1, exactProbe: Boolean = false,
+                       adaptive: Boolean = false): DataFrame = {
     val filtered = withAllowed(index, allowedIds)
-    if (routed) annQueryRouted(filtered, queries, k, probeCells, ef)
+    // exact-probed honours the filter through the same tombstone rewrite
+    // (its node scan filters !tombstone), with NO selectivity-recall trade
+    // at all: recall stays pure routing recall whatever the filter keeps
+    // (BENCH_SCALE_FILTERED512.json measured 0.93–0.94 at every
+    // selectivity where the traversal path needs ef ≳ k/s widening).
+    // adaptive = the full regime chooser over the filtered view — the
+    // decay tier then picks exact-probed at high dim automatically.
+    if (exactProbe) annQueryRoutedExact(filtered, queries, k, probeCells)
+    else if (adaptive) annQueryAdaptive(filtered, queries, k, probeCells, ef)
+    else if (routed) annQueryRouted(filtered, queries, k, probeCells, ef)
     else if (large) annQueryLarge(filtered, queries, k, ef)
     else annQuery(filtered, queries, k, ef)
   }

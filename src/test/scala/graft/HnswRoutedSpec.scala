@@ -359,6 +359,17 @@ class HnswRoutedSpec extends SparkSpec {
     val counts = quarter.groupBy("qid").count().collect().map(_.getLong(1))
     assert(counts.nonEmpty && counts.forall(_ === 10L))
     quarter.collect().foreach(r => assert(allowedSet.contains(r.getAs[Long]("id"))))
+    // exact-probed + filter at full probe IS the filtered exact top-k —
+    // no ef widening, no selectivity-recall trade (bit-level id/rank sets)
+    val exactProbed = Hnsw.annQueryFiltered(routed, queries, k = 10, allowed,
+      exactProbe = true, probeCells = 16)
+      .select("qid", "rank", "id").collect().map(_.toSeq).toSet
+    assert(exactProbed === exact.select("qid", "rank", "id").collect().map(_.toSeq).toSet,
+      "full-probe exact-probed filtered search must BE the filtered exact top-k")
+    // adaptive over the filtered view: results stay inside the filter
+    val adapt = Hnsw.annQueryFiltered(routed, queries, k = 10, allowed,
+      ef = 192, adaptive = true)
+    adapt.collect().foreach(r => assert(allowedSet.contains(r.getAs[Long]("id"))))
   }
 
   test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
