@@ -852,15 +852,19 @@ object Hnsw {
     // path: broadcast route for batches whose (qid, pid, q_vector) table is
     // broadcast-sized, the equi-join twin beyond that
     if (traversalDecays(m, k, ef)) {
-      val pcEff =
-        if (probeCells > 0) probeCells.toLong
-        else if (m.num_cells > 0) math.max(1L, m.num_cells / 4L)
-        else Long.MaxValue
+      // broadcast-vs-equi-join by the MEASURED route-table size, not a
+      // probeCells-based estimate: locality packing maps several probed
+      // cells onto one shard (measured ~16 distinct pids per 64-cell probe
+      // at 5M×512), so a cells×q bound overstates ~4× and sent a 33 MB
+      // route to the 10 GB node-shuffle form (686 s vs ~180 s broadcast at
+      // the 1000-query point). The probe is materialized once for the
+      // count and released; the returned plan re-derives it lazily (the
+      // same no-pinned-blocks discipline as the cost tiers below).
+      val probed = probedPidsFor(index, q, probeCells).localCheckpoint()
+      val routeRows = probed.count()
+      graft.operators.Checkpoints.unpersist(probed)
       val routeRowBytes = m.dim.toLong * 4L + 24L
-      val maxBroadcastRows = (64L << 20) / routeRowBytes
-      // divide instead of multiply: pcEff can be MaxValue (unknown cell
-      // count) and q·pcEff would overflow — unknown geometry goes large
-      return if (pcEff != Long.MaxValue && q.count() <= maxBroadcastRows / math.max(1L, pcEff))
+      return if (routeRows <= (64L << 20) / routeRowBytes)
         annQueryRoutedExact(index, queries, k, probeCells)
       else annQueryRoutedExactLarge(index, queries, k, probeCells)
     }
