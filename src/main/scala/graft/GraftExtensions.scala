@@ -109,6 +109,7 @@ object GraftExtensions {
     fn1("fix_mojibake", "fix_mojibake(text) - signature-table mojibake repair (single pass)")(TextFunctions.fixMojibake),
     fn1("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition (UAX #15)")(TextFunctions.nfcNormalize),
     fn1("nfkc_normalize", "nfkc_normalize(text) - Unicode NFKC compatibility composition (UAX #15)")(TextFunctions.nfkcNormalize),
+    fn1("confusable_fold", "confusable_fold(text) - lowercase + Cyrillic/Greek homoglyph folding (spoofed dedup keys collide)")(TextFunctions.confusableFold),
     fn1("pii_redact", "pii_redact(text) - emails/phones/IPv4 replaced by placeholders")(Pii.redact),
     fn1("pii_email_count", "pii_email_count(text) - email-shaped span count")(Pii.emailCount),
     fn1("pii_phone_count", "pii_phone_count(text) - phone-shaped span count")(Pii.phoneCount),

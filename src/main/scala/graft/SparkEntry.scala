@@ -720,6 +720,22 @@ object SparkEntry {
       graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html")
     }),
 
+    // ---- homoglyph-fold dedup (the spoofing alphabet): odd ids spell
+    //      the even twin's text with Cyrillic lookalikes (U+0430 а,
+    //      U+0435 е, U+0455 ѕ) — byte-distinct, blocklist-evading, and
+    //      invisible to every UAX #15 form; through confusableFold ∘
+    //      exactDedup the spoof collapses onto the ASCII original ----
+    "q147_confusable_dedup" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(lit("offer "), expr("doc_id DIV 2").cast("string"),
+          when(col("doc_id") % 2 === 0, lit(" paypal secure"))
+            .otherwise(lit(" pаypаl ѕеcurе"))).as("text"))
+      graft.operators.Dedup.exactDedup(
+        planted.select(col("doc_id"),
+          graft.functions.TextFunctions.confusableFold(col("text")).as("text")),
+        "doc_id", "text")
+    }),
+
     // ---- the NFC → fingerprint dedup composition (WHY normalization
     //      sits before every dedup key): planted pairs spell the same
     //      accented text decomposed (e+U+0301) on even ids, precomposed
@@ -2223,6 +2239,25 @@ object SparkEntry {
            |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
            |  CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
            |FROM c GROUP BY 1""".stripMargin,
+
+      // the confusable table replayed literally (the q135 mojibake
+      // pattern: the Scala table IS the oracle's source, one truth);
+      // the spoof is planted via chr() codepoints — Cyrillic a/ie/dze
+      "q147_confusable_dedup" -> {
+        val chain = graft.functions.TextFunctions.ConfusablePairs
+          .foldLeft("lower(text)") { case (e, (b, g)) => s"replace($e, '$b', '$g')" }
+        s"""WITH p AS (SELECT doc_id,
+           |  'offer ' || CAST(doc_id // 2 AS VARCHAR) ||
+           |  (CASE WHEN doc_id % 2 = 0 THEN ' paypal secure'
+           |        ELSE ' p' || chr(1072) || 'yp' || chr(1072) || 'l ' ||
+           |          chr(1109) || chr(1077) || 'cur' || chr(1077) END) AS text
+           |  FROM documents),
+           |f AS (SELECT doc_id, $chain AS text FROM p)
+           |SELECT doc_id,
+           |  min(doc_id) OVER (PARTITION BY md5(lower(text))) AS canonical_id,
+           |  doc_id <> min(doc_id) OVER (PARTITION BY md5(lower(text))) AS is_dup
+           |FROM f""".stripMargin
+      },
 
       // q10's dedup oracle over nfc_normalize'd planted text: the
       // decomposed/precomposed pair merge IS the normalization proof

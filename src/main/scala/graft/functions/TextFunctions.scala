@@ -274,4 +274,38 @@ object TextFunctions {
   /** Any UAX #15 form (NFC/NFD/NFKC/NFKD). */
   def unicodeNormalize(text: Column, form: String): Column =
     org.apache.spark.sql.graft.UnicodeNormalize.column(text, form)
+
+  /** Homoglyph table: the Cyrillic and Greek letters that render
+    * identically (or near-identically) to Basic-Latin ones — the spoofing
+    * alphabet of crawl spam ("pаypal" with U+0430 evades every ASCII
+    * dedup key and blocklist). Lowercase pairs only: [[confusableFold]]
+    * lowercases FIRST (Spark and DuckDB lower() agree on Cyrillic/Greek
+    * case folding), which halves the table and keeps it auditable.
+    * Deliberately NOT the full UTS #39 confusables data (thousands of
+    * pairs, many font-dependent): these are the exact-render lookalikes
+    * that dominate real spoofing, and the table is the contract — the
+    * oracle replays it literally.
+    */
+  val ConfusablePairs: Seq[(String, String)] = Seq(
+    // Cyrillic → Latin (identical glyphs in all common fonts)
+    "а" -> "a", "е" -> "e", "о" -> "o", "р" -> "p", "с" -> "c",
+    "х" -> "x", "у" -> "y", "і" -> "i", "ј" -> "j", "ѕ" -> "s",
+    "ԛ" -> "q", "ԝ" -> "w", "ь" -> "b",
+    // Greek → Latin
+    "ο" -> "o", "ν" -> "v", "ι" -> "i", "κ" -> "k", "ρ" -> "p",
+    "υ" -> "u", "τ" -> "t")
+
+  /** Confusable-fold — the homoglyph half of the dedup-key normalization
+    * ladder (compose AFTER [[nfcNormalize]], which canonicalizes combining
+    * sequences, and alongside [[nfkcNormalize]], which folds fullwidth and
+    * ligature forms; this folds the CROSS-SCRIPT lookalikes none of the
+    * UAX #15 forms touch): lowercase, then the [[ConfusablePairs]] replace
+    * chain. A spoofed "pаypal" and the ASCII "paypal" now share every
+    * fingerprint, shingle and blocklist key. Codegen'd builtins, and the
+    * identical lower + replace chain spells in DuckDB — oracle-exact.
+    */
+  def confusableFold(text: Column): Column =
+    ConfusablePairs.foldLeft(lower(text)) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
 }

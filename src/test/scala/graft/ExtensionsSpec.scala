@@ -433,6 +433,35 @@ class ExtensionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TextFunctions.unicodeNormalize(col("s"), "NFX"))
   }
 
+  test("confusable_fold: SQL ≡ Column; homoglyph spoof collides with the ASCII dedup key") {
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "pаypаl ѕеcurе"), // Cyrillic а/ѕ/е spoof
+      (2L, "PayPal Secure"),                          // the ASCII original
+      (3L, "РАYPАL"),                  // UPPERCASE Cyrillic Р/А: lower() first, then fold
+      (4L, "οpen sοurce"),                  // Greek omicron
+      (5L, "plain ascii")).toDF("id", "s")
+    rows.createOrReplaceTempView("sql_conf")
+    val viaSql = spark.sql(
+      "SELECT id, confusable_fold(s) AS f FROM sql_conf ORDER BY id").collect()
+    val viaCol = rows.select(col("id"), TextFunctions.confusableFold(col("s")).as("f"))
+      .orderBy("id").collect()
+    assert(viaSql.map(_.toSeq).toSeq === viaCol.map(_.toSeq).toSeq)
+    assert(viaSql(0).getString(1) === "paypal secure", "spoof folds to the ASCII key")
+    assert(viaSql(0).getString(1) === viaSql(1).getString(1).toLowerCase,
+      "spoofed and original now share every fingerprint")
+    assert(viaSql(2).getString(1) === "paypal", "uppercase Cyrillic lowers then folds")
+    assert(viaSql(3).getString(1) === "open source", "Greek omicron folds")
+    assert(viaSql(4).getString(1) === "plain ascii", "ASCII passes through (lowercased)")
+    // replacements are disjoint (keys single non-Latin chars, outputs
+    // ASCII never keys) — folding twice is the identity on the fold
+    val twice = rows.select(TextFunctions.confusableFold(
+      TextFunctions.confusableFold(col("s"))).as("f")).orderBy("f").collect()
+    assert(twice.map(_.getString(0)).sorted.toSeq ===
+      viaCol.map(_.getString(1)).sorted.toSeq, "idempotent")
+  }
+
   test("ANN rewrite in the traversal-decay regime takes the exact-probed plan (both shapes)") {
     import graft.hnsw.{Hnsw, HnswParams}
     import graft.plans.IndexRegistry
