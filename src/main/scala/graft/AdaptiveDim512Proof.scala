@@ -87,7 +87,7 @@ object AdaptiveDim512Proof {
     require(recall >= 0.94, f"auto path recall@10 $recall%.4f below the 0.94 gate")
 
     println(s"""{"n":$n,"dim":${index.meta.dim},"num_cells":$c,""" +
-      s""""path":"adaptive-no-flags","chose":"exact-probed",""" +
+      s""""path":"adaptive-no-flags","chose":"${Hnsw.lastDecayPick.get()}",""" +
       s""""recall10":$recall,"recall_queries":$nQ,""" +
       s""""adaptive_sec":$autoSec,"exact_oracle_sec":$exactSec}""")
     spark.stop()

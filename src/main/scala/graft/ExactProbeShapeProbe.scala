@@ -65,7 +65,7 @@ object ExactProbeShapeProbe {
     index.nodes.count() // materialize the cache before timing
     val sample = index.nodes.filter(!col("tombstone"))
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
-      .filter(col("id") % (n / nQ) === 0)
+      .filter(col("id") % math.max(1L, n / nQ) === 0)
       .select(col("id").as("qid"), col("vector")).localCheckpoint()
     val q = sample.count()
     val distFn = graft.functions.Distances.metric(index.meta.metric)

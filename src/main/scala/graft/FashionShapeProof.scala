@@ -111,7 +111,9 @@ object FashionShapeProof {
       f"in $buildSecs%.1f s (${n / buildSecs}%.1f vec/s)")
 
     // golden gates on ~120 sampled queries (indexed vectors themselves)
-    val queries = input.filter(col("id") % lit(n / 120) === 0)
+    // max(1, …): a debug run with n < 120 must degrade to query-every-row,
+    // not crash the harness with an opaque modulo-by-zero
+    val queries = input.filter(col("id") % lit(math.max(1L, n / 120)) === 0)
       .select(col("id").as("qid"), col("vector")).localCheckpoint()
     val nQ = queries.count()
     val ann = Hnsw.annQuery(index, queries, k = 10).localCheckpoint()

@@ -884,7 +884,9 @@ object Main {
           |          --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
           |          [--routed [--cells-per-shard 4 --spill 0.15]]
           |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --adaptive] [--out DIR]
-          |            (no path flag: routed indexes use the regime-aware chooser automatically)
+          |            (no path flag: routed indexes use the regime-aware chooser automatically;
+          |             its routed pick searches probed shards only, so recall is nprobe-bounded
+          |             like --routed — pass --large to keep the old all-shard recall exactly)
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
           |  --gen-queries OUT --n N --dim D [--seed 7]

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hnsw.Hnsw
+
+/** Closes VERDICT r11's one `weak`: the decay tier's uniform-large-batch
+  * loss. r11's committed artifacts had the no-flag adaptive path at 5M×512
+  * taking 727.9 s over 1,000 uniform queries where the plain exact scan
+  * takes 227.4 s — the chooser never considered the scan shape, and the
+  * per-query probed JOIN pays ~13× per distance eval vs the codegen'd
+  * nested-loop scan. Round 12 adds the pruned-union-scan tier
+  * ([[Hnsw.annQueryPrunedExact]] + [[Hnsw.ScanJoinCostRatio]]); this proof
+  * pins the gate on the saved 5M×512 index:
+  *
+  *   - uniform 100-q and 1,000-q batches: no-flag adaptive must run within
+  *     1.1× the best plan (the exact scan — which the tier now IS, so
+  *     recall@10 becomes 1.0 where r11 reported 0.950/0.9491);
+  *   - the clustered 25-q point must keep its shard-pruned shipping (r11:
+  *     8.2 s vs 144.5/183.6 s) — the union scan prunes identically and
+  *     sheds the join amplification.
+  *
+  * All timings min-of-SPARK_GRAFT_REPS (default 3 — this VM shows 3–4×
+  * run-to-run noise). Prints one JSON line, committed as
+  * `BENCH_SCALE_SCANTIER512.json`. Run:
+  *
+  *   SPARK_DRIVER_MEM=96g scripts/run_main.sh graft.ScanTierDim512Proof /root/scale/idx512
+  */
+object ScanTierDim512Proof {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/scale/idx512")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scan-tier-512-proof")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val idx0 = Hnsw.load(spark, dir)
+    val index = idx0.copy(nodes = idx0.nodes.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = index.meta.num_nodes
+    val dim = index.meta.dim
+    index.nodes.count() // fill the cache before timing (measurement trap #2)
+    require(Hnsw.traversalDecays(index.meta, k = 10, ef = -1),
+      "the saved index must sit in the decay regime")
+
+    def timedMin(reps: Int)(f: => Long): Double =
+      (1 to reps).map { _ =>
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+      }.min
+
+    val dist = graft.functions.Distances.metric(index.meta.metric)
+    // exact oracle corpus (ghost-dedup included in its cost, exactly as the
+    // r11 artifacts measured it)
+    def uniq = index.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+
+    def uniformSample(nQ: Long): DataFrame = index.nodes
+      .filter(!col("tombstone") && col("id") % math.max(1L, n / nQ) === 0)
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      .select(col("id").as("qid"), col("vector")).localCheckpoint()
+
+    def uniformPoint(nQ: Long): (Long, Double, Double, Double, String) = {
+      val sample = uniformSample(nQ)
+      val q = sample.count()
+      val adaptiveSec = timedMin(reps)(
+        Hnsw.annQueryAdaptive(index, sample, k = 10).count())
+      val pick = Hnsw.lastDecayPick.get()
+      val exactSec = timedMin(reps)(
+        graft.operators.Knn.exactTopK(uniq, sample, 10, dist).count())
+      // recall of the auto path (one extra run, untimed)
+      val ann = Hnsw.annQueryAdaptive(index, sample, k = 10).localCheckpoint()
+      val exact = graft.operators.Knn.exactTopK(uniq, sample, 10, dist).localCheckpoint()
+      val recall = Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+      System.err.println(f"[scantier512] uniform $q q: adaptive $adaptiveSec%.1f s " +
+        f"(pick=$pick, recall@10 $recall%.4f) vs exact scan $exactSec%.1f s")
+      (q, adaptiveSec, exactSec, recall, pick)
+    }
+
+    val (q100, a100, e100, r100, p100) = uniformPoint(100L)
+    val (q1k, a1k, e1k, r1k, p1k) = uniformPoint(1000L)
+
+    // clustered 25-q batch — the EXACT construction of the r11 clustered
+    // artifact (RoutedDim512Proof): 25 perturbations of vector id 17,
+    // ef=200 (decays at this meta too: nSub 78k >= 40*200)
+    val center = index.nodes.filter(col("id") === 17L).head()
+      .getAs[scala.collection.Seq[Float]]("vector").toArray
+    val qs = (0 until 25).map { i =>
+      (100000L + i, center.zipWithIndex.map { case (v, j) =>
+        v + (if (j == i % dim) 0.05f else 0.0f) })
+    }.toDF("qid", "vector").localCheckpoint()
+    val clusteredSec = timedMin(reps)(
+      Hnsw.annQueryAdaptive(index, qs, 10, ef = 200).count())
+    val clusteredPick = Hnsw.lastDecayPick.get()
+    // r11's pick at this point (per-query probed join), for the preserved-
+    // shipping comparison
+    val probedJoinSec = timedMin(reps)(
+      Hnsw.annQueryRoutedExact(index, qs, 10).count())
+    System.err.println(f"[scantier512] clustered 25q: adaptive $clusteredSec%.1f s " +
+      f"(pick=$clusteredPick) vs per-query probed join $probedJoinSec%.1f s")
+
+    // THE round-12 gate
+    require(a100 <= 1.1 * e100 && a1k <= 1.1 * e1k,
+      f"adaptive must be within 1.1x the exact scan at both uniform points " +
+        f"(100q: $a100%.1f vs $e100%.1f; 1000q: $a1k%.1f vs $e1k%.1f)")
+    require(r100 >= 0.94 && r1k >= 0.94, "recall gate")
+
+    println(s"""{"n":$n,"dim":$dim,"reps":$reps,""" +
+      s""""uniform100":{"q":$q100,"adaptive_sec":$a100,"exact_scan_sec":$e100,"recall10":$r100,"pick":"$p100"},""" +
+      s""""uniform1000":{"q":$q1k,"adaptive_sec":$a1k,"exact_scan_sec":$e1k,"recall10":$r1k,"pick":"$p1k"},""" +
+      s""""clustered25":{"adaptive_sec":$clusteredSec,"probed_join_sec":$probedJoinSec,"pick":"$clusteredPick"}}""")
+    spark.stop()
+  }
+}

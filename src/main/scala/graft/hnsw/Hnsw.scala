@@ -80,6 +80,13 @@ object Hnsw {
     */
   private[graft] val largeDispatches = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Last plan picked by [[annQueryAdaptive]]'s decay tier
+    * ("pruned-scan" | "probed-broadcast" | "probed-large") —
+    * observability + the decision specs (plan strings can't discriminate:
+    * every form contains the probe phase's BroadcastNestedLoopJoin).
+    */
+  private[graft] val lastDecayPick = new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** Deterministic partition assignment: id % P (round-robin for dense ids,
     * so every partition sees a representative sample of the data).
     */
@@ -510,9 +517,6 @@ object Hnsw {
                queryBatchSize: Int = 1 << 16, spillPath: Option[String] = None): DataFrame = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
-    val grouped = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
-      .as[(Long, Array[Float])].toLocalIterator().asScala.grouped(queryBatchSize)
-    val first = if (grouped.hasNext) grouped.next().toArray else Array.empty[(Long, Array[Float])]
     // size-aware dispatch: a query set past one chunk means the caller is
     // pointing a LARGE file at the small-batch path — serialized chunk
     // round-trips through the driver, each one re-scanning the index. The
@@ -520,10 +524,16 @@ object Hnsw {
     // spec-asserted) is strictly better there, so it is selected
     // automatically; only an explicit spillPath keeps the chunked form
     // (the caller asked for durable per-chunk parquet on a shared FS).
-    if (grouped.hasNext && spillPath.isEmpty) {
+    // The decision itself is a qid-only limit+count probe — it must NOT
+    // pull a full vector chunk to the driver just to abandon it.
+    if (spillPath.isEmpty &&
+        queries.select(col("qid")).limit(queryBatchSize + 1).count() > queryBatchSize) {
       largeDispatches.incrementAndGet()
       return annQueryLarge(index, queries, k, ef)
     }
+    val grouped = queries.select(col("qid").cast("long"), col("vector").cast("array<float>"))
+      .as[(Long, Array[Float])].toLocalIterator().asScala.grouped(queryBatchSize)
+    val first = if (grouped.hasNext) grouped.next().toArray else Array.empty[(Long, Array[Float])]
     val perPart =
       if (!grouped.hasNext) spillPath match {
         // spill applies to the single-chunk case too (uniform contract:
@@ -764,6 +774,61 @@ object Hnsw {
     rankTopK(scored, k)
   }
 
+  /** Measured per-distance-eval cost ratio between the per-query probed
+    * JOIN shape ([[exactProbedSearch]] — pid hash join, each node row
+    * re-emitted once per query probing its shard) and the pruned SCAN
+    * shape ([[annQueryPrunedExact]] — one codegen'd nested-loop pass over
+    * the pruned corpus). Measured on the saved 5M×512 index (r11/r12
+    * artifacts): 1,000 uniform queries — probed join 727.9 s over 1.25 G
+    * scored rows vs plain scan 227.4 s over 5 G rows ⇒ ~12.8× per row;
+    * 100 queries — 30.8 s vs 27.9 s at a 4× row deficit ⇒ ~4.4× with the
+    * stream floor folded in. 6 sits safely inside the band: every
+    * committed anchor (uniform 100/1000 q, clustered 25 q) picks the
+    * faster plan under it, and a workload must probe under union/6 of
+    * the shard union per query before the join shape is preferred.
+    */
+  private[graft] val ScanJoinCostRatio = 6L
+
+  /** Exact scan over the UNION of the batch's probed shards — the third
+    * exact form next to [[annQueryRoutedExact]] (per-query probed join)
+    * and the plain corpus scan ([[graft.operators.Knn.exactTopK]]), and
+    * the decay tier's default. Every query scores every live node in ANY
+    * query's probed shards, one codegen'd broadcast-nested-loop pass, so:
+    *
+    *   - recall ≥ the routed exact-probed path's routing recall for the
+    *     same probe (each query's candidate set is a superset of its own
+    *     probed shards), reaching 1.0 exactly when the union covers every
+    *     shard — which is precisely when per-query restriction saves the
+    *     least;
+    *   - cost is q · |union| node evals in the SCAN shape, vs
+    *     Σ_q n_probed(q) evals in the 13×-per-eval JOIN shape
+    *     ([[ScanJoinCostRatio]]): measured at 5M×512, the scan wins at
+    *     every committed operating point — 227.4 s vs 727.9 s at 1,000
+    *     uniform queries (union = all shards ⇒ this IS the full scan,
+    *     recall 1.0), and the clustered 25-query point keeps its
+    *     shard-pruned shipping (the 8.2 s r11 headline) while shedding
+    *     the join amplification.
+    *
+    * The query table is broadcast (bounded batches — the [[annQuery]]
+    * contract, ~32k queries at dim 512); beyond that use
+    * [[annQueryRoutedExactLarge]]. Spill-ghost duplicates inside the
+    * union dedup in the top-k merge. Output: (qid, rank, id, dist).
+    */
+  def annQueryPrunedExact(index: HnswIndex, queries: DataFrame, k: Int,
+                          probeCells: Int = -1): DataFrame = {
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val activePids = probedPidsFor(index, q, probeCells).select("pid").distinct()
+    val distFn = Distances.metric(index.meta.metric)
+    val scored = index.nodes.filter(!col("tombstone"))
+      .join(broadcast(activePids), Seq("pid"), "left_semi")
+      .select(col("id").cast("long").as("id"),
+        col("vector").cast("array<float>").as("i_vector"))
+      .crossJoin(broadcast(q.select(col("qid"), col("vector").as("q_vector"))))
+      .select(col("qid"), col("id"), distFn(col("i_vector"), col("q_vector")).as("dist"))
+    rankTopK(scored, k)
+  }
+
   /** Stage 3 of [[annQueryRoutedRefined]]: exact metric distance for every
     * (qid, candidate id) pair against the true vectors, bounded-heap top-k.
     * Tombstoned nodes drop out here (so the refined path honours deletes
@@ -803,9 +868,15 @@ object Hnsw {
     * budget's reach, traversal recall decays in a way no cost trade can
     * buy back (5M×512 measured: ef=800 → 0.626 recall@10 while
     * exact-probed holds 0.950 flat in n — BENCH_SCALE_REFINE512.json),
-    * so such batches take the exact-probed path unconditionally
-    * (broadcast route table when it fits, [[annQueryRoutedExactLarge]]
-    * beyond). The remaining tiers trade cost on the traversal paths.
+    * so such batches take an EXACT form unconditionally: the pruned
+    * union scan ([[annQueryPrunedExact]]) by default — recall ≥ the
+    * per-query probed join's, 1.0 when the union covers every shard, and
+    * the measured-cheaper shape at every committed anchor — with the
+    * per-query probed join ([[annQueryRoutedExact]] broadcast /
+    * [[annQueryRoutedExactLarge]] equi-join) only where the batch probes
+    * under union/[[ScanJoinCostRatio]] shards per query or the query
+    * table outgrows a broadcast. The remaining tiers trade cost on the
+    * traversal paths.
     * First a search-dominated SHORT-CIRCUIT from
     * counts alone (no probe jobs): if `q·efBudget ≥ num_nodes` — total
     * search node-visits at or above the worst-case (union = every pid)
@@ -848,25 +919,44 @@ object Hnsw {
     // cost): when the meta predicts traversal decay ([[traversalDecays]] —
     // dim ≥ 256 and a sub-graph too large for the ef budget), the graph
     // lever silently loses (measured 0.626 recall@10 at 5M×512 ef=800 vs
-    // exact-probed 0.950 flat in n), so the chooser takes the exact-probed
-    // path: broadcast route for batches whose (qid, pid, q_vector) table is
-    // broadcast-sized, the equi-join twin beyond that
+    // exact-probed 0.950 flat in n), so the chooser picks among the EXACT
+    // forms. Scan-vs-join within the tier: the pruned scan evaluates
+    // q·|union| node pairs in the codegen'd nested-loop shape, the
+    // per-query probed join evaluates routeRows·n̄Sub pairs at a measured
+    // ~[[ScanJoinCostRatio]]× higher per-pair cost (r11's committed
+    // 727.9 s join vs 227.4 s scan at the uniform-1000-query point, where
+    // the join did 4× FEWER evals) — so the scan wins unless the batch
+    // probes under union/ratio of the shard union per query (many queries
+    // in many DISTINCT tight clusters). Both comparisons come from the
+    // probe table alone (shard sizes cancel); the probe is materialized
+    // once for the decision and released — the returned plan re-derives
+    // it lazily (no pinned blocks for the result's lifetime).
     if (traversalDecays(m, k, ef)) {
-      // broadcast-vs-equi-join by the MEASURED route-table size, not a
-      // probeCells-based estimate: locality packing maps several probed
-      // cells onto one shard (measured ~16 distinct pids per 64-cell probe
-      // at 5M×512), so a cells×q bound overstates ~4× and sent a 33 MB
-      // route to the 10 GB node-shuffle form (686 s vs ~180 s broadcast at
-      // the 1000-query point). The probe is materialized once for the
-      // count and released; the returned plan re-derives it lazily (the
-      // same no-pinned-blocks discipline as the cost tiers below).
       val probed = probedPidsFor(index, q, probeCells).localCheckpoint()
-      val routeRows = probed.count()
+      val st = probed.agg(count(lit(1)).as("routeRows"),
+        countDistinct(col("pid")).as("union"),
+        countDistinct(col("qid")).as("q")).head()
+      val (routeRows, unionPids, qCount) = (st.getLong(0), st.getLong(1), st.getLong(2))
       graft.operators.Checkpoints.unpersist(probed)
+      // both broadcast bounds from measured row widths, not estimates:
+      // locality packing maps several probed cells onto one shard
+      // (measured ~16 distinct pids per 64-cell probe at 5M×512), so a
+      // cells×q route bound would overstate ~4× and send a 33 MB route to
+      // the 10 GB node-shuffle form (686 s vs ~180 s broadcast at the
+      // 1000-query point)
+      val qBytes = qCount * (m.dim.toLong * 4L + 16L)
       val routeRowBytes = m.dim.toLong * 4L + 24L
-      return if (routeRows <= (64L << 20) / routeRowBytes)
+      return if (qCount * unionPids <= ScanJoinCostRatio * routeRows &&
+          qBytes <= (64L << 20)) {
+        lastDecayPick.set("pruned-scan")
+        annQueryPrunedExact(index, queries, k, probeCells)
+      } else if (routeRows <= (64L << 20) / routeRowBytes) {
+        lastDecayPick.set("probed-broadcast")
         annQueryRoutedExact(index, queries, k, probeCells)
-      else annQueryRoutedExactLarge(index, queries, k, probeCells)
+      } else {
+        lastDecayPick.set("probed-large")
+        annQueryRoutedExactLarge(index, queries, k, probeCells)
+      }
     }
     val totalPids = index.centroids.get.select("pid").distinct().count()
     val nSub = if (m.num_nodes > 0 && m.num_partitions > 0) m.num_nodes / m.num_partitions else -1L

@@ -407,7 +407,7 @@ class HnswRoutedSpec extends SparkSpec {
     assert(!Hnsw.traversalDecays(meta(512, -1L, 64), k = 10, ef = 200))
   }
 
-  test("annQueryAdaptive decay tier: auto path IS exact-probed at the decayed point, traversal otherwise") {
+  test("annQueryAdaptive decay tier: auto path IS the pruned exact scan at the decayed point, traversal otherwise") {
     // dim 300 ≥ the high-dim bound; nSub = 400/4 = 100. ef=2 (budget 2,
     // k=1): 100 ≥ 40·2 → decayed. ef=50: 100 < 2000 → traversal tiers.
     val in300 = graft.sources.Datagen.hashVectors(spark, 400L, 300)
@@ -421,9 +421,14 @@ class HnswRoutedSpec extends SparkSpec {
     val decPlan = dec.queryExecution.executedPlan.toString
     assert(!decPlan.contains("MapGroups") && !decPlan.contains("CoGroup"),
       "decay regime must not rebuild sub-graphs — brute force within probed shards")
+    // the batch probes most of the 4-shard union per query (10 queries,
+    // q·union ≤ ratio·routeRows), so the chooser's pick is the pruned
+    // union scan — codegen'd nested-loop shape, no per-query pid join
+    assert(Hnsw.lastDecayPick.get() === "pruned-scan",
+      "decayed small-batch pick must be the pruned exact SCAN")
     assert(dec.collect().map(_.toSeq).toSet ===
-      Hnsw.annQueryRoutedExact(idx, q, k = 1).collect().map(_.toSeq).toSet,
-      "decay-regime adaptive must BE the exact-probed result")
+      Hnsw.annQueryPrunedExact(idx, q, k = 1).collect().map(_.toSeq).toSet,
+      "decay-regime adaptive must BE the pruned-exact-scan result")
     // exactness within probed shards: every query self-matches at rank 1
     // (cosine self-distance is 1 − dot/(‖·‖·‖·‖) — a ≤1-ulp residual, not
     // the exact 0.0 of the L2 metric's self-match)
@@ -436,6 +441,66 @@ class HnswRoutedSpec extends SparkSpec {
     val travPlan = trav.queryExecution.executedPlan.toString
     assert(travPlan.contains("MapGroups") || travPlan.contains("CoGroup"),
       "non-decayed regime must keep the graph traversal")
+    idx.nodes.unpersist()
+  }
+
+  test("annQueryPrunedExact: full probe IS the exact top-k; partial probe is a superset of the probed join's candidates") {
+    val uniq = routed.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val exact = Knn.exactTopK(uniq, queries, 10, Distances.metric(routed.meta.metric))
+      .collect().map(_.toSeq).toSet
+    val full = Hnsw.annQueryPrunedExact(routed, queries, k = 10, probeCells = 16)
+      .collect().map(_.toSeq).toSet
+    assert(full === exact, "full-probe pruned scan must BE the exact top-k")
+    // partial probe: each query scans the UNION of the batch's probed
+    // shards — a superset of its own — so per-query recall vs exact can
+    // only be ≥ the per-query probed join's at the same probe
+    val exactDf = Knn.exactTopK(uniq, queries, 10, Distances.metric(routed.meta.metric))
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      Hnsw.recallAtK(ann, exactDf, 10).agg(avg("recall")).head().getDouble(0)
+    val scanR = recallOf(Hnsw.annQueryPrunedExact(routed, queries, k = 10, probeCells = 2))
+    val joinR = recallOf(Hnsw.annQueryRoutedExact(routed, queries, k = 10, probeCells = 2))
+    assert(scanR >= joinR,
+      s"union-scan recall $scanR must dominate per-query probed join $joinR")
+    // single query: the union IS that query's probed shards — bit-equal
+    val one = queries.limit(1)
+    assert(Hnsw.annQueryPrunedExact(routed, one, k = 10, probeCells = 4)
+      .collect().map(_.toSeq).toSet ===
+      Hnsw.annQueryRoutedExact(routed, one, k = 10, probeCells = 4)
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("decay tier scan-vs-join: a batch probing few shards per query across a wide union takes the probed JOIN") {
+    // 8 shards, 1 cell each, probeCells=1: each query probes exactly one
+    // shard. Queries spread over all 8 shards → union=8, routeRows=q —
+    // q·union = 8q > ScanJoinCostRatio·q = 6q → the per-query join form
+    // (this is the many-queries-in-many-DISTINCT-clusters regime where
+    // per-query restriction genuinely beats scanning the union)
+    val in300 = graft.sources.Datagen.hashVectors(spark, 800L, 300)
+    val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
+      metric = "cosine", numPartitions = 8)
+    val idx = Hnsw.buildRouted(in300, p300, cellsPerShard = 1)
+    // exactly ONE query per populated shard (lowest-id vector of each
+    // shard's cell): each probes exactly its own pid, so union = routeRows
+    // = q = s — q·union = s² > ScanJoinCostRatio·routeRows = 6s whenever
+    // s ≥ 7, deterministically the join side of the decision (k-means may
+    // leave a cell empty, so s is 7 or 8 here — both past the threshold)
+    val cents = idx.centroids.get
+    val qids = graft.operators.Ivf.probesAgg(
+        in300.select(col("id").as("qid"), col("vector")),
+        cents.select("cid", "cvector"), 1, Distances.metric(idx.meta.metric))
+      .join(cents.select("cid", "pid"), "cid")
+      .groupBy("pid").agg(min("qid").as("id")).select("id")
+    val q = in300.join(qids, "id").select(col("id").as("qid"), col("vector"))
+    assert(q.count() >= 7L, "need one query in each of >=7 distinct shards")
+    assert(Hnsw.traversalDecays(idx.meta, k = 1, ef = 2))
+    val dec = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 2, probeCells = 1)
+    assert(Hnsw.lastDecayPick.get() === "probed-broadcast",
+      "wide-union sparse-probe batch must take the per-query probed JOIN")
+    assert(dec.collect().map(_.toSeq).toSet ===
+      Hnsw.annQueryRoutedExact(idx, q, k = 1, probeCells = 1)
+        .collect().map(_.toSeq).toSet,
+      "join-form pick must BE the per-query exact-probed result")
     idx.nodes.unpersist()
   }
 
