@@ -198,23 +198,38 @@ object Main {
       // --large: the driver-free single-shuffle path (queries stay
       // distributed; the index is scanned once however big the file is) —
       // for query files too large to stream through the driver in chunks
+      // --recall-target T: calibrate the probe budget for the target and
+      // use it wherever a probe-taking path runs below (the C/4 default
+      // becomes a measured contract — Hnsw.calibrateProbeCells)
+      val probeCellsOpt = opts.get("recall-target") match {
+        case Some(t) =>
+          val (pc, _) = Hnsw.calibrateProbeCells(index, k, t.toDouble,
+            sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt)
+          println(s"[calibrate] recall target $t -> probeCells $pc")
+          pc
+        case None => opts.getOrElse("probe-cells", "-1").toInt
+      }
       val res =
+        // --pq-refine R: ADC byte-code coarse + exact rescore (needs a
+        // sidecar in the index dir — --attach-pq writes one)
+        if (opts.contains("pq-refine")) Hnsw.annQueryPqRefined(index, queries, k,
+          probeCells = probeCellsOpt, refine = opts("pq-refine").toInt)
         // --exact-probe: brute force within probed shards (recall = routing
         // recall; exact at full probe) — the small-batch/high-dim engine
-        if (opts.contains("exact-probe")) Hnsw.annQueryRoutedExact(index, queries, k,
-          probeCells = opts.getOrElse("probe-cells", "-1").toInt)
+        else if (opts.contains("exact-probe")) Hnsw.annQueryRoutedExact(index, queries, k,
+          probeCells = probeCellsOpt)
         // --refine R: routed traversal top-R -> layer-0 expansion -> exact
         // rescore (see annQueryRoutedRefined scaladoc for when this wins)
         else if (opts.contains("refine")) Hnsw.annQueryRoutedRefined(index, queries, k,
-          probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef,
+          probeCells = probeCellsOpt, ef = ef,
           refine = opts("refine").toInt,
           expandHops = opts.getOrElse("hops", "1").toInt)
         else if (opts.contains("routed")) Hnsw.annQueryRouted(index, queries, k,
-          probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef)
+          probeCells = probeCellsOpt, ef = ef)
         // --adaptive: routed when the probed-shard union actually prunes,
         // all-shard when a dispersed batch would probe most shards anyway
         else if (opts.contains("adaptive")) Hnsw.annQueryAdaptive(index, queries, k,
-          probeCells = opts.getOrElse("probe-cells", "-1").toInt, ef = ef)
+          probeCells = probeCellsOpt, ef = ef)
         else if (opts.contains("large")) Hnsw.annQueryLarge(index, queries, k, ef)
         // no path flag: a routed index gets the regime-aware chooser (the
         // decay tier picks exact-probed where the ef dial measurably loses
@@ -279,6 +294,25 @@ object Main {
       println(f"[compact] ${index.meta.num_nodes} -> ${compacted.meta.num_nodes} live vectors, " +
         f"${compacted.meta.num_partitions} shards in $secs%.1f s -> $out" +
         (if (index.centroids.isDefined) f" [routed, ${compacted.meta.num_cells} cells kept]" else ""))
+
+    } else if (opts.contains("attach-pq")) {
+      // train + attach the PQ byte-code sidecar to a saved index: from
+      // then on the no-flag --load chooser routes decayed high-dim
+      // batches through ADC-coarse + exact-rescore (Hnsw.attachPq)
+      val dir = opts("attach-pq")
+      val index = Hnsw.load(spark, dir)
+      val t0 = System.nanoTime()
+      val withPq = Hnsw.attachPq(index,
+        m = opts.getOrElse("pq-m", "-1").toInt,
+        kCells = opts.getOrElse("pq-cells", "256").toInt,
+        sampleSize = opts.getOrElse("pq-sample", (1 << 17).toString).toInt,
+        iters = opts.getOrElse("pq-iters", "3").toInt)
+      val sc = withPq.pq.get
+      sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+      sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
+      val rows = spark.read.parquet(s"$dir/pq_codes").count()
+      println(f"[attach-pq] m=${sc.m} codes for $rows rows " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_codes")
 
     } else if (opts.contains("dedup-spans")) {
       // span-level exact substring dedup report (Dedup.dupSpans): maximal
@@ -883,10 +917,12 @@ object Main {
           |  --build [--input PARQUET | --input-idx IDX3-UBYTE(.gz) | --input-cifar CIFAR10-BIN(.gz) [--labels-out DIR] | --n N --dim D]
           |          --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
           |          [--routed [--cells-per-shard 4 --spill 0.15]]
-          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --adaptive] [--out DIR]
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --pq-refine R | --adaptive] [--out DIR]
+          |            [--recall-target T [--calibrate-sample 100]]   (calibrates probe-cells for the target)
           |            (no path flag: routed indexes use the regime-aware chooser automatically;
           |             its routed pick searches probed shards only, so recall is nprobe-bounded
           |             like --routed — pass --large to keep the old all-shard recall exactly)
+          |  --attach-pq DIR [--pq-m M --pq-cells 256 --pq-sample N --pq-iters 3]   (byte-code ADC sidecar)
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
           |  --gen-queries OUT --n N --dim D [--seed 7]

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.hnsw.{Hnsw, PqSidecar}
+
+/** VERDICT r11 item 2: wire IVF-PQ into the decayed regime. The 5M×512
+  * exact forms are bound by streaming/evaluating the 10 GB float node
+  * table; the PQ sidecar scans 320 MB of byte codes at m=64 table loads
+  * per pair instead of 512 multiply-adds, then rescores only the ADC
+  * top-`refine` exactly. This proof, on the saved 5M×512 index:
+  *
+  *   - trains + encodes the sidecar once (saved to `<indexDir>_pq` and
+  *     reused — NOT into the index dir itself, so the scan-tier proof's
+  *     no-flag pick stays scan);
+  *   - pins that the no-flag adaptive call WITH the sidecar attached
+  *     routes through the PQ tier;
+  *   - sweeps refine at the 100-query point for the recall curve, then
+  *     gates the headline: recall@10 ≥ 0.94 at 1,000 uniform queries
+  *     with wall-time materially under the exact-scan bound.
+  *
+  * Prints one JSON line, committed as `BENCH_SCALE_PQ512.json`. Run:
+  *
+  *   SPARK_DRIVER_MEM=96g scripts/run_main.sh graft.PqDim512Proof /root/scale/idx512
+  */
+object PqDim512Proof {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/scale/idx512")
+    val pqDir = args.lift(1).getOrElse(s"${dir}_pq")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-pq-512-proof")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val m = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "64").toInt
+    val idx0 = Hnsw.load(spark, dir)
+    val base = idx0.copy(nodes = idx0.nodes.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = base.meta.num_nodes
+    base.nodes.count()
+    require(Hnsw.traversalDecays(base.meta, k = 10, ef = -1))
+
+    def timed[T](f: => T): (T, Double) = {
+      val s = System.nanoTime(); val r = f; (r, (System.nanoTime() - s) / 1e9)
+    }
+    def timedMin(f: => Long): Double =
+      (1 to reps).map { _ => val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9 }.min
+
+    // sidecar: reuse a saved one, else train + encode + save
+    val fs = new org.apache.hadoop.fs.Path(pqDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (index, fitSec, encodeSec) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$pqDir/pq_codes"))) {
+        val sc = PqSidecar(
+          spark.read.parquet(s"$pqDir/pq_codebooks"),
+          spark.read.parquet(s"$pqDir/pq_codes"), m)
+        System.err.println(s"[pq512] reusing sidecar from $pqDir")
+        (base.copy(pq = Some(sc)), -1.0, -1.0)
+      } else {
+        val (withPq, fitS) = timed(Hnsw.attachPq(base, m = m, kCells = 256,
+          sampleSize = 1 << 17, iters = 3))
+        val sc = withPq.pq.get
+        val (_, encS) = timed {
+          sc.codebooks.write.mode("overwrite").parquet(s"$pqDir/pq_codebooks")
+          sc.codes.write.mode("overwrite").parquet(s"$pqDir/pq_codes")
+        }
+        System.err.println(f"[pq512] fit $fitS%.1f s, encode+save $encS%.1f s -> $pqDir")
+        // reread so the timed queries scan parquet codes, not the
+        // recompute-from-floats plan
+        val reread = PqSidecar(
+          spark.read.parquet(s"$pqDir/pq_codebooks"),
+          spark.read.parquet(s"$pqDir/pq_codes"), m)
+        (base.copy(pq = Some(reread)), fitS, encS)
+      }
+    // cache the code table (the hot scan side) and materialize it
+    val cached = index.copy(pq = index.pq.map(sc => sc.copy(codes =
+      sc.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))))
+    cached.pq.get.codes.count()
+
+    def uniformSample(nQ: Long): DataFrame = cached.nodes
+      .filter(!col("tombstone") && col("id") % math.max(1L, n / nQ) === 0)
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      .select(col("id").as("qid"), col("vector")).localCheckpoint()
+
+    val dist = graft.functions.Distances.metric(cached.meta.metric)
+    def uniq = cached.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+
+    // refine sweep at 100 queries: the recall curve of the ADC cut
+    val s100 = uniformSample(100L)
+    val exact100 = graft.operators.Knn.exactTopK(uniq, s100, 10, dist).localCheckpoint()
+    val sweep = Seq(100, 200, 400).map { r =>
+      val (ann, sec) = timed(
+        Hnsw.annQueryPqRefined(cached, s100, k = 10, refine = r).localCheckpoint())
+      val rec = Hnsw.recallAtK(ann, exact100, 10).agg(avg("recall")).head().getDouble(0)
+      System.err.println(f"[pq512] refine=$r: recall@10 $rec%.4f in $sec%.1f s (100 q)")
+      (r, rec, sec)
+    }
+
+    // headline: 1,000 uniform queries, no-flag adaptive (sidecar attached)
+    val s1k = uniformSample(1000L)
+    val adaptiveSec = timedMin(Hnsw.annQueryAdaptive(cached, s1k, k = 10).count())
+    val pick = Hnsw.lastDecayPick.get()
+    require(pick == "pq-refined", s"sidecar attached but decay pick was '$pick'")
+    val exactSec = timedMin(graft.operators.Knn.exactTopK(uniq, s1k, 10, dist).count())
+    val ann1k = Hnsw.annQueryAdaptive(cached, s1k, k = 10).localCheckpoint()
+    val exact1k = graft.operators.Knn.exactTopK(uniq, s1k, 10, dist).localCheckpoint()
+    val recall1k = Hnsw.recallAtK(ann1k, exact1k, 10).agg(avg("recall")).head().getDouble(0)
+    System.err.println(f"[pq512] 1000 q: pq-adaptive $adaptiveSec%.1f s " +
+      f"(recall@10 $recall1k%.4f) vs exact scan $exactSec%.1f s")
+    require(recall1k >= 0.94, f"recall@10 $recall1k%.4f below the 0.94 gate")
+
+    val sweepJson = sweep.map { case (r, rec, sec) =>
+      s"""{"refine":$r,"recall10":$rec,"sec":$sec}""" }.mkString("[", ",", "]")
+    println(s"""{"n":$n,"dim":${cached.meta.dim},"m":$m,"reps":$reps,""" +
+      s""""fit_sec":$fitSec,"encode_save_sec":$encodeSec,""" +
+      s""""refine_sweep_100q":$sweepJson,""" +
+      s""""uniform1000":{"pq_adaptive_sec":$adaptiveSec,"exact_scan_sec":$exactSec,""" +
+      s""""recall10":$recall1k,"pick":"$pick"}}""")
+    spark.stop()
+  }
+}

@@ -15,11 +15,14 @@ import graft.hnsw.Hnsw
   * pins the gate on the saved 5M×512 index:
   *
   *   - uniform 100-q and 1,000-q batches: no-flag adaptive must run within
-  *     1.1× the best plan (the exact scan — which the tier now IS, so
-  *     recall@10 becomes 1.0 where r11 reported 0.950/0.9491);
+  *     1.1× the plain exact scan. At 1,000 q the chooser picks the
+  *     oracle-parity exact scan itself (recall 1.0 where r11 reported
+  *     0.9491); at 100 q the probed join (post-TopKBuffer-fix it ties the
+  *     scan's floor — 28.1 s both, ExactJoinProbe) keeps routing recall
+  *     ≥ 0.94;
   *   - the clustered 25-q point must keep its shard-pruned shipping (r11:
-  *     8.2 s vs 144.5/183.6 s) — the union scan prunes identically and
-  *     sheds the join amplification.
+  *     8.2 s vs 144.5/183.6 s) — the shuffle-free probed join runs it in
+  *     ~6 s post-fix.
   *
   * All timings min-of-SPARK_GRAFT_REPS (default 3 — this VM shows 3–4×
   * run-to-run noise). Prints one JSON line, committed as

@@ -1126,6 +1126,22 @@ object SparkEntry {
       graft.operators.TextStats.bpeSegmentCounts(tbl(s, dir, "documents"), "doc_id", "text",
         trainedMerges(s, dir).map(t => (t._2, t._3)))),
 
+    // ---- the full tokenizer: learned merges applied to every document,
+    //      emitting the TOKEN-ID ARRAYS a data loader consumes (base ids
+    //      = binary-sorted corpus alphabet, then merge ranks; -1 = unk) —
+    //      the last mile q80's symbol counts stop short of ----
+    "q148_bpe_token_ids" -> ((s, dir) =>
+      graft.operators.TextStats.bpeEncodeIds(tbl(s, dir, "documents"), "doc_id", "text",
+        trainedMerges(s, dir).map(t => (t._2, t._3)))),
+
+    // ---- packed training sequences carrying REAL token ids: tokenize
+    //      (q148), pack by actual id-array lengths (q44's hierarchical
+    //      prefix sum), concatenate in document order — the
+    //      sequences-of-ids handoff to the training data loader ----
+    "q149_packed_token_ids" -> ((s, dir) =>
+      graft.operators.Packing.packTokenIds(tbl(s, dir, "documents"), "doc_id", "text",
+        trainedMerges(s, dir).map(t => (t._2, t._3)), targetTokens = 5000)),
+
     // ---- BM25 lexical retrieval: fixed-point micro-nat idf per distinct
     //      term, exact-integer tf/length normalization, fixed-order
     //      per-term score chain — the term-statistics scorer that sits
@@ -1878,6 +1894,54 @@ object SparkEntry {
        |v0 AS (SELECT n_tok, array_to_string(list_transform(generate_series(1, len(tok)),
        |  j -> substr(tok, j, 1)), '  ') AS sym FROM vocab),
        |$steps""".stripMargin
+  }
+
+  /** Tokenizer-id oracle (q148/q149): the q79 trainer CTEs, the q80
+    * replay chain, then id assignment — base vocabulary = binary-sorted
+    * distinct corpus characters (row_number − 1), merge symbols at
+    * nBase + rank − 1 with the FIRST rank winning when a later merge
+    * re-derives the same string, unk = −1. Ends with CTE
+    * `ids (doc_id, tpos, spos, token_id)`; `trailer` is the final select
+    * (or further CTEs + select when `trailerIsCte`). Mirrors
+    * [[graft.operators.TextStats.bpeVocab]]/[[graft.operators.TextStats
+    * .bpeEncodeIds]] byte-for-byte (same split, same padded replace
+    * chain, same bytewise string sort both engines default to).
+    */
+  private def bpeIdsOracle(trailer: String, trailerIsCte: Boolean = false): String = {
+    val k = 5
+    val applied = (1 to k).foldLeft("s0") { (acc, i) =>
+      s"replace($acc, ' ' || (SELECT replace(pair, ' ', '  ') FROM b$i) || ' ', ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')"
+    }
+    val mergeRows = (1 to k).map(i =>
+      s"SELECT CAST($i AS INT) AS rank, (SELECT replace(pair, ' ', '') FROM b$i) AS sym")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(k)},
+       |atoks AS (SELECT w[i] AS tok FROM (
+       |  SELECT w, unnest(generate_series(1, len(w))) AS i FROM (
+       |    SELECT string_split(text, ' ') AS w FROM documents)) WHERE len(w[i]) >= 1),
+       |basechars AS (SELECT DISTINCT substr(tok, j, 1) AS sym FROM (
+       |  SELECT tok, unnest(generate_series(1, len(tok))) AS j FROM atoks)),
+       |base AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS token_id
+       |  FROM basechars),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |mg AS ($mergeRows),
+       |vall AS (SELECT sym, token_id FROM base
+       |  UNION ALL SELECT mg.sym, nb.n + mg.rank - 1 AS token_id FROM mg, nb),
+       |vfinal AS (SELECT sym, CAST(MIN(token_id) AS BIGINT) AS token_id FROM vall GROUP BY 1),
+       |dtoks2 AS (SELECT doc_id, i AS tpos, w[i] AS tok FROM (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS w FROM documents)) WHERE len(w[i]) >= 1),
+       |seg AS (SELECT doc_id, tpos,
+       |  ' ' || array_to_string(list_transform(generate_series(1, len(tok)),
+       |    j -> substr(tok, j, 1)), '  ') || ' ' AS s0
+       |  FROM dtoks2),
+       |syms AS (SELECT doc_id, tpos, spos, ss[spos] AS sym FROM (
+       |  SELECT doc_id, tpos, ss, unnest(generate_series(1, len(ss))) AS spos FROM (
+       |    SELECT doc_id, tpos, string_split(trim($applied), '  ') AS ss FROM seg))),
+       |ids AS (SELECT s.doc_id, s.tpos, s.spos,
+       |    COALESCE(v.token_id, CAST(-1 AS BIGINT)) AS token_id
+       |  FROM syms s LEFT JOIN vfinal v ON v.sym = s.sym)${if (trailerIsCte) "," else ""}
+       |$trailer""".stripMargin
   }
 
   /** Shared CTE chain of the BM25 oracle (q81/q82): token stream → doc
@@ -3451,6 +3515,29 @@ object SparkEntry {
            |  CAST(sum(len(string_split(trim($applied), '  '))) AS BIGINT) AS n_syms
            |FROM seg GROUP BY doc_id""".stripMargin
       },
+
+      // the trainer CTEs + the replay chain again, but emitting ids: base
+      // vocabulary = binary-sorted distinct corpus chars (row_number - 1),
+      // merge symbols at nBase + rank - 1 (first rank wins on a re-derived
+      // string), per-(token, symbol) vocab join, ordered list per doc
+      "q148_bpe_token_ids" -> bpeIdsOracle(trailer =
+        """SELECT doc_id, list(token_id ORDER BY tpos, spos) AS token_ids
+          |FROM ids GROUP BY doc_id""".stripMargin),
+
+      // q148's id chain packed: exact prefix sum over doc ids, integer
+      // division into sequences, in-order concat of the id arrays
+      "q149_packed_token_ids" -> bpeIdsOracle(trailer =
+        """docids AS (SELECT doc_id, list(token_id ORDER BY tpos, spos) AS token_ids
+          |  FROM ids GROUP BY doc_id),
+          |counted AS (SELECT doc_id, CAST(len(token_ids) AS BIGINT) AS n_tok, token_ids FROM docids),
+          |pref AS (SELECT doc_id, n_tok, token_ids,
+          |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+          |  FROM counted)
+          |SELECT strt // 5000 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+          |  flatten(list(token_ids ORDER BY doc_id)) AS token_ids
+          |FROM pref GROUP BY 1""".stripMargin, trailerIsCte = true),
 
       "q81_bm25_topk" ->
         s"""WITH ${bm25Ctes(Bm25Terms)}

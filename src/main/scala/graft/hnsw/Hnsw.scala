@@ -44,13 +44,24 @@ case class IndexMeta(
     mL: Double, metric: String, entry_point: Long, max_layer: Int,
     num_partitions: Int, num_nodes: Long = -1L, num_cells: Int = -1)
 
+/** Product-quantization sidecar for the decayed high-dim regime
+  * ([[Hnsw.attachPq]]): per-sub-block codebooks plus the corpus encoded
+  * as BYTE codes with the shard pid kept — (pid, id, codes: binary) — so
+  * the ADC scan prunes to the probed-shard union exactly like the float
+  * paths, over a 32×-smaller table.
+  */
+case class PqSidecar(codebooks: DataFrame, codes: DataFrame, m: Int)
+
 /** A built index: distributed node + edge tables plus small meta.
   * `centroids` is the shard routing table (cid, cvector, pid) present only
   * on locality-sharded indexes ([[Hnsw.buildRouted]]) — it is what lets
   * [[Hnsw.annQueryRouted]] search the s nearest shards instead of all P.
+  * `pq` is the optional byte-code sidecar ([[Hnsw.attachPq]]) — attaching
+  * it opts the decay tier into ADC-coarse + exact-rescore search.
   */
 case class HnswIndex(nodes: DataFrame, edges: DataFrame, meta: IndexMeta,
-                     centroids: Option[DataFrame] = None)
+                     centroids: Option[DataFrame] = None,
+                     pq: Option[PqSidecar] = None)
 
 /** Tagged-union row shipping nodes (kind 0), edges (kind 1) and replicated
   * queries (kind 2) to each shard in ONE shuffle — the carrier of
@@ -81,9 +92,10 @@ object Hnsw {
   private[graft] val largeDispatches = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Last plan picked by [[annQueryAdaptive]]'s decay tier
-    * ("pruned-scan" | "probed-broadcast" | "probed-large") —
-    * observability + the decision specs (plan strings can't discriminate:
-    * every form contains the probe phase's BroadcastNestedLoopJoin).
+    * ("exact-scan" | "pruned-scan" | "pq-refined" | "probed-broadcast" |
+    * "probed-large") — observability + the decision specs (plan strings
+    * can't discriminate: every form contains the probe phase's
+    * BroadcastNestedLoopJoin).
     */
   private[graft] val lastDecayPick = new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -374,6 +386,10 @@ object Hnsw {
     index.nodes.write.mode("overwrite").parquet(s"$dir/vectors")
     index.edges.write.mode("overwrite").parquet(s"$dir/edges")
     index.centroids.foreach(_.write.mode("overwrite").parquet(s"$dir/centroids"))
+    index.pq.foreach { sc =>
+      sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+      sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
+    }
     saveMeta(index.meta, dir)
   }
 
@@ -400,11 +416,23 @@ object Hnsw {
     val cPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
     val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cents = if (fs.exists(cPath)) Some(spark.read.parquet(s"$dir/centroids")) else None
+    // PQ sidecar rides along when present (m = the byte width of any code
+    // row — cheap limit(1) probe on the tiny codes schema)
+    val pqSc =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes"))) {
+        val codes = spark.read.parquet(s"$dir/pq_codes")
+        val mBytes = codes.select(length(col("codes"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        if (mBytes > 0)
+          Some(PqSidecar(spark.read.parquet(s"$dir/pq_codebooks"), codes, mBytes))
+        else None
+      } else None
     HnswIndex(
       spark.read.parquet(s"$dir/vectors"),
       spark.read.parquet(s"$dir/edges"),
       loadMeta(dir),
-      cents)
+      cents,
+      pqSc)
   }
 
   /** meta.json alone (no table scans) — the streaming append path's cheap
@@ -774,20 +802,32 @@ object Hnsw {
     rankTopK(scored, k)
   }
 
-  /** Measured per-distance-eval cost ratio between the per-query probed
-    * JOIN shape ([[exactProbedSearch]] — pid hash join, each node row
-    * re-emitted once per query probing its shard) and the pruned SCAN
-    * shape ([[annQueryPrunedExact]] — one codegen'd nested-loop pass over
-    * the pruned corpus). Measured on the saved 5M×512 index (r11/r12
-    * artifacts): 1,000 uniform queries — probed join 727.9 s over 1.25 G
-    * scored rows vs plain scan 227.4 s over 5 G rows ⇒ ~12.8× per row;
-    * 100 queries — 30.8 s vs 27.9 s at a 4× row deficit ⇒ ~4.4× with the
-    * stream floor folded in. 6 sits safely inside the band: every
-    * committed anchor (uniform 100/1000 q, clustered 25 q) picks the
-    * faster plan under it, and a workload must probe under union/6 of
-    * the shard union per query before the join shape is preferred.
+  /** Eval-side cost ratio between the per-query probed JOIN shape
+    * ([[exactProbedSearch]]) and the SCAN shapes, POST the r12 TopKBuffer
+    * fast-reject fix (r11's headline "13× per eval" was mostly the dedup
+    * heap's k-element indexOf on every scored row — gone). Re-measured on
+    * the saved 5M×512 index (ExactJoinProbe, min-of-reps): 1,000 uniform
+    * queries — join 280.3 s over 2.5 G ghost-inclusive scored rows vs
+    * exact scan 168.1 s over 5 G deduped rows ⇒ ~3.3× per row, ~1.7×
+    * after the 2× ghost factor. 6 still bounds the join-preferred region
+    * conservatively: scan is only taken when its eval volume q·union is
+    * within 6× the join's routeRows — i.e. when per-query probe coverage
+    * of the union is substantial.
     */
   private[graft] val ScanJoinCostRatio = 6L
+
+  /** Minimum query count for the scan shapes in the decay tier. Below it
+    * the scan's fixed ghost-dedup shuffle of the probed union dominates:
+    * measured at the clustered 25-query 5M×512 point, the scan paid
+    * ~10–16 s of union shuffle + probe jobs against ~0.02 s/query of
+    * eval — join 6.1 s vs scan 16.7 s — while at 1,000 uniform queries
+    * the amortized shuffle is noise and the scan wins 186.6 s vs 280.3 s.
+    * Break-even q* ≈ ghost·shufflePerRow / ((ghost·evalRatio−1)·evalPerRow)
+    * is union-size-independent (both terms scale with union·nSub), so a
+    * constant is shape-stable; 512 sits between the measured 25-query
+    * join win and the 1,000-query scan win.
+    */
+  private[graft] val ScanMinQueries = 512L
 
   /** Exact scan over the UNION of the batch's probed shards — the third
     * exact form next to [[annQueryRoutedExact]] (per-query probed join)
@@ -811,8 +851,10 @@ object Hnsw {
     *
     * The query table is broadcast (bounded batches — the [[annQuery]]
     * contract, ~32k queries at dim 512); beyond that use
-    * [[annQueryRoutedExactLarge]]. Spill-ghost duplicates inside the
-    * union dedup in the top-k merge. Output: (qid, rank, id, dist).
+    * [[annQueryRoutedExactLarge]]. Spill-ghost duplicates dedup BEFORE
+    * scoring (one pruned-union groupBy — on high-dim uniform data the
+    * ghost share approaches 100%, which would otherwise double the eval
+    * bill). Output: (qid, rank, id, dist).
     */
   def annQueryPrunedExact(index: HnswIndex, queries: DataFrame, k: Int,
                           probeCells: Int = -1): DataFrame = {
@@ -820,13 +862,182 @@ object Hnsw {
       col("vector").cast("array<float>").as("vector"))
     val activePids = probedPidsFor(index, q, probeCells).select("pid").distinct()
     val distFn = Distances.metric(index.meta.metric)
-    val scored = index.nodes.filter(!col("tombstone"))
+    // dedup spill ghosts BEFORE scoring, not in the top-k merge: on
+    // high-dim uniform data the (1+spill) rule stores nearly EVERY vector
+    // twice (the saved 5M×512 index carries 9.9M node rows — 98% ghost
+    // share), so a ghost-tolerant scan pays ~2× the distance evals of the
+    // exact oracle it is supposed to match. The groupBy ships only the
+    // pruned union once and restores plan parity with Knn.exactTopK-over-
+    // deduped-corpus — the measured-best shape at every committed anchor.
+    val pruned = index.nodes.filter(!col("tombstone"))
       .join(broadcast(activePids), Seq("pid"), "left_semi")
-      .select(col("id").cast("long").as("id"),
-        col("vector").cast("array<float>").as("i_vector"))
+      .groupBy(col("id").cast("long").as("id"))
+      .agg(first(col("vector").cast("array<float>")).as("i_vector"))
+    val scored = pruned
       .crossJoin(broadcast(q.select(col("qid"), col("vector").as("q_vector"))))
       .select(col("qid"), col("id"), distFn(col("i_vector"), col("q_vector")).as("dist"))
     rankTopK(scored, k)
+  }
+
+  /** Calibrate the probe budget for a RECALL TARGET — turns the routed
+    * exact paths' operating point from a constant (the default C/4) into
+    * a contract. Exact-probed recall is pure ROUTING recall: a true
+    * neighbour is found iff one of the query's `probeCells` nearest cells
+    * maps to a shard holding a stored copy of it (spill copies give a
+    * neighbour up to two home shards). That function is measurable from a
+    * bounded sample without touching the graph:
+    *
+    *   1. sample queries from the live corpus (deterministic id modulus);
+    *   2. exact top-k ground truth — ONE corpus scan over the sample (the
+    *      only O(n) step; ~the cost of a single exact batch, paid once
+    *      per index, not per query batch);
+    *   3. per (query, true neighbour): the HIT RANK = the smallest r such
+    *      that the query's r-th nearest cell lives in one of the
+    *      neighbour's shards (tiny joins — sample × C cell ranks against
+    *      ≤ 2 pid rows per neighbour);
+    *   4. predicted recall@k at probe p = fraction of (query, neighbour)
+    *      pairs with hit rank ≤ p — one cumulative distribution, every
+    *      p in a single pass.
+    *
+    * Returns the smallest probeCells predicted to clear `recallTarget`
+    * (C when even the full probe cannot — predicted recall is then 1.0 by
+    * construction) plus the whole calibration curve
+    * (probe_cells, predicted_recall) for inspection/artifacts. The
+    * prediction models the per-query probed JOIN paths
+    * ([[annQueryRoutedExact]]/[[annQueryRoutedExactLarge]]); the union
+    * scan ([[annQueryPrunedExact]]) and the PQ tier's probe can only see
+    * MORE shards, so the target is a floor for them. Committed sweep
+    * (BENCH_SCALE_CALIBRATE512.json): targets 0.90/0.95/0.99 at 1M×512
+    * each measured within the gate on held-out queries.
+    */
+  def calibrateProbeCells(index: HnswIndex, k: Int, recallTarget: Double,
+                          sampleQueries: Int = 100): (Int, DataFrame) = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.getOrElse(throw new IllegalArgumentException(
+      "calibrateProbeCells needs a locality-sharded index (buildRouted/load of one)"))
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recallTarget $recallTarget outside (0, 1]")
+    val distFn = Distances.metric(index.meta.metric)
+    val n = if (index.meta.num_nodes > 0) index.meta.num_nodes
+      else index.nodes.filter(!col("tombstone")).agg(countDistinct("id")).head().getLong(0)
+    val step = math.max(1L, n / sampleQueries.toLong)
+    val sample = index.nodes.filter(!col("tombstone") && col("id") % step === 0)
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      .select(col("id").as("qid"), col("vector")).localCheckpoint()
+    // ground truth: one exact scan over the sample (dedup heap collapses
+    // spill ghosts)
+    val uniq = index.nodes.filter(!col("tombstone"))
+      .select(col("id"), col("vector"))
+    val truth = rankTopK(
+      uniq.crossJoin(broadcast(sample.select(col("qid"), col("vector").as("q_vector"))))
+        .select(col("qid"), col("id"), distFn(col("vector"), col("q_vector")).as("dist")), k)
+      .select(col("qid"), col("id")).localCheckpoint()
+    // per-query cell ranks (sample × C rows — tiny), cells fanned to pids
+    val geo = cents.select("cid", "cvector").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cdist").asc, col("cid").asc)
+    val cellRank = sample.crossJoin(broadcast(geo))
+      .select(col("qid"), col("cid"), distFn(col("vector"), col("cvector")).as("cdist"))
+      .withColumn("r", row_number().over(w))
+      .join(broadcast(cents.select("cid", "pid")), "cid")
+      .select(col("qid"), col("pid"), col("r"))
+    // neighbour home shards (≤ 2 rows per id — spill copies)
+    val homes = index.nodes.filter(!col("tombstone"))
+      .join(broadcast(truth.select("id").distinct()), Seq("id"), "left_semi")
+      .select(col("id"), col("pid")).distinct()
+    val hitRank = truth.join(homes, "id")
+      .join(cellRank, Seq("qid", "pid"))
+      .groupBy(col("qid"), col("id")).agg(min(col("r")).as("hit_r"))
+    val totalPairs = truth.count().toDouble
+    val c = if (index.meta.num_cells > 0) index.meta.num_cells
+      else geo.count().toInt
+    // cumulative distribution over hit ranks = the whole calibration curve
+    val curve = hitRank.groupBy(col("hit_r")).agg(count(lit(1)).as("hits"))
+      .withColumn("cum", sum(col("hits")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("hit_r")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("hit_r").cast("int").as("probe_cells"),
+        (col("cum").cast("double") / lit(totalPairs)).as("predicted_recall"))
+      .localCheckpoint()
+    val pick = curve.filter(col("predicted_recall") >= recallTarget)
+      .agg(min(col("probe_cells"))).head().getAs[Any](0)
+    val probeCells = Option(pick).map(_.asInstanceOf[Int]).getOrElse(c)
+    graft.operators.Checkpoints.unpersist(sample)
+    graft.operators.Checkpoints.unpersist(truth)
+    (math.min(probeCells, c), curve)
+  }
+
+  /** Train and attach the PQ byte-code sidecar — the decayed regime's
+    * scan-footprint lever. Codebooks train on a deterministic id-modulus
+    * sample of the live vectors ([[graft.operators.Pq.pqFit]] — grouped
+    * Lloyd's, all m sub-blocks together); the WHOLE live corpus is then
+    * encoded in one codegen'd pass ([[graft.operators.Pq.pqEncodeBytes]])
+    * keeping each row's pid, so ADC scans prune to probed shards exactly
+    * like the float paths. Attaching is the opt-in: with a sidecar
+    * present, [[annQueryAdaptive]]'s decay tier routes through
+    * [[annQueryPqRefined]] (ADC coarse + exact rescore, recall =
+    * P(true top-k survives the top-`refine` ADC cut)) instead of the
+    * recall-1.0-when-union-covers exact scan — detach (pq = None) or call
+    * the exact forms directly where exactness beats the ~8× eval cut.
+    * Re-attach after bulk deletes: coarse candidates are drawn from
+    * attach-time codes (deleted rows waste refine slots until then;
+    * rescore stays exact regardless, it reads live nodes only).
+    *
+    * `m` sub-blocks (dim % m == 0) at `kCells` ≤ 256 cells each: one byte
+    * per sub-block — 5M × dim 512 at m=64 is 320 MB of codes vs 10 GB of
+    * float vectors.
+    */
+  def attachPq(index: HnswIndex, m: Int = -1, kCells: Int = 256,
+               sampleSize: Int = 1 << 17, iters: Int = 3): HnswIndex = {
+    val dim = index.meta.dim
+    val mUsed = if (m > 0) m else math.max(1, dim / 8)
+    require(dim % mUsed == 0, s"attachPq: dim=$dim not divisible by m=$mUsed")
+    require(kCells >= 1 && kCells <= 256, s"attachPq: kCells=$kCells outside [1,256]")
+    val live = index.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val n = if (index.meta.num_nodes > 0) index.meta.num_nodes else live.count()
+    val step = math.max(1L, n / sampleSize.toLong)
+    val sample = live.filter(col("id") % step === 0)
+    val codebooks = graft.operators.Pq.pqFit(sample, dim, mUsed, kCells, iters)
+      .localCheckpoint()
+    val codes = graft.operators.Pq.pqEncodeBytes(
+      index.nodes.filter(!col("tombstone")).select(col("pid"), col("id"), col("vector")),
+      codebooks, mUsed)
+    index.copy(pq = Some(PqSidecar(codebooks, codes, mUsed)))
+  }
+
+  /** ADC-coarse + exact-rescore search over the probed-shard union — the
+    * PQ tier of the decayed regime ([[attachPq]] to opt in). Same probe →
+    * union pruning as [[annQueryPrunedExact]], but the scan runs over the
+    * 32×-smaller byte-code table at m table loads per pair instead of dim
+    * multiply-adds; only the surviving top-`refine` candidates per query
+    * touch the float vectors (exact rescore — output distances are
+    * exact). Cost: q·|union| ADC pairs (cheap) + q·refine exact evals +
+    * one pruned pass over each table; the committed 5M×512 artifact
+    * measures it against the scan-bound floor. Recall is the probability
+    * the true top-k survives the ADC cut — rises with `refine`
+    * (default 20·k), gated ≥ 0.94 at the flagship point.
+    * Output: (qid, rank, id, dist).
+    */
+  def annQueryPqRefined(index: HnswIndex, queries: DataFrame, k: Int,
+                        probeCells: Int = -1, refine: Int = -1): DataFrame = {
+    val sidecar = index.pq.getOrElse(throw new IllegalArgumentException(
+      "annQueryPqRefined needs a PQ sidecar — call attachPq (or load an index saved with one)"))
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val activePids = probedPidsFor(index, q, probeCells).select("pid").distinct()
+    // ghost dedup after pruning: the stored codes keep every spill copy's
+    // pid for routing fidelity, but scoring a ghost doubles the ADC evals
+    // (98% ghost share on the 5M×512 index) — the dedup shuffle here is
+    // 32× cheaper than the float table's, the whole point of byte codes
+    val prunedCodes = sidecar.codes.join(broadcast(activePids), Seq("pid"), "left_semi")
+      .groupBy(col("id")).agg(first(col("codes")).as("codes"))
+    val prunedNodes = index.nodes.filter(!col("tombstone"))
+      .join(broadcast(activePids), Seq("pid"), "left_semi")
+      .select(col("id"), col("vector"))
+    graft.operators.Pq.pqScanRefined(prunedCodes, sidecar.codebooks, q, prunedNodes,
+      index.meta.dim, sidecar.m, k, refine, index.meta.metric)
   }
 
   /** Stage 3 of [[annQueryRoutedRefined]]: exact metric distance for every
@@ -868,14 +1079,18 @@ object Hnsw {
     * budget's reach, traversal recall decays in a way no cost trade can
     * buy back (5M×512 measured: ef=800 → 0.626 recall@10 while
     * exact-probed holds 0.950 flat in n — BENCH_SCALE_REFINE512.json),
-    * so such batches take an EXACT form unconditionally: the pruned
-    * union scan ([[annQueryPrunedExact]]) by default — recall ≥ the
-    * per-query probed join's, 1.0 when the union covers every shard, and
-    * the measured-cheaper shape at every committed anchor — with the
-    * per-query probed join ([[annQueryRoutedExact]] broadcast /
-    * [[annQueryRoutedExactLarge]] equi-join) only where the batch probes
-    * under union/[[ScanJoinCostRatio]] shards per query or the query
-    * table outgrows a broadcast. The remaining tiers trade cost on the
+    * so such batches take an EXACT form unconditionally. Within the tier
+    * (all recall-equivalent-or-better, so pure cost): the SCAN shapes —
+    * ghost-dedup + one codegen'd nested-loop pass, recall 1.0 when the
+    * union covers every shard — win once the batch is large enough to
+    * amortize the dedup shuffle ([[ScanMinQueries]]) AND probes a
+    * substantial fraction of the union per query
+    * ([[ScanJoinCostRatio]]); the per-query probed join
+    * ([[annQueryRoutedExact]] broadcast / [[annQueryRoutedExactLarge]]
+    * equi-join) wins everywhere else — small/clustered batches, where
+    * its shuffle-free shape beat the scan 6.1 s vs 16.7 s at the
+    * committed clustered point. An attached PQ sidecar
+    * ([[attachPq]]) preempts both. The remaining tiers trade cost on the
     * traversal paths.
     * First a search-dominated SHORT-CIRCUIT from
     * counts alone (no probe jobs): if `q·efBudget ≥ num_nodes` — total
@@ -946,10 +1161,40 @@ object Hnsw {
       // 1000-query point)
       val qBytes = qCount * (m.dim.toLong * 4L + 16L)
       val routeRowBytes = m.dim.toLong * 4L + 24L
-      return if (qCount * unionPids <= ScanJoinCostRatio * routeRows &&
+      // PQ tier first when the caller attached a sidecar (the attachment
+      // IS the opt-in to trade exactness-when-union-covers for the ~8×
+      // ADC eval cut + 32× scan cut): bounded by the per-query LUT
+      // broadcast (q·m·kCells floats)
+      index.pq match {
+        case Some(sidecar) if qCount * sidecar.m.toLong * 256L * 4L <= (256L << 20) &&
+            qBytes <= (64L << 20) =>
+          lastDecayPick.set("pq-refined")
+          return annQueryPqRefined(index, queries, k, probeCells)
+        case _ => ()
+      }
+      return if (qCount >= ScanMinQueries &&
+          qCount * unionPids <= ScanJoinCostRatio * routeRows &&
           qBytes <= (64L << 20)) {
-        lastDecayPick.set("pruned-scan")
-        annQueryPrunedExact(index, queries, k, probeCells)
+        // full coverage ⇒ the pruned scan IS the corpus scan: drop the
+        // probe subplan and the per-row semi-join entirely (bit-identical
+        // result, exact plan parity with the brute-force oracle — the
+        // residual ~11% the pruned form still paid at the uniform
+        // 1000-query point)
+        val totalPids = index.centroids.get.select("pid").distinct().count()
+        if (unionPids >= totalPids) {
+          lastDecayPick.set("exact-scan")
+          val distFn = Distances.metric(m.metric)
+          val uniqNodes = index.nodes.filter(!col("tombstone"))
+            .groupBy(col("id").cast("long").as("id"))
+            .agg(first(col("vector").cast("array<float>")).as("i_vector"))
+          rankTopK(uniqNodes
+            .crossJoin(broadcast(q.select(col("qid"), col("vector").as("q_vector"))))
+            .select(col("qid"), col("id"),
+              distFn(col("i_vector"), col("q_vector")).as("dist")), k)
+        } else {
+          lastDecayPick.set("pruned-scan")
+          annQueryPrunedExact(index, queries, k, probeCells)
+        }
       } else if (routeRows <= (64L << 20) / routeRowBytes) {
         lastDecayPick.set("probed-broadcast")
         annQueryRoutedExact(index, queries, k, probeCells)
@@ -1135,7 +1380,12 @@ object Hnsw {
     val nodes = index.nodes.join(allowed, Seq("id"), "left")
       .withColumn("tombstone", col("tombstone") || col("__allowed").isNull)
       .drop("__allowed")
-    index.copy(nodes = nodes)
+    // drop the PQ sidecar on the filtered view: its codes don't know the
+    // filter, so ADC coarse slots would fill with disallowed ids and a
+    // selective filter would silently starve the rescore — the exact
+    // forms (which the decay tier falls back to) honour the tombstone
+    // rewrite with no recall trade instead
+    index.copy(nodes = nodes, pq = None)
   }
 
   /** ANN for an in-memory query batch. Plan construction runs NO Spark job

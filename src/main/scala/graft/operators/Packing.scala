@@ -38,9 +38,18 @@ object Packing {
     *                     n/blockSize block rows fit one task comfortably
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    targetTokens: Int, blockSize: Long = 1L << 20): DataFrame = {
-    val toks = docs.select(col(idCol).cast("long").as("id"),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok"))
+                    targetTokens: Int, blockSize: Long = 1L << 20): DataFrame =
+    packFromCounts(docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tok")),
+      targetTokens, blockSize)
+
+  /** The hierarchical-prefix-sum assignment over an already-counted
+    * (id, n_tok) frame — shared by the whitespace packer
+    * ([[packSequences]]) and the BPE-id packer ([[packTokenIds]]), whose
+    * counts come from real token-id arrays.
+    */
+  private[graft] def packFromCounts(toks: DataFrame, targetTokens: Int,
+                                    blockSize: Long): DataFrame = {
     val blocked = toks.withColumn("blk", expr(s"id div $blockSize"))
     val inBlk = blocked.withColumn("run",
       sum(col("n_tok")).over(Window.partitionBy("blk").orderBy("id")
@@ -54,6 +63,35 @@ object Packing {
       .withColumn("start", col("blk_off") + col("run") - col("n_tok"))
       .withColumn("seq_id", expr(s"start div $targetTokens"))
       .select("id", "n_tok", "seq_id")
+  }
+
+  /** Packed TRAINING SEQUENCES carrying real token ids — the data-loader
+    * handoff the count-based packers stop one step short of: documents
+    * tokenize to id arrays ([[graft.operators.TextStats.bpeEncodeIds]]),
+    * pack by their REAL id-array lengths through the same hierarchical
+    * prefix sum, and each sequence materializes as the in-order
+    * concatenation of its documents' ids. Output: (seq_id, n_docs,
+    * seq_tokens, token_ids) — one row per training sequence, ids in
+    * (document id, token, symbol) order.
+    *
+    * Scale shape: everything up to the final concat is [[packSequences]]'
+    * shape; the concat is one partial-agg groupBy whose per-sequence
+    * payload is bounded by targetTokens + one document (a sequence holds
+    * that many ids by construction) — nothing corpus-sized on any task.
+    */
+  def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
+                   mergesTable: Seq[(String, String)], targetTokens: Int,
+                   blockSize: Long = 1L << 20): DataFrame = {
+    val ids = TextStats.bpeEncodeIds(docs, idCol, textCol, mergesTable)
+      .select(col(idCol).cast("long").as("id"), col("token_ids"))
+    val assigned = packFromCounts(
+      ids.select(col("id"), size(col("token_ids")).cast("long").as("n_tok")),
+      targetTokens, blockSize)
+    assigned.join(ids, "id")
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
+        flatten(transform(array_sort(collect_list(struct(col("id"), col("token_ids")))),
+          s => s.getField("token_ids"))).as("token_ids"))
   }
 
   /** The data-loader boundary table for [[packSequences]]' assignment:

@@ -255,6 +255,110 @@ object Pq {
       dim = field("dim"), m = field("m"))
   }
 
+  // ---- byte-code scan path (the decayed high-dim regime's PQ form) ----
+
+  /** The trained codebooks flattened to ONE [sub][cid][d] array row —
+    * data, not plan (a 131k-element literal would explode codegen). Used
+    * as the broadcast side of the byte encoder and the LUT builders.
+    */
+  def codebooksFlatDf(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy()
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("cid"), col("cvector")))),
+        s => s.getField("cvector"))).as("cb_flat"))
+
+  /** Encode to BINARY codes (one byte per sub-block, k ≤ 256) in a single
+    * codegen'd pass — no explode, no join: (id, codes: binary). The 32×
+    * scan-footprint cut vs the float vectors is the point of PQ at 100 TB;
+    * array&lt;long&gt; codes ([[pqEncode]]) keep the relational/oracle
+    * form but squander 8× of it. Extra columns (e.g. pid) pass through.
+    */
+  def pqEncodeBytes(vectors: DataFrame, codebooks: DataFrame, m: Int): DataFrame = {
+    val flat = codebooksFlatDf(codebooks)
+    vectors.crossJoin(broadcast(flat))
+      .withColumn("codes",
+        org.apache.spark.sql.graft.PqExpressions.pqEncodeBytes(col("vector"), col("cb_flat"), m))
+      .drop("cb_flat", "vector")
+  }
+
+  /** Per-query flat ADC lookup tables, [sub][cid] float arrays:
+    * (qid, lut) with lut(sub·k + cid) = `term` of the query's sub-slice
+    * against that cell. Float entries halve the broadcast (the exact
+    * rescore downstream absorbs the precision trade).
+    */
+  private def queryLut(queries: DataFrame, codebooks: DataFrame, subDim: Int,
+                       term: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame =
+    queries.crossJoin(broadcast(codebooks))
+      .select(col("qid"), col("sub"), col("cid"),
+        term(slice(Distances.toDouble(col("vector")), col("sub") * lit(subDim) + lit(1), lit(subDim)),
+          col("cvector")).as("v"))
+      .groupBy(col("qid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid"), col("v")))),
+        s => s.getField("v").cast("float")).as("lut"))
+
+  /** ADC coarse scan + exact rescore over BYTE codes — the decayed-regime
+    * read path ([[graft.hnsw.Hnsw]]'s PQ tier). One codegen'd
+    * broadcast-nested-loop pass scores every (query, code row) pair at m
+    * table loads instead of dim multiply-adds over a 32×-smaller scan
+    * (5M×512 at m=64: 320 MB of codes vs 10 GB of vectors), keeps the
+    * per-query top-`refine` (bounded heaps, map-side), then rescores ONLY
+    * those candidates' true vectors with the exact metric — output
+    * distances are exact, recall is the probability the true top-k
+    * survives the ADC top-refine cut.
+    *
+    * Metrics: "l2" (ADC = √Σ‖q⁽ˢ⁾−c⁽ˢ⁾‖²) and "cosine"
+    * (1 − Σdot / (‖q‖·√Σ‖c⁽ˢ⁾‖²), zero-norm → 1.0 — the F2 contract;
+    * the cell-norm² LUT is query-independent and built once). Query-batch
+    * contract: the per-query LUT broadcast is q·m·k floats — bounded
+    * batches (~4k queries at m=64·k=256 inside 256 MB).
+    * Output: (qid, rank, id, dist), dist exact.
+    */
+  def pqScanRefined(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+                    vectors: DataFrame, dim: Int, m: Int, k: Int,
+                    refine: Int = -1, metric: String = "l2"): DataFrame = {
+    require(metric == "l2" || metric == "cosine", s"pqScanRefined: unknown metric '$metric'")
+    val subDim = dim / m
+    val r = if (refine > 0) math.max(refine, k) else math.max(20 * k, 100)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val adcExpr =
+      if (metric == "l2") {
+        val lut = queryLut(q, codebooks, subDim, (a, b) => Distances.sqDist(a, b))
+        codes.crossJoin(broadcast(lut))
+          .select(col("qid"), col("id"),
+            sqrt(org.apache.spark.sql.graft.PqExpressions.adcSum(col("codes"), col("lut"))).as("dist"))
+      } else {
+        // dot LUT per query; cell-norm² LUT query-independent (one row)
+        val dotLut = queryLut(q, codebooks, subDim, (a, b) => Distances.dot(a, b))
+          .join(q.select(col("qid"), Distances.norm(col("vector")).as("q_norm")), "qid")
+        val norm2 = codebooks.groupBy()
+          .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid"),
+              Distances.dot(col("cvector"), col("cvector")).as("n2")))),
+            s => s.getField("n2").cast("float")).as("norm2_lut"))
+        val dotSum = org.apache.spark.sql.graft.PqExpressions.adcSum(col("codes"), col("lut"))
+        val xNorm = sqrt(org.apache.spark.sql.graft.PqExpressions.adcSum(col("codes"), col("norm2_lut")))
+        codes.crossJoin(broadcast(dotLut)).crossJoin(broadcast(norm2))
+          .select(col("qid"), col("id"),
+            when(col("q_norm") === 0.0 || xNorm === 0.0, lit(1.0))
+              .otherwise(lit(1.0) - dotSum / (col("q_norm") * xNorm)).as("dist"))
+      }
+    // dedup heap: a spill-ghost code row (same id in two shards) must not
+    // occupy two of the refine slots
+    val coarse = adcExpr.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(col("dist"), col("id"), r).as("top"))
+      .select(col("qid"), explode(col("top")("id")).as("id"))
+    val distFn = Distances.metric(metric)
+    val rescored = vectors.select(col("id"), col("vector").as("i_vector"))
+      .join(broadcast(coarse), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("vector").as("q_vector"))), Seq("qid"))
+      .select(col("qid"), col("id"), distFn(col("i_vector"), col("q_vector")).as("dist"))
+    rescored.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
+  }
+
   /** Reconstruct (id, vector: array&lt;double&gt;) from codes + codebooks —
     * concatenation of each sub-block's centroid. Used for recall/error
     * evaluation and asymmetric-distance rescoring.

@@ -327,6 +327,79 @@ object TextStats {
       .agg(count(lit(1)).as("n_tokens"), sum(col("n_sym")).as("n_syms"))
   }
 
+  /** Deterministic token-id vocabulary for a learned merge table — the
+    * artifact that turns the segmenter into an actual TOKENIZER: base ids
+    * 0..B−1 for the corpus's distinct characters (binary-sorted — the
+    * same order Spark and DuckDB give untyped string sorts), then
+    * B+rank−1 for each learned merge's symbol in rank order. A merged
+    * string that reappears at a later rank (e.g. "ab"+"c" after "a"+"bc")
+    * keeps its FIRST id — one vocabulary entry per distinct symbol.
+    * Output: (sym, token_id).
+    */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               mergesTable: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sym"))
+    val base = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .select(explode(transform(sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1)))).as("sym"))
+      .distinct()
+      // the vocabulary is bounded by alphabet size — the one-task window
+      // ranks a tiny frame, never the corpus
+      .withColumn("token_id", row_number().over(w).cast("long") - 1L)
+    val nBase = base.count()
+    val merged = mergesTable.map(_._2).zipWithIndex
+      .map { case (sym, i) => (sym, nBase + i) }
+      .toDF("sym", "token_id")
+    base.select("sym", "token_id").union(merged)
+      .groupBy(col("sym")).agg(min(col("token_id")).as("token_id"))
+  }
+
+  /** The full tokenizer: apply the learned merges to every document and
+    * emit the TOKEN-ID ARRAYS a data loader consumes — the last mile
+    * [[bpeSegmentCounts]] (which only counts symbols) stops short of.
+    * Each token's symbol string goes through the identical padded replace
+    * chain, splits into symbols in order, and each symbol joins its
+    * [[bpeVocab]] id (broadcast — the vocabulary is alphabet+merges
+    * sized); symbols outside the vocabulary (new corpus against a frozen
+    * table) encode as −1, the conventional unk sentinel. Output:
+    * (idCol, token_ids: array&lt;long&gt;) in document order (token order,
+    * then symbol order within the token).
+    *
+    * Scale shape: one token explode + one symbol explode + a broadcast
+    * join + one partial-agg groupBy per doc — per-doc arrays are bounded
+    * by document length, nothing corpus-sized is ever collected.
+    */
+  def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
+                   mergesTable: Seq[(String, String)],
+                   vocab: DataFrame = null): DataFrame = {
+    val vocabDf = Option(vocab).getOrElse(bpeVocab(docs, textCol, mergesTable))
+    val toks = docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tpos", "tok")))
+      .filter(length(col("tok")) >= 1)
+    val s0 = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1))), "  "),
+      lit(" "))
+    val chained = mergesTable.foldLeft(s0) { case (acc, (pair, merged)) =>
+      call_function("replace", acc,
+        lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
+    }
+    toks
+      .select(col(idCol), col("tpos"),
+        posexplode(split(trim(chained), "  ")).as(Seq("spos", "sym")))
+      .join(broadcast(vocabDf), Seq("sym"), "left")
+      .select(col(idCol), col("tpos"), col("spos"),
+        coalesce(col("token_id"), lit(-1L)).as("token_id"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("tpos"), col("spos"), col("token_id")))),
+        s => s.getField("token_id")).as("token_ids"))
+  }
+
   /** Repetition statistics per document over word n-gram shingles — the
     * standard repetitive-document filter of LLM training pipelines (a doc
     * that is mostly repeated n-grams is boilerplate/spam, not prose; cf.

@@ -40,6 +40,14 @@ final class TopKBuffer(val k: Int, val dedup: Boolean = false) {
   }
 
   def insert(d: Double, id: Long): Unit = {
+    // fast reject shared by both modes: a full heap whose worst entry
+    // beats (d, id) can neither admit it nor be improved by it — for a
+    // duplicate j, dists(j) <= dists(0) <= d rules out d < dists(j) (the
+    // tie d == dists(0) needs d < dists(j) <= dists(0) = d, false). This
+    // keeps the dedup mode's common path at ONE compare per row instead
+    // of a k-element indexOf scan — the dedup merge sits on every scored
+    // row of the brute-force/routed paths, billions of calls per batch.
+    if (size == k && k > 0 && !worse(dists(0), ids(0), d, id)) return
     if (dedup) {
       val j = indexOf(id)
       if (j >= 0) {

@@ -414,27 +414,39 @@ class HnswRoutedSpec extends SparkSpec {
     val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
       metric = "cosine", numPartitions = 4)
     val idx = Hnsw.buildRouted(in300, p300, cellsPerShard = 4)
-    val q = in300.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
+    // ≥ ScanMinQueries queries so the chooser amortizes the scan's dedup
+    // shuffle; hashVectors is a pure function of id, so qids 0..399 are
+    // exactly the indexed vectors (self-match assertable) and 400..599
+    // are out-of-index probes of the same distribution
+    val q = graft.sources.Datagen.hashVectors(spark, 600L, 300)
+      .select(col("id").as("qid"), col("vector"))
     assert(Hnsw.traversalDecays(idx.meta, k = 1, ef = 2))
     assert(!Hnsw.traversalDecays(idx.meta, k = 1, ef = 50))
     val dec = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 2)
     val decPlan = dec.queryExecution.executedPlan.toString
     assert(!decPlan.contains("MapGroups") && !decPlan.contains("CoGroup"),
       "decay regime must not rebuild sub-graphs — brute force within probed shards")
-    // the batch probes most of the 4-shard union per query (10 queries,
-    // q·union ≤ ratio·routeRows), so the chooser's pick is the pruned
-    // union scan — codegen'd nested-loop shape, no per-query pid join
-    assert(Hnsw.lastDecayPick.get() === "pruned-scan",
-      "decayed small-batch pick must be the pruned exact SCAN")
+    // 600 uniform queries probing C/4 cells cover the union per query —
+    // the scan side of the decision (exact-scan when the union reaches
+    // every shard, pruned-scan when it leaves some out)
+    assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()),
+      s"decayed large-batch pick must be a scan form, got ${Hnsw.lastDecayPick.get()}")
     assert(dec.collect().map(_.toSeq).toSet ===
       Hnsw.annQueryPrunedExact(idx, q, k = 1).collect().map(_.toSeq).toSet,
       "decay-regime adaptive must BE the pruned-exact-scan result")
-    // exactness within probed shards: every query self-matches at rank 1
-    // (cosine self-distance is 1 − dot/(‖·‖·‖·‖) — a ≤1-ulp residual, not
-    // the exact 0.0 of the L2 metric's self-match)
-    dec.collect().foreach { r =>
+    // exactness within probed shards: every IN-INDEX query self-matches
+    // at rank 1 (cosine self-distance is 1 − dot/(‖·‖·‖·‖) — a ≤1-ulp
+    // residual, not the exact 0.0 of the L2 metric's self-match)
+    val selfRows = dec.filter(col("qid") < 400).collect()
+    assert(selfRows.nonEmpty)
+    selfRows.foreach { r =>
       assert(r.getLong(2) === r.getLong(0) && math.abs(r.getDouble(3)) < 1e-12)
     }
+    // a SMALL decayed batch amortizes no shuffle: the join form
+    val small = Hnsw.annQueryAdaptive(idx, q.limit(10), k = 1, ef = 2)
+    small.count()
+    assert(Hnsw.lastDecayPick.get() === "probed-broadcast",
+      s"small decayed batch must take the probed join, got ${Hnsw.lastDecayPick.get()}")
     // healthy ef at the same call site: the traversal plan (sub-graph
     // rebuild operator present), same decision inputs otherwise
     val trav = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 50)
@@ -480,19 +492,12 @@ class HnswRoutedSpec extends SparkSpec {
     val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
       metric = "cosine", numPartitions = 8)
     val idx = Hnsw.buildRouted(in300, p300, cellsPerShard = 1)
-    // exactly ONE query per populated shard (lowest-id vector of each
-    // shard's cell): each probes exactly its own pid, so union = routeRows
-    // = q = s — q·union = s² > ScanJoinCostRatio·routeRows = 6s whenever
-    // s ≥ 7, deterministically the join side of the decision (k-means may
-    // leave a cell empty, so s is 7 or 8 here — both past the threshold)
-    val cents = idx.centroids.get
-    val qids = graft.operators.Ivf.probesAgg(
-        in300.select(col("id").as("qid"), col("vector")),
-        cents.select("cid", "cvector"), 1, Distances.metric(idx.meta.metric))
-      .join(cents.select("cid", "pid"), "cid")
-      .groupBy("pid").agg(min("qid").as("id")).select("id")
-    val q = in300.join(qids, "id").select(col("id").as("qid"), col("vector"))
-    assert(q.count() >= 7L, "need one query in each of >=7 distinct shards")
+    // EVERY vector queries at probeCells=1: each probes exactly its own
+    // nearest cell (one pid), so routeRows = q = 800 ≥ ScanMinQueries
+    // (the shuffle-amortization gate passes) while the union spans ≥ 7
+    // shards — q·union ≥ 800·7 > ScanJoinCostRatio·800: the COVERAGE rule
+    // itself must send this sparse-per-query batch to the join form
+    val q = in300.select(col("id").as("qid"), col("vector"))
     assert(Hnsw.traversalDecays(idx.meta, k = 1, ef = 2))
     val dec = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 2, probeCells = 1)
     assert(Hnsw.lastDecayPick.get() === "probed-broadcast",
@@ -502,6 +507,41 @@ class HnswRoutedSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet,
       "join-form pick must BE the per-query exact-probed result")
     idx.nodes.unpersist()
+  }
+
+  test("calibrateProbeCells: monotone curve to 1.0; the pick's measured recall matches the prediction") {
+    val (pc, curve) = Hnsw.calibrateProbeCells(routed, k = 10, recallTarget = 0.9,
+      sampleQueries = 50)
+    val rows = curve.orderBy("probe_cells").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(rows.nonEmpty && math.abs(rows.last._2 - 1.0) < 1e-9,
+      "every true neighbour's shard is hit by probe C — the curve must end at 1.0")
+    assert(rows.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._2),
+      "cumulative curve must be monotone")
+    assert(pc >= 1 && pc <= 16)
+    // the prediction models the probed-join mechanism EXACTLY: measured
+    // recall of annQueryRoutedExact at the picked probe, on the same
+    // sampled queries, equals the curve's value at that probe (ties at
+    // rank k aside)
+    val n = routed.meta.num_nodes
+    val step = math.max(1L, n / 50L)
+    val sample = routed.nodes.filter(!col("tombstone") && col("id") % step === 0)
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      .select(col("id").as("qid"), col("vector"))
+    val uniq = routed.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val exact = Knn.exactTopK(uniq, sample, 10, Distances.metric(routed.meta.metric))
+    val ann = Hnsw.annQueryRoutedExact(routed, sample, k = 10, probeCells = pc)
+    val measured = Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    val predicted = rows.takeWhile(_._1 <= pc).lastOption.map(_._2).getOrElse(0.0)
+    assert(measured >= 0.9 - 0.02, s"picked probe $pc must clear the 0.9 target, got $measured")
+    assert(math.abs(measured - predicted) <= 0.02,
+      s"measured $measured vs predicted $predicted at probe $pc")
+    // an impossible-to-miss target: 1.0 must pick a probe achieving 1.0
+    val (pcFull, _) = Hnsw.calibrateProbeCells(routed, k = 10, recallTarget = 1.0,
+      sampleQueries = 50)
+    val annFull = Hnsw.annQueryRoutedExact(routed, sample, k = 10, probeCells = pcFull)
+    assert(Hnsw.recallAtK(annFull, exact, 10).agg(avg("recall")).head().getDouble(0) === 1.0)
   }
 
   test("annQueryRoutedExactLarge is bit-equal to the broadcast exact-probed form") {

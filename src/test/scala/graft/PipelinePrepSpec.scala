@@ -34,6 +34,61 @@ class PipelinePrepSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncodeIds/packTokenIds: ids round-trip to the segmenter's symbols; packing carries them in order") {
+    // a corpus where "ab" then "abc" merge fast, plus multi-token docs
+    val docs = Seq(
+      (0L, "abc abc ab"), (1L, "abcd xy abc"), (2L, "ab ab ab ab"),
+      (3L, "zq abc"), (4L, "abc"), (5L, "xy zq ab abc abcd")
+    ).toDF("doc_id", "text")
+    val mergesDf = TextStats.bpeTrainMerges(docs, "text", merges = 3)
+    val merges = mergesDf.collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = TextStats.bpeVocab(docs, "text", merges)
+    val vocabMap = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base ids are the binary-sorted corpus alphabet starting at 0; merge
+    // symbols follow in rank order (first rank wins on re-derivation)
+    val alphabet = docs.collect().flatMap(_.getString(1).replace(" ", "")).distinct.sorted
+    alphabet.zipWithIndex.foreach { case (ch, i) =>
+      assert(vocabMap(ch.toString) === i.toLong, s"base id of '$ch'")
+    }
+    merges.map(_._2).distinct.foreach { sym =>
+      assert(vocabMap.contains(sym), s"merged symbol '$sym' missing from vocab")
+    }
+    // ids decode back to EXACTLY the segmenter's symbol stream per doc
+    val idToSym = vocabMap.map(_.swap)
+    val ids = TextStats.bpeEncodeIds(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(ids.keySet === (0L to 5L).toSet)
+    assert(ids.values.forall(_.forall(_ >= 0)), "in-corpus encode has no unk ids")
+    // symbol-count agreement with the counting segmenter (q80's operator)
+    val counts = TextStats.bpeSegmentCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ids.foreach { case (d, arr) =>
+      assert(arr.length.toLong === counts(d), s"doc $d id count vs segmenter n_syms")
+    }
+    // decode: re-concatenating the ids' symbols reproduces the text
+    // without spaces (character-exact round trip)
+    val noSpace = docs.collect().map(r => r.getLong(0) -> r.getString(1).replace(" ", "")).toMap
+    ids.foreach { case (d, arr) =>
+      assert(arr.map(idToSym).mkString === noSpace(d), s"doc $d decode round-trip")
+    }
+    // packing: sequences carry the ids in (doc, token, symbol) order and
+    // their concatenation over seq_id order is the corpus id stream
+    val packed = Packing.packTokenIds(docs, "doc_id", "text", merges, targetTokens = 7)
+      .collect().sortBy(_.getLong(0))
+    val corpusStream = (0L to 5L).flatMap(ids)
+    val packedStream = packed.flatMap(_.getSeq[Long](3))
+    assert(packedStream.toSeq === corpusStream, "packed concat must equal the corpus id stream")
+    packed.foreach { r =>
+      assert(r.getLong(2) === r.getSeq[Long](3).length.toLong, "seq_tokens = ids carried")
+    }
+    // an unknown character against the FROZEN vocab encodes as -1
+    val unk = TextStats.bpeEncodeIds(Seq((9L, "ab#")).toDF("doc_id", "text"),
+      "doc_id", "text", merges, vocab)
+      .collect().head.getSeq[Long](1)
+    assert(unk.contains(-1L), s"'#' must encode as unk, got $unk")
+  }
+
   test("sequenceStats: every sequence meets the budget before overshooting by at most one doc") {
     val docs = (0L until 100L)
       .map(i => (i, Seq.fill((i % 13 + 1).toInt)("w").mkString(" ")))

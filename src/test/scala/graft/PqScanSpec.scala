@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.hnsw.{Hnsw, HnswParams}
+import graft.operators.{Knn, Pq}
+
+/** Byte-code PQ scan path: the codegen encoder/ADC expressions, the
+  * ADC-coarse + exact-rescore read form ([[Pq.pqScanRefined]]), and the
+  * sidecar wiring into the decay tier ([[Hnsw.attachPq]] /
+  * [[Hnsw.annQueryPqRefined]]).
+  */
+class PqScanSpec extends SparkSpec {
+
+  private val dim = 32
+  private val m = 4
+  private lazy val vectors = graft.sources.Datagen.hashVectors(spark, 600L, dim)
+    .localCheckpoint()
+  private lazy val codebooks = Pq.pqFit(vectors, dim, m, k = 16, iters = 2)
+    .localCheckpoint()
+
+  test("pqEncodeBytes matches the relational pqEncode code-for-code") {
+    val rel = Pq.pqEncode(vectors, codebooks, dim, m)
+      .select(col("id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toInt).toSeq).toMap
+    val bytes = Pq.pqEncodeBytes(vectors, codebooks, m)
+      .select(col("id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).map(b => b & 0xFF).toSeq).toMap
+    assert(bytes.keySet === rel.keySet)
+    bytes.foreach { case (id, c) => assert(c === rel(id), s"codes of id $id diverge") }
+  }
+
+  test("AdcSum over the flat LUT reproduces the per-sub table sum exactly") {
+    import spark.implicits._
+    // 2 sub-blocks, k=3: codes pick cells (2, 1); lut laid out [sub][cid]
+    val lut = Array(0.5, 1.5, 2.5, 10.0, 20.0, 30.0)
+    val df = Seq((1L, Array[Byte](2, 1))).toDF("id", "codes")
+      .withColumn("lut", typedLit(lut))
+      .select(org.apache.spark.sql.graft.PqExpressions.adcSum(col("codes"), col("lut")).as("s"))
+    assert(df.head().getDouble(0) === 2.5 + 20.0)
+  }
+
+  test("pqScanRefined at refine >= n IS the exact top-k (l2 and cosine)") {
+    val codes = Pq.pqEncodeBytes(vectors, codebooks, m).localCheckpoint()
+    val queries = vectors.filter(col("id") % 60 === 0)
+      .select(col("id").as("qid"), col("vector"))
+    for (metric <- Seq("l2", "cosine")) {
+      val exact = Knn.exactTopK(vectors, queries, 10, Distances.metric(metric))
+        .collect().map(_.toSeq).toSet
+      val got = Pq.pqScanRefined(codes, codebooks, queries, vectors, dim, m, k = 10,
+        refine = 600, metric = metric).collect().map(_.toSeq).toSet
+      assert(got === exact, s"full-refine pqScanRefined must BE the exact top-k ($metric)")
+    }
+  }
+
+  test("pqScanRefined distances are exact and recall climbs with refine") {
+    val codes = Pq.pqEncodeBytes(vectors, codebooks, m).localCheckpoint()
+    val queries = vectors.filter(col("id") % 60 === 0)
+      .select(col("id").as("qid"), col("vector"))
+    val exact = Knn.exactTopK(vectors, queries, 10, Distances.metric("l2")).localCheckpoint()
+    def recallOf(refine: Int): Double = {
+      val ann = Pq.pqScanRefined(codes, codebooks, queries, vectors, dim, m, k = 10,
+        refine = refine, metric = "l2")
+      Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    }
+    val r20 = recallOf(20)
+    val r200 = recallOf(200)
+    assert(r200 >= r20, s"recall must not fall as refine widens ($r20 -> $r200)")
+    assert(r200 >= 0.9, s"refine=200 of 600 rows should recover >=0.9 recall, got $r200")
+    // output distances are the exact metric, not ADC approximations:
+    // every query's own vector appears at rank 1 / dist exactly 0.0
+    Pq.pqScanRefined(codes, codebooks, queries, vectors, dim, m, k = 10,
+      refine = 50, metric = "l2")
+      .filter(col("rank") === 1).collect().foreach { r =>
+        assert(r.getLong(2) === r.getLong(0) && r.getDouble(3) === 0.0)
+      }
+  }
+
+  test("attachPq + decay tier: sidecar routes the decayed batch through pq-refined; save/load round-trips it") {
+    // dim 300 >= the high-dim bound; nSub = 400/4 = 100 >= 40*efBudget(2)
+    val in300 = graft.sources.Datagen.hashVectors(spark, 400L, 300)
+    val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
+      metric = "cosine", numPartitions = 4)
+    val idx0 = Hnsw.buildRouted(in300, p300, cellsPerShard = 4)
+    val idx = Hnsw.attachPq(idx0, m = 30, kCells = 16, iters = 2)
+    assert(idx.pq.isDefined && idx.pq.get.m === 30)
+    val q = in300.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
+    assert(Hnsw.traversalDecays(idx.meta, k = 1, ef = 2))
+    val dec = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 2)
+    assert(Hnsw.lastDecayPick.get() === "pq-refined",
+      "an attached sidecar must opt the decayed batch into the PQ tier")
+    // exact rescore: every query self-matches at rank 1 (cosine ulp residual)
+    dec.collect().foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) && math.abs(r.getDouble(3)) < 1e-12)
+    }
+    // direct call at full probe + full refine = exact top-k over live rows
+    val uniq = idx.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val exact = Knn.exactTopK(uniq, q, 10, Distances.metric("cosine"))
+      .collect().map(_.toSeq).toSet
+    val full = Hnsw.annQueryPqRefined(idx, q, k = 10, probeCells = 16, refine = 400)
+      .collect().map(_.toSeq).toSet
+    assert(full === exact, "full-probe full-refine PQ path must BE the exact top-k")
+    // persistence round-trip keeps the sidecar and its answers
+    val dir = Files.createTempDirectory("pq_sidecar").toString
+    Hnsw.save(idx, dir)
+    val loaded = Hnsw.load(spark, dir)
+    assert(loaded.pq.isDefined && loaded.pq.get.m === 30)
+    assert(Hnsw.annQueryPqRefined(loaded, q, k = 10, probeCells = 16, refine = 400)
+      .collect().map(_.toSeq).toSet === full)
+    // the filtered view must NOT keep the sidecar (codes don't know the filter)
+    assert(Hnsw.withAllowed(idx, in300.select("id").limit(100)).pq.isEmpty)
+    idx0.nodes.unpersist()
+  }
+}
