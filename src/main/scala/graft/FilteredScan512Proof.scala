@@ -43,8 +43,11 @@ object FilteredScan512Proof {
     def timedMin(f: => Long): Double =
       (1 to reps).map { _ => val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9 }.min
     val dist = graft.functions.Distances.metric(index.meta.metric)
+    // 1,000 queries: past ScanMinQueries, so the no-flag chooser picks the
+    // filtered exact scan — recall 1.0 by construction at full coverage,
+    // and the shape whose eval bill SHRINKS with selectivity
     val sample = index.nodes
-      .filter(!col("tombstone") && col("id") % math.max(1L, n / 100L) === 0)
+      .filter(!col("tombstone") && col("id") % math.max(1L, n / 1000L) === 0)
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
       .select(col("id").as("qid"), col("vector")).localCheckpoint()
     val nQ = sample.count()
