@@ -5,22 +5,29 @@ import org.apache.spark.sql.functions._
 
 import graft.hnsw.{Hnsw, PqSidecar}
 
-/** VERDICT r11 item 2: wire IVF-PQ into the decayed regime. The 5M×512
-  * exact forms are bound by streaming/evaluating the 10 GB float node
-  * table; the PQ sidecar scans 320 MB of byte codes at m=64 table loads
-  * per pair instead of 512 multiply-adds, then rescores only the ADC
-  * top-`refine` exactly. This proof, on the saved 5M×512 index:
+/** VERDICT r11 item 2 (wire IVF-PQ into the decayed regime) — measured
+  * OUTCOME, in the ExactProbeShapeProbe tradition of committing what the
+  * numbers actually say. The full byte-code PQ path exists (PqEncodeBytes/
+  * AdcSum codegen expressions, Pq.pqScanRefined, the attach/save/load
+  * sidecar, CLI --attach-pq/--pq-refine) and is exactness-spec-pinned; on
+  * the saved 5M×512 index this proof measures, min-of-reps:
   *
-  *   - trains + encodes the sidecar once (saved to `<indexDir>_pq` and
-  *     reused — NOT into the index dir itself, so the scan-tier proof's
-  *     no-flag pick stays scan);
-  *   - pins that the no-flag adaptive call WITH the sidecar attached
-  *     routes through the PQ tier;
-  *   - sweeps refine at the 100-query point for the recall curve, then
-  *     gates the headline: recall@10 ≥ 0.94 at 1,000 uniform queries
-  *     with wall-time materially under the exact-scan bound.
+  *   - the refine→recall curve of the ADC cut at 100 uniform queries, and
+  *   - the 1,000-query wall-time of the PQ path vs the exact float scan.
   *
-  * Prints one JSON line, committed as `BENCH_SCALE_PQ512.json`. Run:
+  * The r12 finding it records: with the 10 GB float table IN MEMORY, both
+  * shapes are bound by per-PAIR iteration overhead (BNLJ row handling +
+  * aggregate update), not arithmetic — the ADC scan's 64 table loads run
+  * the same wall-time as the float scan's 512 multiply-adds — while
+  * uniform dim-512 data (distance concentration, PQ's quantization worst
+  * case) needs refine in the thousands to clear 0.94 recall. So the PQ
+  * tier does NOT preempt the exact forms in annQueryAdaptive; it remains
+  * the explicit lever for the memory-bound regime (float table ≫ RAM),
+  * where its 32× scan-footprint cut changes what is being streamed. The
+  * identified wall-time path for compute-bound ADC is a batched
+  * mapPartitions kernel (per-task primitive-array LUTs), left as the
+  * documented next step. Prints one JSON line, committed as
+  * `BENCH_SCALE_PQ512.json`. Run:
   *
   *   SPARK_DRIVER_MEM=96g scripts/run_main.sh graft.PqDim512Proof /root/scale/idx512
   */
@@ -73,14 +80,11 @@ object PqDim512Proof {
           sc.codes.write.mode("overwrite").parquet(s"$pqDir/pq_codes")
         }
         System.err.println(f"[pq512] fit $fitS%.1f s, encode+save $encS%.1f s -> $pqDir")
-        // reread so the timed queries scan parquet codes, not the
-        // recompute-from-floats plan
         val reread = PqSidecar(
           spark.read.parquet(s"$pqDir/pq_codebooks"),
           spark.read.parquet(s"$pqDir/pq_codes"), m)
         (base.copy(pq = Some(reread)), fitS, encS)
       }
-    // cache the code table (the hot scan side) and materialize it
     val cached = index.copy(pq = index.pq.map(sc => sc.copy(codes =
       sc.codes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))))
     cached.pq.get.codes.count()
@@ -94,10 +98,11 @@ object PqDim512Proof {
     def uniq = cached.nodes.filter(!col("tombstone"))
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
 
-    // refine sweep at 100 queries: the recall curve of the ADC cut
+    // refine sweep at 100 queries: the recall curve of the ADC cut on
+    // distance-concentrated uniform data
     val s100 = uniformSample(100L)
     val exact100 = graft.operators.Knn.exactTopK(uniq, s100, 10, dist).localCheckpoint()
-    val sweep = Seq(100, 200, 400).map { r =>
+    val sweep = Seq(100, 400, 1600, 3200).map { r =>
       val (ann, sec) = timed(
         Hnsw.annQueryPqRefined(cached, s100, k = 10, refine = r).localCheckpoint())
       val rec = Hnsw.recallAtK(ann, exact100, 10).agg(avg("recall")).head().getDouble(0)
@@ -105,26 +110,29 @@ object PqDim512Proof {
       (r, rec, sec)
     }
 
-    // headline: 1,000 uniform queries, no-flag adaptive (sidecar attached)
+    // 1,000 uniform queries: PQ path (at the sweep's best-recall refine)
+    // vs the exact float scan — the compute-bound comparison the finding
+    // rests on
+    val bestRefine = sweep.maxBy(_._2)._1
     val s1k = uniformSample(1000L)
-    val adaptiveSec = timedMin(Hnsw.annQueryAdaptive(cached, s1k, k = 10).count())
-    val pick = Hnsw.lastDecayPick.get()
-    require(pick == "pq-refined", s"sidecar attached but decay pick was '$pick'")
+    val pqSec = timedMin(
+      Hnsw.annQueryPqRefined(cached, s1k, k = 10, refine = bestRefine).count())
     val exactSec = timedMin(graft.operators.Knn.exactTopK(uniq, s1k, 10, dist).count())
-    val ann1k = Hnsw.annQueryAdaptive(cached, s1k, k = 10).localCheckpoint()
+    val ann1k = Hnsw.annQueryPqRefined(cached, s1k, k = 10, refine = bestRefine)
+      .localCheckpoint()
     val exact1k = graft.operators.Knn.exactTopK(uniq, s1k, 10, dist).localCheckpoint()
     val recall1k = Hnsw.recallAtK(ann1k, exact1k, 10).agg(avg("recall")).head().getDouble(0)
-    System.err.println(f"[pq512] 1000 q: pq-adaptive $adaptiveSec%.1f s " +
-      f"(recall@10 $recall1k%.4f) vs exact scan $exactSec%.1f s")
-    require(recall1k >= 0.94, f"recall@10 $recall1k%.4f below the 0.94 gate")
+    System.err.println(f"[pq512] 1000 q at refine=$bestRefine: pq $pqSec%.1f s " +
+      f"(recall@10 $recall1k%.4f) vs exact float scan $exactSec%.1f s")
 
     val sweepJson = sweep.map { case (r, rec, sec) =>
       s"""{"refine":$r,"recall10":$rec,"sec":$sec}""" }.mkString("[", ",", "]")
     println(s"""{"n":$n,"dim":${cached.meta.dim},"m":$m,"reps":$reps,""" +
       s""""fit_sec":$fitSec,"encode_save_sec":$encodeSec,""" +
       s""""refine_sweep_100q":$sweepJson,""" +
-      s""""uniform1000":{"pq_adaptive_sec":$adaptiveSec,"exact_scan_sec":$exactSec,""" +
-      s""""recall10":$recall1k,"pick":"$pick"}}""")
+      s""""uniform1000":{"refine":$bestRefine,"pq_refined_sec":$pqSec,"exact_scan_sec":$exactSec,""" +
+      s""""recall10":$recall1k},""" +
+      s""""finding":"in-memory tables are pair-iteration-bound: ADC bought no wall-time and the refine cut caps recall on distance-concentrated data; PQ stays the explicit memory-bound-regime lever, not an adaptive default"}""")
     spark.stop()
   }
 }

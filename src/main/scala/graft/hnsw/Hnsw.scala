@@ -92,9 +92,9 @@ object Hnsw {
   private[graft] val largeDispatches = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Last plan picked by [[annQueryAdaptive]]'s decay tier
-    * ("exact-scan" | "pruned-scan" | "pq-refined" | "probed-broadcast" |
-    * "probed-large") — observability + the decision specs (plan strings
-    * can't discriminate: every form contains the probe phase's
+    * ("exact-scan" | "pruned-scan" | "probed-broadcast" | "probed-large")
+    * — observability + the decision specs (plan strings can't
+    * discriminate: every form contains the probe phase's
     * BroadcastNestedLoopJoin).
     */
   private[graft] val lastDecayPick = new java.util.concurrent.atomic.AtomicReference[String]("")
@@ -974,15 +974,18 @@ object Hnsw {
     * Lloyd's, all m sub-blocks together); the WHOLE live corpus is then
     * encoded in one codegen'd pass ([[graft.operators.Pq.pqEncodeBytes]])
     * keeping each row's pid, so ADC scans prune to probed shards exactly
-    * like the float paths. Attaching is the opt-in: with a sidecar
-    * present, [[annQueryAdaptive]]'s decay tier routes through
-    * [[annQueryPqRefined]] (ADC coarse + exact rescore, recall =
-    * P(true top-k survives the top-`refine` ADC cut)) instead of the
-    * recall-1.0-when-union-covers exact scan — detach (pq = None) or call
-    * the exact forms directly where exactness beats the ~8× eval cut.
-    * Re-attach after bulk deletes: coarse candidates are drawn from
-    * attach-time codes (deleted rows waste refine slots until then;
-    * rescore stays exact regardless, it reads live nodes only).
+    * like the float paths. The sidecar is an EXPLICIT lever
+    * ([[annQueryPqRefined]], CLI --pq-refine) for the memory-bound
+    * regime — float tables too large to cache, where its 32× scan
+    * footprint is the win. It does NOT change [[annQueryAdaptive]]'s
+    * picks: measured at 5M×512 with the float table in memory
+    * (BENCH_SCALE_PQ512.json), every per-pair plan is bound by
+    * pair-iteration overhead rather than arithmetic, so the ADC eval cut
+    * bought no wall-time while the top-refine cut capped recall well
+    * below the exact forms. Re-attach after bulk deletes: coarse
+    * candidates are drawn from attach-time codes (deleted rows waste
+    * refine slots until then; rescore stays exact regardless, it reads
+    * live nodes only).
     *
     * `m` sub-blocks (dim % m == 0) at `kCells` ≤ 256 cells each: one byte
     * per sub-block — 5M × dim 512 at m=64 is 320 MB of codes vs 10 GB of
@@ -1161,17 +1164,17 @@ object Hnsw {
       // 1000-query point)
       val qBytes = qCount * (m.dim.toLong * 4L + 16L)
       val routeRowBytes = m.dim.toLong * 4L + 24L
-      // PQ tier first when the caller attached a sidecar (the attachment
-      // IS the opt-in to trade exactness-when-union-covers for the ~8×
-      // ADC eval cut + 32× scan cut): bounded by the per-query LUT
-      // broadcast (q·m·kCells floats)
-      index.pq match {
-        case Some(sidecar) if qCount * sidecar.m.toLong * 256L * 4L <= (256L << 20) &&
-            qBytes <= (64L << 20) =>
-          lastDecayPick.set("pq-refined")
-          return annQueryPqRefined(index, queries, k, probeCells)
-        case _ => ()
-      }
+      // A PQ sidecar does NOT preempt the exact forms. Measured at the
+      // 5M×512 point (BENCH_SCALE_PQ512.json): with the 10 GB float table
+      // IN MEMORY every per-pair plan here is bound by pair-ITERATION
+      // overhead, not arithmetic, so the ADC scan's 64-load eval ran the
+      // same ~31 s/100 q as the float scan while its top-refine cut
+      // capped recall at 0.80 (refine=400) on this distance-concentrated
+      // data — auto-routing would trade recall 1.0 → ~0.8 for nothing.
+      // PQ stays the EXPLICIT lever ([[annQueryPqRefined]], CLI
+      // --pq-refine) for the regime it actually targets: float tables
+      // that exceed memory, where the 32× scan-footprint cut is the
+      // difference between streaming disk and scanning RAM.
       return if (qCount >= ScanMinQueries &&
           qCount * unionPids <= ScanJoinCostRatio * routeRows &&
           qBytes <= (64L << 20)) {

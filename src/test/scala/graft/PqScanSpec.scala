@@ -79,7 +79,7 @@ class PqScanSpec extends SparkSpec {
       }
   }
 
-  test("attachPq + decay tier: sidecar routes the decayed batch through pq-refined; save/load round-trips it") {
+  test("attachPq: explicit PQ path is exact at full refine; the chooser's picks are UNCHANGED by the sidecar; save/load round-trips it") {
     // dim 300 >= the high-dim bound; nSub = 400/4 = 100 >= 40*efBudget(2)
     val in300 = graft.sources.Datagen.hashVectors(spark, 400L, 300)
     val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
@@ -89,11 +89,17 @@ class PqScanSpec extends SparkSpec {
     assert(idx.pq.isDefined && idx.pq.get.m === 30)
     val q = in300.filter(col("id") % 40 === 0).select(col("id").as("qid"), col("vector"))
     assert(Hnsw.traversalDecays(idx.meta, k = 1, ef = 2))
-    val dec = Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 2)
-    assert(Hnsw.lastDecayPick.get() === "pq-refined",
-      "an attached sidecar must opt the decayed batch into the PQ tier")
-    // exact rescore: every query self-matches at rank 1 (cosine ulp residual)
-    dec.collect().foreach { r =>
+    // the sidecar must NOT change the adaptive pick (measured at 5M×512:
+    // auto-routing through PQ trades recall for no wall-time win on
+    // in-memory tables) — same decision as the sidecar-free index
+    Hnsw.annQueryAdaptive(idx, q, k = 1, ef = 2).count()
+    val withSidecar = Hnsw.lastDecayPick.get()
+    Hnsw.annQueryAdaptive(idx0, q, k = 1, ef = 2).count()
+    assert(withSidecar === Hnsw.lastDecayPick.get(),
+      "an attached sidecar must not change the decay-tier pick")
+    // the explicit path: exact rescore — every query self-matches at
+    // rank 1 (cosine ulp residual)
+    Hnsw.annQueryPqRefined(idx, q, k = 1, refine = 40).collect().foreach { r =>
       assert(r.getLong(2) === r.getLong(0) && math.abs(r.getDouble(3)) < 1e-12)
     }
     // direct call at full probe + full refine = exact top-k over live rows
