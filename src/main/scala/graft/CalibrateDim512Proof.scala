@@ -27,6 +27,10 @@ object CalibrateDim512Proof {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.adaptive.enabled", "true")
+      // safety net for stats mis-estimates on expression-generated input
+      // (ArrayType defaultSize): a wrongly-planned broadcast then fails
+      // fast in planning review, not as a hung task-result-getter
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -210,6 +210,14 @@ object Hnsw {
       .groupBy("id")
       .agg(org.apache.spark.sql.graft.TopKAggregate
         .topKByDist(col("dist"), col("cid"), 2).as("top2"))
+      // SHUFFLE_HASH pin: Catalyst's ArrayType defaultSize assumes a
+      // 1-element array, so an expression-generated vector table (e.g.
+      // Datagen.hashVectors over a Range) statically estimates ~MBs and
+      // the planner tries to BROADCAST the multi-GB base side — the
+      // driver then dies on maxResultSize collecting it (measured: 1M×512
+      // ≈ 1.9 GiB of task results). The slim top2 side is the intended
+      // build side; the base side streams.
+      .hint("shuffle_hash")
       .join(base, Seq("id"))
     val primary = top2.select(col("id"), col("vector"), col("top2")(0)("id").as("cid"))
     val spilled = top2
