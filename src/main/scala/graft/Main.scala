@@ -296,9 +296,12 @@ object Main {
         (if (index.centroids.isDefined) f" [routed, ${compacted.meta.num_cells} cells kept]" else ""))
 
     } else if (opts.contains("attach-pq")) {
-      // train + attach the PQ byte-code sidecar to a saved index: from
-      // then on the no-flag --load chooser routes decayed high-dim
-      // batches through ADC-coarse + exact-rescore (Hnsw.attachPq)
+      // train + attach the PQ byte-code sidecar to a saved index. The
+      // sidecar is an EXPLICIT lever: only --pq-refine (annQueryPqRefined)
+      // reads it — the no-flag --load adaptive chooser's picks are
+      // unchanged by its presence (measured: ADC wins nothing while the
+      // float table fits in memory, and refine caps recall; PqScanSpec
+      // pins the unchanged pick)
       val dir = opts("attach-pq")
       val index = Hnsw.load(spark, dir)
       val t0 = System.nanoTime()
@@ -310,6 +313,7 @@ object Main {
       val sc = withPq.pq.get
       sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
       sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
+      Hnsw.writePqMeta(dir, index.meta.num_nodes)
       val rows = spark.read.parquet(s"$dir/pq_codes").count()
       println(f"[attach-pq] m=${sc.m} codes for $rows rows " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_codes")

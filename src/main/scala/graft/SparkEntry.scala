@@ -1130,9 +1130,14 @@ object SparkEntry {
     //      emitting the TOKEN-ID ARRAYS a data loader consumes (base ids
     //      = binary-sorted corpus alphabet, then merge ranks; -1 = unk) —
     //      the last mile q80's symbol counts stop short of ----
+    // The array<long> id column is serialized to a comma-joined string
+    // for the oracle row (the driver's comparator sorts/hashes scalar
+    // cells only); specs exercise the array form via bpeEncodeIds.
     "q148_bpe_token_ids" -> ((s, dir) =>
       graft.operators.TextStats.bpeEncodeIds(tbl(s, dir, "documents"), "doc_id", "text",
-        trainedMerges(s, dir).map(t => (t._2, t._3)))),
+        trainedMerges(s, dir).map(t => (t._2, t._3)))
+        .select(col("doc_id"),
+          array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"))),
 
     // ---- packed training sequences carrying REAL token ids: tokenize
     //      (q148), pack by actual id-array lengths (q44's hierarchical
@@ -1140,7 +1145,9 @@ object SparkEntry {
     //      sequences-of-ids handoff to the training data loader ----
     "q149_packed_token_ids" -> ((s, dir) =>
       graft.operators.Packing.packTokenIds(tbl(s, dir, "documents"), "doc_id", "text",
-        trainedMerges(s, dir).map(t => (t._2, t._3)), targetTokens = 5000)),
+        trainedMerges(s, dir).map(t => (t._2, t._3)), targetTokens = 5000)
+        .select(col("seq_id"), col("n_docs"), col("seq_tokens"),
+          array_join(col("token_ids").cast("array<string>"), ",").as("token_ids"))),
 
     // ---- BM25 lexical retrieval: fixed-point micro-nat idf per distinct
     //      term, exact-integer tf/length normalization, fixed-order
@@ -3521,7 +3528,8 @@ object SparkEntry {
       // merge symbols at nBase + rank - 1 (first rank wins on a re-derived
       // string), per-(token, symbol) vocab join, ordered list per doc
       "q148_bpe_token_ids" -> bpeIdsOracle(trailer =
-        """SELECT doc_id, list(token_id ORDER BY tpos, spos) AS token_ids
+        """SELECT doc_id,
+          |  array_to_string(list(token_id ORDER BY tpos, spos), ',') AS token_ids
           |FROM ids GROUP BY doc_id""".stripMargin),
 
       // q148's id chain packed: exact prefix sum over doc ids, integer
@@ -3536,7 +3544,7 @@ object SparkEntry {
           |  FROM counted)
           |SELECT strt // 5000 AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
-          |  flatten(list(token_ids ORDER BY doc_id)) AS token_ids
+          |  array_to_string(flatten(list(token_ids ORDER BY doc_id)), ',') AS token_ids
           |FROM pref GROUP BY 1""".stripMargin, trailerIsCte = true),
 
       "q81_bm25_topk" ->

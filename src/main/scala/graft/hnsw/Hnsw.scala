@@ -394,11 +394,43 @@ object Hnsw {
     index.nodes.write.mode("overwrite").parquet(s"$dir/vectors")
     index.edges.write.mode("overwrite").parquet(s"$dir/edges")
     index.centroids.foreach(_.write.mode("overwrite").parquet(s"$dir/centroids"))
-    index.pq.foreach { sc =>
-      sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
-      sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
+    index.pq match {
+      case Some(sc) =>
+        sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
+        sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
+        writePqMeta(dir, index.meta.num_nodes)
+      case None =>
+        // re-saving a sidecar-free index into a reused dir must not leave
+        // codes behind that describe the OLD vectors under reused ids —
+        // load() would attach them and annQueryPqRefined would silently
+        // lose recall
+        dropPqSidecar(index.nodes.sparkSession, dir)
     }
     saveMeta(index.meta, dir)
+  }
+
+  /** Sidecar coverage marker: the live-vector count the codes were encoded
+    * against. [[load]] compares it to meta.json's num_nodes and drops the
+    * sidecar on mismatch (appends bump num_nodes, so a stale sidecar
+    * self-invalidates even if [[dropPqSidecar]] was bypassed).
+    */
+  def writePqMeta(dir: String, numNodes: Long): Unit =
+    Files.writeString(Paths.get(s"$dir/pq_meta.json"), s"""{"num_nodes":$numNodes}""")
+
+  /** Delete any PQ sidecar artifacts under `dir` (pq_codes, pq_codebooks,
+    * pq_meta.json). The streaming append paths call this: appended vectors
+    * have no byte codes, so a surviving sidecar would draw ADC-coarse
+    * candidates from a table that cannot contain them — stale codes are a
+    * silent recall loss, never an error, so they must not survive a write
+    * that changes the vector set without re-encoding.
+    */
+  def dropPqSidecar(spark: SparkSession, dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("pq_codes", "pq_codebooks", "pq_meta.json").foreach { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
 
   /** Write only meta.json (used by the streaming append path, which never
@@ -424,10 +456,22 @@ object Hnsw {
     val cPath = new org.apache.hadoop.fs.Path(s"$dir/centroids")
     val fs = cPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cents = if (fs.exists(cPath)) Some(spark.read.parquet(s"$dir/centroids")) else None
+    val meta = loadMeta(dir)
     // PQ sidecar rides along when present (m = the byte width of any code
-    // row — cheap limit(1) probe on the tiny codes schema)
+    // row — cheap limit(1) probe on the tiny codes schema). Coverage gate:
+    // if a pq_meta.json marker exists, its num_nodes must equal the live
+    // meta's — appends bump num_nodes without re-encoding, and attaching
+    // codes that miss (or misdescribe) vectors silently degrades recall.
+    // A marker-less sidecar (pre-marker save) is accepted as-is.
+    val pqFresh = {
+      val pm = Paths.get(s"$dir/pq_meta.json")
+      !Files.exists(pm) || {
+        """"num_nodes"\s*:\s*(-?\d+)""".r.findFirstMatchIn(Files.readString(pm))
+          .map(_.group(1).toLong).contains(meta.num_nodes)
+      }
+    }
     val pqSc =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes"))) {
+      if (pqFresh && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_codes"))) {
         val codes = spark.read.parquet(s"$dir/pq_codes")
         val mBytes = codes.select(length(col("codes"))).limit(1).collect()
           .headOption.map(_.getInt(0)).getOrElse(0)
@@ -438,7 +482,7 @@ object Hnsw {
     HnswIndex(
       spark.read.parquet(s"$dir/vectors"),
       spark.read.parquet(s"$dir/edges"),
-      loadMeta(dir),
+      meta,
       cents,
       pqSc)
   }

@@ -153,16 +153,16 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // a locality-sharded index gets the centroid-routed plan: the one
       // query probes its nearest cells and only those shards ship. In the
       // high-dim traversal-decay regime (Hnsw.traversalDecays — meta-only,
-      // so still job-free under EXPLAIN) the routed plan is the pruned
-      // exact scan: for a SINGLE query the probed union IS its own probed
-      // shards (bit-identical candidates to the per-query join form) in
-      // the measured-cheaper codegen'd scan shape — the same pick
-      // annQueryAdaptive's decay tier makes at q=1, without its
-      // decision jobs
+      // so still job-free under EXPLAIN) it takes the exact-PROBED join:
+      // the same pick annQueryAdaptive's decay tier makes at q=1 (qCount
+      // < ScanMinQueries — the scan's union-dedup shuffle dominates small
+      // batches: measured 6.1 s join vs 16.7 s scan at clustered-25q,
+      // 5M×512), without its decision jobs. Bit-identical candidates
+      // either way (single-query probed union = its own probed shards).
       val ann = (if (idx.centroids.isDefined) {
         import session.implicits._
         val q1 = Seq((0L, qVec)).toDF("qid", "vector")
-        if (Hnsw.traversalDecays(idx.meta, k, -1)) Hnsw.annQueryPrunedExact(idx, q1, k)
+        if (Hnsw.traversalDecays(idx.meta, k, -1)) Hnsw.annQueryRoutedExact(idx, q1, k)
         else Hnsw.annQueryRouted(idx, q1, k)
       } else {
         Hnsw.annQueryBatch(idx, Array((0L, qVec)), k)

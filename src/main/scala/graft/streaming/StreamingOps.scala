@@ -52,6 +52,9 @@ object StreamingOps {
     } else {
       withOffset.nodes.write.mode("append").parquet(s"$dir/vectors")
       withOffset.edges.write.mode("append").parquet(s"$dir/edges")
+      // appended vectors carry no byte codes — a surviving PQ sidecar
+      // would silently exclude them from ADC-coarse candidate draws
+      Hnsw.dropPqSidecar(batch.sparkSession, dir)
       // incremental meta refresh: the BATCH's own top (already computed by
       // its build) against current meta.json — per-batch cost is O(batch),
       // never a re-scan of the whole appended index. Entry rule preserved:
@@ -146,6 +149,9 @@ object StreamingOps {
       .write.mode("append").parquet(s"$dir/vectors")
     built.edges.withColumn("pid", (col("pid") + lit(offset)).cast("int"))
       .write.mode("append").parquet(s"$dir/edges")
+    // appended vectors carry no byte codes — a surviving PQ sidecar would
+    // silently exclude them from ADC-coarse candidate draws
+    Hnsw.dropPqSidecar(spark, dir)
     // routing rows for the new shards: ONLY the cells the batch landed in
     // (primary or spill assignment) — a probe of an untouched sibling cell
     // must not ship this batch's shard

@@ -121,4 +121,40 @@ class PqScanSpec extends SparkSpec {
     assert(Hnsw.withAllowed(idx, in300.select("id").limit(100)).pq.isEmpty)
     idx0.nodes.unpersist()
   }
+
+  test("stale-sidecar protection: sidecar-free re-save deletes it; appends invalidate it; load drops it on a coverage-marker mismatch") {
+    val params = HnswParams(dim = dim, m = 4, efConstruction = 16,
+      metric = "l2", numPartitions = 4)
+    val idx0 = Hnsw.buildRouted(vectors, params, cellsPerShard = 4)
+    val idx = Hnsw.attachPq(idx0, m = 4, kCells = 16, iters = 2)
+    val dir = Files.createTempDirectory("pq_stale").toString
+    Hnsw.save(idx, dir)
+    assert(Hnsw.load(spark, dir).pq.isDefined)
+    // re-saving the index WITHOUT its sidecar into the same dir must not
+    // leave the old codes behind (they would describe stale vectors)
+    Hnsw.save(idx.copy(pq = None), dir)
+    assert(Hnsw.load(spark, dir).pq.isEmpty,
+      "sidecar-free save into a reused dir must delete the old codes")
+    // an append adds vectors the codes can't cover — sidecar must go
+    Hnsw.save(idx, dir)
+    assert(Hnsw.load(spark, dir).pq.isDefined)
+    val batch = graft.sources.Datagen.hashVectors(spark, 40L, dim)
+      .select((col("id") + 100000L).as("id"), col("vector"))
+    graft.streaming.StreamingOps.appendBatchRouted(batch, dir, params, batchId = 0L)
+    assert(Hnsw.load(spark, dir).pq.isEmpty,
+      "appendBatchRouted must invalidate the PQ sidecar")
+    // even if the physical delete were bypassed, a coverage-marker
+    // mismatch (encoded-against num_nodes != live num_nodes) drops it
+    Hnsw.save(idx, dir)
+    Hnsw.writePqMeta(dir, idx.meta.num_nodes + 7L)
+    assert(Hnsw.load(spark, dir).pq.isEmpty,
+      "load must drop a sidecar whose coverage marker mismatches meta")
+    // and the non-routed append path invalidates too
+    val dir2 = Files.createTempDirectory("pq_stale2").toString
+    Hnsw.save(idx, dir2)
+    graft.streaming.StreamingOps.appendBatch(batch, dir2, params, batchId = 0L)
+    assert(Hnsw.load(spark, dir2).pq.isEmpty,
+      "appendBatch must invalidate the PQ sidecar")
+    idx0.nodes.unpersist()
+  }
 }
