@@ -213,7 +213,8 @@ object Main {
         // --pq-refine R: ADC byte-code coarse + exact rescore (needs a
         // sidecar in the index dir — --attach-pq writes one)
         if (opts.contains("pq-refine")) Hnsw.annQueryPqRefined(index, queries, k,
-          probeCells = probeCellsOpt, refine = opts("pq-refine").toInt)
+          probeCells = probeCellsOpt, refine = opts("pq-refine").toInt,
+          kernel = opts.contains("pq-kernel"))
         // --exact-probe: brute force within probed shards (recall = routing
         // recall; exact at full probe) — the small-batch/high-dim engine
         else if (opts.contains("exact-probe")) Hnsw.annQueryRoutedExact(index, queries, k,
@@ -236,7 +237,8 @@ object Main {
         // — 5M×512; the cost tiers pick routed vs all-shard below that);
         // a plain index gets the batch path, which itself auto-dispatches
         // multi-chunk query files to the driver-free plan
-        else if (index.centroids.isDefined) Hnsw.annQueryAdaptive(index, queries, k, ef = ef)
+        else if (index.centroids.isDefined) Hnsw.annQueryAdaptive(index, queries, k,
+          probeCells = probeCellsOpt, ef = ef)
         else Hnsw.annQuery(index, queries, k, ef)
       opts.get("out") match {
         case Some(out) =>
@@ -921,7 +923,7 @@ object Main {
           |  --build [--input PARQUET | --input-idx IDX3-UBYTE(.gz) | --input-cifar CIFAR10-BIN(.gz) [--labels-out DIR] | --n N --dim D]
           |          --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
           |          [--routed [--cells-per-shard 4 --spill 0.15]]
-          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --pq-refine R | --adaptive] [--out DIR]
+          |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --pq-refine R [--pq-kernel] | --adaptive] [--out DIR]
           |            [--recall-target T [--calibrate-sample 100]]   (calibrates probe-cells for the target)
           |            (no path flag: routed indexes use the regime-aware chooser automatically;
           |             its routed pick searches probed shards only, so recall is nprobe-bounded

@@ -143,7 +143,7 @@ object Hnsw {
     */
   def buildRouted(input: DataFrame, params: HnswParams, cellsPerShard: Int = 4,
                   sampleSize: Int = 1 << 16, kmeansIters: Int = 5,
-                  spill: Double = 0.15): HnswIndex = {
+                  spill: Double = 0.15, spillShareCap: Double = 0.3): HnswIndex = {
     val spark = input.sparkSession
     import spark.implicits._
     val p = params.numPartitions
@@ -155,7 +155,12 @@ object Hnsw {
     val frac = math.min(1.0, sampleSize.toDouble / math.max(1L, n).toDouble)
     val sample = if (frac >= 1.0) base else base.sample(withReplacement = false, frac, seed = 7L)
     val cents = graft.operators.Ivf.kmeansFit(sample, c, kmeansIters, distFn)
-    val assigned = assignToCells(base, cents, distFn, spill).cache()
+    // ghost-share budget: quantile-capped spill keeps the (1+spill) rule
+    // on separable data but bounds duplicate storage at ~spillShareCap
+    // under high-dim distance concentration (98% ghosts measured at
+    // 5M×512 before the cap — 2× index bytes, 2× pre-dedup scan evals)
+    val ratioCap = spillRatioThreshold(base, cents, distFn, spill, spillShareCap, n)
+    val assigned = assignToCells(base, cents, distFn, spill, ratioCap).cache()
     val geom = cents.select(col("cid"), col("cvector")).as[(Long, Array[Double])].collect()
     val sizes = assigned.groupBy("cid").count().as[(Long, Long)].collect().toMap
     val pidOfCell = packCells(
@@ -199,11 +204,19 @@ object Hnsw {
     * Duplicates are merged away at query time (rankTopK dedup),
     * collapsed by [[rebuild]], and excluded from num_nodes. spill = 0
     * disables (exactly one copy each).
+    *
+    * `spillRatioCap` (NaN = none) tightens the rule to
+    * d2 ≤ min(1+spill, cap) · d1 — callers pass the measured
+    * [[spillRatioThreshold]] quantile so the GHOST SHARE stays bounded
+    * under high-dim distance concentration, where d2/d1 → 1 for nearly
+    * every vector and the fixed ratio alone saturates (measured 98%
+    * ghost share at 5M×512: 2× storage and 2× pre-dedup scan evals).
     * In: (id, vector), centroids (cid, cvector). Out: (id, vector, cid).
     */
   private[graft] def assignToCells(base: DataFrame, cents: DataFrame,
                                    distFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
-                                   spill: Double): DataFrame = {
+                                   spill: Double,
+                                   spillRatioCap: Double = Double.NaN): DataFrame = {
     val top2 = base.crossJoin(broadcast(cents.select("cid", "cvector")))
       .select(col("id"), col("cid"),
         distFn(col("vector"), col("cvector")).as("dist"))
@@ -220,11 +233,51 @@ object Hnsw {
       .hint("shuffle_hash")
       .join(base, Seq("id"))
     val primary = top2.select(col("id"), col("vector"), col("top2")(0)("id").as("cid"))
+    val ratioCap =
+      if (spillRatioCap.isNaN) 1.0 + spill else math.min(1.0 + spill, spillRatioCap)
     val spilled = top2
       .filter(size(col("top2")) === 2 &&
-        col("top2")(1)("dist") <= (lit(1.0) + lit(spill)) * col("top2")(0)("dist"))
+        col("top2")(1)("dist") <= lit(ratioCap) * col("top2")(0)("dist"))
       .select(col("id"), col("vector"), col("top2")(1)("id").as("cid"))
     if (spill > 0) primary.union(spilled) else primary
+  }
+
+  /** Measured spill-ratio threshold: the `spillShareCap`-quantile of
+    * d2/d1 (2nd-nearest over nearest centroid distance) on a
+    * deterministic id-modulus sample, capped at (1+spill). Passing the
+    * result to [[assignToCells]] bounds the GHOST SHARE at
+    * ~spillShareCap while keeping exactly the border vectors CLOSEST to
+    * their cell boundary — the ones whose true neighbours most plausibly
+    * live one cell over. On well-separated (low-dim/clustered) data the
+    * quantile exceeds 1+spill and the rule is unchanged; under high-dim
+    * distance concentration it tightens to whatever ratio admits the
+    * budgeted share. Bounded sample + exact percentile over ≤ sampleSize
+    * rows: one tiny extra job, deterministic for a fixed input
+    * partitioning, never an O(n) sort — scale-safe at any corpus size.
+    */
+  private[graft] def spillRatioThreshold(base: DataFrame, cents: DataFrame,
+      distFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+      spill: Double, spillShareCap: Double, n: Long,
+      sampleSize: Int = 1 << 16): Double = {
+    if (spill <= 0.0 || spillShareCap >= 1.0) return 1.0 + spill
+    if (spillShareCap <= 0.0) return 0.0 // no ratio admits a zero share
+    val step = math.max(1L, n / math.max(1L, sampleSize.toLong))
+    val top2 = base.filter(col("id") % step === 0)
+      .crossJoin(broadcast(cents.select("cid", "cvector")))
+      .select(col("id"), col("cid"), distFn(col("vector"), col("cvector")).as("dist"))
+      .groupBy("id")
+      .agg(org.apache.spark.sql.graft.TopKAggregate
+        .topKByDist(col("dist"), col("cid"), 2).as("top2"))
+      .filter(size(col("top2")) === 2)
+      .select(col("top2")(0)("dist").as("d1"), col("top2")(1)("dist").as("d2"))
+    // d1 = 0 (vector on a centroid): ratio 1 if d2 is 0 too, else
+    // un-spillable — mirrors the multiplicative rule's own edge
+    val ratios = top2.select(
+      when(col("d1") > 0, col("d2") / col("d1"))
+        .otherwise(when(col("d2") <= col("d1"), lit(1.0))
+          .otherwise(lit(Double.MaxValue))).as("ratio"))
+    val t = ratios.agg(expr(s"percentile(ratio, $spillShareCap)")).head().getDouble(0)
+    math.min(1.0 + spill, t)
   }
 
   /** LOCALITY-AWARE balanced packing: cells that are close in vector space
@@ -1076,7 +1129,8 @@ object Hnsw {
     * Output: (qid, rank, id, dist).
     */
   def annQueryPqRefined(index: HnswIndex, queries: DataFrame, k: Int,
-                        probeCells: Int = -1, refine: Int = -1): DataFrame = {
+                        probeCells: Int = -1, refine: Int = -1,
+                        kernel: Boolean = false): DataFrame = {
     val sidecar = index.pq.getOrElse(throw new IllegalArgumentException(
       "annQueryPqRefined needs a PQ sidecar — call attachPq (or load an index saved with one)"))
     val q = queries.select(col("qid").cast("long").as("qid"),
@@ -1091,8 +1145,15 @@ object Hnsw {
     val prunedNodes = index.nodes.filter(!col("tombstone"))
       .join(broadcast(activePids), Seq("pid"), "left_semi")
       .select(col("id"), col("vector"))
-    graft.operators.Pq.pqScanRefined(prunedCodes, sidecar.codebooks, q, prunedNodes,
-      index.meta.dim, sidecar.m, k, refine, index.meta.metric)
+    // kernel = the batched mapPartitions ADC (same sums bit-for-bit,
+    // per-pair Catalyst iteration overhead removed — the measured bound
+    // of every in-memory scan shape at 5M×512)
+    if (kernel)
+      graft.operators.Pq.pqScanRefinedKernel(prunedCodes, sidecar.codebooks, q, prunedNodes,
+        index.meta.dim, sidecar.m, k, refine, index.meta.metric)
+    else
+      graft.operators.Pq.pqScanRefined(prunedCodes, sidecar.codebooks, q, prunedNodes,
+        index.meta.dim, sidecar.m, k, refine, index.meta.metric)
   }
 
   /** Stage 3 of [[annQueryRoutedRefined]]: exact metric distance for every
@@ -1144,9 +1205,18 @@ object Hnsw {
     * ([[annQueryRoutedExact]] broadcast / [[annQueryRoutedExactLarge]]
     * equi-join) wins everywhere else — small/clustered batches, where
     * its shuffle-free shape beat the scan 6.1 s vs 16.7 s at the
-    * committed clustered point. An attached PQ sidecar
-    * ([[attachPq]]) preempts both. The remaining tiers trade cost on the
-    * traversal paths.
+    * committed clustered point. An attached PQ sidecar does NOT preempt
+    * either ([[attachPq]] — explicit lever only). The remaining tiers
+    * trade cost on the traversal paths.
+    *
+    * `recallTarget` (when &gt; 0 and no explicit `probeCells`) turns the
+    * probe budget into a measured contract: one
+    * [[calibrateProbeCells]] pass (~a single exact batch over its query
+    * sample, paid per call — pass `probeCells` directly to amortize
+    * across batches) picks the smallest probe predicted to clear the
+    * target, and every tier below consumes that probe. The prediction
+    * models the probed-join mechanism and is a floor for the scan forms
+    * (they only see more shards).
     * First a search-dominated SHORT-CIRCUIT from
     * counts alone (no probe jobs): if `q·efBudget ≥ num_nodes` — total
     * search node-visits at or above the worst-case (union = every pid)
@@ -1180,8 +1250,13 @@ object Hnsw {
     */
   def annQueryAdaptive(index: HnswIndex, queries: DataFrame, k: Int,
                        probeCells: Int = -1, ef: Int = -1,
-                       fallbackFraction: Double = 0.5): DataFrame = {
+                       fallbackFraction: Double = 0.5,
+                       recallTarget: Double = -1.0): DataFrame = {
     if (index.centroids.isEmpty) return annQueryLarge(index, queries, k, ef)
+    val probe =
+      if (recallTarget > 0 && probeCells <= 0)
+        calibrateProbeCells(index, k, recallTarget)._1
+      else probeCells
     val q = queries.select(col("qid").cast("long").as("qid"),
       col("vector").cast("array<float>").as("vector"))
     val m = index.meta
@@ -1202,7 +1277,7 @@ object Hnsw {
     // once for the decision and released — the returned plan re-derives
     // it lazily (no pinned blocks for the result's lifetime).
     if (traversalDecays(m, k, ef)) {
-      val probed = probedPidsFor(index, q, probeCells).localCheckpoint()
+      val probed = probedPidsFor(index, q, probe).localCheckpoint()
       val st = probed.agg(count(lit(1)).as("routeRows"),
         countDistinct(col("pid")).as("union"),
         countDistinct(col("qid")).as("q")).head()
@@ -1248,14 +1323,14 @@ object Hnsw {
               distFn(col("i_vector"), col("q_vector")).as("dist")), k)
         } else {
           lastDecayPick.set("pruned-scan")
-          annQueryPrunedExact(index, queries, k, probeCells)
+          annQueryPrunedExact(index, queries, k, probe)
         }
       } else if (routeRows <= (64L << 20) / routeRowBytes) {
         lastDecayPick.set("probed-broadcast")
-        annQueryRoutedExact(index, queries, k, probeCells)
+        annQueryRoutedExact(index, queries, k, probe)
       } else {
         lastDecayPick.set("probed-large")
-        annQueryRoutedExactLarge(index, queries, k, probeCells)
+        annQueryRoutedExactLarge(index, queries, k, probe)
       }
     }
     val totalPids = index.centroids.get.select("pid").distinct().count()
@@ -1273,8 +1348,8 @@ object Hnsw {
     // strictly tighter (nSub·totalPids overstates: appended shards are
     // smaller than num_nodes/P)
     if (m.num_nodes > 0 && q.count() * efBudget(m, k, ef).toLong >= m.num_nodes)
-      return routedSearch(index, q, probedPidsFor(index, q, probeCells), k, ef)
-    val probed = probedPidsFor(index, q, probeCells).localCheckpoint()
+      return routedSearch(index, q, probedPidsFor(index, q, probe), k, ef)
+    val probed = probedPidsFor(index, q, probe).localCheckpoint()
     // shard and batch statistics from the materialized probe table and the
     // routing table (both tiny) — the node table is only touched on the
     // appended-shard branch below, and then as a pid-column-pruned
@@ -1294,7 +1369,7 @@ object Hnsw {
       // copy can be released NOW — the routed branch must not pin probe
       // blocks for the result's lifetime (repeated adaptive calls on a
       // long-lived session would accumulate them)
-      val result = routedSearch(index, q, probedPidsFor(index, q, probeCells), k, ef)
+      val result = routedSearch(index, q, probedPidsFor(index, q, probe), k, ef)
       graft.operators.Checkpoints.unpersist(probed)
       result
     }

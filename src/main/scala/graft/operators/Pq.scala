@@ -359,6 +359,138 @@ object Pq {
         col("entry.id").as("id"), col("entry.dist").as("dist"))
   }
 
+  /** [[pqScanRefined]] with the coarse ADC stage as a BATCHED KERNEL —
+    * one `mapPartitions` pass over the byte codes scoring every query in
+    * a tight primitive loop, with per-(partition, query) bounded
+    * max-heaps and a fast-reject against the heap root before any
+    * insert. Same math as the codegen'd [[org.apache.spark.sql.graft
+    * .PqExpressions]] AdcSum path (float LUT loads accumulated
+    * left-to-right in double — bit-identical sums), but the per-pair
+    * work is a JVM array loop instead of a Catalyst BNLJ row iteration +
+    * ObjectHashAggregate update: the measured bound at 5M×512 was
+    * pair-ITERATION overhead, not arithmetic, and this removes it.
+    *
+    * Same output contract as [[pqScanRefined]] ((qid, rank, id, dist),
+    * dist exact after the rescore) and the same bounded-query contract —
+    * the LUTs are collected (q·m·k floats, ~64 KB per query at
+    * m=64·k=256) and ship once per task via broadcast. Candidates per
+    * partition are capped at q·refine rows, so the merge shuffle is
+    * O(q·refine·P) regardless of corpus size.
+    */
+  def pqScanRefinedKernel(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+                          vectors: DataFrame, dim: Int, m: Int, k: Int,
+                          refine: Int = -1, metric: String = "l2"): DataFrame = {
+    require(metric == "l2" || metric == "cosine", s"pqScanRefinedKernel: unknown metric '$metric'")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    val r = if (refine > 0) math.max(refine, k) else math.max(20 * k, 100)
+    val q = queries.select(col("qid").cast("long").as("qid"),
+      col("vector").cast("array<float>").as("vector"))
+    val isCos = metric == "cosine"
+    val lutTerm: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+      if (isCos) (a, b) => Distances.dot(a, b) else (a, b) => Distances.sqDist(a, b)
+    val luts: Array[(Long, Array[Float])] =
+      queryLut(q, codebooks, subDim, lutTerm).collect()
+        .map(row => (row.getLong(0), row.getSeq[Float](1).toArray))
+    val qNorms: Map[Long, Double] =
+      if (isCos)
+        q.select(col("qid"), Distances.norm(col("vector")).as("n")).collect()
+          .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      else Map.empty
+    val norm2: Array[Float] =
+      if (isCos)
+        codebooks.groupBy()
+          .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid"),
+              Distances.dot(col("cvector"), col("cvector")).as("n2")))),
+            s => s.getField("n2").cast("float")).as("norm2_lut"))
+          .head().getSeq[Float](0).toArray
+      else Array.emptyFloatArray
+    val bc = spark.sparkContext.broadcast((luts, qNorms, norm2))
+    val mV = m
+    val rV = r
+    val coarseRows = codes.select(col("id").cast("long").as("id"), col("codes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val (ls, qn, n2) = bc.value
+        val nq = ls.length
+        val kc = if (nq > 0) ls(0)._2.length / mV else 0
+        // per-query bounded MAX-heaps (root = current worst kept dist)
+        val hD = Array.fill(nq)(new Array[Double](rV))
+        val hI = Array.fill(nq)(new Array[Long](rV))
+        val sz = new Array[Int](nq)
+        def siftDown(qi: Int, start: Int): Unit = {
+          val d = hD(qi); val ids = hI(qi); val nEl = sz(qi)
+          var i = start
+          while (true) {
+            val l = 2 * i + 1; val rr = 2 * i + 2
+            var big = i
+            if (l < nEl && d(l) > d(big)) big = l
+            if (rr < nEl && d(rr) > d(big)) big = rr
+            if (big == i) return
+            val td = d(i); d(i) = d(big); d(big) = td
+            val ti = ids(i); ids(i) = ids(big); ids(big) = ti
+            i = big
+          }
+        }
+        def push(qi: Int, dist: Double, id: Long): Unit = {
+          val d = hD(qi); val ids = hI(qi)
+          if (sz(qi) < rV) {
+            var i = sz(qi); d(i) = dist; ids(i) = id; sz(qi) += 1
+            while (i > 0 && d((i - 1) / 2) < d(i)) {
+              val par = (i - 1) / 2
+              val td = d(par); d(par) = d(i); d(i) = td
+              val ti = ids(par); ids(par) = ids(i); ids(i) = ti
+              i = par
+            }
+          } else if (dist < d(0)) {
+            d(0) = dist; ids(0) = id; siftDown(qi, 0)
+          }
+        }
+        while (it.hasNext) {
+          val (id, cs) = it.next()
+          var qi = 0
+          while (qi < nq) {
+            val lut = ls(qi)._2
+            var s = 0.0
+            var s2 = 0.0
+            var sub = 0
+            while (sub < mV) {
+              val i = sub * kc + (cs(sub) & 0xFF)
+              s += lut(i).toDouble
+              if (n2.length > 0) s2 += n2(i).toDouble
+              sub += 1
+            }
+            val dist =
+              if (n2.length > 0) {
+                val qq = qn(ls(qi)._1); val xn = math.sqrt(s2)
+                if (qq == 0.0 || xn == 0.0) 1.0 else 1.0 - s / (qq * xn)
+              } else math.sqrt(s)
+            if (sz(qi) < rV || dist < hD(qi)(0)) push(qi, dist, id)
+            qi += 1
+          }
+        }
+        Iterator.range(0, nq).flatMap { qi =>
+          Iterator.range(0, sz(qi)).map(j => (ls(qi)._1, hI(qi)(j), hD(qi)(j)))
+        }
+      }.toDF("qid", "id", "dist")
+    // global merge with the dedup heap (cross-partition union + spill
+    // ghosts), then the same exact rescore as pqScanRefined
+    val coarse = coarseRows.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(col("dist"), col("id"), r).as("top"))
+      .select(col("qid"), explode(col("top")("id")).as("id"))
+    val distFn = Distances.metric(metric)
+    val rescored = vectors.select(col("id"), col("vector").as("i_vector"))
+      .join(broadcast(coarse), Seq("id"))
+      .join(broadcast(q.select(col("qid"), col("vector").as("q_vector"))), Seq("qid"))
+      .select(col("qid"), col("id"), distFn(col("i_vector"), col("q_vector")).as("dist"))
+    rescored.groupBy(col("qid"))
+      .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(col("dist"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.id").as("id"), col("entry.dist").as("dist"))
+  }
+
   /** Reconstruct (id, vector: array&lt;double&gt;) from codes + codebooks —
     * concatenation of each sub-block's centroid. Used for recall/error
     * evaluation and asymmetric-distance rescoring.

@@ -52,6 +52,31 @@ object Datagen {
           " ").as("text"))
   }
 
+  /** Deterministic CLUSTERED vectors: each id hashes to one of `nClusters`
+    * centers (themselves hash-generated), plus per-component hash noise of
+    * amplitude `spread`. Partition-layout independent like [[hashVectors]]
+    * (every component is a pure function of (id, dimension)). This is the
+    * clusterable-corpus twin of the uniform generator — real embedding
+    * corpora sit between the two, so scale proofs measure both: uniform is
+    * the worst case for locality sharding (boundaries everywhere), clusters
+    * the favorable one.
+    */
+  def clusteredVectors(spark: SparkSession, n: Long, dim: Int,
+                       nClusters: Int = 1024, spread: Double = 0.15,
+                       seed: Long = 42L, numPartitions: Int = 32): DataFrame = {
+    val mod = 1L << 31
+    val cid = pmod(xxhash64(col("id"), lit(seed - 1)), lit(nClusters.toLong))
+    spark.range(0, n, 1, numPartitions)
+      .select(col("id"),
+        array((0 until dim).map { i =>
+          val ch = pmod(xxhash64(cid, lit(seed + 7000003L * (i + 1))), lit(mod))
+          val center = (ch.cast("double") / lit(mod.toDouble)) * 2.0 - 1.0
+          val nh = pmod(xxhash64(col("id"), lit(seed + i)), lit(mod))
+          val noise = ((nh.cast("double") / lit(mod.toDouble)) * 2.0 - 1.0) * spread
+          (center + noise).cast("float")
+        }: _*).as("vector"))
+  }
+
   /** Deterministic id-hash-based vectors: reproducible across ANY partition
     * layout (each component is a pure function of (id, dimension index)).
     * Uniform in [-1, 1); used where partition-count independence matters.

@@ -117,7 +117,8 @@ object StreamingOps {
     * streams or ad-hoc append jobs against the same directory is not.
     */
   def appendBatchRouted(batch: DataFrame, dir: String, params: HnswParams,
-                        batchId: Long, spill: Double = 0.15): Unit = {
+                        batchId: Long, spill: Double = 0.15,
+                        spillShareCap: Double = 0.3): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val meta = Hnsw.loadMeta(dir)
@@ -135,8 +136,13 @@ object StreamingOps {
       .select(col("cid"), col("cvector"), col("pid"))
     val base = batch.select(col("id").cast("long").as("id"),
       col("vector").cast("array<float>").as("vector"))
-    val assigned = graft.hnsw.Hnsw.assignToCells(
-      base, home, graft.functions.Distances.metric(meta.metric), spill)
+    // same ghost-share budget as buildRouted: the batch's own ratio
+    // quantile bounds its spill copies (micro-batches are bounded, so the
+    // count is cheap)
+    val distF = graft.functions.Distances.metric(meta.metric)
+    val ratioCap = graft.hnsw.Hnsw.spillRatioThreshold(
+      base, home, distF, spill, spillShareCap, base.count())
+    val assigned = graft.hnsw.Hnsw.assignToCells(base, home, distF, spill, ratioCap)
     val withPid = assigned.join(broadcast(home.select("cid", "pid")), "cid")
       .select("id", "vector", "pid").dropDuplicates("id", "pid")
     val built = Hnsw.buildFromPid(withPid, params, None)

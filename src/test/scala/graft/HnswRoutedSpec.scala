@@ -544,6 +544,84 @@ class HnswRoutedSpec extends SparkSpec {
     assert(Hnsw.recallAtK(annFull, exact, 10).agg(avg("recall")).head().getDouble(0) === 1.0)
   }
 
+  test("spillShareCap: ghost share bounded at the quantile, primaries unchanged, kept spills are the closest-to-boundary subset") {
+    // isotropic high-dim data — the regime where the fixed (1+0.15) rule
+    // saturates (98% ghost share measured at 5M×512): d2/d1 concentrates
+    // near 1 so nearly every vector qualifies for a spill copy
+    val base = graft.sources.Datagen.hashVectors(spark, 2000L, 256)
+    val distFn = Distances.metric("l2")
+    val cents = graft.operators.Ivf.kmeansFit(base, 16, 3, distFn)
+    val n = 2000L
+    val uncapped = Hnsw.assignToCells(base, cents, distFn, 0.15)
+    val ghostsUncapped = uncapped.count() - n
+    assert(ghostsUncapped > (0.5 * n).toLong,
+      s"fixture must be in the saturated regime (got $ghostsUncapped ghosts)")
+    val thr = Hnsw.spillRatioThreshold(base, cents, distFn, 0.15, 0.3, n)
+    assert(thr < 1.15, "saturated regime must tighten the threshold")
+    val capped = Hnsw.assignToCells(base, cents, distFn, 0.15, thr)
+    val ghostsCapped = capped.count() - n
+    assert(ghostsCapped <= (0.32 * n).toLong,
+      s"ghost share must be bounded by the cap (got $ghostsCapped of $n)")
+    assert(ghostsCapped > 0, "the closest border vectors must still spill")
+    // primary assignment is untouched by the cap; the kept spill rows are
+    // exactly a subset of the uncapped spill rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (u, c) = (rows(uncapped), rows(capped))
+    assert(c.toSet.subsetOf(u.toSet), "capped assignment must be a subset")
+    // multiset primary check: every id appears in both; the capped run
+    // keeps each id's primary cell (subset + per-id counts)
+    assert(c.map(_._1).distinct.sorted === u.map(_._1).distinct.sorted)
+    // a non-binding cap leaves the rule unchanged
+    assert(Hnsw.spillRatioThreshold(base, cents, distFn, 0.15, 1.0, n) === 1.15)
+    // spill=0 short-circuits regardless of cap
+    assert(Hnsw.spillRatioThreshold(base, cents, distFn, 0.0, 0.3, n) === 1.0)
+  }
+
+  test("recallTarget end-to-end: adaptive calibrates its own probe; the scan tier's measured recall dominates the prediction") {
+    // sampleQueries = 100 matches annQueryAdaptive's internal default —
+    // a different sample gives a (legitimately) different pick
+    val (pc, curve) = Hnsw.calibrateProbeCells(routed, k = 10, recallTarget = 0.9)
+    // the no-flag spelling must be bit-equal to passing the calibrated
+    // probe explicitly (one calibration pass, then the same chooser)
+    val viaTarget = Hnsw.annQueryAdaptive(routed, queries, k = 10, recallTarget = 0.9)
+      .collect().map(_.toSeq).toSet
+    val viaProbe = Hnsw.annQueryAdaptive(routed, queries, k = 10, probeCells = pc)
+      .collect().map(_.toSeq).toSet
+    assert(viaTarget === viaProbe)
+    // an explicit probe wins over the target (no calibration jobs run)
+    val explicit = Hnsw.annQueryAdaptive(routed, queries, k = 10, probeCells = 16,
+      recallTarget = 0.9).collect().map(_.toSeq).toSet
+    val full = Hnsw.annQueryAdaptive(routed, queries, k = 10, probeCells = 16)
+      .collect().map(_.toSeq).toSet
+    assert(explicit === full)
+    // measured recall on the calibration's own sample clears the target
+    // (probed-join mechanism — the thing the curve predicts), and the
+    // pruned-union SCAN at the same probe DOMINATES the prediction: its
+    // per-query candidates are a superset of the join's (the batch-wide
+    // probed union), so one curve serves both exact forms as a floor
+    val n = routed.meta.num_nodes
+    val step = math.max(1L, n / 100L) // the calibration's own sample modulus
+    val sample = routed.nodes.filter(!col("tombstone") && col("id") % step === 0)
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      .select(col("id").as("qid"), col("vector"))
+    val uniq = routed.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val exact = Knn.exactTopK(uniq, sample, 10, Distances.metric(routed.meta.metric))
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+      Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    val predicted = curve.orderBy("probe_cells").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .takeWhile(_._1 <= pc).lastOption.map(_._2).getOrElse(0.0)
+    val joinR = recallOf(Hnsw.annQueryRoutedExact(routed, sample, k = 10, probeCells = pc))
+    assert(joinR >= 0.9 - 0.02, s"calibrated probe $pc must clear the target, got $joinR")
+    val scanR = recallOf(Hnsw.annQueryPrunedExact(routed, sample, k = 10, probeCells = pc))
+    assert(scanR >= predicted - 0.02,
+      s"scan recall $scanR must dominate the prediction $predicted at probe $pc")
+    assert(scanR >= joinR - 0.02,
+      s"scan candidates are a superset of the join's ($scanR vs $joinR)")
+  }
+
   test("annQueryRoutedExactLarge is bit-equal to the broadcast exact-probed form") {
     val b = Hnsw.annQueryRoutedExact(routed, queries, k = 10, probeCells = 4)
       .collect().map(_.toSeq).toSet

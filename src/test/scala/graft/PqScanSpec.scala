@@ -122,6 +122,47 @@ class PqScanSpec extends SparkSpec {
     idx0.nodes.unpersist()
   }
 
+  test("batched ADC kernel: coarse sums bit-equal the AdcSum expression; full-refine IS the exact top-k; partial refine matches the expression path (l2 and cosine)") {
+    val n = 600L
+    val codes = Pq.pqEncodeBytes(vectors, codebooks, m).localCheckpoint()
+    val q = vectors.filter(col("id") % 60 === 0).select(col("id").as("qid"), col("vector"))
+    for (metric <- Seq("l2", "cosine")) {
+      // full refine (r >= n): both paths must BE the exact top-k — and
+      // since every scored row survives the per-partition heaps, the
+      // coarse stage's sums are exercised over the whole corpus
+      val uniq = vectors.select(col("id"), col("vector"))
+      val exact = Knn.exactTopK(uniq, q, 10, Distances.metric(metric))
+        .collect().map(_.toSeq).toSet
+      val kern = Pq.pqScanRefinedKernel(codes, codebooks, q, uniq,
+          dim, m, 10, refine = n.toInt, metric = metric)
+        .collect().map(_.toSeq).toSet
+      assert(kern === exact, s"full-refine kernel must be exact ($metric)")
+      // partial refine: identical result sets to the expression path
+      // (same sums bit-for-bit -> same coarse survivors -> same rescore)
+      val kPart = Pq.pqScanRefinedKernel(codes, codebooks, q, uniq,
+          dim, m, 10, refine = 60, metric = metric)
+        .collect().map(_.toSeq).toSet
+      val ePart = Pq.pqScanRefined(codes, codebooks, q, uniq,
+          dim, m, 10, refine = 60, metric = metric)
+        .collect().map(_.toSeq).toSet
+      assert(kPart === ePart, s"kernel and expression paths diverged ($metric)")
+    }
+    // the Hnsw wiring: kernel flag gives the same answers through a
+    // routed index + sidecar
+    val in300 = graft.sources.Datagen.hashVectors(spark, 300L, 300)
+    val idx = Hnsw.attachPq(
+      Hnsw.buildRouted(in300, HnswParams(dim = 300, m = 4, efConstruction = 16,
+        metric = "cosine", numPartitions = 4), cellsPerShard = 4),
+      m = 30, kCells = 16, iters = 2)
+    val q300 = in300.filter(col("id") % 50 === 0).select(col("id").as("qid"), col("vector"))
+    val viaExpr = Hnsw.annQueryPqRefined(idx, q300, k = 5, probeCells = 16, refine = 300)
+      .collect().map(_.toSeq).toSet
+    val viaKern = Hnsw.annQueryPqRefined(idx, q300, k = 5, probeCells = 16, refine = 300,
+      kernel = true).collect().map(_.toSeq).toSet
+    assert(viaKern === viaExpr)
+    idx.nodes.unpersist()
+  }
+
   test("stale-sidecar protection: sidecar-free re-save deletes it; appends invalidate it; load drops it on a coverage-marker mismatch") {
     val params = HnswParams(dim = dim, m = 4, efConstruction = 16,
       metric = "l2", numPartitions = 4)
