@@ -37,6 +37,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         tbl = pq.read_table(files[0])
         spark_cols = tbl.column_names
+        # driver parity: the driver's comparator sorts rows with pandas,
+        # which cannot sort array cells (r12: q148/q149 passed here via
+        # repr-sort but errored at the gate) — flag array columns as FAIL
+        arr_cols = [f.name for f in tbl.schema
+                    if "list" in str(f.type) or "LIST" in str(f.type)]
+        if arr_cols:
+            print(f"FAIL {name}: array-typed columns {arr_cols} "
+                  "(driver comparator cannot sort array cells)")
+            n_fail += 1; continue
         spark_rows = [tuple(d[c] for c in spark_cols) for d in tbl.to_pylist()]
         try:
             cur = con.execute(sql)

@@ -320,6 +320,24 @@ object Main {
       println(f"[attach-pq] m=${sc.m} codes for $rows rows " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_codes")
 
+    } else if (opts.contains("calibrate")) {
+      // run the recall calibration once and persist the curve next to the
+      // index (calibration.json + num_nodes coverage marker). Every later
+      // recall-target pick on this index — --recall-target on --load,
+      // annQueryAdaptive(recallTarget=), SET spark.graft.ann.recallTarget
+      // in SQL — is then driver-side from the saved curve, no sample scan
+      // or exact-oracle batch per query session.
+      val dir = opts("calibrate")
+      val index = Hnsw.load(spark, dir)
+      val k = opts.getOrElse("k", "10").toInt
+      val t0 = System.nanoTime()
+      val calibrated = Hnsw.withCalibration(index, k,
+        sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt)
+      val curve = calibrated.calibration.get
+      Hnsw.writeCalibration(dir, curve, index.meta.num_nodes)
+      println(f"[calibrate] k=$k, ${curve.points.size} curve points " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/calibration.json")
+
     } else if (opts.contains("dedup-spans")) {
       // span-level exact substring dedup report (Dedup.dupSpans): maximal
       // runs of >= --min-run consecutive duplicated --shingle-k-token
@@ -924,11 +942,12 @@ object Main {
           |          --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
           |          [--routed [--cells-per-shard 4 --spill 0.15]]
           |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --pq-refine R [--pq-kernel] | --adaptive] [--out DIR]
-          |            [--recall-target T [--calibrate-sample 100]]   (calibrates probe-cells for the target)
+          |            [--recall-target T [--calibrate-sample 100]]   (calibrates probe-cells for the target; job-free when --calibrate saved a curve)
           |            (no path flag: routed indexes use the regime-aware chooser automatically;
           |             its routed pick searches probed shards only, so recall is nprobe-bounded
           |             like --routed — pass --large to keep the old all-shard recall exactly)
           |  --attach-pq DIR [--pq-m M --pq-cells 256 --pq-sample N --pq-iters 3]   (byte-code ADC sidecar)
+          |  --calibrate DIR [--k 10 --calibrate-sample 100]   (persist the recall curve: later --recall-target picks are job-free)
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
           |  --gen-queries OUT --n N --dim D [--seed 7]

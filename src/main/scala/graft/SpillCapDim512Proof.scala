@@ -31,6 +31,12 @@ import graft.hnsw.{Hnsw, HnswParams}
   * Prints one JSON line, committed as `BENCH_SCALE_SPILLCAP512.json`.
   * Run: SPARK_DRIVER_MEM=64g scripts/run_main.sh graft.SpillCapDim512Proof
   *        [n=1000000] [dim=512] [caps=0.3,1.0]
+  *
+  * 5M phase-split recipe (the RoutedDim512Proof disk lesson: one JVM per
+  * expensive phase so each exit frees its shuffle spill; the saved capped
+  * index is then reused by PqKernelProof):
+  *   run_main.sh graft.SpillCapDim512Proof 5000000 512 0.3 uniform /root/scale/idx512 build
+  *   run_main.sh graft.SpillCapDim512Proof 5000000 512 0.3 uniform /root/scale/idx512 load
   */
 object SpillCapDim512Proof {
   def main(args: Array[String]): Unit = {
@@ -42,6 +48,13 @@ object SpillCapDim512Proof {
     // help) or "clustered" (clusteredVectors — the realistic embedding
     // shape, where most vectors sit deep inside a cell)
     val corpus = args.lift(3).getOrElse("uniform")
+    // phase split for big-n runs: "build" = build + ghost share + save to
+    // saveDir, no query phases; "load" = resume query phases from the
+    // saved index (buildSec reported as the build JVM measured it is in
+    // that run's stderr; here 0.0 marks "resumed"); "full" = everything
+    // in one JVM (the 1M artifact shape)
+    val saveDir = args.lift(4).getOrElse("")
+    val mode = args.lift(5).getOrElse("full")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-spillcap-512-proof")
@@ -65,7 +78,9 @@ object SpillCapDim512Proof {
     }
 
     val rows = caps.map { cap =>
-      val (idx0, buildSec) = timed(Hnsw.buildRouted(input, params, spillShareCap = cap))
+      val (idx0, buildSec) =
+        if (mode == "load") timed(Hnsw.load(spark, saveDir))
+        else timed(Hnsw.buildRouted(input, params, spillShareCap = cap))
       val index = idx0.copy(nodes = idx0.nodes.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nodeRows = index.nodes.count()
@@ -73,7 +88,29 @@ object SpillCapDim512Proof {
       val c = index.meta.num_cells
       System.err.println(f"[spillcap] cap=$cap build ${buildSec}%.1f s " +
         f"(${n / buildSec}%.1f vec/s), node rows $nodeRows (ghost share $ghostShare%.3f)")
+      if (mode == "build") {
+        if (saveDir.nonEmpty) {
+          Hnsw.save(index, saveDir)
+          System.err.println(s"[spillcap] index saved to $saveDir")
+        }
+        index.nodes.unpersist()
+        s"""{"cap":$cap,"build_sec":$buildSec,"build_vec_per_sec":${n / buildSec},""" +
+          s""""node_rows":$nodeRows,"ghost_share":$ghostShare,"num_cells":$c}"""
+      } else fullRow(spark, index, cap, buildSec, nodeRows, ghostShare, c, n)
+    }
+    println(s"""{"n":$n,"dim":$dim,"num_partitions":$p,"corpus":"$corpus","mode":"$mode",""" +
+      s""""builds":${rows.mkString("[", ",", "]")}}""")
+    spark.stop()
+  }
 
+  private def fullRow(spark: SparkSession, index: graft.hnsw.HnswIndex,
+                      cap: Double, buildSec: Double, nodeRows: Long,
+                      ghostShare: Double, c: Int, n: Long): String = {
+    import spark.implicits._
+    def timed[T](f: => T): (T, Double) = {
+      val s = System.nanoTime(); val r = f; (r, (System.nanoTime() - s) / 1e9)
+    }
+    {
       // sampled queries (the calibration modulus) + a held-out set on a
       // shifted residue so the end-to-end recall is measured out-of-sample
       val uniq = index.nodes.filter(!col("tombstone"))
@@ -123,8 +160,5 @@ object SpillCapDim512Proof {
         s""""scan_pre_dedup_rows":$preDedupRows,"scan_quarter_sec":$scanSec,""" +
         s""""queries":$nQ}"""
     }
-    println(s"""{"n":$n,"dim":$dim,"num_partitions":$p,"corpus":"$corpus",""" +
-      s""""builds":${rows.mkString("[", ",", "]")}}""")
-    spark.stop()
   }
 }

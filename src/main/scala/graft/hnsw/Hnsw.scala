@@ -52,6 +52,23 @@ case class IndexMeta(
   */
 case class PqSidecar(codebooks: DataFrame, codes: DataFrame, m: Int)
 
+/** A persisted recall-calibration curve ([[Hnsw.calibrateProbeCells]]):
+  * for `k`, the predicted recall@k at every probe budget, sorted by
+  * probe_cells ascending. Attached to an index it makes every
+  * recall-target pick DRIVER-SIDE and job-free — in particular the SQL
+  * rewrite can honour `spark.graft.ann.recallTarget` without breaking its
+  * EXPLAIN-runs-no-jobs contract. Like the PQ sidecar it is derived from
+  * the vector set, so persistence carries a num_nodes coverage marker and
+  * [[Hnsw.load]] drops a curve whose marker mismatches the live meta.
+  */
+case class CalCurve(k: Int, points: Seq[(Int, Double)]) {
+  /** Smallest probe predicted to clear `target`; `c` (full probe) when
+    * even the curve's tail cannot — mirroring [[Hnsw.calibrateProbeCells]].
+    */
+  def pick(target: Double, c: Int): Int =
+    math.min(c, points.find(_._2 >= target).map(_._1).getOrElse(c))
+}
+
 /** A built index: distributed node + edge tables plus small meta.
   * `centroids` is the shard routing table (cid, cvector, pid) present only
   * on locality-sharded indexes ([[Hnsw.buildRouted]]) — it is what lets
@@ -61,7 +78,8 @@ case class PqSidecar(codebooks: DataFrame, codes: DataFrame, m: Int)
   */
 case class HnswIndex(nodes: DataFrame, edges: DataFrame, meta: IndexMeta,
                      centroids: Option[DataFrame] = None,
-                     pq: Option[PqSidecar] = None)
+                     pq: Option[PqSidecar] = None,
+                     calibration: Option[CalCurve] = None)
 
 /** Tagged-union row shipping nodes (kind 0), edges (kind 1) and replicated
   * queries (kind 2) to each shard in ONE shuffle — the carrier of
@@ -459,7 +477,48 @@ object Hnsw {
         // lose recall
         dropPqSidecar(index.nodes.sparkSession, dir)
     }
+    index.calibration match {
+      case Some(curve) => writeCalibration(dir, curve, index.meta.num_nodes)
+      case None        => dropCalibration(dir)
+    }
     saveMeta(index.meta, dir)
+  }
+
+  /** Persist a recall-calibration curve next to a saved index (also the
+    * CLI `--calibrate` path, which writes the curve without rewriting the
+    * tables). The num_nodes marker makes a stale curve self-invalidate at
+    * [[load]] after appends change the vector set.
+    */
+  def writeCalibration(dir: String, curve: CalCurve, numNodes: Long): Unit = {
+    val pts = curve.points.map { case (p, r) => s"[$p,$r]" }.mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$dir/calibration.json"),
+      s"""{"k":${curve.k},"num_nodes":$numNodes,"points":$pts}""")
+  }
+
+  def dropCalibration(dir: String): Unit = {
+    val p = Paths.get(s"$dir/calibration.json")
+    if (Files.exists(p)) Files.delete(p)
+  }
+
+  /** calibration.json → [[CalCurve]] when present AND its num_nodes marker
+    * matches the live vector count (a curve measured on a different vector
+    * set is a silent misprediction, never an error — so it must not load).
+    */
+  private def loadCalibration(dir: String, numNodes: Long): Option[CalCurve] = {
+    val p = Paths.get(s"$dir/calibration.json")
+    if (!Files.exists(p)) None
+    else {
+      val raw = Files.readString(p)
+      val k = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+      val nn = """"num_nodes"\s*:\s*(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
+      val pts = """\[(\d+),([-0-9.eE]+)\]""".r.findAllMatchIn(raw)
+        .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+      (k, nn) match {
+        case (Some(kk), Some(n)) if n == numNodes && pts.nonEmpty =>
+          Some(CalCurve(kk, pts.sortBy(_._1)))
+        case _ => None
+      }
+    }
   }
 
   /** Sidecar coverage marker: the live-vector count the codes were encoded
@@ -537,7 +596,8 @@ object Hnsw {
       spark.read.parquet(s"$dir/edges"),
       meta,
       cents,
-      pqSc)
+      pqSc,
+      loadCalibration(dir, meta.num_nodes))
   }
 
   /** meta.json alone (no table scans) — the streaming append path's cheap
@@ -1023,6 +1083,16 @@ object Hnsw {
       "calibrateProbeCells needs a locality-sharded index (buildRouted/load of one)"))
     require(recallTarget > 0.0 && recallTarget <= 1.0,
       s"recallTarget $recallTarget outside (0, 1]")
+    // cached curve (withCalibration / load of a calibrated save): the pick
+    // is driver-side and the returned curve frame is built from literals —
+    // no sample scan, no exact-oracle batch. A curve for a DIFFERENT k
+    // does not transfer (hit ranks are per-k), so it falls through to a
+    // fresh calibration rather than silently mispredicting.
+    index.calibration.filter(_.k == k).foreach { curve =>
+      val c = math.max(1, index.meta.num_cells)
+      val df = curve.points.toDF("probe_cells", "predicted_recall")
+      return (curve.pick(recallTarget, c), df)
+    }
     val distFn = Distances.metric(index.meta.metric)
     val n = if (index.meta.num_nodes > 0) index.meta.num_nodes
       else index.nodes.filter(!col("tombstone")).agg(countDistinct("id")).head().getLong(0)
@@ -1072,6 +1142,31 @@ object Hnsw {
     graft.operators.Checkpoints.unpersist(truth)
     (math.min(probeCells, c), curve)
   }
+
+  /** Run the calibration once and ATTACH the curve to the index, making
+    * every subsequent recall-target pick — [[calibrateProbeCells]],
+    * [[annQueryAdaptive]]'s `recallTarget`, the SQL rewrite's
+    * `spark.graft.ann.recallTarget` conf — driver-side and job-free.
+    * [[save]] persists the curve next to the tables with a num_nodes
+    * coverage marker; [[load]] re-attaches it while the marker matches.
+    */
+  def withCalibration(index: HnswIndex, k: Int,
+                      sampleQueries: Int = 100): HnswIndex = {
+    val (_, curveDf) = calibrateProbeCells(
+      index.copy(calibration = None), k, recallTarget = 1.0, sampleQueries)
+    val points = curveDf.orderBy(col("probe_cells"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    index.copy(calibration = Some(CalCurve(k, points)))
+  }
+
+  /** Job-free probe pick from an ATTACHED curve only — `None` when the
+    * index carries no curve for this k (callers that may run jobs fall
+    * back to [[calibrateProbeCells]]; the SQL rewrite falls back to the
+    * default probe instead, preserving its no-jobs contract).
+    */
+  def cachedProbeFor(index: HnswIndex, k: Int, recallTarget: Double): Option[Int] =
+    index.calibration.filter(_.k == k)
+      .map(_.pick(recallTarget, math.max(1, index.meta.num_cells)))
 
   /** Train and attach the PQ byte-code sidecar — the decayed regime's
     * scan-footprint lever. Codebooks train on a deterministic id-modulus

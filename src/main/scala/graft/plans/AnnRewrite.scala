@@ -86,6 +86,27 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** SQL spelling of the recall-target contract:
+    * `SET spark.graft.ann.recallTarget=0.95` makes the routed rewrite
+    * probe the smallest cell budget whose PERSISTED calibration curve
+    * ([[Hnsw.withCalibration]] / `--calibrate`) clears the target. The
+    * pick is driver-side from the attached curve — this rule fires during
+    * analysis, so it must never run jobs (EXPLAIN contract); an index
+    * without a curve for this k keeps the default probe (the conf is a
+    * refinement, not a new obligation — ANN results stay approximate
+    * either way, and failing analysis over a missing sidecar file would
+    * break every query on the view).
+    */
+  private def confProbe(index: HnswIndex, k: Int): Int =
+    session.conf.getOption("spark.graft.ann.recallTarget") match {
+      case Some(t) =>
+        val target = t.toDouble
+        require(target > 0.0 && target <= 1.0,
+          s"spark.graft.ann.recallTarget $target outside (0, 1]")
+        Hnsw.cachedProbeFor(index, k, target).getOrElse(-1)
+      case None => -1
+    }
+
   /** (vector attribute, foldable query expression) from either argument
     * order of the distance call.
     */
@@ -162,8 +183,10 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       val ann = (if (idx.centroids.isDefined) {
         import session.implicits._
         val q1 = Seq((0L, qVec)).toDF("qid", "vector")
-        if (Hnsw.traversalDecays(idx.meta, k, -1)) Hnsw.annQueryRoutedExact(idx, q1, k)
-        else Hnsw.annQueryRouted(idx, q1, k)
+        val pc = confProbe(idx, k)
+        if (Hnsw.traversalDecays(idx.meta, k, -1))
+          Hnsw.annQueryRoutedExact(idx, q1, k, probeCells = pc)
+        else Hnsw.annQueryRouted(idx, q1, k, probeCells = pc)
       } else {
         Hnsw.annQueryBatch(idx, Array((0L, qVec)), k)
       }).queryExecution.analyzed
@@ -283,9 +306,10 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // nothing (the SQL query table's size is unknown at analysis).
       val ann =
         if (entry.index.centroids.isDefined) {
+          val pc = confProbe(entry.index, topk.k)
           if (Hnsw.traversalDecays(entry.index.meta, topk.k, -1))
-            Hnsw.annQueryRoutedExactLarge(entry.index, queries, topk.k)
-          else Hnsw.annQueryRouted(entry.index, queries, topk.k)
+            Hnsw.annQueryRoutedExactLarge(entry.index, queries, topk.k, probeCells = pc)
+          else Hnsw.annQueryRouted(entry.index, queries, topk.k, probeCells = pc)
         } else Hnsw.annQueryLarge(entry.index, queries, topk.k)
       val regrouped = ann.groupBy(col("qid"))
         .agg(TopKAggregate.topKByDist(col("dist"), col("id"), topk.k).as("top"))

@@ -53,8 +53,10 @@ object StreamingOps {
       withOffset.nodes.write.mode("append").parquet(s"$dir/vectors")
       withOffset.edges.write.mode("append").parquet(s"$dir/edges")
       // appended vectors carry no byte codes — a surviving PQ sidecar
-      // would silently exclude them from ADC-coarse candidate draws
+      // would silently exclude them from ADC-coarse candidate draws (and a
+      // calibration curve measured on the old vector set would mispredict)
       Hnsw.dropPqSidecar(batch.sparkSession, dir)
+      Hnsw.dropCalibration(dir)
       // incremental meta refresh: the BATCH's own top (already computed by
       // its build) against current meta.json — per-batch cost is O(batch),
       // never a re-scan of the whole appended index. Entry rule preserved:
@@ -156,8 +158,10 @@ object StreamingOps {
     built.edges.withColumn("pid", (col("pid") + lit(offset)).cast("int"))
       .write.mode("append").parquet(s"$dir/edges")
     // appended vectors carry no byte codes — a surviving PQ sidecar would
-    // silently exclude them from ADC-coarse candidate draws
+    // silently exclude them from ADC-coarse candidate draws (and a
+    // calibration curve measured on the old vector set would mispredict)
     Hnsw.dropPqSidecar(spark, dir)
+    Hnsw.dropCalibration(dir)
     // routing rows for the new shards: ONLY the cells the batch landed in
     // (primary or spill assignment) — a probe of an untouched sibling cell
     // must not ship this batch's shard

@@ -507,4 +507,70 @@ class ExtensionsSpec extends AnyFunSuite {
     IndexRegistry.unregister("emb_decay")
     small.nodes.unpersist()
   }
+
+  test("SET spark.graft.ann.recallTarget picks the calibrated probe job-free; no curve = default probe") {
+    import graft.hnsw.{Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val vecs = (0L until 400L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val input = vecs.toDF("id", "vector")
+    val bare = Hnsw.buildRouted(input,
+      HnswParams(dim = 8, m = 4, efConstruction = 32, numPartitions = 2), cellsPerShard = 4)
+    val index = Hnsw.withCalibration(bare, k = 5, sampleQueries = 50)
+    input.createOrReplaceTempView("emb_cal")
+    IndexRegistry.register("emb_cal", index)
+    val q = vecs(7)._2
+    val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val sql =
+      s"SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_cal ORDER BY dist LIMIT 5"
+    try {
+      spark.conf.set("spark.graft.ann.recallTarget", "0.95")
+      val pc = Hnsw.cachedProbeFor(index, 5, 0.95)
+        .getOrElse(fail("calibrated index must yield a cached pick"))
+      assert(pc >= 1 && pc <= index.meta.num_cells)
+      val before = IndexRegistry.rewriteCount
+      val got = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(IndexRegistry.rewriteCount === before + 1, "rewrite did not fire under the conf")
+      val expected = Hnsw.annQueryRouted(index, Seq((0L, q)).toDF("qid", "vector"), 5,
+        probeCells = pc)
+        .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === expected,
+        "conf-set SQL must equal the Scala routed path at the calibrated probe")
+      // EXPLAIN stays job-free with the conf set (the pick is driver-side
+      // from the attached curve — never a calibration run)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.sql(s"EXPLAIN $sql").collect()
+        Thread.sleep(500)
+        assert(jobs.get() === 0, s"EXPLAIN under recallTarget conf ran ${jobs.get()} jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // an index WITHOUT a curve for this k ignores the conf (falls back
+      // to the default probe — the conf is a refinement, not an obligation)
+      IndexRegistry.register("emb_cal", bare)
+      val gotBare = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expBare = Hnsw.annQueryRouted(index, Seq((0L, q)).toDF("qid", "vector"), 5)
+        .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(gotBare === expBare, "curve-less index must keep the default probe")
+      // malformed target fails loudly, not silently (the require may be
+      // wrapped by the analyzer — match on the message, not the class)
+      spark.conf.set("spark.graft.ann.recallTarget", "1.5")
+      IndexRegistry.register("emb_cal", index)
+      val ex = intercept[Exception] { spark.sql(sql).collect() }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+      assert(messages(ex).exists(_.contains("recallTarget")),
+        s"out-of-range target must surface its own error, got: ${ex.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.ann.recallTarget")
+      IndexRegistry.unregister("emb_cal")
+      bare.nodes.unpersist()
+    }
+  }
 }

@@ -658,4 +658,62 @@ class HnswRoutedSpec extends SparkSpec {
     assert(sp === expected)
     assert(Hnsw.largeDispatches.get() === single, "spillPath call must not dispatch")
   }
+
+  test("withCalibration: cached curve equals fresh calibration and picks job-free") {
+    val fresh = Hnsw.calibrateProbeCells(routed, k = 10, recallTarget = 1.0,
+      sampleQueries = 50)._2.orderBy("probe_cells").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    val cal = Hnsw.withCalibration(routed, k = 10, sampleQueries = 50)
+    val curve = cal.calibration.getOrElse(fail("withCalibration must attach a curve"))
+    assert(curve.k === 10)
+    assert(curve.points === fresh, "attached curve must BE the fresh calibration's")
+    // cached picks == fresh picks across targets (the smallest-probe rule)
+    Seq(0.5, 0.9, 1.0).foreach { t =>
+      val freshPick = Hnsw.calibrateProbeCells(routed, k = 10, recallTarget = t,
+        sampleQueries = 50)._1
+      assert(Hnsw.calibrateProbeCells(cal, k = 10, recallTarget = t)._1 === freshPick,
+        s"cached pick at target $t")
+      assert(Hnsw.cachedProbeFor(cal, 10, t) === Some(freshPick))
+    }
+    // a curve for a DIFFERENT k must not transfer
+    assert(Hnsw.cachedProbeFor(cal, 5, 0.9) === None)
+    // the cached pick runs NO jobs (the SQL rewrite's contract)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Hnsw.calibrateProbeCells(cal, k = 10, recallTarget = 0.9)
+      Thread.sleep(500)
+      assert(jobs.get() === 0, s"cached calibration ran ${jobs.get()} jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("calibration curve persists through save/load; the num_nodes marker drops a stale one") {
+    val cal = Hnsw.withCalibration(routed, k = 10, sampleQueries = 50)
+    val tmp = Files.createTempDirectory("hnsw-cal").toString
+    Hnsw.save(cal, tmp)
+    val loaded = Hnsw.load(spark, tmp)
+    val lc = loaded.calibration.getOrElse(fail("load must re-attach the saved curve"))
+    assert(lc.k === 10)
+    assert(lc.points === cal.calibration.get.points,
+      "curve must round-trip bit-exact through the JSON sidecar")
+    // recall-target picks on the LOADED index come from the cached curve
+    assert(Hnsw.calibrateProbeCells(loaded, 10, 0.9)._1 ===
+      Hnsw.calibrateProbeCells(cal, 10, 0.9)._1)
+    // stale marker (vector set changed, e.g. a streaming append bumped
+    // num_nodes): the curve must NOT load — a misprediction is silent
+    Hnsw.writeCalibration(tmp, cal.calibration.get, cal.meta.num_nodes + 1)
+    assert(Hnsw.load(spark, tmp).calibration === None,
+      "a curve whose num_nodes marker mismatches must be dropped")
+    // re-saving an UNCALIBRATED index into a reused dir removes the file
+    Hnsw.writeCalibration(tmp, cal.calibration.get, cal.meta.num_nodes)
+    assert(Hnsw.load(spark, tmp).calibration.isDefined)
+    Hnsw.save(cal.copy(calibration = None), tmp)
+    assert(Hnsw.load(spark, tmp).calibration === None,
+      "save without a curve must not leave a stale calibration.json behind")
+  }
 }
