@@ -366,9 +366,15 @@ object Pq {
     * insert. Same math as the codegen'd [[org.apache.spark.sql.graft
     * .PqExpressions]] AdcSum path (float LUT loads accumulated
     * left-to-right in double — bit-identical sums), but the per-pair
-    * work is a JVM array loop instead of a Catalyst BNLJ row iteration +
-    * ObjectHashAggregate update: the measured bound at 5M×512 was
-    * pair-ITERATION overhead, not arithmetic, and this removes it.
+    * work is a TILED JVM array loop (row-chunk × query, one LUT
+    * cache-resident per chunk pass) instead of a Catalyst BNLJ row
+    * iteration + ObjectHashAggregate update. The r13 measurements
+    * (BENCH_SCALE_PQ512_KERNEL.json, capped 5M×512 index) revised r12's
+    * diagnosis: the binding constraint was LUT GATHER LOCALITY, not
+    * Catalyst iteration — the untiled kernel (query-inner loop, 64 MB of
+    * LUTs cycled per row at 1,000 queries) only matched the expression
+    * path, while the tiled loop beats the exact float scan outright
+    * (131.5 s vs 187.3 s at 1,000 q refine=3200, recall@10 0.961).
     *
     * Same output contract as [[pqScanRefined]] ((qid, rank, id, dist),
     * dist exact after the rescore) and the same bounded-query contract —
@@ -409,12 +415,24 @@ object Pq {
     val bc = spark.sparkContext.broadcast((luts, qNorms, norm2))
     val mV = m
     val rV = r
+    // parallelism pin: the codes table is ~30× smaller than the floats
+    // (the whole point), so a file-split scan of it coalesces into a
+    // HANDFUL of input partitions (measured: 439 MB of codes at 5M×512 →
+    // 4 splits → 4 of 32 cores busy, kernel 3× slower than the expression
+    // path it should beat). One cheap round-robin shuffle of the slim
+    // (id, codes) rows decouples kernel parallelism from file layout.
+    val par = spark.sessionState.conf.numShufflePartitions
     val coarseRows = codes.select(col("id").cast("long").as("id"), col("codes"))
       .as[(Long, Array[Byte])]
+      .repartition(par)
       .mapPartitions { it =>
         val (ls, qn, n2) = bc.value
         val nq = ls.length
         val kc = if (nq > 0) ls(0)._2.length / mV else 0
+        // query norms as a position-aligned primitive array — a boxed-Long
+        // Map lookup per (row, query) pair costs more than the 64 adds it
+        // accompanies
+        val qnArr = if (qn.isEmpty) null else ls.map(l => qn(l._1))
         // per-query bounded MAX-heaps (root = current worst kept dist)
         val hD = Array.fill(nq)(new Array[Double](rV))
         val hI = Array.fill(nq)(new Array[Long](rV))
@@ -447,26 +465,55 @@ object Pq {
             d(0) = dist; ids(0) = id; siftDown(qi, 0)
           }
         }
+        // TILED (row-chunk × query) loop. The naive query-inner loop
+        // touches every query's 64 KB LUT per ROW — at 1,000 queries that
+        // is a 64 MB working set cycled 6.5M times, and the gathers fall
+        // out of every cache level (measured: ADC coarse LOST to the
+        // sequential float scan, 213.6 s vs 167.9 s at 5M×512/1000 q).
+        // Buffering a chunk of rows and iterating query-outer/row-inner
+        // keeps ONE LUT L1/L2-resident for the whole chunk pass; the codes
+        // chunk (8192 × m bytes = 512 KB) streams linearly. Accumulation
+        // order per (row, query) is unchanged — results stay bit-identical.
+        val CHUNK = 8192
+        val cIds = new Array[Long](CHUNK)
+        val cCodes = new Array[Array[Byte]](CHUNK)
+        val cXn = new Array[Double](CHUNK)
         while (it.hasNext) {
-          val (id, cs) = it.next()
+          var nRows = 0
+          while (it.hasNext && nRows < CHUNK) {
+            val (id, cs) = it.next()
+            cIds(nRows) = id; cCodes(nRows) = cs
+            // the code self-norm Σ‖c_sub‖² is QUERY-INDEPENDENT — one
+            // gather pass per row, not one per (row, query)
+            if (n2.length > 0) {
+              var s2 = 0.0
+              var sub = 0
+              while (sub < mV) { s2 += n2(sub * kc + (cs(sub) & 0xFF)).toDouble; sub += 1 }
+              cXn(nRows) = math.sqrt(s2)
+            }
+            nRows += 1
+          }
           var qi = 0
           while (qi < nq) {
             val lut = ls(qi)._2
-            var s = 0.0
-            var s2 = 0.0
-            var sub = 0
-            while (sub < mV) {
-              val i = sub * kc + (cs(sub) & 0xFF)
-              s += lut(i).toDouble
-              if (n2.length > 0) s2 += n2(i).toDouble
-              sub += 1
+            val qq = if (n2.length > 0) qnArr(qi) else 0.0
+            var r = 0
+            while (r < nRows) {
+              val cs = cCodes(r)
+              var s = 0.0
+              var sub = 0
+              while (sub < mV) {
+                s += lut(sub * kc + (cs(sub) & 0xFF)).toDouble
+                sub += 1
+              }
+              val dist =
+                if (n2.length > 0) {
+                  val xn = cXn(r)
+                  if (qq == 0.0 || xn == 0.0) 1.0 else 1.0 - s / (qq * xn)
+                } else math.sqrt(s)
+              if (sz(qi) < rV || dist < hD(qi)(0)) push(qi, dist, cIds(r))
+              r += 1
             }
-            val dist =
-              if (n2.length > 0) {
-                val qq = qn(ls(qi)._1); val xn = math.sqrt(s2)
-                if (qq == 0.0 || xn == 0.0) 1.0 else 1.0 - s / (qq * xn)
-              } else math.sqrt(s)
-            if (sz(qi) < rV || dist < hD(qi)(0)) push(qi, dist, id)
             qi += 1
           }
         }
