@@ -240,6 +240,15 @@ object Main {
         else if (index.centroids.isDefined) Hnsw.annQueryAdaptive(index, queries, k,
           probeCells = probeCellsOpt, ef = ef)
         else Hnsw.annQuery(index, queries, k, ef)
+      // surface the no-flag recall contract when it engaged: an index
+      // saved/--calibrate'd with a curve serves plain queries at the
+      // 0.95-target probe instead of the C/4 heuristic (r14 default)
+      if (!Seq("pq-refine", "exact-probe", "refine", "routed", "large")
+            .exists(opts.contains) &&
+          index.centroids.isDefined && probeCellsOpt <= 0 &&
+          Hnsw.cachedProbeFor(index, k, Hnsw.DefaultRecallTarget).isDefined)
+        println(s"[query] calibrated default: recall target ${Hnsw.DefaultRecallTarget} " +
+          s"-> probe ${Hnsw.lastAdaptiveProbe.get()} cells (from calibration.json)")
       opts.get("out") match {
         case Some(out) =>
           res.write.mode("overwrite").parquet(out)
@@ -298,12 +307,14 @@ object Main {
         (if (index.centroids.isDefined) f" [routed, ${compacted.meta.num_cells} cells kept]" else ""))
 
     } else if (opts.contains("attach-pq")) {
-      // train + attach the PQ byte-code sidecar to a saved index. The
-      // sidecar is an EXPLICIT lever: only --pq-refine (annQueryPqRefined)
-      // reads it — the no-flag --load adaptive chooser's picks are
-      // unchanged by its presence (measured: ADC wins nothing while the
-      // float table fits in memory, and refine caps recall; PqScanSpec
-      // pins the unchanged pick)
+      // train + attach the PQ byte-code sidecar to a saved index, then
+      // measure and STAMP its refine-capped recall (pq_meta.json). The
+      // stamp is what lets the adaptive chooser pick the ADC kernel —
+      // but ONLY under a recall-target contract that the stamp clears
+      // (explicit --recall-target / SET conf, or the calibrated no-flag
+      // default); with no contract in force the sidecar stays the
+      // explicit --pq-refine lever and the chooser's picks are unchanged
+      // (PqScanSpec pins both sides of the gate)
       val dir = opts("attach-pq")
       val index = Hnsw.load(spark, dir)
       val t0 = System.nanoTime()
@@ -311,14 +322,33 @@ object Main {
         m = opts.getOrElse("pq-m", "-1").toInt,
         kCells = opts.getOrElse("pq-cells", "256").toInt,
         sampleSize = opts.getOrElse("pq-sample", (1 << 17).toString).toInt,
-        iters = opts.getOrElse("pq-iters", "3").toInt)
+        iters = opts.getOrElse("pq-iters", "3").toInt,
+        measureK = opts.getOrElse("k", "10").toInt,
+        measureRefine = opts.getOrElse("refine", "-1").toInt)
       val sc = withPq.pq.get
       sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
       sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
-      Hnsw.writePqMeta(dir, index.meta.num_nodes)
+      Hnsw.writePqMeta(dir, index.meta.num_nodes, sc.refineRecall, sc.refine, sc.recallK)
       val rows = spark.read.parquet(s"$dir/pq_codes").count()
       println(f"[attach-pq] m=${sc.m} codes for $rows rows " +
-        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_codes")
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_codes " +
+        f"(stamped recall@${sc.recallK} ${sc.refineRecall}%.4f at refine ${sc.refine})")
+
+    } else if (opts.contains("pq-measure")) {
+      // (re-)measure an EXISTING sidecar's refine-capped recall and stamp
+      // pq_meta.json — for sidecars attached before the stamp existed, or
+      // to re-stamp at a different refine/k operating point
+      val dir = opts("pq-measure")
+      val index = Hnsw.load(spark, dir)
+      require(index.pq.isDefined, s"no PQ sidecar under $dir — run --attach-pq first")
+      val k = opts.getOrElse("k", "10").toInt
+      val t0 = System.nanoTime()
+      val (rec, refUsed) = Hnsw.measurePqRecall(index, k,
+        refine = opts.getOrElse("refine", "-1").toInt,
+        sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt)
+      Hnsw.writePqMeta(dir, index.meta.num_nodes, rec, refUsed, k)
+      println(f"[pq-measure] recall@$k $rec%.4f at refine $refUsed " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_meta.json")
 
     } else if (opts.contains("calibrate")) {
       // run the recall calibration once and persist the curve next to the
@@ -335,6 +365,10 @@ object Main {
         sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt)
       val curve = calibrated.calibration.get
       Hnsw.writeCalibration(dir, curve, index.meta.num_nodes)
+      // persist the (possibly load-backfilled) node_rows geometry too, so
+      // later loads of a pre-r14 index skip the footer-count backfill and
+      // the ghost-aware break-even reads it straight from meta.json
+      Hnsw.saveMeta(index.meta, dir)
       println(f"[calibrate] k=$k, ${curve.points.size} curve points " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/calibration.json")
 
@@ -944,10 +978,12 @@ object Main {
           |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --pq-refine R [--pq-kernel] | --adaptive] [--out DIR]
           |            [--recall-target T [--calibrate-sample 100]]   (calibrates probe-cells for the target; job-free when --calibrate saved a curve)
           |            (no path flag: routed indexes use the regime-aware chooser automatically;
-          |             its routed pick searches probed shards only, so recall is nprobe-bounded
-          |             like --routed — pass --large to keep the old all-shard recall exactly)
-          |  --attach-pq DIR [--pq-m M --pq-cells 256 --pq-sample N --pq-iters 3]   (byte-code ADC sidecar)
-          |  --calibrate DIR [--k 10 --calibrate-sample 100]   (persist the recall curve: later --recall-target picks are job-free)
+          |             an index carrying calibration.json serves no-flag queries at the 0.95
+          |             recall-target probe — otherwise the C/4 cost heuristic; pass --large
+          |             to keep the old all-shard recall exactly)
+          |  --attach-pq DIR [--pq-m M --pq-cells 256 --pq-sample N --pq-iters 3 --refine R --k 10]   (byte-code ADC sidecar; measures + stamps refine-capped recall)
+          |  --pq-measure DIR [--refine R --k 10 --calibrate-sample 100]   (re-stamp an existing sidecar's measured recall)
+          |  --calibrate DIR [--k 10 --calibrate-sample 100]   (persist the recall curve: later --recall-target picks are job-free, and no-flag --load queries consume it at target 0.95)
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
           |  --gen-queries OUT --n N --dim D [--seed 7]

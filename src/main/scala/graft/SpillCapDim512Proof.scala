@@ -50,9 +50,9 @@ object SpillCapDim512Proof {
     val corpus = args.lift(3).getOrElse("uniform")
     // phase split for big-n runs: "build" = build + ghost share + save to
     // saveDir, no query phases; "load" = resume query phases from the
-    // saved index (buildSec reported as the build JVM measured it is in
-    // that run's stderr; here 0.0 marks "resumed"); "full" = everything
-    // in one JVM (the 1M artifact shape)
+    // saved index (build_sec stays 0.0 — the build JVM's stderr has the
+    // real number — and the reload time lands in load_sec); "full" =
+    // everything in one JVM (the 1M artifact shape)
     val saveDir = args.lift(4).getOrElse("")
     val mode = args.lift(5).getOrElse("full")
     val spark = SparkSession.builder()
@@ -77,26 +77,43 @@ object SpillCapDim512Proof {
       val s = System.nanoTime(); val r = f; (r, (System.nanoTime() - s) / 1e9)
     }
 
+    // a loaded index has ONE actual cap baked in — labeling reloads of the
+    // same dir with a caps list would commit rows whose cap values don't
+    // describe the loaded geometry (ADVICE r13)
+    if (mode == "load") require(caps.size == 1,
+      s"mode=load reloads one saved index; pass exactly one cap label (got $caps)")
     val rows = caps.map { cap =>
-      val (idx0, buildSec) =
+      val (idx0, phaseSec) =
         if (mode == "load") timed(Hnsw.load(spark, saveDir))
         else timed(Hnsw.buildRouted(input, params, spillShareCap = cap))
+      // build_sec carries BUILD time only; a resumed run reports its
+      // reload under load_sec and leaves build_sec 0.0 (the build JVM's
+      // stderr has the real number) — committed artifacts must not pass
+      // off a parquet reload as a build measurement (ADVICE r13)
+      val (buildSec, loadSec) =
+        if (mode == "load") (0.0, phaseSec) else (phaseSec, 0.0)
       val index = idx0.copy(nodes = idx0.nodes.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val nodeRows = index.nodes.count()
       val ghostShare = nodeRows.toDouble / index.meta.num_nodes - 1.0
       val c = index.meta.num_cells
-      System.err.println(f"[spillcap] cap=$cap build ${buildSec}%.1f s " +
-        f"(${n / buildSec}%.1f vec/s), node rows $nodeRows (ghost share $ghostShare%.3f)")
+      System.err.println(f"[spillcap] cap=$cap ${if (mode == "load") "load" else "build"} " +
+        f"$phaseSec%.1f s, node rows $nodeRows (ghost share $ghostShare%.3f)")
       if (mode == "build") {
         if (saveDir.nonEmpty) {
           Hnsw.save(index, saveDir)
           System.err.println(s"[spillcap] index saved to $saveDir")
         }
         index.nodes.unpersist()
-        s"""{"cap":$cap,"build_sec":$buildSec,"build_vec_per_sec":${n / buildSec},""" +
-          s""""node_rows":$nodeRows,"ghost_share":$ghostShare,"num_cells":$c}"""
-      } else fullRow(spark, index, cap, buildSec, nodeRows, ghostShare, c, n)
+        // phase split (judge r13 item 5): where the build wall went —
+        // k-means / assignment / packing+nodes / the lazy graph
+        // materialization inside save's edge write — plus packer skew
+        val phases = Hnsw.lastBuildPhases.get().toSeq.sortBy(_._1)
+          .map { case (nm, v) => s""""$nm":${f"$v%.1f"}""" }.mkString("{", ",", "}")
+        s"""{"cap":$cap,"build_sec":$buildSec,"build_vec_per_sec":${n / math.max(0.001, buildSec)},""" +
+          s""""node_rows":$nodeRows,"ghost_share":$ghostShare,"num_cells":$c,""" +
+          s""""phases":$phases}"""
+      } else fullRow(spark, index, cap, buildSec, loadSec, nodeRows, ghostShare, c, n)
     }
     println(s"""{"n":$n,"dim":$dim,"num_partitions":$p,"corpus":"$corpus","mode":"$mode",""" +
       s""""builds":${rows.mkString("[", ",", "]")}}""")
@@ -104,8 +121,8 @@ object SpillCapDim512Proof {
   }
 
   private def fullRow(spark: SparkSession, index: graft.hnsw.HnswIndex,
-                      cap: Double, buildSec: Double, nodeRows: Long,
-                      ghostShare: Double, c: Int, n: Long): String = {
+                      cap: Double, buildSec: Double, loadSec: Double,
+                      nodeRows: Long, ghostShare: Double, c: Int, n: Long): String = {
     import spark.implicits._
     def timed[T](f: => T): (T, Double) = {
       val s = System.nanoTime(); val r = f; (r, (System.nanoTime() - s) / 1e9)
@@ -152,7 +169,8 @@ object SpillCapDim512Proof {
         f"pre-dedup, $scanSec%.1f s")
 
       index.nodes.unpersist()
-      s"""{"cap":$cap,"build_sec":$buildSec,"build_vec_per_sec":${n / buildSec},""" +
+      s"""{"cap":$cap,"build_sec":$buildSec,"load_sec":$loadSec,""" +
+        s""""build_vec_per_sec":${if (buildSec > 0) n / buildSec else 0.0},""" +
         s""""node_rows":$nodeRows,"ghost_share":$ghostShare,"num_cells":$c,""" +
         s""""quarter_probe_recall10":$quarterRecall,"quarter_probe_sec":$quarterSec,""" +
         s""""recall_target_probe":$pc95,"recall_target_measured":$targetRecall,""" +

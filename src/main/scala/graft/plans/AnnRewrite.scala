@@ -34,14 +34,23 @@ import graft.hnsw.{Hnsw, HnswIndex}
   * table in any engine).
   */
 object IndexRegistry {
-  final case class Entry(index: HnswIndex, idCol: String, vecCol: String)
+  /** `dir`: the directory the index was loaded from, when the caller
+    * knows it. Carrying it lets the rewrite re-validate the on-disk
+    * num_nodes marker at fire time (one file read, no job) — a streaming
+    * append to `dir` invalidates the persisted calibration curve, but a
+    * LIVE registration keeps its in-memory copy; the marker check stops
+    * that copy from mispredicting against the appended vector set.
+    */
+  final case class Entry(index: HnswIndex, idCol: String, vecCol: String,
+                         dir: Option[String] = None)
 
   private val reg = TrieMap.empty[String, Entry]
   private val fired = new java.util.concurrent.atomic.AtomicLong(0)
 
   def register(view: String, index: HnswIndex,
-               idCol: String = "id", vecCol: String = "vector"): Unit =
-    reg(view.toLowerCase) = Entry(index, idCol, vecCol)
+               idCol: String = "id", vecCol: String = "vector",
+               dir: Option[String] = None): Unit =
+    reg(view.toLowerCase) = Entry(index, idCol, vecCol, dir)
   def unregister(view: String): Unit = reg.remove(view.toLowerCase)
   def lookup(view: String): Option[Entry] = reg.get(view.toLowerCase)
 
@@ -89,23 +98,48 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   /** SQL spelling of the recall-target contract:
     * `SET spark.graft.ann.recallTarget=0.95` makes the routed rewrite
     * probe the smallest cell budget whose PERSISTED calibration curve
-    * ([[Hnsw.withCalibration]] / `--calibrate`) clears the target. The
-    * pick is driver-side from the attached curve — this rule fires during
-    * analysis, so it must never run jobs (EXPLAIN contract); an index
-    * without a curve for this k keeps the default probe (the conf is a
-    * refinement, not a new obligation — ANN results stay approximate
-    * either way, and failing analysis over a missing sidecar file would
-    * break every query on the view).
+    * ([[Hnsw.withCalibration]] / `--calibrate`) clears the target, AND
+    * routes to the exact-probed form (the second returned flag) — the
+    * curve measures ROUTING recall, which is exactly the exact-probed
+    * path's recall but only an upper bound for graph traversal, so
+    * feeding the pick to the graph path could silently under-deliver the
+    * target (ADVICE r13). Without the conf, an attached curve still
+    * supplies [[Hnsw.DefaultRecallTarget]]'s probe pick (the same
+    * no-flag default [[Hnsw.annQueryAdaptive]] serves) but keeps the
+    * non-decayed graph path — a refinement of the C/4 dial, not a
+    * contract. Everything here is driver-side and job-free (EXPLAIN
+    * contract); an index without a curve for this k keeps the default
+    * probe (the conf is a refinement, not a new obligation — failing
+    * analysis over a missing curve would break every query on the view).
+    * Staleness: when the registration remembers its source dir, the
+    * dir's meta.json num_nodes is re-read here (one local file read, no
+    * job); a mismatch — streaming appends since registration — ignores
+    * the registration's in-memory curve instead of mispredicting against
+    * the appended vector set.
     */
-  private def confProbe(index: HnswIndex, k: Int): Int =
+  private[plans] def confProbe(entry: IndexRegistry.Entry, k: Int): (Int, Boolean) = {
+    val idx = entry.index
+    def fresh: Boolean = entry.dir.forall { d =>
+      try Hnsw.loadMeta(d).num_nodes == idx.meta.num_nodes
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
     session.conf.getOption("spark.graft.ann.recallTarget") match {
       case Some(t) =>
-        val target = t.toDouble
+        val target =
+          try t.toDouble
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"spark.graft.ann.recallTarget '$t' is not a number (expected a value in (0, 1])")
+          }
         require(target > 0.0 && target <= 1.0,
           s"spark.graft.ann.recallTarget $target outside (0, 1]")
-        Hnsw.cachedProbeFor(index, k, target).getOrElse(-1)
-      case None => -1
+        (if (fresh) Hnsw.cachedProbeFor(idx, k, target).getOrElse(-1) else -1, true)
+      case None =>
+        if (idx.calibration.isDefined && fresh)
+          (Hnsw.cachedProbeFor(idx, k, Hnsw.DefaultRecallTarget).getOrElse(-1), false)
+        else (-1, false)
     }
+  }
 
   /** (vector attribute, foldable query expression) from either argument
     * order of the distance call.
@@ -180,11 +214,14 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // batches: measured 6.1 s join vs 16.7 s scan at clustered-25q,
       // 5M×512), without its decision jobs. Bit-identical candidates
       // either way (single-query probed union = its own probed shards).
+      // A SET recallTarget contract also takes the exact-probed form —
+      // the calibration curve predicts exactly that path's recall
+      // (confProbe scaladoc; graph traversal would under-deliver).
       val ann = (if (idx.centroids.isDefined) {
         import session.implicits._
         val q1 = Seq((0L, qVec)).toDF("qid", "vector")
-        val pc = confProbe(idx, k)
-        if (Hnsw.traversalDecays(idx.meta, k, -1))
+        val (pc, contract) = confProbe(entry, k)
+        if (contract || Hnsw.traversalDecays(idx.meta, k, -1))
           Hnsw.annQueryRoutedExact(idx, q1, k, probeCells = pc)
         else Hnsw.annQueryRouted(idx, q1, k, probeCells = pc)
       } else {
@@ -306,8 +343,8 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       // nothing (the SQL query table's size is unknown at analysis).
       val ann =
         if (entry.index.centroids.isDefined) {
-          val pc = confProbe(entry.index, topk.k)
-          if (Hnsw.traversalDecays(entry.index.meta, topk.k, -1))
+          val (pc, contract) = confProbe(entry, topk.k)
+          if (contract || Hnsw.traversalDecays(entry.index.meta, topk.k, -1))
             Hnsw.annQueryRoutedExactLarge(entry.index, queries, topk.k, probeCells = pc)
           else Hnsw.annQueryRouted(entry.index, queries, topk.k, probeCells = pc)
         } else Hnsw.annQueryLarge(entry.index, queries, topk.k)

@@ -54,7 +54,13 @@ object StreamingOps {
       withOffset.edges.write.mode("append").parquet(s"$dir/edges")
       // appended vectors carry no byte codes — a surviving PQ sidecar
       // would silently exclude them from ADC-coarse candidate draws (and a
-      // calibration curve measured on the old vector set would mispredict)
+      // calibration curve measured on the old vector set would mispredict).
+      // This invalidates the ON-DISK artifacts only: a LIVE HnswIndex
+      // value loaded before the append keeps its attached in-memory curve
+      // and codes — re-load (and re-register: IndexRegistry re-validates
+      // the dir's num_nodes marker at rewrite time, so a stale
+      // registration stops consuming its curve but still serves the old
+      // node snapshot) after appends.
       Hnsw.dropPqSidecar(batch.sparkSession, dir)
       Hnsw.dropCalibration(dir)
       // incremental meta refresh: the BATCH's own top (already computed by
@@ -65,9 +71,16 @@ object StreamingOps {
       // inductively.
       val cur = Hnsw.loadMeta(dir)
       val bm = built.meta
+      // node_rows tracks stored rows (ghost-aware break-even input) the
+      // same way num_nodes is maintained: summed incrementally, -1 when
+      // either side is unknown
+      val appendedRows =
+        if (cur.node_rows >= 0 && bm.node_rows >= 0) cur.node_rows + bm.node_rows else -1L
       if (bm.max_layer > cur.max_layer ||
           (bm.max_layer == cur.max_layer && bm.entry_point < cur.entry_point))
-        Hnsw.saveMeta(cur.copy(entry_point = bm.entry_point, max_layer = bm.max_layer), dir)
+        Hnsw.saveMeta(cur.copy(entry_point = bm.entry_point, max_layer = bm.max_layer,
+          node_rows = appendedRows), dir)
+      else Hnsw.saveMeta(cur.copy(node_rows = appendedRows), dir)
     }
     // the per-batch build cache must not outlive the batch (long streams)
     built.nodes.unpersist()
@@ -159,7 +172,10 @@ object StreamingOps {
       .write.mode("append").parquet(s"$dir/edges")
     // appended vectors carry no byte codes — a surviving PQ sidecar would
     // silently exclude them from ADC-coarse candidate draws (and a
-    // calibration curve measured on the old vector set would mispredict)
+    // calibration curve measured on the old vector set would mispredict).
+    // On-disk only: live HnswIndex handles keep in-memory curves/codes —
+    // re-load after appends (registered views: the rewrite re-validates
+    // the dir marker and ignores a stale registration's curve)
     Hnsw.dropPqSidecar(spark, dir)
     Hnsw.dropCalibration(dir)
     // routing rows for the new shards: ONLY the cells the batch landed in
@@ -181,7 +197,9 @@ object StreamingOps {
     Hnsw.saveMeta(cur.copy(
       entry_point = if (better) bm.entry_point else cur.entry_point,
       max_layer = if (better) bm.max_layer else cur.max_layer,
-      num_nodes = if (cur.num_nodes >= 0) cur.num_nodes + bm.num_nodes else -1L), dir)
+      num_nodes = if (cur.num_nodes >= 0) cur.num_nodes + bm.num_nodes else -1L,
+      node_rows = if (cur.node_rows >= 0 && bm.node_rows >= 0)
+        cur.node_rows + bm.node_rows else -1L), dir)
     // the per-batch build cache must not outlive the batch (long streams)
     built.nodes.unpersist()
   }

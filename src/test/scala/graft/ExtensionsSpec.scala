@@ -532,11 +532,14 @@ class ExtensionsSpec extends AnyFunSuite {
       val before = IndexRegistry.rewriteCount
       val got = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(IndexRegistry.rewriteCount === before + 1, "rewrite did not fire under the conf")
-      val expected = Hnsw.annQueryRouted(index, Seq((0L, q)).toDF("qid", "vector"), 5,
+      // the conf is a CONTRACT: the rewrite must take the exact-probed
+      // form, whose recall IS what the calibration curve measures — the
+      // graph path could silently under-deliver the target (ADVICE r13)
+      val expected = Hnsw.annQueryRoutedExact(index, Seq((0L, q)).toDF("qid", "vector"), 5,
         probeCells = pc)
         .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got === expected,
-        "conf-set SQL must equal the Scala routed path at the calibrated probe")
+        "conf-set SQL must equal the Scala exact-probed path at the calibrated probe")
       // EXPLAIN stays job-free with the conf set (the pick is driver-side
       // from the attached curve — never a calibration run)
       val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -551,11 +554,12 @@ class ExtensionsSpec extends AnyFunSuite {
         Thread.sleep(500)
         assert(jobs.get() === 0, s"EXPLAIN under recallTarget conf ran ${jobs.get()} jobs")
       } finally spark.sparkContext.removeSparkListener(listener)
-      // an index WITHOUT a curve for this k ignores the conf (falls back
-      // to the default probe — the conf is a refinement, not an obligation)
+      // an index WITHOUT a curve for this k ignores the conf's PICK but
+      // keeps the contract's exact-probed SHAPE at the default probe
+      // (the conf is a refinement, not an obligation)
       IndexRegistry.register("emb_cal", bare)
       val gotBare = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      val expBare = Hnsw.annQueryRouted(index, Seq((0L, q)).toDF("qid", "vector"), 5)
+      val expBare = Hnsw.annQueryRoutedExact(bare, Seq((0L, q)).toDF("qid", "vector"), 5)
         .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(gotBare === expBare, "curve-less index must keep the default probe")
       // malformed target fails loudly, not silently (the require may be
@@ -567,10 +571,61 @@ class ExtensionsSpec extends AnyFunSuite {
         Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
       assert(messages(ex).exists(_.contains("recallTarget")),
         s"out-of-range target must surface its own error, got: ${ex.getMessage}")
+      // a NON-NUMERIC target must also name the conf key — a bare
+      // NumberFormatException("For input string") failing every query on
+      // the view is undiagnosable (ADVICE r13)
+      spark.conf.set("spark.graft.ann.recallTarget", "high")
+      val exNan = intercept[Exception] { spark.sql(sql).collect() }
+      assert(messages(exNan).exists(_.contains("recallTarget")),
+        s"non-numeric target must surface the conf key, got: ${exNan.getMessage}")
     } finally {
       spark.conf.unset("spark.graft.ann.recallTarget")
       IndexRegistry.unregister("emb_cal")
       bare.nodes.unpersist()
+    }
+  }
+
+  test("ANN rewrite: no-conf default consumes an attached curve; a stale dir marker disables it") {
+    import graft.hnsw.{CalCurve, Hnsw, HnswParams}
+    import graft.plans.IndexRegistry
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val input = vecs.toDF("id", "vector")
+    val built = Hnsw.buildRouted(input,
+      HnswParams(dim = 8, m = 4, efConstruction = 32, numPartitions = 4), cellsPerShard = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_regdir").toString
+    Hnsw.save(built, dir)
+    val loaded = Hnsw.load(spark, dir)
+    // handcrafted curve: the 0.95 pick (probe 1) differs from the C/4
+    // default, so the expected plan is unambiguous
+    val index = loaded.copy(calibration =
+      Some(CalCurve(5, Seq((1, 0.99), (loaded.meta.num_cells, 1.0)))))
+    input.createOrReplaceTempView("emb_reg")
+    IndexRegistry.register("emb_reg", index, dir = Some(dir))
+    val q = vecs(11)._2
+    val qSql = q.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val sql = s"SELECT id, vector_l2(vector, $qSql) AS dist FROM emb_reg ORDER BY dist LIMIT 5"
+    try {
+      // no conf: the curve's DefaultRecallTarget pick refines the C/4 dial
+      // on the (non-decayed) graph path — same default annQueryAdaptive
+      // serves
+      val got = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expProbe1 = Hnsw.annQueryRouted(index, Seq((0L, q)).toDF("qid", "vector"), 5,
+        probeCells = 1)
+        .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got === expProbe1, "no-conf rewrite must consume the attached curve's 0.95 pick")
+      // stale marker: bump the dir's num_nodes (what a streaming append
+      // does) — the registration's in-memory curve must stop driving
+      // picks instead of mispredicting against the appended vector set
+      Hnsw.saveMeta(loaded.meta.copy(num_nodes = loaded.meta.num_nodes + 5), dir)
+      val got2 = spark.sql(sql).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val expDefault = Hnsw.annQueryRouted(index, Seq((0L, q)).toDF("qid", "vector"), 5)
+        .select("id", "dist").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got2 === expDefault, "stale dir marker must fall back to the default probe")
+    } finally {
+      IndexRegistry.unregister("emb_reg")
+      built.nodes.unpersist()
     }
   }
 }

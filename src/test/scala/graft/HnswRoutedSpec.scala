@@ -716,4 +716,66 @@ class HnswRoutedSpec extends SparkSpec {
     assert(Hnsw.load(spark, tmp).calibration === None,
       "save without a curve must not leave a stale calibration.json behind")
   }
+
+  test("loadCalibration rejects a partially-parsed curve (n_points mismatch / non-finite recall)") {
+    val cal = Hnsw.withCalibration(routed, k = 10, sampleQueries = 50)
+    val tmp = Files.createTempDirectory("hnsw-cal-broken").toString
+    Hnsw.save(cal, tmp)
+    assert(Hnsw.load(spark, tmp).calibration.isDefined)
+    // corrupt ONE point's recall to NaN: the point regex skips it, so the
+    // parsed list is shorter than declared — the loader must reject the
+    // WHOLE file (a curve missing its lowest points over-probes silently)
+    val p = java.nio.file.Paths.get(s"$tmp/calibration.json")
+    val raw = java.nio.file.Files.readString(p)
+    val firstPoint = """\[(\d+),([-0-9.eE]+)\]""".r.findFirstIn(raw).get
+    java.nio.file.Files.writeString(p,
+      raw.replace(firstPoint, firstPoint.replaceAll(",[-0-9.eE]+\\]", ",NaN]")))
+    assert(Hnsw.load(spark, tmp).calibration === None,
+      "a curve whose parsed points disagree with n_points must be dropped whole")
+  }
+
+  test("ghost-aware break-even: scanJoinCostRatio tracks node_rows/num_nodes; unknown geometry keeps the legacy factor") {
+    def m(nr: Long, n: Long) = routed.meta.copy(num_nodes = n, node_rows = nr)
+    // unknown geometry (pre-r14 meta): legacy factor 2.0 -> ratio 6.6,
+    // bracketing the old hard-coded 6
+    assert(Hnsw.ghostFactor(m(-1L, 5000000L)) === 2.0)
+    assert(Hnsw.ghostFactor(m(5000000L, -1L)) === 2.0)
+    // the two committed 5M×512 geometries: saturated (r11) and capped (r13)
+    assert(math.abs(Hnsw.ghostFactor(m(9900000L, 5000000L)) - 1.98) < 1e-9)
+    assert(math.abs(Hnsw.ghostFactor(m(6470009L, 5000000L)) - 1.2940018) < 1e-6)
+    // clamp: a pathological meta can't zero either side of the break-even
+    assert(Hnsw.ghostFactor(m(1000L, 5000L)) === 1.0)
+    assert(Hnsw.ghostFactor(m(20000L, 5000L)) === 2.0)
+    assert(math.abs(Hnsw.scanJoinCostRatio(2.0) - 6.6) < 1e-9)
+    assert(math.abs(Hnsw.scanJoinCostRatio(1.0) - 3.3) < 1e-9)
+    // a real build carries its geometry in meta — no count job at query time
+    assert(routed.meta.node_rows >= routed.meta.num_nodes,
+      "buildRouted must record stored rows (>= distinct ids) in meta")
+  }
+
+  test("no-flag default: an attached curve drives the probe at DefaultRecallTarget; none -> C/4; explicit flags win") {
+    import graft.hnsw.CalCurve
+    // handcrafted curve so the expected pick is unambiguous: 0.95 -> 3
+    val curve = CalCurve(10, Seq((3, 0.96), (16, 1.0)))
+    val calIdx = routed.copy(calibration = Some(curve))
+    Hnsw.annQueryAdaptive(calIdx, queries, k = 10).count()
+    assert(Hnsw.lastAdaptiveProbe.get() === 3,
+      "no-flag call on a calibrated index must consume the curve's 0.95 pick")
+    // no curve: the C/4 heuristic (-1 sentinel), exactly the r13 behavior
+    Hnsw.annQueryAdaptive(routed, queries, k = 10).count()
+    assert(Hnsw.lastAdaptiveProbe.get() === -1,
+      "an uncalibrated index must keep the C/4 default")
+    // a curve for a DIFFERENT k must not be consumed (per-k contract)
+    Hnsw.annQueryAdaptive(routed.copy(calibration = Some(CalCurve(5, Seq((3, 0.96))))),
+      queries, k = 10).count()
+    assert(Hnsw.lastAdaptiveProbe.get() === -1,
+      "a curve at the wrong k must fall back to the default")
+    // explicit probe is a cost dial and wins over the curve
+    Hnsw.annQueryAdaptive(calIdx, queries, k = 10, probeCells = 7).count()
+    assert(Hnsw.lastAdaptiveProbe.get() === 7)
+    // explicit recallTarget consumes the curve via the cached fast path
+    Hnsw.annQueryAdaptive(calIdx, queries, k = 10, recallTarget = 0.99).count()
+    assert(Hnsw.lastAdaptiveProbe.get() === 16,
+      "explicit target must pick from the attached curve (0.99 -> 16)")
+  }
 }

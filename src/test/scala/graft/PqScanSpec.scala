@@ -115,6 +115,16 @@ class PqScanSpec extends SparkSpec {
     Hnsw.save(idx, dir)
     val loaded = Hnsw.load(spark, dir)
     assert(loaded.pq.isDefined && loaded.pq.get.m === 30)
+    // the measured recall stamp (attachPq default) round-trips through
+    // pq_meta.json — it is the chooser gate's input, so losing it on
+    // reload would silently disable the kernel pick
+    assert(idx.pq.get.recallK === 10 && idx.pq.get.refine > 0 &&
+      idx.pq.get.refineRecall > 0,
+      "attachPq must measure and stamp refine-capped recall by default")
+    assert(loaded.pq.get.recallK === idx.pq.get.recallK &&
+      loaded.pq.get.refine === idx.pq.get.refine &&
+      math.abs(loaded.pq.get.refineRecall - idx.pq.get.refineRecall) < 1e-9,
+      "recall stamp must survive save/load")
     assert(Hnsw.annQueryPqRefined(loaded, q, k = 10, probeCells = 16, refine = 400)
       .collect().map(_.toSeq).toSet === full)
     // the filtered view must NOT keep the sidecar (codes don't know the filter)
@@ -197,5 +207,57 @@ class PqScanSpec extends SparkSpec {
     assert(Hnsw.load(spark, dir2).pq.isEmpty,
       "appendBatch must invalidate the PQ sidecar")
     idx0.nodes.unpersist()
+  }
+
+  test("adaptive PQ-kernel gate: fires only when a recall contract exists AND the stamp clears it, in the scan-preferred regime") {
+    import graft.hnsw.CalCurve
+    // the scan-preferred decayed recipe (same as the HnswRoutedSpec scan
+    // pick): 600 uniform queries over a 4-shard dim-300 index, meta
+    // doctored to the decayed operating point at k=10
+    val in300 = graft.sources.Datagen.hashVectors(spark, 400L, 300)
+    val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
+      metric = "cosine", numPartitions = 4)
+    val built = Hnsw.buildRouted(in300, p300, cellsPerShard = 4)
+    val base = Hnsw.attachPq(built, m = 30, kCells = 16, iters = 2, measure = false)
+      .copy(meta = built.meta.copy(num_nodes = 400000L))
+    val q = graft.sources.Datagen.hashVectors(spark, 600L, 300)
+      .select(col("id").as("qid"), col("vector"))
+    assert(Hnsw.traversalDecays(base.meta, k = 10, ef = 2))
+    // handcrafted curve (0.95 -> probe 4 = the C/4 default here) and a
+    // deterministic stamp, so the gate's inputs are unambiguous
+    val curve = Some(CalCurve(10, Seq((4, 0.96), (16, 1.0))))
+    def stamped(rec: Double, k: Int) = base.copy(calibration = curve,
+      pq = base.pq.map(_.copy(refineRecall = rec, refine = 60, recallK = k)))
+    // GATE OPEN: calibrated default target 0.95 <= stamp 0.97 at k=10
+    val open = stamped(0.97, 10)
+    val got = Hnsw.annQueryAdaptive(open, q, k = 10, ef = 2)
+    val gotSet = got.collect().map(_.toSeq).toSet
+    assert(Hnsw.lastDecayPick.get() === "pq-kernel",
+      s"stamped sidecar under a cleared contract must take the kernel, got ${Hnsw.lastDecayPick.get()}")
+    assert(gotSet === Hnsw.annQueryPqRefined(open, q, k = 10, probeCells = 4,
+      refine = 60, kernel = true).collect().map(_.toSeq).toSet,
+      "gated pick must BE the kernel plan at the contract probe")
+    // explicit recallTarget spelling opens it too
+    Hnsw.annQueryAdaptive(stamped(0.97, 10).copy(calibration = curve), q,
+      k = 10, ef = 2, recallTarget = 0.9).count()
+    assert(Hnsw.lastDecayPick.get() === "pq-kernel")
+    // GATE SHUT 1: stamp below the target — the scan forms keep recall
+    Hnsw.annQueryAdaptive(stamped(0.90, 10), q, k = 10, ef = 2).count()
+    assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()),
+      s"a stamp below the target must keep the exact forms, got ${Hnsw.lastDecayPick.get()}")
+    // GATE SHUT 2: stamp measured at a different k
+    Hnsw.annQueryAdaptive(stamped(0.97, 5), q, k = 10, ef = 2).count()
+    assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()))
+    // GATE SHUT 3: no contract at all (no curve, no target) — the r13
+    // explicit-lever behavior, even with a perfect stamp
+    Hnsw.annQueryAdaptive(stamped(0.97, 10).copy(calibration = None),
+      q, k = 10, ef = 2).count()
+    assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()),
+      "no contract must keep the exact forms (explicit-lever history)")
+    // GATE SHUT 4: an explicit probe is a cost dial, not a contract
+    Hnsw.annQueryAdaptive(stamped(0.97, 10), q, k = 10, ef = 2, probeCells = 4).count()
+    assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()),
+      "an explicit probe must not open the kernel gate")
+    built.nodes.unpersist()
   }
 }
