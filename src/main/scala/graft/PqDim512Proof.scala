@@ -20,13 +20,15 @@ import graft.hnsw.{Hnsw, PqSidecar}
   * aggregate update), not arithmetic — the ADC scan's 64 table loads run
   * the same wall-time as the float scan's 512 multiply-adds — while
   * uniform dim-512 data (distance concentration, PQ's quantization worst
-  * case) needs refine in the thousands to clear 0.94 recall. So the PQ
-  * tier does NOT preempt the exact forms in annQueryAdaptive; it remains
-  * the explicit lever for the memory-bound regime (float table ≫ RAM),
-  * where its 32× scan-footprint cut changes what is being streamed. The
-  * identified wall-time path for compute-bound ADC is a batched
-  * mapPartitions kernel (per-task primitive-array LUTs), left as the
-  * documented next step. Prints one JSON line, committed as
+  * case) needs refine in the thousands to clear 0.94 recall. So at this
+  * proof's operating points the PQ tier did not preempt the exact forms.
+  * (Superseded in r13/r14: the TILED kernel inverts the in-memory verdict
+  * at large batches — BENCH_SCALE_PQ512_KERNEL.json — and the chooser now
+  * picks it under a measured recall contract; the "float table ≫ RAM"
+  * streaming win remains unmeasured on this hardware — page-cache
+  * confound, BENCH_SCALE_PQ512_LOWMEM.json — and is not claimed.) The
+  * identified wall-time path for compute-bound ADC was a batched
+  * mapPartitions kernel, since landed. Prints one JSON line, committed as
   * `BENCH_SCALE_PQ512.json`. Run:
   *
   *   SPARK_DRIVER_MEM=96g scripts/run_main.sh graft.PqDim512Proof /root/scale/idx512
