@@ -83,26 +83,51 @@ object ScanTierDim512Proof {
     def recallOf(ann: DataFrame, exact: DataFrame): Double =
       Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
 
+    // warm-up (measurement trap #3, found this round): the FIRST
+    // execution of each plan family in a fresh JVM carries whole-stage
+    // codegen + C2 JIT compilation — the same probed-join plan measured
+    // 67.2 s first-in-JVM and 21.4 s later in the same JVM. One untimed
+    // pass of each family at a small q before any timed section.
+    {
+      val warm = uniformSample(25L)
+      Hnsw.annQueryAdaptive(bare, warm, k = 10).count()
+      graft.operators.Knn.exactTopK(uniq, warm, 10, dist).count()
+      System.err.println("[scantier512] warm-up done")
+    }
+
     // ---- section 1: bare-geometry cost gates (the r13 1.19× point) ----
-    def uniformPoint(nQ: Long): (Long, Double, Double, Double, String) = {
+    // INTERLEAVED PAIRED reps (measurement trap #4, found this round):
+    // this VM's same-plan dispersion between measurement windows minutes
+    // apart reaches 1.4× — the ORACLE plan alone, untouched, measured
+    // 23.2 / 32.0 / 35.5 s across three quiet r14 runs — so timing all
+    // adaptive reps and THEN all oracle reps gates window drift, not the
+    // chooser. Each adaptive rep is paired with an immediately-following
+    // oracle rep; the gate is the best PAIRED ratio (drift cancels
+    // within a pair), with min-of-reps absolutes reported alongside.
+    def uniformPoint(nQ: Long): (Long, Double, Double, Double, Double, String) = {
       val sample = uniformSample(nQ)
       val q = sample.count()
-      val adaptiveSec = timedMin(reps)(
-        Hnsw.annQueryAdaptive(bare, sample, k = 10).count())
+      val pairs = (1 to reps).map { _ =>
+        val a = timedMin(1)(Hnsw.annQueryAdaptive(bare, sample, k = 10).count())
+        val e = timedMin(1)(graft.operators.Knn.exactTopK(uniq, sample, 10, dist).count())
+        (a, e)
+      }
       val pick = Hnsw.lastDecayPick.get()
-      val exactSec = timedMin(reps)(
-        graft.operators.Knn.exactTopK(uniq, sample, 10, dist).count())
+      val (aMin, eMin) = (pairs.map(_._1).min, pairs.map(_._2).min)
+      val ratio = pairs.map { case (a, e) => a / e }.min
       // recall of the auto path (one extra run, untimed)
       val ann = Hnsw.annQueryAdaptive(bare, sample, k = 10).localCheckpoint()
       val exact = graft.operators.Knn.exactTopK(uniq, sample, 10, dist).localCheckpoint()
       val recall = recallOf(ann, exact)
-      System.err.println(f"[scantier512] uniform $q q (bare): adaptive $adaptiveSec%.1f s " +
-        f"(pick=$pick, recall@10 $recall%.4f) vs exact scan $exactSec%.1f s")
-      (q, adaptiveSec, exactSec, recall, pick)
+      System.err.println(f"[scantier512] uniform $q q (bare): adaptive $aMin%.1f s " +
+        f"(pick=$pick, recall@10 $recall%.4f) vs exact scan $eMin%.1f s " +
+        f"(best paired ratio $ratio%.2f, pairs ${pairs.map { case (a, e) =>
+          f"$a%.1f/$e%.1f" }.mkString(" ")})")
+      (q, aMin, eMin, ratio, recall, pick)
     }
 
-    val (q100, a100, e100, r100, p100) = uniformPoint(100L)
-    val (q1k, a1k, e1k, r1k, p1k) = uniformPoint(1000L)
+    val (q100, a100, e100, g100, r100, p100) = uniformPoint(100L)
+    val (q1k, a1k, e1k, g1k, r1k, p1k) = uniformPoint(1000L)
 
     // ---- section 2: the calibrated no-flag default (r14) ----
     // calibration.json is the r14 save/--calibrate default; a fixture
@@ -127,6 +152,21 @@ object ScanTierDim512Proof {
     val rTarget = recallOf(annT, exact100)
     System.err.println(f"[scantier512] uniform 100 q recallTarget 0.95: " +
       f"measured $rTarget%.4f (pick=${Hnsw.lastDecayPick.get()})")
+    // the 25-query contrast point: below the r14 scan floor the chooser
+    // stays on the probed join, which is exactly where the capped
+    // index's C/4 recall drop (0.84, r13) lives — the calibrated
+    // default must lift THIS regime, since q ≥ 64 batches now get the
+    // exact scan (recall 1.0) regardless
+    val s25 = uniformSample(25L)
+    val exact25 = graft.operators.Knn.exactTopK(uniq, s25, 10, dist).localCheckpoint()
+    val rBare25 = recallOf(
+      Hnsw.annQueryAdaptive(bare, s25, k = 10).localCheckpoint(), exact25)
+    val bare25Pick = Hnsw.lastDecayPick.get()
+    val rCal25 = recallOf(
+      Hnsw.annQueryAdaptive(calOnly, s25, k = 10).localCheckpoint(), exact25)
+    val cal25Probe = Hnsw.lastAdaptiveProbe.get()
+    System.err.println(f"[scantier512] uniform 25 q: bare C/4 recall@10 $rBare25%.4f " +
+      f"($bare25Pick) vs calibrated no-flag $rCal25%.4f (probe $cal25Probe)")
 
     // ---- section 3: the PQ-kernel gate at the 1,000-q scan point ----
     val withPq = (if (full.pq.exists(sc => sc.refine > 0 && sc.recallK == 10)) full
@@ -174,22 +214,26 @@ object ScanTierDim512Proof {
     // allows 100-query sample noise around the curve's prediction);
     // (3) the kernel gate must have actually fired and cleared the
     // contract at the 1000-q point
-    require(a100 <= 1.1 * e100 && a1k <= 1.1 * e1k,
+    require(g100 <= 1.1 && g1k <= 1.1,
       f"adaptive must be within 1.1x the exact scan at both uniform points " +
-        f"(100q: $a100%.1f vs $e100%.1f; 1000q: $a1k%.1f vs $e1k%.1f)")
-    require(rNoflag >= 0.945 && rTarget >= 0.93,
-      f"no-flag calibrated recall $rNoflag%.4f must serve the 0.95 contract " +
-        f"(explicit-target point: $rTarget%.4f)")
+        f"(best paired ratios: 100q $g100%.2f [$a100%.1f vs $e100%.1f]; " +
+        f"1000q $g1k%.2f [$a1k%.1f vs $e1k%.1f])")
+    // 25q gate at 0.90: the curve predicts >=0.95 but a 25-query sample is
+    // 250 (query, neighbour) pairs — 3 binomial sigmas below 0.95 is ~0.91
+    require(rNoflag >= 0.945 && rTarget >= 0.93 && rCal25 >= 0.90,
+      f"no-flag calibrated recall must serve the 0.95 contract at both batch " +
+        f"regimes (100q $rNoflag%.4f, 25q $rCal25%.4f; explicit-target $rTarget%.4f)")
     require(gatePick == "pq-kernel" && rGate >= 0.93,
       f"stamped sidecar + contract at the scan point must take the kernel " +
         f"(pick=$gatePick, recall $rGate%.4f)")
 
     println(s"""{"n":$n,"dim":$dim,"reps":$reps,""" +
       s""""ghost_factor":${Hnsw.ghostFactor(full.meta)},""" +
-      s""""uniform100":{"q":$q100,"adaptive_sec":$a100,"exact_scan_sec":$e100,"recall10":$r100,"pick":"$p100",""" +
+      s""""uniform100":{"q":$q100,"adaptive_sec":$a100,"exact_scan_sec":$e100,"paired_ratio":$g100,"recall10":$r100,"pick":"$p100",""" +
       s""""recall_target_095_measured":$rTarget},""" +
-      s""""uniform1000":{"q":$q1k,"adaptive_sec":$a1k,"exact_scan_sec":$e1k,"recall10":$r1k,"pick":"$p1k"},""" +
+      s""""uniform1000":{"q":$q1k,"adaptive_sec":$a1k,"exact_scan_sec":$e1k,"paired_ratio":$g1k,"recall10":$r1k,"pick":"$p1k"},""" +
       s""""noflag_calibrated100":{"recall10":$rNoflag,"probe":$noflagProbe,"sec":$noflagSec,"pick":"$noflagPick"},""" +
+      s""""noflag_contrast25":{"bare_recall10":$rBare25,"bare_pick":"$bare25Pick","calibrated_recall10":$rCal25,"calibrated_probe":$cal25Probe},""" +
       s""""pq_gate1000":{"adaptive_sec":$gateSec,"forced_kernel_sec":$forcedSec,"recall10":$rGate,"pick":"$gatePick",""" +
       s""""stamp_recall10":${stamp.refineRecall},"stamp_refine":${stamp.refine}},""" +
       s""""clustered25":{"adaptive_sec":$clusteredSec,"probed_join_sec":$probedJoinSec,"pick":"$clusteredPick"}}""")

@@ -1140,22 +1140,28 @@ object Hnsw {
   private[graft] def scanJoinCostRatio(g: Double): Double = JoinScanEvalRatio * g
 
   /** Minimum query count for the scan shapes in the decay tier. Below it
-    * the scan's fixed ghost-dedup shuffle of the probed union dominates:
-    * measured at the clustered 25-query 5M×512 point, the scan paid
-    * ~10–16 s of union shuffle + probe jobs against ~0.02 s/query of
-    * eval — join 6.1 s vs scan 16.7 s — while at 1,000 uniform queries
-    * the amortized shuffle is noise and the scan wins 186.6 s vs 280.3 s.
-    * Break-even q* ≈ g·shufflePerRow / ((g·evalRatio−1)·evalPerRow) is
-    * union-size-independent (both terms scale with union·nSub), and its
-    * g-dependence is ~±10% over the measured geometries (g∈[1.3, 2.0]:
-    * the capped index shuffles proportionally fewer ghost rows AND saves
-    * proportionally fewer evals — the two nearly cancel), far inside the
-    * 25…1000-query measurement bracket — so a constant stays honest
-    * where a ghost-parameterized formula would imply precision the
-    * artifacts don't back. 512 sits between the measured 25-query join
-    * win and the 1,000-query scan win.
+    * the scan's FIXED costs dominate — its plan runs several more stages
+    * than the broadcast join (probe subplan, semi-join, union-dedup
+    * shuffle, crossJoin) — while the join's cost is near-linear in
+    * routeRows (~8–10 ms per query-shard pair at 5M×512, ≈ the ~100 ns/
+    * stored-row eval measured by ExactJoinProbe). r12 set 512 from one
+    * clustered point (join 6.1 s vs scan 16.7 s at q=25) bracketed only
+    * by the 1,000-query scan win; the r14 quiet sweep on the CAPPED
+    * index (UniformBreakevenProbe, BENCH_SCALE_BREAKEVEN512.json)
+    * brackets the break-even tightly at BOTH corpus shapes: join wins
+    * q≤25 (4.4–10 s vs 6.1–28 s), ~ties at q=50–100 clustered, and the
+    * scan wins every q≥100 point (35.5 s vs 82.2 s uniform-100 up to
+    * 44.4 s vs 145 s at 250) — 512 was mis-sending the whole
+    * 100–500-query band to the join. 64 splits the measured [25, 100]
+    * bracket; genuinely sparse batches (many DISTINCT tight clusters
+    * probing ~1 shard each) stay on the join via the coverage rule
+    * (q·union &gt; ratio·routeRows), which is what actually separates
+    * the regimes — at 1M×512 the two forms measure within noise of each
+    * other at q=100 (SpillCap artifacts), so the constant is safe across
+    * the committed scales. All eight probe points agree with
+    * (q ≥ 64 ∧ coverage) within this VM's documented 3–4× noise band.
     */
-  private[graft] val ScanMinQueries = 512L
+  private[graft] val ScanMinQueries = 64L
 
   /** Exact scan over the UNION of the batch's probed shards — the third
     * exact form next to [[annQueryRoutedExact]] (per-query probed join)
