@@ -65,6 +65,10 @@ object AdaptiveDim512Proof {
     def timed[T](f: => T): (T, Double) = {
       val s = System.nanoTime(); val r = f; (r, (System.nanoTime() - s) / 1e9)
     }
+    // warm-up (measurement trap #3, r14): one untimed pass of the no-flag
+    // plan so the timed call doesn't carry first-plan-in-JVM codegen+JIT
+    // (~3x measured on this VM)
+    Hnsw.annQueryAdaptive(index, sample, k = 10).count()
     // THE call under test: no probe flag, no ef flag, no path flag
     val (ann, autoSec) = timed(
       Hnsw.annQueryAdaptive(index, sample, k = 10).localCheckpoint())

@@ -1876,7 +1876,14 @@ object Hnsw {
     // filter, so ADC coarse slots would fill with disallowed ids and a
     // selective filter would silently starve the rescore — the exact
     // forms (which the decay tier falls back to) honour the tombstone
-    // rewrite with no recall trade instead
+    // rewrite with no recall trade instead. The calibration curve is
+    // deliberately KEPT: unlike the codes it only picks a probe BUDGET —
+    // a monotone recall lever — and the filtered view's true neighbours
+    // are a subset of the unfiltered pairs the curve measured, so the
+    // pick stays a sensible floor (and always dominates the C/4 dial it
+    // would otherwise fall back to); it is not re-guaranteed to hit the
+    // target on a geometry-correlated filter, which annQueryFiltered's
+    // doc spells out.
     index.copy(nodes = nodes, pq = None)
   }
 
