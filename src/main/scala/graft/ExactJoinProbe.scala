@@ -10,7 +10,7 @@ import graft.hnsw.Hnsw
   * TopKBuffer fast-reject fix — r11's "13× per eval" attribution was
   * measured with the dedup heap doing a k-element indexOf on every scored
   * row, which the fix removed, so the scan-vs-join calibration must be
-  * re-anchored. Conclusions live in the ScanJoinCostRatio scaladoc.
+  * re-anchored. Conclusions live in the JoinScanEvalRatio scaladoc.
   *
   *   SPARK_DRIVER_MEM=96g scripts/run_main.sh graft.ExactJoinProbe /root/scale/idx512
   */

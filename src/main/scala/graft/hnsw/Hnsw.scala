@@ -1517,7 +1517,7 @@ object Hnsw {
     * union covers every shard — win once the batch is large enough to
     * amortize the dedup shuffle ([[ScanMinQueries]]) AND probes a
     * substantial fraction of the union per query
-    * ([[ScanJoinCostRatio]]); the per-query probed join
+    * ([[scanJoinCostRatio]]); the per-query probed join
     * ([[annQueryRoutedExact]] broadcast / [[annQueryRoutedExactLarge]]
     * equi-join) wins everywhere else — small/clustered batches, where
     * its shuffle-free shape beat the scan 6.1 s vs 16.7 s at the
@@ -1617,7 +1617,7 @@ object Hnsw {
     // forms. Scan-vs-join within the tier: the pruned scan evaluates
     // q·|union| node pairs in the codegen'd nested-loop shape, the
     // per-query probed join evaluates routeRows·n̄Sub pairs at a measured
-    // ~[[ScanJoinCostRatio]]× higher per-pair cost (r11's committed
+    // ~[[JoinScanEvalRatio]]·ghost× higher per-pair cost (r11's committed
     // 727.9 s join vs 227.4 s scan at the uniform-1000-query point, where
     // the join did 4× FEWER evals) — so the scan wins unless the batch
     // probes under union/ratio of the shard union per query (many queries

@@ -485,7 +485,7 @@ class HnswRoutedSpec extends SparkSpec {
   test("decay tier scan-vs-join: a batch probing few shards per query across a wide union takes the probed JOIN") {
     // 8 shards, 1 cell each, probeCells=1: each query probes exactly one
     // shard. Queries spread over all 8 shards → union=8, routeRows=q —
-    // q·union = 8q > ScanJoinCostRatio·q = 6q → the per-query join form
+    // q·union = 8q > scanJoinCostRatio(g)·q (≤ 6.6q at any g) → the join form
     // (this is the many-queries-in-many-DISTINCT-clusters regime where
     // per-query restriction genuinely beats scanning the union)
     val in300 = graft.sources.Datagen.hashVectors(spark, 800L, 300)
@@ -495,7 +495,7 @@ class HnswRoutedSpec extends SparkSpec {
     // EVERY vector queries at probeCells=1: each probes exactly its own
     // nearest cell (one pid), so routeRows = q = 800 ≥ ScanMinQueries
     // (the shuffle-amortization gate passes) while the union spans ≥ 7
-    // shards — q·union ≥ 800·7 > ScanJoinCostRatio·800: the COVERAGE rule
+    // shards — q·union ≥ 800·7 > scanJoinCostRatio(g)·800 (≤ 6.6): the COVERAGE rule
     // itself must send this sparse-per-query batch to the join form
     val q = in300.select(col("id").as("qid"), col("vector"))
     assert(Hnsw.traversalDecays(idx.meta, k = 1, ef = 2))
