@@ -1836,7 +1836,20 @@ object Hnsw {
     * BEFORE the per-shard rebuild, so probed sub-graphs still route
     * traversal through disallowed nodes and the semi-join shard pruning
     * is unaffected (the rewrite touches the node table, never pids or
-    * the routing table). Output: (qid, rank, id, dist).
+    * the routing table).
+    *
+    * Calibration on a filtered view: an attached curve (and so the
+    * no-flag 0.95 default and explicit recall targets) keeps driving the
+    * probe pick — the probe budget is a monotone recall lever and the
+    * unfiltered pick always dominates the C/4 dial — but the curve was
+    * measured on the UNFILTERED pair population, so the target is a
+    * sensible floor rather than a re-measured guarantee when the filter
+    * correlates with vector geometry (e.g. one tight category); filters
+    * needing a hard contract should calibrate on the filtered view
+    * ([[calibrateProbeCells]] over [[withAllowed]]). The PQ sidecar, by
+    * contrast, is DROPPED by [[withAllowed]] — coarse ADC slots would
+    * fill with disallowed ids and starve the rescore.
+    * Output: (qid, rank, id, dist).
     */
   def annQueryFiltered(index: HnswIndex, queries: DataFrame, k: Int,
                        allowedIds: DataFrame, ef: Int = -1,
