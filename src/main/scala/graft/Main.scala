@@ -63,7 +63,8 @@ object Main {
 
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val flags = Set("--build", "--serve", "--large", "--routed", "--adaptive",
-      "--exact-probe", "--link-graph", "--canonical-urls", "--links") // boolean flags
+      "--exact-probe", "--link-graph", "--canonical-urls", "--links",
+      "--no-calibrate", "--pq-kernel") // boolean flags
     // the ONLY value-taking flag that may legitimately appear without a
     // value (`--prepare --input-warc GLOB` marks prepare mode with the
     // input coming from the WARC glob). Every other flag followed by a
@@ -173,7 +174,10 @@ object Main {
             cellsPerShard = opts.getOrElse("cells-per-shard", "4").toInt,
             spill = opts.getOrElse("spill", "0.15").toDouble)
         else Hnsw.build(input, params)
-      Hnsw.save(index, out)
+      // save auto-calibrates decayed routed indexes by default (the
+      // no-flag recall contract, ~2% of build wall); --no-calibrate skips
+      // the measurement pass (e.g. throwaway builds)
+      Hnsw.save(index, out, autoCalibrate = !opts.contains("no-calibrate"))
       // meta.num_nodes = distinct vectors (a routed build also stores
       // spill copies of border vectors — those are storage, not corpus)
       val built = index.meta.num_nodes
@@ -300,7 +304,7 @@ object Main {
         if (index.centroids.isDefined) Hnsw.compactRouted(index, Hnsw.paramsOf(index.meta))
         else Hnsw.compact(index,
           opts.getOrElse("target-shards", index.meta.num_partitions.toString).toInt)
-      Hnsw.save(compacted, out)
+      Hnsw.save(compacted, out, autoCalibrate = !opts.contains("no-calibrate"))
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[compact] ${index.meta.num_nodes} -> ${compacted.meta.num_nodes} live vectors, " +
         f"${compacted.meta.num_partitions} shards in $secs%.1f s -> $out" +
@@ -974,7 +978,7 @@ object Main {
         """usage:
           |  --build [--input PARQUET | --input-idx IDX3-UBYTE(.gz) | --input-cifar CIFAR10-BIN(.gz) [--labels-out DIR] | --n N --dim D]
           |          --out DIR [--M 16 --efc 200 --efs 50 --mL x --metric l2|cosine --seed 42 --partitions 16]
-          |          [--routed [--cells-per-shard 4 --spill 0.15]]
+          |          [--routed [--cells-per-shard 4 --spill 0.15]] [--no-calibrate]
           |  --load DIR [--query-file PARQUET --max-queries N] [--k 10 --ef EF] [--large | --routed [--probe-cells PC] | --refine R [--hops H] | --exact-probe [--probe-cells PC] | --pq-refine R [--pq-kernel] | --adaptive] [--out DIR]
           |            [--recall-target T [--calibrate-sample 100]]   (calibrates probe-cells for the target; job-free when --calibrate saved a curve)
           |            (no path flag: routed indexes use the regime-aware chooser automatically;

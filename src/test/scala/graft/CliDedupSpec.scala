@@ -394,11 +394,17 @@ class CliDedupSpec extends SparkSpec {
       "--exact-probe", "--probe-cells", "8"))
     assert(ep("exact-probe") === "true" && ep("probe-cells") === "8" && ep("load") === "/idx")
     // every boolean flag parses in flag-then-flag and trailing positions
+    // (--pq-kernel joined r14: the documented `--pq-refine R --pq-kernel`
+    // spelling used to throw "requires a value"; --no-calibrate is the
+    // r14 auto-calibration opt-out)
     for (f <- Seq("--build", "--serve", "--large", "--routed", "--adaptive",
-      "--exact-probe", "--link-graph", "--canonical-urls", "--links")) {
+      "--exact-probe", "--link-graph", "--canonical-urls", "--links",
+      "--no-calibrate", "--pq-kernel")) {
       assert(Main.parseArgs(Array(f, "--out", "/o"))(f.drop(2)) === "true", s"$f before a flag")
       assert(Main.parseArgs(Array("--out", "/o", f))(f.drop(2)) === "true", s"$f trailing")
     }
+    val pk = Main.parseArgs(Array("--load", "/idx", "--pq-refine", "3200", "--pq-kernel"))
+    assert(pk("pq-kernel") === "true" && pk("pq-refine") === "3200")
     // --prepare may appear valueless before another flag (WARC mode) and
     // still takes a value in the parquet spelling
     assert(Main.parseArgs(Array("--prepare", "--input-warc", "/g", "--out", "/o"))
