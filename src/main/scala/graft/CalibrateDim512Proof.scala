@@ -50,7 +50,10 @@ object CalibrateDim512Proof {
         idx.edges.count()
         System.err.println(f"[calibrate512] built $n x $dim in " +
           f"${(System.nanoTime() - t0) / 1e9}%.1f s")
-        Hnsw.save(idx, dir)
+        // autoCalibrate = false: this proof's entire point is measuring
+        // calibration itself (calSec below) — save's built-in pass would
+        // double-pay it and hide the cost being reported (ADVICE r14)
+        Hnsw.save(idx, dir, autoCalibrate = false)
         idx
       }
     val index = index0.copy(nodes = index0.nodes.persist(

@@ -66,7 +66,12 @@ object StreamingIngestScaleProof {
     // ---- batch 0 bootstraps the routed geometry; 1..B-1 append ----
     val batchSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val (_, bootSec) = timed {
-      Hnsw.save(Hnsw.buildRouted(all.filter(col("id") < per), params), dir)
+      // autoCalibrate = false: this save is inside the TIMED ingest
+      // measurement and the curve would be invalidated by the very first
+      // append anyway (ADVICE r14 — don't pay a calibration nobody
+      // consumes, don't skew bootstrap_sec)
+      Hnsw.save(Hnsw.buildRouted(all.filter(col("id") < per), params), dir,
+        autoCalibrate = false)
     }
     System.err.println(f"[stream-ingest] bootstrap $per vectors in $bootSec%.1f s -> $dir")
     val t0 = System.nanoTime()

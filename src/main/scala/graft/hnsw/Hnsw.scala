@@ -560,9 +560,14 @@ object Hnsw {
     val tSidecar = System.nanoTime()
     val calibrated =
       if (index.calibration.isDefined || !autoCalibrate) index
-      else if (index.centroids.isDefined && traversalDecays(index.meta, k = 10, ef = -1))
+      else if (index.centroids.isDefined && traversalDecays(index.meta, k = 10, ef = -1)) {
+        // the scan is bounded (~one exact query batch) but not free —
+        // make it visible so a timed caller that forgot autoCalibrate =
+        // false can see what its measurement included (ADVICE r14)
+        System.err.println(s"[hnsw-save] auto-calibrating decayed routed index -> " +
+          s"$dir/calibration.json (pass autoCalibrate = false to skip)")
         withCalibration(index, k = 10)
-      else index
+      } else index
     calibrated.calibration match {
       case Some(curve) => writeCalibration(dir, curve, index.meta.num_nodes)
       case None        => dropCalibration(dir)
@@ -1175,13 +1180,16 @@ object Hnsw {
     *     shard — which is precisely when per-query restriction saves the
     *     least;
     *   - cost is q · |union| node evals in the SCAN shape, vs
-    *     Σ_q n_probed(q) evals in the 13×-per-eval JOIN shape
-    *     ([[ScanJoinCostRatio]]): measured at 5M×512, the scan wins at
-    *     every committed operating point — 227.4 s vs 727.9 s at 1,000
-    *     uniform queries (union = all shards ⇒ this IS the full scan,
-    *     recall 1.0), and the clustered 25-query point keeps its
-    *     shard-pruned shipping (the 8.2 s r11 headline) while shedding
-    *     the join amplification.
+    *     Σ_q n_probed(q) ghost-inclusive evals in the JOIN shape at a
+    *     measured ~[[JoinScanEvalRatio]]× higher per-eval cost (the
+    *     break-even is [[scanJoinCostRatio]], parameterized by the
+    *     index's ghost factor): measured at 5M×512 on the capped index
+    *     (BENCH_SCALE_SCANTIER512_CAPPED.json, min-of-3 paired), the
+    *     scan wins the uniform 1,000-query point at paired ratio 0.82
+    *     and the 100-query point at 0.29 (union = all shards ⇒ this IS
+    *     the full scan, recall 1.0), while the clustered 25-query point
+    *     keeps its shard-pruned shipping (the 8.2 s r11 headline) on
+    *     the join side of the break-even.
     *
     * The query table is broadcast (bounded batches — the [[annQuery]]
     * contract, ~32k queries at dim 512); beyond that use
@@ -1410,16 +1418,35 @@ object Hnsw {
   def measurePqRecall(index: HnswIndex, k: Int = 10, refine: Int = -1,
                       sampleQueries: Int = 100): (Double, Int) = {
     require(index.pq.isDefined, "measurePqRecall needs an attached PQ sidecar")
-    val n = math.max(1L, index.meta.num_nodes)
-    val refUsed = if (refine > 0) refine
-      else math.max(20 * k, math.ceil(n * 0.00064).toInt)
     val uniq = index.nodes.filter(!col("tombstone"))
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    // a reference-format meta.json carries no num_nodes (loads as -1):
+    // count the live ids instead (same fallback as calibrateProbeCells) —
+    // n = 1 here would make step 1 and select the WHOLE corpus as
+    // queries, turning the exact oracle below into a quadratic crossJoin
+    val n = if (index.meta.num_nodes > 0) index.meta.num_nodes
+      else math.max(1L, uniq.count())
+    val refUsed = if (refine > 0) refine
+      else math.max(20 * k, math.ceil(n * 0.00064).toInt)
     val step = math.max(1L, n / sampleQueries.toLong)
     // 3 % step keeps the residue valid on tiny corpora (step 1 or 2),
     // where a literal 3 would select nothing and the recall would be NaN
-    val qs = uniq.filter(col("id") % step === (3L % step))
+    val qs0 = uniq.filter(col("id") % step === (3L % step))
       .select(col("id").as("qid"), col("vector")).localCheckpoint()
+    // sparse/non-dense id spaces can leave the modulus class empty (the
+    // avg(recall) below would then be null) — fall back to a bounded
+    // deterministic prefix sample
+    val qs = if (qs0.isEmpty) {
+      graft.operators.Checkpoints.unpersist(qs0)
+      uniq.orderBy(col("id")).limit(sampleQueries)
+        .select(col("id").as("qid"), col("vector")).localCheckpoint()
+    } else qs0
+    // no live vectors at all: nothing to measure — return the "no stamp"
+    // sentinel instead of throwing on a null avg(recall)
+    if (qs.isEmpty) {
+      graft.operators.Checkpoints.unpersist(qs)
+      return (-1.0, refUsed)
+    }
     val exact = graft.operators.Knn.exactTopK(uniq, qs, k,
       Distances.metric(index.meta.metric)).localCheckpoint()
     val ann = annQueryPqRefined(index, qs, k, refine = refUsed, kernel = true)

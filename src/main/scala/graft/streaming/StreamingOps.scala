@@ -71,16 +71,23 @@ object StreamingOps {
       // inductively.
       val cur = Hnsw.loadMeta(dir)
       val bm = built.meta
-      // node_rows tracks stored rows (ghost-aware break-even input) the
-      // same way num_nodes is maintained: summed incrementally, -1 when
-      // either side is unknown
+      // node_rows AND num_nodes are maintained the same way: summed
+      // incrementally, -1 when either side is unknown. Bumping only
+      // node_rows would silently break the IndexMeta invariant that
+      // node_rows / num_nodes measures the ghost share (it would drift
+      // toward the ghostFactor clamp over a long non-routed stream);
+      // num_nodes double-counts re-delivered ids exactly like
+      // appendBatchRouted does (documented there — compaction restores
+      // the exact count)
       val appendedRows =
         if (cur.node_rows >= 0 && bm.node_rows >= 0) cur.node_rows + bm.node_rows else -1L
+      val appendedNodes =
+        if (cur.num_nodes >= 0 && bm.num_nodes >= 0) cur.num_nodes + bm.num_nodes else -1L
       if (bm.max_layer > cur.max_layer ||
           (bm.max_layer == cur.max_layer && bm.entry_point < cur.entry_point))
         Hnsw.saveMeta(cur.copy(entry_point = bm.entry_point, max_layer = bm.max_layer,
-          node_rows = appendedRows), dir)
-      else Hnsw.saveMeta(cur.copy(node_rows = appendedRows), dir)
+          num_nodes = appendedNodes, node_rows = appendedRows), dir)
+      else Hnsw.saveMeta(cur.copy(num_nodes = appendedNodes, node_rows = appendedRows), dir)
     }
     // the per-batch build cache must not outlive the batch (long streams)
     built.nodes.unpersist()
