@@ -332,7 +332,8 @@ object Main {
       val sc = withPq.pq.get
       sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
       sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
-      Hnsw.writePqMeta(dir, index.meta.num_nodes, sc.refineRecall, sc.refine, sc.recallK)
+      Hnsw.writePqMeta(dir, index.meta.num_nodes, sc.refineRecall, sc.refine, sc.recallK,
+        sc.stampProbe)
       val rows = spark.read.parquet(s"$dir/pq_codes").count()
       println(f"[attach-pq] m=${sc.m} codes for $rows rows " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_codes " +
@@ -347,11 +348,12 @@ object Main {
       require(index.pq.isDefined, s"no PQ sidecar under $dir — run --attach-pq first")
       val k = opts.getOrElse("k", "10").toInt
       val t0 = System.nanoTime()
-      val (rec, refUsed) = Hnsw.measurePqRecall(index, k,
+      val (rec, refUsed, probeUsed) = Hnsw.measurePqRecall(index, k,
         refine = opts.getOrElse("refine", "-1").toInt,
-        sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt)
-      Hnsw.writePqMeta(dir, index.meta.num_nodes, rec, refUsed, k)
-      println(f"[pq-measure] recall@$k $rec%.4f at refine $refUsed " +
+        sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt,
+        probeCells = opts.getOrElse("probe-cells", "-1").toInt)
+      Hnsw.writePqMeta(dir, index.meta.num_nodes, rec, refUsed, k, probeUsed)
+      println(f"[pq-measure] recall@$k $rec%.4f at refine $refUsed, probe $probeUsed " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_meta.json")
 
     } else if (opts.contains("calibrate")) {
@@ -363,17 +365,23 @@ object Main {
       // or exact-oracle batch per query session.
       val dir = opts("calibrate")
       val index = Hnsw.load(spark, dir)
-      val k = opts.getOrElse("k", "10").toInt
+      // --k takes a comma list; default = the save-time family, so a CLI
+      // re-calibration covers the same k range the out-of-box contract
+      // does ([[Hnsw.DefaultCalibrationKs]], one exact-oracle pass total)
+      val ks = opts.get("k").map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Hnsw.DefaultCalibrationKs)
       val t0 = System.nanoTime()
-      val calibrated = Hnsw.withCalibration(index, k,
+      val calibrated = Hnsw.withCalibration(index, ks,
         sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt)
-      val curve = calibrated.calibration.get
-      Hnsw.writeCalibration(dir, curve, index.meta.num_nodes)
+      require(calibrated.calibration.nonEmpty, s"no live vectors under $dir to calibrate on")
+      Hnsw.writeCalibration(dir, calibrated.calibration, index.meta.num_nodes)
       // persist the (possibly load-backfilled) node_rows geometry too, so
       // later loads of a pre-r14 index skip the footer-count backfill and
       // the ghost-aware break-even reads it straight from meta.json
       Hnsw.saveMeta(index.meta, dir)
-      println(f"[calibrate] k=$k, ${curve.points.size} curve points " +
+      val sizes = calibrated.calibration
+        .map(cv => s"k=${cv.k}:${cv.points.size}pts").mkString(", ")
+      println(f"[calibrate] $sizes " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/calibration.json")
 
     } else if (opts.contains("dedup-spans")) {

@@ -31,8 +31,8 @@ object NoFlagContrastProbe {
     val idx0 = Hnsw.load(spark, dir)
     val full = idx0.copy(nodes = idx0.nodes.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    require(full.calibration.isDefined, s"$dir must carry calibration.json")
-    val bare = full.copy(pq = None, calibration = None)
+    require(full.calibration.nonEmpty, s"$dir must carry calibration.json")
+    val bare = full.copy(pq = None, calibration = Nil)
     val calOnly = full.copy(pq = None)
     val n = full.meta.num_nodes
     full.nodes.count()

@@ -54,7 +54,7 @@ object ScanTierDim512Proof {
     val full = idx0.copy(nodes = cachedNodes)
     // section-1 index: the r12/r13 comparison geometry — no curve, no
     // sidecar, so the legacy C/4 picks are what is being cost-gated
-    val bare = full.copy(pq = None, calibration = None)
+    val bare = full.copy(pq = None, calibration = Nil)
     val n = full.meta.num_nodes
     val dim = full.meta.dim
     cachedNodes.count() // fill the cache before timing (measurement trap #2)
@@ -133,7 +133,7 @@ object ScanTierDim512Proof {
     // calibration.json is the r14 save/--calibrate default; a fixture
     // saved before that gets calibrated here so the proof is self-
     // contained (the curve is then what --calibrate would have persisted)
-    val calOnly = (if (full.calibration.isDefined) full
+    val calOnly = (if (full.calibration.nonEmpty) full
       else Hnsw.withCalibration(full, k = 10)).copy(pq = None)
     val s100 = uniformSample(100L)
     val exact100 = graft.operators.Knn.exactTopK(uniq, s100, 10, dist).localCheckpoint()
@@ -172,8 +172,9 @@ object ScanTierDim512Proof {
     val withPq = (if (full.pq.exists(sc => sc.refine > 0 && sc.recallK == 10)) full
       else {
         System.err.println("[scantier512] sidecar unstamped - measuring refine recall in-JVM")
-        val (rec, ref) = Hnsw.measurePqRecall(full, k = 10)
-        full.copy(pq = full.pq.map(_.copy(refineRecall = rec, refine = ref, recallK = 10)))
+        val (rec, ref, prb) = Hnsw.measurePqRecall(full, k = 10)
+        full.copy(pq = full.pq.map(_.copy(refineRecall = rec, refine = ref, recallK = 10,
+          stampProbe = prb)))
       }).copy(calibration = calOnly.calibration)
     val stamp = withPq.pq.get
     System.err.println(f"[scantier512] sidecar stamp: recall@10 ${stamp.refineRecall}%.4f " +

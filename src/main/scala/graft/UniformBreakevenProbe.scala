@@ -36,7 +36,7 @@ object UniformBreakevenProbe {
     val idx0 = Hnsw.load(spark, dir)
     val index = idx0.copy(nodes = idx0.nodes.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      pq = None, calibration = None)
+      pq = None, calibration = Nil)
     val n = index.meta.num_nodes
     val dim = index.meta.dim
     index.nodes.count()

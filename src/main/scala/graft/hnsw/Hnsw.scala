@@ -65,7 +65,7 @@ case class IndexMeta(
   */
 case class PqSidecar(codebooks: DataFrame, codes: DataFrame, m: Int,
                      refineRecall: Double = -1.0, refine: Int = -1,
-                     recallK: Int = -1)
+                     recallK: Int = -1, stampProbe: Int = -1)
 
 /** A persisted recall-calibration curve ([[Hnsw.calibrateProbeCells]]):
   * for `k`, the predicted recall@k at every probe budget, sorted by
@@ -74,7 +74,21 @@ case class PqSidecar(codebooks: DataFrame, codes: DataFrame, m: Int,
   * rewrite can honour `spark.graft.ann.recallTarget` without breaking its
   * EXPLAIN-runs-no-jobs contract. Like the PQ sidecar it is derived from
   * the vector set, so persistence carries a num_nodes coverage marker and
-  * [[Hnsw.load]] drops a curve whose marker mismatches the live meta.
+  * [[Hnsw.load]] drops curves whose marker mismatches the live meta.
+  *
+  * An index carries a FAMILY of curves (one per k —
+  * [[Hnsw.DefaultCalibrationKs]] at save time): the hit-rank
+  * distribution is per-k (nearer true neighbours route at smaller cell
+  * ranks), so a k=10 curve does not PREDICT recall@20. It is, however, a
+  * FLOOR for any smaller k — recall@k at a fixed probe is a mean of the
+  * per-true-rank hit probabilities over ranks 1..k, and those
+  * probabilities decrease with true rank (the farther the neighbour, the
+  * later its home cell appears in the query's cell ordering) — so
+  * [[Hnsw.curveFor]] serves a query at k from the nearest curve at
+  * k' ≥ k when no exact-k curve exists (spec-pinned: the covering
+  * curve's prediction under-estimates measured recall@k at every probe,
+  * HnswRoutedSpec). No covering curve → no contract (legacy C/4 dial),
+  * never a silent extrapolation below k.
   */
 case class CalCurve(k: Int, points: Seq[(Int, Double)]) {
   /** Smallest probe predicted to clear `target`; `c` (full probe) when
@@ -94,7 +108,7 @@ case class CalCurve(k: Int, points: Seq[(Int, Double)]) {
 case class HnswIndex(nodes: DataFrame, edges: DataFrame, meta: IndexMeta,
                      centroids: Option[DataFrame] = None,
                      pq: Option[PqSidecar] = None,
-                     calibration: Option[CalCurve] = None)
+                     calibration: Seq[CalCurve] = Nil)
 
 /** Tagged-union row shipping nodes (kind 0), edges (kind 1) and replicated
   * queries (kind 2) to each shard in ONE shuffle — the carrier of
@@ -158,6 +172,17 @@ object Hnsw {
     * routed indexes), never a query-time obligation.
     */
   val DefaultRecallTarget = 0.95
+
+  /** The k family [[save]]'s auto-calibration measures
+    * ([[withCalibration]] over these in ONE pass — the exact oracle runs
+    * once at max(ks) and every curve is a per-k restriction of the same
+    * hit-rank table, so four curves cost ~one). Spans the reference's own
+    * operating points (its golden experience queries k=5, the CLI default
+    * is 10) up to the rerank-prefetch shapes (50/100); [[curveFor]] then
+    * covers every k ≤ 100 — exact at family members, nearest-k'-above
+    * floor in between — instead of the r14 contract's k=10-only hole.
+    */
+  val DefaultCalibrationKs: Seq[Int] = Seq(5, 10, 50, 100)
 
   /** Deterministic partition assignment: id % P (round-robin for dense ids,
     * so every partition sees a representative sample of the data).
@@ -549,7 +574,8 @@ object Hnsw {
       case Some(sc) =>
         sc.codebooks.write.mode("overwrite").parquet(s"$dir/pq_codebooks")
         sc.codes.write.mode("overwrite").parquet(s"$dir/pq_codes")
-        writePqMeta(dir, index.meta.num_nodes, sc.refineRecall, sc.refine, sc.recallK)
+        writePqMeta(dir, index.meta.num_nodes, sc.refineRecall, sc.refine, sc.recallK,
+          sc.stampProbe)
       case None =>
         // re-saving a sidecar-free index into a reused dir must not leave
         // codes behind that describe the OLD vectors under reused ids —
@@ -559,19 +585,19 @@ object Hnsw {
     }
     val tSidecar = System.nanoTime()
     val calibrated =
-      if (index.calibration.isDefined || !autoCalibrate) index
+      if (index.calibration.nonEmpty || !autoCalibrate) index
       else if (index.centroids.isDefined && traversalDecays(index.meta, k = 10, ef = -1)) {
         // the scan is bounded (~one exact query batch) but not free —
         // make it visible so a timed caller that forgot autoCalibrate =
         // false can see what its measurement included (ADVICE r14)
-        System.err.println(s"[hnsw-save] auto-calibrating decayed routed index -> " +
+        System.err.println(s"[hnsw-save] auto-calibrating decayed routed index " +
+          s"(k in ${DefaultCalibrationKs.mkString("{", ",", "}")}) -> " +
           s"$dir/calibration.json (pass autoCalibrate = false to skip)")
-        withCalibration(index, k = 10)
+        withCalibration(index, DefaultCalibrationKs)
       } else index
-    calibrated.calibration match {
-      case Some(curve) => writeCalibration(dir, curve, index.meta.num_nodes)
-      case None        => dropCalibration(dir)
-    }
+    if (calibrated.calibration.nonEmpty)
+      writeCalibration(dir, calibrated.calibration, index.meta.num_nodes)
+    else dropCalibration(dir)
     val tCal = System.nanoTime()
     saveMeta(index.meta, dir)
     // phase split for build artifacts (judge r13 item 5): the edge write
@@ -585,18 +611,28 @@ object Hnsw {
       "save_calibrate_sec" -> (tCal - tSidecar) / 1e9))
   }
 
-  /** Persist a recall-calibration curve next to a saved index (also the
-    * CLI `--calibrate` path, which writes the curve without rewriting the
-    * tables). The num_nodes marker makes a stale curve self-invalidate at
-    * [[load]] after appends change the vector set.
+  /** Persist a recall-calibration curve family next to a saved index
+    * (also the CLI `--calibrate` path, which writes the curves without
+    * rewriting the tables). The num_nodes marker makes stale curves
+    * self-invalidate at [[load]] after appends change the vector set.
+    * Format: `{"num_nodes":N,"curves":[{"k":5,"n_points":n,"points":
+    * [[p,r],...]},...]}`; [[loadCalibration]] also still reads the
+    * pre-r15 single-curve shape (top-level k/points) so existing saved
+    * indexes keep their contract.
     */
-  def writeCalibration(dir: String, curve: CalCurve, numNodes: Long): Unit = {
-    val pts = curve.points.map { case (p, r) => s"[$p,$r]" }.mkString("[", ",", "]")
+  def writeCalibration(dir: String, curves: Seq[CalCurve], numNodes: Long): Unit = {
+    require(curves.nonEmpty, "writeCalibration needs at least one curve")
+    require(curves.map(_.k).distinct.size == curves.size,
+      s"duplicate k in calibration family ${curves.map(_.k)}")
     // n_points lets the loader reject a file whose point list parsed
     // PARTIALLY (e.g. a NaN recall the point regex skips): a curve that
     // silently loses its lowest points over-probes every pick after it
+    val body = curves.sortBy(_.k).map { curve =>
+      val pts = curve.points.map { case (p, r) => s"[$p,$r]" }.mkString("[", ",", "]")
+      s"""{"k":${curve.k},"n_points":${curve.points.size},"points":$pts}"""
+    }.mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$dir/calibration.json"),
-      s"""{"k":${curve.k},"num_nodes":$numNodes,"n_points":${curve.points.size},"points":$pts}""")
+      s"""{"num_nodes":$numNodes,"curves":$body}""")
   }
 
   def dropCalibration(dir: String): Unit = {
@@ -604,30 +640,54 @@ object Hnsw {
     if (Files.exists(p)) Files.delete(p)
   }
 
-  /** calibration.json → [[CalCurve]] when present AND its num_nodes marker
-    * matches the live vector count (a curve measured on a different vector
-    * set is a silent misprediction, never an error — so it must not load).
-    * A file whose declared n_points disagrees with the points that
-    * actually parsed (a NaN/Infinity recall falls through the point
-    * regex) is rejected WHOLE: a partially-loaded curve shifts every pick
-    * silently, which is worse than no curve at all.
+  /** calibration.json → the [[CalCurve]] family when present AND its
+    * num_nodes marker matches the live vector count (a curve measured on
+    * a different vector set is a silent misprediction, never an error —
+    * so it must not load). A file where ANY curve's declared n_points
+    * disagrees with the points that actually parsed (a NaN/Infinity
+    * recall falls through the point regex) is rejected WHOLE: a
+    * partially-loaded curve shifts every pick silently, which is worse
+    * than no curve at all. Reads both the r15 family shape
+    * (`"curves":[...]`) and the pre-r15 single-curve shape.
     */
-  private def loadCalibration(dir: String, numNodes: Long): Option[CalCurve] = {
+  private def loadCalibration(dir: String, numNodes: Long): Seq[CalCurve] = {
     val p = Paths.get(s"$dir/calibration.json")
-    if (!Files.exists(p)) None
+    if (!Files.exists(p)) Nil
     else {
       val raw = Files.readString(p)
-      val k = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
       val nn = """"num_nodes"\s*:\s*(-?\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toLong)
-      val declared = """"n_points"\s*:\s*(\d+)""".r.findFirstMatchIn(raw).map(_.group(1).toInt)
-      val pts = """\[(\d+),([-0-9.eE]+)\]""".r.findAllMatchIn(raw)
-        .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
-      val complete = declared.forall(_ == pts.size) && pts.forall(pt =>
-        java.lang.Double.isFinite(pt._2))
-      (k, nn) match {
-        case (Some(kk), Some(n)) if n == numNodes && pts.nonEmpty && complete =>
-          Some(CalCurve(kk, pts.sortBy(_._1)))
-        case _ => None
+      if (!nn.contains(numNodes)) Nil
+      else {
+        val ptRe = """\[(\d+),([-0-9.eE]+)\]""".r
+        def parseCurve(chunk: String): Option[CalCurve] = {
+          val k = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(chunk).map(_.group(1).toInt)
+          val declared = """"n_points"\s*:\s*(\d+)""".r.findFirstMatchIn(chunk).map(_.group(1).toInt)
+          val pts = ptRe.findAllMatchIn(chunk)
+            .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
+          val complete = declared.forall(_ == pts.size) && pts.forall(pt =>
+            java.lang.Double.isFinite(pt._2))
+          k match {
+            case Some(kk) if pts.nonEmpty && complete => Some(CalCurve(kk, pts.sortBy(_._1)))
+            case _ => None
+          }
+        }
+        // family shape: one chunk per {"k":...} object; single-curve
+        // shape: the whole file is the one chunk
+        val chunks =
+          if (raw.contains("\"curves\""))
+            """\{\s*"k"\s*:""".r.findAllMatchIn(raw).map(_.start).toSeq match {
+              case starts if starts.nonEmpty =>
+                (starts :+ raw.length).sliding(2).map { w => raw.substring(w(0), w(1)) }.toSeq
+              case _ => Nil
+            }
+          else Seq(raw)
+        val curves = chunks.map(parseCurve)
+        // reject WHOLE on any broken curve or duplicate k — a family that
+        // silently lost one member would re-route those k's to a covering
+        // neighbour without anyone asking for the floor semantics
+        if (chunks.isEmpty || curves.exists(_.isEmpty) ||
+            curves.flatten.map(_.k).distinct.size != curves.size) Nil
+        else curves.flatten.sortBy(_.k)
       }
     }
   }
@@ -636,14 +696,22 @@ object Hnsw {
     * against. [[load]] compares it to meta.json's num_nodes and drops the
     * sidecar on mismatch (appends bump num_nodes, so a stale sidecar
     * self-invalidates even if [[dropPqSidecar]] was bypassed). The
-    * optional recall stamp (refine_recall/refine/recall_k — written by
-    * [[attachPq]]'s measurement step or CLI --pq-measure) is the measured
-    * contract that lets [[annQueryAdaptive]] auto-pick the ADC kernel.
+    * optional recall stamp (refine_recall/refine/recall_k/stamp_probe —
+    * written by [[attachPq]]'s measurement step or CLI --pq-measure) is
+    * the measured contract that lets [[annQueryAdaptive]] auto-pick the
+    * ADC kernel. `stamp_probe` records the RESOLVED probe budget the
+    * stamp was measured at: routing coverage (and so delivered recall)
+    * grows with the probe, so the gate may only open when the query-time
+    * probe is at least the stamp's — a stamp measured at C/4 says
+    * nothing about a calibrated pick below C/4 (ADVICE r14). A stamp
+    * without the field (pre-r15) was measured at the C/4 default and
+    * resolves to it at gate time.
     */
   def writePqMeta(dir: String, numNodes: Long, refineRecall: Double = -1.0,
-                  refine: Int = -1, recallK: Int = -1): Unit = {
+                  refine: Int = -1, recallK: Int = -1, stampProbe: Int = -1): Unit = {
     val stamp = if (refineRecall > 0 && refine > 0 && recallK > 0)
-      s""","refine_recall":$refineRecall,"refine":$refine,"recall_k":$recallK"""
+      s""","refine_recall":$refineRecall,"refine":$refine,"recall_k":$recallK""" +
+        (if (stampProbe > 0) s""","stamp_probe":$stampProbe""" else "")
     else ""
     Files.writeString(Paths.get(s"$dir/pq_meta.json"),
       s"""{"num_nodes":$numNodes$stamp}""")
@@ -724,7 +792,8 @@ object Hnsw {
           Some(PqSidecar(spark.read.parquet(s"$dir/pq_codebooks"), codes, mBytes,
             refineRecall = pmNum("refine_recall").map(_.toDouble).getOrElse(-1.0),
             refine = pmNum("refine").map(_.toInt).getOrElse(-1),
-            recallK = pmNum("recall_k").map(_.toInt).getOrElse(-1)))
+            recallK = pmNum("recall_k").map(_.toInt).getOrElse(-1),
+            stampProbe = pmNum("stamp_probe").map(_.toInt).getOrElse(-1)))
         else None
       } else None
     HnswIndex(
@@ -1128,6 +1197,19 @@ object Hnsw {
     * weak). Unknown geometry (-1) keeps the legacy factor 2.0; the clamp
     * to [1, 2] keeps a pathological meta from zeroing either side.
     */
+  /** Meta-only resolution of a probe budget to actual cells: an explicit
+    * probe is itself (capped at C when C is known); the −1 default is the
+    * C/4 dial ([[probedPidsFor]]'s rule, without its count-job fallback);
+    * unknown geometry resolves to −1 (callers that need a number must
+    * treat it as "can't compare"). Lets the PQ-kernel gate compare the
+    * stamp's measurement probe against the query-time probe without jobs.
+    */
+  private[graft] def resolvedProbe(m: IndexMeta, probeCells: Int): Int =
+    if (probeCells > 0) {
+      if (m.num_cells > 0) math.min(probeCells, m.num_cells) else probeCells
+    } else if (m.num_cells > 0) math.max(1, m.num_cells / 4)
+    else -1
+
   private[graft] def ghostFactor(m: IndexMeta): Double =
     if (m.node_rows > 0 && m.num_nodes > 0)
       math.min(2.0, math.max(1.0, m.node_rows.toDouble / m.num_nodes.toDouble))
@@ -1256,35 +1338,73 @@ object Hnsw {
                           sampleQueries: Int = 100): (Int, DataFrame) = {
     val spark = index.nodes.sparkSession
     import spark.implicits._
-    val cents = index.centroids.getOrElse(throw new IllegalArgumentException(
-      "calibrateProbeCells needs a locality-sharded index (buildRouted/load of one)"))
+    require(index.centroids.isDefined,
+      "calibrateProbeCells needs a locality-sharded index (buildRouted/load of one)")
     require(recallTarget > 0.0 && recallTarget <= 1.0,
       s"recallTarget $recallTarget outside (0, 1]")
+    val c = math.max(1, index.meta.num_cells)
     // cached curve (withCalibration / load of a calibrated save): the pick
     // is driver-side and the returned curve frame is built from literals —
-    // no sample scan, no exact-oracle batch. A curve for a DIFFERENT k
-    // does not transfer (hit ranks are per-k), so it falls through to a
-    // fresh calibration rather than silently mispredicting.
-    index.calibration.filter(_.k == k).foreach { curve =>
-      val c = math.max(1, index.meta.num_cells)
+    // no sample scan, no exact-oracle batch. An exact-k curve predicts
+    // recall@k; failing that the nearest k' ≥ k curve is a FLOOR
+    // ([[curveFor]] — its pick can only over-probe). No covering curve →
+    // fresh calibration rather than extrapolating below k.
+    curveFor(index, k).foreach { curve =>
       val df = curve.points.toDF("probe_cells", "predicted_recall")
       return (curve.pick(recallTarget, c), df)
     }
+    measureCurves(index, Seq(k), sampleQueries).headOption match {
+      case Some(curve) =>
+        (curve.pick(recallTarget, c), curve.points.toDF("probe_cells", "predicted_recall"))
+      case None => // empty live corpus: full probe, empty curve
+        (c, Seq.empty[(Int, Double)].toDF("probe_cells", "predicted_recall"))
+    }
+  }
+
+  /** The calibration measurement shared by [[calibrateProbeCells]] and
+    * [[withCalibration]]: one exact-oracle pass at max(ks) — the O(n)
+    * cost — then every requested k's curve is a restriction of the same
+    * per-(query, true neighbour) hit-rank table to true ranks ≤ k, so a
+    * four-curve family costs ~one single-k calibration. Ignores any
+    * attached curves (callers decide caching). Per-k driver materialization
+    * is bounded: ≤ num_cells histogram rows per k plus ≤ max(ks) truth
+    * rank counts.
+    */
+  private def measureCurves(index: HnswIndex, ks: Seq[Int],
+                            sampleQueries: Int = 100): Seq[CalCurve] = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"measureCurves ks $ks must be positive")
+    val cents = index.centroids.getOrElse(throw new IllegalArgumentException(
+      "calibration needs a locality-sharded index (buildRouted/load of one)"))
+    val kMax = ks.max
     val distFn = Distances.metric(index.meta.metric)
+    val live = index.nodes.filter(!col("tombstone"))
     val n = if (index.meta.num_nodes > 0) index.meta.num_nodes
-      else index.nodes.filter(!col("tombstone")).agg(countDistinct("id")).head().getLong(0)
+      else math.max(1L, live.agg(countDistinct("id")).head().getLong(0))
     val step = math.max(1L, n / sampleQueries.toLong)
-    val sample = index.nodes.filter(!col("tombstone") && col("id") % step === 0)
+    val sample0 = live.filter(col("id") % step === 0)
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
       .select(col("id").as("qid"), col("vector")).localCheckpoint()
-    // ground truth: one exact scan over the sample (dedup heap collapses
-    // spill ghosts)
-    val uniq = index.nodes.filter(!col("tombstone"))
-      .select(col("id"), col("vector"))
+    // sparse/non-dense id spaces (e.g. a filtered view) can leave the
+    // modulus class nearly empty — fall back to a bounded deterministic
+    // prefix sample rather than calibrating on 0–2 queries
+    val sample = if (sample0.isEmpty) {
+      graft.operators.Checkpoints.unpersist(sample0)
+      live.groupBy(col("id")).agg(first(col("vector")).as("vector"))
+        .orderBy(col("id")).limit(sampleQueries)
+        .select(col("id").as("qid"), col("vector")).localCheckpoint()
+    } else sample0
+    if (sample.isEmpty) { // empty live corpus — nothing to measure
+      graft.operators.Checkpoints.unpersist(sample)
+      return Nil
+    }
+    // ground truth at kMax: one exact scan over the sample (dedup heap
+    // collapses spill ghosts); rank is kept — curve k is the restriction
+    // to true ranks ≤ k
+    val uniq = live.select(col("id"), col("vector"))
     val truth = rankTopK(
       uniq.crossJoin(broadcast(sample.select(col("qid"), col("vector").as("q_vector"))))
-        .select(col("qid"), col("id"), distFn(col("vector"), col("q_vector")).as("dist")), k)
-      .select(col("qid"), col("id")).localCheckpoint()
+        .select(col("qid"), col("id"), distFn(col("vector"), col("q_vector")).as("dist")), kMax)
+      .select(col("qid"), col("id"), col("rank").as("t_rank")).localCheckpoint()
     // per-query cell ranks (sample × C rows — tiny), cells fanned to pids
     val geo = cents.select("cid", "cvector").distinct()
     val w = org.apache.spark.sql.expressions.Window
@@ -1298,51 +1418,82 @@ object Hnsw {
     val homes = index.nodes.filter(!col("tombstone"))
       .join(broadcast(truth.select("id").distinct()), Seq("id"), "left_semi")
       .select(col("id"), col("pid")).distinct()
+    // the shared hit-rank table: ≤ sample × kMax rows, checkpointed once;
+    // every per-k curve below is a bounded collect over it
     val hitRank = truth.join(homes, "id")
       .join(cellRank, Seq("qid", "pid"))
-      .groupBy(col("qid"), col("id")).agg(min(col("r")).as("hit_r"))
-    val totalPairs = truth.count().toDouble
-    val c = if (index.meta.num_cells > 0) index.meta.num_cells
-      else geo.count().toInt
-    // cumulative distribution over hit ranks = the whole calibration curve
-    val curve = hitRank.groupBy(col("hit_r")).agg(count(lit(1)).as("hits"))
-      .withColumn("cum", sum(col("hits")).over(
-        org.apache.spark.sql.expressions.Window.orderBy("hit_r")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .select(col("hit_r").cast("int").as("probe_cells"),
-        (col("cum").cast("double") / lit(totalPairs)).as("predicted_recall"))
+      .groupBy(col("qid"), col("id"))
+      .agg(min(col("r")).as("hit_r"), min(col("t_rank")).as("t_rank"))
       .localCheckpoint()
-    val pick = curve.filter(col("predicted_recall") >= recallTarget)
-      .agg(min(col("probe_cells"))).head().getAs[Any](0)
-    val probeCells = Option(pick).map(_.asInstanceOf[Int]).getOrElse(c)
+    // per-true-rank pair totals (≤ kMax rows) — the per-k denominators;
+    // taken from TRUTH, not hitRank, so a pair that somehow never routes
+    // would lower recall instead of silently dropping out of the base
+    val rankTotals = truth.groupBy(col("t_rank")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val curves = ks.distinct.sorted.flatMap { k =>
+      val totalPairs = rankTotals.filter(_._1 <= k).values.sum.toDouble
+      if (totalPairs <= 0) None
+      else {
+        // hit-rank histogram restricted to true ranks ≤ k (≤ C rows)
+        val hist = hitRank.filter(col("t_rank") <= k)
+          .groupBy(col("hit_r")).agg(count(lit(1)).as("hits"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        var cum = 0L
+        val points = hist.map { case (p, h) => cum += h; (p, cum / totalPairs) }.toSeq
+        Some(CalCurve(k, points))
+      }
+    }
     graft.operators.Checkpoints.unpersist(sample)
     graft.operators.Checkpoints.unpersist(truth)
-    (math.min(probeCells, c), curve)
+    graft.operators.Checkpoints.unpersist(hitRank)
+    curves
   }
 
-  /** Run the calibration once and ATTACH the curve to the index, making
-    * every subsequent recall-target pick — [[calibrateProbeCells]],
+  /** Run the calibration once and ATTACH the curve family to the index,
+    * making every subsequent recall-target pick — [[calibrateProbeCells]],
     * [[annQueryAdaptive]]'s `recallTarget`, the SQL rewrite's
-    * `spark.graft.ann.recallTarget` conf — driver-side and job-free.
-    * [[save]] persists the curve next to the tables with a num_nodes
+    * `spark.graft.ann.recallTarget` conf — driver-side and job-free, at
+    * EVERY k a family member covers ([[curveFor]]). One exact-oracle pass
+    * at max(ks) measures all curves ([[measureCurves]]).
+    * [[save]] persists the family next to the tables with a num_nodes
     * coverage marker; [[load]] re-attaches it while the marker matches.
     */
-  def withCalibration(index: HnswIndex, k: Int,
-                      sampleQueries: Int = 100): HnswIndex = {
-    val (_, curveDf) = calibrateProbeCells(
-      index.copy(calibration = None), k, recallTarget = 1.0, sampleQueries)
-    val points = curveDf.orderBy(col("probe_cells"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
-    index.copy(calibration = Some(CalCurve(k, points)))
+  def withCalibration(index: HnswIndex, ks: Seq[Int],
+                      sampleQueries: Int): HnswIndex = {
+    val curves = measureCurves(index.copy(calibration = Nil), ks, sampleQueries)
+    index.copy(calibration = curves)
   }
 
+  /** Single-k convenience overload of [[withCalibration]]. */
+  def withCalibration(index: HnswIndex, k: Int,
+                      sampleQueries: Int = 100): HnswIndex =
+    withCalibration(index, Seq(k), sampleQueries)
+
+  /** Family overload with the default sample size (named-arg friendly). */
+  def withCalibration(index: HnswIndex, ks: Seq[Int]): HnswIndex =
+    withCalibration(index, ks, sampleQueries = 100)
+
+  /** The attached curve serving queries at `k`: the exact-k curve when
+    * the family has one, else the NEAREST k' ≥ k — a floor, because
+    * recall@k at a fixed probe is the mean of per-true-rank hit
+    * probabilities over ranks 1..k and those probabilities fall with
+    * true rank (farther neighbours route later), so the k'-curve
+    * under-predicts recall@k and its pick can only over-probe
+    * (spec-pinned empirically, HnswRoutedSpec). `None` below no covering
+    * curve — a k'&lt;k curve would silently OVER-predict, the r13 0.83
+    * no-flag regime in disguise.
+    */
+  def curveFor(index: HnswIndex, k: Int): Option[CalCurve] =
+    index.calibration.find(_.k == k)
+      .orElse(index.calibration.filter(_.k > k).sortBy(_.k).headOption)
+
   /** Job-free probe pick from an ATTACHED curve only — `None` when the
-    * index carries no curve for this k (callers that may run jobs fall
-    * back to [[calibrateProbeCells]]; the SQL rewrite falls back to the
-    * default probe instead, preserving its no-jobs contract).
+    * index carries no curve covering this k (callers that may run jobs
+    * fall back to [[calibrateProbeCells]]; the SQL rewrite falls back to
+    * the default probe instead, preserving its no-jobs contract).
     */
   def cachedProbeFor(index: HnswIndex, k: Int, recallTarget: Double): Option[Int] =
-    index.calibration.filter(_.k == k)
+    curveFor(index, k)
       .map(_.pick(recallTarget, math.max(1, index.meta.num_cells)))
 
   /** Train and attach the PQ byte-code sidecar — the decayed regime's
@@ -1399,9 +1550,11 @@ object Hnsw {
     // already paid a full encode pass. measure=false opts out (e.g. the
     // caller plans its own sweep).
     if (measure) {
-      val (rec, refUsed) = measurePqRecall(attached, measureK, measureRefine, measureSample)
+      val (rec, refUsed, probeUsed) =
+        measurePqRecall(attached, measureK, measureRefine, measureSample)
       attached.copy(pq = attached.pq.map(_.copy(
-        refineRecall = rec, refine = refUsed, recallK = measureK)))
+        refineRecall = rec, refine = refUsed, recallK = measureK,
+        stampProbe = probeUsed)))
     } else attached
   }
 
@@ -1412,12 +1565,19 @@ object Hnsw {
     * deterministic id-modulus queries; default refine scales with corpus
     * size at the rate the r12 sweep measured for ≥0.94 recall under
     * dim-512 distance concentration (3,200 at 5M ⇒ 0.64 per-mille,
-    * floored at the 20·k expression default). Returns
-    * (measured recall@k, refine actually used).
+    * floored at the 20·k expression default). `probeCells` is the probe
+    * the stamp is measured AT (default −1 = the C/4 dial) — it is
+    * returned RESOLVED so the caller can persist it as `stamp_probe`:
+    * the gate must not honour the stamp at a smaller query-time probe,
+    * where routing coverage (and so delivered recall) is lower than the
+    * measurement's (ADVICE r14). Returns
+    * (measured recall@k, refine actually used, resolved probe cells).
     */
   def measurePqRecall(index: HnswIndex, k: Int = 10, refine: Int = -1,
-                      sampleQueries: Int = 100): (Double, Int) = {
+                      sampleQueries: Int = 100,
+                      probeCells: Int = -1): (Double, Int, Int) = {
     require(index.pq.isDefined, "measurePqRecall needs an attached PQ sidecar")
+    val probeUsed = resolvedProbe(index.meta, probeCells)
     val uniq = index.nodes.filter(!col("tombstone"))
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
     // a reference-format meta.json carries no num_nodes (loads as -1):
@@ -1445,17 +1605,17 @@ object Hnsw {
     // sentinel instead of throwing on a null avg(recall)
     if (qs.isEmpty) {
       graft.operators.Checkpoints.unpersist(qs)
-      return (-1.0, refUsed)
+      return (-1.0, refUsed, probeUsed)
     }
     val exact = graft.operators.Knn.exactTopK(uniq, qs, k,
       Distances.metric(index.meta.metric)).localCheckpoint()
-    val ann = annQueryPqRefined(index, qs, k, refine = refUsed, kernel = true)
-      .localCheckpoint()
+    val ann = annQueryPqRefined(index, qs, k, probeCells = probeCells,
+      refine = refUsed, kernel = true).localCheckpoint()
     val rec = recallAtK(ann, exact, k).agg(avg(col("recall"))).head().getDouble(0)
     graft.operators.Checkpoints.unpersist(qs)
     graft.operators.Checkpoints.unpersist(exact)
     graft.operators.Checkpoints.unpersist(ann)
-    (rec, refUsed)
+    (rec, refUsed, probeUsed)
   }
 
   /** ADC-coarse + exact-rescore search over the probed-shard union — the
@@ -1677,14 +1837,24 @@ object Hnsw {
       // pq_meta.json), and the chooser takes the kernel exactly when (a)
       // the batch is scan-preferred (this branch), (b) an effective
       // recall target exists (explicit recallTarget, or the calibrated
-      // no-flag default), and (c) the stamp at this k clears the target.
+      // no-flag default), (c) the stamp at this k clears the target, and
+      // (d) the query-time probe is AT LEAST the probe the stamp was
+      // measured at (stamp_probe; a pre-r15 stamp resolves to the C/4
+      // dial it was measured with) — routing coverage grows with the
+      // probe, so a stamp at C/4 is no bound for a calibrated pick below
+      // C/4 (ADVICE r14: the two operating points were incomparable).
       // No target — no flag and no curve — keeps the exact forms: their
       // implicit contract is recall 1.0 at full coverage, which a
       // refine-capped ADC cut cannot promise. Where the gate opens the
       // kernel measurably wins: 131.5 s vs 187.3 s exact float scan at
       // 5M×512/1000 q, recall@10 0.961 (BENCH_SCALE_PQ512_KERNEL.json).
-      val pqPick = index.pq.filter(sc => targetEff > 0 && sc.recallK == k &&
-        sc.refine > 0 && sc.refineRecall >= targetEff)
+      val queryProbe = resolvedProbe(m, probe)
+      val pqPick = index.pq.filter { sc =>
+        val stampProbe = if (sc.stampProbe > 0) sc.stampProbe else resolvedProbe(m, -1)
+        targetEff > 0 && sc.recallK == k &&
+          sc.refine > 0 && sc.refineRecall >= targetEff &&
+          (stampProbe <= 0 || (queryProbe > 0 && queryProbe >= stampProbe))
+      }
       return if (qCount >= ScanMinQueries &&
           qCount * unionPids <= scanJoinCostRatio(ghostFactor(m)) * routeRows &&
           qBytes <= (64L << 20)) {
@@ -1871,9 +2041,13 @@ object Hnsw {
     * unfiltered pick always dominates the C/4 dial — but the curve was
     * measured on the UNFILTERED pair population, so the target is a
     * sensible floor rather than a re-measured guarantee when the filter
-    * correlates with vector geometry (e.g. one tight category); filters
-    * needing a hard contract should calibrate on the filtered view
-    * ([[calibrateProbeCells]] over [[withAllowed]]). The PQ sidecar, by
+    * correlates with vector geometry (e.g. one tight category) — and in
+    * fact on ANY selective filter, since the nearest allowed neighbours
+    * are farther than the unfiltered top-k; filters needing a hard
+    * contract should use [[calibrateFiltered]] (NOT raw
+    * calibrateProbeCells over withAllowed, whose attached-curve cache
+    * would short-circuit to the unfiltered pick) and pass its pick as
+    * `probeCells`. The PQ sidecar, by
     * contrast, is DROPPED by [[withAllowed]] — coarse ADC slots would
     * fill with disallowed ids and starve the rescore.
     * Output: (qid, rank, id, dist).
@@ -1896,6 +2070,42 @@ object Hnsw {
     else if (routed) annQueryRouted(filtered, queries, k, probeCells, ef)
     else if (large) annQueryLarge(filtered, queries, k, ef)
     else annQuery(filtered, queries, k, ef)
+  }
+
+  /** The HARD recall contract over a filtered view — what
+    * [[annQueryFiltered]]'s scaladoc prescribes for filters that
+    * correlate with vector geometry: measure the calibration on the
+    * FILTERED pair population (queries sampled from the allowed set,
+    * truth = exact top-k among allowed, hit ranks against allowed homes)
+    * and return the smallest probe predicted to clear the target there,
+    * plus the filtered curve. Two traps this wrapper exists to avoid:
+    *
+    *   - an ATTACHED (unfiltered) curve would short-circuit
+    *     [[calibrateProbeCells]] and return the unfiltered pick — the
+    *     exact misprediction the hard contract replaces, so the curves
+    *     are stripped before measuring;
+    *   - the meta's num_nodes counts the UNFILTERED corpus; the sampling
+    *     modulus derived from it would under-sample a selective filter's
+    *     live rows ~1/selectivity, so the count is re-derived from the
+    *     filtered view (one bounded countDistinct job).
+    *
+    * Why filters NEED their own curve (not just geometry-correlated
+    * ones): the filtered true top-k are the nearest ALLOWED neighbours —
+    * farther from the query than the unfiltered top-k on any selective
+    * filter — and farther neighbours' home cells sit at larger query
+    * cell ranks, so the unfiltered curve over-predicts recall on the
+    * filtered population (measured at 5M×512:
+    * BENCH_SCALE_FILTERED512_CONTRACT.json). Pass the returned pick as
+    * `probeCells` to [[annQueryFiltered]] (exactProbe/adaptive honour
+    * it); reuse it across batches against the same filter.
+    */
+  def calibrateFiltered(index: HnswIndex, allowedIds: DataFrame, k: Int,
+                        recallTarget: Double,
+                        sampleQueries: Int = 100): (Int, DataFrame) = {
+    val view = withAllowed(index, allowedIds).copy(
+      calibration = Nil,
+      meta = index.meta.copy(num_nodes = -1L))
+    calibrateProbeCells(view, k, recallTarget, sampleQueries)
   }
 
   /** The filter-as-tombstone node rewrite behind [[annQueryFiltered]], as a

@@ -135,7 +135,7 @@ case class AnnTopKRewrite(session: SparkSession) extends Rule[LogicalPlan] {
           s"spark.graft.ann.recallTarget $target outside (0, 1]")
         (if (fresh) Hnsw.cachedProbeFor(idx, k, target).getOrElse(-1) else -1, true)
       case None =>
-        if (idx.calibration.isDefined && fresh)
+        if (idx.calibration.nonEmpty && fresh)
           (Hnsw.cachedProbeFor(idx, k, Hnsw.DefaultRecallTarget).getOrElse(-1), false)
         else (-1, false)
     }

@@ -600,7 +600,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // handcrafted curve: the 0.95 pick (probe 1) differs from the C/4
     // default, so the expected plan is unambiguous
     val index = loaded.copy(calibration =
-      Some(CalCurve(5, Seq((1, 0.99), (loaded.meta.num_cells, 1.0)))))
+      Seq(CalCurve(5, Seq((1, 0.99), (loaded.meta.num_cells, 1.0)))))
     input.createOrReplaceTempView("emb_reg")
     IndexRegistry.register("emb_reg", index, dir = Some(dir))
     val q = vecs(11)._2

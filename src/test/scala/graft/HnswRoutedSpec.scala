@@ -372,6 +372,41 @@ class HnswRoutedSpec extends SparkSpec {
     adapt.collect().foreach(r => assert(allowedSet.contains(r.getAs[Long]("id"))))
   }
 
+  test("calibrateFiltered: measures on the filtered pair population, ignores attached curves, pick clears the target") {
+    import graft.hnsw.CalCurve
+    val allowed = input.filter(col("id") % 7 === 0).select("id")
+    // an attached (unfiltered-looking) curve must NOT short-circuit the
+    // filtered measurement — that silent unfiltered pick is the exact
+    // misprediction the hard contract exists to replace
+    val decoy = routed.copy(calibration = Seq(CalCurve(10, Seq((1, 1.0)))))
+    val (pick, curveDf) = Hnsw.calibrateFiltered(decoy, allowed, k = 10,
+      recallTarget = 0.9, sampleQueries = 50)
+    val pts = curveDf.orderBy("probe_cells").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(pts !== Seq((1, 1.0)),
+      "calibrateFiltered must measure the filtered view, not echo the attached curve")
+    assert(pts.nonEmpty && math.abs(pts.last._2 - 1.0) < 1e-9,
+      "filtered curve must be a full cumulative distribution to 1.0")
+    assert(pick >= 1 && pick <= routed.meta.num_cells)
+    // the pick's MEASURED filtered recall clears the target: queries =
+    // the filtered view's own sample rule (live allowed ids, modulus of
+    // the filtered count), oracle = exact top-k among allowed
+    val allowedSet = allowed.collect().map(_.getLong(0)).toSet
+    val live = routed.nodes.filter(!col("tombstone"))
+      .filter(col("id").isin(allowedSet.toSeq.map(java.lang.Long.valueOf): _*))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val nF = live.count()
+    val step = math.max(1L, nF / 50L)
+    val qs = live.filter(col("id") % step === 0)
+      .select(col("id").as("qid"), col("vector"))
+    val exact = Knn.exactTopK(live, qs, 10, Distances.metric(routed.meta.metric))
+    val ann = Hnsw.annQueryFiltered(routed, qs, k = 10, allowed,
+      exactProbe = true, probeCells = pick)
+    val measured = Hnsw.recallAtK(ann, exact, 10).agg(avg("recall")).head().getDouble(0)
+    assert(measured >= 0.9 - 0.02,
+      s"filtered pick $pick must clear the 0.9 target on the filtered view, got $measured")
+  }
+
   test("efBudget: explicit ef wins; default derives from sub-graph size; k floor; 4096 cap") {
     def meta(n: Long, p: Int) = IndexMeta(64, 8, 16, 64, 50, 0.36, "l2", 0L, 1, p, n)
     // explicit ef always wins, clamped to k
@@ -664,7 +699,7 @@ class HnswRoutedSpec extends SparkSpec {
       sampleQueries = 50)._2.orderBy("probe_cells").collect()
       .map(r => (r.getInt(0), r.getDouble(1))).toSeq
     val cal = Hnsw.withCalibration(routed, k = 10, sampleQueries = 50)
-    val curve = cal.calibration.getOrElse(fail("withCalibration must attach a curve"))
+    val curve = cal.calibration.headOption.getOrElse(fail("withCalibration must attach a curve"))
     assert(curve.k === 10)
     assert(curve.points === fresh, "attached curve must BE the fresh calibration's")
     // cached picks == fresh picks across targets (the smallest-probe rule)
@@ -675,8 +710,12 @@ class HnswRoutedSpec extends SparkSpec {
         s"cached pick at target $t")
       assert(Hnsw.cachedProbeFor(cal, 10, t) === Some(freshPick))
     }
-    // a curve for a DIFFERENT k must not transfer
-    assert(Hnsw.cachedProbeFor(cal, 5, 0.9) === None)
+    // r15 covering-floor semantics: a curve at k' >= k serves smaller k
+    // (floor — it can only over-probe); nothing covers a LARGER k
+    assert(Hnsw.cachedProbeFor(cal, 5, 0.9) === Hnsw.cachedProbeFor(cal, 10, 0.9),
+      "the k=10 curve must cover k=5 picks (nearest k' >= k)")
+    assert(Hnsw.cachedProbeFor(cal, 20, 0.9) === None,
+      "no curve at k' >= 20 -> no contract (never extrapolate below k)")
     // the cached pick runs NO jobs (the SQL rewrite's contract)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
@@ -697,23 +736,23 @@ class HnswRoutedSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("hnsw-cal").toString
     Hnsw.save(cal, tmp)
     val loaded = Hnsw.load(spark, tmp)
-    val lc = loaded.calibration.getOrElse(fail("load must re-attach the saved curve"))
+    val lc = loaded.calibration.headOption.getOrElse(fail("load must re-attach the saved curve"))
     assert(lc.k === 10)
-    assert(lc.points === cal.calibration.get.points,
+    assert(lc.points === cal.calibration.head.points,
       "curve must round-trip bit-exact through the JSON sidecar")
     // recall-target picks on the LOADED index come from the cached curve
     assert(Hnsw.calibrateProbeCells(loaded, 10, 0.9)._1 ===
       Hnsw.calibrateProbeCells(cal, 10, 0.9)._1)
     // stale marker (vector set changed, e.g. a streaming append bumped
     // num_nodes): the curve must NOT load — a misprediction is silent
-    Hnsw.writeCalibration(tmp, cal.calibration.get, cal.meta.num_nodes + 1)
-    assert(Hnsw.load(spark, tmp).calibration === None,
+    Hnsw.writeCalibration(tmp, cal.calibration, cal.meta.num_nodes + 1)
+    assert(Hnsw.load(spark, tmp).calibration.isEmpty,
       "a curve whose num_nodes marker mismatches must be dropped")
     // re-saving an UNCALIBRATED index into a reused dir removes the file
-    Hnsw.writeCalibration(tmp, cal.calibration.get, cal.meta.num_nodes)
-    assert(Hnsw.load(spark, tmp).calibration.isDefined)
-    Hnsw.save(cal.copy(calibration = None), tmp)
-    assert(Hnsw.load(spark, tmp).calibration === None,
+    Hnsw.writeCalibration(tmp, cal.calibration, cal.meta.num_nodes)
+    assert(Hnsw.load(spark, tmp).calibration.nonEmpty)
+    Hnsw.save(cal.copy(calibration = Nil), tmp)
+    assert(Hnsw.load(spark, tmp).calibration.isEmpty,
       "save without a curve must not leave a stale calibration.json behind")
   }
 
@@ -721,7 +760,7 @@ class HnswRoutedSpec extends SparkSpec {
     val cal = Hnsw.withCalibration(routed, k = 10, sampleQueries = 50)
     val tmp = Files.createTempDirectory("hnsw-cal-broken").toString
     Hnsw.save(cal, tmp)
-    assert(Hnsw.load(spark, tmp).calibration.isDefined)
+    assert(Hnsw.load(spark, tmp).calibration.nonEmpty)
     // corrupt ONE point's recall to NaN: the point regex skips it, so the
     // parsed list is shorter than declared — the loader must reject the
     // WHOLE file (a curve missing its lowest points over-probes silently)
@@ -730,7 +769,7 @@ class HnswRoutedSpec extends SparkSpec {
     val firstPoint = """\[(\d+),([-0-9.eE]+)\]""".r.findFirstIn(raw).get
     java.nio.file.Files.writeString(p,
       raw.replace(firstPoint, firstPoint.replaceAll(",[-0-9.eE]+\\]", ",NaN]")))
-    assert(Hnsw.load(spark, tmp).calibration === None,
+    assert(Hnsw.load(spark, tmp).calibration.isEmpty,
       "a curve whose parsed points disagree with n_points must be dropped whole")
   }
 
@@ -757,7 +796,7 @@ class HnswRoutedSpec extends SparkSpec {
     import graft.hnsw.CalCurve
     // handcrafted curve so the expected pick is unambiguous: 0.95 -> 3
     val curve = CalCurve(10, Seq((3, 0.96), (16, 1.0)))
-    val calIdx = routed.copy(calibration = Some(curve))
+    val calIdx = routed.copy(calibration = Seq(curve))
     Hnsw.annQueryAdaptive(calIdx, queries, k = 10).count()
     assert(Hnsw.lastAdaptiveProbe.get() === 3,
       "no-flag call on a calibrated index must consume the curve's 0.95 pick")
@@ -765,11 +804,12 @@ class HnswRoutedSpec extends SparkSpec {
     Hnsw.annQueryAdaptive(routed, queries, k = 10).count()
     assert(Hnsw.lastAdaptiveProbe.get() === -1,
       "an uncalibrated index must keep the C/4 default")
-    // a curve for a DIFFERENT k must not be consumed (per-k contract)
-    Hnsw.annQueryAdaptive(routed.copy(calibration = Some(CalCurve(5, Seq((3, 0.96))))),
+    // a curve at k' < k must not be consumed (it would OVER-predict);
+    // covering curves at k' >= k are exercised in the family spec below
+    Hnsw.annQueryAdaptive(routed.copy(calibration = Seq(CalCurve(5, Seq((3, 0.96))))),
       queries, k = 10).count()
     assert(Hnsw.lastAdaptiveProbe.get() === -1,
-      "a curve at the wrong k must fall back to the default")
+      "a curve at k' < k must fall back to the default")
     // explicit probe is a cost dial and wins over the curve
     Hnsw.annQueryAdaptive(calIdx, queries, k = 10, probeCells = 7).count()
     assert(Hnsw.lastAdaptiveProbe.get() === 7)
@@ -777,5 +817,77 @@ class HnswRoutedSpec extends SparkSpec {
     Hnsw.annQueryAdaptive(calIdx, queries, k = 10, recallTarget = 0.99).count()
     assert(Hnsw.lastAdaptiveProbe.get() === 16,
       "explicit target must pick from the attached curve (0.99 -> 16)")
+  }
+
+  test("calibration family: one pass measures every k; a covering k' >= k curve is a floor; persistence + pre-r15 back-compat") {
+    // ONE measurement pass at kMax attaches every requested curve; the
+    // k=10 member is bit-identical to a single-k calibration (the top-10
+    // truth is a prefix of the top-50 truth, hit ranks are per-pair)
+    val fam = Hnsw.withCalibration(routed, Seq(5, 10, 50), 50)
+    assert(fam.calibration.map(_.k) === Seq(5, 10, 50))
+    val single = Hnsw.withCalibration(routed, k = 10, sampleQueries = 50)
+    assert(fam.calibration.find(_.k == 10).get.points === single.calibration.head.points,
+      "the family's k=10 curve must BE the single-k measurement")
+    // THE FLOOR PROPERTY, on the measured object (what licenses curveFor's
+    // covering fallback): at every probe budget the k'-curve's prediction
+    // is <= every smaller k's — nearer true neighbours route at smaller
+    // cell ranks — so serving k from the nearest k' >= k under-predicts
+    // recall@k and its pick can only over-probe, never under-deliver
+    def at(cv: graft.hnsw.CalCurve, p: Int): Double =
+      cv.points.takeWhile(_._1 <= p).lastOption.map(_._2).getOrElse(0.0)
+    val c5 = fam.calibration.find(_.k == 5).get
+    val c10 = fam.calibration.find(_.k == 10).get
+    val c50 = fam.calibration.find(_.k == 50).get
+    (1 to routed.meta.num_cells).foreach { p =>
+      assert(at(c50, p) <= at(c10, p) + 1e-9, s"k=50 must floor k=10 at probe $p")
+      assert(at(c10, p) <= at(c5, p) + 1e-9, s"k=10 must floor k=5 at probe $p")
+    }
+    // k=7 has no exact curve: the k=10 curve covers it, and the covering
+    // pick's MEASURED recall@7 clears the target (the floor, end-to-end)
+    val pick7 = Hnsw.cachedProbeFor(fam, 7, 0.9).getOrElse(fail("k=10 must cover k=7"))
+    assert(pick7 === Hnsw.cachedProbeFor(fam, 10, 0.9).get,
+      "the covering pick must come from the nearest k' >= k curve")
+    assert(Hnsw.cachedProbeFor(fam, 51, 0.9) === None,
+      "k above the family has no covering curve -> no contract")
+    val n = routed.meta.num_nodes
+    val step = math.max(1L, n / 50L)
+    val sample = routed.nodes.filter(!col("tombstone") && col("id") % step === 0)
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      .select(col("id").as("qid"), col("vector"))
+    val uniq = routed.nodes.filter(!col("tombstone"))
+      .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+    val exact7 = Knn.exactTopK(uniq, sample, 7, Distances.metric(routed.meta.metric))
+    val ann7 = Hnsw.annQueryRoutedExact(routed, sample, k = 7, probeCells = pick7)
+    val measured7 = Hnsw.recallAtK(ann7, exact7, 7).agg(avg("recall")).head().getDouble(0)
+    assert(measured7 >= 0.9 - 0.02,
+      s"covering pick $pick7 must clear the 0.9 target at k=7, got $measured7")
+    // the adaptive no-flag default consumes the family at a covered k
+    Hnsw.annQueryAdaptive(fam, queries, k = 5).count()
+    assert(Hnsw.lastAdaptiveProbe.get() ===
+      Hnsw.cachedProbeFor(fam, 5, Hnsw.DefaultRecallTarget).get,
+      "no-flag adaptive at k=5 must consume the family's k=5 curve")
+    // persistence: the whole family round-trips bit-exact through save/load
+    val tmp = Files.createTempDirectory("hnsw-calfam").toString
+    Hnsw.save(fam, tmp)
+    val loaded = Hnsw.load(spark, tmp)
+    assert(loaded.calibration.map(cv => (cv.k, cv.points)) ===
+      fam.calibration.map(cv => (cv.k, cv.points)),
+      "the curve family must round-trip bit-exact through calibration.json")
+    // a pre-r15 single-curve calibration.json (top-level k) still loads —
+    // indexes saved by older rounds keep their contract
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/calibration.json"),
+      s"""{"k":10,"num_nodes":${fam.meta.num_nodes},"n_points":2,"points":[[3,0.5],[9,1.0]]}""")
+    val old = Hnsw.load(spark, tmp)
+    assert(old.calibration.map(_.k) === Seq(10))
+    assert(old.calibration.head.points === Seq((3, 0.5), (9, 1.0)))
+    // one broken member rejects the family WHOLE (n_points discipline)
+    Hnsw.save(fam, tmp)
+    val pth = java.nio.file.Paths.get(s"$tmp/calibration.json")
+    val raw = java.nio.file.Files.readString(pth)
+    val firstPoint = """\[(\d+),([-0-9.eE]+)\]""".r.findFirstIn(raw).get
+    java.nio.file.Files.writeString(pth,
+      raw.replace(firstPoint, firstPoint.replaceAll(",[-0-9.eE]+\\]", ",NaN]")))
+    assert(Hnsw.load(spark, tmp).calibration.isEmpty,
+      "a family with one broken curve must be dropped whole")
   }
 }

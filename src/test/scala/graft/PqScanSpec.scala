@@ -121,10 +121,13 @@ class PqScanSpec extends SparkSpec {
     assert(idx.pq.get.recallK === 10 && idx.pq.get.refine > 0 &&
       idx.pq.get.refineRecall > 0,
       "attachPq must measure and stamp refine-capped recall by default")
+    assert(idx.pq.get.stampProbe > 0,
+      "attachPq must record the probe the stamp was measured at")
     assert(loaded.pq.get.recallK === idx.pq.get.recallK &&
       loaded.pq.get.refine === idx.pq.get.refine &&
+      loaded.pq.get.stampProbe === idx.pq.get.stampProbe &&
       math.abs(loaded.pq.get.refineRecall - idx.pq.get.refineRecall) < 1e-9,
-      "recall stamp must survive save/load")
+      "recall stamp (incl. stamp_probe) must survive save/load")
     assert(Hnsw.annQueryPqRefined(loaded, q, k = 10, probeCells = 16, refine = 400)
       .collect().map(_.toSeq).toSet === full)
     // the filtered view must NOT keep the sidecar (codes don't know the filter)
@@ -225,7 +228,7 @@ class PqScanSpec extends SparkSpec {
     assert(Hnsw.traversalDecays(base.meta, k = 10, ef = 2))
     // handcrafted curve (0.95 -> probe 4 = the C/4 default here) and a
     // deterministic stamp, so the gate's inputs are unambiguous
-    val curve = Some(CalCurve(10, Seq((4, 0.96), (16, 1.0))))
+    val curve = Seq(CalCurve(10, Seq((4, 0.96), (16, 1.0))))
     def stamped(rec: Double, k: Int) = base.copy(calibration = curve,
       pq = base.pq.map(_.copy(refineRecall = rec, refine = 60, recallK = k)))
     // GATE OPEN: calibrated default target 0.95 <= stamp 0.97 at k=10
@@ -250,7 +253,7 @@ class PqScanSpec extends SparkSpec {
     assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()))
     // GATE SHUT 3: no contract at all (no curve, no target) — the r13
     // explicit-lever behavior, even with a perfect stamp
-    Hnsw.annQueryAdaptive(stamped(0.97, 10).copy(calibration = None),
+    Hnsw.annQueryAdaptive(stamped(0.97, 10).copy(calibration = Nil),
       q, k = 10, ef = 2).count()
     assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()),
       "no contract must keep the exact forms (explicit-lever history)")
@@ -258,6 +261,27 @@ class PqScanSpec extends SparkSpec {
     Hnsw.annQueryAdaptive(stamped(0.97, 10), q, k = 10, ef = 2, probeCells = 4).count()
     assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()),
       "an explicit probe must not open the kernel gate")
+    // GATE SHUT 5 (ADVICE r14): the stamp was measured at a LARGER probe
+    // than the contract pick — routing coverage at query time is lower
+    // than at stamp time, so the stamp is no bound and the gate must stay
+    // shut (here: curve pick 4 < stamp_probe 8)
+    val wideStamp = base.copy(calibration = curve,
+      pq = base.pq.map(_.copy(refineRecall = 0.97, refine = 60, recallK = 10,
+        stampProbe = 8)))
+    Hnsw.annQueryAdaptive(wideStamp, q, k = 10, ef = 2).count()
+    assert(Set("pruned-scan", "exact-scan").contains(Hnsw.lastDecayPick.get()),
+      "a stamp measured above the query-time probe must not open the gate")
+    // ...but a pick at or above the stamp probe re-opens it: target 0.97
+    // needs the curve's 16-cell point (>= stamp_probe 8), and 0.97 <= stamp
+    Hnsw.annQueryAdaptive(wideStamp.copy(pq = wideStamp.pq.map(_.copy(refineRecall = 0.98))),
+      q, k = 10, ef = 2, recallTarget = 0.97).count()
+    assert(Hnsw.lastDecayPick.get() === "pq-kernel",
+      "a query-time probe at/above the stamp probe satisfies the coverage gate")
+    // an explicitly recorded stamp_probe equal to the pick opens too
+    Hnsw.annQueryAdaptive(stamped(0.97, 10).copy(
+      pq = stamped(0.97, 10).pq.map(_.copy(stampProbe = 4))), q, k = 10, ef = 2).count()
+    assert(Hnsw.lastDecayPick.get() === "pq-kernel",
+      "stamp_probe == contract pick must keep the gate open")
     built.nodes.unpersist()
   }
 }
