@@ -39,7 +39,38 @@ final class LocalHnsw(
 
   def size: Int = vectors.size
 
-  @inline private def d(q: Array[Float], id: Long): Double = distFn(q, vectors(id))
+  // ---- cosine norm cache --------------------------------------------
+  // cosineLocal recomputes BOTH operands' self-dots on every call — 3×
+  // the flops of the dot product that actually varies per pair. The
+  // build's inner loop evaluates each stored vector against hundreds of
+  // queries, so caching ‖v‖ per stored id (and computing the query's
+  // once per search) cuts the dominant build phase's arithmetic ~3× at
+  // high dim. BIT-IDENTICAL to cosineLocal: the dot, na and nb
+  // accumulators are independent and keep the exact same i-ascending
+  // operation order, so 1 − dot/(√na·√nb) is the same IEEE value whether
+  // the norms are computed in the same loop or cached (spec-pinned in
+  // LocalHnswSpec). l2 keeps the plain per-pair path (its subtraction
+  // couples the operands — a na+nb−2·dot rewrite would NOT be
+  // bit-identical).
+  private val cacheNorms = metricName == "cosine"
+  private val norms = new mutable.LongMap[Double]()
+
+  /** Query norm for the cached-cosine path; unused (0.0) for l2. */
+  @inline private def qNormOf(q: Array[Float]): Double =
+    if (cacheNorms) Distances.normLocal(q) else 0.0
+
+  @inline private def dQ(q: Array[Float], qNorm: Double, id: Long): Double =
+    if (cacheNorms) Distances.cosineLocalPre(q, qNorm, vectors(id), norms(id))
+    else distFn(q, vectors(id))
+
+  @inline private def dIds(a: Long, b: Long): Double =
+    if (cacheNorms) Distances.cosineLocalPre(vectors(a), norms(a), vectors(b), norms(b))
+    else distFn(vectors(a), vectors(b))
+
+  private[hnsw] def registerVector(id: Long, vector: Array[Float]): Unit = {
+    vectors(id) = vector
+    if (cacheNorms) norms(id) = Distances.normLocal(vector)
+  }
 
   /** Bounded best-first search on one layer (reference `_search_layer`,
     * `hsnw_trial.py:156-192`): min-heap frontier, bounded max-heap of the
@@ -58,13 +89,14 @@ final class LocalHnsw(
     */
   def searchLayer(q: Array[Float], entry: Long, ef: Int, layer: Int,
                   skip: Long => Boolean = _ => false): Array[(Double, Long)] = {
+    val qn = qNormOf(q)
     val visited = new mutable.HashSet[Long]()
     visited += entry
     // frontier: nearest first → reverse ordering (PriorityQueue pops max)
     val frontier = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
     // kept: worst first, bounded at ef
     val kept = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1))
-    val d0 = d(q, entry)
+    val d0 = dQ(q, qn, entry)
     frontier.enqueue((d0, entry))
     if (!skip(entry)) kept.enqueue((d0, entry))
     while (frontier.nonEmpty) {
@@ -78,7 +110,7 @@ final class LocalHnsw(
           val nb = nbrs(i)
           if (!visited.contains(nb)) {
             visited += nb
-            val nd = d(q, nb)
+            val nd = dQ(q, qn, nb)
             if (kept.size < ef || nd < kept.head._1) {
               frontier.enqueue((nd, nb))
               if (!skip(nb)) {
@@ -109,11 +141,10 @@ final class LocalHnsw(
     var i = 0
     while (i < candidates.length && selected.size < cap) {
       val (cd, c) = candidates(i)
-      val cv = vectors(c)
       var keep = true
       var j = 0
       while (keep && j < selected.size) {
-        if (distFn(cv, vectors(selected(j))) < cd) keep = false
+        if (dIds(c, selected(j)) < cd) keep = false
         j += 1
       }
       if (keep) selected += c
@@ -126,8 +157,9 @@ final class LocalHnsw(
     * (reference insert/query phase-1 descent, `hsnw_trial.py:223-233`).
     */
   private def greedyStep(q: Array[Float], start: Long, layer: Int): Long = {
+    val qn = qNormOf(q)
     var cur = start
-    var curD = d(q, cur)
+    var curD = dQ(q, qn, cur)
     var improved = true
     while (improved) {
       improved = false
@@ -135,7 +167,7 @@ final class LocalHnsw(
       var i = 0
       while (i < nbrs.length) {
         val nb = nbrs(i)
-        val nd = d(q, nb)
+        val nd = dQ(q, qn, nb)
         if (nd < curD) { cur = nb; curD = nd; improved = true }
         i += 1
       }
@@ -148,7 +180,7 @@ final class LocalHnsw(
     */
   def add(id: Long, vector: Array[Float], level: Int): Unit = {
     require(vector.length == dim, s"dimension mismatch: ${vector.length} != $dim")
-    vectors(id) = vector
+    registerVector(id, vector)
     levels(id) = level
     graph(id) = Array.fill(level + 1)(new mutable.ArrayBuffer[Long](if (level == 0) maxM0 else m))
 
@@ -185,8 +217,7 @@ final class LocalHnsw(
     val bl = graph(b)(layer)
     bl += a
     if (bl.length > cap) {
-      val bv = vectors(b)
-      val pruned = bl.map(x => (distFn(bv, vectors(x)), x)).sortBy(_._1).take(cap).map(_._2)
+      val pruned = bl.map(x => (dIds(b, x), x)).sortBy(_._1).take(cap).map(_._2)
       bl.clear()
       bl ++= pruned
     }
@@ -222,11 +253,10 @@ final class LocalHnsw(
     */
   def normalizeAdjacency(): Unit =
     graph.foreach { case (src, layers) =>
-      val sv = vectors(src)
       layers.foreach { nbrs =>
         if (nbrs.length > 1) {
           val sorted = nbrs
-            .map(d => (vectors.get(d).map(distFn(sv, _)).getOrElse(Double.MaxValue), d))
+            .map(d => (if (vectors.contains(d)) dIds(src, d) else Double.MaxValue, d))
             .sortBy(identity).map(_._2)
           nbrs.clear()
           nbrs ++= sorted
@@ -254,7 +284,7 @@ object LocalHnsw {
       edges: Iterator[(Long, Int, Long)]): LocalHnsw = {
     val idx = new LocalHnsw(dim, m, maxM0, efConstruction, metricName)
     nodes.foreach { case (id, vec, level) =>
-      idx.vectors(id) = vec
+      idx.registerVector(id, vec)
       idx.levels(id) = level
       idx.graph(id) = Array.fill(level + 1)(new mutable.ArrayBuffer[Long]())
       // entry point = lowest id among the highest-level nodes (deterministic,

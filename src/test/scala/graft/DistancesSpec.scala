@@ -62,6 +62,35 @@ class DistancesSpec extends SparkSpec {
     assert(df.select(Distances.cosine($"a", $"b")).head().getDouble(0) === 1.0)
   }
 
+  test("cosineLocalPre with precomputed norms is BIT-identical to cosineLocal (the build hot-loop form)") {
+    // the norm cache rewrites 1 - dot/(sqrt(na)*sqrt(nb)) with na/nb
+    // computed once per vector; the three accumulators are independent
+    // and i-ascending, so every IEEE intermediate is the same — pinned
+    // here bitwise over adversarial values (denormals, huge/tiny mixes,
+    // zero vectors), because the whole point is that cached-norm builds
+    // produce the SAME graph as per-pair cosineLocal builds
+    val rnd = new scala.util.Random(42)
+    def vec(n: Int, f: Int => Float): Array[Float] = Array.tabulate(n)(f)
+    val cases: Seq[(Array[Float], Array[Float])] = Seq(
+      (vec(512, _ => rnd.nextFloat() * 2f - 1f), vec(512, _ => rnd.nextFloat() * 2f - 1f)),
+      (vec(7, _ => rnd.nextFloat()), vec(7, _ => -rnd.nextFloat())),
+      (vec(64, i => (i * 1e-42f)), vec(64, i => ((63 - i) * 1e38f))),
+      (vec(16, _ => 0f), vec(16, _ => rnd.nextFloat())),
+      (vec(16, _ => rnd.nextFloat()), vec(16, _ => 0f)),
+      (vec(1, _ => 3.5f), vec(1, _ => -2.25f)))
+    cases.foreach { case (a, b) =>
+      val plain = Distances.cosineLocal(a, b)
+      val pre = Distances.cosineLocalPre(a, Distances.normLocal(a), b, Distances.normLocal(b))
+      assert(java.lang.Double.doubleToLongBits(plain) ===
+        java.lang.Double.doubleToLongBits(pre),
+        s"cosineLocalPre must be bit-identical (plain=$plain pre=$pre)")
+    }
+    // and the norm itself is cosineLocal's own na accumulation
+    val v = vec(512, _ => rnd.nextFloat() * 2f - 1f)
+    assert(java.lang.Double.doubleToLongBits(Distances.normLocal(v)) ===
+      java.lang.Double.doubleToLongBits(math.sqrt(Distances.dotLocal(v, v))))
+  }
+
   test("metric registry rejects unknown names (hsnw_trial.py:88-89)") {
     intercept[IllegalArgumentException](Distances.metric("manhattan"))
     intercept[IllegalArgumentException](Distances.metricLocal("manhattan"))
