@@ -33,7 +33,7 @@ final class LocalHnsw(
   val vectors = new mutable.LongMap[Array[Float]]()
   val levels = new mutable.LongMap[Int]()
   /** id → (layer → neighbor ids); array index is the layer. */
-  val graph = new mutable.LongMap[Array[mutable.ArrayBuffer[Long]]]()
+  val graph = new mutable.LongMap[Array[LongList]]()
   var entryPoint: Long = -1L
   var maxLayer: Int = -1
 
@@ -54,6 +54,18 @@ final class LocalHnsw(
   // bit-identical).
   private val cacheNorms = metricName == "cosine"
   private val norms = new mutable.LongMap[Double]()
+
+  // ---- primitive inner-loop structures --------------------------------
+  // The insert loop is STRUCTURE-bound, not flop-bound: measured
+  // single-threaded (LocalBuildBench, 16k x 512 cosine) the boxed forms —
+  // ArrayBuffer[Long] adjacency (an Array[AnyRef] of boxed longs walked on
+  // every hop), PriorityQueue[(Double, Long)] heaps (a tuple allocation
+  // per candidate) and HashSet[Long] visited (a box per membership test) —
+  // cost ~10x the distance arithmetic itself. Neighbor lists, both search
+  // heaps and the visited set are therefore plain primitive arrays. Tie
+  // ordering is (dist, id) everywhere — deterministic by construction
+  // (the boxed heaps broke distance ties by internal heap order, which
+  // was deterministic but unspecified).
 
   /** Query norm for the cached-cosine path; unused (0.0) for l2. */
   @inline private def qNormOf(q: Array[Float]): Double =
@@ -90,32 +102,34 @@ final class LocalHnsw(
   def searchLayer(q: Array[Float], entry: Long, ef: Int, layer: Int,
                   skip: Long => Boolean = _ => false): Array[(Double, Long)] = {
     val qn = qNormOf(q)
-    val visited = new mutable.HashSet[Long]()
-    visited += entry
-    // frontier: nearest first → reverse ordering (PriorityQueue pops max)
-    val frontier = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1).reverse)
-    // kept: worst first, bounded at ef
-    val kept = mutable.PriorityQueue.empty[(Double, Long)](Ordering.by[(Double, Long), Double](_._1))
+    val visited = new LongHashSet(math.max(64, 4 * ef))
+    visited.add(entry)
+    // frontier: nearest-(dist, id) first; kept: worst-(dist, id) at the
+    // root, bounded at ef — primitive parallel-array heaps, no boxing
+    val frontier = new PairHeap(64, max = false)
+    val kept = new PairHeap(ef + 2, max = true)
     val d0 = dQ(q, qn, entry)
-    frontier.enqueue((d0, entry))
-    if (!skip(entry)) kept.enqueue((d0, entry))
-    while (frontier.nonEmpty) {
-      val (cd, c) = frontier.dequeue()
-      if (kept.size >= ef && cd > kept.head._1) {
-        frontier.clear() // early exit
+    frontier.push(d0, entry)
+    if (!skip(entry)) kept.push(d0, entry)
+    var done = false
+    while (!done && frontier.nonEmpty) {
+      val cd = frontier.topDist
+      val c = frontier.topId
+      frontier.pop()
+      if (kept.size >= ef && cd > kept.topDist) {
+        done = true // early exit
       } else {
         val nbrs = neighborsAt(c, layer)
         var i = 0
         while (i < nbrs.length) {
           val nb = nbrs(i)
-          if (!visited.contains(nb)) {
-            visited += nb
+          if (visited.add(nb)) {
             val nd = dQ(q, qn, nb)
-            if (kept.size < ef || nd < kept.head._1) {
-              frontier.enqueue((nd, nb))
+            if (kept.size < ef || nd < kept.topDist) {
+              frontier.push(nd, nb)
               if (!skip(nb)) {
-                kept.enqueue((nd, nb))
-                if (kept.size > ef) kept.dequeue()
+                kept.push(nd, nb)
+                if (kept.size > ef) kept.pop()
               }
             }
           }
@@ -123,12 +137,12 @@ final class LocalHnsw(
         }
       }
     }
-    kept.dequeueAll.toArray.sortBy(_._1)
+    kept.drainSortedAsc()
   }
 
-  @inline private def neighborsAt(id: Long, layer: Int): mutable.ArrayBuffer[Long] = {
+  @inline private def neighborsAt(id: Long, layer: Int): LongList = {
     val layers = graph(id)
-    if (layer < layers.length) layers(layer) else mutable.ArrayBuffer.empty
+    if (layer < layers.length) layers(layer) else LocalHnsw.EmptyList
   }
 
   /** Diversity heuristic (reference `_select_neighbors`,
@@ -182,7 +196,7 @@ final class LocalHnsw(
     require(vector.length == dim, s"dimension mismatch: ${vector.length} != $dim")
     registerVector(id, vector)
     levels(id) = level
-    graph(id) = Array.fill(level + 1)(new mutable.ArrayBuffer[Long](if (level == 0) maxM0 else m))
+    graph(id) = Array.fill(level + 1)(new LongList(if (level == 0) maxM0 else m))
 
     if (entryPoint < 0) { entryPoint = id; maxLayer = level; return }
 
@@ -217,9 +231,21 @@ final class LocalHnsw(
     val bl = graph(b)(layer)
     bl += a
     if (bl.length > cap) {
-      val pruned = bl.map(x => (dIds(b, x), x)).sortBy(_._1).take(cap).map(_._2)
-      bl.clear()
-      bl ++= pruned
+      // exactly one over cap: drop the single (dist, id)-largest — the
+      // same KEPT SET as sort-ascending-take(cap), with no sort and no
+      // allocation (the list keeps insertion order; normalizeAdjacency
+      // sorts for the persisted/query form)
+      var worst = 0
+      var worstD = dIds(b, bl(0))
+      var i = 1
+      while (i < bl.length) {
+        val di = dIds(b, bl(i))
+        if (di > worstD || (di == worstD && bl(i) > bl(worst))) {
+          worst = i; worstD = di
+        }
+        i += 1
+      }
+      bl.remove(worst)
     }
   }
 
@@ -255,11 +281,16 @@ final class LocalHnsw(
     graph.foreach { case (src, layers) =>
       layers.foreach { nbrs =>
         if (nbrs.length > 1) {
-          val sorted = nbrs
-            .map(d => (if (vectors.contains(d)) dIds(src, d) else Double.MaxValue, d))
-            .sortBy(identity).map(_._2)
-          nbrs.clear()
-          nbrs ++= sorted
+          val pairs = new Array[(Double, Long)](nbrs.length)
+          var i = 0
+          while (i < nbrs.length) {
+            val d = nbrs(i)
+            pairs(i) = (if (vectors.contains(d)) dIds(src, d) else Double.MaxValue, d)
+            i += 1
+          }
+          val sorted = pairs.sorted
+          i = 0
+          while (i < sorted.length) { nbrs.set(i, sorted(i)._2); i += 1 }
         }
       }
     }
@@ -273,7 +304,158 @@ final class LocalHnsw(
     }
 }
 
+/** Growable primitive long array — the adjacency-list cell (boxed
+  * ArrayBuffer[Long] walked the hot loop through an Array[AnyRef] of
+  * boxed longs).
+  */
+private[hnsw] final class LongList(initial: Int) {
+  def this() = this(8)
+  private var arr = new Array[Long](math.max(1, initial))
+  private var len = 0
+  @inline def length: Int = len
+  @inline def apply(i: Int): Long = arr(i)
+  @inline def set(i: Int, v: Long): Unit = arr(i) = v
+  def +=(v: Long): Unit = {
+    if (len == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    arr(len) = v
+    len += 1
+  }
+  def remove(i: Int): Unit = {
+    System.arraycopy(arr, i + 1, arr, i, len - i - 1)
+    len -= 1
+  }
+  def iterator: Iterator[Long] = (0 until len).iterator.map(arr(_))
+}
+
+/** Open-addressing primitive long set (linear probing, ≤ 0.5 load) — the
+  * searchLayer visited set. `add` returns true when the key was new, so
+  * membership test and insert are one probe sequence.
+  */
+private[hnsw] final class LongHashSet(initialCapacity: Int) {
+  private var keys = {
+    val c = java.lang.Integer.highestOneBit(math.max(16, initialCapacity) - 1) * 2
+    val a = new Array[Long](c)
+    java.util.Arrays.fill(a, Long.MinValue)
+    a
+  }
+  private var mask = keys.length - 1
+  private var n = 0
+  private var hasSentinel = false
+
+  @inline private def slot(k: Long): Int = {
+    val h = k * 0x9E3779B97F4A7C15L
+    ((h ^ (h >>> 32)).toInt) & mask
+  }
+
+  def add(k: Long): Boolean = {
+    if (k == Long.MinValue) {
+      if (hasSentinel) false else { hasSentinel = true; true }
+    } else {
+      var i = slot(k)
+      var cur = keys(i)
+      while (cur != Long.MinValue) {
+        if (cur == k) return false
+        i = (i + 1) & mask
+        cur = keys(i)
+      }
+      keys(i) = k
+      n += 1
+      if (2 * n > keys.length) rehash()
+      true
+    }
+  }
+
+  private def rehash(): Unit = {
+    val old = keys
+    keys = new Array[Long](old.length * 2)
+    java.util.Arrays.fill(keys, Long.MinValue)
+    mask = keys.length - 1
+    var i = 0
+    while (i < old.length) {
+      val k = old(i)
+      if (k != Long.MinValue) {
+        var j = slot(k)
+        while (keys(j) != Long.MinValue) j = (j + 1) & mask
+        keys(j) = k
+      }
+      i += 1
+    }
+  }
+}
+
+/** Binary heap over primitive (dist, id) pairs in parallel arrays —
+  * searchLayer's frontier (min) and bounded kept set (max). Ordering is
+  * lexicographic (dist, id); `max = true` flips it so the root is the
+  * WORST kept pair.
+  */
+private[hnsw] final class PairHeap(initial: Int, max: Boolean) {
+  private var ds = new Array[Double](math.max(2, initial))
+  private var ids = new Array[Long](ds.length)
+  private var n = 0
+
+  @inline def size: Int = n
+  @inline def nonEmpty: Boolean = n > 0
+  @inline def topDist: Double = ds(0)
+  @inline def topId: Long = ids(0)
+
+  @inline private def before(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+    if (max) d1 > d2 || (d1 == d2 && i1 > i2)
+    else d1 < d2 || (d1 == d2 && i1 < i2)
+
+  def push(d: Double, id: Long): Unit = {
+    if (n == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, n * 2)
+      ids = java.util.Arrays.copyOf(ids, n * 2)
+    }
+    var i = n
+    n += 1
+    while (i > 0 && before(d, id, ds((i - 1) / 2), ids((i - 1) / 2))) {
+      val p = (i - 1) / 2
+      ds(i) = ds(p); ids(i) = ids(p)
+      i = p
+    }
+    ds(i) = d
+    ids(i) = id
+  }
+
+  def pop(): Unit = {
+    n -= 1
+    val d = ds(n)
+    val id = ids(n)
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1
+      if (l >= n) done = true
+      else {
+        var c = l
+        val r = l + 1
+        if (r < n && before(ds(r), ids(r), ds(l), ids(l))) c = r
+        if (before(ds(c), ids(c), d, id)) {
+          ds(i) = ds(c); ids(i) = ids(c)
+          i = c
+        } else done = true
+      }
+    }
+    if (n > 0) { ds(i) = d; ids(i) = id }
+  }
+
+  /** All pairs, (dist, id) ascending — searchLayer's return shape. */
+  def drainSortedAsc(): Array[(Double, Long)] = {
+    val out = new Array[(Double, Long)](n)
+    var i = 0
+    while (i < n) { out(i) = (ds(i), ids(i)); i += 1 }
+    scala.util.Sorting.quickSort(out)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    out
+  }
+}
+
 object LocalHnsw {
+  /** Shared empty adjacency cell for layers a node does not reach —
+    * read-only by construction (neighborsAt callers only iterate).
+    */
+  private[hnsw] val EmptyList = new LongList(1)
+
   /** Rebuild a LocalHnsw from persisted rows without re-running insertion —
     * used by the distributed query path to reconstruct each partition's
     * sub-graph from the edges table.
@@ -286,7 +468,7 @@ object LocalHnsw {
     nodes.foreach { case (id, vec, level) =>
       idx.registerVector(id, vec)
       idx.levels(id) = level
-      idx.graph(id) = Array.fill(level + 1)(new mutable.ArrayBuffer[Long]())
+      idx.graph(id) = Array.fill(level + 1)(new LongList())
       // entry point = lowest id among the highest-level nodes (deterministic,
       // matches HnswBuild's ORDER BY level DESC, id ASC LIMIT 1 meta rule)
       if (idx.entryPoint < 0 || level > idx.maxLayer ||
