@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Distances
+import graft.hnsw.Hnsw
+import graft.operators.Knn
+
+/** The filtered-ANN HARD recall contract at the flagship scale (VERDICT
+  * r14 gap #2): an attached calibration curve keeps driving the probe on
+  * a filtered view, but it was measured on the UNFILTERED pair
+  * population — [[Hnsw.calibrateFiltered]] re-measures it on the
+  * filtered pairs. Two filter regimes on the saved capped 5M×512
+  * fixture, each comparing the unfiltered curve's 0.95 pick against the
+  * filtered calibration's pick on held-out in-filter queries:
+  *
+  *   - `modulus10` (geometry-blind, 10% selective): the filtered true
+  *     answers sit at ~unfiltered-rank-100 distances, but under dim-512
+  *     distance concentration rank-100 neighbours route almost like
+  *     rank-10 ones (the k=100 family curve picks 114 cells vs k=10's
+  *     109), so the measured penalty of the unfiltered pick is small —
+  *     the filtered calibration certifies a slightly cheaper probe at
+  *     the same contract;
+  *   - `region6of64` (shard-correlated, ~12%): allowed = every id homed
+  *     in the first 6 locality shards. MEASURED finding: on a UNIFORM
+  *     corpus this is barely tighter than the modulus filter (pick 90 vs
+  *     97) — uniform fill has no cluster structure, so a shard's cells
+  *     are not a tight region and in-filter neighbours' cells spread
+  *     like anyone's. The hit-rank distribution at this geometry is
+  *     nearly filter-invariant; large geometry-correlated SAVINGS need
+  *     clusterable data.
+  *
+  * Queries are sampled from the allowed set (the same population
+  * convention as the unfiltered calibration); an out-of-population query
+  * mix needs its own curve. Prints one JSON line, committed as
+  * `BENCH_SCALE_FILTERED512_CONTRACT.json`. Run:
+  *
+  *   SPARK_DRIVER_MEM=96g scripts/run_main.sh graft.FilteredContractProof /root/scale/idx512
+  */
+object FilteredContractProof {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/scale/idx512")
+    val target = args.lift(1).map(_.toDouble).getOrElse(0.95)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-filtered-contract-proof")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val idx0 = Hnsw.load(spark, dir)
+    require(idx0.calibration.nonEmpty, s"$dir must carry calibration.json")
+    val index = idx0.copy(nodes = idx0.nodes.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val n = index.meta.num_nodes
+    val k = 10
+    index.nodes.count() // materialize the cache before any timing
+
+    // two filter shapes (see the scaladoc for the measured findings):
+    //   - modulus10: 10% selective, geometry-BLIND (id modulus);
+    //   - region: shard-correlated — every id homed in the first 6 of 64
+    //     locality shards (~12% incl. spill copies' homes).
+    val allowedMod = index.nodes.filter(!col("tombstone") && col("id") % 10 === 3)
+      .select("id").distinct().localCheckpoint()
+    val regionPids = (0 until 6).map(Integer.valueOf)
+    val allowedRegion = index.nodes.filter(!col("tombstone") &&
+        col("pid").isin(regionPids: _*))
+      .select("id").distinct().localCheckpoint()
+
+    def timed[T](f: => T): (T, Double) = {
+      val s = System.nanoTime(); val r = f; (r, (System.nanoTime() - s) / 1e9)
+    }
+
+    val unfilteredPick = Hnsw.cachedProbeFor(index, k, target).getOrElse(
+      sys.error(s"no covering curve for k=$k"))
+    val nQ = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "100").toLong
+
+    def runCase(name: String, allowed: org.apache.spark.sql.DataFrame,
+                heldOut: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : String = {
+      val allowedN = allowed.count()
+      val liveAllowed = index.nodes.filter(!col("tombstone"))
+        .join(broadcast(allowed), Seq("id"), "left_semi")
+        .groupBy(col("id")).agg(first(col("vector")).as("vector"))
+        .localCheckpoint()
+      val qs = heldOut(liveAllowed)
+        .select(col("id").as("qid"), col("vector")).localCheckpoint()
+      val qCount = qs.count()
+      val exact = Knn.exactTopK(liveAllowed, qs, k, Distances.metric(index.meta.metric))
+        .localCheckpoint()
+      def measure(probe: Int): (Double, Double) = {
+        // one untimed warm-up per plan family (first-plan JIT ~3x)
+        Hnsw.annQueryFiltered(index, qs, k, allowed, exactProbe = true,
+          probeCells = probe).count()
+        val (ann, sec) = timed(Hnsw.annQueryFiltered(index, qs, k, allowed,
+          exactProbe = true, probeCells = probe).localCheckpoint())
+        val rec = Hnsw.recallAtK(ann, exact, k).agg(avg(col("recall"))).head().getDouble(0)
+        (rec, sec)
+      }
+      val (recU, secU) = measure(unfilteredPick)
+      System.err.println(f"[filtered-contract] $name unfiltered pick $unfilteredPick: " +
+        f"filtered recall@10 $recU%.4f ($secU%.1f s)")
+      val ((filteredPick, _), calSec) = timed(
+        Hnsw.calibrateFiltered(index, allowed, k, target))
+      val (recF, secF) = measure(filteredPick)
+      System.err.println(f"[filtered-contract] $name filtered pick $filteredPick " +
+        f"(calibration $calSec%.1f s): filtered recall@10 $recF%.4f ($secF%.1f s)")
+      s"""{"case":"$name","allowed":$allowedN,"selectivity":${allowedN.toDouble / n},""" +
+        s""""queries":$qCount,"unfiltered_pick":$unfilteredPick,""" +
+        s""""unfiltered_pick_recall":$recU,"unfiltered_pick_sec":$secU,""" +
+        s""""filtered_pick":$filteredPick,"filtered_pick_recall":$recF,""" +
+        s""""filtered_pick_sec":$secF,"filtered_calibrate_sec":$calSec}"""
+    }
+
+    // modulus case: the allowed population is id ≡ 3 (mod 10), so the
+    // held-out modulus must be a multiple of 10 with residue ≡ 3
+    // (mod 10) — anything else intersects the filter in the empty set.
+    // Mid-band residue keeps it disjoint from calibrateFiltered's own
+    // sample (its id % step === 0 class is empty on this filter, so it
+    // falls back to the lowest-id prefix — ids 3..~1000; vectors are a
+    // pure per-id hash, so the prefix is distributionally equivalent).
+    val rowMod = runCase("modulus10", allowedMod, { live =>
+      val allowedN = 500000L
+      val stepF = 10L * math.max(1L, allowedN / nQ)
+      val residue = 3L + 10L * ((stepF / 10L) / 2L)
+      live.filter(col("id") % stepF === residue)
+    })
+    // region case: held-out = every ~ (allowedN/nQ)-th allowed id by rank
+    // via modulus on the id value — region ids are arbitrary, so a plain
+    // modulus works; offset 1 dodges calibrateFiltered's own sample
+    val rowRegion = runCase("region6of64", allowedRegion, { live =>
+      val allowedN = math.max(1L, allowedRegion.count())
+      val stepF = math.max(1L, allowedN / nQ)
+      live.filter(col("id") % stepF === (1L % stepF))
+    })
+
+    println(s"""{"n":$n,"dim":${index.meta.dim},"num_cells":${index.meta.num_cells},""" +
+      s""""k":$k,"target":$target,"cases":[$rowMod,$rowRegion],""" +
+      s""""note":"r15 filtered hard contract on the capped 5M x 512 fixture, two filter """ +
+      s"""regimes; see FilteredContractProof scaladoc for the measured findings. Held-out """ +
+      s"""recall sd is per-QUERY-clustered (~1.5 pp at 100 queries - the 10 pairs of one """ +
+      s"""query share its routing, so the naive 1000-pair binomial 0.7 pp understates). """ +
+      s"""Queries sampled from the allowed set (the same population convention as the """ +
+      s"""unfiltered calibration); an out-of-population query mix needs its own curve. """ +
+      s"""One untimed warm-up per plan family; single rep (recall is the gate)."}""")
+    spark.stop()
+  }
+}

@@ -994,8 +994,8 @@ object Main {
           |             recall-target probe — otherwise the C/4 cost heuristic; pass --large
           |             to keep the old all-shard recall exactly)
           |  --attach-pq DIR [--pq-m M --pq-cells 256 --pq-sample N --pq-iters 3 --refine R --k 10]   (byte-code ADC sidecar; measures + stamps refine-capped recall)
-          |  --pq-measure DIR [--refine R --k 10 --calibrate-sample 100]   (re-stamp an existing sidecar's measured recall)
-          |  --calibrate DIR [--k 10 --calibrate-sample 100]   (persist the recall curve: later --recall-target picks are job-free, and no-flag --load queries consume it at target 0.95)
+          |  --pq-measure DIR [--refine R --k 10 --probe-cells PC --calibrate-sample 100]   (re-stamp an existing sidecar's measured recall + the probe it was measured at)
+          |  --calibrate DIR [--k 5,10,50,100 --calibrate-sample 100]   (persist the recall curve FAMILY in one pass: later --recall-target picks are job-free, and no-flag --load queries at any covered k consume it at target 0.95)
           |  --eval-recall DIR [--k 10 --ef EF --sample-mod 1000]
           |  --compact DIR --out DIR [--target-shards N]   (routed: keeps geometry + routed path)
           |  --gen-queries OUT --n N --dim D [--seed 7]
