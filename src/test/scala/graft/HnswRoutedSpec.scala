@@ -819,6 +819,23 @@ class HnswRoutedSpec extends SparkSpec {
       "explicit target must pick from the attached curve (0.99 -> 16)")
   }
 
+  test("save auto-calibration writes the whole default k family; autoCalibrate=false skips it") {
+    // meta doctored to the decayed operating point (the auto-calibrate
+    // trigger is meta-only); the measurement then runs on the real tiny
+    // fixture through the sparse-sample fallback
+    val decayed = routed.copy(meta = routed.meta.copy(dim = 512, num_nodes = 5000000L))
+    assert(Hnsw.traversalDecays(decayed.meta, k = 10, ef = -1))
+    val tmp = Files.createTempDirectory("hnsw-autofam").toString
+    Hnsw.save(decayed, tmp)
+    val loaded = Hnsw.load(spark, tmp)
+    assert(loaded.calibration.map(_.k) === Hnsw.DefaultCalibrationKs.sorted,
+      "save must auto-calibrate the full default k family in one pass")
+    val tmp2 = Files.createTempDirectory("hnsw-autofam-off").toString
+    Hnsw.save(decayed, tmp2, autoCalibrate = false)
+    assert(Hnsw.load(spark, tmp2).calibration.isEmpty,
+      "autoCalibrate = false must skip the curve family entirely")
+  }
+
   test("calibration family: one pass measures every k; a covering k' >= k curve is a floor; persistence + pre-r15 back-compat") {
     // ONE measurement pass at kMax attaches every requested curve; the
     // k=10 member is bit-identical to a single-k calibration (the top-10

@@ -46,6 +46,13 @@ class StreamingSpec extends SparkSpec {
     val large = Hnsw.annQueryLarge(index, queries, k = 3).filter(col("rank") === 1).collect()
     assert(large.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("id")).toMap ===
       Map(7L -> 7L, 77L -> 77L), "annQueryLarge must search appended micro-batch shards")
+    // the ghost-share invariant survives non-routed appends (ADVICE r14):
+    // num_nodes is summed incrementally like node_rows, so
+    // node_rows/num_nodes keeps measuring the ghost factor instead of
+    // drifting toward the clamp over a long stream
+    val m = Hnsw.loadMeta(dir)
+    assert(m.num_nodes === 80, "appendBatch must sum num_nodes incrementally")
+    assert(m.node_rows === 80, "plain (un-routed) appends store no ghosts")
   }
 
   test("routed incremental add: appended batches stay reachable through the routed probe") {
