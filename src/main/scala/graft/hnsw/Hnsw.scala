@@ -553,15 +553,17 @@ object Hnsw {
 
   /** Persist the index. `autoCalibrate` (default ON) closes the
     * spill-cap recall regression at the source: a locality-sharded index
-    * whose meta sits in the traversal-decay regime gets a recall
-    * calibration curve measured and persisted HERE if it doesn't already
-    * carry one — one bounded corpus scan (~the cost of a single exact
-    * query batch, amortized once per save) — so a plain `--load` query
-    * consumes the recall-target contract by default instead of the C/4
-    * heuristic (whose recall@10 measured 0.84 on the capped 5M×512 index
-    * vs 0.95 calibrated). Non-decay indexes skip it: their graph
-    * traversal doesn't carry the capped-spill recall trade, and save()
-    * stays cheap for the common small-index case.
+    * whose meta sits in the traversal-decay regime gets the recall
+    * calibration curve FAMILY ([[DefaultCalibrationKs]] — one bounded
+    * corpus scan measures every member, ~the cost of a single exact
+    * query batch, amortized once per save) measured and persisted HERE
+    * if it doesn't already carry curves — so a plain `--load` query at
+    * ANY covered k consumes the recall-target contract by default
+    * instead of the C/4 heuristic (whose recall@10 measured 0.84 on the
+    * capped 5M×512 index vs 0.95 calibrated; 0.81 at k=50 —
+    * BENCH_SCALE_CALFAMILY512.json). Non-decay indexes skip it: their
+    * graph traversal doesn't carry the capped-spill recall trade, and
+    * save() stays cheap for the common small-index case.
     */
   def save(index: HnswIndex, dir: String, autoCalibrate: Boolean = true): Unit = {
     val t0 = System.nanoTime()
