@@ -62,8 +62,10 @@ object CalFamilyDim512Proof {
     // tier takes the exact scan (recall 1.0 whatever the probe), so the
     // k-hole only shows where the probed JOIN consumes the probe budget.
     // Binomial sd at 25 q: ~2.0 pp at k=5, ~0.6 pp at k=50.
+    require(n > 0, s"$dir meta.num_nodes=$n — the proof needs a live count " +
+      "(a reference-format meta.json loads as -1)")
     val nQ = sys.env.getOrElse("SPARK_GRAFT_RECALL_QUERIES", "25").toLong
-    val step = n / nQ
+    val step = math.max(1L, n / nQ)
     val sample = index.nodes
       .filter(!col("tombstone") && col("id") % step === 1)
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
@@ -82,7 +84,7 @@ object CalFamilyDim512Proof {
     // the calibration's own sample (modulus class 0, 100 queries) — the
     // population the curve's prediction is exact on; measuring the probed
     // join there separates curve error from held-out sampling noise
-    val calStep = n / 100L
+    val calStep = math.max(1L, n / 100L)
     val calSample = index.nodes
       .filter(!col("tombstone") && col("id") % calStep === 0)
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))

@@ -348,12 +348,15 @@ object Main {
       require(index.pq.isDefined, s"no PQ sidecar under $dir — run --attach-pq first")
       val k = opts.getOrElse("k", "10").toInt
       val t0 = System.nanoTime()
-      val (rec, refUsed, probeUsed) = Hnsw.measurePqRecall(index, k,
+      val st = Hnsw.measurePqRecall(index, k,
         refine = opts.getOrElse("refine", "-1").toInt,
         sampleQueries = opts.getOrElse("calibrate-sample", "100").toInt,
         probeCells = opts.getOrElse("probe-cells", "-1").toInt)
-      Hnsw.writePqMeta(dir, index.meta.num_nodes, rec, refUsed, k, probeUsed)
-      println(f"[pq-measure] recall@$k $rec%.4f at refine $refUsed, probe $probeUsed " +
+      // the persisted stamp is the MARGINED value (measured − 1 clustered
+      // sd) — what the adaptive kernel gate compares against its target
+      Hnsw.writePqMeta(dir, index.meta.num_nodes, st.stamp, st.refine, k, st.probeCells)
+      println(f"[pq-measure] recall@$k measured ${st.measured}%.4f over ${st.queries} queries " +
+        f"-> stamp ${st.stamp}%.4f at refine ${st.refine}, probe ${st.probeCells} " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s -> $dir/pq_meta.json")
 
     } else if (opts.contains("calibrate")) {

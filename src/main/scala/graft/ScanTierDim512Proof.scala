@@ -172,9 +172,9 @@ object ScanTierDim512Proof {
     val withPq = (if (full.pq.exists(sc => sc.refine > 0 && sc.recallK == 10)) full
       else {
         System.err.println("[scantier512] sidecar unstamped - measuring refine recall in-JVM")
-        val (rec, ref, prb) = Hnsw.measurePqRecall(full, k = 10)
-        full.copy(pq = full.pq.map(_.copy(refineRecall = rec, refine = ref, recallK = 10,
-          stampProbe = prb)))
+        val st = Hnsw.measurePqRecall(full, k = 10)
+        full.copy(pq = full.pq.map(_.copy(refineRecall = st.stamp, refine = st.refine,
+          recallK = 10, stampProbe = st.probeCells)))
       }).copy(calibration = calOnly.calibration)
     val stamp = withPq.pq.get
     System.err.println(f"[scantier512] sidecar stamp: recall@10 ${stamp.refineRecall}%.4f " +

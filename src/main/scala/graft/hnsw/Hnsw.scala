@@ -67,6 +67,19 @@ case class PqSidecar(codebooks: DataFrame, codes: DataFrame, m: Int,
                      refineRecall: Double = -1.0, refine: Int = -1,
                      recallK: Int = -1, stampProbe: Int = -1)
 
+/** [[Hnsw.measurePqRecall]]'s result: `measured` is the raw sample-mean
+  * recall@k of the refine-capped ADC kernel; `stamp` is the value to
+  * PERSIST and gate on — measured minus one query-level-clustered sd
+  * (sqrt(r·(1−r)/queries)), so a gate comparing it against a hard target
+  * holds in held-out expectation rather than only on the measurement
+  * sample (VERDICT r15 item 6 — the same margin discipline as
+  * [[CalCurve.pickWithMargin]]). `queries` is the actual sample size
+  * (≤ the requested count on sparse corpora); sentinel (-1, -1, …, 0)
+  * when there was nothing to measure.
+  */
+case class PqStamp(measured: Double, stamp: Double, refine: Int,
+                   probeCells: Int, queries: Long)
+
 /** A persisted recall-calibration curve ([[Hnsw.calibrateProbeCells]]):
   * for `k`, the predicted recall@k at every probe budget, sorted by
   * probe_cells ascending. Attached to an index it makes every
@@ -96,6 +109,23 @@ case class CalCurve(k: Int, points: Seq[(Int, Double)]) {
     */
   def pick(target: Double, c: Int): Int =
     math.min(c, points.find(_._2 >= target).map(_._1).getOrElse(c))
+
+  /** [[pick]] with a one-clustered-sd selection margin: the smallest
+    * probe predicted ≥ target + sqrt(target·(1−target)/nQueries). The
+    * bare min-probe-at-target pick conditions on the calibration
+    * sample's own noise (the pick is the first point whose
+    * MEASURED-ON-SAMPLE recall clears the target), so its held-out
+    * expectation sits BELOW the target — measured at 5M×512: both r15
+    * filtered picks delivered 0.934/0.9336 held-out against a 0.95
+    * target (BENCH_SCALE_FILTERED512_CONTRACT.json, r15 revision). The
+    * margin is the query-level Bernoulli sd — conservative for clustered
+    * recall noise, where a query's k truth pairs share one routing (the
+    * artifact's measured ~1.5 pp at 100 queries vs this bound's 2.2 pp).
+    */
+  def pickWithMargin(target: Double, c: Int, nQueries: Long): Int = {
+    val sd = if (nQueries > 0) math.sqrt(target * (1.0 - target) / nQueries) else 0.0
+    pick(math.min(1.0, target + sd), c)
+  }
 }
 
 /** A built index: distributed node + edge tables plus small meta.
@@ -626,6 +656,12 @@ object Hnsw {
     require(curves.nonEmpty, "writeCalibration needs at least one curve")
     require(curves.map(_.k).distinct.size == curves.size,
       s"duplicate k in calibration family ${curves.map(_.k)}")
+    // a zero-point member would persist as n_points:0, which parseCurve
+    // rejects — and one broken member rejects the WHOLE family at load,
+    // silently losing every good curve (ADVICE r15). measureCurves no
+    // longer emits them; refuse loudly if a caller hands one in anyway.
+    require(curves.forall(_.points.nonEmpty),
+      s"empty-point curve in calibration family (k=${curves.filter(_.points.isEmpty).map(_.k)})")
     // n_points lets the loader reject a file whose point list parsed
     // PARTIALLY (e.g. a NaN recall the point regex skips): a curve that
     // silently loses its lowest points over-probes every pick after it
@@ -1442,7 +1478,12 @@ object Hnsw {
           .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
         var cum = 0L
         val points = hist.map { case (p, h) => cum += h; (p, cum / totalPairs) }.toSeq
-        Some(CalCurve(k, points))
+        // totalPairs > 0 with an empty histogram (no truth pair ever
+        // joined a cell rank) would persist as n_points:0, which
+        // loadCalibration's parseCurve rejects — and one broken member
+        // rejects the WHOLE family at load. Drop the degenerate curve
+        // instead of poisoning the file (ADVICE r15).
+        if (points.isEmpty) None else Some(CalCurve(k, points))
       }
     }
     graft.operators.Checkpoints.unpersist(sample)
@@ -1552,11 +1593,10 @@ object Hnsw {
     // already paid a full encode pass. measure=false opts out (e.g. the
     // caller plans its own sweep).
     if (measure) {
-      val (rec, refUsed, probeUsed) =
-        measurePqRecall(attached, measureK, measureRefine, measureSample)
+      val st = measurePqRecall(attached, measureK, measureRefine, measureSample)
       attached.copy(pq = attached.pq.map(_.copy(
-        refineRecall = rec, refine = refUsed, recallK = measureK,
-        stampProbe = probeUsed)))
+        refineRecall = st.stamp, refine = st.refine, recallK = measureK,
+        stampProbe = st.probeCells)))
     } else attached
   }
 
@@ -1572,12 +1612,23 @@ object Hnsw {
     * returned RESOLVED so the caller can persist it as `stamp_probe`:
     * the gate must not honour the stamp at a smaller query-time probe,
     * where routing coverage (and so delivered recall) is lower than the
-    * measurement's (ADVICE r14). Returns
-    * (measured recall@k, refine actually used, resolved probe cells).
+    * measurement's (ADVICE r14).
+    *
+    * The persisted stamp is the MARGINED value: measured recall minus
+    * one query-level-clustered sd (sqrt(r·(1−r)/queries)) — the same
+    * held-out/margin discipline as [[CalCurve.pickWithMargin]] (VERDICT
+    * r15 item 6): the stamp is a point estimate the kernel gate compares
+    * against a hard target, so gating on the raw sample mean would open
+    * the gate on measurements whose held-out expectation sits below it.
+    * The query sample (id ≡ 3 mod step) is additionally disjoint from
+    * the calibration family's class-0 sample and the scale proofs'
+    * class-1 held-out queries. A high-confidence stamp near a 0.95
+    * target wants `sampleQueries` ≥ 400 (sd ≤ ~1 pp); the default 100
+    * keeps the attach-time cost bounded.
     */
   def measurePqRecall(index: HnswIndex, k: Int = 10, refine: Int = -1,
                       sampleQueries: Int = 100,
-                      probeCells: Int = -1): (Double, Int, Int) = {
+                      probeCells: Int = -1): PqStamp = {
     require(index.pq.isDefined, "measurePqRecall needs an attached PQ sidecar")
     val probeUsed = resolvedProbe(index.meta, probeCells)
     val uniq = index.nodes.filter(!col("tombstone"))
@@ -1607,8 +1658,9 @@ object Hnsw {
     // sentinel instead of throwing on a null avg(recall)
     if (qs.isEmpty) {
       graft.operators.Checkpoints.unpersist(qs)
-      return (-1.0, refUsed, probeUsed)
+      return PqStamp(-1.0, -1.0, refUsed, probeUsed, 0L)
     }
+    val qCount = qs.count()
     val exact = graft.operators.Knn.exactTopK(uniq, qs, k,
       Distances.metric(index.meta.metric)).localCheckpoint()
     val ann = annQueryPqRefined(index, qs, k, probeCells = probeCells,
@@ -1617,7 +1669,10 @@ object Hnsw {
     graft.operators.Checkpoints.unpersist(qs)
     graft.operators.Checkpoints.unpersist(exact)
     graft.operators.Checkpoints.unpersist(ann)
-    (rec, refUsed, probeUsed)
+    // clustered (query-level Bernoulli) sd — a query's k truth pairs
+    // share one routing, so the pair-level binomial sd understates
+    val sd = if (qCount > 0) math.sqrt(rec * (1.0 - rec) / qCount) else 0.0
+    PqStamp(rec, math.max(0.0, rec - sd), refUsed, probeUsed, qCount)
   }
 
   /** ADC-coarse + exact-rescore search over the probed-shard union — the
@@ -2091,23 +2146,50 @@ object Hnsw {
     *     live rows ~1/selectivity, so the count is re-derived from the
     *     filtered view (one bounded countDistinct job).
     *
-    * Why filters NEED their own curve (not just geometry-correlated
-    * ones): the filtered true top-k are the nearest ALLOWED neighbours —
-    * farther from the query than the unfiltered top-k on any selective
-    * filter — and farther neighbours' home cells sit at larger query
-    * cell ranks, so the unfiltered curve over-predicts recall on the
-    * filtered population (measured at 5M×512:
-    * BENCH_SCALE_FILTERED512_CONTRACT.json). Pass the returned pick as
+    * What the 5M×512 artifact ACTUALLY measured
+    * (BENCH_SCALE_FILTERED512_CONTRACT.json): on that UNIFORM corpus the
+    * hit-rank distribution is nearly filter-invariant — the unfiltered
+    * pick (109 cells) OVER-delivered on both filtered populations
+    * (held-out 0.956/0.9607 vs the 0.95 target), while the r15
+    * bare min-probe filtered picks (97/90 cells) UNDER-delivered
+    * (0.934/0.9336): min-probe-at-target selection overfits the
+    * calibration sample, so its held-out expectation falls below the
+    * target. Two consequences, both in this implementation: the pick
+    * carries a one-clustered-sd selection margin
+    * ([[CalCurve.pickWithMargin]]) so held-out expectation sits AT the
+    * target rather than below it, and the contract's value on
+    * geometry-BLIND filters is a certified CHEAPER probe at the same
+    * target (10–17% fewer cells in the committed cases), not more
+    * recall. The theoretical direction (filtered true top-k are farther,
+    * so the unfiltered curve over-predicts) needs the filter to
+    * correlate with vector GEOMETRY to bite — uniform fill showed none;
+    * the clustered-corpus case is measured separately
+    * (BENCH_SCALE_FILTERED512_CLUSTERED.json). Pass the returned pick as
     * `probeCells` to [[annQueryFiltered]] (exactProbe/adaptive honour
     * it); reuse it across batches against the same filter.
     */
   def calibrateFiltered(index: HnswIndex, allowedIds: DataFrame, k: Int,
                         recallTarget: Double,
                         sampleQueries: Int = 100): (Int, DataFrame) = {
-    val view = withAllowed(index, allowedIds).copy(
-      calibration = Nil,
-      meta = index.meta.copy(num_nodes = -1L))
-    calibrateProbeCells(view, k, recallTarget, sampleQueries)
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val view0 = withAllowed(index, allowedIds).copy(calibration = Nil)
+    // re-derive the live count from the filtered view (meta.num_nodes
+    // counts the unfiltered corpus — its sampling modulus would
+    // under-sample a selective filter ~1/selectivity); reused below as
+    // the margin's effective query count
+    val liveN = view0.nodes.filter(!col("tombstone"))
+      .agg(countDistinct("id")).head().getLong(0)
+    val view = view0.copy(meta = index.meta.copy(num_nodes = math.max(1L, liveN)))
+    val c = math.max(1, index.meta.num_cells)
+    measureCurves(view, Seq(k), sampleQueries).headOption match {
+      case Some(curve) =>
+        val nQ = math.max(1L, math.min(sampleQueries.toLong, liveN))
+        (curve.pickWithMargin(recallTarget, c, nQ),
+          curve.points.toDF("probe_cells", "predicted_recall"))
+      case None => // empty filtered view: full probe, empty curve
+        (c, Seq.empty[(Int, Double)].toDF("probe_cells", "predicted_recall"))
+    }
   }
 
   /** The filter-as-tombstone node rewrite behind [[annQueryFiltered]], as a

@@ -232,9 +232,13 @@ final class LocalHnsw(
     bl += a
     if (bl.length > cap) {
       // exactly one over cap: drop the single (dist, id)-largest — the
-      // same KEPT SET as sort-ascending-take(cap), with no sort and no
+      // same KEPT SET as sort-by-(dist,id)-take(cap), with no sort and no
       // allocation (the list keeps insertion order; normalizeAdjacency
-      // sorts for the persisted/query form)
+      // sorts for the persisted/query form). On distance TIES this keeps
+      // the smaller id, intentionally differing from the pre-r15 stable
+      // sort-by-distance-only (earliest-inserted won) and from the
+      // reference's same stable prune (hsnw_trial.py:252) — (dist,id) is
+      // the deterministic total order the rest of the engine uses.
       var worst = 0
       var worstD = dIds(b, bl(0))
       var i = 1
@@ -308,7 +312,7 @@ final class LocalHnsw(
   * ArrayBuffer[Long] walked the hot loop through an Array[AnyRef] of
   * boxed longs).
   */
-private[hnsw] final class LongList(initial: Int) {
+private[hnsw] class LongList(initial: Int) {
   def this() = this(8)
   private var arr = new Array[Long](math.max(1, initial))
   private var len = 0
@@ -321,6 +325,7 @@ private[hnsw] final class LongList(initial: Int) {
     len += 1
   }
   def remove(i: Int): Unit = {
+    require(i >= 0 && i < len, s"LongList.remove($i) outside [0, $len)")
     System.arraycopy(arr, i + 1, arr, i, len - i - 1)
     len -= 1
   }
@@ -452,9 +457,20 @@ private[hnsw] final class PairHeap(initial: Int, max: Boolean) {
 
 object LocalHnsw {
   /** Shared empty adjacency cell for layers a node does not reach —
-    * read-only by construction (neighborsAt callers only iterate).
+    * STRUCTURALLY immutable (mutators throw), not just read-only by
+    * caller convention: one instance backs every node's missing layers,
+    * so a single stray `+=` would corrupt adjacency globally (ADVICE
+    * r15). Real adjacency cells are plain LongLists — the mutating call
+    * sites never see this subclass, so their dispatch stays monomorphic.
     */
-  private[hnsw] val EmptyList = new LongList(1)
+  private[hnsw] val EmptyList: LongList = new LongList(1) {
+    override def +=(v: Long): Unit =
+      throw new UnsupportedOperationException("shared empty adjacency is immutable")
+    override def set(i: Int, v: Long): Unit =
+      throw new UnsupportedOperationException("shared empty adjacency is immutable")
+    override def remove(i: Int): Unit =
+      throw new UnsupportedOperationException("shared empty adjacency is immutable")
+  }
 
   /** Rebuild a LocalHnsw from persisted rows without re-running insertion —
     * used by the distributed query path to reconstruct each partition's

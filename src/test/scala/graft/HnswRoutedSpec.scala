@@ -372,6 +372,23 @@ class HnswRoutedSpec extends SparkSpec {
     adapt.collect().foreach(r => assert(allowedSet.contains(r.getAs[Long]("id"))))
   }
 
+  test("CalCurve.pickWithMargin: smallest probe at target + one clustered sd; no margin at nQueries<=0; caps at 1.0; never below the bare pick") {
+    import graft.hnsw.CalCurve
+    val curve = CalCurve(10, Seq((1, 0.5), (2, 0.90), (3, 0.93), (4, 0.97), (5, 1.0)))
+    assert(curve.pick(0.9, 8) === 2)
+    // sd at 100 queries = sqrt(0.9*0.1/100) = 0.03 → effective target 0.93
+    assert(curve.pickWithMargin(0.9, 8, 100) === 3)
+    // sd at 25 queries = 0.06 → effective target 0.96
+    assert(curve.pickWithMargin(0.9, 8, 25) === 4)
+    // degenerate sample count: no margin, the bare pick
+    assert(curve.pickWithMargin(0.9, 8, 0) === 2)
+    // target + sd past 1.0 caps at 1.0 (the curve tail), not full probe
+    assert(curve.pickWithMargin(0.999, 8, 4) === 5)
+    for (nq <- Seq(1L, 10L, 100L, 10000L))
+      assert(curve.pickWithMargin(0.9, 8, nq) >= curve.pick(0.9, 8),
+        s"margined pick at $nq queries fell below the bare pick")
+  }
+
   test("calibrateFiltered: measures on the filtered pair population, ignores attached curves, pick clears the target") {
     import graft.hnsw.CalCurve
     val allowed = input.filter(col("id") % 7 === 0).select("id")
@@ -388,6 +405,18 @@ class HnswRoutedSpec extends SparkSpec {
     assert(pts.nonEmpty && math.abs(pts.last._2 - 1.0) < 1e-9,
       "filtered curve must be a full cumulative distribution to 1.0")
     assert(pick >= 1 && pick <= routed.meta.num_cells)
+    // the pick carries the one-clustered-sd selection margin (VERDICT r15:
+    // bare min-probe-at-target picks undershoot held-out recall) — it must
+    // BE pickWithMargin at the filtered view's effective query count, and
+    // so can never fall below the bare min-probe pick
+    val liveAllowedN = routed.nodes.filter(!col("tombstone"))
+      .join(broadcast(allowed), Seq("id"), "left_semi")
+      .select("id").distinct().count()
+    val nQEff = math.min(50L, liveAllowedN)
+    val measuredCurve = CalCurve(10, pts)
+    assert(pick === measuredCurve.pickWithMargin(0.9, routed.meta.num_cells, nQEff),
+      "filtered pick must be the margined pick at the effective sample size")
+    assert(pick >= measuredCurve.pick(0.9, routed.meta.num_cells))
     // the pick's MEASURED filtered recall clears the target: queries =
     // the filtered view's own sample rule (live allowed ids, modulus of
     // the filtered count), oracle = exact top-k among allowed

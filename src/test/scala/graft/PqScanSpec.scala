@@ -79,6 +79,30 @@ class PqScanSpec extends SparkSpec {
       }
   }
 
+  test("measurePqRecall: stamp = measured - one query-clustered sd (VERDICT r15 item 6); attachPq persists the margined stamp") {
+    val in300 = graft.sources.Datagen.hashVectors(spark, 400L, 300)
+    val p300 = HnswParams(dim = 300, m = 4, efConstruction = 16,
+      metric = "cosine", numPartitions = 4)
+    val idx = Hnsw.attachPq(Hnsw.buildRouted(in300, p300, cellsPerShard = 4),
+      m = 30, kCells = 16, iters = 2)
+    val st = Hnsw.measurePqRecall(idx, k = 10)
+    assert(st.queries > 0 && st.measured > 0)
+    val sd = math.sqrt(st.measured * (1.0 - st.measured) / st.queries)
+    assert(math.abs(st.stamp - math.max(0.0, st.measured - sd)) < 1e-12,
+      s"stamp ${st.stamp} must be measured ${st.measured} minus one clustered sd $sd")
+    assert(st.stamp <= st.measured)
+    // a deliberately starved probe (1 of 16 cells) forces measured < 1,
+    // so the margin is EXERCISED, not just trivially zero at recall 1.0
+    val starved = Hnsw.measurePqRecall(idx, k = 10, probeCells = 1)
+    assert(starved.measured < 1.0 && starved.stamp < starved.measured,
+      s"probe-1 stamp ${starved.stamp} must sit strictly below measured ${starved.measured}")
+    // attachPq's default measure persists the MARGINED stamp — the gate's
+    // input — not the raw sample mean (deterministic modulus sample, so
+    // re-measuring reproduces it bit-for-bit)
+    assert(math.abs(idx.pq.get.refineRecall - st.stamp) < 1e-9,
+      "attachPq must stamp the margined value")
+  }
+
   test("attachPq: explicit PQ path is exact at full refine; the chooser's picks are UNCHANGED by the sidecar; save/load round-trips it") {
     // dim 300 >= the high-dim bound; nSub = 400/4 = 100 >= 40*efBudget(2)
     val in300 = graft.sources.Datagen.hashVectors(spark, 400L, 300)
