@@ -27,7 +27,13 @@ case class HnswParams(
     efSearch: Int = 50,
     mL: Double = Double.NaN,
     metric: String = "l2",
-    numPartitions: Int = 16) {
+    numPartitions: Int = 16,
+    // int8 candidate pre-screen in the build's searchLayer — BIT-IDENTICAL
+    // graphs by a certified quantization bound (LocalHnsw scaladoc;
+    // identity spec-pinned), so this is purely a bandwidth lever for the
+    // DRAM-bound 32-way graph phase. Cosine only (no-op elsewhere).
+    // Default follows the measurements in BENCH_SCALE_BUILDPHASES512.json.
+    int8Screen: Boolean = false) {
   def maxM0Resolved: Int = if (maxM0 > 0) maxM0 else 2 * m
   def mLResolved: Double = if (mL.isNaN) Levels.defaultML(m) else mL
   require(Distances.metrics.contains(metric), s"unknown metric '$metric'")
@@ -548,7 +554,7 @@ object Hnsw {
       .groupByKey(_.pid)
       .flatMapSortedGroups(col("id")) { (pid, rows) =>
         val idx = new LocalHnsw(params.dim, params.m, params.maxM0Resolved,
-          params.efConstruction, params.metric)
+          params.efConstruction, params.metric, params.int8Screen)
         rows.foreach(r => idx.add(r.id, r.vector, r.level))
         idx.edges.map { case (src, layer, dst) => EdgeRow(pid, src, layer, dst) }
       }
@@ -2154,13 +2160,15 @@ object Hnsw {
     * bare min-probe filtered picks (97/90 cells) UNDER-delivered
     * (0.934/0.9336): min-probe-at-target selection overfits the
     * calibration sample, so its held-out expectation falls below the
-    * target. Two consequences, both in this implementation: the pick
-    * carries a one-clustered-sd selection margin
-    * ([[CalCurve.pickWithMargin]]) so held-out expectation sits AT the
-    * target rather than below it, and the contract's value on
-    * geometry-BLIND filters is a certified CHEAPER probe at the same
-    * target (10–17% fewer cells in the committed cases), not more
-    * recall. The theoretical direction (filtered true top-k are farther,
+    * target. So the pick carries a one-clustered-sd selection margin
+    * ([[CalCurve.pickWithMargin]]): with it, both committed cases hold
+    * the target held-out (0.9610/0.9645 at picks 116/114, r16 artifact
+    * revision). On uniform geometry-blind filters the margin's honest
+    * price is a pick a few cells ABOVE the unfiltered one (116/114 vs
+    * 109) — what the contract buys there is the held-out guarantee
+    * itself, not a cheaper probe (r15's unmargined picks were 10–17%
+    * cheaper and missed the target).
+    * The theoretical direction (filtered true top-k are farther,
     * so the unfiltered curve over-predicts) needs the filter to
     * correlate with vector GEOMETRY to bite — uniform fill showed none;
     * the clustered-corpus case is measured separately

@@ -26,7 +26,8 @@ final class LocalHnsw(
     val m: Int,
     val maxM0: Int,
     val efConstruction: Int,
-    val metricName: String) extends Serializable {
+    val metricName: String,
+    val int8Screen: Boolean = false) extends Serializable {
 
   private val distFn = Distances.metricLocal(metricName)
 
@@ -55,6 +56,72 @@ final class LocalHnsw(
   private val cacheNorms = metricName == "cosine"
   private val norms = new mutable.LongMap[Double]()
 
+  // ---- int8 candidate pre-screen (cosine only) -----------------------
+  // The searchLayer eval traffic is the build's DRAM-bandwidth bound
+  // (BENCH_SCALE_BUILDPHASES512.json): each eval streams the neighbor's
+  // full float vector (dim·4 B at a random address). The screen reads
+  // the 4×-smaller int8 copy first and skips the float eval when the
+  // quantization-error LOWER BOUND on the true distance already exceeds
+  // the kept-heap's worst — a PROVABLY BIT-IDENTICAL skip, not an
+  // approximation: per component vᵢ = s·qᵢ + eᵢ with |eᵢ| ≤ s/2
+  // (round-to-nearest), so |dot(a,b) − s_a·s_b·dot8| ≤
+  // 0.5·(s_a·‖b₈‖₁ + s_b·‖a₈‖₁) + dim·s_a·s_b/4 (the ‖·‖₁ are of the
+  // DEQUANTIZED vectors, computed exactly at quantization time), and
+  // skip fires only when approxDist − bound/denominator > worst ⟹
+  // trueDist > worst ⟹ the unscreened loop would have pushed nothing
+  // (strict <). The bound is inflated 1e−6 relative against its own
+  // double rounding. Identity is spec-pinned (LocalHnswSpec: same
+  // edges, same search results, screen on vs off). Cosine only: its
+  // distance decomposes into a cached-norm quotient; l2's subtraction
+  // couples the operands per pair.
+  private val screenActive = int8Screen && cacheNorms
+  /** codes + scale + exact L1 of the dequantized vector. */
+  private[hnsw] final class Quant(val codes: Array[Byte], val scale: Double, val l1: Double)
+  private val quants = new mutable.LongMap[Quant]()
+  /** Screen observability for the micro-bench: evals seen / float reads saved. */
+  var screenEvals: Long = 0L
+  var screenSkips: Long = 0L
+
+  private def quantize(v: Array[Float]): Quant = {
+    var maxAbs = 0.0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val s = maxAbs / 127.0
+    val codes = new Array[Byte](v.length)
+    var l1i = 0L
+    if (s > 0.0) {
+      i = 0
+      while (i < v.length) {
+        val c = math.round(v(i) / s).toInt
+        codes(i) = c.toByte
+        l1i += math.abs(c)
+        i += 1
+      }
+    }
+    new Quant(codes, s, s * l1i.toDouble)
+  }
+
+  /** True iff the int8 lower bound on dist(q, id) exceeds `worst` — the
+    * certified skip. NaN-safe: a zero-norm operand yields NaN here and
+    * falls through to the exact eval (which defines that case as 1.0).
+    */
+  @inline private def screenedOut(sq: Quant, qNorm: Double, id: Long, worst: Double): Boolean = {
+    val nq = quants(id)
+    val a = sq.codes
+    val b = nq.codes
+    var dot = 0
+    var i = 0
+    while (i < dim) { dot += a(i) * b(i); i += 1 }
+    val denom = qNorm * norms(id)
+    val e = (0.5 * (sq.scale * nq.l1 + nq.scale * sq.l1) +
+      dim * sq.scale * nq.scale * 0.25) * 1.000001
+    screenEvals += 1
+    // lower bound on the distance = 1 − (upper bound on the dot)/denom
+    val out = 1.0 - (sq.scale * nq.scale * dot + e) / denom > worst
+    if (out) screenSkips += 1
+    out
+  }
+
   // ---- primitive inner-loop structures --------------------------------
   // The insert loop is STRUCTURE-bound, not flop-bound: measured
   // single-threaded (LocalBuildBench, 16k x 512 cosine) the boxed forms —
@@ -82,6 +149,7 @@ final class LocalHnsw(
   private[hnsw] def registerVector(id: Long, vector: Array[Float]): Unit = {
     vectors(id) = vector
     if (cacheNorms) norms(id) = Distances.normLocal(vector)
+    if (screenActive) quants(id) = quantize(vector)
   }
 
   /** Bounded best-first search on one layer (reference `_search_layer`,
@@ -102,6 +170,7 @@ final class LocalHnsw(
   def searchLayer(q: Array[Float], entry: Long, ef: Int, layer: Int,
                   skip: Long => Boolean = _ => false): Array[(Double, Long)] = {
     val qn = qNormOf(q)
+    val sq = if (screenActive) quantize(q) else null
     val visited = new LongHashSet(math.max(64, 4 * ef))
     visited.add(entry)
     // frontier: nearest-(dist, id) first; kept: worst-(dist, id) at the
@@ -124,12 +193,20 @@ final class LocalHnsw(
         while (i < nbrs.length) {
           val nb = nbrs(i)
           if (visited.add(nb)) {
-            val nd = dQ(q, qn, nb)
-            if (kept.size < ef || nd < kept.topDist) {
-              frontier.push(nd, nb)
-              if (!skip(nb)) {
-                kept.push(nd, nb)
-                if (kept.size > ef) kept.pop()
+            // certified skip: with the kept heap full, a candidate whose
+            // int8 distance lower bound already exceeds the heap's worst
+            // provably fails the push test below — the float vector is
+            // never read (the bandwidth cut; bit-identical by the bound)
+            if (sq != null && kept.size >= ef && screenedOut(sq, qn, nb, kept.topDist)) {
+              () // nothing to push, exactly as the unscreened loop
+            } else {
+              val nd = dQ(q, qn, nb)
+              if (kept.size < ef || nd < kept.topDist) {
+                frontier.push(nd, nb)
+                if (!skip(nb)) {
+                  kept.push(nd, nb)
+                  if (kept.size > ef) kept.pop()
+                }
               }
             }
           }

@@ -61,11 +61,18 @@ object Datagen {
     * the worst case for locality sharding (boundaries everywhere), clusters
     * the favorable one.
     */
+  /** The cluster assignment [[clusteredVectors]] bakes into each id — a
+    * pure Column so proofs can derive geometry-correlated filters (e.g.
+    * "allowed = one tight cluster") without duplicating the hash formula.
+    */
+  def clusterIdCol(nClusters: Int = 1024, seed: Long = 42L): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("id"), lit(seed - 1)), lit(nClusters.toLong))
+
   def clusteredVectors(spark: SparkSession, n: Long, dim: Int,
                        nClusters: Int = 1024, spread: Double = 0.15,
                        seed: Long = 42L, numPartitions: Int = 32): DataFrame = {
     val mod = 1L << 31
-    val cid = pmod(xxhash64(col("id"), lit(seed - 1)), lit(nClusters.toLong))
+    val cid = clusterIdCol(nClusters, seed)
     spark.range(0, n, 1, numPartitions)
       .select(col("id"),
         array((0 until dim).map { i =>
