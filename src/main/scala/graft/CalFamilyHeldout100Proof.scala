@@ -95,7 +95,11 @@ object CalFamilyHeldout100Proof {
         val pick = Hnsw.lastDecayPick.get()
         require(pick.startsWith("probed"),
           s"batch $i at k=$k took '$pick' — the contrast needs the probed join")
-        val rec = Hnsw.recallAtK(ann, exactK, k).agg(avg(col("recall"))).head().getDouble(0)
+        // recallAtK averages over the EXACT frame's qids — restrict the
+        // truth to this batch or the 75 out-of-batch queries dilute the
+        // mean to ~recall/4
+        val exactB = exactK.join(b.select("qid"), Seq("qid"), "left_semi")
+        val rec = Hnsw.recallAtK(ann, exactB, k).agg(avg(col("recall"))).head().getDouble(0)
         System.err.println(f"[calfamily100] k=$k batch $i: recall $rec%.4f " +
           f"(probe $probe, pick $pick, $sec%.1f s)")
         (rec, probe, sec)

@@ -109,9 +109,11 @@ case class PqStamp(measured: Double, stamp: Double, refine: Int,
   * HnswRoutedSpec). No covering curve → no contract (legacy C/4 dial),
   * never a silent extrapolation below k.
   */
-case class CalCurve(k: Int, points: Seq[(Int, Double)]) {
+case class CalCurve(k: Int, points: Seq[(Int, Double)], queries: Long = 100L) {
   /** Smallest probe predicted to clear `target`; `c` (full probe) when
-    * even the curve's tail cannot — mirroring [[Hnsw.calibrateProbeCells]].
+    * even the curve's tail cannot. BARE pick — conditions on the
+    * calibration sample's own noise; contract paths use
+    * [[pickWithMargin]] (see there for the measured reason).
     */
   def pick(target: Double, c: Int): Int =
     math.min(c, points.find(_._2 >= target).map(_._1).getOrElse(c))
@@ -121,17 +123,25 @@ case class CalCurve(k: Int, points: Seq[(Int, Double)]) {
     * bare min-probe-at-target pick conditions on the calibration
     * sample's own noise (the pick is the first point whose
     * MEASURED-ON-SAMPLE recall clears the target), so its held-out
-    * expectation sits BELOW the target — measured at 5M×512: both r15
-    * filtered picks delivered 0.934/0.9336 held-out against a 0.95
-    * target (BENCH_SCALE_FILTERED512_CONTRACT.json, r15 revision). The
-    * margin is the query-level Bernoulli sd — conservative for clustered
-    * recall noise, where a query's k truth pairs share one routing (the
-    * artifact's measured ~1.5 pp at 100 queries vs this bound's 2.2 pp).
+    * expectation sits BELOW the target — measured at 5M×512 TWICE: the
+    * r15 filtered picks delivered 0.934/0.9336 held-out against a 0.95
+    * target (BENCH_SCALE_FILTERED512_CONTRACT.json), and the r16
+    * 100-held-out-query family run measured the same one-sided bias on
+    * the NO-FLAG picks (k=5 pooled 0.9340 ± 0.0068 at the bare pick —
+    * BENCH_SCALE_CALFAMILY512_100Q.json), which is why EVERY contract
+    * pick ([[Hnsw.calibrateProbeCells]], [[Hnsw.cachedProbeFor]],
+    * [[Hnsw.calibrateFiltered]]) is margined since r16. The margin is
+    * the query-level Bernoulli sd — conservative for clustered recall
+    * noise, where a query's k truth pairs share one routing (measured
+    * ~1.4 pp at 100 queries vs this bound's 2.2 pp).
     */
   def pickWithMargin(target: Double, c: Int, nQueries: Long): Int = {
     val sd = if (nQueries > 0) math.sqrt(target * (1.0 - target) / nQueries) else 0.0
     pick(math.min(1.0, target + sd), c)
   }
+
+  /** The margined pick at this curve's OWN calibration sample size. */
+  def pickWithMargin(target: Double, c: Int): Int = pickWithMargin(target, c, queries)
 }
 
 /** A built index: distributed node + edge tables plus small meta.
@@ -200,12 +210,14 @@ object Hnsw {
 
   /** The no-flag recall contract ([[annQueryAdaptive]]): an index carrying
     * a persisted calibration curve serves plain (no probe, no target)
-    * queries at the probe this target picks, instead of the C/4 cost
-    * heuristic. 0.95 matches the committed contract artifacts
-    * (BENCH_SCALE_CALIBRATE512/SPILLCAP512_5M: predicted 0.95 → measured
-    * 0.951–0.958 held-out). Uncalibrated indexes keep the C/4 default —
-    * the contract is opt-in at BUILD time (save() auto-calibrates decayed
-    * routed indexes), never a query-time obligation.
+    * queries at the probe this target picks — since r16 the MARGINED
+    * pick ([[CalCurve.pickWithMargin]]: target + one clustered sd at the
+    * curve's own sample size; the bare min-pick's held-out expectation
+    * sits below the target, measured at 5M×512:
+    * BENCH_SCALE_CALFAMILY512_100Q.json) — instead of the C/4 cost
+    * heuristic. Uncalibrated indexes keep the C/4 default — the contract
+    * is opt-in at BUILD time (save() auto-calibrates decayed routed
+    * indexes), never a query-time obligation.
     */
   val DefaultRecallTarget = 0.95
 
@@ -673,7 +685,8 @@ object Hnsw {
     // silently loses its lowest points over-probes every pick after it
     val body = curves.sortBy(_.k).map { curve =>
       val pts = curve.points.map { case (p, r) => s"[$p,$r]" }.mkString("[", ",", "]")
-      s"""{"k":${curve.k},"n_points":${curve.points.size},"points":$pts}"""
+      s"""{"k":${curve.k},"n_points":${curve.points.size},""" +
+        s""""n_queries":${curve.queries},"points":$pts}"""
     }.mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$dir/calibration.json"),
       s"""{"num_nodes":$numNodes,"curves":$body}""")
@@ -706,12 +719,17 @@ object Hnsw {
         def parseCurve(chunk: String): Option[CalCurve] = {
           val k = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(chunk).map(_.group(1).toInt)
           val declared = """"n_points"\s*:\s*(\d+)""".r.findFirstMatchIn(chunk).map(_.group(1).toInt)
+          // pre-r16 files carry no n_queries — default to the historical
+          // sample size (100), which prices their margin correctly
+          val nQ = """"n_queries"\s*:\s*(\d+)""".r.findFirstMatchIn(chunk)
+            .map(_.group(1).toLong).getOrElse(100L)
           val pts = ptRe.findAllMatchIn(chunk)
             .map(m => (m.group(1).toInt, m.group(2).toDouble)).toSeq
           val complete = declared.forall(_ == pts.size) && pts.forall(pt =>
             java.lang.Double.isFinite(pt._2))
           k match {
-            case Some(kk) if pts.nonEmpty && complete => Some(CalCurve(kk, pts.sortBy(_._1)))
+            case Some(kk) if pts.nonEmpty && complete =>
+              Some(CalCurve(kk, pts.sortBy(_._1), nQ))
             case _ => None
           }
         }
@@ -1393,13 +1411,18 @@ object Hnsw {
     // recall@k; failing that the nearest k' ≥ k curve is a FLOOR
     // ([[curveFor]] — its pick can only over-probe). No covering curve →
     // fresh calibration rather than extrapolating below k.
+    // r16: every contract pick is the MARGINED one (target + one
+    // clustered sd at the curve's own sample size) — the bare min-pick's
+    // held-out expectation sits below the target (CalCurve.pickWithMargin
+    // scaladoc for the two 5M×512 measurements)
     curveFor(index, k).foreach { curve =>
       val df = curve.points.toDF("probe_cells", "predicted_recall")
-      return (curve.pick(recallTarget, c), df)
+      return (curve.pickWithMargin(recallTarget, c), df)
     }
     measureCurves(index, Seq(k), sampleQueries).headOption match {
       case Some(curve) =>
-        (curve.pick(recallTarget, c), curve.points.toDF("probe_cells", "predicted_recall"))
+        (curve.pickWithMargin(recallTarget, c),
+          curve.points.toDF("probe_cells", "predicted_recall"))
       case None => // empty live corpus: full probe, empty curve
         (c, Seq.empty[(Int, Double)].toDF("probe_cells", "predicted_recall"))
     }
@@ -1441,6 +1464,10 @@ object Hnsw {
       graft.operators.Checkpoints.unpersist(sample)
       return Nil
     }
+    // the ACTUAL sample size (≤ sampleQueries on sparse id spaces) —
+    // carried on every curve so pickWithMargin prices the pick's own
+    // estimation noise correctly
+    val qCount = sample.count()
     // ground truth at kMax: one exact scan over the sample (dedup heap
     // collapses spill ghosts); rank is kept — curve k is the restriction
     // to true ranks ≤ k
@@ -1489,7 +1516,7 @@ object Hnsw {
         // loadCalibration's parseCurve rejects — and one broken member
         // rejects the WHOLE family at load. Drop the degenerate curve
         // instead of poisoning the file (ADVICE r15).
-        if (points.isEmpty) None else Some(CalCurve(k, points))
+        if (points.isEmpty) None else Some(CalCurve(k, points, qCount))
       }
     }
     graft.operators.Checkpoints.unpersist(sample)
@@ -1543,7 +1570,7 @@ object Hnsw {
     */
   def cachedProbeFor(index: HnswIndex, k: Int, recallTarget: Double): Option[Int] =
     curveFor(index, k)
-      .map(_.pick(recallTarget, math.max(1, index.meta.num_cells)))
+      .map(_.pickWithMargin(recallTarget, math.max(1, index.meta.num_cells)))
 
   /** Train and attach the PQ byte-code sidecar — the decayed regime's
     * scan-footprint lever. Codebooks train on a deterministic id-modulus
@@ -2161,13 +2188,12 @@ object Hnsw {
     * (0.934/0.9336): min-probe-at-target selection overfits the
     * calibration sample, so its held-out expectation falls below the
     * target. So the pick carries a one-clustered-sd selection margin
-    * ([[CalCurve.pickWithMargin]]): with it, both committed cases hold
-    * the target held-out (0.9610/0.9645 at picks 116/114, r16 artifact
-    * revision). On uniform geometry-blind filters the margin's honest
-    * price is a pick a few cells ABOVE the unfiltered one (116/114 vs
-    * 109) — what the contract buys there is the held-out guarantee
-    * itself, not a cheaper probe (r15's unmargined picks were 10–17%
-    * cheaper and missed the target).
+    * ([[CalCurve.pickWithMargin]] — since the r16 unification EVERY
+    * contract pick does): with it, both committed cases hold the target
+    * held-out (0.9610/0.9645 at picks 116/114), and against the equally
+    * margined unfiltered pick (131) the filtered calibration again
+    * certifies an 11–13% cheaper probe — now WITHOUT giving up the
+    * target the way r15's unmargined picks did.
     * The theoretical direction (filtered true top-k are farther,
     * so the unfiltered curve over-predicts) needs the filter to
     * correlate with vector GEOMETRY to bite — uniform fill showed none;
@@ -2192,8 +2218,9 @@ object Hnsw {
     val c = math.max(1, index.meta.num_cells)
     measureCurves(view, Seq(k), sampleQueries).headOption match {
       case Some(curve) =>
-        val nQ = math.max(1L, math.min(sampleQueries.toLong, liveN))
-        (curve.pickWithMargin(recallTarget, c, nQ),
+        // curve.queries is the TRUE filtered sample size measureCurves
+        // counted — the margin prices the pick's own estimation noise
+        (curve.pickWithMargin(recallTarget, c),
           curve.points.toDF("probe_cells", "predicted_recall"))
       case None => // empty filtered view: full probe, empty curve
         (c, Seq.empty[(Int, Double)].toDF("probe_cells", "predicted_recall"))

@@ -407,15 +407,18 @@ class HnswRoutedSpec extends SparkSpec {
     assert(pick >= 1 && pick <= routed.meta.num_cells)
     // the pick carries the one-clustered-sd selection margin (VERDICT r15:
     // bare min-probe-at-target picks undershoot held-out recall) — it must
-    // BE pickWithMargin at the filtered view's effective query count, and
-    // so can never fall below the bare min-probe pick
-    val liveAllowedN = routed.nodes.filter(!col("tombstone"))
+    // BE pickWithMargin at the TRUE calibration sample size (measureCurves'
+    // id-modulus rule over the filtered live rows), and so can never fall
+    // below the bare min-probe pick
+    val liveAllowedIds = routed.nodes.filter(!col("tombstone"))
       .join(broadcast(allowed), Seq("id"), "left_semi")
-      .select("id").distinct().count()
-    val nQEff = math.min(50L, liveAllowedN)
-    val measuredCurve = CalCurve(10, pts)
-    assert(pick === measuredCurve.pickWithMargin(0.9, routed.meta.num_cells, nQEff),
-      "filtered pick must be the margined pick at the effective sample size")
+      .select("id").distinct().collect().map(_.getLong(0))
+    val stepS = math.max(1L, liveAllowedIds.length.toLong / 50L)
+    val class0 = liveAllowedIds.count(_ % stepS == 0).toLong
+    val qReal = if (class0 > 0) class0 else math.min(50L, liveAllowedIds.length.toLong)
+    val measuredCurve = CalCurve(10, pts, qReal)
+    assert(pick === measuredCurve.pickWithMargin(0.9, routed.meta.num_cells),
+      s"filtered pick must be the margined pick at the true sample size $qReal")
     assert(pick >= measuredCurve.pick(0.9, routed.meta.num_cells))
     // the pick's MEASURED filtered recall clears the target: queries =
     // the filtered view's own sample rule (live allowed ids, modulus of
@@ -823,12 +826,22 @@ class HnswRoutedSpec extends SparkSpec {
 
   test("no-flag default: an attached curve drives the probe at DefaultRecallTarget; none -> C/4; explicit flags win") {
     import graft.hnsw.CalCurve
-    // handcrafted curve so the expected pick is unambiguous: 0.95 -> 3
-    val curve = CalCurve(10, Seq((3, 0.96), (16, 1.0)))
+    // handcrafted curve so the expected pick is unambiguous under the r16
+    // margin: the effective bar is 0.95 + sqrt(.95·.05/100) ≈ 0.9718, so
+    // the 0.98 point is picked
+    val curve = CalCurve(10, Seq((3, 0.98), (16, 1.0)))
     val calIdx = routed.copy(calibration = Seq(curve))
     Hnsw.annQueryAdaptive(calIdx, queries, k = 10).count()
     assert(Hnsw.lastAdaptiveProbe.get() === 3,
-      "no-flag call on a calibrated index must consume the curve's 0.95 pick")
+      "no-flag call on a calibrated index must consume the curve's margined 0.95 pick")
+    // a point above the target but BELOW target + one sd is NOT picked —
+    // the r16 margin (bare min-picks measured 0.934 held-out at 5M×512,
+    // BENCH_SCALE_CALFAMILY512_100Q.json)
+    Hnsw.annQueryAdaptive(
+      routed.copy(calibration = Seq(CalCurve(10, Seq((3, 0.96), (16, 1.0))))),
+      queries, k = 10).count()
+    assert(Hnsw.lastAdaptiveProbe.get() === 16,
+      "a curve point below target + one clustered sd must be skipped by the margined pick")
     // no curve: the C/4 heuristic (-1 sentinel), exactly the r13 behavior
     Hnsw.annQueryAdaptive(routed, queries, k = 10).count()
     assert(Hnsw.lastAdaptiveProbe.get() === -1,

@@ -81,11 +81,9 @@ class LocalHnswSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("degree caps are respected (M for upper layers, max_m0 for layer 0)") {
     val vecs = randomVectors(500, 8, seed = 5)
     val idx = buildIndex(vecs)
-    idx.graph.foreach { case (_, layers) =>
-      layers.zipWithIndex.foreach { case (nbrs, layer) =>
-        val cap = if (layer == 0) 32 else 16
-        assert(nbrs.length <= cap)
-      }
+    idx.layerDegrees.foreach { case (_, layer, degree) =>
+      val cap = if (layer == 0) 32 else 16
+      assert(degree <= cap)
     }
   }
 

@@ -250,9 +250,10 @@ class PqScanSpec extends SparkSpec {
     val q = graft.sources.Datagen.hashVectors(spark, 600L, 300)
       .select(col("id").as("qid"), col("vector"))
     assert(Hnsw.traversalDecays(base.meta, k = 10, ef = 2))
-    // handcrafted curve (0.95 -> probe 4 = the C/4 default here) and a
-    // deterministic stamp, so the gate's inputs are unambiguous
-    val curve = Seq(CalCurve(10, Seq((4, 0.96), (16, 1.0))))
+    // handcrafted curve (0.95 -> probe 4 = the C/4 default here; the 0.98
+    // point clears the r16 margin bar 0.95 + sqrt(.95·.05/100) ≈ 0.9718)
+    // and a deterministic stamp, so the gate's inputs are unambiguous
+    val curve = Seq(CalCurve(10, Seq((4, 0.98), (16, 1.0))))
     def stamped(rec: Double, k: Int) = base.copy(calibration = curve,
       pq = base.pq.map(_.copy(refineRecall = rec, refine = 60, recallK = k)))
     // GATE OPEN: calibrated default target 0.95 <= stamp 0.97 at k=10
