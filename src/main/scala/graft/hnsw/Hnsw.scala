@@ -2129,17 +2129,21 @@ object Hnsw {
     * no-flag 0.95 default and explicit recall targets) keeps driving the
     * probe pick — the probe budget is a monotone recall lever and the
     * unfiltered pick always dominates the C/4 dial — but the curve was
-    * measured on the UNFILTERED pair population, so the target is a
-    * sensible floor rather than a re-measured guarantee when the filter
-    * correlates with vector geometry (e.g. one tight category) — and in
-    * fact on ANY selective filter, since the nearest allowed neighbours
-    * are farther than the unfiltered top-k; filters needing a hard
-    * contract should use [[calibrateFiltered]] (NOT raw
+    * measured on the UNFILTERED pair population, so the target is NOT a
+    * re-measured guarantee on the filtered one. How wrong it can be
+    * depends on geometry, both directions MEASURED at scale: on uniform
+    * fill the unfiltered pick over-delivers (0.971/0.9766 held-out on
+    * 10–12% filters — BENCH_SCALE_FILTERED512_CONTRACT.json), but on a
+    * clustered corpus with a sparse filter (< k allowed ids in the
+    * query's own cluster, so most filtered truth lives in foreign
+    * clusters whose cells rank late) it delivers 0.607 against a 0.95
+    * target (BENCH_SCALE_FILTERED512_CLUSTERED.json). Filters needing a
+    * hard contract should use [[calibrateFiltered]] (NOT raw
     * calibrateProbeCells over withAllowed, whose attached-curve cache
     * would short-circuit to the unfiltered pick) and pass its pick as
-    * `probeCells`. The PQ sidecar, by
-    * contrast, is DROPPED by [[withAllowed]] — coarse ADC slots would
-    * fill with disallowed ids and starve the rescore.
+    * `probeCells` — it restores the clustered case to 0.951. The PQ
+    * sidecar, by contrast, is DROPPED by [[withAllowed]] — coarse ADC
+    * slots would fill with disallowed ids and starve the rescore.
     * Output: (qid, rank, id, dist).
     */
   def annQueryFiltered(index: HnswIndex, queries: DataFrame, k: Int,
@@ -2247,11 +2251,11 @@ object Hnsw {
     // forms (which the decay tier falls back to) honour the tombstone
     // rewrite with no recall trade instead. The calibration curve is
     // deliberately KEPT: unlike the codes it only picks a probe BUDGET —
-    // a monotone recall lever — and the filtered view's true neighbours
-    // are a subset of the unfiltered pairs the curve measured, so the
-    // pick stays a sensible floor (and always dominates the C/4 dial it
-    // would otherwise fall back to); it is not re-guaranteed to hit the
-    // target on a geometry-correlated filter, which annQueryFiltered's
+    // a monotone recall lever that always dominates the C/4 dial it
+    // would otherwise fall back to — but its target is NOT re-guaranteed
+    // on the filtered population (measured 0.607 on a clustered corpus
+    // with a sparse filter, BENCH_SCALE_FILTERED512_CLUSTERED.json);
+    // hard contracts go through calibrateFiltered, as annQueryFiltered's
     // doc spells out.
     index.copy(nodes = nodes, pq = None)
   }
