@@ -82,8 +82,15 @@ object HnswMerge {
       .filter(col("src") =!= m.entry_point)
     val topm = probed.union(lonely.select(col("src"), lit(m.entry_point).as("dst")))
 
-    // bidirectional, on every layer both endpoints populate
-    val bidir = topm.union(topm.select(col("dst").as("src"), col("src").as("dst")))
+    // bidirectional, on every layer both endpoints populate. Single-pass
+    // explode (r16): the previous `topm.union(topm.select(swap))` consumed
+    // the IVF-kNN sub-DAG twice per downstream pass — a generator emits
+    // both directions from one evaluation.
+    val bidir = topm
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val crossEdges = bidir
       .join(levels.select(col("id").as("src"), col("level").as("l_src")), "src")
       .join(levels.select(col("id").as("dst"), col("level").as("l_dst")), "dst")
@@ -91,17 +98,23 @@ object HnswMerge {
 
     val unioned = index.edges.select("src", "layer", "dst")
       .union(crossEdges.select("src", "layer", "dst"))
-      .distinct()
 
     // relational degree prune: keep the `cap` closest per (src, layer),
-    // deterministic (dist asc, dst asc), partial-aggregated
+    // deterministic (dist asc, dst asc), partial-aggregated. The dedup
+    // heap collapses duplicate dst ids on insert (r16): duplicate
+    // (src, layer, dst) rows — union overlap, both-directions re-emits —
+    // carry the SAME distance, so id-dedup keeps exactly the set the old
+    // `unioned.distinct()` pass kept, without a full extra Exchange of
+    // the edge table before the prune's own (guide §2.4: two operations
+    // keyed the same way share one shuffle; here the dedup rides the
+    // prune's aggregation buffer instead of its own).
     val scored = unioned
       .join(nodes.select(col("id").as("src"), col("vector").as("v_src")), "src")
       .join(nodes.select(col("id").as("dst"), col("vector").as("v_dst")), "dst")
       .select(col("src"), col("layer"), col("dst"), dist(col("v_src"), col("v_dst")).as("dist"))
     val pruned = scored
       .groupBy(col("src"), col("layer"))
-      .agg(TopKAggregate.topKByDist(col("dist"), col("dst"), m.max_m0).as("top"))
+      .agg(TopKAggregate.topKByDistDedup(col("dist"), col("dst"), m.max_m0).as("top"))
       .select(col("src"), col("layer"), posexplode(col("top")).as(Seq("pos", "entry")))
       .filter(col("layer") === 0 || col("pos") < m.m) // M above layer 0, max_m0 at layer 0
       .select(col("src"), col("layer"), col("entry.id").as("dst"))
@@ -114,16 +127,21 @@ object HnswMerge {
     // duplicate ids in the global top-k merge).
     val p = if (numShards > 0) numShards else math.max(1, index.meta.num_partitions)
     val shardOf = (c: Column) => pmod(c, lit(p.toLong)).cast("int")
-    val bySrc = pruned.select(shardOf(col("src")).as("pid"), col("src"), col("layer"), col("dst"))
-    val byDst = pruned
-      .filter(shardOf(col("src")) =!= shardOf(col("dst")))
-      .select(shardOf(col("dst")).as("pid"), col("src"), col("layer"), col("dst"))
-    val shardEdges = bySrc.union(byDst)
+    // single-pass shard fan-out (r16): each edge explodes to its 1–2 home
+    // shards in one evaluation of `pruned` — the previous
+    // bySrc ∪ byDst(filtered) union evaluated the whole prune aggregation
+    // twice per consumer (only its Exchange was reused); the emitted
+    // (pid, src, layer, dst) row set is identical.
+    val shardEdges = pruned
+      .select(explode(array_distinct(
+        array(shardOf(col("src")), shardOf(col("dst"))))).as("pid"),
+        col("src"), col("layer"), col("dst"))
 
     val homeNodes = nodes.withColumn("pid", shardOf(col("id")))
       .select("id", "vector", "level", "tombstone", "pid")
-    val ghostIds = shardEdges.select(col("pid"), col("src").as("id"))
-      .union(shardEdges.select(col("pid"), col("dst").as("id")))
+    // both endpoints from one pass over shardEdges (same rewrite as above)
+    val ghostIds = shardEdges
+      .select(col("pid"), explode(array(col("src"), col("dst"))).as("id"))
       .distinct()
       .join(homeNodes.select("pid", "id"), Seq("pid", "id"), "left_anti")
     val ghosts = ghostIds

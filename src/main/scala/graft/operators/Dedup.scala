@@ -58,6 +58,15 @@ object Dedup {
 
   /** Per-document MinHash signatures over word n-gram shingles.
     * Output: (id, mh0..mh{h-1}).
+    *
+    * Shape note (r16, measured): a zero-shuffle per-row form
+    * (`array_min(transform(sh, md5 ...))` × h) was tried to remove the
+    * signature Exchange and measured 2.7–3.7× SLOWER end-to-end on every
+    * consumer — higher-order functions are CodegenFallback, so the md5
+    * hot loop ran interpreted instead of inside the codegen'd hash
+    * aggregate. The explode + partial-agg `min` keeps the hashing in
+    * whole-stage codegen and shuffles only one row per doc (guide §4
+    * beats §2.4 here). Deliberately kept.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, h: Int = 4): DataFrame = {
@@ -600,17 +609,31 @@ object Dedup {
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
         .distinct(),
       sub("sym"))
-    // vertex set = docs ∪ pair endpoints: an endpoint missing from `docs`
-    // (pairs computed before a filter) must still RELAY labels, or a chain
-    // through it silently splits the component; relay-only vertices are
-    // dropped from the output below
-    val vertices = docs.select(col(idCol).as("id"))
-      .union(sym.select(col("src").as("id")))
-      .distinct()
+    // vertex set = pair ENDPOINTS only (r16): a doc in no pair keeps
+    // comp = id through every iteration by construction, so propagating it
+    // was O(|corpus|) dead weight per round — at 100 TB the pair members
+    // are a tiny fraction of the corpus and the loop should cost O(V+E) of
+    // THAT graph. Endpoints missing from `docs` (pairs computed before a
+    // filter) still RELAY labels — a chain through them must not split;
+    // relay-only vertices are dropped from the output below, and no-pair
+    // docs rejoin as singletons (comp = own id) at the end.
+    val vertices = sym.select(col("src").as("id")).distinct()
+    // round 1 fused into the init materialize (r16): from identity labels,
+    // the first round's neighbor-min is a plain min(dst) aggregate over
+    // `sym` — no label join needed — so computing prop+jump here saves one
+    // full materialize + convergence-check round per call; the loop below
+    // continues from the identical state the old round 1 produced.
+    val nbrMin0 = sym.groupBy(col("src").as("id")).agg(min(col("dst")).as("ncomp"))
+    val prop0 = vertices.join(nbrMin0, Seq("id"), "left")
+      .select(col("id"), col("id").as("prev"),
+        least(col("id"), coalesce(col("ncomp"), col("id"))).as("comp"))
     var checkpointed = Checkpoints.materialize(
-      vertices.select(col("id"), col("id").as("comp")), sub("labels_0"))
+      prop0
+        .join(prop0.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+        .select(col("id"), col("prev"), coalesce(col("comp2"), col("comp")).as("comp")),
+      sub("labels_0"))
     var checkpointedName = "labels_0"
-    var labels = checkpointed
+    var labels = checkpointed.select("id", "comp")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -646,8 +669,16 @@ object Dedup {
     // id (a relay could otherwise win the min and leak a non-doc id)
     val docLabels = labels.join(docs.select(col(idCol).as("id")), "id")
     val docComp = docLabels.groupBy(col("comp")).agg(min(col("id")).as("doc_comp"))
-    docLabels.join(docComp, "comp")
+    val memberRows = docLabels.join(docComp, "comp")
       .select(col("id").as(idCol), col("doc_comp").as("comp"))
+    // singletons (docs in no pair) never entered the loop: comp = own id.
+    // Anti-join against `labels` (the final LIVE checkpoint — `sym` and
+    // `vertices` are released above), which holds exactly the loop's
+    // vertex set.
+    val singletons = docs.select(col(idCol))
+      .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("comp"))
+    memberRows.union(singletons)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key (a natural
@@ -705,10 +736,19 @@ object Dedup {
     */
   def hammingNearDupPairs(
       hashes: DataFrame, idCol: String, hiCol: String, loCol: String,
-      maxHamming: Int, maxBand: Int = Int.MaxValue): DataFrame = {
-    val rows = hashes.select(
-        col(idCol).cast("long").as("id"),
-        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      maxHamming: Int, maxBand: Int = Int.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    // materialize the SLIM fingerprint table once (r16): the hot-band
+    // guard and both self-join sides each re-evaluated the upstream hash
+    // pipeline (for images: PNG synthesis + decode + dHash — the dominant
+    // cost) — 3 full evaluations per action, measured 2.8 s vs 0.53 s for
+    // one hash pass at sf0.1. 24 bytes/row: the guide §8 lightweight-proxy
+    // table, cheap to pin at any scale.
+    val slim = hashes.select(
+      col(idCol).cast("long").as("id"),
+      col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+    val ht = if (materialize) slim.localCheckpoint() else slim
+    val rows = ht
       .select(col("id"), col("hi"), col("lo"),
         posexplode(array(
           expr("(hi div 65536) % 65536"), expr("hi % 65536"),
@@ -746,15 +786,21 @@ object Dedup {
     */
   def hammingCorpusDedup(
       batch: DataFrame, corpus: DataFrame, idCol: String, hiCol: String, loCol: String,
-      maxHamming: Int, maxBand: Int = Int.MaxValue): DataFrame = {
-    def bandsOf(df: DataFrame) = df.select(
-        col(idCol).cast("long").as("id"),
-        col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+      maxHamming: Int, maxBand: Int = Int.MaxValue,
+      materialize: Boolean = true): DataFrame = {
+    def slim(df: DataFrame) = df.select(
+      col(idCol).cast("long").as("id"),
+      col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
+    def bandsOf(df: DataFrame) = df
       .select(col("id"), col("hi"), col("lo"),
         posexplode(array(
           expr("(hi div 65536) % 65536"), expr("hi % 65536"),
           expr("(lo div 65536) % 65536"), expr("lo % 65536"))).as(Seq("band", "band_val")))
-    val cb = bandsOf(corpus)
+    // corpus fingerprints materialized once (r16, [[hammingNearDupPairs]]'s
+    // rationale): the hot-band guard and the candidate join otherwise each
+    // re-run the corpus hash pipeline
+    val corpusSlim = if (materialize) slim(corpus).localCheckpoint() else slim(corpus)
+    val cb = bandsOf(corpusSlim)
     val guardedC =
       if (maxBand == Int.MaxValue) cb
       else {
@@ -762,7 +808,7 @@ object Dedup {
           .filter(col("bn") > maxBand).select("band", "band_val")
         cb.join(hot, Seq("band", "band_val"), "left_anti")
       }
-    val matches = bandsOf(batch)
+    val matches = bandsOf(slim(batch))
       .join(guardedC.select(col("band"), col("band_val"), col("id").as("cid"),
         col("hi").as("chi"), col("lo").as("clo")), Seq("band", "band_val"))
       .withColumn("hamming",

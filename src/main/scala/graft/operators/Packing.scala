@@ -82,12 +82,31 @@ object Packing {
   def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
                    mergesTable: Seq[(String, String)], targetTokens: Int,
                    blockSize: Long = 1L << 20): DataFrame = {
+    // r16 shape: the token-id payload rides THROUGH the blocked prefix sum
+    // instead of being re-derived and joined back on id afterwards — the
+    // guide §8 rule (decide with small rows, move big rows once) applied
+    // in reverse: here the decision (seq_id) is a projection of the same
+    // row, so carrying the payload costs one exchange (blk) + the final
+    // seq_id exchange, while the old join-back shape paid an extra
+    // id-keyed exchange of the arrays. The per-window-task payload is
+    // bounded by blockSize documents (the caller's knob). The block-offset
+    // aggregate shares the blk exchange with the window (ReusedExchange),
+    // so the tokenizer runs exactly once per action.
     val ids = TextStats.bpeEncodeIds(docs, idCol, textCol, mergesTable)
-      .select(col(idCol).cast("long").as("id"), col("token_ids"))
-    val assigned = packFromCounts(
-      ids.select(col("id"), size(col("token_ids")).cast("long").as("n_tok")),
-      targetTokens, blockSize)
-    assigned.join(ids, "id")
+      .select(col(idCol).cast("long").as("id"), col("token_ids"),
+        size(col("token_ids")).cast("long").as("n_tok"))
+    val blocked = ids.withColumn("blk", expr(s"id div $blockSize"))
+    val inBlk = blocked.withColumn("run",
+      sum(col("n_tok")).over(Window.partitionBy("blk").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = inBlk.groupBy("blk").agg(sum(col("n_tok")).as("blk_tot"))
+      .withColumn("blk_off", coalesce(
+        sum(col("blk_tot")).over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_off")
+    inBlk.join(broadcast(offsets), "blk")
+      .withColumn("start", col("blk_off") + col("run") - col("n_tok"))
+      .withColumn("seq_id", expr(s"start div $targetTokens"))
       .groupBy(col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
         flatten(transform(array_sort(collect_list(struct(col("id"), col("token_ids")))),

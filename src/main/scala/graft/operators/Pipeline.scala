@@ -271,9 +271,16 @@ object Pipeline {
       floor(TextFunctions.qualityScore(col(textCol)) * 1000).cast("long").as("bin"))
     val gateOk = TextStats.gopherRulesHof(newDocs, idCol, textCol)
       .filter(col("keep")).select(idCol)
+    // materialized once (r16): incrementalDedup reads its newDocs side
+    // three times (exact fp probe, shingle table, final id frame) — each
+    // read otherwise re-evaluates the whole gate chain (scoring projection
+    // + Gopher semi-join + quality filter) over the batch. Same
+    // shared-subtree policy as the checkpoints inside incrementalDedup.
     val gated = scored.join(gateOk, Seq(idCol), "left_semi")
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
-    val dedup = Dedup.incrementalDedup(gated.select(col(idCol), col(textCol)),
+      .select(col(idCol), col(textCol))
+      .localCheckpoint()
+    val dedup = Dedup.incrementalDedup(gated,
       corpus, idCol, textCol, n, minJaccard, maxDf)
     scored.join(dedup, Seq(idCol), "left")
       .select(col(idCol), col(sourceCol),

@@ -387,7 +387,13 @@ object Sampling {
       .select(keep :+ pmod(conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long"), lit(b))
         .as("b"): _*)
     val rawGrams = grams(raw, col(idCol))
-    val rawProfile = rawGrams.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
+    // two-level aggregation (r16, guide §2.5): the corpus profile is the
+    // bucket-sum of the per-(doc, bucket) counts the scoring branch needs
+    // anyway, so both consumers share ONE explode+hash pass under the
+    // (id, b) exchange (ReusedExchange) instead of exploding the raw
+    // corpus twice. Identical counts by associativity of count/sum.
+    val rawDocB = rawGrams.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n_b"))
+    val rawProfile = rawDocB.groupBy(col("b")).agg(sum(col("n_b")).as("cnt_r"))
     val targetProfile = grams(target).groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
     val totals = rawProfile.agg(sum("cnt_r").as("rtot"))
       .crossJoin(targetProfile.agg(sum("cnt_t").as("ttot")))
@@ -398,7 +404,7 @@ object Sampling {
           ((coalesce(col("cnt_t"), lit(0L)) + lit(1L)) * (col("rtot") + lit(b))).cast("double") /
             ((col("cnt_r") + lit(1L)) * (col("ttot") + lit(b))).cast("double")) *
           lit(1e6) + lit(0.5)).cast("long").as("w_fp"))
-    val perDoc = rawGrams.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n_b"))
+    val perDoc = rawDocB
       .join(broadcast(weights), "b")
       .groupBy(col(idCol))
       .agg(sum(col("n_b")).as("n_grams"), sum(col("n_b") * col("w_fp")).as("dsir_fp"))

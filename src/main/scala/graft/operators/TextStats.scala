@@ -377,27 +377,37 @@ object TextStats {
                    mergesTable: Seq[(String, String)],
                    vocab: DataFrame = null): DataFrame = {
     val vocabDf = Option(vocab).getOrElse(bpeVocab(docs, textCol, mergesTable))
-    val toks = docs
-      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("tpos", "tok")))
-      .filter(length(col("tok")) >= 1)
-    val s0 = concat(lit(" "),
-      array_join(transform(sequence(lit(1), length(col("tok"))),
-        i => col("tok").substr(i, lit(1))), "  "),
-      lit(" "))
-    val chained = mergesTable.foldLeft(s0) { case (acc, (pair, merged)) =>
-      call_function("replace", acc,
-        lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
+    // r16 shape: a pure per-row projection against a broadcast vocab MAP.
+    // The previous shape exploded every (token, symbol) to a row, broadcast-
+    // joined the vocab, and re-assembled each document with a
+    // groupBy + collect_list + array_sort — shuffling the whole SYMBOL
+    // stream (more rows than the corpus has tokens) to compute something
+    // that never leaves its row. Here the merge chain and the vocab lookup
+    // run inside nested array transforms: token order × symbol order IS
+    // (tpos, spos) order, so the result is bit-identical (oracle-pinned),
+    // with zero exchanges. The vocab (alphabet + merges, bounded) rides a
+    // single-row broadcast map; lookups miss to the conventional -1 unk.
+    def chainOf(tok: Column): Column = {
+      val s0 = concat(lit(" "),
+        array_join(transform(sequence(lit(1), length(tok)),
+          i => tok.substr(i, lit(1))), "  "),
+        lit(" "))
+      mergesTable.foldLeft(s0) { case (acc, (pair, merged)) =>
+        call_function("replace", acc,
+          lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
+      }
     }
-    toks
-      .select(col(idCol), col("tpos"),
-        posexplode(split(trim(chained), "  ")).as(Seq("spos", "sym")))
-      .join(broadcast(vocabDf), Seq("sym"), "left")
-      .select(col(idCol), col("tpos"), col("spos"),
-        coalesce(col("token_id"), lit(-1L)).as("token_id"))
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("tpos"), col("spos"), col("token_id")))),
-        s => s.getField("token_id")).as("token_ids"))
+    val vocabMap = vocabDf.agg(
+      map_from_entries(collect_list(struct(col("sym"), col("token_id")))).as("vmap"))
+    docs
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col(idCol), filter(col("w"), t => length(t) >= 1).as("w"))
+      .filter(size(col("w")) >= 1) // docs with no non-empty token are absent (as before)
+      .crossJoin(broadcast(vocabMap))
+      .select(col(idCol),
+        flatten(transform(col("w"), tok =>
+          transform(split(trim(chainOf(tok)), "  "),
+            s => coalesce(element_at(col("vmap"), s), lit(-1L))))).as("token_ids"))
   }
 
   /** Repetition statistics per document over word n-gram shingles — the
@@ -745,9 +755,15 @@ object TextStats {
                           n: Int = 3, k: Int = 64): DataFrame = {
     require(n >= 1 && k >= 1, "kmvContainmentPairs: positive n and k")
     val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    // tokens materialized in their own projection FIRST (r16 fix): the
+    // previous inline `wordShingles(text)` re-split the document once per
+    // shingle element (the lambda-exclusion trap [[TextFunctions
+    // .wordShinglesFromTokens]] documents) — O(tokens²) per doc, measured
+    // 3.15 s vs 0.3 s for the bare shingle explode at sf0.1
     val sketch = docs
-      .select(col(groupCol).as("g"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .select(col(groupCol).as("g"), TextFunctions.tokens(col(textCol)).as("w"))
+      .select(col("g"),
+        explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("sh"))
       .select(col("g"), h.as("h"))
       .groupBy(col("g"))
       .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(
