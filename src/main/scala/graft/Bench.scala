@@ -49,6 +49,16 @@ object Bench {
       }
       if (reps > 1) System.err.println(
         s"[bench] $name reps: ${times.map { case (t, ok) => f"$t%.2f${if (ok) "" else "(FAIL)"}" }.mkString(" ")}")
+      // measurement hygiene (r16): queries that localCheckpoint shared
+      // subtrees leave executor blocks pinned after their DataFrames go
+      // unreachable; over 159 queries × reps the accumulation inflates
+      // LATER queries (q88 measured 0.25 s early-alphabet vs ~1.0 s after
+      // the q1xx block pile-up — pure cross-query contamination). A driver
+      // GC between queries lets Spark's ContextCleaner free exactly the
+      // unreferenced blocks — module-level caches (the shared HNSW index)
+      // stay referenced and untouched, and the GC runs OUTSIDE every
+      // timed window. The timed action itself is unchanged.
+      System.gc()
       val good = times.collect { case (t, true) => t }
       // a failed query must not masquerade as a fast one: sentinel -1
       name -> (if (good.nonEmpty) good.min else -1.0)

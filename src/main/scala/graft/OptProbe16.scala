@@ -182,6 +182,50 @@ object OptProbe16 {
         time("q89.hashes all")(hashes)
         time("q89.full")(graft.operators.Dedup.hammingNearDupPairs(hashes, "id", "dhash_hi", "dhash_lo",
           maxHamming = 8, maxBand = 1000))
+      case "q149" =>
+        val docs = tbl("documents")
+        val merges = graft.operators.TextStats.bpeTrainMerges(docs, "text", merges = 5)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val t0 = System.nanoTime()
+        val vocab = graft.operators.TextStats.bpeVocab(docs, "text", merges)
+        println(f"[probe] q149.vocab construct (count job)       one-shot=${(System.nanoTime()-t0)/1e9}%7.3f")
+        time("q149.vocab consume")(vocab)
+        time("q149.encode ids")(graft.operators.TextStats.bpeEncodeIds(docs, "doc_id", "text", merges))
+        time("q149.pack full")(graft.operators.Packing.packTokenIds(docs, "doc_id", "text", merges, targetTokens = 5000))
+        val t1 = System.nanoTime()
+        val m2 = graft.operators.TextStats.bpeTrainMerges(docs, "text", merges = 5).collect()
+        println(f"[probe] q149.trainMerges collect               one-shot=${(System.nanoTime()-t1)/1e9}%7.3f (${m2.length} rows)")
+        // doc-level chain variant: one padded string per DOC (boundaries >= 3
+        // spaces, intra-token exactly 2 -> merges can never cross tokens)
+        locally {
+          val vocabMap = vocab.agg(
+            map_from_entries(collect_list(struct(col("sym"), col("token_id")))).as("vmap"))
+          val spaced = concat(lit(" "),
+            regexp_replace(col("text"), "(?s)(.)(?=.)", "$1  "), lit(" "))
+          val chained = merges.foldLeft(spaced) { case (acc, (pair, merged)) =>
+            call_function("replace", acc,
+              lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
+          }
+          val out = docs
+            .filter(trim(col("text")) =!= "")
+            .crossJoin(broadcast(vocabMap))
+            .select(col("doc_id"),
+              transform(split(trim(chained), "  +"),
+                s => coalesce(element_at(col("vmap"), s), lit(-1L))).as("token_ids"))
+          time("q149.encode DOC-LEVEL variant")(out)
+          time("q149.spaced only")(docs.filter(trim(col("text")) =!= "").select(col("doc_id"), spaced.as("s")))
+          time("q149.chained only")(docs.filter(trim(col("text")) =!= "").select(col("doc_id"), chained.as("s")))
+          time("q149.split only")(docs.filter(trim(col("text")) =!= "")
+            .select(col("doc_id"), split(trim(chained), "  +").as("syms")))
+          // compare results bit-for-bit vs the current implementation
+          val cur = graft.operators.TextStats.bpeEncodeIds(docs, "doc_id", "text", merges)
+            .select(col("doc_id"), col("token_ids").cast("string").as("t"))
+          val nw = out.select(col("doc_id"), col("token_ids").cast("string").as("t"))
+          val diff = cur.join(nw, Seq("doc_id"), "full_outer")
+            .filter(!(cur("t") <=> nw("t"))).count()
+          println(s"[probe] q149.doc-level vs current diff rows = $diff (cur=${cur.count()}, new=${nw.count()})")
+        }
       case other => System.err.println(s"unknown probe $other")
     }
     spark.stop()

@@ -874,10 +874,14 @@ object Dedup {
     val c = clusters.select(col(idCol).as("id"), col("comp"))
     val s = scores.select(col(idCol).as("id"), col(scoreCol).as("score"))
     val scored = c.join(s, "id")
-    val best = scored.groupBy("comp").agg(max(col("score")).as("best_score"))
-    val canon = scored.join(best, "comp")
-      .filter(col("score") === col("best_score"))
-      .groupBy("comp").agg(min(col("id")).as("canonical_id"))
+    // single-pass argmax (r16): max(struct(score, -id)) picks the highest
+    // score and, among ties, the lowest id — one aggregate instead of the
+    // old best-score groupBy + equality-filter join + min(id) groupBy
+    // (two exchanges and a join fewer; identical canonical ids, including
+    // under Spark's NaN-greatest ordering, which both forms share).
+    val canon = scored.groupBy("comp")
+      .agg(max(struct(col("score"), (-col("id")).as("nid"))).as("b"))
+      .select(col("comp"), (-col("b.nid")).as("canonical_id"))
     scored.join(canon, "comp")
       .select(col("id").as(idCol), col("comp"), col("canonical_id"),
         (col("id") === col("canonical_id")).as("keep"))

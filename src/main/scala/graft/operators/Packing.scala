@@ -90,7 +90,7 @@ object Packing {
     // seq_id exchange, while the old join-back shape paid an extra
     // id-keyed exchange of the arrays. The per-window-task payload is
     // bounded by blockSize documents (the caller's knob). The block-offset
-    // aggregate shares the blk exchange with the window (ReusedExchange),
+    // aggregate shares the blk exchange subtree with the window (AQE reuses the materialized stage),
     // so the tokenizer runs exactly once per action.
     val ids = TextStats.bpeEncodeIds(docs, idCol, textCol, mergesTable)
       .select(col(idCol).cast("long").as("id"), col("token_ids"),

