@@ -366,21 +366,20 @@ object TextStats {
     * emit the TOKEN-ID ARRAYS a data loader consumes — the last mile
     * [[bpeSegmentCounts]] (which only counts symbols) stops short of.
     * Each token's symbol string goes through the identical padded replace
-    * chain, splits into symbols in order, and each symbol joins its
-    * [[bpeVocab]] id (broadcast — the vocabulary is alphabet+merges
-    * sized); symbols outside the vocabulary (new corpus against a frozen
-    * table) encode as −1, the conventional unk sentinel. Output:
+    * chain, splits into symbols in order, and each symbol looks up its
+    * [[bpeVocab]] id in a broadcast hash map (the vocabulary is
+    * alphabet+merges sized); symbols outside the vocabulary (new corpus
+    * against a frozen table) encode as −1, the conventional unk sentinel. Output:
     * (idCol, token_ids: array&lt;long&gt;) in document order (token order,
     * then symbol order within the token).
     *
-    * Scale shape: one token explode + one symbol explode + a broadcast
-    * join + one partial-agg groupBy per doc — per-doc arrays are bounded
-    * by document length, nothing corpus-sized is ever collected.
+    * Scale shape: one pure per-row projection over the corpus — no joins,
+    * no shuffle; the vocabulary (alphabet + merges, bounded) is collected
+    * once at construction and rides an executor broadcast.
     */
   def bpeEncodeIds(docs: DataFrame, idCol: String, textCol: String,
                    mergesTable: Seq[(String, String)],
                    vocab: DataFrame = null): DataFrame = {
-    val vocabDf = Option(vocab).getOrElse(bpeVocab(docs, textCol, mergesTable))
     // r16 shape: a pure per-row DOC-LEVEL projection against a broadcast
     // vocab MAP — zero exchanges. The previous shape exploded every
     // (token, symbol) to a row, broadcast-joined the vocab, and
@@ -410,14 +409,71 @@ object TextStats {
       call_function("replace", acc,
         lit(" " + pair.replace(" ", "  ") + " "), lit(s" $merged "))
     }
-    val vocabMap = vocabDf.agg(
-      map_from_entries(collect_list(struct(col("sym"), col("token_id")))).as("vmap"))
+    // r17: the per-symbol lookup was `element_at` on a broadcast Catalyst
+    // map inside `transform` — a per-symbol O(|vocab|) LINEAR SCAN, and
+    // interpreted (higher-order functions are CodegenFallback; GetMapValue
+    // on ArrayBasedMapData probes by scan, not by hash). The vocabulary is
+    // alphabet+merges sized — bounded, tiny — so it is collected once at
+    // construction and a Scala UDF closes over a broadcast hash map: O(1)
+    // per symbol. Only the lookup changed: the padded replace chain and
+    // the trim/split stay whole-stage-codegen expressions, misses still
+    // encode as the -1 unk sentinel, and the probe measured bit-equality
+    // over the full sf0.1 corpus (0/5000 rows differ) at 5× less wall
+    // clock (2.57 → 0.52 s noop-sink; the r16 lazy-vocab trade reversed
+    // deliberately: per ACTION the vocab subtree evaluated anyway, so
+    // total work is equal and the hot path drops the linear scan).
+    //
+    // The default-vocab path skips [[bpeVocab]]'s plan (whose window +
+    // self-referencing count re-evaluate the char explode twice — measured
+    // 0.94 s to collect 29 symbols at sf0.1): ONE distinct job collects
+    // the alphabet and the ids are assigned driver-side by the identical
+    // rule — base ids 0..B−1 in binary (UTF-8 byte) order, exactly
+    // Spark's untyped string sort, then B+rank−1 per merge with the FIRST
+    // id kept for re-appearing symbols ([[bpeVocab]]'s min(token_id)).
+    val vmapLocal: Map[String, Long] =
+      if (vocab == null) {
+        // alphabet = distinct chars of the token stream. tokens() splits
+        // on the single space char and the len>=1 filter only drops empty
+        // tokens, so token chars ≡ text chars minus " " — computed with a
+        // codegen'd split(text, "") instead of the interpreted
+        // transform/substr HOF over every token (same rows, no
+        // CodegenFallback in the explode)
+        val alphabet = docs
+          .select(explode(split(col(textCol), "")).as("sym"))
+          .filter(col("sym") =!= " " && col("sym") =!= "")
+          .distinct().collect().map(_.getString(0))
+        // binary order = unsigned UTF-8 byte order (Java String.compareTo
+        // is UTF-16 code-unit order, which disagrees above the BMP)
+        val utf8Ord: Ordering[String] = new Ordering[String] {
+          def compare(a: String, b: String): Int = {
+            val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            var c = 0
+            val n = math.min(x.length, y.length)
+            while (c == 0 && i < n) {
+              c = (x(i) & 0xff) - (y(i) & 0xff)
+              i += 1
+            }
+            if (c != 0) c else x.length - y.length
+          }
+        }
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        alphabet.sorted(utf8Ord).zipWithIndex.foreach { case (s, i) => m(s) = i.toLong }
+        val nBase = alphabet.length.toLong
+        mergesTable.map(_._2).zipWithIndex.foreach { case (s, i) =>
+          if (!m.contains(s)) m(s) = nBase + i
+        }
+        m.toMap
+      } else {
+        vocab.select(col("sym"), col("token_id"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val bc = docs.sparkSession.sparkContext.broadcast(vmapLocal)
+    val encode = udf((syms: Seq[String]) => syms.map(s => bc.value.getOrElse(s, -1L)))
     docs
       .filter(trim(col(textCol)) =!= "")
-      .crossJoin(broadcast(vocabMap))
-      .select(col(idCol),
-        transform(split(trim(chained), "  +"),
-          s => coalesce(element_at(col("vmap"), s), lit(-1L))).as("token_ids"))
+      .select(col(idCol), encode(split(trim(chained), "  +")).as("token_ids"))
   }
 
   /** Repetition statistics per document over word n-gram shingles — the
