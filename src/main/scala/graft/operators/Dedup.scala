@@ -312,13 +312,19 @@ object Dedup {
     * Like [[ngramJaccardPairs]], EAGER by default: the pruned shingle set
     * feeds its size aggregate AND both intersection sides, so it is
     * `localCheckpoint`ed once at construction (jobs run even under
-    * EXPLAIN; blocks pinned — see [[Checkpoints]]). Pass
+    * EXPLAIN; blocks pinned — see [[Checkpoints]]), and the PAIR list —
+    * consumed by the member prune, the intersection join and the output
+    * spine, i.e. whatever proposer DAG produced it would otherwise
+    * re-evaluate three times (r17: the LSH propose tier measured 2.60 →
+    * 1.89 s at sf0.1 from this alone) — is checkpointed too: a few bytes
+    * per candidate pair, the cheapest frame in the query. Pass
     * `materialize = false` for a fully lazy plan.
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, minJaccard: Double = 0.5,
                       materialize: Boolean = true): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b"))
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+    val p = if (materialize) p0.localCheckpoint() else p0
     val members = p.select(col("id_a").as(idCol)).union(p.select(col("id_b").as(idCol))).distinct()
     val shAll = explodedShingles(docs.join(members, Seq(idCol), "left_semi"), idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
@@ -354,14 +360,17 @@ object Dedup {
     * Same scale shape as [[jaccardForPairs]]: member semi-join prune, one
     * distinct shingle table feeding the size aggregate and both
     * intersection sides, pair-keyed equi-joins — O(pairs × shingles/doc),
-    * never corpus-wide. Output: (id_a, id_b, n_inter, n_a, n_b,
-    * containment, is_contained), 0.0 (never null) for empty sets.
+    * never corpus-wide; like it, the pair list is checkpointed once so the
+    * proposer DAG is not re-evaluated per consumer (r17). Output: (id_a,
+    * id_b, n_inter, n_a, n_b, containment, is_contained), 0.0 (never
+    * null) for empty sets.
     */
   def containmentForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                           textCol: String, n: Int = 3,
                           minContainment: Double = 0.9,
                           materialize: Boolean = true): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b"))
+    val p0 = pairs.select(col("id_a"), col("id_b"))
+    val p = if (materialize) p0.localCheckpoint() else p0
     val members = p.select(col("id_a").as(idCol)).union(p.select(col("id_b").as(idCol))).distinct()
     val shAll = explodedShingles(docs.join(members, Seq(idCol), "left_semi"), idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
