@@ -49,16 +49,18 @@ object Bench {
       }
       if (reps > 1) System.err.println(
         s"[bench] $name reps: ${times.map { case (t, ok) => f"$t%.2f${if (ok) "" else "(FAIL)"}" }.mkString(" ")}")
-      // measurement hygiene (r16): queries that localCheckpoint shared
-      // subtrees leave executor blocks pinned after their DataFrames go
-      // unreachable; over 159 queries × reps the accumulation inflates
-      // LATER queries (q88 measured 0.25 s early-alphabet vs ~1.0 s after
-      // the q1xx block pile-up — pure cross-query contamination). A driver
-      // GC between queries lets Spark's ContextCleaner free exactly the
-      // unreferenced blocks — module-level caches (the shared HNSW index)
-      // stay referenced and untouched, and the GC runs OUTSIDE every
-      // timed window. The timed action itself is unchanged.
-      System.gc()
+      // checkpoint hygiene (r17, replacing r16's System.gc()): queries
+      // that localCheckpoint shared subtrees leave executor blocks pinned
+      // after their DataFrames go unreachable; over 159 queries × reps the
+      // accumulation inflates LATER queries (q88 measured 0.25 s
+      // early-alphabet vs ~1.0 s after the q1xx block pile-up). The
+      // operators now REGISTER every per-query checkpoint
+      // (Checkpoints.tracked) and this releases them explicitly —
+      // deterministic, no driver-GC dependence; module-level caches (the
+      // shared HNSW/IVF-PQ indexes) are built under Checkpoints.pinned and
+      // survive. Runs OUTSIDE every timed window; the timed action itself
+      // is unchanged.
+      graft.operators.Checkpoints.releaseTracked(spark)
       val good = times.collect { case (t, true) => t }
       // a failed query must not masquerade as a fast one: sentinel -1
       name -> (if (good.nonEmpty) good.min else -1.0)
@@ -90,6 +92,9 @@ object Bench {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        // free the throwaway build's tracked checkpoints (outside the
+        // timed window — v is already computed)
+        graft.operators.Checkpoints.releaseTracked(spark)
         v
       }
       if (allReps.size > 3) System.err.println(

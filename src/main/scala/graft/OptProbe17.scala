@@ -116,6 +116,48 @@ object OptProbe17 {
           Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", n = 3, minJaccard = 0.4))
         time("q60.full pairs PRE-CKPT")(
           Dedup.jaccardForPairs(pairs.localCheckpoint(), docs, "doc_id", "text", n = 3, minJaccard = 0.4))
+      case "q93" =>
+        val e = tbl("embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
+        time("q93.full CURRENT")(
+          graft.operators.Ivf.kmeansExact(e, k = 8, iters = 2))
+        // how much of it is re-deriving pts (scan+posexplode+floor) 5x?
+        locally {
+          val pts = e.select(col("id"),
+              posexplode(graft.functions.Distances.toDouble(col("vector"))).as(Seq("d", "x")))
+            .select(col("id"), col("d"),
+              floor((col("x") + lit(4.0)) * lit((1L << 20).toDouble)).cast("long").as("qv"))
+          time("q93.pts once")(pts)
+        }
+      case "q55" =>
+        import graft.operators.Dedup
+        val docs = tbl("documents")
+        def mkPairs = {
+          val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
+            .localCheckpoint()
+          Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
+            .select("id_a", "id_b").distinct()
+        }
+        (1 to reps).foreach { i =>
+          val t0 = System.nanoTime()
+          val cl = Dedup.dupClusters(docs, mkPairs, "doc_id")
+          val t1 = System.nanoTime()
+          cl.write.format("noop").mode("overwrite").save()
+          println(f"[probe] q55.dupClusters rep $i construct=${(t1 - t0) / 1e9}%6.3f consume=${(System.nanoTime() - t1) / 1e9}%6.3f")
+          graft.operators.Checkpoints.releaseTracked(spark)
+        }
+        // does Dataset.localCheckpoint(eager) fire observe metrics? If yes,
+        // the convergence isEmpty job can fuse into the materialize job.
+        locally {
+          val obs = new org.apache.spark.sql.Observation("conv")
+          val df = spark.range(100).toDF("id").observe(obs, sum(col("id")).as("s"))
+          val cp = df.localCheckpoint()
+          val got = try {
+            val f = obs.getClass.getDeclaredMethod("getOrEmpty")
+            f.setAccessible(true)
+            Some(f.invoke(obs))
+          } catch { case _: Throwable => None }
+          println(s"[probe] q55.observe-on-localCheckpoint -> $got (rows=${cp.count()})")
+        }
       case other => System.err.println(s"unknown probe $other")
     }
     spark.stop()

@@ -124,10 +124,14 @@ object SparkEntry {
       graft.operators.TextStats.bpeTrainMerges(tbl(s, dir, "documents"), "text", merges = 5)
         .collect().sortBy(_.getInt(0))
         .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+  // NOTE: bpeTrainMerges releases its loop checkpoints itself and the cache
+  // stores collected ROWS, so no pinned{} needed here.
 
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, graft.hnsw.HnswIndex]
   private def builtIndex(s: SparkSession, dir: String): graft.hnsw.HnswIndex =
-    indexCache.getOrElseUpdate(dir, {
+    indexCache.getOrElseUpdate(dir, graft.operators.Checkpoints.pinned {
+      // pinned: frames reachable from this cache outlive any single query —
+      // releaseTracked between bench queries must not touch them
       val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
       val idx = Hnsw.build(input, HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
       idx.copy(edges = idx.edges.cache())
@@ -138,7 +142,9 @@ object SparkEntry {
     */
   private val routedCache = scala.collection.concurrent.TrieMap.empty[String, graft.hnsw.HnswIndex]
   private def routedIndex(s: SparkSession, dir: String): graft.hnsw.HnswIndex =
-    routedCache.getOrElseUpdate(dir, {
+    routedCache.getOrElseUpdate(dir, graft.operators.Checkpoints.pinned {
+      // pinned: the routing table is an eager checkpoint that must survive
+      // for the cache's lifetime (a localCheckpoint cannot recompute)
       val input = tbl(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vector"))
       val idx = Hnsw.buildRouted(input,
         HnswParams(dim = EmbDim, m = 8, efConstruction = 64, numPartitions = 8))
@@ -152,7 +158,7 @@ object SparkEntry {
   private val ivfpqCache =
     scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
   private def ivfpqArtifacts(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    ivfpqCache.getOrElseUpdate(dir, {
+    ivfpqCache.getOrElseUpdate(dir, graft.operators.Checkpoints.pinned {
       val e = emb(s, dir).select("id", "vector")
       val centroids = Ivf.kmeansFit(e, k = 16, iters = 2)
       val codebooks = graft.operators.Pq.pqFit(e, EmbDim, m = 8, k = 16, iters = 2)
@@ -432,17 +438,17 @@ object SparkEntry {
       // not re-derive the corpus-wide signature aggregation; at 100 TB a
       // re-derivation is a full corpus re-read
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.tracked(_))
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
         .select("id_a", "id_b").distinct()
       // canonicalDocs consumes its clusters⋈scores join three times (best
       // score, canonical id, member flags) — materialize both inputs so
       // the label tail and the quality scan run once, not three times
-      val clusters = Dedup.dupClusters(docs, pairs, "doc_id").localCheckpoint()
+      val clusters = Dedup.dupClusters(docs, pairs, "doc_id").transform(graft.operators.Checkpoints.tracked(_))
       val scores = graft.operators.TextStats.textStats(docs, "doc_id", "text")
         .filter(col("n_tokens") >= 1)
         .select(col("doc_id"), col("quality"))
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.tracked(_))
       Dedup.canonicalDocs(clusters, scores, "doc_id", "quality")
     }),
 
@@ -451,12 +457,12 @@ object SparkEntry {
     "q56_leakage_split" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
-        .localCheckpoint() // shingle the corpus once per plan (see q55)
+        .transform(graft.operators.Checkpoints.tracked(_)) // shingle the corpus once per plan (see q55)
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
         .select("id_a", "id_b").distinct()
       // the dupClusters tail (label ⋈ docs remap) re-reads the corpus id
       // column per consumer — materialize before the split projection
-      val clusters = Dedup.dupClusters(docs, pairs, "doc_id").localCheckpoint()
+      val clusters = Dedup.dupClusters(docs, pairs, "doc_id").transform(graft.operators.Checkpoints.tracked(_))
       graft.operators.Sampling.leakageSafeSplit(clusters, "doc_id", validPct = 10)
     }),
 
@@ -962,7 +968,7 @@ object SparkEntry {
     "q105_containment" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
-        .localCheckpoint() // shingle the corpus once per plan (see q55)
+        .transform(graft.operators.Checkpoints.tracked(_)) // shingle the corpus once per plan (see q55)
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
         .select("id_a", "id_b").distinct()
       Dedup.containmentForPairs(pairs, docs, "doc_id", "text", n = 3, minContainment = 0.9)
@@ -989,7 +995,7 @@ object SparkEntry {
       // sigs feeds BOTH the LSH banding and the estimate's two join legs:
       // unmaterialized, the signature aggregation would run three times
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.tracked(_))
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
         .select("id_a", "id_b").distinct()
       Dedup.minhashEstimate(pairs, sigs, "doc_id", h = 4)
@@ -1077,7 +1083,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       // sigs feeds the banding AND the estimate tier (see q65)
       val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, h = 4)
-        .localCheckpoint()
+        .transform(graft.operators.Checkpoints.tracked(_))
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
         .select("id_a", "id_b").distinct()
       val survivors = Dedup.minhashEstimate(pairs, sigs, "doc_id", h = 4)
@@ -1097,7 +1103,7 @@ object SparkEntry {
       val truth = corpus.filter(col("doc_id") % 50 === 7)
         .select(col("doc_id").as("id_a"), (col("doc_id") + lit(10000L)).as("id_b"))
       val sigs = Dedup.minhashSignatures(all, "doc_id", "text", n = 3, h = 4)
-        .localCheckpoint() // shingle the corpus once per plan (see q55)
+        .transform(graft.operators.Checkpoints.tracked(_)) // shingle the corpus once per plan (see q55)
       val predicted = Dedup.lshCandidatePairs(sigs, "doc_id", h = 4, rows = 2, maxBandSize = 1000)
         .select("id_a", "id_b")
       Dedup.pairMetrics(predicted, truth)

@@ -39,6 +39,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's tracked checkpoints (pinned index caches survive)
+      graft.operators.Checkpoints.releaseTracked(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

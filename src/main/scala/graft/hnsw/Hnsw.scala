@@ -307,8 +307,8 @@ object Hnsw {
     // would double-insert the id into one sub-graph — collapse on (id, pid)
     val withPidDf = assigned.join(broadcast(cellPid), "cid")
       .select("id", "vector", "pid").dropDuplicates("id", "pid")
-    val routing = cents.join(broadcast(cellPid), "cid")
-      .select(col("cid"), col("cvector"), col("pid")).localCheckpoint()
+    val routing = graft.operators.Checkpoints.tracked(cents.join(broadcast(cellPid), "cid")
+      .select(col("cid"), col("cvector"), col("pid")))
     val idx0 = buildFromPid(withPidDf, params, Some(routing))
     assigned.unpersist()
     val tNodes = System.nanoTime()
@@ -1025,7 +1025,7 @@ object Hnsw {
             case Some(path) =>
               df.write.mode(if (firstChunk) "overwrite" else "append").parquet(path)
             case None =>
-              acc ::= df.localCheckpoint()
+              acc ::= graft.operators.Checkpoints.tracked(df)
           }
           qB.destroy()
           firstChunk = false
@@ -1448,17 +1448,17 @@ object Hnsw {
     val n = if (index.meta.num_nodes > 0) index.meta.num_nodes
       else math.max(1L, live.agg(countDistinct("id")).head().getLong(0))
     val step = math.max(1L, n / sampleQueries.toLong)
-    val sample0 = live.filter(col("id") % step === 0)
+    val sample0 = graft.operators.Checkpoints.tracked(live.filter(col("id") % step === 0)
       .groupBy(col("id")).agg(first(col("vector")).as("vector"))
-      .select(col("id").as("qid"), col("vector")).localCheckpoint()
+      .select(col("id").as("qid"), col("vector")))
     // sparse/non-dense id spaces (e.g. a filtered view) can leave the
     // modulus class nearly empty — fall back to a bounded deterministic
     // prefix sample rather than calibrating on 0–2 queries
     val sample = if (sample0.isEmpty) {
       graft.operators.Checkpoints.unpersist(sample0)
-      live.groupBy(col("id")).agg(first(col("vector")).as("vector"))
+      graft.operators.Checkpoints.tracked(live.groupBy(col("id")).agg(first(col("vector")).as("vector"))
         .orderBy(col("id")).limit(sampleQueries)
-        .select(col("id").as("qid"), col("vector")).localCheckpoint()
+        .select(col("id").as("qid"), col("vector")))
     } else sample0
     if (sample.isEmpty) { // empty live corpus — nothing to measure
       graft.operators.Checkpoints.unpersist(sample)
@@ -1475,7 +1475,8 @@ object Hnsw {
     val truth = rankTopK(
       uniq.crossJoin(broadcast(sample.select(col("qid"), col("vector").as("q_vector"))))
         .select(col("qid"), col("id"), distFn(col("vector"), col("q_vector")).as("dist")), kMax)
-      .select(col("qid"), col("id"), col("rank").as("t_rank")).localCheckpoint()
+      .select(col("qid"), col("id"), col("rank").as("t_rank"))
+      .transform(df => graft.operators.Checkpoints.tracked(df))
     // per-query cell ranks (sample × C rows — tiny), cells fanned to pids
     val geo = cents.select("cid", "cvector").distinct()
     val w = org.apache.spark.sql.expressions.Window
@@ -1495,7 +1496,7 @@ object Hnsw {
       .join(cellRank, Seq("qid", "pid"))
       .groupBy(col("qid"), col("id"))
       .agg(min(col("r")).as("hit_r"), min(col("t_rank")).as("t_rank"))
-      .localCheckpoint()
+      .transform(df => graft.operators.Checkpoints.tracked(df))
     // per-true-rank pair totals (≤ kMax rows) — the per-k denominators;
     // taken from TRUTH, not hitRank, so a pair that somehow never routes
     // would lower recall instead of silently dropping out of the base
@@ -1614,8 +1615,7 @@ object Hnsw {
     val n = if (index.meta.num_nodes > 0) index.meta.num_nodes else live.count()
     val step = math.max(1L, n / sampleSize.toLong)
     val sample = live.filter(col("id") % step === 0)
-    val codebooks = graft.operators.Pq.pqFit(sample, dim, mUsed, kCells, iters)
-      .localCheckpoint()
+    val codebooks = graft.operators.Checkpoints.tracked(graft.operators.Pq.pqFit(sample, dim, mUsed, kCells, iters))
     val codes = graft.operators.Pq.pqEncodeBytes(
       index.nodes.filter(!col("tombstone")).select(col("pid"), col("id"), col("vector")),
       codebooks, mUsed)
@@ -1677,15 +1677,15 @@ object Hnsw {
     val step = math.max(1L, n / sampleQueries.toLong)
     // 3 % step keeps the residue valid on tiny corpora (step 1 or 2),
     // where a literal 3 would select nothing and the recall would be NaN
-    val qs0 = uniq.filter(col("id") % step === (3L % step))
-      .select(col("id").as("qid"), col("vector")).localCheckpoint()
+    val qs0 = graft.operators.Checkpoints.tracked(uniq.filter(col("id") % step === (3L % step))
+      .select(col("id").as("qid"), col("vector")))
     // sparse/non-dense id spaces can leave the modulus class empty (the
     // avg(recall) below would then be null) — fall back to a bounded
     // deterministic prefix sample
     val qs = if (qs0.isEmpty) {
       graft.operators.Checkpoints.unpersist(qs0)
-      uniq.orderBy(col("id")).limit(sampleQueries)
-        .select(col("id").as("qid"), col("vector")).localCheckpoint()
+      graft.operators.Checkpoints.tracked(uniq.orderBy(col("id")).limit(sampleQueries)
+        .select(col("id").as("qid"), col("vector")))
     } else qs0
     // no live vectors at all: nothing to measure — return the "no stamp"
     // sentinel instead of throwing on a null avg(recall)
@@ -1694,10 +1694,10 @@ object Hnsw {
       return PqStamp(-1.0, -1.0, refUsed, probeUsed, 0L)
     }
     val qCount = qs.count()
-    val exact = graft.operators.Knn.exactTopK(uniq, qs, k,
-      Distances.metric(index.meta.metric)).localCheckpoint()
-    val ann = annQueryPqRefined(index, qs, k, probeCells = probeCells,
-      refine = refUsed, kernel = true).localCheckpoint()
+    val exact = graft.operators.Checkpoints.tracked(graft.operators.Knn.exactTopK(uniq, qs, k,
+      Distances.metric(index.meta.metric)))
+    val ann = graft.operators.Checkpoints.tracked(annQueryPqRefined(index, qs, k, probeCells = probeCells,
+      refine = refUsed, kernel = true))
     val rec = recallAtK(ann, exact, k).agg(avg(col("recall"))).head().getDouble(0)
     graft.operators.Checkpoints.unpersist(qs)
     graft.operators.Checkpoints.unpersist(exact)
@@ -1998,7 +1998,7 @@ object Hnsw {
     // smaller than num_nodes/P)
     if (m.num_nodes > 0 && q.count() * efBudget(m, k, ef).toLong >= m.num_nodes)
       return routedSearch(index, q, probedPidsFor(index, q, probe), k, ef)
-    val probed = probedPidsFor(index, q, probe).localCheckpoint()
+    val probed = graft.operators.Checkpoints.tracked(probedPidsFor(index, q, probe))
     // shard and batch statistics from the materialized probe table and the
     // routing table (both tiny) — the node table is only touched on the
     // appended-shard branch below, and then as a pid-column-pruned
@@ -2419,8 +2419,8 @@ object Hnsw {
     val folded = index.nodes.filter(!col("tombstone"))
       .select(col("id"), col("vector"), (col("pid") % p).cast("int").as("pid"))
       .dropDuplicates("id", "pid")
-    val home = cents.filter(col("pid") < p)
-      .select(col("cid"), col("cvector"), col("pid")).localCheckpoint()
+    val home = graft.operators.Checkpoints.tracked(cents.filter(col("pid") < p)
+      .select(col("cid"), col("cvector"), col("pid")))
     val idx = buildFromPid(folded, params, Some(home))
     idx.copy(meta = idx.meta.copy(num_cells = index.meta.num_cells))
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
 
 /** Lifecycle helper for eager `localCheckpoint()` materializations.
@@ -28,6 +28,66 @@ private[graft] object Checkpoints {
     case l: LogicalRDD => l.rdd.unpersist(blocking = false)
     case _             => ()
   }
+
+  // ---- tracked-checkpoint lifecycle (r17) ------------------------------
+  //
+  // Every eager localCheckpoint pins executor storage blocks with NO
+  // lineage to fall back on, so the only safe release point for a
+  // checkpoint referenced by an operator's RETURNED plan is "after the
+  // caller is completely done with the result". Before r17 that release
+  // was implicit: the bench called System.gc() between queries so the
+  // ContextCleaner would collect unreachable checkpoint RDDs — driver-GC
+  // hygiene papering over a real §5 leak (blocks from 159 queries × reps
+  // piled up and inflated later queries). Now each EPHEMERAL checkpoint
+  // registers its RDD id here and harnesses release them explicitly
+  // between queries ([[releaseTracked]]), deterministic and GC-free.
+  //
+  // Checkpoints that must OUTLIVE the query — frames reachable from
+  // module-level caches (the shared HNSW/IVF-PQ indexes per data dir) —
+  // are built inside [[pinned]], which suspends registration on the
+  // current thread; releasing those would break every later consumer,
+  // since a localCheckpoint cannot recompute.
+
+  private val trackedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val pinnedDepth = new ThreadLocal[Integer] { override def initialValue: Integer = 0 }
+
+  /** Run `body` with checkpoint tracking suspended on this thread: every
+    * [[tracked]] checkpoint created inside is index-lifetime (survives
+    * [[releaseTracked]]). For builders whose results ride module caches.
+    */
+  def pinned[T](body: => T): T = {
+    pinnedDepth.set(pinnedDepth.get + 1)
+    try body finally pinnedDepth.set(pinnedDepth.get - 1)
+  }
+
+  /** Eager localCheckpoint registered for release at the next
+    * [[releaseTracked]] (unless created under [[pinned]]). Use for every
+    * per-query-lifetime materialization.
+    */
+  def tracked[T](ds: Dataset[T]): Dataset[T] = {
+    val c = ds.localCheckpoint()
+    if (pinnedDepth.get == 0) rddId(c).foreach(id => trackedIds.add(id))
+    c
+  }
+
+  /** Unpersist every tracked checkpoint still persisted, then forget them.
+    * Call only when no frame returned by the operators since the last
+    * release can still be consumed (e.g. between bench queries, outside
+    * the timed window). Already-released ids no-op (public
+    * `getPersistentRDDs` lookup), so loop-internal [[release]] calls
+    * compose with tracking.
+    */
+  def releaseTracked(spark: SparkSession): Unit = {
+    val persistent = spark.sparkContext.getPersistentRDDs
+    val it = trackedIds.iterator()
+    while (it.hasNext) {
+      persistent.get(it.next()).foreach(_.unpersist(blocking = false))
+    }
+    trackedIds.clear()
+  }
+
+  /** Number of ids currently registered — spec observability. */
+  def trackedCount: Int = trackedIds.size()
 
   /** The id of the RDD backing a localCheckpointed frame, if the frame is
     * a direct checkpoint scan. Lets callers (and specs) track exactly the
@@ -57,7 +117,7 @@ private[graft] object Checkpoints {
     case Some(dir) =>
       df.write.mode("overwrite").parquet(dir)
       df.sparkSession.read.parquet(dir)
-    case None => df.localCheckpoint()
+    case None => tracked(df)
   }
 
   /** Release a superseded [[materialize]] result: delete the spill dir, or

@@ -142,10 +142,9 @@ object Classify {
     // three consumers (range, total-positives, binned stream) — checkpoint
     // the slim projection once rather than re-deriving the scorer per
     // consumer (the Dedup.scala ≥-2-consumers policy)
-    val s = scored.select(col(scoreCol).cast("long").as("__s"),
+    val s = Checkpoints.tracked(scored.select(col(scoreCol).cast("long").as("__s"),
         col(labelCol).cast("long").as("__l"))
-      .filter(col("__s").isNotNull && col("__l").isNotNull)
-      .localCheckpoint()
+      .filter(col("__s").isNotNull && col("__l").isNotNull))
     val range = s.agg(min("__s").as("lo"), max("__s").as("hi"))
     val binned = s.crossJoin(broadcast(range))
       .select(col("__s"), col("__l"),

@@ -151,7 +151,7 @@ object Dedup {
     } else {
       // eager materialization: truncates lineage so neither join side
       // recomputes the signature aggregation
-      val mat = if (materialize) banded.localCheckpoint() else banded
+      val mat = if (materialize) Checkpoints.tracked(banded) else banded
       val a = mat.select(col("id").as("id_a"), col("band"), col("band_val"))
       val b = mat.select(col("id").as("id_b"), col("band"), col("band_val"))
       a.join(b, Seq("band", "band_val"))
@@ -251,7 +251,7 @@ object Dedup {
     // eager materialization (same shape as lshCandidatePairs): the capped
     // shingle set feeds the size aggregate AND both self-join sides —
     // unmaterialized, the explode+distinct subtree would run three times
-    val sh = if (materialize) capped.localCheckpoint() else capped
+    val sh = if (materialize) Checkpoints.tracked(capped) else capped
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -324,13 +324,13 @@ object Dedup {
                       n: Int = 3, minJaccard: Double = 0.5,
                       materialize: Boolean = true): DataFrame = {
     val p0 = pairs.select(col("id_a"), col("id_b"))
-    val p = if (materialize) p0.localCheckpoint() else p0
+    val p = if (materialize) Checkpoints.tracked(p0) else p0
     val members = p.select(col("id_a").as(idCol)).union(p.select(col("id_b").as(idCol))).distinct()
     val shAll = explodedShingles(docs.join(members, Seq(idCol), "left_semi"), idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
       .distinct()
     // feeds the size aggregate AND both intersection sides
-    val sh = if (materialize) shAll.localCheckpoint() else shAll
+    val sh = if (materialize) Checkpoints.tracked(shAll) else shAll
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = p
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
@@ -370,12 +370,12 @@ object Dedup {
                           minContainment: Double = 0.9,
                           materialize: Boolean = true): DataFrame = {
     val p0 = pairs.select(col("id_a"), col("id_b"))
-    val p = if (materialize) p0.localCheckpoint() else p0
+    val p = if (materialize) Checkpoints.tracked(p0) else p0
     val members = p.select(col("id_a").as(idCol)).union(p.select(col("id_b").as(idCol))).distinct()
     val shAll = explodedShingles(docs.join(members, Seq(idCol), "left_semi"), idCol, textCol, n)
       .select(col(idCol).as("id"), col("shingle"))
       .distinct()
-    val sh = if (materialize) shAll.localCheckpoint() else shAll
+    val sh = if (materialize) Checkpoints.tracked(shAll) else shAll
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = p
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
@@ -425,7 +425,7 @@ object Dedup {
                        n: Int = 3, minJaccard: Double = 0.5,
                        maxDf: Int = Int.MaxValue,
                        materialize: Boolean = true): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint() else df
+    def ckpt(df: DataFrame): DataFrame = if (materialize) Checkpoints.tracked(df) else df
     val fpCorpus = corpus.select(TextFunctions.fingerprint(col(textCol)).as("fp")).distinct()
     val exact = newDocs
       .select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("fp"))
@@ -756,7 +756,7 @@ object Dedup {
     val slim = hashes.select(
       col(idCol).cast("long").as("id"),
       col(hiCol).cast("long").as("hi"), col(loCol).cast("long").as("lo"))
-    val ht = if (materialize) slim.localCheckpoint() else slim
+    val ht = if (materialize) Checkpoints.tracked(slim) else slim
     val rows = ht
       .select(col("id"), col("hi"), col("lo"),
         posexplode(array(
@@ -808,7 +808,7 @@ object Dedup {
     // corpus fingerprints materialized once (r16, [[hammingNearDupPairs]]'s
     // rationale): the hot-band guard and the candidate join otherwise each
     // re-run the corpus hash pipeline
-    val corpusSlim = if (materialize) slim(corpus).localCheckpoint() else slim(corpus)
+    val corpusSlim = if (materialize) Checkpoints.tracked(slim(corpus)) else slim(corpus)
     val cb = bandsOf(corpusSlim)
     val guardedC =
       if (maxBand == Int.MaxValue) cb

@@ -85,7 +85,7 @@ object Pipeline {
       s"stageStorage must be 'persist' or 'local-checkpoint', got '$stageStorage'")
     def ckpt(df: DataFrame): DataFrame =
       if (!materialize) df
-      else if (stageStorage == "local-checkpoint") df.localCheckpoint()
+      else if (stageStorage == "local-checkpoint") Checkpoints.tracked(df)
       else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 1: quality gate (Gopher keep AND composite score)
     val gated = ckpt(docs
@@ -217,7 +217,7 @@ object Pipeline {
                       canonicalizeUrls: Boolean = false): DataFrame = {
     val raw = docsFromWarc(records, canonicalizeUrls = canonicalizeUrls)
     val docs =
-      if (stageStorage == "local-checkpoint") raw.localCheckpoint()
+      if (stageStorage == "local-checkpoint") Checkpoints.tracked(raw)
       else raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (verifyIds) {
       val clash = docs.groupBy(col("doc_id"))
@@ -276,10 +276,9 @@ object Pipeline {
     // read otherwise re-evaluates the whole gate chain (scoring projection
     // + Gopher semi-join + quality filter) over the batch. Same
     // shared-subtree policy as the checkpoints inside incrementalDedup.
-    val gated = scored.join(gateOk, Seq(idCol), "left_semi")
+    val gated = Checkpoints.tracked(scored.join(gateOk, Seq(idCol), "left_semi")
       .filter(TextFunctions.qualityScore(col(textCol)) >= minQuality)
-      .select(col(idCol), col(textCol))
-      .localCheckpoint()
+      .select(col(idCol), col(textCol)))
     val dedup = Dedup.incrementalDedup(gated,
       corpus, idCol, textCol, n, minJaccard, maxDf)
     scored.join(dedup, Seq(idCol), "left")
@@ -463,11 +462,11 @@ object Pipeline {
                iterations: Int = 2, dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
     require(iterations >= 1, "hostRank: at least one iteration")
     require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen, "hostRank: 0 <= damp <= 1")
-    val edges = linkEdges(docs, hostCol, htmlCol).localCheckpoint()
-    val hosts = docs.select(col(hostCol).as("host"))
+    val edges = Checkpoints.tracked(linkEdges(docs, hostCol, htmlCol))
+    val hosts = Checkpoints.tracked(docs.select(col(hostCol).as("host"))
       .unionByName(edges.select(col("src").as("host")))
       .unionByName(edges.select(col("dst").as("host")))
-      .distinct().localCheckpoint()
+      .distinct())
     val outw = edges.groupBy(col("src")).agg(sum(col("n")).as("out_w"))
     val base = ((dampDen - dampNum).toLong * 1000000L) / dampDen
     var rank = hosts.select(col("host"), lit(1000000L).as("rank_fp"))
@@ -481,12 +480,11 @@ object Pipeline {
         .select(col("dst").as("host"),
           expr("(rank_fp * n) DIV out_w").as("c"))
         .groupBy(col("host")).agg(sum(col("c")).as("inbound"))
-      rank = hosts
+      rank = Checkpoints.tracked(hosts
         .join(contrib, Seq("host"), "left")
         .select(col("host"),
           expr(s"${base}L + (coalesce(inbound, 0L) * $dampNum) DIV $dampDen")
-            .as("rank_fp"))
-        .localCheckpoint()
+            .as("rank_fp")))
     }
     rank
   }

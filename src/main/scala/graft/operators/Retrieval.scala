@@ -274,7 +274,7 @@ object Retrieval {
       .select(col(idCol),
         explode(TextFunctions.wordShinglesFromTokens(col("w"), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("n"))
-    val docBg = if (materialize) docBgAll.localCheckpoint() else docBgAll
+    val docBg = if (materialize) Checkpoints.tracked(docBgAll) else docBgAll
     val pairCounts = docBg.groupBy("bigram").agg(sum(col("n")).as("n_pair"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
     val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
@@ -406,10 +406,9 @@ object Retrieval {
     */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         binsPerNat: Int = 100): DataFrame = {
-    val binned = lmDocScores(docs, idCol, textCol)
+    val binned = Checkpoints.tracked(lmDocScores(docs, idCol, textCol)
       .select(col(idCol), col("avg_nats"),
-        floor(col("avg_nats") * lit(binsPerNat.toDouble)).cast("long").as("bin"))
-      .localCheckpoint()
+        floor(col("avg_nats") * lit(binsPerNat.toDouble)).cast("long").as("bin")))
     val bins = binned.groupBy("bin").agg(count(lit(1)).as("n"))
     val tot = bins.agg(sum(col("n")).as("t"))
     val cum = bins.select(col("bin"))

@@ -441,9 +441,8 @@ object Sampling {
     // materialize it once so an expensive upstream (a DSIR chain, an LM
     // scorer) is not re-derived per consumer — the shared-subtree policy
     // of Dedup.scala (checkpoint iff ≥ 2 consumers)
-    val s = scored.select(col(idCol), col(scoreCol).cast("long").as("__s"))
-      .filter(col("__s").isNotNull)
-      .localCheckpoint()
+    val s = Checkpoints.tracked(scored.select(col(idCol), col(scoreCol).cast("long").as("__s"))
+      .filter(col("__s").isNotNull))
     val range = s.agg(min("__s").as("lo"), max("__s").as("hi"))
     // exact integer grid: (s−lo)·bins < 2^53 at any realistic fixed-point
     // range, so the one double division is correctly rounded and the

@@ -255,7 +255,7 @@ object TextStats {
         // double-space-joined symbol string: "hello" -> "h  e  l  l  o"
         array_join(transform(sequence(lit(1), length(col("tok"))),
           i => col("tok").substr(i, lit(1))), "  ").as("sym"))
-    var vocab = vocab0.localCheckpoint()
+    var vocab = Checkpoints.tracked(vocab0)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var done = false
@@ -278,11 +278,10 @@ object TextStats {
         // pattern re-doubles the pair's separator; the single-space pad on
         // each side of pattern and replacement preserves the double-join
         // invariant across adjacent matches
-        val next = vocab.select(col("n_tok"),
+        val next = Checkpoints.tracked(vocab.select(col("n_tok"),
           trim(call_function("replace",
             concat(lit(" "), col("sym"), lit(" ")),
-            lit(" " + bp.replace(" ", "  ") + " "), lit(s" $merged "))).as("sym"))
-          .localCheckpoint()
+            lit(" " + bp.replace(" ", "  ") + " "), lit(s" $merged "))).as("sym")))
         graft.operators.Checkpoints.unpersist(vocab)
         vocab = next
         r += 1
@@ -826,7 +825,7 @@ object TextStats {
     // shingle element (the lambda-exclusion trap [[TextFunctions
     // .wordShinglesFromTokens]] documents) — O(tokens²) per doc, measured
     // 3.15 s vs 0.3 s for the bare shingle explode at sf0.1
-    val sketch = docs
+    val sketch = Checkpoints.tracked(docs
       .select(col(groupCol).as("g"), TextFunctions.tokens(col(textCol)).as("w"))
       .select(col("g"),
         explode(TextFunctions.wordShinglesFromTokens(col("w"), n)).as("sh"))
@@ -835,8 +834,7 @@ object TextStats {
       .agg(org.apache.spark.sql.graft.TopKAggregate.topKByDistDedup(
         col("h").cast("double"), col("h"), k).as("top"))
       .select(col("g"), explode(col("top")).as("e"))
-      .select(col("g"), col("e.id").as("h"))
-      .localCheckpoint() // both pair legs read the sketches
+      .select(col("g"), col("e.id").as("h"))) // both pair legs read the sketches
     val srcs = sketch.select(col("g")).distinct()
     val pairs = srcs.select(col("g").as("a"))
       .crossJoin(broadcast(srcs.select(col("g").as("b"))))

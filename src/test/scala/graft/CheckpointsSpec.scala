@@ -142,6 +142,25 @@ class CheckpointsSpec extends SparkSpec {
     idx.nodes.unpersist()
   }
 
+  test("tracked/releaseTracked frees per-query checkpoints; pinned builders survive") {
+    val t = Checkpoints.tracked((0L until 50L).toDF("id"))
+    val p = Checkpoints.pinned { Checkpoints.tracked((0L until 50L).toDF("id")) }
+    val tId = Checkpoints.rddId(t).get
+    val pId = Checkpoints.rddId(p).get
+    assert(persistentIds.contains(tId) && persistentIds.contains(pId),
+      "both checkpoints should pin blocks eagerly")
+    Checkpoints.releaseTracked(spark)
+    assert(awaitReleased(Set(tId)).isEmpty, "tracked checkpoint must be released")
+    assert(persistentIds.contains(pId),
+      "a checkpoint created under pinned{} must survive releaseTracked")
+    // idempotent after a manual release of an already-tracked frame
+    val t2 = Checkpoints.tracked((0L until 10L).toDF("id"))
+    Checkpoints.unpersist(t2)
+    Checkpoints.releaseTracked(spark) // must not throw on the dead id
+    assert(Checkpoints.trackedCount === 0)
+    Checkpoints.unpersist(p)
+  }
+
   test("durable spillPath: pqFit cleans superseded codebook iterations and the slice table") {
     import graft.operators.Pq
     import spark.implicits._
