@@ -655,12 +655,32 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // pointer jumping: follow the label one more hop (comp's own comp is
       // always <= comp, so this only ever tightens)
-      val next = Checkpoints.materialize(
-        prop
-          .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
-          .select(col("id"), col("prev"), coalesce(col("comp2"), col("comp")).as("comp")),
-        sub(s"labels_${iter + 1}"))
-      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      val jumped = prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+        .select(col("id"), col("prev"), coalesce(col("comp2"), col("comp")).as("comp"))
+      // convergence rides the materialize job as an observed metric (r17):
+      // the old shape ran a SECOND job per round (`filter(comp =!= prev)
+      // .isEmpty`) that re-scanned the freshly-written labels — on the
+      // converged final round that scan reads the WHOLE table. Observation
+      // metrics fire through the eager localCheckpoint (probed), so the
+      // changed-row count now costs nothing: one job per round. The
+      // durable-parquet path keeps the explicit filter (its write goes
+      // through a command, and a blocking obs.get on a path that might not
+      // collect metrics would hang the loop — the read-back scan is the
+      // fault-tolerant mode's accepted price).
+      val next = spillPath match {
+        case None =>
+          val obs = new org.apache.spark.sql.Observation()
+          val cp = Checkpoints.tracked(jumped.observe(obs,
+            sum(when(col("comp") =!= col("prev"), 1L).otherwise(0L)).as("n_changed")))
+          converged = Option(obs.get("n_changed"))
+            .forall(_.asInstanceOf[Long] == 0L) // null sum = empty vertex set
+          cp
+        case _ =>
+          val cp = Checkpoints.materialize(jumped, sub(s"labels_${iter + 1}"))
+          converged = cp.filter(col("comp") =!= col("prev")).isEmpty
+          cp
+      }
       // superseded — next is materialized (durable dirs: the old iteration's
       // parquet is deleted; local: blocks unpersist)
       Checkpoints.release(checkpointed, sub(checkpointedName))

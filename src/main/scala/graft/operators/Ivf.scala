@@ -102,10 +102,17 @@ object Ivf {
       spillPath: Option[String] = None): DataFrame = {
     require(k > 0 && iters >= 0, s"kmeansExact: need k > 0, iters >= 0; got k=$k iters=$iters")
     def sub(i: Int): Option[String] = spillPath.map(root => s"$root/qcentroids_$i")
-    val pts = vectors.select(col("id").cast("long").as("id"),
+    val pts0 = vectors.select(col("id").cast("long").as("id"),
         posexplode(graft.functions.Distances.toDouble(col("vector"))).as(Seq("d", "x")))
       .select(col("id"), col("d"),
         floor((col("x") + lit(offset)) * lit(scale.toDouble)).cast("long").as("qv"))
+    // r17: pts feeds init, every assignQ call AND every means join —
+    // 2·iters+1+1 evaluations per action, each a full corpus scan +
+    // posexplode. Checkpoint the quantized (id, d, qv) table once
+    // (executor-local path only: the durable spillPath contract keeps
+    // exactly the centroid iteration dirs, and its fault-tolerance story
+    // is recompute-from-source)
+    val pts = if (spillPath.isEmpty) Checkpoints.tracked(pts0) else pts0
     val w = Window.orderBy(col("id").asc)
     val init = vectors.select(col("id").cast("long").as("id"))
       .orderBy(col("id").asc).limit(k)
