@@ -158,6 +158,157 @@ object OptProbe17 {
           } catch { case _: Throwable => None }
           println(s"[probe] q55.observe-on-localCheckpoint -> $got (rows=${cp.count()})")
         }
+      case "lmq96" =>
+        val docs = tbl("documents")
+        time("lm.perplexityBuckets only")(
+          graft.operators.Retrieval.perplexityBuckets(docs, "doc_id", "text"))
+      case "lmabc" =>
+        // interleaved same-JVM comparison (the r14 ScanTier lesson: gate on
+        // paired reps, never all-A-then-all-B): A = r16 shape (partial agg
+        // by (id,bigram) + ckpt), B = repartition(bigram) + ckpt,
+        // C = repartition(bigram) fully lazy.
+        val docs = tbl("documents")
+        import graft.functions.TextFunctions
+        def bg = docs
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            explode(TextFunctions.wordShinglesFromTokens(col("w"), 2)).as("bigram"))
+        def tail(docBg: DataFrame) = {
+          val pairCounts = docBg.groupBy("bigram").agg(sum(col("n")).as("n_pair"))
+            .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
+          val lp = pairCounts.join(firstCounts, "w1")
+            .select(col("bigram"),
+              floor(log(col("n_pair").cast("double") / col("n_first").cast("double")) *
+                lit(1e6) + lit(0.5)).cast("long").as("lp_fp"))
+          docBg.join(lp, "bigram")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("n")).as("n_bigrams"), sum(col("n") * col("lp_fp")).as("lp_total_fp"))
+        }
+        def mkA = tail(graft.operators.Checkpoints.tracked(
+          bg.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))))
+        def mkB = tail(graft.operators.Checkpoints.tracked(
+          bg.repartition(col("bigram"))
+            .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))))
+        def mkC = tail(bg.repartition(col("bigram"))
+          .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n")))
+        val variants = Seq("A.partial+ckpt" -> (() => mkA), "B.repart+ckpt" -> (() => mkB),
+          "C.repart lazy" -> (() => mkC))
+        // one untimed warmup each, then `reps` interleaved rounds
+        variants.foreach { case (_, mk) =>
+          mk().write.format("noop").mode("overwrite").save()
+          graft.operators.Checkpoints.releaseTracked(spark)
+        }
+        val acc = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+        (1 to reps).foreach { _ =>
+          variants.foreach { case (name, mk) =>
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            acc(name) = ((System.nanoTime() - t0) / 1e9) :: acc(name)
+            graft.operators.Checkpoints.releaseTracked(spark)
+          }
+        }
+        variants.foreach { case (name, _) =>
+          val ts = acc(name).reverse
+          println(f"[probe] lmabc $name%-16s min=${ts.min}%8.2f reps=${ts.map(t => f"$t%.1f").mkString(" ")}")
+        }
+      case "lmlazy" =>
+        // fully-lazy docBg: the repartition(bigram) exchange is the SAME
+        // subtree for all three consumers -- does ReuseExchange/stage reuse
+        // cover it without the checkpoint?
+        val docs = tbl("documents")
+        def docScoresLazy = {
+          val docBg = docs
+            .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("w"))
+            .select(col("doc_id"),
+              explode(graft.functions.TextFunctions.wordShinglesFromTokens(col("w"), 2)).as("bigram"))
+            .repartition(col("bigram"))
+            .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("n"))
+          val pairCounts = docBg.groupBy("bigram").agg(sum(col("n")).as("n_pair"))
+            .withColumn("w1", split(col("bigram"), " ").getItem(0))
+          val firstCounts = pairCounts.groupBy("w1").agg(sum(col("n_pair")).as("n_first"))
+          val lp = pairCounts.join(firstCounts, "w1")
+            .select(col("bigram"),
+              floor(log(col("n_pair").cast("double") / col("n_first").cast("double")) *
+                lit(1e6) + lit(0.5)).cast("long").as("lp_fp"))
+          docBg.join(lp, "bigram")
+            .groupBy(col("doc_id"))
+            .agg(sum(col("n")).as("n_bigrams"),
+              sum(col("n") * col("lp_fp")).as("lp_total_fp"))
+            .select(col("doc_id"), col("n_bigrams"), col("lp_total_fp"),
+              ((col("lp_total_fp").cast("double") / lit(1e6)) /
+                col("n_bigrams").cast("double")).as("avg_nats"))
+        }
+        time("lm.docScores LAZY reuse-exchange")(docScoresLazy)
+        val plan = docScoresLazy.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        println(s"[probe] lmlazy exchanges=${plan.split("\n").count(_.contains("Exchange"))} " +
+          s"reused=${plan.split("\n").count(_.contains("ReusedExchange"))}")
+      case "lm" =>
+        val docs = tbl("documents")
+        time("lm.docScores")(
+          graft.operators.Retrieval.lmDocScores(docs, "doc_id", "text"))
+        time("lm.perplexityBuckets (q96)")(
+          graft.operators.Retrieval.perplexityBuckets(docs, "doc_id", "text"))
+      case "spacing" =>
+        val docs = tbl("documents")
+        val viaRegex = concat(lit(" "),
+          regexp_replace(col("text"), "(?s)(.)(?=.)", "$1  "), lit(" "))
+        val viaSplitJoin = concat(lit(" "),
+          array_join(split(col("text"), ""), "  "), lit(" "))
+        time("spacing.regexp_replace lookahead")(
+          docs.select(col("doc_id"), viaRegex.as("s")))
+        time("spacing.split+array_join")(
+          docs.select(col("doc_id"), viaSplitJoin.as("s")))
+        val diff = docs.select(col("doc_id"), viaRegex.as("a"), viaSplitJoin.as("b"))
+          .filter(!(col("a") <=> col("b"))).count()
+        println(s"[probe] spacing diff rows = $diff")
+      case "skew" =>
+        // zipfian-host slice (VERDICT r16 item 5): the sf0.1 fixture's host
+        // key is perfectly uniform (20 hosts x 250 docs), so plant a head
+        // host owning 80% of rows and measure what actually crosses each
+        // exchange in the host-keyed tier.
+        val docs = tbl("documents").withColumn("host",
+          when(col("doc_id") % 5 =!= 0, lit("hot.example"))
+            .otherwise(concat(lit("cold"), (col("doc_id") % 17).cast("string"))))
+        def nodeRows(name: String, df: DataFrame): Unit = {
+          // collect() executes THIS df.queryExecution, so its node metrics
+          // populate (a noop write spawns a separate QueryExecution);
+          // outputs here are host-aggregated — tiny
+          df.collect()
+          def finalPlan(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+            case other => other
+          }
+          println(s"[skew] $name")
+          def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+            val rows = p.metrics.get("numOutputRows").map(_.value)
+            val recs = p.metrics.get("shuffleRecordsWritten").map(_.value)
+            val label = p.getClass.getSimpleName
+            if (rows.nonEmpty || recs.nonEmpty)
+              println(f"[skew]   ${"  " * depth}$label rows=${rows.getOrElse(-1L)} shuffleRecs=${recs.getOrElse(-1L)}")
+            p.children.foreach(walk(_, depth + 1))
+            p match {
+              case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan, depth + 1)
+              case _ => ()
+            }
+          }
+          walk(finalPlan(df.queryExecution.executedPlan), 0)
+          graft.operators.Checkpoints.releaseTracked(spark)
+        }
+        // q115 shape: pure partial-agg groupBy(host)
+        nodeRows("hostStats agg (80% hot key)",
+          docs.groupBy("host").agg(count(lit(1)).as("n_pages"),
+            sum(length(col("text")).cast("long")).as("bytes")))
+        // q137/q138 shape: linkEdges groupBy(src,dst) + degree views + rank join
+        val crawl = docs.select(col("doc_id"), col("host"),
+          concat(lit("<html><body><a href=\"http://h"), (col("doc_id") % 7).cast("string"),
+            lit(".example/p"), col("doc_id").cast("string"), lit("\">x</a>"),
+            col("text"), lit("</body></html>")).as("html"))
+        nodeRows("hostLinkGraph (80% hot src)",
+          graft.operators.Pipeline.hostLinkGraph(crawl, "host", "html"))
+        nodeRows("hostRank 2 iters (80% hot src)",
+          graft.operators.Pipeline.hostRank(crawl, "host", "html", iterations = 2))
       case other => System.err.println(s"unknown probe $other")
     }
     spark.stop()
