@@ -212,6 +212,54 @@ object OptProbe17 {
           val ts = acc(name).reverse
           println(f"[probe] lmabc $name%-16s min=${ts.min}%8.2f reps=${ts.map(t => f"$t%.1f").mkString(" ")}")
         }
+      case "spans" =>
+        // q71/q72's dupPositions evaluates the corpus positioned-shingle
+        // explode twice (count agg + semi-join side). Interleaved A/B/C:
+        // A = current, B = ps checkpointed, C = ps repartition(shingle)+ckpt
+        val docs = tbl("documents")
+        import graft.functions.TextFunctions
+        val k = 8
+        def ps = docs
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+          .select(col("doc_id"), posexplode(TextFunctions.wordShinglesFromTokens(col("w"), k)))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("shingle"))
+        def spans(psIn: DataFrame) = {
+          val dup = psIn.groupBy("shingle").agg(count(lit(1)).as("n_occ"))
+            .filter(col("n_occ") >= 2).select("shingle")
+          val marked = psIn.join(dup, Seq("shingle"), "left_semi").select(col("doc_id"), col("pos"))
+          marked
+            .withColumn("island",
+              col("pos") - row_number().over(org.apache.spark.sql.expressions.Window
+                .partitionBy("doc_id").orderBy("pos")))
+            .groupBy(col("doc_id"), col("island"))
+            .agg(min("pos").as("span_start"),
+              (max("pos") + lit(k - 1).cast("long")).as("span_end"),
+              count(lit(1)).as("n_shingles"))
+            .filter(col("n_shingles") >= 2)
+            .select(col("doc_id"), col("span_start"), col("span_end"), col("n_shingles"))
+        }
+        val variants = Seq(
+          "A.current" -> (() => spans(ps)),
+          "B.ps ckpt" -> (() => spans(graft.operators.Checkpoints.tracked(ps))),
+          "C.repart+ckpt" -> (() => spans(graft.operators.Checkpoints.tracked(
+            ps.repartition(col("shingle"))))))
+        variants.foreach { case (_, mk) =>
+          mk().write.format("noop").mode("overwrite").save()
+          graft.operators.Checkpoints.releaseTracked(spark)
+        }
+        val acc = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+        (1 to reps).foreach { _ =>
+          variants.foreach { case (name, mk) =>
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            acc(name) = ((System.nanoTime() - t0) / 1e9) :: acc(name)
+            graft.operators.Checkpoints.releaseTracked(spark)
+          }
+        }
+        variants.foreach { case (name, _) =>
+          val ts = acc(name).reverse
+          println(f"[probe] spans $name%-14s min=${ts.min}%8.2f reps=${ts.map(t => f"$t%.1f").mkString(" ")}")
+        }
       case "lmlazy" =>
         // fully-lazy docBg: the repartition(bigram) exchange is the SAME
         // subtree for all three consumers -- does ReuseExchange/stage reuse
